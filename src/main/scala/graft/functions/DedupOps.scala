@@ -1,0 +1,144 @@
+package graft.functions
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection operators (LLM-pipeline tier): n-gram Jaccard,
+  * MinHash+LSH, SimHash. Exact dedup lives in TextOps.dedupExact.
+  *
+  * Scale design:
+  * - Pairwise Jaccard is quadratic → only ever run it on a bounded
+  *   candidate set. Here the oracle query restricts to doc_id < 200 (a
+  *   constant slice across sf); the production path is MinHash/LSH, whose
+  *   band-bucket join only pairs documents agreeing on a band — linear in
+  *   corpus + collisions, the standard 100 TB dedup shape.
+  * - All hashing is xxhash64 (Spark's codegen'd HashExpression) —
+  *   deterministic across runs/partitions, so results are stable.
+  */
+object DedupOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Word 3-gram shingles of a token array: shingle i = tokens[i..i+2].
+    * Guarded: <3 tokens → empty array (sequence(1,0) would count DOWN). */
+  def shingles3(tk: Column): Column =
+    when(size(tk) >= 3,
+      transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ", slice(tk, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature: for each of `perms` seeded hash functions, the min
+    * xxhash64 over the shingle set. Pure columnar (transform/array_min);
+    * one pass over the shingles per doc. */
+  def minhashSignature(sh: Column, perms: Int): Column =
+    array((0 until perms).map { seed =>
+      array_min(transform(sh, x => xxhash64(lit(seed), x)))
+    }: _*)
+
+  /** LSH banding: split a `perms`-wide signature into bands of `rows`,
+    * hash each band; docs sharing any (band_idx, band_hash) are
+    * candidates. */
+  def lshBands(sig: Column, perms: Int, rows: Int): Column = {
+    val bands = (0 until perms / rows).map { b =>
+      struct(lit(b).as("band"), xxhash64(slice(sig, b * rows + 1, rows)).as("bhash"))
+    }
+    array(bands: _*)
+  }
+
+  /** MinHash/LSH near-dup candidates with exact-Jaccard verification on
+    * shingle sets. 32 perms, 8 bands x 4 rows (catches jaccard ≳ 0.5).
+    * Output: candidate pairs with verified shingle-set Jaccard ≥ 0.5.
+    * Deterministic (xxhash64) but not ANSI-SQL-expressible → rows-only
+    * driver check; the ScalaTest spec proves recall on synthetic
+    * near-dups. */
+  val minhashLsh: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), array_distinct(shingles3(split(col("text"), " "))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = docs.withColumn("sig", minhashSignature(col("sh"), 32))
+    val banded = sig.select(col("doc_id"), col("sh"),
+      explode(lshBands(col("sig"), 32, 4)).as("b"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash-64 over a (precomputed) token-hash array column: per bit
+    * position, sum +1/-1 votes across token hashes; sign vector folds to
+    * a 64-bit fingerprint. Pure columnar aggregate()s over the stored
+    * hash array — no UDF, no shuffle. (64 static masks; a fused custom
+    * Expression is the planned optimization.) */
+  def simhash64(hashes: Column): Column = {
+    val bits = (0 until 64).map { i =>
+      val mask = lit(1L << i)
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0, lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, mask).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash fingerprints per document. Rows-only driver check; ScalaTest
+    * proves hamming-distance behavior on synthetic near-dups. */
+  val simhash: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("hashes", transform(split(col("text"), " "), x => xxhash64(x)))
+      .select(col("doc_id"), simhash64(col("hashes")).as("simhash"))
+
+  /** Token-set Jaccard similarity pairs (1-gram variant, SQL-expressible
+    * oracle). Restricted to doc_id < 200 — pairwise is the verification
+    * tier, not the scale path (see header). */
+  val jaccardPairs: Q = (s, d) => {
+    val tok = t(s, d, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard", round(col("i") / (col("sa.sz") + col("sb.sz") - col("i")), 4))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q27_jaccard_pairs" -> jaccardPairs,
+    "q28_minhash_lsh" -> minhashLsh,
+    "q29_simhash" -> simhash,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q27_jaccard_pairs" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS token
+        |    FROM documents WHERE doc_id < 200)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.4""".stripMargin,
+    // q28/q29: xxhash64-based — deterministic but not expressible in
+    // DuckDB SQL (different hash function) → rows-only checks; recall is
+    // proven in DedupSpec on synthetic near-duplicates.
+  )
+}

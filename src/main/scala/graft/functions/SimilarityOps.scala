@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label) — LLM-pipeline tier.
+  *
+  * Scale design: the brute-force path is a broadcast of the (tiny) query
+  * set against a scan of the corpus — O(corpus) with no shuffle, ideal
+  * when queries ≪ corpus. The LSH/IVF path (Extensions tier) buckets the
+  * corpus once so repeated queries probe only matching buckets.
+  *
+  * All math is done in double (embeddings cast float→double first) so the
+  * DuckDB oracle — `list_cosine_similarity(embedding::DOUBLE[], ...)` —
+  * agrees bit-for-bit before rounding.
+  */
+object SimilarityOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** dot(a,b) via zip_with + aggregate — pure Catalyst expressions
+    * (codegen), no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: query vector = vec_id 0, corpus = the rest.
+    * Broadcast the single query row; rank by rounded score with vec_id
+    * tiebreak for determinism. */
+  val annCosineTopK: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("neighbor_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .limit(10)
+  }
+
+  /** Per-label centroid then nearest-centroid assignment check — the IVF
+    * coarse-quantizer building block: one groupBy(label) for centroids
+    * (tiny result, broadcast back). Output: label, member count, rounded
+    * centroid self-similarity stats. */
+  val labelCentroidStats: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    // centroid_j = avg over members of v[j]: aggregate element-wise via
+    // explode-free posexplode alternative — zip_with against a running
+    // sum needs an agg over arrays; use explode for clarity (64 dims).
+    val dims = emb.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+    dims.groupBy(col("label"), col("dim"))
+      .agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(round(sqrt(sum(col("c") * col("c"))), 6).as("centroid_norm"),
+        count(lit(1)).as("n_dims"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q25_ann_cosine_topk" -> annCosineTopK,
+    "q26_label_centroids" -> labelCentroidStats,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_ann_cosine_topk" ->
+      """SELECT e.vec_id AS neighbor_id,
+        | round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),6) AS cosine
+        |FROM embeddings e,
+        |     (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, neighbor_id LIMIT 10""".stripMargin,
+    "q26_label_centroids" ->
+      """WITH dims AS (
+        |  SELECT label, u.dim - 1 AS dim, u.x FROM embeddings,
+        |    LATERAL (SELECT generate_subscripts(embedding,1) AS dim,
+        |                    unnest(embedding::DOUBLE[]) AS x) u),
+        |cent AS (
+        |  SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim)
+        |SELECT label, round(sqrt(sum(c*c)),6) AS centroid_norm,
+        | count(*) AS n_dims
+        |FROM cent GROUP BY label""".stripMargin,
+  )
+}

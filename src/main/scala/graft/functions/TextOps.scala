@@ -1,0 +1,124 @@
+package graft.functions
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-training-data pipeline tier
+  * (builder mandate beyond the reference surface; SURVEY.md §2.9 last row).
+  * All are narrow per-row transforms — no shuffle, codegen-friendly
+  * built-in expressions only — so they stream through a 100 TB scan at
+  * parquet-read speed.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Whitespace token count (cast to long so the schema matches DuckDB's
+    * BIGINT `len()`). */
+  val tokenCount: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+
+  /** Quality scoring: length, token count, punctuation ratio, stopword
+    * ratio — the classic cheap heuristics applied before expensive dedup.
+    * Ratios are deterministic int/int double divisions, rounded in both
+    * engines. */
+  val qualityScore: Q = (s, d) => {
+    val tk = tokens(col("text"))
+    val stopHits = size(filter(tk, tok => tok.isin(stopwords: _*)))
+    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(tk).cast("long").as("n_tokens"),
+        round(punct.cast("double") / length(col("text")), 4).as("punct_ratio"),
+        round(stopHits.cast("double") / size(tk), 4).as("stopword_ratio"))
+  }
+
+  /** Document fingerprint over normalized text (lowercase, alnum+space
+    * only). md5 prefix keeps the oracle SQL-expressible; the rolling-hash
+    * variant lives in Fingerprint (custom expression, rows-only check). */
+  val fingerprint: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        substring(md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+          .cast("binary")), 1, 16).as("fingerprint"))
+
+  /** Exact deduplication by content hash: one shuffle on the hash key,
+    * map-side partial agg first. `keeper_doc_id` = min doc_id per group
+    * (the row a dedup pass would keep). */
+  val dedupExact: Q = (s, d) =>
+    t(s, d, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
+
+  /** Language-ID by stopword-vote n-gram heuristic. English/German/French/
+    * Spanish function-word hit counts; argmax wins, ties broken by fixed
+    * language order. Purely columnar (no UDF). */
+  def langIdCol(text: Column): Column = {
+    val langWords: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+      "es" -> Seq("el", "los", "las", "es", "una", "y"))
+    val tk = tokens(text)
+    val hits = langWords.map { case (lang, ws) =>
+      struct(size(filter(tk, tok => tok.isin(ws: _*))).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on struct(hits, lang) — lexicographic, so ties pick the
+    // lexicographically-last lang among equals; make order deterministic
+    // by preferring earlier langs via a rank component.
+    val ranked = langWords.zipWithIndex.map { case ((lang, ws), i) =>
+      struct(size(filter(tk, tok => tok.isin(ws: _*))).as("hits"),
+        lit(langWords.size - i).as("prio"), lit(lang).as("lang"))
+    }
+    array_max(array(ranked: _*)).getField("lang")
+  }
+
+  val langId: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        langIdCol(col("text")).as("detected_lang"))
+
+  val queries: Map[String, Q] = Map(
+    "q20_token_count" -> tokenCount,
+    "q21_quality_score" -> qualityScore,
+    "q22_fingerprint" -> fingerprint,
+    "q23_dedup_exact" -> dedupExact,
+    "q24_lang_id" -> langId,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_token_count" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+        | length(text) AS n_chars_actual
+        |FROM documents""".stripMargin,
+    "q21_quality_score" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        | len(string_split(text,' ')) AS n_tokens,
+        | round(length(regexp_replace(text,'[a-z0-9 ]','','g')) / length(text), 4)
+        |   AS punct_ratio,
+        | round(len(list_filter(string_split(text,' '),
+        |         tok -> tok IN ('the','a','of','and','to','in')))
+        |       / len(string_split(text,' ')), 4) AS stopword_ratio
+        |FROM documents""".stripMargin,
+    "q22_fingerprint" ->
+      """SELECT doc_id,
+        | substring(md5(regexp_replace(lower(text),'[^a-z0-9 ]','','g')),1,16)
+        |   AS fingerprint
+        |FROM documents""".stripMargin,
+    "q23_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies,
+        | min(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    // q24_lang_id: heuristic argmax — intentionally no SQL oracle yet
+    // (rows-only check); a CASE-expression oracle is planned.
+  )
+}

@@ -1,0 +1,304 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Reference-parity relational operators (SURVEY.md §2), instantiated over
+  * the driver's star-schema fixtures per FIXTURES.md §4:
+  * `events` plays the page-log stream, `orders`+`lineitem` play
+  * order_info+order_detail, `customer`/`nation` play the user/province
+  * dims, `part.p_name` plays sku_name for the token-match query.
+  *
+  * All queries are batch-first `(SparkSession, sfDir) => DataFrame`
+  * functions; the streaming twins in `graft.streaming` reuse the same
+  * column logic (Structured Streaming batch/stream unification).
+  *
+  * Determinism notes (required for the DuckDB hash-compare):
+  * - double aggregates are `round`-ed in BOTH engines (float summation
+  *   order differs; rounding absorbs the ~1e-9 relative drift);
+  * - every top-k sort carries a unique tiebreaker column;
+  * - dates/hours are emitted as formatted strings, session TZ = UTC.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A2+A6 analog of the reference DAU pipeline: session-entry dedup
+    * (first event per user per day, ref app/DwdDauApp.scala:83-100) then
+    * hourly histogram (ref publish-realtime PublishDaoImpl.java:122-154).
+    * At 100 TB the window runs as a partial-aggregate-friendly shuffle on
+    * (user_id, dt); no driver-side state.
+    */
+  val dauHourly: Q = (s, d) => {
+    val e = t(s, d, "events").withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+    val w = Window.partitionBy(col("user_id"), col("dt")).orderBy(col("ts"), col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("dt"), date_format(col("ts"), "HH").as("hr"))
+      .agg(count(lit(1)).as("dau"))
+  }
+
+  /** A1: daily active users — exact distinct (ref PublishDaoImpl.java:156-176).
+    * HLL variant for 100 TB: `approx_count_distinct` (see Extensions). */
+  val dauTotal: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(count_distinct(col("user_id")).as("dau"))
+
+  /** P11: the session-entry rows themselves (ref filter last_page_id==null,
+    * app/DwdDauApp.scala:69-71 — here: first event per user per day). */
+  val sessionEntry: Q = (s, d) => {
+    val e = t(s, d, "events").withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+    val w = Window.partitionBy(col("user_id"), col("dt")).orderBy(col("ts"), col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("dt"), col("event_id").as("entry_event_id"),
+        col("event_type").as("entry_type"))
+  }
+
+  /** J1+J2+J3 batch twin of the order-wide pipeline
+    * (ref app/DwdOrderApp.scala:95-163): fact-fact join on the order key
+    * (shuffle, 1:N) plus two broadcast dim joins (the reference's
+    * per-record Redis GETs become BroadcastHashJoin — no per-row RTTs).
+    * split_total_amount is a deterministic per-row product, no rounding
+    * drift. */
+  val orderWide: Q = (s, d) => {
+    val o = t(s, d, "orders")
+    val l = t(s, d, "lineitem")
+    val c = t(s, d, "customer")
+    val n = t(s, d, "nation")
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("detail_id"),
+        col("o_custkey").as("user_id"),
+        col("c_name").as("user_name"),
+        col("n_name").as("province_name"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("create_date"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("split_total_amount"))
+  }
+
+  /** A3+Q3: statsByItem analog (ref PublishDaoImpl.java:50-101) — full-text
+    * AND-match as conjunctive token containment on p_name (SURVEY.md §2.7 Q3),
+    * grouped sum by market segment (plays gender/age terms agg). */
+  val statsByItem: Q = (s, d) => {
+    val l = t(s, d, "lineitem")
+    val p = t(s, d, "part")
+    val o = t(s, d, "orders")
+    val c = t(s, d, "customer")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_name").contains("small") && col("p_name").contains("widget"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("amount"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** A5+F6 analog: client-side age re-bucketing done engine-side in one
+    * pass (ref PublisherServiceImpl.java:55-74) — acctbal bands play age
+    * bands. */
+  val acctbalBands: Q = (s, d) =>
+    t(s, d, "customer")
+      .groupBy(
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("band"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+
+  /** A4/O3/O4: group-avg ordered by sub-agg, top-k (ref EsTest.scala:119-153). */
+  val topkAvg: Q = (s, d) =>
+    t(s, d, "part")
+      .groupBy(col("p_brand"))
+      .agg(round(avg(col("p_retailprice")), 2).as("avg_price"),
+        count(lit(1)).as("n_parts"))
+      .orderBy(col("avg_price").desc, col("p_brand"))
+      .limit(10)
+
+  /** O1/O2: sort + from/size pagination (ref EsTest.scala:86-89). */
+  val sortPage: Q = (s, d) =>
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(20)
+      .limit(10)
+
+  /** Q1/Q2: bool query — range + term conjunction (ref EsTest.scala:78-84). */
+  val rangeBool: Q = (s, d) =>
+    t(s, d, "events")
+      .filter(col("value") >= 200 && col("event_type") === "purchase" &&
+        col("user_id").between(2, 10))
+      .select(col("event_id"), col("user_id"), col("value"))
+
+  /** P1/P2: JSON parse of the event props payload (ref fastjson parse,
+    * app/OdsBaseLogApp.scala:62-69) + grouped agg over the extracted key. */
+  val jsonExtract: Q = (s, d) =>
+    t(s, d, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+
+  /** P9: CDC op-type decode + filter (ref app/OdsBaseDbApp.scala:100-109,
+    * implementing the intended mapping incl. the delete the reference
+    * drops via its duplicate-case bug). event_type plays the Maxwell
+    * `type` field; `purchase` plays an uninteresting op → filtered. */
+  val cdcDecode: Q = (s, d) =>
+    t(s, d, "events")
+      .withColumn("op",
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type").isin("click", "view"), "U")
+          .when(col("event_type") === "error", "D"))
+      .filter(col("op").isNotNull)
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n"))
+
+  /** P6: multi-way split routing — one pass partitions the stream into the
+    * err/start/page routes (ref app/OdsBaseLogApp.scala:88-198). The
+    * streaming twin writes each route to its own sink; here we audit the
+    * partition sizes (every row lands in exactly one route). */
+  val multiwaySplit: Q = (s, d) =>
+    t(s, d, "events")
+      .withColumn("route",
+        when(col("event_type") === "error", "err")
+          .when(col("event_type") === "signup", "start")
+          .otherwise("page"))
+      .groupBy(col("route"))
+      .agg(count(lit(1)).as("n"))
+
+  /** ST7 upgrade: tumbling 1-hour event-time window aggregation (the
+    * reference only group-bys a derived `hr` string). Batch twin uses
+    * date_trunc, streaming twin uses window()+watermark — same buckets. */
+  val windowedAgg: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  /** TPC-H Q1-style pricing summary — exercises partial+final hash agg
+    * with multiple aggregates (SURVEY.md §2.5 note on Catalyst's
+    * partial/final split). */
+  val pricingSummary: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> pricingSummary,
+    "q02_dau_total" -> dauTotal,
+    "q03_dau_hourly" -> dauHourly,
+    "q04_session_entry" -> sessionEntry,
+    "q05_order_wide" -> orderWide,
+    "q06_stats_by_item" -> statsByItem,
+    "q07_acctbal_bands" -> acctbalBands,
+    "q08_topk_avg" -> topkAvg,
+    "q09_sort_page" -> sortPage,
+    "q10_range_bool" -> rangeBool,
+    "q11_json_extract" -> jsonExtract,
+    "q12_cdc_decode" -> cdcDecode,
+    "q13_multiway_split" -> multiwaySplit,
+    "q14_windowed_agg" -> windowedAgg,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),2) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_dau_total" ->
+      """SELECT strftime(ts,'%Y-%m-%d') AS dt, count(DISTINCT user_id) AS dau
+        |FROM events GROUP BY 1""".stripMargin,
+    "q03_dau_hourly" ->
+      """WITH entries AS (
+        |  SELECT ts, strftime(ts,'%Y-%m-%d') AS dt,
+        |         row_number() OVER (PARTITION BY user_id, strftime(ts,'%Y-%m-%d')
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT dt, strftime(ts,'%H') AS hr, count(*) AS dau
+        |FROM entries WHERE rn=1 GROUP BY dt, hr""".stripMargin,
+    "q04_session_entry" ->
+      """WITH entries AS (
+        |  SELECT user_id, strftime(ts,'%Y-%m-%d') AS dt, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id, strftime(ts,'%Y-%m-%d')
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, dt, event_id AS entry_event_id, event_type AS entry_type
+        |FROM entries WHERE rn=1""".stripMargin,
+    "q05_order_wide" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS detail_id,
+        | o_custkey AS user_id, c_name AS user_name, n_name AS province_name,
+        | strftime(o_orderdate,'%Y-%m-%d') AS create_date,
+        | l_extendedprice*(1-l_discount) AS split_total_amount
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q06_stats_by_item" ->
+      """SELECT c_mktsegment, round(sum(l_extendedprice),2) AS amount,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE p_name LIKE '%small%' AND p_name LIKE '%widget%'
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q07_acctbal_bands" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 5000 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        | count(*) AS n_customers, round(sum(c_acctbal),2) AS total_bal
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q08_topk_avg" ->
+      """SELECT p_brand, round(avg(p_retailprice),2) AS avg_price,
+        | count(*) AS n_parts
+        |FROM part GROUP BY p_brand
+        |ORDER BY avg_price DESC, p_brand LIMIT 10""".stripMargin,
+    "q09_sort_page" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20""".stripMargin,
+    "q10_range_bool" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value >= 200 AND event_type = 'purchase'
+        |  AND user_id BETWEEN 2 AND 10""".stripMargin,
+    "q11_json_extract" ->
+      """SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 AS k_mod,
+        | count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "q12_cdc_decode" ->
+      """SELECT CASE WHEN event_type = 'signup' THEN 'I'
+        |            WHEN event_type IN ('click','view') THEN 'U'
+        |            WHEN event_type = 'error' THEN 'D' END AS op,
+        | count(*) AS n
+        |FROM events
+        |WHERE event_type IN ('signup','click','view','error')
+        |GROUP BY 1""".stripMargin,
+    "q13_multiway_split" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'err'
+        |            WHEN event_type = 'signup' THEN 'start'
+        |            ELSE 'page' END AS route, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q14_windowed_agg" ->
+      """SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS win_start,
+        | event_type, count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+  )
+}
