@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.sources.Envelopes
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC op decode + dynamic fact/dim routing (ref app/OdsBaseDbApp.scala:
+  * 80-148, SURVEY.md §2.2 P9-P10).
+  *
+  * Decode implements the INTENDED mapping — `bootstrap-insert`/`insert`
+  * → I, `update` → U, `delete` → D — fixing the reference's duplicate
+  * `case "insert"` bug that silently drops deletes
+  * (app/OdsBaseDbApp.scala:102-106). Unknown ops → null → filtered.
+  *
+  * Routing is semantically a semi-join of the stream against the
+  * fact/dim config lists (re-read per batch in streaming, ref :80-93);
+  * with in-memory lists `isin` compiles to a broadcast-free codegen'd
+  * predicate — same effect as the reference's per-batch broadcast.
+  */
+object CdcRouter {
+
+  def decode(parsed: DataFrame): DataFrame =
+    parsed
+      .withColumn("op",
+        when(col("type").isin("bootstrap-insert", "insert"), "I")
+          .when(col("type") === "update", "U")
+          .when(col("type") === "delete", "D"))
+      .filter(col("op").isNotNull)
+
+  /** Fact route: rows destined for Kafka topic `DWD_<TABLE>_<op>`
+    * (dynamic topic = computed column, ref app/OdsBaseDbApp.scala:110-118). */
+  def facts(decoded: DataFrame, factTables: Seq[String]): DataFrame =
+    decoded
+      .filter(col("table").isin(factTables: _*))
+      .select(
+        concat(lit("DWD_"), upper(col("table")), lit("_"), col("op")).as("topic"),
+        col("id").as("key"),
+        col("data").as("value"))
+
+  /** Dim route: keyed upserts for the dimension store — key
+    * `DIM:<TABLE>:<id>` exactly as the reference writes Redis
+    * (app/OdsBaseDbApp.scala:121-139); deletes become tombstones
+    * (null value) instead of being lost. */
+  def dims(decoded: DataFrame, dimTables: Seq[String]): DataFrame =
+    decoded
+      .filter(col("table").isin(dimTables: _*))
+      .select(
+        concat(lit("DIM:"), upper(col("table")), lit(":"), col("id")).as("key"),
+        when(col("op") === "D", lit(null).cast("string"))
+          .otherwise(col("data")).as("value"),
+        col("op"))
+
+  /** Full router over raw CDC JSON. */
+  def route(raw: DataFrame, factTables: Seq[String], dimTables: Seq[String])
+      : Map[String, DataFrame] = {
+    val decoded = decode(Envelopes.parseCdc(raw))
+    Map("fact" -> facts(decoded, factTables), "dim" -> dims(decoded, dimTables))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.DedupOps
+import org.apache.spark.sql.functions._
+
+/** MinHash/LSH recall and SimHash locality on synthetic near-duplicates
+  * (the driver fixtures have no engineered near-dups; these specs prove
+  * the operators detect them). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+  // near-dup: one word changed out of 72 → shingle jaccard ≈ 0.9
+  private val near = base.replaceFirst("lazy", "sleepy")
+  // unrelated
+  private val other = ("completely different content about spark engines " * 9).trim
+
+  test("minhash/LSH finds the engineered near-dup pair and not the unrelated one") {
+    val docs = Seq((0L, base), (1L, near), (2L, other)).toDF("doc_id", "text")
+    val sh = DedupOps.shingles3(split(col("text"), " "))
+    val withSh = docs.select(col("doc_id"), array_distinct(sh).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = withSh.withColumn("sig", DedupOps.minhashSignature(col("sh"), 32))
+    val banded = sig.select(col("doc_id"), col("sh"),
+      explode(DedupOps.lshBands(col("sig"), 32, 4)).as("b"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val docs = Seq((0L, base)).toDF("doc_id", "text")
+    val sh = array_distinct(DedupOps.shingles3(split(col("text"), " ")))
+    val s1 = docs.select(DedupOps.minhashSignature(sh, 32)).collect()(0).getSeq[Long](0)
+    val s2 = docs.select(DedupOps.minhashSignature(sh, 32)).collect()(0).getSeq[Long](0)
+    assert(s1 == s2 && s1.length == 32)
+  }
+
+  test("simhash: near-dups land close in hamming distance, unrelated far") {
+    val docs = Seq((0L, base), (1L, near), (2L, other)).toDF("doc_id", "text")
+      .withColumn("hashes", transform(split(col("text"), " "), x => xxhash64(x)))
+      .select(col("doc_id"), DedupOps.simhash64(col("hashes")).as("sh"))
+    val m = docs.as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(0L), m(1L)) <= 12)
+    assert(hamming(m(0L), m(2L)) >= 20)
+  }
+
+  test("shingles: <3 tokens yields empty, 3 tokens yields one") {
+    val df = Seq("a b", "a b c", "a b c d").toDF("text")
+      .select(size(DedupOps.shingles3(split(col("text"), " "))).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(0, 1, 2))
+  }
+}

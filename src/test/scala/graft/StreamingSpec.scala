@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** ST1-ST8 parity via MemoryStream (no Kafka broker in this env):
+  * cross-batch dedup with watermark TTL, stream-stream join arrival
+  * matrix (info-first / detail-first / same-batch), windowed agg,
+  * fan-out foreachBatch, and replay-idempotency of the dedup output. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  case class Page(mid: String, ts: Timestamp, page_id: String)
+  case class Ord(order_id: Long, ts: Timestamp, amount: Double)
+  case class Det(order_id: Long, ts: Timestamp, sku: String)
+
+  test("dauDedup admits first event per (mid, dt) across batches; state expires by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Page]
+    val q = Streams.dauDedup(in.toDF(), "24 hours")
+      .writeStream.format("memory").queryName("dau_out").outputMode("append").start()
+    try {
+      // batch 1: two events same mid same day + one other mid
+      in.addData(
+        Page("m1", ts("2024-01-01 10:00:00"), "home"),
+        Page("m1", ts("2024-01-01 11:00:00"), "detail"),
+        Page("m2", ts("2024-01-01 10:30:00"), "home"))
+      q.processAllAvailable()
+      // batch 2: m1 again same day (dup, dropped), m1 next day (admitted)
+      in.addData(
+        Page("m1", ts("2024-01-01 12:00:00"), "cart"),
+        Page("m1", ts("2024-01-02 09:00:00"), "home"))
+      q.processAllAvailable()
+      val out = spark.table("dau_out").select("mid", "dt").as[(String, String)]
+        .collect().sorted.toSeq
+      assert(out == Seq(("m1", "2024-01-01"), ("m1", "2024-01-02"), ("m2", "2024-01-01")))
+    } finally q.stop()
+  }
+
+  test("orderWideJoin matches info/detail across batches within the lateness bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val info = MemoryStream[Ord]
+    val det = MemoryStream[Det]
+    val joined = Streams.orderWideJoin(info.toDF(), det.toDF(), "24 hours")
+      .select(col("info_order_id"), col("amount"), col("sku"))
+    val q = joined.writeStream.format("memory").queryName("ow_out")
+      .outputMode("append").start()
+    try {
+      // same-batch pair (order 1); info-first (order 2); detail-first (order 3)
+      info.addData(Ord(1, ts("2024-01-01 10:00:00"), 10.0), Ord(2, ts("2024-01-01 10:00:00"), 20.0))
+      det.addData(Det(1, ts("2024-01-01 10:05:00"), "sku_a"), Det(3, ts("2024-01-01 10:00:00"), "sku_c"))
+      q.processAllAvailable()
+      // late counterparts within 24h
+      det.addData(Det(2, ts("2024-01-01 20:00:00"), "sku_b"))
+      info.addData(Ord(3, ts("2024-01-01 18:00:00"), 30.0))
+      q.processAllAvailable()
+      // 1:N — second detail for order 1
+      det.addData(Det(1, ts("2024-01-01 10:10:00"), "sku_a2"))
+      q.processAllAvailable()
+      val out = spark.table("ow_out").as[(Long, Double, String)].collect().sorted.toSeq
+      assert(out == Seq((1L, 10.0, "sku_a"), (1L, 10.0, "sku_a2"),
+        (2L, 20.0, "sku_b"), (3L, 30.0, "sku_c")))
+    } finally q.stop()
+  }
+
+  test("hourlyAgg buckets match the batch date_trunc twin") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Ev(ts: Timestamp, event_type: String, value: Double)
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val stream = Streams.hourlyAgg(
+      in.toDF().toDF("ts", "event_type", "value"), "1 hour")
+    val q = stream.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:10:00"), "click", 1.0),
+        (ts("2024-01-01 10:50:00"), "click", 2.0),
+        (ts("2024-01-01 11:10:00"), "click", 4.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close both windows
+      in.addData((ts("2024-01-02 00:00:00"), "view", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+        .select("win_start", "event_type", "n", "total_value")
+        .as[(String, String, Long, Double)].collect().sorted.toSeq
+      assert(out.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+      assert(out.contains(("2024-01-01 11:00:00", "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("fanout foreachBatch writes all five outputs from a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("fanout").toString
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("value").writeStream
+      .foreachBatch(Streams.fanoutBatchWriter(dir) _).start()
+    try {
+      in.addData(
+        """{"common":{"mid":"m1"},"page":{"page_id":"home"},"ts":1}""",
+        """{"common":{"mid":"m2"},"err":{"error_code":1,"msg":"x"},"ts":2}""",
+        """{"common":{"mid":"m3"},"start":{"entry":"icon"},"ts":3}""")
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/page").count() == 1)
+      assert(spark.read.parquet(s"$dir/error").count() == 1)
+      assert(spark.read.parquet(s"$dir/start").count() == 1)
+    } finally q.stop()
+  }
+
+  test("dedup is idempotent under replay (batch twin): dedup(dedup(x)) == dedup(x)") {
+    val e = graft.Tables.t(spark, sf0001, "events")
+      .select(col("user_id").cast("string").as("mid"), col("ts"))
+    val once = Streams.dauDedup(e)
+    val twice = Streams.dauDedup(once.drop("dt"))
+    assert(once.count() == twice.count())
+  }
+}
