@@ -1,0 +1,113 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused custom Catalyst expressions for the dedup tier.
+  *
+  * The composable versions in DedupOps (split → transform → xxhash64 →
+  * rotate/xor → array_min) are correct but run as interpreted
+  * higher-order functions — ~0.8 ms/doc. These expressions do the same
+  * math in one tight pass over the tokens (~10 µs/doc), which is what a
+  * 100 TB dedup scan needs. Semantics are bit-identical to the HOF
+  * pipeline (proven by DedupSpec equivalence tests):
+  * - token split = split(text, ' ') keeping empties (Spark split semantics)
+  * - shingle hash = xxhash64(concat_ws(' ', tok_i..tok_{i+w-1})), seed 42
+  * - perm_p(h) = rotateLeft(h, p+1) XOR goldenRatio*(p+1)  (signed min)
+  * - simhash vote = ±1 per token hash bit, bit set iff vote > 0
+  */
+object TextHashes {
+
+  private[expressions] val SPACE = UTF8String.fromString(" ")
+
+  private[expressions] def permConst(p: Int): Long =
+    -7046029254386353131L * (p + 1) // 0x9E3779B97F4A7C15 wrapped
+
+  def column(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+
+  def minhash_signature(c: Column, perms: Int = 32, width: Int = 3): Column =
+    column(MinHashSignature(expression(c), perms, width))
+
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+
+  private def expression(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.Bridge.expression(c)
+}
+
+/** MinHash signature of word `width`-gram shingles: array of `perms`
+  * signed minima. Empty/too-short docs → empty array. */
+case class MinHashSignature(child: Expression, perms: Int, width: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(perms >= 1 && perms <= 63 && width >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(TextHashes.SPACE, -1)
+    val n = toks.length - width + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val mins = Array.fill(perms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val parts = new Array[UTF8String](width)
+      var k = 0
+      while (k < width) { parts(k) = toks(i + k); k += 1 }
+      val h = XxHash64Function.hash(
+        UTF8String.concatWs(TextHashes.SPACE, parts: _*), StringType, 42L)
+      var p = 0
+      while (p < perms) {
+        val v = java.lang.Long.rotateLeft(h, p + 1) ^ TextHashes.permConst(p)
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** 64-bit SimHash over whitespace tokens (xxhash64 seed 42 per token,
+  * majority vote per bit). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(TextHashes.SPACE, -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = XxHash64Function.hash(toks(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}

@@ -28,13 +28,28 @@ object DedupOps {
         i => concat_ws(" ", slice(tk, i, lit(3)))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature: for each of `perms` seeded hash functions, the min
-    * xxhash64 over the shingle set. Pure columnar (transform/array_min);
-    * one pass over the shingles per doc. */
-  def minhashSignature(sh: Column, perms: Int): Column =
-    array((0 until perms).map { seed =>
-      array_min(transform(sh, x => xxhash64(lit(seed), x)))
+  /** MinHash permutation family from ONE base hash per shingle: perm_i(h)
+    * = h * a_i + b_i (odd multiplier ⇒ bijection mod 2^64) — the standard
+    * trick that replaces `perms` string-hash passes with one xxhash64 pass
+    * plus cheap arithmetic. Callers materialize the base-hash array once
+    * (withColumn) so Catalyst doesn't recompute it per permutation. */
+  def minhashSignatureFromHashes(hashes: Column, perms: Int): Column = {
+    require(perms <= 63, "rotate-based family supports ≤63 permutations")
+    array((0 until perms).map { i =>
+      // rotate-left by i+1 then XOR a per-perm constant: a bijection on
+      // Long built from shift/or/xor only — no ANSI arithmetic overflow
+      // (Spark 4 runs ANSI mode by default; h*a+b would throw).
+      val r = i + 1
+      val c = lit(-7046029254386353131L * (i + 1)) // golden-ratio constants (Scala wraps)
+      array_min(transform(hashes,
+        h => shiftleft(h, r).bitwiseOR(shiftrightunsigned(h, 64 - r)).bitwiseXOR(c)))
     }: _*)
+  }
+
+  /** MinHash signature over shingle strings (convenience; see
+    * minhashSignatureFromHashes). */
+  def minhashSignature(sh: Column, perms: Int): Column =
+    minhashSignatureFromHashes(transform(sh, x => xxhash64(x)), perms)
 
   /** LSH banding: split a `perms`-wide signature into bands of `rows`,
     * hash each band; docs sharing any (band_idx, band_hash) are
@@ -53,18 +68,37 @@ object DedupOps {
     * driver check; the ScalaTest spec proves recall on synthetic
     * near-dups. */
   val minhashLsh: Q = (s, d) => {
-    val docs = t(s, d, "documents")
+    def shOf(df: DataFrame): DataFrame = df
       .select(col("doc_id"), array_distinct(shingles3(split(col("text"), " "))).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = docs.withColumn("sig", minhashSignature(col("sh"), 32))
-    val banded = sig.select(col("doc_id"), col("sh"),
+    // One fused pass over the corpus produces the signatures (custom
+    // Catalyst expression — bit-identical to the HOF pipeline, ~50x
+    // faster; see graft.expressions.MinHashSignature).
+    val sig = t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"))
+      .filter(size(col("sig")) > 0)
+    // Band join carries ONLY (doc_id, band) — never the shingle arrays —
+    // so the shuffle payload stays ~16 bytes/row at any corpus size.
+    val banded = sig.select(col("doc_id"),
       explode(lshBands(col("sig"), 32, 4)).as("b"))
-    val pairs = banded.as("a").join(banded.as("b"),
+    // persist: cand feeds both the id-list and the final join — without
+    // it the whole signature+band-join stage would execute twice.
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    pairs
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .persist()
+    // Exact-Jaccard verification recomputes shingles ONLY for candidate
+    // docs: semi-join the raw table down first (broadcast — candidates
+    // are few), so the expensive shingling never runs corpus-wide twice.
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val candDocs = shOf(t(s, d, "documents")
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+    val shA = candDocs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = candDocs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
@@ -87,12 +121,14 @@ object DedupOps {
     bits.reduce(_ bitwiseOR _)
   }
 
-  /** SimHash fingerprints per document. Rows-only driver check; ScalaTest
-    * proves hamming-distance behavior on synthetic near-dups. */
+  /** SimHash fingerprints per document (fused custom expression; the HOF
+    * twin below is kept for the equivalence spec). Rows-only driver
+    * check; ScalaTest proves hamming-distance behavior on synthetic
+    * near-dups. */
   val simhash: Q = (s, d) =>
     t(s, d, "documents")
-      .withColumn("hashes", transform(split(col("text"), " "), x => xxhash64(x)))
-      .select(col("doc_id"), simhash64(col("hashes")).as("simhash"))
+      .select(col("doc_id"),
+        graft.expressions.TextHashes.simhash64(col("text")).as("simhash"))
 
   /** Token-set Jaccard similarity pairs (1-gram variant, SQL-expressible
     * oracle). Restricted to doc_id < 200 — pairwise is the verification

@@ -54,6 +54,35 @@ class DedupSpec extends SparkSpec {
     assert(hamming(m(0L), m(2L)) >= 20)
   }
 
+  test("fused MinHashSignature expression ≡ HOF pipeline (bit-identical)") {
+    val docs = Seq((0L, base), (1L, near), (2L, other)).toDF("doc_id", "text")
+    val hof = docs.select(col("doc_id"),
+        DedupOps.minhashSignature(DedupOps.shingles3(split(col("text"), " ")), 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val fused = docs.select(col("doc_id"),
+        graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused == hof)
+    // <3 tokens → empty signature (HOF array_min would yield nulls here;
+    // the expression's empty array is the well-defined upgrade)
+    val short = Seq((3L, "a b")).toDF("doc_id", "text")
+      .select(graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"))
+      .as[Seq[Long]].collect()(0)
+    assert(short.isEmpty)
+  }
+
+  test("fused SimHash64 expression ≡ HOF pipeline (bit-identical)") {
+    val docs = Seq((0L, base), (1L, near), (2L, other)).toDF("doc_id", "text")
+    val hof = docs
+      .withColumn("hashes", transform(split(col("text"), " "), x => xxhash64(x)))
+      .select(col("doc_id"), DedupOps.simhash64(col("hashes")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val fused = docs
+      .select(col("doc_id"), graft.expressions.TextHashes.simhash64(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(fused == hof)
+  }
+
   test("shingles: <3 tokens yields empty, 3 tokens yields one") {
     val df = Seq("a b", "a b c", "a b c d").toDF("text")
       .select(size(DedupOps.shingles3(split(col("text"), " "))).as("n"))
