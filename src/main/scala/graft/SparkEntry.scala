@@ -21,7 +21,8 @@ object SparkEntry {
     operators.Relational.queries ++
       functions.TextOps.queries ++
       functions.SimilarityOps.queries ++
-      functions.DedupOps.queries
+      functions.DedupOps.queries ++
+      functions.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
     operators.Relational.oracles ++
       functions.TextOps.oracles ++
       functions.SimilarityOps.oracles ++
-      functions.DedupOps.oracles
+      functions.DedupOps.oracles ++
+      functions.Multimodal.oracles
 }

@@ -118,7 +118,23 @@ object TextOps {
       """SELECT md5(text) AS text_hash, count(*) AS n_copies,
         | min(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
-    // q24_lang_id: heuristic argmax — intentionally no SQL oracle yet
-    // (rows-only check); a CASE-expression oracle is planned.
+    "q24_lang_id" ->
+      """WITH hits AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |   len(list_filter(string_split(text,' '),
+        |       t -> t IN ('the','and','of','to','a','in','is'))) AS h_en,
+        |   len(list_filter(string_split(text,' '),
+        |       t -> t IN ('der','die','und','das','ist','nicht'))) AS h_de,
+        |   len(list_filter(string_split(text,' '),
+        |       t -> t IN ('le','la','les','et','est','une'))) AS h_fr,
+        |   len(list_filter(string_split(text,' '),
+        |       t -> t IN ('el','los','las','es','una','y'))) AS h_es
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang,
+        | CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+        |      WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+        |      WHEN h_fr >= h_es THEN 'fr'
+        |      ELSE 'es' END AS detected_lang
+        |FROM hits""".stripMargin,
   )
 }

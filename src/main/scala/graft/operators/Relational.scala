@@ -195,7 +195,84 @@ object Relational {
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
+  /** A2 day-over-day: the /dauRealtime response shape — today's and
+    * yesterday's hourly DAU side by side (ref PublishDaoImpl.java:104-120
+    * runs two ES queries; one full_outer self-join here). Dates fixed to
+    * a day present at every sf (data spans 2024-01). */
+  val dauDayOverDay: Q = (s, d) => {
+    val e = t(s, d, "events").withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+    val w = Window.partitionBy(col("user_id"), col("dt")).orderBy(col("ts"), col("event_id"))
+    val byHr = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("dt"), date_format(col("ts"), "HH").as("hr"))
+      .agg(count(lit(1)).as("dau"))
+    val td = byHr.filter(col("dt") === "2024-01-15")
+      .select(col("hr"), col("dau").as("dau_td"))
+    val yd = byHr.filter(col("dt") === "2024-01-14")
+      .select(col("hr").as("hr_yd"), col("dau").as("dau_yd"))
+    td.join(yd, col("hr") === col("hr_yd"), "full_outer")
+      .select(coalesce(col("hr"), col("hr_yd")).as("hr"),
+        coalesce(col("dau_td"), lit(0L)).as("dau_td"),
+        coalesce(col("dau_yd"), lit(0L)).as("dau_yd"))
+  }
+
+  /** F7: code→label decode + group (ref PublisherServiceImpl.java:40-54
+    * decodes gender codes; same shape over market segments, with the
+    * reference's slur label replaced by a neutral one per SURVEY §2.3). */
+  val segmentDecode: Q = (s, d) =>
+    t(s, d, "customer")
+      .withColumn("segment_label",
+        when(col("c_mktsegment") === "AUTOMOBILE", "auto")
+          .when(col("c_mktsegment") === "BUILDING", "building")
+          .when(col("c_mktsegment") === "MACHINERY", "machinery")
+          .otherwise("other"))
+      .groupBy(col("segment_label"))
+      .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+
+  /** Semi/anti joins — SURVEY §2.4: the reference's set-membership routing
+    * (P10) is semantically a semi-join; we expose both explicitly.
+    * Customers with ≥1 order vs customers with none. */
+  val semiAntiJoin: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(lit("with_orders").as("cohort"), col("c_acctbal"))
+    val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(lit("no_orders").as("cohort"), col("c_acctbal"))
+    withOrders.unionAll(withoutOrders)
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+  }
+
+  /** A6 at 100 TB: HLL sketch DAU (approx_count_distinct) next to the
+    * shape of A1. No SQL oracle — DuckDB's approx sketch differs; the
+    * ApproxSpec asserts tight agreement with exact counts instead. */
+  val approxDau: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(approx_count_distinct(col("user_id")).as("dau_approx"))
+
+  /** Composite ES bool query surface (EsTest.scala:78-92): range filter +
+    * term + full-text conjunctive match + sort + from/size pagination in
+    * one query. */
+  val boolSortPage: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_extendedprice") >= 1000 &&
+        col("l_returnflag") === "R" &&
+        col("p_name").contains("widget"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
+        col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .offset(10)
+      .limit(15)
+
   val queries: Map[String, Q] = Map(
+    "q15_dau_day_over_day" -> dauDayOverDay,
+    "q16_segment_decode" -> segmentDecode,
+    "q17_semi_anti" -> semiAntiJoin,
+    "q18_approx_dau" -> approxDau,
+    "q19_bool_sort_page" -> boolSortPage,
     "q01_pricing_summary" -> pricingSummary,
     "q02_dau_total" -> dauTotal,
     "q03_dau_hourly" -> dauHourly,
@@ -213,6 +290,42 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q15_dau_day_over_day" ->
+      """WITH entries AS (
+        |  SELECT ts, strftime(ts,'%Y-%m-%d') AS dt,
+        |         row_number() OVER (PARTITION BY user_id, strftime(ts,'%Y-%m-%d')
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |by_hr AS (
+        |  SELECT dt, strftime(ts,'%H') AS hr, count(*) AS dau
+        |  FROM entries WHERE rn=1 GROUP BY dt, hr),
+        |td AS (SELECT hr, dau FROM by_hr WHERE dt = '2024-01-15'),
+        |yd AS (SELECT hr, dau FROM by_hr WHERE dt = '2024-01-14')
+        |SELECT coalesce(td.hr, yd.hr) AS hr,
+        | coalesce(td.dau, 0) AS dau_td, coalesce(yd.dau, 0) AS dau_yd
+        |FROM td FULL OUTER JOIN yd ON td.hr = yd.hr""".stripMargin,
+    "q16_segment_decode" ->
+      """SELECT CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'auto'
+        |            WHEN 'BUILDING' THEN 'building'
+        |            WHEN 'MACHINERY' THEN 'machinery'
+        |            ELSE 'other' END AS segment_label,
+        | count(*) AS n, round(avg(c_acctbal),2) AS avg_bal
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q17_semi_anti" ->
+      """SELECT cohort, count(*) AS n, round(sum(c_acctbal),2) AS total_bal
+        |FROM (
+        |  SELECT CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |              THEN 'with_orders' ELSE 'no_orders' END AS cohort,
+        |         c_acctbal
+        |  FROM customer)
+        |GROUP BY cohort""".stripMargin,
+    "q19_bool_sort_page" ->
+      """SELECT l_orderkey, l_linenumber, p_name, l_extendedprice
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_extendedprice >= 1000 AND l_returnflag = 'R'
+        |  AND p_name LIKE '%widget%'
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 15 OFFSET 10""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
