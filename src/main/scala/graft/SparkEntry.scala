@@ -22,7 +22,8 @@ object SparkEntry {
       functions.TextOps.queries ++
       functions.SimilarityOps.queries ++
       functions.DedupOps.queries ++
-      functions.Multimodal.queries
+      functions.Multimodal.queries ++
+      functions.Scalars.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -31,5 +32,6 @@ object SparkEntry {
       functions.TextOps.oracles ++
       functions.SimilarityOps.oracles ++
       functions.DedupOps.oracles ++
-      functions.Multimodal.oracles
+      functions.Multimodal.oracles ++
+      functions.Scalars.oracles
 }
