@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Analytics operators beyond the reference's surface (its publisher can
+  * only express what ES aggs expose — SURVEY.md §2.5 notes no grouping
+  * sets / windows exist there). A serving layer on Spark gets these for
+  * free, so they are part of the engine's query surface.
+  *
+  * Determinism: running/sessionization windows use unique sort keys and
+  * pre-rounded addends so window-ordered floating sums are bit-identical
+  * across engines (left-to-right adds over identical sequences).
+  */
+object Analytics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Grouping-set subtotals (rollup) over the pricing dimensions. */
+  val rollupPricing: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** Per-user running revenue: daily sums (rounded once) accumulated in
+    * date order. */
+  val runningTotal: Q = (s, d) => {
+    val daily = t(s, d, "events")
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(round(sum(col("value")), 2).as("daily_value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("running_value", round(sum(col("daily_value")).over(w), 2))
+  }
+
+  /** Gap-based sessionization (30 min) — the event-time upgrade of the
+    * reference's "session" notion (last_page_id == null, P11). Exact
+    * timestamp-interval comparison keeps both engines in lockstep. */
+  val sessionize: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = t(s, d, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+  }
+
+  /** Top-3 parts by retail price per brand — ranked window + filter
+    * (dense pagination the ES layer cannot express). */
+  val topnPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(s, d, "part")
+      .withColumn("rank_in_brand", row_number().over(w))
+      .filter(col("rank_in_brand") <= 3)
+      .select(col("p_brand"), col("rank_in_brand"), col("p_partkey"),
+        col("p_name"), col("p_retailprice"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q34_rollup" -> rollupPricing,
+    "q35_running_total" -> runningTotal,
+    "q36_sessionize" -> sessionize,
+    "q37_topn_per_group" -> topnPerGroup,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q34_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q35_running_total" ->
+      """WITH daily AS (
+        |  SELECT user_id, strftime(ts,'%Y-%m-%d') AS dt,
+        |         round(sum(value),2) AS daily_value
+        |  FROM events GROUP BY 1,2)
+        |SELECT user_id, dt, daily_value,
+        | round(sum(daily_value) OVER (PARTITION BY user_id ORDER BY dt
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_value
+        |FROM daily""".stripMargin,
+    "q36_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_seq, count(*) AS n_events
+        |  FROM sessions GROUP BY 1,2)
+        |SELECT user_id, count(*) AS n_sessions,
+        | CAST(sum(n_events) AS BIGINT) AS n_events,
+        | max(n_events) AS max_session_events
+        |FROM per_session GROUP BY user_id""".stripMargin,
+    "q37_topn_per_group" ->
+      """SELECT p_brand, rank_in_brand, p_partkey, p_name, p_retailprice
+        |FROM (
+        |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rank_in_brand
+        |  FROM part)
+        |WHERE rank_in_brand <= 3""".stripMargin,
+  )
+}
