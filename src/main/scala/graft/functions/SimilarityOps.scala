@@ -63,9 +63,48 @@ object SimilarityOps {
         count(lit(1)).as("n_dims"))
   }
 
+  /** Deterministic random-hyperplane family (java.util.Random is a fixed
+    * LCG, so signatures are stable across JVMs/runs). */
+  def hyperplanes(dims: Int, k: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(k)(Array.fill(dims)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bucket of a vector under `planes`: bit i = (v·h_i > 0). */
+  def bucketOf(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (h, i) =>
+      when(dot(v, typedlit(h.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** The ANN scale path: random-hyperplane LSH restricts the cosine scan
+    * to buckets within hamming distance `probe` of the query's bucket —
+    * at 100 TB the corpus is written bucketed/partitioned by this key, so
+    * a query touches a few partitions instead of the full scan that
+    * q25 (the exactness baseline) does. Rows-only driver check;
+    * AnnLshSpec proves recall on engineered clusters. */
+  def annLsh(s: SparkSession, d: String, k: Int = 10, bits: Int = 8,
+      probe: Int = 2): DataFrame = {
+    val planes = hyperplanes(64, bits)
+    val emb = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", bucketOf(col("v"), planes))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(expr(s"bit_count(bucket ^ qbucket) <= $probe"))
+      .select(col("vec_id").as("neighbor_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .limit(k)
+  }
+
+  val annLshTopK: Q = (s, d) => annLsh(s, d)
+
   val queries: Map[String, Q] = Map(
     "q25_ann_cosine_topk" -> annCosineTopK,
     "q26_label_centroids" -> labelCentroidStats,
+    "q38_ann_lsh_topk" -> annLshTopK,
   )
 
   val oracles: Map[String, String] = Map(

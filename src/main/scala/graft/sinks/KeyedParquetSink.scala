@@ -1,0 +1,63 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S8/ST8: the keyed idempotent serving-table sink — the engine-native
+  * form of the reference's "ES bulk with explicit doc _id into a per-day
+  * index" (util/MyEsUtils.scala:41-56, doc-id choice
+  * app/DwdDauApp.scala:167-180, app/DwdOrderApp.scala:244-251).
+  *
+  * Contract: replaying a batch (at-least-once upstream) leaves the table
+  * unchanged; a newer version of a key replaces the older one; rows land
+  * in their own dt partition (fixing the reference's head-row index-name
+  * defect, SURVEY.md §3.2 step 5).
+  *
+  * Mechanics: union the incoming batch with the current table, keep the
+  * newest row per key (version column, batch rows win ties), and rewrite
+  * ONLY the dt partitions the batch touches (dynamic partition
+  * overwrite). At 100 TB the rewrite is bounded by the day's partition
+  * size, not the table size; a Delta/Iceberg MERGE is the drop-in
+  * upgrade.
+  */
+object KeyedParquetSink {
+
+  def upsert(batch: DataFrame, path: String, keyCols: Seq[String],
+      dtCol: String, versionCol: String): Unit = {
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val cols = batch.columns
+    val incoming = batch.withColumn("__is_new", lit(1))
+
+    val existing =
+      try {
+        val cur = spark.read.parquet(path)
+        // only partitions touched by this batch participate in the merge
+        val touched = incoming.select(col(dtCol)).distinct()
+        Some(cur.join(broadcast(touched), Seq(dtCol), "left_semi")
+          .select(cols.map(col): _*).withColumn("__is_new", lit(0)))
+      } catch { case _: Throwable => None } // first write: nothing to merge
+
+    val unioned = existing.fold(incoming)(e => incoming.unionByName(e))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__is_new").desc)
+    val merged = unioned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(cols.map(col): _*)
+      // localCheckpoint: materialize BEFORE the overwrite starts, or the
+      // dynamic overwrite would delete the files it is still reading.
+      .localCheckpoint()
+
+    merged.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(dtCol)
+      .parquet(path)
+  }
+
+  /** foreachBatch adapter. */
+  def writer(path: String, keyCols: Seq[String], dtCol: String,
+      versionCol: String)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) upsert(batch, path, keyCols, dtCol, versionCol)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane LSH: engineered near-neighbors of the query land in
+  * nearby buckets (recall), and the candidate filter genuinely prunes. */
+class AnnLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new java.util.Random(7)
+  private def noisy(base: Array[Double], eps: Double) =
+    base.map(x => x + eps * rnd.nextGaussian())
+
+  test("engineered cluster: all near-duplicates of the query share its probe range") {
+    val base = Array.fill(64)(rnd.nextGaussian())
+    val rows =
+      (1 to 5).map(i => (i.toLong, noisy(base, 0.01))) ++      // near-dups of query
+        (6 to 50).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    val df = ((0L, base) +: rows).toDF("vec_id", "v")
+    val planes = SimilarityOps.hyperplanes(64, 8)
+    val buckets = df.withColumn("bucket", SimilarityOps.bucketOf(col("v"), planes))
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val qb = buckets(0L)
+    (1 to 5).foreach { i =>
+      val ham = java.lang.Long.bitCount(buckets(i.toLong) ^ qb)
+      assert(ham <= 2, s"near-dup $i at hamming $ham")
+    }
+  }
+
+  test("lsh top-k over the fixtures matches an independent driver-side recomputation") {
+    val emb = graft.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val planes = SimilarityOps.hyperplanes(64, 8)
+    def bucket(v: Seq[Double]): Long =
+      planes.zipWithIndex.map { case (h, i) =>
+        val dot = v.zip(h).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+        if (dot > 0) 1L << i else 0L
+      }.reduce(_ | _)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x * x))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x * x))
+      dot / (na * nb)
+    }
+    val qv = emb(0L); val qb = bucket(qv)
+    val expected = emb.toSeq
+      .filter { case (id, v) => id != 0L && java.lang.Long.bitCount(bucket(v) ^ qb) <= 2 }
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(v, qv)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(10).map(_._1)
+    val lsh = SimilarityOps.annLsh(spark, sf0001)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(lsh == expected)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.KeyedParquetSink
+
+/** The idempotent-keyed-sink contract: replay is a no-op, newer versions
+  * win, rows land in their own dt partitions. */
+class KeyedSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(rows: (String, String, Long, Double)*) =
+    rows.toDF("mid", "dt", "ver", "amount")
+
+  test("replaying the same batch leaves the table unchanged") {
+    val path = Files.createTempDirectory("sink1").toString + "/t"
+    val b = table(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-01", 1L, 20.0))
+    KeyedParquetSink.upsert(b, path, Seq("mid", "dt"), "dt", "ver")
+    KeyedParquetSink.upsert(b, path, Seq("mid", "dt"), "dt", "ver")
+    val got = spark.read.parquet(path).select("mid", "amount")
+      .as[(String, Double)].collect().sorted.toSeq
+    assert(got == Seq(("m1", 10.0), ("m2", 20.0)))
+  }
+
+  test("newer version of a key replaces the older row") {
+    val path = Files.createTempDirectory("sink2").toString + "/t"
+    KeyedParquetSink.upsert(table(("m1", "2024-01-01", 1L, 10.0)),
+      path, Seq("mid", "dt"), "dt", "ver")
+    KeyedParquetSink.upsert(table(("m1", "2024-01-01", 2L, 99.0)),
+      path, Seq("mid", "dt"), "dt", "ver")
+    val got = spark.read.parquet(path).select("mid", "amount")
+      .as[(String, Double)].collect().toSeq
+    assert(got == Seq(("m1", 99.0)))
+  }
+
+  test("rows land in per-row dt partitions; untouched partitions survive") {
+    val path = Files.createTempDirectory("sink3").toString + "/t"
+    KeyedParquetSink.upsert(
+      table(("m1", "2024-01-01", 1L, 1.0), ("m2", "2024-01-02", 1L, 2.0)),
+      path, Seq("mid", "dt"), "dt", "ver")
+    // second batch touches only 2024-01-02
+    KeyedParquetSink.upsert(table(("m3", "2024-01-02", 1L, 3.0)),
+      path, Seq("mid", "dt"), "dt", "ver")
+    assert(new java.io.File(s"$path/dt=2024-01-01").exists())
+    assert(new java.io.File(s"$path/dt=2024-01-02").exists())
+    val got = spark.read.parquet(path).select("mid").as[String].collect().sorted.toSeq
+    assert(got == Seq("m1", "m2", "m3"))
+  }
+}
