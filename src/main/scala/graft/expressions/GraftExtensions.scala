@@ -1,0 +1,59 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * expressions as SQL functions, so `spark.sql("SELECT simhash64(text)
+  * ...")` works next to the Column API. Activate with
+  * `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => MinHashSignature(text, 32, 3)
+        case Seq(text, p) => MinHashSignature(text, intArg(p, "perms"), 3)
+        case Seq(text, p, w) =>
+          MinHashSignature(text, intArg(p, "perms"), intArg(w, "width"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(text[, perms[, width]])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => SimHash64(text)
+        case _ => throw new IllegalArgumentException("simhash64(text)")
+      }))
+  }
+}
+
+object GraftExtensions {
+  /** Per-session registration for an already-built session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_signature",
+      args => args match {
+        case Seq(t) => MinHashSignature(t, 32, 3)
+        case Seq(t, Literal(p: Int, _)) => MinHashSignature(t, p, 3)
+        case Seq(t, Literal(p: Int, _), Literal(w: Int, _)) => MinHashSignature(t, p, w)
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(text[, perms[, width]])")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      args => SimHash64(args.head), "built-in")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.functions.Scalars
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** The gmall-shaped typed pipelines — the reference's two DWD jobs
+  * rebuilt on Dataset/DataFrame joins (SURVEY.md §3.1-3.2).
+  *
+  * Dim tables arrive as DataFrames with a JSON `value` per key (what
+  * CdcRouter.dims emits / the reference stores in Redis,
+  * app/OdsBaseDbApp.scala:121-139); the per-record Redis GETs
+  * (app/DwdDauApp.scala:116-135, the reference's throughput bound) become
+  * broadcast hash joins — zero per-row round trips at any scale.
+  *
+  * `asOf` replaces the reference's wall-clock LocalDate.now() age
+  * (app/DwdDauApp.scala:125-127) for determinism.
+  */
+object Gmall {
+
+  private val userSchema = "id STRING, gender STRING, birthday STRING"
+  private val provinceSchema =
+    "id STRING, name STRING, iso_code STRING, iso_3166_2 STRING, area_code STRING"
+
+  /** Parse a dim route output (key `DIM:<TABLE>:<id>`, value JSON) into a
+    * dim table with the given schema; tombstones drop the key. */
+  def dimTable(dims: DataFrame, schema: String): DataFrame =
+    dims.filter(col("value").isNotNull)
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(schema)).as("d"))
+      .select(col("d.*"))
+
+  /** DwdDauApp twin: session-entry filter (P11) → first-visit-per-day
+    * dedup (A6 batch twin) → user/province broadcast enrichment (J1) →
+    * dt/hr derivation (F1/F2). */
+  def dauPipeline(pages: Dataset[PageLog], users: DataFrame,
+      provinces: DataFrame, asOf: String): Dataset[DauInfo] = {
+    import pages.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("mid"), col("dt")).orderBy(col("ts"))
+    pages.toDF()
+      .filter(col("last_page_id").isNull) // P11: session entries only (codegen'd, no deserialization)
+      .withColumn("dt", Scalars.millisToDate(col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(users.select(col("id").as("user_id"), col("gender"), col("birthday"))),
+        Seq("user_id"), "left")
+      .join(broadcast(provinces.select(col("id").as("province_id"), col("name"),
+        col("iso_code"), col("iso_3166_2"), col("area_code"))),
+        Seq("province_id"), "left")
+      .select(
+        col("mid"), col("user_id"), col("province_id"), col("channel"),
+        col("is_new"), col("model"), col("operate_system"), col("version_code"),
+        col("brand"), col("page_id"), col("page_item"), col("page_item_type"),
+        col("during_time"), col("sourceType"), col("ts"),
+        col("gender").as("user_gender"),
+        Scalars.ageAt(col("birthday").cast("date"), lit(asOf).cast("date")).as("user_age"),
+        col("name").as("province_name"),
+        col("iso_code").as("province_iso_code"),
+        col("iso_3166_2").as("province_3166_2"),
+        col("area_code").as("province_area_code"),
+        col("dt"), Scalars.millisToHour(col("ts")).as("hr"))
+      .as[DauInfo]
+  }
+
+  /** DwdOrderApp twin (batch): order_info ⋈ order_detail on order id
+    * (J2/J3), dim enrichment, F3 date/hour split. The streaming twin is
+    * Streams.orderWideJoin. */
+  def orderWidePipeline(info: Dataset[OrderInfo], detail: Dataset[OrderDetail],
+      users: DataFrame, provinces: DataFrame, asOf: String): Dataset[OrderWide] = {
+    import info.sparkSession.implicits._
+    detail.toDF()
+      .withColumnRenamed("id", "detail_id")
+      .withColumnRenamed("create_time", "detail_create_time")
+      .join(info.toDF().withColumnRenamed("id", "order_id"), Seq("order_id"))
+      .join(broadcast(users.select(col("id").cast("long").as("user_id"),
+        col("gender"), col("birthday"))), Seq("user_id"), "left")
+      .join(broadcast(provinces.select(col("id").cast("long").as("province_id"),
+        col("name"), col("iso_code"), col("iso_3166_2"), col("area_code"))),
+        Seq("province_id"), "left")
+      .select(
+        col("detail_id"), col("order_id"), col("sku_id"), col("order_price"),
+        col("sku_num"), col("sku_name"), col("split_total_amount"),
+        col("province_id"), col("order_status"), col("user_id"),
+        col("total_amount"), col("create_time"),
+        Scalars.splitDate(col("create_time")).as("create_date"),
+        Scalars.splitHour(col("create_time")).as("create_hour"),
+        col("name").as("province_name"),
+        col("iso_code").as("province_iso_code"),
+        col("iso_3166_2").as("province_3166_2"),
+        col("area_code").as("province_area_code"),
+        col("gender").as("user_gender"),
+        Scalars.ageAt(col("birthday").cast("date"), lit(asOf).cast("date")).as("user_age"))
+      .as[OrderWide]
+  }
+
+  def parseUsers(dims: DataFrame): DataFrame = dimTable(
+    dims.filter(col("key").startsWith("DIM:USER_INFO:")), userSchema)
+
+  def parseProvinces(dims: DataFrame): DataFrame = dimTable(
+    dims.filter(col("key").startsWith("DIM:BASE_PROVINCE:")), provinceSchema)
+}
