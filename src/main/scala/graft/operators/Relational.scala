@@ -245,8 +245,9 @@ object Relational {
   }
 
   /** A6 at 100 TB: HLL sketch DAU (approx_count_distinct) next to the
-    * shape of A1. No SQL oracle — DuckDB's approx sketch differs; the
-    * ApproxSpec asserts tight agreement with exact counts instead. */
+    * shape of A1. No SQL oracle: the sketch is approximate already at
+    * ~100 distincts/day (default 5% rsd), so the driver records a
+    * rows-only check and ApproxSpec bounds the error vs exact. */
   val approxDau: Q = (s, d) =>
     t(s, d, "events")
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))

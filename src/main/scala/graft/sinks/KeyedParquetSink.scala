@@ -60,4 +60,27 @@ object KeyedParquetSink {
   def writer(path: String, keyCols: Seq[String], dtCol: String,
       versionCol: String)(batch: DataFrame, batchId: Long): Unit =
     if (!batch.isEmpty) upsert(batch, path, keyCols, dtCol, versionCol)
+
+  /** S10: update-by-query over the serving table (the ES painless
+    * conditional update, EsTest.scala:178-195, as a relational
+    * read-modify-write): rows matching `cond` get `set` applied; only dt
+    * partitions containing matches are rewritten. */
+  def updateWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+      dtCol: String, cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val cur = spark.read.parquet(path)
+    val touched = cur.filter(cond).select(col(dtCol)).distinct()
+    val nTouched = touched.count()
+    if (nTouched == 0) return 0L
+    val scoped = cur.join(broadcast(touched), Seq(dtCol), "left_semi")
+    val updated = set.foldLeft(scoped) { case (df, (c, v)) =>
+      df.withColumn(c, when(cond, v).otherwise(col(c)))
+    }
+    val matched = scoped.filter(cond).count()
+    updated.select(cur.columns.map(col): _*)
+      .localCheckpoint()
+      .write.mode(SaveMode.Overwrite).partitionBy(dtCol).parquet(path)
+    matched
+  }
 }

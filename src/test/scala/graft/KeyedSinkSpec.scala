@@ -33,6 +33,24 @@ class KeyedSinkSpec extends SparkSpec {
     assert(got == Seq(("m1", 99.0)))
   }
 
+  test("updateWhere applies a conditional set only to matching rows/partitions") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("sink4").toString + "/t"
+    KeyedParquetSink.upsert(
+      table(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-01", 1L, 20.0),
+        ("m3", "2024-01-02", 1L, 30.0)),
+      path, Seq("mid", "dt"), "dt", "ver")
+    val n = KeyedParquetSink.updateWhere(spark, path, "dt",
+      col("amount") >= 20.0, Map("amount" -> (col("amount") * 2)))
+    assert(n == 2)
+    val got = spark.read.parquet(path).select("mid", "amount")
+      .as[(String, Double)].collect().sorted.toSeq
+    assert(got == Seq(("m1", 10.0), ("m2", 40.0), ("m3", 60.0)))
+    // no matches → no rewrite, returns 0
+    assert(KeyedParquetSink.updateWhere(spark, path, "dt",
+      col("amount") > 1e9, Map("amount" -> lit(0.0))) == 0L)
+  }
+
   test("rows land in per-row dt partitions; untouched partitions survive") {
     val path = Files.createTempDirectory("sink3").toString + "/t"
     KeyedParquetSink.upsert(

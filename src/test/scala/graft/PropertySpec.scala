@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.LogFanout
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck properties (SURVEY.md §5.3): the fan-out partitions its
+  * input; dedup is idempotent; sessionization conserves events. */
+class PropertySpec extends SparkSpec {
+
+  private def check(prop: Prop, minTests: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, res.status.toString)
+  }
+  import spark.implicits._
+
+  private val genCommon: Gen[String] = for {
+    mid <- Gen.choose(1, 5).map(i => s"mid_$i")
+    uid <- Gen.choose(1, 9)
+  } yield s""""common":{"mid":"$mid","uid":"$uid"}"""
+
+  private val genRecord: Gen[String] = for {
+    common <- genCommon
+    hasErr <- Gen.prob(0.2)
+    hasPage <- Gen.prob(0.6)
+    hasStart <- Gen.prob(0.3)
+    nDisp <- Gen.choose(0, 3)
+    ts <- Gen.choose(1645400000000L, 1645500000000L)
+  } yield {
+    val parts = Seq(Some(common),
+      if (hasErr) Some(""""err":{"error_code":1,"msg":"x"}""") else None,
+      if (hasPage) Some(s""""page":{"page_id":"p","during_time":5}""") else None,
+      if (hasPage && nDisp > 0) Some(
+        s""""displays":[${Seq.fill(nDisp)("""{"display_type":"t","item":"1","item_type":"s","pos_id":"1","order":"1"}""").mkString(",")}]""")
+      else None,
+      if (hasStart) Some(""""start":{"entry":"icon","open_ad_id":"1","loading_time":1,"open_ad_ms":1,"open_ad_skip_ms":0}""") else None,
+      Some(s""""ts":$ts""")).flatten
+    s"{${parts.mkString(",")}}"
+  }
+
+  test("fan-out partitions the input: err + clean-with-page + clean-page-less accounts for every record") {
+    check(Prop.forAllNoShrink(Gen.listOfN(30, genRecord)) { records =>
+      val raw = records.toDF("value")
+      val f = LogFanout.fanout(raw)
+      val nErr = f("error").count()
+      val parsed = graft.sources.Envelopes.parseLog(raw)
+      val clean = parsed.filter(col("j.err").isNull && col("j._corrupt").isNull)
+      val nPage = clean.filter(col("j.page").isNotNull).count()
+      val nNoPage = clean.filter(col("j.page").isNull).count()
+      nErr + nPage + nNoPage == records.length &&
+        f("page").count() == nPage &&
+        // every display row's parent is a clean page record
+        f("display").count() ==
+          clean.filter(col("j.page").isNotNull)
+            .select(explode(col("j.displays"))).count()
+    }, 10)
+  }
+
+  test("dedup idempotency over arbitrary event subsets") {
+    val base = Tables.t(spark, sf0001, "events")
+      .select(col("user_id").cast("string").as("mid"), col("ts"))
+    check(Prop.forAllNoShrink(Gen.choose(1L, 1000L)) { seed =>
+      val sample = base.sample(0.3, seed)
+      val once = streaming.Streams.dauDedup(sample)
+      val twice = streaming.Streams.dauDedup(once.drop("dt"))
+      once.count() == twice.count()
+    }, 5)
+  }
+
+  test("sessionization conserves events per user") {
+    val sess = operators.Analytics.sessionize(spark, sf0001)
+      .agg(sum(col("n_events"))).as[Long].collect()(0)
+    val total = Tables.t(spark, sf0001, "events").count()
+    assert(sess == total)
+  }
+}
