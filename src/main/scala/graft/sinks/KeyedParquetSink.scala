@@ -61,6 +61,23 @@ object KeyedParquetSink {
       versionCol: String)(batch: DataFrame, batchId: Long): Unit =
     if (!batch.isEmpty) upsert(batch, path, keyCols, dtCol, versionCol)
 
+  /** S10: delete-by-query — rows matching `cond` removed; only touched dt
+    * partitions are rewritten. Returns rows deleted. */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+      dtCol: String, cond: org.apache.spark.sql.Column): Long = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val cur = spark.read.parquet(path)
+    val touched = cur.filter(cond).select(col(dtCol)).distinct()
+    if (touched.isEmpty) return 0L
+    val scoped = cur.join(broadcast(touched), Seq(dtCol), "left_semi")
+    val deleted = scoped.filter(cond).count()
+    scoped.filter(!cond)
+      .select(cur.columns.map(col): _*)
+      .localCheckpoint()
+      .write.mode(SaveMode.Overwrite).partitionBy(dtCol).parquet(path)
+    deleted
+  }
+
   /** S10: update-by-query over the serving table (the ES painless
     * conditional update, EsTest.scala:178-195, as a relational
     * read-modify-write): rows matching `cond` get `set` applied; only dt

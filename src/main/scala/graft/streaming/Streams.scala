@@ -63,6 +63,24 @@ object Streams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** ST10/P10: CDC routing with per-batch config refresh — the fact/dim
+    * table lists are re-read from `configPath` on EVERY micro-batch (the
+    * reference re-reads Redis sets each batch, app/OdsBaseDbApp.scala:
+    * 80-93), so routing reconfigures hot without restarting the query.
+    * Config file: one CSV line per table, `name,kind` with kind ∈
+    * {fact, dim}. */
+  def cdcRouteBatchWriter(configPath: String, outDir: String)
+      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.read.schema("name STRING, kind STRING").csv(configPath)
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val facts = conf.collect { case (n, "fact") => n }.toSeq
+    val dims = conf.collect { case (n, "dim") => n }.toSeq
+    val routed = graft.operators.CdcRouter.route(batch, facts, dims)
+    routed("fact").write.mode("append").parquet(s"$outDir/fact")
+    routed("dim").write.mode("append").parquet(s"$outDir/dim")
+  }
+
   /** P6/S3: the 5-way fan-out as a single foreachBatch — one parse, one
     * persist, five filtered sinks; per-sink parquet dirs play the five
     * Kafka topics. Idempotent per epoch (overwrite by batch id would be

@@ -51,6 +51,18 @@ class KeyedSinkSpec extends SparkSpec {
       col("amount") > 1e9, Map("amount" -> lit(0.0))) == 0L)
   }
 
+  test("deleteWhere removes matching rows, keeps the rest") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("sink5").toString + "/t"
+    KeyedParquetSink.upsert(
+      table(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-01", 1L, 20.0),
+        ("m3", "2024-01-02", 1L, 30.0)),
+      path, Seq("mid", "dt"), "dt", "ver")
+    assert(KeyedParquetSink.deleteWhere(spark, path, "dt", col("mid") === "m2") == 1L)
+    val got = spark.read.parquet(path).select("mid").as[String].collect().sorted.toSeq
+    assert(got == Seq("m1", "m3"))
+  }
+
   test("rows land in per-row dt partitions; untouched partitions survive") {
     val path = Files.createTempDirectory("sink3").toString + "/t"
     KeyedParquetSink.upsert(

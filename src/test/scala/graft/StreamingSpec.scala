@@ -112,6 +112,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdc routing re-reads config each batch: a table promoted to fact mid-stream reroutes") {
+    implicit val sqlCtx = spark.sqlContext
+    val confDir = Files.createTempDirectory("route_conf").toString
+    val outDir = Files.createTempDirectory("route_out").toString
+    def writeConf(lines: String): Unit =
+      Files.writeString(java.nio.file.Path.of(s"$confDir/conf.csv"), lines)
+    writeConf("order_info,fact\nuser_info,dim\n")
+
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("value").writeStream
+      .foreachBatch(Streams.cdcRouteBatchWriter(confDir, outDir) _).start()
+    try {
+      val rec = """{"database":"g","table":"spu_info","type":"insert","ts":1,"data":{"id":7}}"""
+      in.addData(rec)
+      q.processAllAvailable()
+      // spu_info unrouted in batch 1
+      val n1 = try spark.read.parquet(s"$outDir/fact").count() catch { case _: Throwable => 0L }
+      assert(n1 == 0)
+      // promote spu_info to fact — takes effect NEXT batch, no restart
+      writeConf("order_info,fact\nuser_info,dim\nspu_info,fact\n")
+      in.addData(rec)
+      q.processAllAvailable()
+      val facts = spark.read.parquet(s"$outDir/fact")
+      assert(facts.count() == 1)
+      assert(facts.select("topic").as[String].collect()(0) == "DWD_SPU_INFO_I")
+    } finally q.stop()
+  }
+
   test("dedup is idempotent under replay (batch twin): dedup(dedup(x)) == dedup(x)") {
     val e = graft.Tables.t(spark, sf0001, "events")
       .select(col("user_id").cast("string").as("mid"), col("ts"))
