@@ -36,6 +36,9 @@ object TextHashes {
 
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
 
+  def shingle_hashes(c: Column, width: Int = 3): Column =
+    column(ShingleHashes(expression(c), width))
+
   private def expression(c: Column): Expression =
     org.apache.spark.sql.graftbridge.Bridge.expression(c)
 }
@@ -74,6 +77,44 @@ case class MinHashSignature(child: Expression, perms: Int, width: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** Distinct xxhash64 set of the word `width`-gram shingles (same token
+  * split and shingle hash as MinHashSignature). Jaccard over these long
+  * sets equals Jaccard over the distinct shingle-string sets (modulo
+  * 64-bit hash collisions) at a fraction of the compare cost — the
+  * verification-stage companion to the signature. */
+case class ShingleHashes(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(width >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(TextHashes.SPACE, -1)
+    val n = toks.length - width + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val parts = new Array[UTF8String](width)
+      var k = 0
+      while (k < width) { parts(k) = toks(i + k); k += 1 }
+      seen.add(XxHash64Function.hash(
+        UTF8String.concatWs(TextHashes.SPACE, parts: _*), StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
     copy(child = c)
 }
 

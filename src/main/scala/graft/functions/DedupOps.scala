@@ -68,9 +68,6 @@ object DedupOps {
     * driver check; the ScalaTest spec proves recall on synthetic
     * near-dups. */
   val minhashLsh: Q = (s, d) => {
-    def shOf(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), array_distinct(shingles3(split(col("text"), " "))).as("sh"))
-      .filter(size(col("sh")) > 0)
     // One fused pass over the corpus produces the signatures (custom
     // Catalyst expression — bit-identical to the HOF pipeline, ~50x
     // faster; see graft.expressions.MinHashSignature).
@@ -80,8 +77,11 @@ object DedupOps {
       .filter(size(col("sig")) > 0)
     // Band join carries ONLY (doc_id, band) — never the shingle arrays —
     // so the shuffle payload stays ~16 bytes/row at any corpus size.
+    // persist: the self-join would otherwise recompute the signature scan
+    // for each side.
     val banded = sig.select(col("doc_id"),
       explode(lshBands(col("sig"), 32, 4)).as("b"))
+      .persist()
     // persist: cand feeds both the id-list and the final join — without
     // it the whole signature+band-join stage would execute twice.
     val cand = banded.as("a").join(banded.as("b"),
@@ -89,19 +89,24 @@ object DedupOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .persist()
-    // Exact-Jaccard verification recomputes shingles ONLY for candidate
-    // docs: semi-join the raw table down first (broadcast — candidates
-    // are few), so the expensive shingling never runs corpus-wide twice.
+    // Exact-Jaccard verification over distinct shingle-HASH sets (fused
+    // ShingleHashes expression): only candidate docs are hashed (semi-join
+    // first), and the set intersection runs on longs, not strings.
+    // Jaccard over hash sets ≡ Jaccard over shingle sets modulo 64-bit
+    // collisions.
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    val candDocs = shOf(t(s, d, "documents")
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi"))
-    val shA = candDocs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = candDocs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val candDocs = t(s, d, "documents")
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.expressions.TextHashes.shingle_hashes(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val shA = candDocs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val shB = candDocs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     cand.join(shA, "doc_a").join(shB, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard", round(col("inter") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

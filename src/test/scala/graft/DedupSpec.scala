@@ -71,6 +71,18 @@ class DedupSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("ShingleHashes ≡ xxhash64 over distinct shingle strings (as sets)") {
+    val docs = Seq((0L, base), (1L, near), (2L, other)).toDF("doc_id", "text")
+    val viaStrings = docs.select(col("doc_id"),
+        transform(array_distinct(DedupOps.shingles3(split(col("text"), " "))),
+          x => xxhash64(x)).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap.view.mapValues(_.toSet).toMap
+    val fused = docs.select(col("doc_id"),
+        graft.expressions.TextHashes.shingle_hashes(col("text"), 3).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap.view.mapValues(_.toSet).toMap
+    assert(fused == viaStrings)
+  }
+
   test("fused SimHash64 expression ≡ HOF pipeline (bit-identical)") {
     val docs = Seq((0L, base), (1L, near), (2L, other)).toDF("doc_id", "text")
     val hof = docs
