@@ -24,7 +24,8 @@ object SparkEntry {
       functions.SimilarityOps.queries ++
       functions.DedupOps.queries ++
       functions.Multimodal.queries ++
-      functions.Scalars.queries
+      functions.Scalars.queries ++
+      functions.Aggregators.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -35,5 +36,6 @@ object SparkEntry {
       functions.SimilarityOps.oracles ++
       functions.DedupOps.oracles ++
       functions.Multimodal.oracles ++
-      functions.Scalars.oracles
+      functions.Scalars.oracles ++
+      functions.Aggregators.oracles
 }

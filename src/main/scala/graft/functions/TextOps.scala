@@ -87,7 +87,31 @@ object TextOps {
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         langIdCol(col("text")).as("detected_lang"))
 
+  /** The composed training-data filter — the shape an LLM data pipeline
+    * actually runs: quality gates (token count, stopword ratio) AND
+    * exact-dedup survivor check in one pass, reported per language.
+    * Dedup survivors = rows whose doc_id is the min for their content
+    * hash (TextOps.dedupExact's keeper). */
+  val pipelineFilter: Q = (s, d) => {
+    val tk = tokens(col("text"))
+    val stopHits = size(filter(tk, tok => tok.isin(stopwords: _*)))
+    val scored = t(s, d, "documents")
+      .withColumn("n_tokens", size(tk).cast("long"))
+      .withColumn("stop_ratio", stopHits.cast("double") / size(tk))
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+    val keepers = scored.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    scored
+      .join(keepers, Seq("text_hash", "doc_id"), "left_semi") // dedup survivors
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
+        col("stop_ratio") <= 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q40_pipeline_filter" -> pipelineFilter,
     "q20_token_count" -> tokenCount,
     "q21_quality_score" -> qualityScore,
     "q22_fingerprint" -> fingerprint,
@@ -96,6 +120,23 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q40_pipeline_filter" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, md5(text) AS text_hash,
+        |   len(string_split(text,' ')) AS n_tokens,
+        |   len(list_filter(string_split(text,' '),
+        |       tok -> tok IN ('the','a','of','and','to','in')))
+        |     / len(string_split(text,' ')) AS stop_ratio
+        |  FROM documents),
+        |keepers AS (
+        |  SELECT text_hash, min(doc_id) AS doc_id FROM scored GROUP BY 1)
+        |SELECT lang, count(*) AS n_kept, round(avg(n_tokens),2) AS avg_tokens
+        |FROM scored
+        |WHERE EXISTS (SELECT 1 FROM keepers k
+        |              WHERE k.text_hash = scored.text_hash
+        |                AND k.doc_id = scored.doc_id)
+        |  AND n_tokens BETWEEN 20 AND 1000 AND stop_ratio <= 0.5
+        |GROUP BY lang""".stripMargin,
     "q20_token_count" ->
       """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
         | length(text) AS n_chars_actual
