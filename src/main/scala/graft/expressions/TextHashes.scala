@@ -1,10 +1,9 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,19 +13,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * rotate/xor → array_min) are correct but run as interpreted
   * higher-order functions — ~0.8 ms/doc. These expressions do the same
   * math in one tight pass over the tokens (~10 µs/doc), which is what a
-  * 100 TB dedup scan needs. Semantics are bit-identical to the HOF
-  * pipeline (proven by DedupSpec equivalence tests):
+  * 100 TB dedup scan needs. Each implements `doGenCode` as a static call
+  * into TextHashRuntime, so the whole stage stays inside
+  * WholeStageCodegen (no CodegenFallback row boxing). Semantics are
+  * bit-identical to the HOF pipeline (proven by DedupSpec equivalence
+  * tests):
   * - token split = split(text, ' ') keeping empties (Spark split semantics)
   * - shingle hash = xxhash64(concat_ws(' ', tok_i..tok_{i+w-1})), seed 42
   * - perm_p(h) = rotateLeft(h, p+1) XOR goldenRatio*(p+1)  (signed min)
   * - simhash vote = ±1 per token hash bit, bit set iff vote > 0
   */
 object TextHashes {
-
-  private[expressions] val SPACE = UTF8String.fromString(" ")
-
-  private[expressions] def permConst(p: Int): Long =
-    -7046029254386353131L * (p + 1) // 0x9E3779B97F4A7C15 wrapped
 
   def column(e: Expression): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(e)
@@ -43,31 +40,26 @@ object TextHashes {
     org.apache.spark.sql.graftbridge.Bridge.expression(c)
 }
 
-/** MinHash signature of word `width`-gram shingles: array of `perms`
-  * signed minima. Empty/too-short docs → empty array. */
-case class MinHashSignature(child: Expression, perms: Int, width: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(perms >= 1 && perms <= 63 && width >= 1)
+/** Static single-pass implementations — called from both interpreted
+  * eval and generated Java (doGenCode). */
+object TextHashRuntime {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "minhash_signature"
+  val SPACE: UTF8String = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].split(TextHashes.SPACE, -1)
+  def permConst(p: Int): Long =
+    -7046029254386353131L * (p + 1) // 0x9E3779B97F4A7C15 wrapped
+
+  def minhash(text: UTF8String, perms: Int, width: Int): ArrayData = {
+    val toks = text.split(SPACE, -1)
     val n = toks.length - width + 1
     if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
     val mins = Array.fill(perms)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val parts = new Array[UTF8String](width)
-      var k = 0
-      while (k < width) { parts(k) = toks(i + k); k += 1 }
-      val h = XxHash64Function.hash(
-        UTF8String.concatWs(TextHashes.SPACE, parts: _*), StringType, 42L)
+      val h = shingleHash(toks, i, width)
       var p = 0
       while (p < perms) {
-        val v = java.lang.Long.rotateLeft(h, p + 1) ^ TextHashes.permConst(p)
+        val v = java.lang.Long.rotateLeft(h, p + 1) ^ permConst(p)
         if (v < mins(p)) mins(p) = v
         p += 1
       }
@@ -76,35 +68,14 @@ case class MinHashSignature(child: Expression, perms: Int, width: Int)
     new GenericArrayData(mins)
   }
 
-  override protected def withNewChildInternal(c: Expression): MinHashSignature =
-    copy(child = c)
-}
-
-/** Distinct xxhash64 set of the word `width`-gram shingles (same token
-  * split and shingle hash as MinHashSignature). Jaccard over these long
-  * sets equals Jaccard over the distinct shingle-string sets (modulo
-  * 64-bit hash collisions) at a fraction of the compare cost — the
-  * verification-stage companion to the signature. */
-case class ShingleHashes(child: Expression, width: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(width >= 1)
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "shingle_hashes"
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].split(TextHashes.SPACE, -1)
+  def shingleHashes(text: UTF8String, width: Int): ArrayData = {
+    val toks = text.split(SPACE, -1)
     val n = toks.length - width + 1
     if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.LinkedHashSet[java.lang.Long](n * 2)
     var i = 0
     while (i < n) {
-      val parts = new Array[UTF8String](width)
-      var k = 0
-      while (k < width) { parts(k) = toks(i + k); k += 1 }
-      seen.add(XxHash64Function.hash(
-        UTF8String.concatWs(TextHashes.SPACE, parts: _*), StringType, 42L))
+      seen.add(shingleHash(toks, i, width))
       i += 1
     }
     val out = new Array[Long](seen.size)
@@ -114,21 +85,8 @@ case class ShingleHashes(child: Expression, width: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(c: Expression): ShingleHashes =
-    copy(child = c)
-}
-
-/** 64-bit SimHash over whitespace tokens (xxhash64 seed 42 per token,
-  * majority vote per bit). */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].split(TextHashes.SPACE, -1)
+  def simhash(text: UTF8String): Long = {
+    val toks = text.split(SPACE, -1)
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
@@ -146,8 +104,79 @@ case class SimHash64(child: Expression)
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
+
+  private def shingleHash(toks: Array[UTF8String], i: Int, width: Int): Long = {
+    val parts = new Array[UTF8String](width)
+    var k = 0
+    while (k < width) { parts(k) = toks(i + k); k += 1 }
+    XxHash64Function.hash(
+      UTF8String.concatWs(SPACE, parts: _*), StringType, 42L)
+  }
+}
+
+/** MinHash signature of word `width`-gram shingles: array of `perms`
+  * signed minima. Empty/too-short docs → empty array. */
+case class MinHashSignature(child: Expression, perms: Int, width: Int)
+    extends UnaryExpression {
+  require(perms >= 1 && perms <= 63 && width >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashRuntime.minhash(input.asInstanceOf[UTF8String], perms, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextHashRuntime.minhash($c, $perms, $width);")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** Distinct xxhash64 set of the word `width`-gram shingles (same token
+  * split and shingle hash as MinHashSignature). Jaccard over these long
+  * sets equals Jaccard over the distinct shingle-string sets (modulo
+  * 64-bit hash collisions) at a fraction of the compare cost — the
+  * verification-stage companion to the signature. */
+case class ShingleHashes(child: Expression, width: Int)
+    extends UnaryExpression {
+  require(width >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashRuntime.shingleHashes(input.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextHashRuntime.shingleHashes($c, $width);")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** 64-bit SimHash over whitespace tokens (xxhash64 seed 42 per token,
+  * majority vote per bit). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      TextHashRuntime.simhash(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextHashRuntime.simhash($c);")
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =
     copy(child = c)
