@@ -63,6 +63,57 @@ object Streams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** ST7+: event-time session windows (30 min gap) — the streaming twin
+    * of Analytics.sessionize. Emits one row per closed session. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+
+  /** A6/ST5 with explicit state: flatMapGroupsWithState dedup variant —
+    * keeps the reference's Redis-set semantics literally (a per-mid set
+    * of seen days with an idle-processing-time TTL), for cases where
+    * exact Redis-TTL parity is demanded (SURVEY §7.3). The watermarked
+    * dropDuplicates in dauDedup is the preferred event-time form. */
+  def dauDedupWithState(pageLogs: org.apache.spark.sql.Dataset[(String, java.sql.Timestamp)],
+      ttlMs: Long = 24L * 3600 * 1000)
+      : org.apache.spark.sql.Dataset[(String, String)] = {
+    import pageLogs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // Event-time timeout, not processing-time: PT timeouts make the
+    // micro-batch engine self-trigger empty batches forever (a test would
+    // never settle), and the watermark-driven form is deterministic.
+    pageLogs.toDF("mid", "ts").withWatermark("ts", s"$ttlMs milliseconds")
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Set[String], (String, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (mid: String, rows: Iterator[(String, java.sql.Timestamp)],
+            state: GroupState[Set[String]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.getOrElse(Set.empty)
+            val events = rows.toSeq
+            val days = events.map(r => r._2.toLocalDateTime.toLocalDate.toString)
+              .distinct.sorted
+            val fresh = days.filterNot(seen)
+            state.update(seen ++ fresh)
+            // TTL anchored on the group's last activity (event time) — an
+            // initial-watermark-relative timeout would expire the state
+            // before the next batch arrives.
+            val lastSeenMs = events.map(_._2.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastSeenMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            fresh.iterator.map(d => (mid, d))
+          }
+      }
+  }
+
   /** ST10/P10: CDC routing with per-batch config refresh — the fact/dim
     * table lists are re-read from `configPath` on EVERY micro-batch (the
     * reference re-reads Redis sets each batch, app/OdsBaseDbApp.scala:
