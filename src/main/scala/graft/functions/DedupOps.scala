@@ -155,13 +155,57 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Word-3-gram shingle Jaccard pairs with a full SQL oracle (DuckDB
+    * builds the same shingles via list_transform/generate_series).
+    * Threshold 0.5 surfaces the fixtures' engineered near-duplicates.
+    * Same quadratic caveat as jaccardPairs — bounded input; q28 is the
+    * scale path. */
+  val shingleJaccardPairs: Q = (s, d) => {
+    val sh = t(s, d, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(split(col("text"), " ")))).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard", round(col("i") / (col("sa.sz") + col("sb.sz") - col("i")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q41_shingle_jaccard" -> shingleJaccardPairs,
     "q27_jaccard_pairs" -> jaccardPairs,
     "q28_minhash_lsh" -> minhashLsh,
     "q29_simhash" -> simhash,
   )
 
   val oracles: Map[String, String] = Map(
+    "q41_shingle_jaccard" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+        |      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |  FROM tk),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin,
     "q27_jaccard_pairs" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, token FROM (

@@ -95,6 +95,15 @@ class DedupSpec extends SparkSpec {
     assert(fused == hof)
   }
 
+  test("minhash/LSH recovers exactly the exact shingle-Jaccard pairs on the fixtures") {
+    val lsh = DedupOps.minhashLsh(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = DedupOps.shingleJaccardPairs(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixtures should contain engineered near-dups")
+    assert(lsh == exact) // 8 bands x 4 rows catches everything at j>=0.5 here
+  }
+
   test("shingles: <3 tokens yields empty, 3 tokens yields one") {
     val df = Seq("a b", "a b c", "a b c d").toDF("text")
       .select(size(DedupOps.shingles3(split(col("text"), " "))).as("n"))
