@@ -101,10 +101,77 @@ object SimilarityOps {
 
   val annLshTopK: Q = (s, d) => annLsh(s, d)
 
+  /** Deterministic k-means-lite: init = the k lowest vec_ids, `iters`
+    * Lloyd steps. The tiny centroid model (k × dims doubles) is
+    * collected to the driver each step — at 100 TB the build is its own
+    * job whose output partitions/buckets the corpus by cell_id; queries
+    * then read only probed cells. */
+  def kmeansLite(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    var centroids: Array[Array[Double]] = emb
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = assignCells(emb, centroids)
+      val dims = assigned.select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      val means = dims.groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
+        .select(col("cell"), col("ms.m").as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid (max cosine) cell assignment via an argmax over
+    * struct(cos, cell) — pure columnar. */
+  def assignCells(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col("v"), typedlit(c.toSeq)).as("cos"), lit(i).as("cell"))
+    }
+    emb.withColumn("cell", array_max(array(cells: _*)).getField("cell"))
+  }
+
+  /** IVF query: assign the corpus to cells once (in production: a stored
+    * bucketed table), rank the query's cells, probe the best `nprobe`
+    * cells with exact cosine. nprobe = k degrades to the exact q25 scan
+    * (spec-verified). */
+  def annIvf(s: SparkSession, d: String, k: Int = 8, nprobe: Int = 2,
+      topk: Int = 10, iters: Int = 2): DataFrame = {
+    val emb = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids = kmeansLite(emb, k, iters)
+    val corpus = assignCells(emb.filter(col("vec_id") =!= 0), centroids)
+    val q = assignCells(emb.filter(col("vec_id") === 0), centroids)
+      .select(col("v").as("qv"))
+    // rank cells by cosine(query, centroid), take nprobe
+    val qVec = emb.filter(col("vec_id") === 0).select(col("v"))
+      .collect()(0).getSeq[Double](0).toArray
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val probeCells = centroids.indices
+      .sortBy(i => -cosLocal(qVec, centroids(i))).take(nprobe)
+    corpus.filter(col("cell").isin(probeCells: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("neighbor_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .limit(topk)
+  }
+
+  val annIvfTopK: Q = (s, d) => annIvf(s, d)
+
   val queries: Map[String, Q] = Map(
     "q25_ann_cosine_topk" -> annCosineTopK,
     "q26_label_centroids" -> labelCentroidStats,
     "q38_ann_lsh_topk" -> annLshTopK,
+    "q42_ann_ivf_topk" -> annIvfTopK,
   )
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,35 @@
+package graft
+
+import graft.functions.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** IVF ANN: probing every cell degrades to the exact brute-force scan;
+  * a clustered corpus is recalled from its own cell. */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nprobe = k reproduces the exact brute-force top-10") {
+    val brute = SimilarityOps.annCosineTopK(spark, sf0001)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toSeq
+    val ivfAll = SimilarityOps.annIvf(spark, sf0001, k = 8, nprobe = 8)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(ivfAll == brute)
+  }
+
+  test("clustered corpus: near-duplicates of the query are found with nprobe = 1") {
+    val rnd = new java.util.Random(11)
+    val base = Array.fill(64)(rnd.nextGaussian())
+    def noisy(eps: Double) = base.map(x => x + eps * rnd.nextGaussian())
+    val rows = (0L, base.toSeq) +:
+      ((1 to 5).map(i => (i.toLong, noisy(0.05).toSeq)) ++
+        (6 to 60).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian()).toSeq)))
+    val emb = rows.toDF("vec_id", "v")
+    val centroids = SimilarityOps.kmeansLite(emb, 4, 2)
+    val assigned = SimilarityOps.assignCells(emb, centroids)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val qCell = assigned(0L)
+    (1 to 5).foreach { i =>
+      assert(assigned(i.toLong) == qCell, s"near-dup $i not in query cell")
+    }
+  }
+}
