@@ -68,7 +68,31 @@ object Analytics {
         col("p_name"), col("p_retailprice"))
   }
 
+  /** Day-over-day DAU via lag window — the single-pass alternative to
+    * q15's full-outer self-join. The unpartitioned window is fine at any
+    * scale: its input is the already-aggregated per-day frame (≤ #days
+    * rows), not the event stream. */
+  val dayOverDayLag: Q = (s, d) => {
+    val e = t(s, d, "events")
+    val byDay = e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(count_distinct(col("user_id")).as("dau"))
+    val w = Window.orderBy(col("dt"))
+    byDay
+      .withColumn("dau_prev_day", lag(col("dau"), 1).over(w))
+      .withColumn("delta", col("dau") - coalesce(col("dau_prev_day"), lit(0L)))
+  }
+
+  /** Exact interpolated median per group (beyond ES's surface; DuckDB
+    * twin is quantile_cont). */
+  val medianByGroup: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(round(median(col("value")), 4).as("median_value"),
+        count(lit(1)).as("n"))
+
   val queries: Map[String, Q] = Map(
+    "q43_day_over_day_lag" -> dayOverDayLag,
+    "q44_median_by_group" -> medianByGroup,
     "q34_rollup" -> rollupPricing,
     "q35_running_total" -> runningTotal,
     "q36_sessionize" -> sessionize,
@@ -76,6 +100,20 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q43_day_over_day_lag" ->
+      """WITH by_day AS (
+        |  SELECT strftime(ts,'%Y-%m-%d') AS dt,
+        |         count(DISTINCT user_id) AS dau
+        |  FROM events GROUP BY 1)
+        |SELECT dt, dau,
+        | lag(dau, 1) OVER (ORDER BY dt) AS dau_prev_day,
+        | dau - coalesce(lag(dau, 1) OVER (ORDER BY dt), 0) AS delta
+        |FROM by_day""".stripMargin,
+    "q44_median_by_group" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS median_value,
+        | count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "q34_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | round(sum(l_quantity),2) AS sum_qty
