@@ -183,6 +183,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DAU topology: dedup stream -> keyed serving sink -> hourly query") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("dau_serve").toString + "/dau_wide"
+    val in = MemoryStream[Page]
+    val q = Streams.dauDedup(in.toDF(), "24 hours")
+      .withColumn("dt", col("dt").cast("string"))
+      .withColumn("ver", col("ts").cast("long"))
+      .writeStream
+      .foreachBatch(graft.sinks.KeyedParquetSink.writer(
+        path, Seq("mid", "dt"), "dt", "ver") _)
+      .start()
+    try {
+      in.addData(
+        Page("m1", ts("2024-01-01 10:00:00"), "home"),
+        Page("m1", ts("2024-01-01 11:00:00"), "detail"), // same day, deduped
+        Page("m2", ts("2024-01-01 10:30:00"), "home"))
+      q.processAllAvailable()
+      in.addData(Page("m1", ts("2024-01-02 09:00:00"), "home"))
+      q.processAllAvailable()
+      // serving query: DAU per day over the sink (the /dauRealtime shape)
+      val serve = spark.read.parquet(path)
+        .groupBy("dt").agg(count(lit(1)).as("dau"))
+        .as[(String, Long)].collect().toMap
+      assert(serve == Map("2024-01-01" -> 2L, "2024-01-02" -> 1L))
+    } finally q.stop()
+  }
+
   test("dedup is idempotent under replay (batch twin): dedup(dedup(x)) == dedup(x)") {
     val e = graft.Tables.t(spark, sf0001, "events")
       .select(col("user_id").cast("string").as("mid"), col("ts"))
