@@ -68,6 +68,42 @@ class PropertySpec extends SparkSpec {
     }, 5)
   }
 
+  test("stream-stream join over arbitrary arrival interleavings ≡ batch inner join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      // orders 1..6, each with 0-2 details, timestamps within one day
+      val base = java.sql.Timestamp.valueOf("2024-01-01 08:00:00").getTime
+      def ts(offsetMin: Int) = new java.sql.Timestamp(base + offsetMin * 60000L)
+      val infos = (1 to 6).map(i => (i.toLong, ts(rnd.nextInt(600)), i * 10.0))
+      val details = (1 to 6).flatMap(i =>
+        (0 until rnd.nextInt(3)).map(j => (i.toLong, ts(rnd.nextInt(600)), s"sku_${i}_$j")))
+      val info = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val det = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val joined = streaming.Streams.orderWideJoin(
+        info.toDF().toDF("order_id", "ts", "amount"),
+        det.toDF().toDF("order_id", "ts", "sku"))
+        .select(col("info_order_id"), col("sku"))
+      val q = joined.writeStream.format("memory")
+        .queryName(s"prop_join_$trial").outputMode("append").start()
+      try {
+        // random interleaving: each side's rows split across 3 batches
+        val infoBatches = infos.groupBy(_ => rnd.nextInt(3)).toSeq.sortBy(_._1)
+        val detBatches = details.groupBy(_ => rnd.nextInt(3)).toSeq.sortBy(_._1)
+        (0 until 3).foreach { b =>
+          infoBatches.find(_._1 == b).foreach(g => info.addData(g._2))
+          detBatches.find(_._1 == b).foreach(g => det.addData(g._2))
+          q.processAllAvailable()
+        }
+        val streamed = spark.table(s"prop_join_$trial")
+          .as[(Long, String)].collect().toSet
+        val expected = details.map(d => (d._1, d._3)).toSet // every detail has an info
+        assert(streamed == expected, s"trial $trial")
+      } finally q.stop()
+    }
+  }
+
   test("sessionization conserves events per user") {
     val sess = operators.Analytics.sessionize(spark, sf0001)
       .agg(sum(col("n_events"))).as[Long].collect()(0)
