@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The serving-layer twin of publish-realtime: assembles the exact
+  * response shapes of the two REST endpoints (SURVEY §3.3) from engine
+  * queries over the fixtures.
+  *
+  * GET /dauRealtime?td=…  → {dauTotal, dauTd: {hr→n}, dauYd: {hr→n}}
+  *   (ref publishController.java:42-47 → PublishDaoImpl.java:104-176)
+  * GET /statsByItem?itemName=…&t=gender|age →
+  *   [{name, value}, …] with age re-bucketed <20/20-29/≥30 and gender
+  *   relabeled (ref PublisherServiceImpl.java:39-86 — neutral labels
+  *   here, SURVEY §2.3 F7)
+  *
+  * The aggregation runs distributed; only the final ≤24/3-row result is
+  * collected for assembly — same split as the reference (ES aggregates,
+  * Java assembles).
+  */
+object Publisher {
+
+  case class DauRealtime(dauTotal: Long, dauTd: Map[String, Long],
+      dauYd: Map[String, Long])
+
+  case class StatItem(name: String, value: Double)
+
+  private def hourly(spark: SparkSession, dir: String, day: String): Map[String, Long] = {
+    val e = t(spark, dir, "events")
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .filter(col("dt") === day)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(date_format(col("ts"), "HH").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** The /dauRealtime payload for day `td` (yyyy-MM-dd). */
+  def dauRealtime(spark: SparkSession, dir: String, td: String): DauRealtime = {
+    val yd = java.time.LocalDate.parse(td).minusDays(1).toString
+    val total = t(spark, dir, "events")
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === td)
+      .agg(count_distinct(col("user_id")))
+      .collect()(0).getLong(0)
+    DauRealtime(total, hourly(spark, dir, td), hourly(spark, dir, yd))
+  }
+
+  /** The /statsByItem payload: conjunctive token match on p_name, grouped
+    * by `t` = "segment" (plays gender: relabel) or "band" (plays age:
+    * re-bucketed), summing revenue. */
+  def statsByItem(spark: SparkSession, dir: String, itemTokens: Seq[String],
+      t0: String): Seq[StatItem] = {
+    val l = t(spark, dir, "lineitem")
+    val p = t(spark, dir, "part")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val matched = itemTokens.foldLeft(l.join(broadcast(p),
+        col("l_partkey") === col("p_partkey"))) {
+      (df, tok) => df.filter(col("p_name").contains(tok))
+    }
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    val grouped = t0 match {
+      case "segment" => matched.groupBy( // F7-style relabel
+        when(col("c_mktsegment") === "AUTOMOBILE", "auto")
+          .when(col("c_mktsegment") === "BUILDING", "building")
+          .otherwise("other").as("name"))
+      case "band" => matched.groupBy( // A5-style re-bucketing, one pass
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("name"))
+      case other => throw new IllegalArgumentException(s"t=$other")
+    }
+    grouped.agg(round(sum(col("l_extendedprice")), 2).as("value"))
+      .orderBy(col("value").desc)
+      .collect().map(r => StatItem(r.getString(0), r.getDouble(1))).toSeq
+  }
+}
