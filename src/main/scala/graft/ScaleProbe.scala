@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scaling probe (dev tool, not part of the query surface): generates
+  * synthetic event streams of increasing size and measures the DAU
+  * pipeline + windowed agg + dedup signature scan, to verify the
+  * operators scale ~linearly in rows on a fixed-core box (the local
+  * stand-in for the 100 TB question: no super-linear shuffle blowup).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def synth(n: Long) = spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_millis(lit(1704067200000L) + (col("id") % 2592000000L)).as("ts"),
+      pmod(xxhash64(col("id")), lit(100000)).as("user_id"),
+      concat(lit("tok"), pmod(xxhash64(col("id"), lit(1)), lit(50))).as("event_type"),
+      (pmod(xxhash64(col("id"), lit(2)), lit(10000)) / 100.0).as("value"))
+    for (n <- Seq(1000000L, 4000000L, 16000000L)) {
+      val e = synth(n).persist()
+      e.count()
+      def tm(name: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"SCALE n=$n%9d $name ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      val w = Window.partitionBy(col("user_id"), col("dt")).orderBy(col("ts"), col("event_id"))
+      tm("dau_dedup_hourly") {
+        e.withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("dt"), date_format(col("ts"), "HH").as("hr"))
+          .agg(count(lit(1)).as("dau"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      tm("windowed_agg") {
+        e.groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("h"),
+            col("event_type"))
+          .agg(count(lit(1)), sum(col("value")))
+          .write.format("noop").mode("overwrite").save()
+      }
+      tm("simhash_scan") {
+        e.select(graft.expressions.TextHashes.simhash64(col("event_type")))
+          .write.format("noop").mode("overwrite").save()
+      }
+      e.unpersist()
+    }
+    spark.stop()
+  }
+}
