@@ -174,7 +174,30 @@ object SimilarityOps {
     "q42_ann_ivf_topk" -> annIvfTopK,
   )
 
+  /** q38's oracle is GENERATED: the deterministic hyperplanes are
+    * printed into the SQL (Double.toString round-trips exactly, so both
+    * engines see identical plane coordinates; sign decisions on ~unit
+    * dot products are far from the fp boundary). */
+  private def lshOracle(bits: Int, probe: Int): String = {
+    val planes = hyperplanes(64, bits)
+    def arr(h: Array[Double]) = h.mkString("[", ",", "]") + "::DOUBLE[]"
+    val bucketExpr = planes.zipWithIndex.map { case (h, i) =>
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${arr(h)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         CAST($bucketExpr AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+       |SELECT e.vec_id AS neighbor_id,
+       | round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+       |FROM b e, q
+       |WHERE e.vec_id <> 0 AND bit_count(xor(e.bucket, q.qb)) <= $probe
+       |ORDER BY cosine DESC, neighbor_id LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q38_ann_lsh_topk" -> lshOracle(8, 2),
     "q25_ann_cosine_topk" ->
       """SELECT e.vec_id AS neighbor_id,
         | round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),6) AS cosine

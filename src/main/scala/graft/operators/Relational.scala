@@ -268,7 +268,17 @@ object Relational {
       .offset(10)
       .limit(15)
 
+  /** S9: point get by key (ref EsTest.scala:54-60 getById) — the plan
+    * should be a pushed-down single-key scan, not an index the engine
+    * lacks; at scale the dt/bucket layout bounds the touched files. */
+  val pointGet: Q = (s, d) =>
+    t(s, d, "orders")
+      .filter(col("o_orderkey") === 100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+
   val queries: Map[String, Q] = Map(
+    "q45_point_get" -> pointGet,
     "q15_dau_day_over_day" -> dauDayOverDay,
     "q16_segment_decode" -> segmentDecode,
     "q17_semi_anti" -> semiAntiJoin,
@@ -291,6 +301,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q45_point_get" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey = 100""".stripMargin,
     "q15_dau_day_over_day" ->
       """WITH entries AS (
         |  SELECT ts, strftime(ts,'%Y-%m-%d') AS dt,
