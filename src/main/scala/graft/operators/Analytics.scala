@@ -90,7 +90,42 @@ object Analytics {
       .agg(round(median(col("value")), 4).as("median_value"),
         count(lit(1)).as("n"))
 
+  /** Incremental dedup — the production ingestion shape: new documents
+    * (doc_id ≥ 250) admitted only if their content fingerprint is absent
+    * from the existing corpus (doc_id < 250); anti-join on the hash. */
+  val incrementalDedup: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+    val existing = docs.filter(col("doc_id") < 250).select(col("text_hash"))
+    docs.filter(col("doc_id") >= 250)
+      .join(existing, Seq("text_hash"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_admitted"), min(col("doc_id")).as("first_admitted"))
+  }
+
+  /** Statistical aggregates (corr / stddev / variance) per group —
+    * serving-layer analytics the ES publisher cannot express. */
+  val statsCorr: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(stddev_samp(col("l_discount")), 4).as("stddev_disc"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        count(lit(1)).as("n"))
+
+  /** Exact multi-quantiles per group (p25/p50/p75 as an array column). */
+  val quantiles: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(transform(
+        percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75))),
+        q => round(q, 4)).as("quantiles"))
+
   val queries: Map[String, Q] = Map(
+    "q46_incremental_dedup" -> incrementalDedup,
+    "q47_stats_corr" -> statsCorr,
+    "q48_quantiles" -> quantiles,
     "q43_day_over_day_lag" -> dayOverDayLag,
     "q44_median_by_group" -> medianByGroup,
     "q34_rollup" -> rollupPricing,
@@ -100,6 +135,27 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q46_incremental_dedup" ->
+      """WITH hashed AS (
+        |  SELECT doc_id, lang, md5(text) AS text_hash FROM documents)
+        |SELECT lang, count(*) AS n_admitted, min(doc_id) AS first_admitted
+        |FROM hashed n
+        |WHERE doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM hashed e WHERE e.doc_id < 250
+        |    AND e.text_hash = n.text_hash)
+        |GROUP BY lang""".stripMargin,
+    "q47_stats_corr" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | round(stddev_samp(l_discount), 4) AS stddev_disc,
+        | round(var_samp(l_quantity), 4) AS var_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q48_quantiles" ->
+      """SELECT event_type,
+        | list_transform(quantile_cont(value, [0.25, 0.5, 0.75]),
+        |                q -> round(q, 4)) AS quantiles
+        |FROM events GROUP BY event_type""".stripMargin,
     "q43_day_over_day_lag" ->
       """WITH by_day AS (
         |  SELECT strftime(ts,'%Y-%m-%d') AS dt,
