@@ -62,6 +62,61 @@ object Multimodal {
     }
   }
 
+  /** STUB frame sampler: split the payload into `n` evenly-spaced
+    * fixed-size byte windows ("frames"). Real codec variant decodes
+    * keyframes; plumbing (binary→array<binary>) is identical. */
+  def frameSample(payload: Array[Byte], n: Int, frameLen: Int): Array[Array[Byte]] = {
+    if (payload.isEmpty || n <= 0) return Array.empty
+    val step = math.max(1, payload.length / n)
+    (0 until n).map { i =>
+      val start = math.min(i * step, math.max(0, payload.length - 1))
+      payload.slice(start, math.min(start + frameLen, payload.length))
+    }.filter(_.nonEmpty).toArray
+  }
+
+  /** STUB resize: truncate/zero-pad the payload to `size` bytes (real
+    * variant is the codec's scale op; output stays binary). */
+  def resizeStub(payload: Array[Byte], size: Int): Array[Byte] =
+    java.util.Arrays.copyOf(payload, size)
+
+  /** STUB feature extractor: deterministic float vector from payload
+    * chunks (chunk checksums scaled to [-1, 1]) — the media→embedding
+    * bridge into the similarity tier. Real variant runs a vision/audio
+    * model per partition (see decodeBatchPartitions for the handle
+    * lifecycle). */
+  def featuresFromPayload(payload: Array[Byte], dims: Int): Array[Float] = {
+    val out = new Array[Float](dims)
+    if (payload.isEmpty) return out
+    val chunk = math.max(1, payload.length / dims)
+    var d = 0
+    while (d < dims) {
+      var h = 1125899906842597L // FNV-ish seed
+      var i = d * chunk
+      val end = math.min(i + chunk, payload.length)
+      while (i < end) { h = h * 31 + (payload(i) & 0xff); i += 1 }
+      out(d) = (Math.floorMod(h, 2000003L).toFloat / 1000001.5f) - 1.0f
+      d += 1
+    }
+    out
+  }
+
+  case class MediaFeatures(doc_id: Long, n_frames: Int, features: Array[Float])
+
+  /** Full media pipeline: frame-sample → resize → feature-extract, per
+    * partition (one decoder/model handle per partition). */
+  def featureBatchPartitions(media: Dataset[MediaRow], nFrames: Int = 4,
+      frameLen: Int = 64, dims: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val frames = frameSample(r.payload, nFrames, frameLen)
+        val resized = frames.map(resizeStub(_, frameLen))
+        val feats = featuresFromPayload(resized.flatten, dims)
+        MediaFeatures(r.doc_id, frames.length, feats)
+      }
+    }
+  }
+
   /** Metadata projection over the binary column (pure columnar). */
   val mediaMetaQ: Q = (s, d) =>
     mediaTable(s, d).select(
@@ -77,9 +132,22 @@ object Multimodal {
     decodeBatchPartitions(media).toDF()
   }
 
+  /** Media features through the per-partition pipeline, then a cosine
+    * self-similarity check against vec 0 using the similarity tier —
+    * media → embedding → ANN, end to end. Deterministic but stub-hash
+    * based → rows-only driver check (MultimodalSpec pins the values). */
+  val mediaFeaturesQ: Q = (s, d) => {
+    import s.implicits._
+    val media = mediaTable(s, d).select(col("doc_id"), col("payload")).as[MediaRow]
+    featureBatchPartitions(media).toDF()
+      .select(col("doc_id"), col("n_frames"),
+        round(SimilarityOps.norm(col("features").cast("array<double>")), 4).as("feature_norm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_media_meta" -> mediaMetaQ,
     "q31_media_decode" -> mediaDecodeQ,
+    "q49_media_features" -> mediaFeaturesQ,
   )
 
   val oracles: Map[String, String] = Map(

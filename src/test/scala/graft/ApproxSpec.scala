@@ -18,6 +18,26 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("media features: frame-sample -> resize -> extract is deterministic and shaped") {
+    import functions.Multimodal._
+    val payload = ("abcdefgh" * 40).getBytes("UTF-8")
+    val frames = frameSample(payload, 4, 64)
+    assert(frames.length == 4 && frames.forall(_.length <= 64))
+    assert(resizeStub(payload, 16).length == 16)
+    assert(resizeStub("ab".getBytes, 8).length == 8) // zero-padded
+    val f1 = featuresFromPayload(payload, 16)
+    val f2 = featuresFromPayload(payload, 16)
+    assert(f1.toSeq == f2.toSeq && f1.length == 16)
+    assert(f1.forall(x => x >= -1.01f && x <= 1.01f))
+    // distinct payloads → distinct features
+    val g = featuresFromPayload(("zzzzzzzz" * 40).getBytes("UTF-8"), 16)
+    assert(f1.toSeq != g.toSeq)
+    // end-to-end over fixtures
+    val out = functions.Multimodal.mediaFeaturesQ(spark, sf0001)
+    assert(out.count() == 500 && out.columns.toSeq ==
+      Seq("doc_id", "n_frames", "feature_norm"))
+  }
+
   test("multimodal decode: per-partition batch path matches the stub applied per row") {
     val media = functions.Multimodal.mediaTable(spark, sf0001)
       .select(col("doc_id"), col("payload"))
