@@ -38,7 +38,8 @@ object Gmall {
       provinces: DataFrame, asOf: String): Dataset[DauInfo] = {
     import pages.sparkSession.implicits._
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("mid"), col("dt")).orderBy(col("ts"))
+      .partitionBy(col("mid"), col("dt"))
+      .orderBy(col("ts"), col("page_id")) // page_id tiebreak: same-ms events stay deterministic
     pages.toDF()
       .filter(col("last_page_id").isNull) // P11: session entries only (codegen'd, no deserialization)
       .withColumn("dt", Scalars.millisToDate(col("ts")))
@@ -55,7 +56,11 @@ object Gmall {
         col("brand"), col("page_id"), col("page_item"), col("page_item_type"),
         col("during_time"), col("sourceType"), col("ts"),
         col("gender").as("user_gender"),
-        Scalars.ageAt(col("birthday").cast("date"), lit(asOf).cast("date")).as("user_age"),
+        // -1 sentinel on dim miss: the reference NPEs here (SURVEY J1
+        // "inner-join semantics with NPE on miss"); we degrade instead of
+        // crashing the non-nullable bean encoder
+        coalesce(Scalars.ageAt(col("birthday").cast("date"), lit(asOf).cast("date")),
+          lit(-1L)).as("user_age"),
         col("name").as("province_name"),
         col("iso_code").as("province_iso_code"),
         col("iso_3166_2").as("province_3166_2"),
@@ -91,7 +96,8 @@ object Gmall {
         col("iso_3166_2").as("province_3166_2"),
         col("area_code").as("province_area_code"),
         col("gender").as("user_gender"),
-        Scalars.ageAt(col("birthday").cast("date"), lit(asOf).cast("date")).as("user_age"))
+        coalesce(Scalars.ageAt(col("birthday").cast("date"), lit(asOf).cast("date")),
+          lit(-1L)).as("user_age")) // -1 on dim miss, see dauPipeline
       .as[OrderWide]
   }
 

@@ -22,6 +22,10 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt >= 1)
+    // right/full would emit one row per salt replica for unmatched small
+    // rows — semantically wrong; only these types preserve semantics
+    require(Set("inner", "left", "left_outer", "left_semi").contains(joinType),
+      s"saltedJoin supports inner/left/left_semi, got $joinType")
     val saltedBig = big.withColumn("__salt",
       (xxhash64(monotonically_increasing_id()) % salt + salt) % salt)
     val saltedSmall = small.withColumn("__salt",

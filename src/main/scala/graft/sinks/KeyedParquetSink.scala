@@ -37,7 +37,12 @@ object KeyedParquetSink {
         val touched = incoming.select(col(dtCol)).distinct()
         Some(cur.join(broadcast(touched), Seq(dtCol), "left_semi")
           .select(cols.map(col): _*).withColumn("__is_new", lit(0)))
-      } catch { case _: Throwable => None } // first write: nothing to merge
+      } catch {
+        // ONLY path-not-found means first write; any other failure (e.g.
+        // corrupt footer) must abort, not silently clobber the table
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+      }
 
     val unioned = existing.fold(incoming)(e => incoming.unionByName(e))
     val w = Window.partitionBy(keyCols.map(col): _*)

@@ -58,6 +58,17 @@ class GmallEndToEndSpec extends SparkSpec {
     assert(dau(1).user_gender == "M" && dau(1).province_name == "P12")
   }
 
+  test("dim miss degrades to null enrichment + age sentinel instead of crashing") {
+    val rawLogs = Seq(log("mid9", "99", "77", t0)).toDF("value") // no dims loaded
+    val pages = LogFanout.fanout(rawLogs)("page").as[PageLog]
+    val empty = CdcRouter.route(Seq.empty[String].toDF("value"), facts, dims)("dim")
+    val dau = Gmall.dauPipeline(pages,
+      Gmall.parseUsers(empty), Gmall.parseProvinces(empty), "2022-02-21").collect()
+    assert(dau.length == 1)
+    assert(dau(0).user_gender == null && dau(0).province_name == null)
+    assert(dau(0).user_age == -1L) // sentinel (reference NPEs here)
+  }
+
   test("CDC -> fact route -> typed order-wide join -> idempotent serving sink") {
     val rawCdc = Seq(
       cdc("order_info", "insert",
