@@ -53,6 +53,26 @@ object ScaleProbe {
       }
       e.unpersist()
     }
+    // skew: 16M rows, 90% on one key — plain shuffle join vs salted vs AQE
+    val n = 16000000L
+    val big = spark.range(n).select(
+      when(pmod(col("id"), lit(10)) =!= 0, lit(1L))
+        .otherwise(pmod(xxhash64(col("id")), lit(100000))).as("k"),
+      col("id").as("v")).persist()
+    big.count()
+    val small = spark.range(100000).select(col("id").as("k"),
+      concat(lit("dim_"), col("id")).as("label"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for ((name, skewOn) <- Seq(("aqe_skew_join", "true"), ("no_aqe_skew", "false"))) {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn)
+      val t0 = System.nanoTime()
+      big.join(small, "k").write.format("noop").mode("overwrite").save()
+      println(f"SKEW $name ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    val t0 = System.nanoTime()
+    graft.operators.SkewJoin.saltedJoin(big, small, "k", 16)
+      .write.format("noop").mode("overwrite").save()
+    println(f"SKEW salted_join ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     spark.stop()
   }
 }

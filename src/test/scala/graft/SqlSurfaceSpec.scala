@@ -46,6 +46,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql == df && sql > 0)
   }
 
+  test("Graft.init makes a session SQL-ready in one call") {
+    Graft.init(spark, sf0001)
+    val n = spark.sql(
+      "SELECT count(*) FROM orders JOIN lineitem ON o_orderkey = l_orderkey")
+      .as[Long].collect()(0)
+    assert(n > 0)
+    val sig = spark.sql("SELECT minhash_signature(text) FROM documents LIMIT 1")
+      .as[Seq[Long]].collect()(0)
+    assert(sig.length == 32)
+  }
+
   test("custom expressions compose with SQL aggregation") {
     registerViews()
     expressions.GraftExtensions.register(spark)
