@@ -178,6 +178,71 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** ---- Incremental LSH index (the 100 TB ingestion shape) ----
+    *
+    * Instead of re-self-joining the whole corpus per run (minhashLsh,
+    * fine for a one-shot audit), persist a band index once and probe it
+    * with each new batch: cost per batch = O(batch × matching buckets).
+    * The index parquet is partitioned by band so a probe prunes to the
+    * 8 band partitions it needs.
+    */
+
+  /** (doc_id, band struct, hs) rows for a doc batch — one fused pass. */
+  private def indexRows(docs: DataFrame): DataFrame = {
+    val sig = docs.select(col("doc_id"),
+      graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"),
+      graft.expressions.TextHashes.shingle_hashes(col("text"), 3).as("hs"))
+      .filter(size(col("sig")) > 0)
+    sig.select(col("doc_id"), col("hs"),
+        explode(lshBands(col("sig"), 32, 4)).as("b"))
+      .select(col("doc_id"), col("hs"), col("b.band").as("band"),
+        col("b.bhash").as("bhash"))
+  }
+
+  /** Build (or extend) the persistent band index from a doc batch. */
+  def buildLshIndex(docs: DataFrame, path: String): Unit =
+    indexRows(docs).write.mode("append").partitionBy("band").parquet(path)
+
+  /** Probe: near-dup pairs (new doc, indexed doc) with verified shingle
+    * Jaccard ≥ threshold. New docs are NOT added to the index here —
+    * callers buildLshIndex after admission (dedup-then-ingest). */
+  def probeLshIndex(newDocs: DataFrame, path: String,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val probe = indexRows(newDocs)
+    val index = spark.read.parquet(path)
+    probe.as("n").join(index.as("e"),
+        col("n.band") === col("e.band") && col("n.bhash") === col("e.bhash") &&
+          col("n.doc_id") =!= col("e.doc_id"))
+      .select(col("n.doc_id").as("new_doc"), col("e.doc_id").as("dup_of"),
+        col("n.hs").as("hs_n"), col("e.hs").as("hs_e"))
+      .dropDuplicates("new_doc", "dup_of")
+      .withColumn("inter", size(array_intersect(col("hs_n"), col("hs_e"))))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("hs_n")) + size(col("hs_e")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_doc"), col("dup_of"), col("jaccard"))
+  }
+
+  /** Streaming near-dup admission: per micro-batch, probe the index,
+    * write admitted (non-dup) docs to `outDir/admitted` and extend the
+    * index with them — continuous dedup-then-ingest. */
+  def streamingDedupWriter(indexPath: String, outDir: String,
+      threshold: Double = 0.5)(batch: DataFrame, batchId: Long): Unit = {
+    val dups =
+      try probeLshIndex(batch, indexPath, threshold).select(col("new_doc")).distinct()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          batch.sparkSession.emptyDataFrame.withColumn("new_doc", lit(0L))
+            .limit(0).select(col("new_doc"))
+      }
+    val admitted = batch.join(dups,
+      batch("doc_id") === dups("new_doc"), "left_anti").localCheckpoint()
+    admitted.write.mode("append").parquet(s"$outDir/admitted")
+    buildLshIndex(admitted, indexPath)
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_shingle_jaccard" -> shingleJaccardPairs,
     "q27_jaccard_pairs" -> jaccardPairs,

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Incremental LSH index: build once, probe batches, streaming
+  * dedup-then-ingest admits only novel documents. */
+class LshIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+  private val near = base.replaceFirst("lazy", "sleepy")
+  private val other = ("completely different content about spark engines " * 9).trim
+  private val third = ("yet another unrelated corpus line with many words here " * 8).trim
+
+  test("probe finds near-dups of indexed docs; novel docs pass") {
+    val idx = Files.createTempDirectory("lsh_idx").toString + "/index"
+    DedupOps.buildLshIndex(Seq((0L, base), (1L, other)).toDF("doc_id", "text"), idx)
+    val dups = DedupOps.probeLshIndex(
+      Seq((10L, near), (11L, third)).toDF("doc_id", "text"), idx)
+      .select("new_doc", "dup_of").as[(Long, Long)].collect().toSet
+    assert(dups == Set((10L, 0L))) // near is a dup of base; third is novel
+  }
+
+  test("streaming dedup-then-ingest: duplicates across batches are rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("lsh_stream").toString
+    val idx = s"$dir/index"
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(DedupOps.streamingDedupWriter(idx, dir) _)
+      .start()
+    try {
+      in.addData((0L, base), (1L, other))
+      q.processAllAvailable()
+      in.addData((2L, near), (3L, third)) // near duplicates batch-1's base
+      q.processAllAvailable()
+      in.addData((4L, base))              // exact dup of an admitted doc
+      q.processAllAvailable()
+      val admitted = spark.read.parquet(s"$dir/admitted")
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted == Set(0L, 1L, 3L)) // 2 (near-dup) and 4 (exact dup) rejected
+    } finally q.stop()
+  }
+}
