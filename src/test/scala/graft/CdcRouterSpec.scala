@@ -51,6 +51,15 @@ class CdcRouterSpec extends SparkSpec {
     assert(byKey("DIM:USER_INFO:43") == null) // tombstone, not dropped
   }
 
+  test("malformed CDC JSON and missing type are dropped, not crashed on") {
+    val raw = Seq(
+      """{"table": "order_info""",                         // truncated
+      """{"database":"g","table":"order_info","ts":1}""",  // no type
+      cdc("order_info", "insert", 7)).toDF("value")
+    val r = CdcRouter.route(raw, facts, dims)
+    assert(r("fact").count() == 1) // only the well-formed insert routes
+  }
+
   test("tables in neither list are dropped") {
     val raw = Seq(cdc("spu_info", "insert", 9)).toDF("value")
     val r = CdcRouter.route(raw, facts, dims)

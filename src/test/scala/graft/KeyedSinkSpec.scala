@@ -51,6 +51,17 @@ class KeyedSinkSpec extends SparkSpec {
       col("amount") > 1e9, Map("amount" -> lit(0.0))) == 0L)
   }
 
+  test("duplicate keys within one batch: highest version wins") {
+    val path = Files.createTempDirectory("sink6").toString + "/t"
+    KeyedParquetSink.upsert(
+      table(("m1", "2024-01-01", 1L, 10.0), ("m1", "2024-01-01", 3L, 30.0),
+        ("m1", "2024-01-01", 2L, 20.0)),
+      path, Seq("mid", "dt"), "dt", "ver")
+    val got = spark.read.parquet(path).select("mid", "amount")
+      .as[(String, Double)].collect().toSeq
+    assert(got == Seq(("m1", 30.0)))
+  }
+
   test("deleteWhere removes matching rows, keeps the rest") {
     import org.apache.spark.sql.functions._
     val path = Files.createTempDirectory("sink5").toString + "/t"
