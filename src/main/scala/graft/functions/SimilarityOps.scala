@@ -140,7 +140,7 @@ object SimilarityOps {
     * cells with exact cosine. nprobe = k degrades to the exact q25 scan
     * (spec-verified). */
   def annIvf(s: SparkSession, d: String, k: Int = 8, nprobe: Int = 2,
-      topk: Int = 10, iters: Int = 2): DataFrame = {
+      topk: Int = 10, iters: Int = 1): DataFrame = {
     val emb = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val centroids = kmeansLite(emb, k, iters)
