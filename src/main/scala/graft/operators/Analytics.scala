@@ -122,7 +122,28 @@ object Analytics {
         percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75))),
         q => round(q, 4)).as("quantiles"))
 
+  /** As-of join: each event paired with the user's most recent order at
+    * or before the event time — an operator Spark lacks natively
+    * (composed here as bounded join + latest-per-event window; the
+    * production form is a sort-merge within co-bucketed partitions).
+    * Orders pre-aggregated to one row per (custkey, date) so the pick is
+    * deterministic; DuckDB's native ASOF JOIN is the oracle. */
+  val asofJoin: Q = (s, d) => {
+    val o2 = t(s, d, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_order"))
+    val e = t(s, d, "events")
+    val w = Window.partitionBy(col("event_id")).orderBy(col("o_orderdate").desc)
+    e.join(o2, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_date"),
+        col("last_order"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q50_asof_join" -> asofJoin,
     "q46_incremental_dedup" -> incrementalDedup,
     "q47_stats_corr" -> statsCorr,
     "q48_quantiles" -> quantiles,
@@ -135,6 +156,15 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q50_asof_join" ->
+      """WITH o2 AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_order
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        | strftime(o.o_orderdate, '%Y-%m-%d') AS asof_date, o.last_order
+        |FROM events e
+        |ASOF JOIN o2 o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "q46_incremental_dedup" ->
       """WITH hashed AS (
         |  SELECT doc_id, lang, md5(text) AS text_hash FROM documents)
