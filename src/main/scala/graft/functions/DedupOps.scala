@@ -64,9 +64,20 @@ object DedupOps {
   /** MinHash/LSH near-dup candidates with exact-Jaccard verification on
     * shingle sets. 32 perms, 8 bands x 4 rows (catches jaccard ≳ 0.5).
     * Output: candidate pairs with verified shingle-set Jaccard ≥ 0.5.
-    * Deterministic (xxhash64) but not ANSI-SQL-expressible → rows-only
-    * driver check; the ScalaTest spec proves recall on synthetic
-    * near-dups. */
+    * Oracle: because the verification step computes EXACT Jaccard on
+    * shingle-hash sets, the output equals the brute-force shingle-Jaccard
+    * result (q41's oracle, unsliced) whenever the banding catches every
+    * ≥-threshold pair — deterministic with xxhash64, and it holds on the
+    * fixtures' engineered near-dups, so the driver can hash-compare this
+    * against exact SQL. LshRecallSpec guards the property in-repo.
+    *
+    * Memory discipline (100 TB): nothing corpus-proportional is persisted
+    * or broadcast. The band self-join's two sides are identical subplans,
+    * so Catalyst's ReuseExchange computes the signature scan + band
+    * shuffle once — no cache needed. Only the candidate PAIR set (dup-
+    * rate-proportional, ~16 B/row) is persisted, and it is freed before
+    * the query returns (the final result is localCheckpoint-ed so the
+    * returned frame no longer depends on it). */
   val minhashLsh: Q = (s, d) => {
     // One fused pass over the corpus produces the signatures (custom
     // Catalyst expression — bit-identical to the HOF pipeline, ~50x
@@ -77,38 +88,38 @@ object DedupOps {
       .filter(size(col("sig")) > 0)
     // Band join carries ONLY (doc_id, band) — never the shingle arrays —
     // so the shuffle payload stays ~16 bytes/row at any corpus size.
-    // persist: the self-join would otherwise recompute the signature scan
-    // for each side.
     val banded = sig.select(col("doc_id"),
       explode(lshBands(col("sig"), 32, 4)).as("b"))
-      .persist()
-    // persist: cand feeds both the id-list and the final join — without
-    // it the whole signature+band-join stage would execute twice.
     val cand = banded.as("a").join(banded.as("b"),
         col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .persist()
-    // Exact-Jaccard verification over distinct shingle-HASH sets (fused
-    // ShingleHashes expression): only candidate docs are hashed (semi-join
-    // first), and the set intersection runs on longs, not strings.
-    // Jaccard over hash sets ≡ Jaccard over shingle sets modulo 64-bit
-    // collisions.
-    val candIds = cand
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    val candDocs = t(s, d, "documents")
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        graft.expressions.TextHashes.shingle_hashes(col("text"), 3).as("hs"))
-      .filter(size(col("hs")) > 0)
-    val shA = candDocs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-    val shB = candDocs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-    cand.join(shA, "doc_a").join(shB, "doc_b")
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .withColumn("jaccard", round(col("inter") /
-        (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .persist() // pairs only; feeds the id-list AND the final join; freed below
+    try {
+      // Exact-Jaccard verification over distinct shingle-HASH sets (fused
+      // ShingleHashes expression): only candidate docs are hashed
+      // (semi-join first), and the set intersection runs on longs, not
+      // strings. Jaccard over hash sets ≡ Jaccard over shingle sets modulo
+      // 64-bit collisions. No broadcast hint on the id list: it is
+      // dup-rate-proportional (unbounded at 100 TB); the shuffle semi-join
+      // is safe at any size and AQE still broadcasts it when it fits.
+      val candIds = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      val candDocs = t(s, d, "documents")
+        .join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          graft.expressions.TextHashes.shingle_hashes(col("text"), 3).as("hs"))
+        .filter(size(col("hs")) > 0)
+      val shA = candDocs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+      val shB = candDocs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+      cand.join(shA, "doc_a").join(shB, "doc_b")
+        .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .withColumn("jaccard", round(col("inter") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .localCheckpoint(eager = true)
+    } finally cand.unpersist(false)
   }
 
   /** SimHash-64 over a (precomputed) token-hash array column: per bit
@@ -183,9 +194,13 @@ object DedupOps {
     * Instead of re-self-joining the whole corpus per run (minhashLsh,
     * fine for a one-shot audit), persist a band index once and probe it
     * with each new batch: cost per batch = O(batch × matching buckets).
-    * The index parquet is partitioned by band so a probe prunes to the
-    * 8 band partitions it needs.
-    */
+    * Layout note: the index is partitionBy("band") for file organization
+    * only — a probe touches all 8 bands, so band partitioning prunes
+    * NOTHING. The selective key is (band, bhash); the probe join
+    * shuffles both sides on it (the probe side is a micro-batch, so AQE
+    * broadcasts it). A bucketed-by-bhash table layout would make probes
+    * shuffle-free on the index side — see operators.Bucketing for the
+    * mechanism. */
 
   /** (doc_id, band struct, hs) rows for a doc batch — one fused pass. */
   private def indexRows(docs: DataFrame): DataFrame = {
@@ -287,8 +302,33 @@ object DedupOps {
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.4""".stripMargin,
-    // q28/q29: xxhash64-based — deterministic but not expressible in
-    // DuckDB SQL (different hash function) → rows-only checks; recall is
-    // proven in DedupSpec on synthetic near-duplicates.
+    // q28: the LSH pipeline's OUTPUT is exact shingle-Jaccard pairs (the
+    // verify step recomputes true Jaccard), so brute-force shingle
+    // Jaccard over the same corpus is a valid oracle whenever banding
+    // recall is 1.0 on the ≥0.5 pairs — which holds on the fixtures
+    // (LshRecallSpec). Quadratic SQL is fine at the driver's sf0.01.
+    "q28_minhash_lsh" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+        |      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |  FROM tk),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin,
+    // q29: xxhash64-based fingerprints — deterministic but not
+    // expressible in DuckDB SQL (different hash function) → rows-only
+    // check; hamming-distance behavior is proven in DedupSpec.
   )
 }

@@ -114,13 +114,15 @@ object Analytics {
         round(var_samp(col("l_quantity")), 4).as("var_qty"),
         count(lit(1)).as("n"))
 
-  /** Exact multi-quantiles per group (p25/p50/p75 as an array column). */
+  /** Exact interpolated multi-quantiles per group, emitted as three scalar
+    * columns (p25/p50/p75) so results stay flat-comparable downstream. */
   val quantiles: Q = (s, d) =>
     t(s, d, "events")
       .groupBy(col("event_type"))
-      .agg(transform(
-        percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75))),
-        q => round(q, 4)).as("quantiles"))
+      .agg(
+        round(percentile(col("value"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.75)), 4).as("p75"))
 
   /** As-of join: each event paired with the user's most recent order at
     * or before the event time — an operator Spark lacks natively
@@ -183,8 +185,9 @@ object Analytics {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q48_quantiles" ->
       """SELECT event_type,
-        | list_transform(quantile_cont(value, [0.25, 0.5, 0.75]),
-        |                q -> round(q, 4)) AS quantiles
+        | round(quantile_cont(value, 0.25), 4) AS p25,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.75), 4) AS p75
         |FROM events GROUP BY event_type""".stripMargin,
     "q43_day_over_day_lag" ->
       """WITH by_day AS (

@@ -197,23 +197,29 @@ object Relational {
 
   /** A2 day-over-day: the /dauRealtime response shape — today's and
     * yesterday's hourly DAU side by side (ref PublishDaoImpl.java:104-120
-    * runs two ES queries; one full_outer self-join here). Dates fixed to
-    * a day present at every sf (data spans 2024-01). */
+    * runs two ES queries; a single-pass conditional pivot here). Dates
+    * fixed to a day present at every sf (data spans 2024-01).
+    *
+    * Scale notes: the two-day filter sits BELOW the dedup window —
+    * semantics-preserving because the window partitions by (user_id, dt),
+    * so dropping other days never changes a row's rank within its day.
+    * The ts-range predicate pushes to the parquet scan, and the pivot
+    * reads the per-hour frame once (the earlier full-outer self-join
+    * materialized the whole events scan + window twice). */
   val dauDayOverDay: Q = (s, d) => {
-    val e = t(s, d, "events").withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+    val e = t(s, d, "events")
+      .filter(col("ts") >= lit("2024-01-14 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
     val w = Window.partitionBy(col("user_id"), col("dt")).orderBy(col("ts"), col("event_id"))
     val byHr = e.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .groupBy(col("dt"), date_format(col("ts"), "HH").as("hr"))
       .agg(count(lit(1)).as("dau"))
-    val td = byHr.filter(col("dt") === "2024-01-15")
-      .select(col("hr"), col("dau").as("dau_td"))
-    val yd = byHr.filter(col("dt") === "2024-01-14")
-      .select(col("hr").as("hr_yd"), col("dau").as("dau_yd"))
-    td.join(yd, col("hr") === col("hr_yd"), "full_outer")
-      .select(coalesce(col("hr"), col("hr_yd")).as("hr"),
-        coalesce(col("dau_td"), lit(0L)).as("dau_td"),
-        coalesce(col("dau_yd"), lit(0L)).as("dau_yd"))
+    byHr.groupBy(col("hr"))
+      .agg(
+        coalesce(sum(when(col("dt") === "2024-01-15", col("dau"))), lit(0L)).as("dau_td"),
+        coalesce(sum(when(col("dt") === "2024-01-14", col("dau"))), lit(0L)).as("dau_yd"))
   }
 
   /** F7: code→label decode + group (ref PublisherServiceImpl.java:40-54

@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Guards the property that lets q28_minhash_lsh carry a brute-force SQL
+  * oracle: because the pipeline's verify step recomputes EXACT shingle
+  * Jaccard on every surviving candidate, its output equals the quadratic
+  * exact-Jaccard result exactly when banding recall is 1.0 on the
+  * ≥-threshold pairs. Banding is deterministic (xxhash64 + fixed
+  * constants), so this either holds for a given corpus or it doesn't —
+  * we assert it on the driver fixtures. */
+class LshRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhashLsh output == exact shingle-Jaccard over the full sf0.001 corpus") {
+    val lsh = DedupOps.minhashLsh(spark, sf0001)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+
+    // Brute-force exact: distinct shingle strings, pairwise via equality
+    // join (same construction as q41 but unsliced).
+    val sh = Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(DedupOps.shingles3(split(col("text"), " ")))).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val exact = inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard", round(col("i") / (col("sa.sz") + col("sb.sz") - col("i")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+
+    assert(exact.nonEmpty, "fixture corpus should contain engineered near-dups")
+    assert(lsh == exact)
+  }
+
+  test("minhashLsh frees its candidate cache before returning") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    DedupOps.minhashLsh(spark, sf0001).count()
+    // The only persisted blocks allowed to survive are the result's own
+    // localCheckpoint (one RDD, result-sized); the dup-pair cache used
+    // during the query must be unpersisted by the time it returns.
+    val after = spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+    assert(after.size <= 1,
+      s"expected at most the result checkpoint to remain cached, got: " +
+        after.values.map(_.toString).mkString("; "))
+  }
+}
