@@ -125,23 +125,37 @@ object Analytics {
         round(percentile(col("value"), lit(0.75)), 4).as("p75"))
 
   /** As-of join: each event paired with the user's most recent order at
-    * or before the event time — an operator Spark lacks natively
-    * (composed here as bounded join + latest-per-event window; the
-    * production form is a sort-merge within co-bucketed partitions).
+    * or before the event time — an operator Spark lacks natively.
+    * Implemented as the merge form: union both sides tagged by kind,
+    * ONE shuffle + sort on (user, time, kind), then a running
+    * last(ignoreNulls) carries the latest order forward to each event.
+    * Unlike the join-then-rank composition, this never fans an event out
+    * to the user's whole order history — per-row state is O(1), so a
+    * power user with 10^6 orders costs 10^6 rows, not 10^6 × events.
     * Orders pre-aggregated to one row per (custkey, date) so the pick is
-    * deterministic; DuckDB's native ASOF JOIN is the oracle. */
+    * deterministic; kind sorts orders before events at the same instant
+    * (ASOF is ≤). DuckDB's native ASOF JOIN is the oracle. */
   val asofJoin: Q = (s, d) => {
-    val o2 = t(s, d, "orders")
+    val o = t(s, d, "orders")
       .groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(max(col("o_orderkey")).as("last_order"))
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("t"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderdate").as("odate"), col("last_order"))
     val e = t(s, d, "events")
-    val w = Window.partitionBy(col("event_id")).orderBy(col("o_orderdate").desc)
-    e.join(o2, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast("date").as("odate"),
+        lit(null).cast("long").as("last_order"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("asof_odate", last(col("odate"), ignoreNulls = true).over(w))
+      .withColumn("asof_order", last(col("last_order"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("asof_odate").isNotNull)
       .select(col("event_id"), col("user_id"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_date"),
-        col("last_order"))
+        date_format(col("asof_odate"), "yyyy-MM-dd").as("asof_date"),
+        col("asof_order").as("last_order"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -16,6 +16,21 @@ class IvfSpec extends SparkSpec {
     assert(ivfAll == brute)
   }
 
+  test("nprobe = 2 probe is partition-pruned to a strict subset of cell partitions") {
+    val df = SimilarityOps.annIvf(spark, sf0001, k = 8, nprobe = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe scan is not partition-pruned:\n$plan")
+    val path = SimilarityOps.ivfIndexPath(sf0001, 8, 1)
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val allFiles = corpus.select(input_file_name()).distinct().count()
+    val twoCells = corpus.filter(col("cell").isin(0, 1))
+      .select(input_file_name()).distinct().count()
+    assert(twoCells > 0 && twoCells < allFiles,
+      s"expected a 2-cell scan to touch fewer files ($twoCells) than the full index ($allFiles)")
+  }
+
   test("clustered corpus: near-duplicates of the query are found with nprobe = 1") {
     val rnd = new java.util.Random(11)
     val base = Array.fill(64)(rnd.nextGaussian())
