@@ -38,6 +38,20 @@ object Multimodal {
     MediaMeta(w, h, hex)
   }
 
+  /** REAL image decoder — javax.imageio ships with the JDK, so PNG/BMP/
+    * GIF/JPEG payloads decode to their true pixel dimensions with no
+    * external dependency. Returns None for bytes no registered reader
+    * accepts (callers split those to an error side, P4-style). Checksum
+    * is md5 of the payload, same contract as the stub. */
+  def decodeImage(payload: Array[Byte]): Option[MediaMeta] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    Option(img).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      MediaMeta(i.getWidth, i.getHeight,
+        md.digest(payload).map("%02x".format(_)).mkString)
+    }
+  }
+
   /** The media table: binary payload + metadata struct columns. */
   def mediaTable(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(
@@ -49,15 +63,20 @@ object Multimodal {
 
   /** Production decode shape: mapPartitions so the (expensive) decoder is
     * constructed once per partition and rows stream through in batches —
-    * the Scala analog of mapInPandas batch decode. */
-  def decodeBatchPartitions(media: Dataset[MediaRow]): Dataset[Decoded] = {
+    * the Scala analog of mapInPandas batch decode. Rows the decoder
+    * rejects are dropped here (the error-split variant routes them
+    * separately). Default decoder is the stub (fixtures carry text
+    * payloads); pass `decodeImage` for real image bytes —
+    * MediaDecodeSpec drives real PNGs/BMPs through this exact path. */
+  def decodeBatchPartitions(media: Dataset[MediaRow],
+      decoder: Array[Byte] => Option[MediaMeta] =
+        p => Some(decodeStub(p))): Dataset[Decoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // one decoder handle per partition (stub here; codec/ONNX session in prod)
-      val decode: Array[Byte] => MediaMeta = decodeStub
-      rows.map { r =>
-        val m = decode(r.payload)
-        Decoded(r.doc_id, m.width, m.height, m.checksum)
+      // one decoder handle per partition (codec/ONNX session in prod)
+      val decode = decoder
+      rows.flatMap { r =>
+        decode(r.payload).map(m => Decoded(r.doc_id, m.width, m.height, m.checksum))
       }
     }
   }
