@@ -214,9 +214,13 @@ object DedupOps {
         col("b.bhash").as("bhash"))
   }
 
-  /** Build (or extend) the persistent band index from a doc batch. */
-  def buildLshIndex(docs: DataFrame, path: String): Unit =
-    indexRows(docs).write.mode("append").partitionBy("band").parquet(path)
+  /** Write one ingest segment of the persistent band index. Segments are
+    * keyed by `ingestId` and OVERWRITTEN, so re-running an ingest (e.g. a
+    * foreachBatch retry) replaces its own segment instead of appending
+    * duplicate index rows — extend the index by writing NEW ingest ids. */
+  def buildLshIndex(docs: DataFrame, path: String, ingestId: Long = 0L): Unit =
+    indexRows(docs).write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/ingest=$ingestId")
 
   /** Probe: near-dup pairs (new doc, indexed doc) with verified shingle
     * Jaccard ≥ threshold. New docs are NOT added to the index here —
@@ -239,9 +243,32 @@ object DedupOps {
       .select(col("new_doc"), col("dup_of"), col("jaccard"))
   }
 
+  /** In-batch near-dup resolution: greedy keep-lowest-doc_id. Any doc
+    * that is the higher side of a verified ≥ threshold pair is dropped;
+    * chains collapse toward their lowest member in one pass (a dropped
+    * doc still shadows its own higher dups — same policy as minhashLsh's
+    * doc_a < doc_b orientation). */
+  private def dedupWithinBatch(batch: DataFrame, threshold: Double): DataFrame = {
+    val rows = indexRows(batch)
+    val losers = rows.as("a").join(rows.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.hs").as("hs_a"), col("b.hs").as("hs_b"))
+      .dropDuplicates("da", "db")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .filter(col("inter") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")) >= threshold)
+      .select(col("db").as("doc_id")).distinct()
+    batch.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Streaming near-dup admission: per micro-batch, probe the index,
-    * write admitted (non-dup) docs to `outDir/admitted` and extend the
-    * index with them — continuous dedup-then-ingest. */
+    * dedup the batch against ITSELF (two near-dups arriving in the same
+    * micro-batch are invisible to the index — one must still lose), then
+    * write admitted docs and their index segment, both keyed by batchId
+    * in overwrite mode so an at-least-once foreachBatch retry replaces
+    * its own output instead of appending duplicates. */
   def streamingDedupWriter(indexPath: String, outDir: String,
       threshold: Double = 0.5)(batch: DataFrame, batchId: Long): Unit = {
     val dups =
@@ -252,10 +279,11 @@ object DedupOps {
           batch.sparkSession.emptyDataFrame.withColumn("new_doc", lit(0L))
             .limit(0).select(col("new_doc"))
       }
-    val admitted = batch.join(dups,
-      batch("doc_id") === dups("new_doc"), "left_anti").localCheckpoint()
-    admitted.write.mode("append").parquet(s"$outDir/admitted")
-    buildLshIndex(admitted, indexPath)
+    val novel = batch.join(dups,
+      batch("doc_id") === dups("new_doc"), "left_anti")
+    val admitted = dedupWithinBatch(novel, threshold).localCheckpoint()
+    admitted.write.mode("overwrite").parquet(s"$outDir/admitted/ingest=$batchId")
+    buildLshIndex(admitted, indexPath, batchId)
   }
 
   val queries: Map[String, Q] = Map(

@@ -64,9 +64,11 @@ object Publisher {
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
     val grouped = t0 match {
-      case "segment" => matched.groupBy( // F7-style relabel
+      case "segment" => matched.groupBy( // F7-style relabel (same map as
+        // Relational.segmentDecode — keep the twins consistent)
         when(col("c_mktsegment") === "AUTOMOBILE", "auto")
           .when(col("c_mktsegment") === "BUILDING", "building")
+          .when(col("c_mktsegment") === "MACHINERY", "machinery")
           .otherwise("other").as("name"))
       case "band" => matched.groupBy( // A5-style re-bucketing, one pass
         when(col("c_acctbal") < 0, "negative")

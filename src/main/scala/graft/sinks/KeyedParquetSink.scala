@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object KeyedParquetSink {
 
+  /** NOTE on the partition-scoped merge: only dt partitions present in
+    * the incoming batch participate, so keys must be STABLE WITHIN dt
+    * (include dt in keyCols, as the reference's per-day ES indexes do —
+    * its doc _id is also only unique per index). If a key can legitimately
+    * move between days, use [[MergeParquetSink]], whose read-side merge
+    * resolves keys globally. */
   def upsert(batch: DataFrame, path: String, keyCols: Seq[String],
       dtCol: String, versionCol: String): Unit = {
     val spark = batch.sparkSession
@@ -75,8 +81,12 @@ object KeyedParquetSink {
     val touched = cur.filter(cond).select(col(dtCol)).distinct()
     if (touched.isEmpty) return 0L
     val scoped = cur.join(broadcast(touched), Seq(dtCol), "left_semi")
-    val deleted = scoped.filter(cond).count()
-    scoped.filter(!cond)
+    // NULL-safe: a predicate evaluating to NULL means "not matched" — the
+    // row must be RETAINED (and not counted). Bare filter(!cond) would
+    // silently drop NULL-evaluating rows without counting them.
+    val hit = coalesce(cond, lit(false))
+    val deleted = scoped.filter(hit).count()
+    scoped.filter(!hit)
       .select(cur.columns.map(col): _*)
       .localCheckpoint()
       .write.mode(SaveMode.Overwrite).partitionBy(dtCol).parquet(path)

@@ -1,0 +1,136 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Delta-style merge-on-read keyed sink — the scale upgrade of
+  * [[KeyedParquetSink]] (which rewrites every touched dt partition per
+  * batch; fine for cold days, quadratic-ish on a hot day receiving many
+  * batches).
+  *
+  * Layout:
+  * {{{
+  *   path/base/dt=...      compacted snapshot (no tombstones)
+  *   path/delta/seq=N/...  one append-only dir per upsert/delete batch
+  * }}}
+  *
+  * - `upsert` APPENDS the batch as a new delta seq — a single-key update
+  *   writes O(batch) bytes and touches zero existing files.
+  * - `delete` appends key tombstones (`__deleted = true`).
+  * - `read` reconciles: base ∪ deltas, newest row per key wins
+  *   (versionCol desc, then delta seq desc so replays/late metadata
+  *   resolve deterministically), tombstones drop the key. Keys are
+  *   resolved GLOBALLY (not per dt partition), so a key may move between
+  *   days — the read keeps only its newest incarnation.
+  * - `compact` folds everything into a fresh base and clears deltas,
+  *   bounding read-side merge cost; run it on a cadence, exactly as
+  *   Delta/Iceberg compaction jobs do.
+  *
+  * Idempotence: replaying an upsert batch appends a duplicate delta, but
+  * the read-side winner per key is unchanged (same version, later seq,
+  * same row) — the CONTENT contract of S8/ST8 holds; compaction removes
+  * the physical duplicates. The reference's analog is ES re-indexing the
+  * same doc _id (MyEsUtils.scala:41-56).
+  */
+object MergeParquetSink {
+
+  private val DeletedCol = "__deleted"
+  private val SeqCol = "__seq"
+
+  private def deltaRoot(path: String) = s"$path/delta"
+  private def basePath(path: String) = s"$path/base"
+
+  private def listSeqs(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = new java.io.File(deltaRoot(path))
+    if (!dir.isDirectory) Seq.empty
+    else dir.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("seq="))
+      .map(_.getName.stripPrefix("seq=").toLong)
+      .sorted
+  }
+
+  private def nextSeq(spark: SparkSession, path: String): Long =
+    listSeqs(spark, path).lastOption.fold(0L)(_ + 1L)
+
+  /** Append the batch as a new delta; NO existing file is read or
+    * rewritten. */
+  def upsert(batch: DataFrame, path: String, dtCol: String): Unit = {
+    val seq = nextSeq(batch.sparkSession, path)
+    batch.withColumn(DeletedCol, lit(false))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(dtCol)
+      .parquet(s"${deltaRoot(path)}/seq=$seq")
+  }
+
+  /** Append tombstones for the given keys. `keys` needs the key columns,
+    * the dt column, and the version column (tombstone wins from that
+    * version on); remaining data columns are nulled. */
+  def delete(keys: DataFrame, path: String, dtCol: String,
+      schemaFrom: DataFrame): Unit = {
+    val seq = nextSeq(keys.sparkSession, path)
+    val full = schemaFrom.columns.foldLeft(keys) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(schemaFrom.schema(c).dataType))
+    }
+    full.select(schemaFrom.columns.map(col): _*)
+      .withColumn(DeletedCol, lit(true))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(dtCol)
+      .parquet(s"${deltaRoot(path)}/seq=$seq")
+  }
+
+  /** Merge-on-read view: newest row per key across base + all deltas;
+    * tombstoned keys dropped. One shuffle on the key — at scale, prune
+    * first (`read(...).filter(dt = ...)` pushes dt to both scans) and
+    * compact on a cadence so the delta list stays short. */
+  def read(spark: SparkSession, path: String, keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    val base =
+      try Some(spark.read.parquet(basePath(path))
+          .withColumn(DeletedCol, lit(false)).withColumn(SeqCol, lit(-1L)))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+      }
+    val deltas =
+      if (listSeqs(spark, path).isEmpty) None
+      else Some(spark.read
+        .option("basePath", deltaRoot(path)).parquet(deltaRoot(path))
+        .withColumnRenamed("seq", SeqCol))
+    val all = (base, deltas) match {
+      case (Some(b), Some(d)) => b.unionByName(d, allowMissingColumns = true)
+      case (Some(b), None) => b
+      case (None, Some(d)) => d
+      case (None, None) =>
+        throw new IllegalStateException(s"empty merge table at $path")
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc_nulls_last, col(SeqCol).desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col(DeletedCol))
+      .drop("__rn", DeletedCol, SeqCol)
+  }
+
+  /** Fold base + deltas into a fresh base and clear the deltas. The only
+    * operation that rewrites partitions — run on a cadence, not per
+    * batch. */
+  def compact(spark: SparkSession, path: String, keyCols: Seq[String],
+      dtCol: String, versionCol: String): Unit = {
+    val snapshot = read(spark, path, keyCols, versionCol).localCheckpoint()
+    snapshot.write.mode(SaveMode.Overwrite).partitionBy(dtCol)
+      .parquet(basePath(path))
+    val root = new java.io.File(deltaRoot(path))
+    if (root.isDirectory) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+    }
+  }
+
+  /** foreachBatch adapter (streaming upsert). */
+  def writer(path: String, dtCol: String)(batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty) upsert(batch, path, dtCol)
+}

@@ -21,14 +21,25 @@ import org.apache.spark.sql.functions._
 object Streams {
 
   /** A6/ST5: exactly-once admission of the first event per (mid, dt).
-    * Input needs event-time `ts` (timestamp) and key `mid`. State is
-    * dropped once the watermark passes dt+delay — the 24h TTL the
-    * reference intended but never set. */
-  def dauDedup(pageLogs: DataFrame, delay: String = "24 hours"): DataFrame =
-    pageLogs
+    * Input needs event-time `ts` (timestamp) and key `mid`.
+    *
+    * dropDuplicatesWithinWatermark — NOT plain dropDuplicates — because
+    * the dedup keys (mid, dt) do not include the watermarked event-time
+    * column, so plain dropDuplicates state would never be evicted and
+    * grows forever. The within-watermark form expires each key once the
+    * watermark passes its event time + delay; two events sharing a dt
+    * are at most 24h apart in event time, so delay ≥ "24 hours" makes
+    * the dedup exact (the TTL the reference intended but never set —
+    * StreamingSpec asserts the state rows are actually dropped). */
+  def dauDedup(pageLogs: DataFrame, delay: String = "24 hours"): DataFrame = {
+    val withDt = pageLogs
       .withColumn("dt", to_date(col("ts")))
       .withWatermark("ts", delay)
-      .dropDuplicates("mid", "dt")
+    // The within-watermark form is streaming-only; in batch mode there is
+    // no state store to bound, so plain dropDuplicates is the exact twin.
+    if (pageLogs.isStreaming) withDt.dropDuplicatesWithinWatermark("mid", "dt")
+    else withDt.dropDuplicates("mid", "dt")
+  }
 
   /** J2/ST4: order_info ⋈ order_detail where sides may arrive up to
     * `delay` apart — inner 1:N join on order_id, state bounded by

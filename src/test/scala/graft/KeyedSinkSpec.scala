@@ -74,6 +74,20 @@ class KeyedSinkSpec extends SparkSpec {
     assert(got == Seq("m1", "m3"))
   }
 
+  test("deleteWhere retains rows whose predicate evaluates to NULL, uncounted") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("sink7").toString + "/t"
+    val b = Seq(("m1", "2024-01-01", 1L, Some(10.0)),
+      ("m2", "2024-01-01", 1L, None),
+      ("m3", "2024-01-01", 1L, Some(30.0)))
+      .toDF("mid", "dt", "ver", "amount")
+    KeyedParquetSink.upsert(b, path, Seq("mid", "dt"), "dt", "ver")
+    // amount > 20 is NULL for m2 — it must survive and not be counted
+    assert(KeyedParquetSink.deleteWhere(spark, path, "dt", col("amount") > 20.0) == 1L)
+    val got = spark.read.parquet(path).select("mid").as[String].collect().sorted.toSeq
+    assert(got == Seq("m1", "m2"))
+  }
+
   test("rows land in per-row dt partitions; untouched partitions survive") {
     val path = Files.createTempDirectory("sink3").toString + "/t"
     KeyedParquetSink.upsert(

@@ -40,9 +40,26 @@ class LshIndexSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData((4L, base))              // exact dup of an admitted doc
       q.processAllAvailable()
+      // two near-dups of each other in the SAME micro-batch, both novel
+      // to the index: the in-batch pass must admit only the lowest id
+      val fam = ("a brand new family of sentences about merge on read sinks " * 8).trim
+      val famNear = fam.replaceFirst("sinks", "tables")
+      in.addData((5L, fam), (6L, famNear))
+      q.processAllAvailable()
       val admitted = spark.read.parquet(s"$dir/admitted")
         .select("doc_id").as[Long].collect().toSet
-      assert(admitted == Set(0L, 1L, 3L)) // 2 (near-dup) and 4 (exact dup) rejected
+      // 2 (near-dup), 4 (exact dup), 6 (in-batch near-dup) rejected
+      assert(admitted == Set(0L, 1L, 3L, 5L))
     } finally q.stop()
+  }
+
+  test("replaying an ingest overwrites its own segment (no duplicate index rows)") {
+    val idx = Files.createTempDirectory("lsh_replay").toString + "/index"
+    val docs = Seq((0L, base), (1L, other)).toDF("doc_id", "text")
+    DedupOps.buildLshIndex(docs, idx, ingestId = 7L)
+    DedupOps.buildLshIndex(docs, idx, ingestId = 7L) // retry of the same ingest
+    val rows = spark.read.parquet(idx).count()
+    // 2 docs x 8 bands, once — not twice
+    assert(rows == 16L)
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.MergeParquetSink
+
+/** Merge-on-read sink contract: a single-key upsert appends a tiny delta
+  * and rewrites NOTHING (the file-count/mtime assertions), the read-side
+  * merge resolves newest-version-per-key globally (keys may move between
+  * dt partitions), tombstones delete, replay is content-idempotent, and
+  * compaction folds deltas back into the base. */
+class MergeSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(rows: (String, String, Long, Double)*) =
+    rows.toDF("mid", "dt", "ver", "amount")
+
+  private def filesUnder(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val root = new java.io.File(dir)
+    if (!root.exists) Map.empty
+    else walk(root).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+
+  private def readAll(path: String) =
+    MergeParquetSink.read(spark, path, Seq("mid"), "ver")
+      .select("mid", "dt", "ver", "amount")
+      .as[(String, String, Long, Double)].collect().toSet
+
+  test("single-key upsert appends O(1) files and rewrites no existing file") {
+    val path = Files.createTempDirectory("merge1").toString + "/t"
+    val bulk = (1 to 500).map(i => (s"m$i", s"2024-01-0${i % 2 + 1}", 1L, i.toDouble))
+    MergeParquetSink.upsert(bulk.toDF("mid", "dt", "ver", "amount"), path, "dt")
+    MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
+    val baseBefore = filesUnder(s"$path/base")
+    assert(baseBefore.nonEmpty)
+
+    MergeParquetSink.upsert(table(("m7", "2024-01-02", 2L, 777.0)), path, "dt")
+
+    assert(filesUnder(s"$path/base") == baseBefore,
+      "a keyed upsert must not rewrite any base file")
+    val deltaFiles = filesUnder(s"$path/delta")
+    assert(deltaFiles.size <= 2,
+      s"single-key upsert should append O(1) delta files, wrote ${deltaFiles.size}")
+    val got = readAll(path)
+    assert(got.contains(("m7", "2024-01-02", 2L, 777.0)))
+    assert(!got.exists(r => r._1 == "m7" && r._4 == 7.0))
+    assert(got.size == 500)
+  }
+
+  test("newest version wins globally: a key may move to a different dt") {
+    val path = Files.createTempDirectory("merge2").toString + "/t"
+    MergeParquetSink.upsert(table(("m1", "2024-01-01", 1L, 10.0)), path, "dt")
+    MergeParquetSink.upsert(table(("m1", "2024-01-05", 2L, 99.0)), path, "dt")
+    assert(readAll(path) == Set(("m1", "2024-01-05", 2L, 99.0)))
+  }
+
+  test("replaying an upsert batch leaves the read content unchanged") {
+    val path = Files.createTempDirectory("merge3").toString + "/t"
+    val b = table(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-01", 1L, 20.0))
+    MergeParquetSink.upsert(b, path, "dt")
+    val before = readAll(path)
+    MergeParquetSink.upsert(b, path, "dt") // at-least-once replay
+    assert(readAll(path) == before)
+  }
+
+  test("tombstone deletes a key; compaction clears deltas and keeps content") {
+    val path = Files.createTempDirectory("merge4").toString + "/t"
+    val b = table(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-01", 1L, 20.0))
+    MergeParquetSink.upsert(b, path, "dt")
+    MergeParquetSink.delete(
+      Seq(("m2", "2024-01-01", 2L)).toDF("mid", "dt", "ver"), path, "dt", b)
+    assert(readAll(path) == Set(("m1", "2024-01-01", 1L, 10.0)))
+
+    MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
+    assert(!new java.io.File(s"$path/delta").exists ||
+      new java.io.File(s"$path/delta").listFiles().isEmpty)
+    assert(readAll(path) == Set(("m1", "2024-01-01", 1L, 10.0)))
+  }
+}

@@ -19,7 +19,8 @@ class PublisherSpec extends SparkSpec {
 
   test("statsByItem: token match + segment relabel and acctbal bands") {
     val bySeg = Publisher.statsByItem(spark, sf0001, Seq("small", "widget"), "segment")
-    assert(bySeg.nonEmpty && bySeg.map(_.name).toSet.subsetOf(Set("auto", "building", "other")))
+    assert(bySeg.nonEmpty &&
+      bySeg.map(_.name).toSet.subsetOf(Set("auto", "building", "machinery", "other")))
     assert(bySeg == bySeg.sortBy(-_.value)) // ordered by value desc
     val byBand = Publisher.statsByItem(spark, sf0001, Seq("small", "widget"), "band")
     assert(byBand.map(_.name).toSet.subsetOf(Set("negative", "mid", "high")))

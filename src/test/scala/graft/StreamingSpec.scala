@@ -40,6 +40,20 @@ class StreamingSpec extends SparkSpec {
       val out = spark.table("dau_out").select("mid", "dt").as[(String, String)]
         .collect().sorted.toSeq
       assert(out == Seq(("m1", "2024-01-01"), ("m1", "2024-01-02"), ("m2", "2024-01-01")))
+
+      // state EXPIRY: jump event time a month ahead; once the watermark
+      // passes the January keys' ts + 24h they must be evicted from the
+      // state store (this is the fix over plain dropDuplicates, whose
+      // state only ever grows).
+      val grown = q.lastProgress.stateOperators.head.numRowsTotal
+      in.addData(Page("m9", ts("2024-02-01 00:00:00"), "home"))
+      q.processAllAvailable()
+      in.addData(Page("m10", ts("2024-02-01 01:00:00"), "home"))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(grown >= 3, s"expected all January keys in state, saw $grown")
+      assert(after < grown && after <= 2,
+        s"January dedup keys were not evicted: $grown -> $after state rows")
     } finally q.stop()
   }
 
