@@ -215,11 +215,29 @@ object SimilarityOps {
 
   val annIvfTopK: Q = (s, d) => annIvf(s, d)
 
+  /** Embedding-cosine near-dup PAIRS — the fifth dedup family of the
+    * LLM-pipeline tier (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+    * embedding cosine). Bounded slice (vec_id < 200) as the verification
+    * tier: pairwise is quadratic by construction; the 100 TB path
+    * buckets both sides with the q38 hyperplane family and verifies only
+    * within-bucket candidates, exactly as q28 does for MinHash bands.
+    * Threshold 0.35 surfaces the fixtures' most-similar natural pairs
+    * (they carry no engineered embedding dups; max cosine ≈ 0.44). */
+  val embeddingDupPairs: Q = (s, d) => {
+    val e = t(s, d, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_ann_cosine_topk" -> annCosineTopK,
     "q26_label_centroids" -> labelCentroidStats,
     "q38_ann_lsh_topk" -> annLshTopK,
     "q42_ann_ivf_topk" -> annIvfTopK,
+    "q51_embedding_dups" -> embeddingDupPairs,
   )
 
   /** q38's oracle is GENERATED: the deterministic hyperplanes are
@@ -245,6 +263,14 @@ object SimilarityOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q51_embedding_dups" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin,
     "q38_ann_lsh_topk" -> lshOracle(8, 2),
     "q25_ann_cosine_topk" ->
       """SELECT e.vec_id AS neighbor_id,
