@@ -36,6 +36,9 @@ object TextHashes {
   def shingle_hashes(c: Column, width: Int = 3): Column =
     column(ShingleHashes(expression(c), width))
 
+  def text_stats(c: Column, sets: Seq[Seq[String]]): Column =
+    column(TextStats(expression(c), sets))
+
   private def expression(c: Column): Expression =
     org.apache.spark.sql.graftbridge.Bridge.expression(c)
 }
@@ -107,6 +110,37 @@ object TextHashRuntime {
     out
   }
 
+  /** One pass over the text: [n_chars, n_tokens, n_punct, hits_0, ...]
+    * where n_punct counts chars outside [a-z0-9 ] (the q21 regex class)
+    * and hits_i counts space-split tokens present in word set i. */
+  def textStats(text: UTF8String,
+      sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
+    val toks = text.split(SPACE, -1)
+    val out = new Array[Long](3 + sets.length)
+    out(0) = text.numChars()
+    out(1) = toks.length
+    val str = text.toString
+    var punct = 0L
+    var i = 0
+    while (i < str.length) {
+      val ch = str.charAt(i)
+      if (!((ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9') || ch == ' '))
+        punct += 1
+      i += 1
+    }
+    out(2) = punct
+    var t = 0
+    while (t < toks.length) {
+      var s = 0
+      while (s < sets.length) {
+        if (sets(s).contains(toks(t))) out(3 + s) += 1
+        s += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def shingleHash(toks: Array[UTF8String], i: Int, width: Int): Long = {
     val parts = new Array[UTF8String](width)
     var k = 0
@@ -158,6 +192,42 @@ case class ShingleHashes(child: Expression, width: Int)
       s"${ev.value} = graft.expressions.TextHashRuntime.shingleHashes($c, $width);")
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** Fused text statistics: ONE tokenization + ONE character scan per row
+  * replaces the q21/q24 composition of regexp_replace (string rebuild
+  * just to count punct) and a split + filter HOF per word set (4 splits
+  * per row in lang-id). Output array<bigint>:
+  * [n_chars, n_tokens, n_punct, hits_0, hits_1, ...] — one hit count
+  * per word set, same token semantics as split(text, ' ') with empties.
+  * Equivalence to the composable HOF forms is spec-proven
+  * (TextStatsSpec). */
+case class TextStats(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "text_stats"
+
+  @transient private lazy val runtimeSets: Array[java.util.HashSet[UTF8String]] =
+    sets.map { ws =>
+      val hs = new java.util.HashSet[UTF8String](ws.size * 2)
+      ws.foreach(w => hs.add(UTF8String.fromString(w)))
+      hs
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashRuntime.textStats(input.asInstanceOf[UTF8String], runtimeSets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("textStatsSets", runtimeSets,
+      "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextHashRuntime.textStats($c, $setsRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TextStats =
     copy(child = c)
 }
 

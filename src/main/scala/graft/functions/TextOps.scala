@@ -29,8 +29,25 @@ object TextOps {
   /** Quality scoring: length, token count, punctuation ratio, stopword
     * ratio — the classic cheap heuristics applied before expensive dedup.
     * Ratios are deterministic int/int double divisions, rounded in both
-    * engines. */
-  val qualityScore: Q = (s, d) => {
+    * engines.
+    *
+    * One fused TextStats pass per row (single tokenization + single
+    * character scan) replaces the composed regexp_replace + split +
+    * filter plan — the regex alone rebuilt every string just to count
+    * its punctuation. HOF twin kept below for the equivalence spec. */
+  val qualityScore: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("st",
+        graft.expressions.TextHashes.text_stats(col("text"), Seq(stopwords)))
+      .select(col("doc_id"),
+        col("st")(0).as("n_chars"),
+        col("st")(1).as("n_tokens"),
+        round(col("st")(2).cast("double") / col("st")(0), 4).as("punct_ratio"),
+        round(col("st")(3).cast("double") / col("st")(1), 4).as("stopword_ratio"))
+
+  /** Composable-HOF twin of qualityScore (TextStatsSpec proves bitwise
+    * equality; the fused form is what runs in q21). */
+  val qualityScoreHof: Q = (s, d) => {
     val tk = tokens(col("text"))
     val stopHits = size(filter(tk, tok => tok.isin(stopwords: _*)))
     val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
@@ -59,20 +76,19 @@ object TextOps {
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
 
-  /** Language-ID by stopword-vote n-gram heuristic. English/German/French/
-    * Spanish function-word hit counts; argmax wins, ties broken by fixed
+  val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "es", "una", "y"))
+
+  /** Language-ID by stopword-vote n-gram heuristic (composable-HOF form:
+    * one split + filter per language). English/German/French/Spanish
+    * function-word hit counts; argmax wins, ties broken by fixed
     * language order. Purely columnar (no UDF). */
   def langIdCol(text: Column): Column = {
-    val langWords: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
-      "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
-      "fr" -> Seq("le", "la", "les", "et", "est", "une"),
-      "es" -> Seq("el", "los", "las", "es", "una", "y"))
     val tk = tokens(text)
-    val hits = langWords.map { case (lang, ws) =>
-      struct(size(filter(tk, tok => tok.isin(ws: _*))).as("hits"), lit(lang).as("lang"))
-    }
-    // array_max on struct(hits, lang) — lexicographic, so ties pick the
+    // array_max on struct is lexicographic, so ties would pick the
     // lexicographically-last lang among equals; make order deterministic
     // by preferring earlier langs via a rank component.
     val ranked = langWords.zipWithIndex.map { case ((lang, ws), i) =>
@@ -82,10 +98,20 @@ object TextOps {
     array_max(array(ranked: _*)).getField("lang")
   }
 
-  val langId: Q = (s, d) =>
+  /** q24: all four languages' hit counts from ONE TextStats pass (the
+    * HOF form tokenizes the text once per language); same argmax +
+    * earlier-lang tie preference. TextStatsSpec proves equality. */
+  val langId: Q = (s, d) => {
+    val ranked = langWords.zipWithIndex.map { case ((lang, _), i) =>
+      struct(col("st")(3 + i).as("hits"),
+        lit(langWords.size - i).as("prio"), lit(lang).as("lang"))
+    }
     t(s, d, "documents")
+      .withColumn("st",
+        graft.expressions.TextHashes.text_stats(col("text"), langWords.map(_._2)))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-        langIdCol(col("text")).as("detected_lang"))
+        array_max(array(ranked: _*)).getField("lang").as("detected_lang"))
+  }
 
   /** The composed training-data filter — the shape an LLM data pipeline
     * actually runs: quality gates (token count, stopword ratio) AND
