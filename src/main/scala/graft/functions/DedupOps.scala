@@ -72,12 +72,14 @@ object DedupOps {
     * against exact SQL. LshRecallSpec guards the property in-repo.
     *
     * Memory discipline (100 TB): nothing corpus-proportional is persisted
-    * or broadcast. The band self-join's two sides are identical subplans,
-    * so Catalyst's ReuseExchange computes the signature scan + band
-    * shuffle once — no cache needed. Only the candidate PAIR set (dup-
-    * rate-proportional, ~16 B/row) is persisted, and it is freed before
-    * the query returns (the final result is localCheckpoint-ed so the
-    * returned frame no longer depends on it). */
+    * or broadcast. The band self-join's two sides are identical subplans:
+    * at shuffle scale Catalyst's ReuseExchange computes the signature
+    * scan + band shuffle once (LshRecallSpec asserts it with broadcast
+    * disabled); at broadcast sizes the small side recomputes a then-cheap
+    * scan instead — either way no cache is needed. Only the candidate
+    * PAIR set (dup-rate-proportional, ~16 B/row) is persisted, and it is
+    * freed before the query returns (the final result is
+    * localCheckpoint-ed so the returned frame no longer depends on it). */
   val minhashLsh: Q = (s, d) => {
     // One fused pass over the corpus produces the signatures (custom
     // Catalyst expression — bit-identical to the HOF pipeline, ~50x
@@ -214,28 +216,46 @@ object DedupOps {
         col("b.bhash").as("bhash"))
   }
 
-  /** Write one ingest segment of the persistent band index. Segments are
-    * keyed by `ingestId` and OVERWRITTEN, so re-running an ingest (e.g. a
-    * foreachBatch retry) replaces its own segment instead of appending
-    * duplicate index rows — extend the index by writing NEW ingest ids. */
-  def buildLshIndex(docs: DataFrame, path: String, ingestId: Long = 0L): Unit =
-    indexRows(docs).write.mode("overwrite").partitionBy("band")
-      .parquet(s"$path/ingest=$ingestId")
+  /** Write one ingest segment of the persistent index. Two tables, so the
+    * hot band-join side stays NARROW: `bands` holds (doc_id, band, bhash)
+    * — ~24 B/row instead of dragging each doc's full shingle-hash array
+    * through all 8 of its band rows — and `docs` holds (doc_id, hs) once
+    * per doc, joined only for candidates that survive the band match.
+    * Segments are keyed by `ingestId` and OVERWRITTEN, so re-running an
+    * ingest (e.g. a foreachBatch retry) replaces its own segment instead
+    * of appending duplicate index rows — extend the index by writing NEW
+    * ingest ids. */
+  def buildLshIndex(docs: DataFrame, path: String, ingestId: Long = 0L): Unit = {
+    // one hashing pass, materialized, feeds both tables
+    val rows = indexRows(docs).localCheckpoint()
+    rows.select(col("doc_id"), col("band"), col("bhash"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/bands/ingest=$ingestId")
+    rows.select(col("doc_id"), col("hs")).dropDuplicates("doc_id")
+      .write.mode("overwrite")
+      .parquet(s"$path/docs/ingest=$ingestId")
+  }
 
   /** Probe: near-dup pairs (new doc, indexed doc) with verified shingle
     * Jaccard ≥ threshold. New docs are NOT added to the index here —
-    * callers buildLshIndex after admission (dedup-then-ingest). */
+    * callers buildLshIndex after admission (dedup-then-ingest). The band
+    * join touches only the narrow `bands` table (the probe side is a
+    * micro-batch, so AQE broadcasts it); shingle-hash arrays are fetched
+    * from `docs` only for pairs that already share a band. */
   def probeLshIndex(newDocs: DataFrame, path: String,
       threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
     val probe = indexRows(newDocs)
-    val index = spark.read.parquet(path)
-    probe.as("n").join(index.as("e"),
+    val bands = spark.read.parquet(s"$path/bands")
+    val docsIdx = spark.read.parquet(s"$path/docs")
+    probe.as("n").join(bands.as("e"),
         col("n.band") === col("e.band") && col("n.bhash") === col("e.bhash") &&
           col("n.doc_id") =!= col("e.doc_id"))
       .select(col("n.doc_id").as("new_doc"), col("e.doc_id").as("dup_of"),
-        col("n.hs").as("hs_n"), col("e.hs").as("hs_e"))
+        col("n.hs").as("hs_n"))
       .dropDuplicates("new_doc", "dup_of")
+      .join(docsIdx.select(col("doc_id").as("dup_of"), col("hs").as("hs_e")),
+        Seq("dup_of"))
       .withColumn("inter", size(array_intersect(col("hs_n"), col("hs_e"))))
       .withColumn("jaccard", round(col("inter") /
         (size(col("hs_n")) + size(col("hs_e")) - col("inter")), 4))

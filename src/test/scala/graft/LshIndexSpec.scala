@@ -58,8 +58,11 @@ class LshIndexSpec extends SparkSpec {
     val docs = Seq((0L, base), (1L, other)).toDF("doc_id", "text")
     DedupOps.buildLshIndex(docs, idx, ingestId = 7L)
     DedupOps.buildLshIndex(docs, idx, ingestId = 7L) // retry of the same ingest
-    val rows = spark.read.parquet(idx).count()
-    // 2 docs x 8 bands, once — not twice
-    assert(rows == 16L)
+    // 2 docs x 8 bands once in the narrow table; 2 hs rows once
+    assert(spark.read.parquet(s"$idx/bands").count() == 16L)
+    assert(spark.read.parquet(s"$idx/docs").count() == 2L)
+    // the narrow table must NOT carry the shingle arrays
+    assert(spark.read.parquet(s"$idx/bands").columns.sorted.toSeq ==
+      Seq("band", "bhash", "doc_id", "ingest"))
   }
 }

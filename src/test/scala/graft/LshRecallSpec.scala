@@ -38,6 +38,28 @@ class LshRecallSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("at shuffle scale the band self-join reuses one exchange (scan runs once)") {
+    // At broadcast sizes the small side legitimately recomputes the
+    // (then-cheap) scan; the 100 TB shape is the shuffle join, where
+    // ReuseExchange must fire. Force it by disabling auto-broadcast.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sig = Tables.t(spark, sf0001, "documents")
+        .select(col("doc_id"),
+          graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"))
+        .filter(size(col("sig")) > 0)
+      val banded = sig.select(col("doc_id"),
+        explode(DedupOps.lshBands(col("sig"), 32, 4)).as("b"))
+      val cand = banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
+      cand.collect() // AQE finalizes (and can only reuse) during execution
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"expected the shuffle self-join to reuse the band exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("minhashLsh frees its candidate cache before returning") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     DedupOps.minhashLsh(spark, sf0001).count()
