@@ -203,9 +203,12 @@ object Relational {
     * Scale notes: the two-day filter sits BELOW the dedup window —
     * semantics-preserving because the window partitions by (user_id, dt),
     * so dropping other days never changes a row's rank within its day.
-    * The ts-range predicate pushes to the parquet scan, and the pivot
-    * reads the per-hour frame once (the earlier full-outer self-join
-    * materialized the whole events scan + window twice). */
+    * The ts-range predicate evaluates directly on the scan (it cannot be
+    * a parquet PushedFilter because ts is derived from the nanos long —
+    * at 100 TB a dt-partitioned layout makes it a partition filter), and
+    * the pivot reads the per-hour frame once (the earlier full-outer
+    * self-join materialized the whole events scan + window twice).
+    * PlanAuditSpec asserts the single-scan, no-join shape. */
   val dauDayOverDay: Q = (s, d) => {
     val e = t(s, d, "events")
       .filter(col("ts") >= lit("2024-01-14 00:00:00").cast("timestamp") &&

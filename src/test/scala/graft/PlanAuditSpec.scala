@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audits for the round-2 rewrites: the claims in the
+  * scaladocs (single scan, no fan-out join, pruned probes) are asserted
+  * here against the executed plans, not just stated. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    // AQE appends an "== Initial Plan ==" section; audit the final plan only
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q15 single-pass pivot: exactly one events scan, no join") {
+    val plan = executedPlan(operators.Relational.dauDayOverDay(spark, sf0001))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one events scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"), s"pivot form must not join:\n$plan")
+  }
+
+  test("q50 as-of merge form: one window, no join, both scans read once") {
+    val plan = executedPlan(operators.Analytics.asofJoin(spark, sf0001))
+    assert(!plan.contains("Join"), s"merge form must not join:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected orders + events scans only, got $scans:\n$plan")
+    val windows = "Window".r.findAllIn(plan).length
+    // one Window node computing both running last() columns
+    assert(plan.contains("Window"), s"expected the running-state window:\n$plan")
+  }
+
+  test("q05 order-wide: dims broadcast, no dim-side shuffle") {
+    val plan = executedPlan(operators.Relational.orderWide(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim joins should broadcast:\n$plan")
+  }
+
+  test("q21 fused quality score: no regexp and a single project over the scan") {
+    val df = functions.TextOps.qualityScore(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(plan.contains("text_stats"), s"expected the fused expression:\n$plan")
+    assert(!plan.toLowerCase.contains("regexp"),
+      s"fused form must not run regexp_replace:\n$plan")
+  }
+}
