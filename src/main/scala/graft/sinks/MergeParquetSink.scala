@@ -133,4 +133,16 @@ object MergeParquetSink {
   /** foreachBatch adapter (streaming upsert). */
   def writer(path: String, dtCol: String)(batch: DataFrame, batchId: Long): Unit =
     if (!batch.isEmpty) upsert(batch, path, dtCol)
+
+  /** foreachBatch adapter with inline maintenance: upsert each batch,
+    * then fold deltas into the base whenever `maxDeltas` segments have
+    * accumulated — the streaming twin of a scheduled OPTIMIZE job, so
+    * read-side merge cost stays bounded without a separate process. */
+  def writerWithCompaction(path: String, dtCol: String, keyCols: Seq[String],
+      versionCol: String, maxDeltas: Int = 16)
+      (batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) upsert(batch, path, dtCol)
+    if (listSeqs(batch.sparkSession, path).size >= maxDeltas)
+      compact(batch.sparkSession, path, keyCols, dtCol, versionCol)
+  }
 }

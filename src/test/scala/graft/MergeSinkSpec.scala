@@ -66,6 +66,26 @@ class MergeSinkSpec extends SparkSpec {
     assert(readAll(path) == before)
   }
 
+  test("streaming writer compacts inline once maxDeltas segments accumulate") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("merge5").toString + "/t"
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Long, Double)]
+    val q = in.toDF().toDF("mid", "dt", "ver", "amount").writeStream
+      .foreachBatch(
+        MergeParquetSink.writerWithCompaction(path, "dt", Seq("mid"), "ver", maxDeltas = 2) _)
+      .start()
+    try {
+      (1 to 5).foreach { i =>
+        in.addData((s"m$i", "2024-01-01", 1L, i.toDouble))
+        q.processAllAvailable()
+      }
+      val deltas = Option(new java.io.File(s"$path/delta").listFiles())
+        .map(_.count(_.getName.startsWith("seq="))).getOrElse(0)
+      assert(deltas < 2, s"compaction should keep the delta list short, found $deltas")
+      assert(readAll(path).map(_._1) == (1 to 5).map(i => s"m$i").toSet)
+    } finally q.stop()
+  }
+
   test("tombstone deletes a key; compaction clears deltas and keeps content") {
     val path = Files.createTempDirectory("merge4").toString + "/t"
     val b = table(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-01", 1L, 20.0))
