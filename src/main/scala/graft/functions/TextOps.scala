@@ -136,6 +136,20 @@ object TextOps {
         round(avg(col("n_tokens")), 2).as("avg_tokens"))
   }
 
+  /** BPE-ish pre-tokenization count — the GPT-2 pre-tokenizer shape
+    * (letter runs / digit runs / punct runs, each with an optional
+    * leading space) next to the whitespace count: the two token-budget
+    * estimators a training-data pipeline actually runs. Plain regex
+    * alternation over explicit character classes so Java and DuckDB's
+    * RE2 tokenize identically. */
+  val bpeRegex = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+  val bpeTokenCount: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpeRegex), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"))
+
   val queries: Map[String, Q] = Map(
     "q40_pipeline_filter" -> pipelineFilter,
     "q20_token_count" -> tokenCount,
@@ -143,6 +157,7 @@ object TextOps {
     "q22_fingerprint" -> fingerprint,
     "q23_dedup_exact" -> dedupExact,
     "q24_lang_id" -> langId,
+    "q52_bpe_tokens" -> bpeTokenCount,
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,6 +181,12 @@ object TextOps {
     "q20_token_count" ->
       """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
         | length(text) AS n_chars_actual
+        |FROM documents""".stripMargin,
+    "q52_bpe_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+        |   AS n_bpe_tokens,
+        | len(string_split(text,' ')) AS n_ws_tokens
         |FROM documents""".stripMargin,
     "q21_quality_score" ->
       """SELECT doc_id, length(text) AS n_chars,
