@@ -32,7 +32,6 @@ object KeyedParquetSink {
   def upsert(batch: DataFrame, path: String, keyCols: Seq[String],
       dtCol: String, versionCol: String): Unit = {
     val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val cols = batch.columns
     val incoming = batch.withColumn("__is_new", lit(1))
 
@@ -61,8 +60,11 @@ object KeyedParquetSink {
       // dynamic overwrite would delete the files it is still reading.
       .localCheckpoint()
 
+    // per-write dynamic overwrite (not session conf: mutating the session
+    // would silently change OTHER writers' overwrite semantics)
     merged.write
       .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(dtCol)
       .parquet(path)
   }
@@ -76,7 +78,6 @@ object KeyedParquetSink {
     * partitions are rewritten. Returns rows deleted. */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
       dtCol: String, cond: org.apache.spark.sql.Column): Long = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val cur = spark.read.parquet(path)
     val touched = cur.filter(cond).select(col(dtCol)).distinct()
     if (touched.isEmpty) return 0L
@@ -89,7 +90,9 @@ object KeyedParquetSink {
     scoped.filter(!hit)
       .select(cur.columns.map(col): _*)
       .localCheckpoint()
-      .write.mode(SaveMode.Overwrite).partitionBy(dtCol).parquet(path)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(dtCol).parquet(path)
     deleted
   }
 
@@ -100,7 +103,6 @@ object KeyedParquetSink {
   def updateWhere(spark: org.apache.spark.sql.SparkSession, path: String,
       dtCol: String, cond: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Long = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val cur = spark.read.parquet(path)
     val touched = cur.filter(cond).select(col(dtCol)).distinct()
     val nTouched = touched.count()
@@ -112,7 +114,9 @@ object KeyedParquetSink {
     val matched = scoped.filter(cond).count()
     updated.select(cur.columns.map(col): _*)
       .localCheckpoint()
-      .write.mode(SaveMode.Overwrite).partitionBy(dtCol).parquet(path)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(dtCol).parquet(path)
     matched
   }
 }

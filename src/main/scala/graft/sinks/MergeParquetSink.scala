@@ -118,7 +118,13 @@ object MergeParquetSink {
   def compact(spark: SparkSession, path: String, keyCols: Seq[String],
       dtCol: String, versionCol: String): Unit = {
     val snapshot = read(spark, path, keyCols, versionCol).localCheckpoint()
-    snapshot.write.mode(SaveMode.Overwrite).partitionBy(dtCol)
+    // partitionOverwriteMode MUST be static here regardless of session
+    // conf: the snapshot replaces the whole base. Under dynamic mode a
+    // dt partition whose rows were all tombstoned would survive the
+    // rewrite, and clearing the deltas below would resurrect its keys.
+    snapshot.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy(dtCol)
       .parquet(basePath(path))
     val root = new java.io.File(deltaRoot(path))
     if (root.isDirectory) {

@@ -86,6 +86,28 @@ class MergeSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compaction under session-level dynamic overwrite: fully-deleted day does not resurrect") {
+    val path = Files.createTempDirectory("merge6").toString + "/t"
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    // simulate another writer having switched the session to dynamic
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val b = table(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-02", 1L, 20.0))
+      MergeParquetSink.upsert(b, path, "dt")
+      MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver") // base has both days
+      MergeParquetSink.delete(
+        Seq(("m1", "2024-01-01", 2L)).toDF("mid", "dt", "ver"), path, "dt", b)
+      // second compaction: snapshot has no 2024-01-01 rows; under dynamic
+      // overwrite the old base partition would survive and, with the
+      // tombstone delta now cleared, m1 would resurrect
+      MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
+      assert(readAll(path) == Set(("m2", "2024-01-02", 1L, 20.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("tombstone deletes a key; compaction clears deltas and keeps content") {
     val path = Files.createTempDirectory("merge4").toString + "/t"
     val b = table(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-01", 1L, 20.0))
