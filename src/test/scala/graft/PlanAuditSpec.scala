@@ -36,6 +36,14 @@ class PlanAuditSpec extends SparkSpec {
       s"dim joins should broadcast:\n$plan")
   }
 
+  test("q02 DAU scan prunes to ts + user_id") {
+    val plan = executedPlan(operators.Relational.dauTotal(spark, sf0001))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(read.exists(s => s.contains("ts") && s.contains("user_id") &&
+        !s.contains("props") && !s.contains("event_type")),
+      s"expected a two-column scan, got $read")
+  }
+
   test("q21 fused quality score: no regexp and a single project over the scan") {
     val df = functions.TextOps.qualityScore(spark, sf0001)
     val plan = executedPlan(df)
