@@ -99,7 +99,65 @@ object SimilarityOps {
       .limit(k)
   }
 
-  val annLshTopK: Q = (s, d) => annLsh(s, d)
+  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** ---- Stored hyperplane-LSH layout: the ANN symmetry of the IVF
+    * index. Build once: corpus written partitioned by its sign bucket.
+    * Query: the bucket ids within hamming `probe` of the query's bucket
+    * are ENUMERATED on the driver (≤ Σ C(bits,i), e.g. 37 of 256 at
+    * probe=2) and the scan prunes to exactly those partitions — same
+    * results as the full-scan filter form (the hamming predicate is
+    * identical), so q38's generated SQL oracle still applies. */
+  def buildAnnLshIndex(emb: DataFrame, path: String, bits: Int = 8): Unit = {
+    val planes = hyperplanes(64, bits)
+    emb.withColumn("bucket", bucketOf(col("v"), planes))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
+  }
+
+  def probeAnnLshIndex(s: SparkSession, path: String, qVec: Array[Double],
+      bits: Int = 8, probe: Int = 2, k: Int = 10,
+      excludeVecId: Long = 0L): DataFrame = {
+    val planes = hyperplanes(64, bits)
+    // driver-side sign bucket of the query: same left-to-right dot as the
+    // columnar aggregate(), so the bits agree bit-for-bit
+    val qb = planes.zipWithIndex
+      .map { case (h, i) => if (dotLocal(qVec, h) > 0) 1L << i else 0L }
+      .reduce(_ | _)
+    val probed = (0L until (1L << bits))
+      .filter(b => java.lang.Long.bitCount(b ^ qb) <= probe)
+    s.read.parquet(s"$path/corpus")
+      .filter(col("bucket").isin(probed: _*) && col("vec_id") =!= excludeVecId)
+      .select(col("vec_id").as("neighbor_id"),
+        round(cosine(col("v"), typedlit(qVec.toSeq)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .limit(k)
+  }
+
+  private def ensureAnnLshIndex(s: SparkSession, d: String, bits: Int): String =
+    synchronized {
+      val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft-annlsh/$tag-b$bits"
+      if (!new java.io.File(s"$path/corpus/_SUCCESS").exists) {
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        buildAnnLshIndex(emb, path, bits)
+      }
+      path
+    }
+
+  /** q38 runs against the stored bucket layout (built on first use per
+    * sf dir); AnnLshSpec keeps the on-the-fly annLsh for recall tests. */
+  val annLshTopK: Q = (s, d) => {
+    val path = ensureAnnLshIndex(s, d, 8)
+    val qVec = t(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    probeAnnLshIndex(s, path, qVec, bits = 8, probe = 2, k = 10)
+  }
 
   /** Deterministic k-means-lite: init = the k lowest vec_ids, `iters`
     * Lloyd steps. The tiny centroid model (k × dims doubles) is

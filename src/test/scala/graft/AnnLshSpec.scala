@@ -55,4 +55,18 @@ class AnnLshSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSeq
     assert(lsh == expected)
   }
+
+  test("stored bucket layout: probe equals full-scan form and is partition-pruned") {
+    val full = SimilarityOps.annLsh(spark, sf0001)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toSeq
+    val stored = SimilarityOps.annLshTopK(spark, sf0001)
+    stored.collect()
+    val got = stored.select("neighbor_id", "cosine")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == full)
+    val plan = stored.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"probe should prune on the bucket partition column:\n$plan")
+  }
 }
