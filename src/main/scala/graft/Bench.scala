@@ -29,12 +29,14 @@ object Bench {
     // ingest jobs, not queries — build for the bench dir up front so the
     // timed q42/q38 measure the partition-pruned probes, as in
     // production.
-    try {
-      functions.SimilarityOps.annIvf(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      functions.SimilarityOps.annLshTopK(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    // independent try per build: one failing must not skip the other
+    // (the timed query would then silently include its build cost)
+    try functions.SimilarityOps.annIvf(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    try functions.SimilarityOps.annLshTopK(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -119,14 +119,16 @@ object TextHashRuntime {
     val out = new Array[Long](3 + sets.length)
     out(0) = text.numChars()
     out(1) = toks.length
+    // iterate CODE POINTS (not UTF-16 units) so an astral char counts
+    // once, matching regexp_replace/length and the DuckDB oracle
     val str = text.toString
     var punct = 0L
     var i = 0
     while (i < str.length) {
-      val ch = str.charAt(i)
-      if (!((ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9') || ch == ' '))
+      val cp = str.codePointAt(i)
+      if (!((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') || cp == ' '))
         punct += 1
-      i += 1
+      i += Character.charCount(cp)
     }
     out(2) = punct
     var t = 0

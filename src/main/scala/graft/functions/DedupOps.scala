@@ -253,7 +253,7 @@ object DedupOps {
           col("n.doc_id") =!= col("e.doc_id"))
       .select(col("n.doc_id").as("new_doc"), col("e.doc_id").as("dup_of"),
         col("n.hs").as("hs_n"))
-      .dropDuplicates("new_doc", "dup_of")
+      .dropDuplicates("new_doc", "dup_of") // shrink before fetching hs
       .join(docsIdx.select(col("doc_id").as("dup_of"), col("hs").as("hs_e")),
         Seq("dup_of"))
       .withColumn("inter", size(array_intersect(col("hs_n"), col("hs_e"))))
@@ -261,6 +261,10 @@ object DedupOps {
         (size(col("hs_n")) + size(col("hs_e")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("new_doc"), col("dup_of"), col("jaccard"))
+      // final pair-level dedup: a doc re-indexed under MORE THAN ONE
+      // ingest segment has several docs-table rows, and the hs join
+      // would otherwise emit the pair once per segment
+      .dropDuplicates("new_doc", "dup_of")
   }
 
   /** In-batch near-dup resolution: greedy keep-lowest-doc_id. Any doc
@@ -294,8 +298,13 @@ object DedupOps {
     val dups =
       try probeLshIndex(batch, indexPath, threshold).select(col("new_doc")).distinct()
       catch {
+        // PATH_NOT_FOUND: first batch, index not created yet.
+        // UNABLE_TO_INFER_SCHEMA: every segment so far was written from a
+        // shingle-less batch (0 rows → only _SUCCESS markers, no
+        // footers) — an empty index either way.
         case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" =>
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
           batch.sparkSession.emptyDataFrame.withColumn("new_doc", lit(0L))
             .limit(0).select(col("new_doc"))
       }

@@ -44,7 +44,12 @@ object Multimodal {
     * accepts (callers split those to an error side, P4-style). Checksum
     * is md5 of the payload, same contract as the stub. */
   def decodeImage(payload: Array[Byte]): Option[MediaMeta] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    // ImageIO returns null for unrecognized bytes but THROWS for
+    // recognized-yet-corrupt payloads (valid magic, truncated body) —
+    // both are "not decodable" for the caller, so both map to None.
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
     Option(img).map { i =>
       val md = java.security.MessageDigest.getInstance("MD5")
       MediaMeta(i.getWidth, i.getHeight,

@@ -139,8 +139,8 @@ object SimilarityOps {
 
   private def ensureAnnLshIndex(s: SparkSession, d: String, bits: Int): String =
     synchronized {
-      val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
-      val path = s"${sys.props("java.io.tmpdir")}/graft-annlsh/$tag-b$bits"
+      val path =
+        s"${sys.props("java.io.tmpdir")}/graft-annlsh/${sourceTag(d, "embeddings")}-b$bits"
       if (!new java.io.File(s"$path/corpus/_SUCCESS").exists) {
         val emb = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -239,12 +239,22 @@ object SimilarityOps {
       .limit(topk)
   }
 
-  /** Index location for a given sf dir (deterministic build → safe to
-    * reuse across calls; _SUCCESS markers gate completeness). */
-  def ivfIndexPath(d: String, k: Int, iters: Int): String = {
-    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag-k$k-i$iters"
+  /** Cache tag for a stored layout: the dir path hash PLUS the source
+    * parquet's (length, mtime) fingerprint, so regenerated fixture data
+    * invalidates the cached index instead of silently serving stale
+    * neighbors (and distinct dirs can never collide on a sanitized
+    * name). */
+  private def sourceTag(d: String, table: String): String = {
+    val f = new java.io.File(s"$d/$table.parquet")
+    val id = Integer.toHexString(d.hashCode)
+    s"$id-${f.length()}-${f.lastModified()}"
   }
+
+  /** Index location for a given sf dir (deterministic build → safe to
+    * reuse across calls; _SUCCESS markers gate completeness, the
+    * fingerprint in the name gates freshness). */
+  def ivfIndexPath(d: String, k: Int, iters: Int): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ivf/${sourceTag(d, "embeddings")}-k$k-i$iters"
 
   private def ensureIvfIndex(s: SparkSession, d: String, k: Int,
       iters: Int): String = synchronized {

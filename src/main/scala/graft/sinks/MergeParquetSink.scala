@@ -86,16 +86,21 @@ object MergeParquetSink {
     * compact on a cadence so the delta list stays short. */
   def read(spark: SparkSession, path: String, keyCols: Seq[String],
       versionCol: String): DataFrame = {
-    val base =
-      try Some(spark.read.parquet(basePath(path))
-          .withColumn(DeletedCol, lit(false)).withColumn(SeqCol, lit(-1L)))
+    // PATH_NOT_FOUND: side never written. UNABLE_TO_INFER_SCHEMA: dir
+    // exists but holds no parquet footers (a 0-row partitioned write
+    // leaves only _SUCCESS) — both mean "nothing on this side".
+    def readSide(doRead: => DataFrame): Option[DataFrame] =
+      try Some(doRead)
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" => None
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
       }
+    val base = readSide(spark.read.parquet(basePath(path)))
+      .map(_.withColumn(DeletedCol, lit(false)).withColumn(SeqCol, lit(-1L)))
     val deltas =
       if (listSeqs(spark, path).isEmpty) None
-      else Some(spark.read
+      else readSide(spark.read
         .option("basePath", deltaRoot(path)).parquet(deltaRoot(path))
         .withColumnRenamed("seq", SeqCol))
     val all = (base, deltas) match {
@@ -105,8 +110,13 @@ object MergeParquetSink {
       case (None, None) =>
         throw new IllegalStateException(s"empty merge table at $path")
     }
+    val dataCols = all.columns.filterNot(Set(DeletedCol, SeqCol))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc_nulls_last, col(SeqCol).desc)
+      .orderBy(col(versionCol).desc_nulls_last, col(SeqCol).desc,
+        // deterministic last-resort tie-break for equal (version, seq) —
+        // e.g. duplicate keys within one upsert batch: hash of the row
+        // content, so every read and every compaction picks the same row
+        xxhash64(struct(dataCols.map(col): _*)).desc)
     all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col(DeletedCol))
       .drop("__rn", DeletedCol, SeqCol)
@@ -122,10 +132,14 @@ object MergeParquetSink {
     // conf: the snapshot replaces the whole base. Under dynamic mode a
     // dt partition whose rows were all tombstoned would survive the
     // rewrite, and clearing the deltas below would resurrect its keys.
-    snapshot.write.mode(SaveMode.Overwrite)
+    val writer = snapshot.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "static")
-      .partitionBy(dtCol)
-      .parquet(basePath(path))
+    // a fully-tombstoned table compacts to 0 rows: a PARTITIONED empty
+    // write leaves a file-less dir (unreadable schema); an unpartitioned
+    // empty write keeps one schema-bearing footer, so the table stays
+    // readable as empty
+    if (snapshot.isEmpty) writer.parquet(basePath(path))
+    else writer.partitionBy(dtCol).parquet(basePath(path))
     val root = new java.io.File(deltaRoot(path))
     if (root.isDirectory) {
       def rm(f: java.io.File): Unit = {

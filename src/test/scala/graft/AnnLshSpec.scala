@@ -66,7 +66,9 @@ class AnnLshSpec extends SparkSpec {
     assert(got == full)
     val plan = stored.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+    // a NON-EMPTY partition filter mentioning bucket — the bare strings
+    // appear in any partitioned scan even when nothing prunes
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
       s"probe should prune on the bucket partition column:\n$plan")
   }
 }

@@ -13,29 +13,33 @@ import org.apache.spark.sql.functions._
 class LshRecallSpec extends SparkSpec {
   import spark.implicits._
 
-  test("minhashLsh output == exact shingle-Jaccard over the full sf0.001 corpus") {
-    val lsh = DedupOps.minhashLsh(spark, sf0001)
-      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+  test("minhashLsh output == exact shingle-Jaccard over the full corpus (sf0.001 AND the driver's sf0.01)") {
+    // guard BOTH fixtures: the driver's correctness gate compares q28 at
+    // sf0.01, so recall=1.0 must hold on that corpus, not just the tiny one
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val lsh = DedupOps.minhashLsh(spark, dir)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
 
-    // Brute-force exact: distinct shingle strings, pairwise via equality
-    // join (same construction as q41 but unsliced).
-    val sh = Tables.t(spark, sf0001, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(DedupOps.shingles3(split(col("text"), " ")))).as("shingle"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    val exact = inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("jaccard", round(col("i") / (col("sa.sz") + col("sb.sz") - col("i")), 4))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      // Brute-force exact: distinct shingle strings, pairwise via equality
+      // join (same construction as q41 but unsliced).
+      val sh = Tables.t(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(DedupOps.shingles3(split(col("text"), " ")))).as("shingle"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val exact = inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("jaccard", round(col("i") / (col("sa.sz") + col("sb.sz") - col("i")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
 
-    assert(exact.nonEmpty, "fixture corpus should contain engineered near-dups")
-    assert(lsh == exact)
+      assert(exact.nonEmpty, s"$dir should contain engineered near-dups")
+      assert(lsh == exact, s"LSH/exact divergence at $dir")
+    }
   }
 
   test("at shuffle scale the band self-join reuses one exchange (scan runs once)") {

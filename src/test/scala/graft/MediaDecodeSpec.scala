@@ -47,6 +47,12 @@ class MediaDecodeSpec extends SparkSpec {
     assert(out.head.checksum.length == 32) // md5 hex of the payload
   }
 
+  test("truncated PNG (valid magic, corrupt body) maps to None, not an exception") {
+    val full = imageBytes(16, 16, "png")
+    val truncated = full.take(30) // keeps the PNG signature, cuts the body
+    assert(Multimodal.decodeImage(truncated).isEmpty)
+  }
+
   test("decode checksum matches md5 of the raw payload bytes") {
     val payload = imageBytes(3, 4, "png")
     val expected = java.security.MessageDigest.getInstance("MD5")

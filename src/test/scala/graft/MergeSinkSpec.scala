@@ -108,6 +108,33 @@ class MergeSinkSpec extends SparkSpec {
     }
   }
 
+  test("fully-tombstoned table compacts to a READABLE empty table") {
+    val path = Files.createTempDirectory("merge7").toString + "/t"
+    val b = table(("m1", "2024-01-01", 1L, 10.0))
+    MergeParquetSink.upsert(b, path, "dt")
+    MergeParquetSink.delete(
+      Seq(("m1", "2024-01-01", 2L)).toDF("mid", "dt", "ver"), path, "dt", b)
+    MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
+    // the base must keep a schema-bearing footer: read returns empty, not
+    // UNABLE_TO_INFER_SCHEMA
+    assert(readAll(path).isEmpty)
+    // and the table stays writable/readable afterwards
+    MergeParquetSink.upsert(table(("m2", "2024-01-02", 3L, 30.0)), path, "dt")
+    assert(readAll(path) == Set(("m2", "2024-01-02", 3L, 30.0)))
+  }
+
+  test("equal-version duplicate keys in one batch resolve deterministically across reads and compaction") {
+    val path = Files.createTempDirectory("merge8").toString + "/t"
+    MergeParquetSink.upsert(
+      table(("m1", "2024-01-01", 1L, 10.0), ("m1", "2024-01-01", 1L, 20.0)),
+      path, "dt")
+    val first = readAll(path)
+    assert(first.size == 1)
+    (1 to 3).foreach(_ => assert(readAll(path) == first))
+    MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
+    assert(readAll(path) == first, "compaction changed the tie-break winner")
+  }
+
   test("tombstone deletes a key; compaction clears deltas and keeps content") {
     val path = Files.createTempDirectory("merge4").toString + "/t"
     val b = table(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-01", 1L, 20.0))
