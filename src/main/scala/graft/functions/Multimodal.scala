@@ -159,7 +159,7 @@ object Multimodal {
   /** Media features through the per-partition pipeline, then a cosine
     * self-similarity check against vec 0 using the similarity tier —
     * media → embedding → ANN, end to end. Deterministic but stub-hash
-    * based → rows-only driver check (MultimodalSpec pins the values). */
+    * based → rows-only driver check (ApproxSpec pins the values). */
   val mediaFeaturesQ: Q = (s, d) => {
     import s.implicits._
     val media = mediaTable(s, d).select(col("doc_id"), col("payload")).as[MediaRow]
