@@ -86,6 +86,28 @@ object Multimodal {
     }
   }
 
+  /** P4-style error split for the decode path: one pass tags each row
+    * with its decode result, then the two filters prune to the side they
+    * keep — rejected payloads are ROUTED (doc_id + payload preserved for
+    * a dead-letter sink), not silently dropped as in the plain
+    * decodeBatchPartitions. */
+  def decodeSplit(media: Dataset[MediaRow],
+      decoder: Array[Byte] => Option[MediaMeta] = p => Some(decodeStub(p)))
+      : (Dataset[Decoded], Dataset[MediaRow]) = {
+    import media.sparkSession.implicits._
+    val tagged = media.mapPartitions { rows =>
+      val decode = decoder // one handle per partition
+      rows.map(r => (r.doc_id, r.payload, decode(r.payload)))
+    }
+    val ok = tagged.flatMap { case (id, _, m) =>
+      m.map(x => Decoded(id, x.width, x.height, x.checksum))
+    }
+    val rejected = tagged.flatMap { case (id, payload, m) =>
+      if (m.isEmpty) Some(MediaRow(id, payload)) else None
+    }
+    (ok, rejected)
+  }
+
   /** STUB frame sampler: split the payload into `n` evenly-spaced
     * fixed-size byte windows ("frames"). Real codec variant decodes
     * keyframes; plumbing (binary→array<binary>) is identical. */

@@ -18,6 +18,31 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile tracks exact quantiles per group (the 100 TB quantile path)") {
+    // q48 computes EXACT interpolated quantiles (full sort state per
+    // group); at scale the sketch form is the right tool — bound its
+    // error against the exact oracle-checked result here.
+    val exact = operators.Analytics.quantiles(spark, sf0001)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val approx = Tables.t(spark, sf0001, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, 0.25, 1000)").as("p25"),
+        expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(value, 0.75, 1000)").as("p75"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (g, (e25, e50, e75)) =>
+      val (a25, a50, a75) = approx(g)
+      Seq((e25, a25), (e50, a50), (e75, a75)).foreach { case (e, a) =>
+        assert(math.abs(a - e) <= math.max(1.0, math.abs(e)) * 0.05,
+          s"group $g: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("media features: frame-sample -> resize -> extract is deterministic and shaped") {
     import functions.Multimodal._
     val payload = ("abcdefgh" * 40).getBytes("UTF-8")

@@ -47,6 +47,19 @@ class MediaDecodeSpec extends SparkSpec {
     assert(out.head.checksum.length == 32) // md5 hex of the payload
   }
 
+  test("decodeSplit routes rejects to the error side with payloads intact") {
+    val good = imageBytes(6, 7, "png")
+    val bad = "not an image".getBytes("UTF-8")
+    val (ok, rejected) = Multimodal.decodeSplit(
+      Seq(MediaRow(1L, good), MediaRow(2L, bad)).toDS(), Multimodal.decodeImage)
+    assert(ok.collect().map(d => d.doc_id -> ((d.width, d.height))).toMap ==
+      Map(1L -> ((6, 7))))
+    val rej = rejected.collect()
+    assert(rej.map(_.doc_id).toSeq == Seq(2L))
+    assert(java.util.Arrays.equals(rej.head.payload, bad),
+      "dead-letter side must carry the original payload")
+  }
+
   test("truncated PNG (valid magic, corrupt body) maps to None, not an exception") {
     val full = imageBytes(16, 16, "png")
     val truncated = full.take(30) // keeps the PNG signature, cuts the body
