@@ -53,6 +53,35 @@ object ScaleProbe {
       }
       e.unpersist()
     }
+    // dedup scaling: minhash/LSH candidate generation over synthetic
+    // corpora with ~5% engineered duplicates (every 20th doc copies its
+    // neighbor) — the claim under test: band-join cost grows ~linearly
+    // in corpus size, not quadratically, because only band collisions
+    // pair up.
+    def synthDocs(n: Long) = {
+      val eff = when(pmod(col("id"), lit(20)) === 0 && col("id") > 0,
+        col("id") - 1).otherwise(col("id"))
+      spark.range(n).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 60).map(i =>
+          concat(lit("w"), pmod(xxhash64(eff, lit(i)), lit(5000)))): _*).as("text"))
+    }
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      val docs = synthDocs(n).persist()
+      docs.count()
+      val t0 = System.nanoTime()
+      val sig = docs.select(col("doc_id"),
+        graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"))
+        .filter(size(col("sig")) > 0)
+      val banded = sig.select(col("doc_id"),
+        explode(functions.DedupOps.lshBands(col("sig"), 32, 4)).as("b"))
+      banded.as("a").join(banded.as("b"),
+          col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+        .write.format("noop").mode("overwrite").save()
+      println(f"SCALE n=$n%9d minhash_lsh_candidates ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      docs.unpersist()
+    }
     // skew: 16M rows, 90% on one key — plain shuffle join vs salted vs AQE
     val n = 16000000L
     val big = spark.range(n).select(
