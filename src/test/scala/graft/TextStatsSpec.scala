@@ -25,6 +25,27 @@ class TextStatsSpec extends SparkSpec {
     assert(fused == hof)
   }
 
+  test("random strings: fused == HOF over 500 seeded samples (incl. unicode)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abz019 !,.ÄΩ🙂" // lowercase, digits, space, punct, astral
+    def randText() = (0 until rnd.nextInt(60))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val rows = (1 to 500).map(i => (i.toLong, randText()))
+    val df = rows.toDF("doc_id", "text")
+    val fused = df
+      .withColumn("st", TextHashes.text_stats(col("text"), Seq(TextOps.stopwords)))
+      .select(col("doc_id"), col("st")(0), col("st")(1), col("st")(2), col("st")(3))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val tk = split(col("text"), " ")
+    val hof = df.select(col("doc_id"),
+        length(col("text")).cast("long"),
+        size(tk).cast("long"),
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long"),
+        size(filter(tk, t => t.isin(TextOps.stopwords: _*))).cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(fused == hof)
+  }
+
   test("edge cases match split-with-empties and the [a-z0-9 ] punct class") {
     val rows = Seq("", "!!!", "a  b", "AB c9", "the the of")
       .toDF("t")
