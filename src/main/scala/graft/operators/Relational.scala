@@ -277,6 +277,18 @@ object Relational {
       .offset(10)
       .limit(15)
 
+  /** Q5: ES-style match highlighting (ref EsTest.scala:105-118 wraps
+    * matched terms in <em> tags) — previously declared presentation-
+    * layer/out-of-scope; implemented anyway as a narrow codegen'd
+    * regexp projection over the same conjunctive matches as q06/q19,
+    * which closes the last §2 row. */
+  val highlight: Q = (s, d) =>
+    t(s, d, "part")
+      .filter(col("p_name").contains("widget") && col("p_name").contains("small"))
+      .select(col("p_partkey"),
+        regexp_replace(col("p_name"), "(widget|small)", "<em>$1</em>")
+          .as("highlighted"))
+
   /** S9: point get by key (ref EsTest.scala:54-60 getById) — the plan
     * should be a pushed-down single-key scan, not an index the engine
     * lacks; at scale the dt/bucket layout bounds the touched files. */
@@ -307,6 +319,7 @@ object Relational {
     "q12_cdc_decode" -> cdcDecode,
     "q13_multiway_split" -> multiwaySplit,
     "q14_windowed_agg" -> windowedAgg,
+    "q53_highlight" -> highlight,
   )
 
   val oracles: Map[String, String] = Map(
@@ -436,5 +449,11 @@ object Relational {
       """SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS win_start,
         | event_type, count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q53_highlight" ->
+      """SELECT p_partkey,
+        | regexp_replace(p_name, '(widget|small)', '<em>\1</em>', 'g')
+        |   AS highlighted
+        |FROM part
+        |WHERE p_name LIKE '%widget%' AND p_name LIKE '%small%'""".stripMargin,
   )
 }
