@@ -269,12 +269,27 @@ object SimilarityOps {
     path
   }
 
+  /** Centroids of the last annIvf run, keyed for oracle generation: the
+    * q42 oracle must assign cells with the SAME centroid model the stored
+    * index was partitioned by, so `oracles` (a def, read by Verify AFTER
+    * the query loop) prints these as SQL literals — the IVF analog of
+    * q38's printed hyperplanes. None until a q42 run caches it. */
+  @volatile private var ivfOracleState: Option[(Int, Array[Array[Double]])] = None
+
+  /** The stored centroid model of an index, ordered by cell id. */
+  def loadCentroids(s: SparkSession, path: String): Array[Array[Double]] =
+    s.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+
   /** IVF query against the stored index (built on first use per sf dir).
     * nprobe = k degrades to the exact q25 scan (spec-verified); the
     * default nprobe=2 scans a strict subset of the corpus partitions. */
   def annIvf(s: SparkSession, d: String, k: Int = 8, nprobe: Int = 2,
       topk: Int = 10, iters: Int = 1): DataFrame = {
     val path = ensureIvfIndex(s, d, k, iters)
+    ivfOracleState = Some((nprobe, loadCentroids(s, path)))
     val qVec = t(s, d, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
       .collect()(0).getSeq[Double](0).toArray
@@ -330,7 +345,46 @@ object SimilarityOps {
        |ORDER BY cosine DESC, neighbor_id LIMIT 10""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** q42's oracle is GENERATED like q38's, but from the DATA-dependent
+    * (yet deterministic per sf dir) centroid model cached by the q42 run
+    * itself: cell assignment = argmax of literal list_cosine_similarity
+    * terms (row_number tiebreak mirrors Spark's array_max-on-struct —
+    * ties take the HIGHER cell), probe = top-nprobe cells by query
+    * cosine (probeIvfIndex's stable sort ties take the LOWER cell). */
+  def ivfOracle(nprobe: Int, cents: Array[Array[Double]]): String = {
+    def arr(c: Array[Double]) = c.mkString("[", ",", "]") + "::DOUBLE[]"
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"  ($i, ${arr(c)})" }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent(cell, cv) AS (VALUES
+       |$rows),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cell FROM cent, q
+       |  ORDER BY list_cosine_similarity(qv, cv) DESC, cell LIMIT $nprobe),
+       |a AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC)
+       |        AS rn
+       |    FROM e CROSS JOIN cent c)
+       |  WHERE rn = 1)
+       |SELECT a.vec_id AS neighbor_id,
+       | round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+       |FROM a, q
+       |WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0
+       |ORDER BY cosine DESC, neighbor_id LIMIT 10""".stripMargin
+  }
+
+  /** A def, not a val: q42's entry appears only after a q42 run has
+    * cached its centroid model (Verify reads oracleSql after the query
+    * loop, so the driver always sees it; a cold JVM that never ran q42
+    * falls back to the rows-only check). */
+  def oracles: Map[String, String] = staticOracles ++
+    ivfOracleState.map { case (np, cs) => "q42_ann_ivf_topk" -> ivfOracle(np, cs) }
+
+  private val staticOracles: Map[String, String] = Map(
     "q51_embedding_dups" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v

@@ -31,6 +31,18 @@ class IvfSpec extends SparkSpec {
       s"expected a 2-cell scan to touch fewer files ($twoCells) than the full index ($allFiles)")
   }
 
+  test("q42 oracle is generated from the stored centroid model after a run") {
+    SimilarityOps.annIvf(spark, sf0001, k = 8, nprobe = 2).collect()
+    val sql = SimilarityOps.oracles("q42_ann_ivf_topk")
+    // one literal DOUBLE[] per centroid cell, plus the probe/assign tiebreaks
+    assert("::DOUBLE\\[\\]".r.findAllIn(sql).size >= 8, sql.take(200))
+    assert(sql.contains("LIMIT 2") && sql.contains("c.cell DESC"), sql)
+    // the literals must be the index's own centroids, not recomputed ones
+    val cents = SimilarityOps.loadCentroids(
+      spark, SimilarityOps.ivfIndexPath(sf0001, 8, 1))
+    assert(sql.contains(cents(0).mkString("[", ",", "]")))
+  }
+
   test("clustered corpus: near-duplicates of the query are found with nprobe = 1") {
     val rnd = new java.util.Random(11)
     val base = Array.fill(64)(rnd.nextGaussian())
