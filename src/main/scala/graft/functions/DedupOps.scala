@@ -140,13 +140,75 @@ object DedupOps {
   }
 
   /** SimHash fingerprints per document (fused custom expression; the HOF
-    * twin below is kept for the equivalence spec). Rows-only driver
-    * check; ScalaTest proves hamming-distance behavior on synthetic
-    * near-dups. */
+    * twin above is kept for the equivalence spec). Building block of
+    * simhashNearDupPairs (= q29); DedupSpec proves hamming-distance
+    * behavior on synthetic near-dups. */
   val simhash: Q = (s, d) =>
     t(s, d, "documents")
       .select(col("doc_id"),
         graft.expressions.TextHashes.simhash64(col("text")).as("simhash"))
+
+  /** A 64-bit fingerprint split into `nBlocks` contiguous bit blocks
+    * (widths differ by ≤1). Pigeonhole: two fingerprints within hamming
+    * distance nBlocks-1 agree EXACTLY on at least one block, so an
+    * equality join on (block idx, block value) finds every such pair
+    * without an all-pairs comparison — Manku et al., WWW'07 (the Google
+    * SimHash dedup paper). */
+  def simhashBlocks(f: Column, nBlocks: Int): Column = {
+    val base = 64 / nBlocks
+    val extra = 64 % nBlocks
+    val bounds = (0 until nBlocks)
+      .scanLeft(0)((lo, i) => lo + base + (if (i < extra) 1 else 0))
+    array((0 until nBlocks).map { i =>
+      val lo = bounds(i); val w = bounds(i + 1) - lo
+      struct(lit(i).as("blk"),
+        shiftrightunsigned(f, lo).bitwiseAND(lit((1L << w) - 1)).as("bval"))
+    }: _*)
+  }
+
+  /** SimHash near-dup pairs with exact-Jaccard verification — q29, the
+    * third dedup family's end-to-end query. Candidates come from the
+    * pigeonhole block join (hamming ≤ 10 → 11 blocks; production SimHash
+    * typically runs hamming ≤ 3 → 4 × 16-bit blocks, but the fixtures'
+    * engineered jaccard-0.5 near-dups reach hamming 9, and recall must be
+    * 1.0 for the oracle — SimhashRecallSpec guards it per fixture), then
+    * exact hamming filters, then exact shingle-set Jaccard verifies.
+    * Because the verify step recomputes TRUE Jaccard, the output equals
+    * the brute-force shingle-Jaccard pair set whenever blocking+hamming
+    * recall is 1.0 — so q29 shares q28's SQL oracle. Same memory
+    * discipline as minhashLsh: only the candidate pair set is persisted,
+    * freed before return. */
+  val simhashNearDupPairs: Q = (s, d) => {
+    val hammingMax = 10
+    val fp = t(s, d, "documents")
+      .select(col("doc_id"), graft.expressions.TextHashes.simhash64(col("text")).as("f"))
+    val blocked = fp.select(col("doc_id"), col("f"),
+      explode(simhashBlocks(col("f"), hammingMax + 1)).as("b"))
+    val cand = blocked.as("a").join(blocked.as("b"),
+        col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
+      .filter(expr(s"bit_count(a.f ^ b.f) <= $hammingMax"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .persist()
+    try {
+      val candIds = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      val candDocs = t(s, d, "documents")
+        .join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          graft.expressions.TextHashes.shingle_hashes(col("text"), 3).as("hs"))
+        .filter(size(col("hs")) > 0)
+      cand
+        .join(candDocs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+        .join(candDocs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .withColumn("jaccard", round(col("inter") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .localCheckpoint(eager = true)
+    } finally cand.unpersist(false)
+  }
 
   /** Token-set Jaccard similarity pairs (1-gram variant, SQL-expressible
     * oracle). Restricted to doc_id < 200 — pairwise is the verification
@@ -319,7 +381,7 @@ object DedupOps {
     "q41_shingle_jaccard" -> shingleJaccardPairs,
     "q27_jaccard_pairs" -> jaccardPairs,
     "q28_minhash_lsh" -> minhashLsh,
-    "q29_simhash" -> simhash,
+    "q29_simhash" -> simhashNearDupPairs,
   )
 
   val oracles: Map[String, String] = Map(
@@ -359,33 +421,34 @@ object DedupOps {
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.4""".stripMargin,
-    // q28: the LSH pipeline's OUTPUT is exact shingle-Jaccard pairs (the
-    // verify step recomputes true Jaccard), so brute-force shingle
-    // Jaccard over the same corpus is a valid oracle whenever banding
-    // recall is 1.0 on the ≥0.5 pairs — which holds on the fixtures
-    // (LshRecallSpec). Quadratic SQL is fine at the driver's sf0.01.
-    "q28_minhash_lsh" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split(text,' ') AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(generate_series(1, greatest(len(toks)-2, 0)),
-        |      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
-        |  FROM tk),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        | round(i / (sa.sz + sb.sz - i), 4) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON doc_a = sa.doc_id
-        |JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin,
-    // q29: xxhash64-based fingerprints — deterministic but not
-    // expressible in DuckDB SQL (different hash function) → rows-only
-    // check; hamming-distance behavior is proven in DedupSpec.
+    // q28 AND q29: both pipelines' OUTPUT is exact shingle-Jaccard pairs
+    // (their verify step recomputes true Jaccard on every surviving
+    // candidate), so brute-force shingle Jaccard over the same corpus is
+    // a valid oracle whenever candidate recall is 1.0 on the ≥0.5 pairs —
+    // which holds on the fixtures (LshRecallSpec / SimhashRecallSpec).
+    // Quadratic SQL is fine at the driver's sf0.01.
+    "q28_minhash_lsh" -> bruteForceShinglePairsSql,
+    "q29_simhash" -> bruteForceShinglePairsSql,
   )
+
+  private lazy val bruteForceShinglePairsSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text,' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+      |      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      |  FROM tk),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      | round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin
 }

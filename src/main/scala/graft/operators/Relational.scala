@@ -254,13 +254,21 @@ object Relational {
   }
 
   /** A6 at 100 TB: HLL sketch DAU (approx_count_distinct) next to the
-    * shape of A1. No SQL oracle: the sketch is approximate already at
-    * ~100 distincts/day (default 5% rsd), so the driver records a
-    * rows-only check and ApproxSpec bounds the error vs exact. */
+    * shape of A1, one aggregation pass computing both the sketch and the
+    * exact count. The sketch value itself is engine-specific, so the
+    * oracle-checkable emission is (dt, dau_exact, within_bound):
+    * within_bound asserts |approx − exact| ≤ 15% · exact (3× the default
+    * 5% rsd — ApproxSpec measures the bound too), and the DuckDB oracle
+    * answers count(distinct), TRUE — a hash mismatch means the sketch
+    * left its error envelope. */
   val approxDau: Q = (s, d) =>
     t(s, d, "events")
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
-      .agg(approx_count_distinct(col("user_id")).as("dau_approx"))
+      .agg(count_distinct(col("user_id")).as("dau_exact"),
+        approx_count_distinct(col("user_id")).as("dau_approx"))
+      .select(col("dt"), col("dau_exact"),
+        (abs(col("dau_approx") - col("dau_exact")) <=
+          col("dau_exact") * 0.15).as("within_bound"))
 
   /** Composite ES bool query surface (EsTest.scala:78-92): range filter +
     * term + full-text conjunctive match + sort + from/size pagination in
@@ -374,6 +382,11 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_dau_total" ->
       """SELECT strftime(ts,'%Y-%m-%d') AS dt, count(DISTINCT user_id) AS dau
+        |FROM events GROUP BY 1""".stripMargin,
+    "q18_approx_dau" ->
+      """SELECT strftime(ts,'%Y-%m-%d') AS dt,
+        | count(DISTINCT user_id) AS dau_exact,
+        | true AS within_bound
         |FROM events GROUP BY 1""".stripMargin,
     "q03_dau_hourly" ->
       """WITH entries AS (

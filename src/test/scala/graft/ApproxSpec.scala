@@ -7,14 +7,24 @@ import org.apache.spark.sql.functions._
 class ApproxSpec extends SparkSpec {
   import spark.implicits._
 
-  test("approx_count_distinct within 5% of exact per day") {
-    val approx = operators.Relational.approxDau(spark, sf0001)
-      .as[(String, Long)].collect().toMap
+  test("approx_count_distinct within 5% of exact per day; q18 emission stays in-bound") {
+    // q18 now emits (dt, dau_exact, within_bound) so DuckDB can oracle it;
+    // assert the emission AND the tighter 5% envelope on the raw sketch.
+    val q18 = operators.Relational.approxDau(spark, sf0001)
+      .as[(String, Long, Boolean)].collect()
     val exact = operators.Relational.dauTotal(spark, sf0001)
       .as[(String, Long)].collect().toMap
-    assert(approx.keySet == exact.keySet)
+    assert(q18.map(_._1).toSet == exact.keySet)
+    q18.foreach { case (dt, n, ok) =>
+      assert(n == exact(dt), s"day $dt: dau_exact $n vs ${exact(dt)}")
+      assert(ok, s"day $dt: sketch left the 15% envelope")
+    }
+    val raw = Tables.t(spark, sf0001, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(approx_count_distinct(col("user_id")).as("a"))
+      .as[(String, Long)].collect().toMap
     exact.foreach { case (dt, n) =>
-      assert(math.abs(approx(dt) - n) <= math.max(1, n * 0.05), s"day $dt: $n vs ${approx(dt)}")
+      assert(math.abs(raw(dt) - n) <= math.max(1, n * 0.05), s"day $dt: $n vs ${raw(dt)}")
     }
   }
 

@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Guards the property that lets q29_simhash carry the brute-force SQL
+  * oracle (q28's): the pipeline verifies exact shingle Jaccard on every
+  * block-join candidate, so its output equals the quadratic exact result
+  * exactly when pigeonhole-blocking + hamming ≤ 10 recall is 1.0 on the
+  * ≥ 0.5-Jaccard pairs. SimHash is deterministic (xxhash64 per token), so
+  * this either holds for a corpus or it doesn't — assert it on both
+  * driver fixtures (measured max hamming over true pairs: 9 at sf0.001,
+  * 5 at sf0.01). */
+class SimhashRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def exactPairs(dir: String) = {
+    val sh = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(DedupOps.shingles3(split(col("text"), " ")))).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard", round(col("i") / (col("sa.sz") + col("sb.sz") - col("i")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("simhash pairs == exact shingle-Jaccard over the full corpus (sf0.001 AND the driver's sf0.01)") {
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val sim = DedupOps.simhashNearDupPairs(spark, dir)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val exact = exactPairs(dir)
+      assert(exact.nonEmpty, s"$dir should contain engineered near-dups")
+      assert(sim == exact, s"SimHash/exact divergence at $dir: " +
+        s"missed=${(exact -- sim).take(5)} extra=${(sim -- exact).take(5)}")
+    }
+  }
+
+  test("pigeonhole blocking: candidates come from an equality join, not an all-pairs comparison") {
+    val df = DedupOps.simhashNearDupPairs(spark, sf0001)
+    val plan = df.queryExecution.analyzed.toString
+    // the result is a localCheckpoint; re-derive the candidate subplan
+    // instead: block self-join on (blk, bval) must be an equi-join
+    val fp = Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), graft.expressions.TextHashes.simhash64(col("text")).as("f"))
+    val blocked = fp.select(col("doc_id"), col("f"),
+      explode(DedupOps.simhashBlocks(col("f"), 11)).as("b"))
+    val cand = blocked.as("a").join(blocked.as("b"),
+      col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
+    cand.collect()
+    val exec = cand.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoop"),
+      s"block join degenerated to all-pairs:\n$exec")
+  }
+
+  test("simhashBlocks partitions all 64 bits: block values reassemble the fingerprint") {
+    val df = Seq(0x123456789abcdef0L, -1L, 0L, Long.MinValue, 0x0fedcba987654321L)
+      .toDF("f")
+      .select(col("f"), explode(DedupOps.simhashBlocks(col("f"), 11)).as("b"))
+    // widths: 64 = 9*6 + 2*5 → recompute each block's lo offset and OR back
+    val rows = df.select(col("f"), col("b.blk"), col("b.bval"))
+      .as[(Long, Int, Long)].collect()
+    val base = 64 / 11; val extra = 64 % 11
+    val bounds = (0 until 11).scanLeft(0)((lo, i) => lo + base + (if (i < extra) 1 else 0))
+    rows.groupBy(_._1).foreach { case (f, bs) =>
+      assert(bs.length == 11)
+      val rebuilt = bs.map { case (_, blk, bval) => bval << bounds(blk) }.reduce(_ | _)
+      assert(rebuilt == f, s"blocks do not reassemble $f")
+    }
+  }
+}
