@@ -301,9 +301,9 @@ object SimilarityOps {
   /** Embedding-cosine near-dup PAIRS — the fifth dedup family of the
     * LLM-pipeline tier (exact / MinHash-LSH / SimHash / n-gram Jaccard /
     * embedding cosine). Bounded slice (vec_id < 200) as the verification
-    * tier: pairwise is quadratic by construction; the 100 TB path
-    * buckets both sides with the q38 hyperplane family and verifies only
-    * within-bucket candidates, exactly as q28 does for MinHash bands.
+    * tier: pairwise is quadratic by construction; the 100 TB path is
+    * q54 (`embeddingDupsBucketed` below) — banded hyperplane LSH over
+    * the full corpus, exactly as q28 does for MinHash bands.
     * Threshold 0.35 surfaces the fixtures' most-similar natural pairs
     * (they carry no engineered embedding dups; max cosine ≈ 0.44). */
   val embeddingDupPairs: Q = (s, d) => {
@@ -315,12 +315,64 @@ object SimilarityOps {
       .filter(col("cosine") >= 0.35)
   }
 
+  /** Sign-bit bands over a hyperplane family — the embedding analog of
+    * MinHash banding: band b's value packs the sign bits of planes
+    * [b·w, (b+1)·w). Two vectors are candidates iff they agree on ALL
+    * bits of SOME band, so candidates come from an equality join on
+    * (band, value), never an all-pairs comparison. */
+  def signBands(v: Column, planes: Array[Array[Double]], bandBits: Int): Column = {
+    val nBands = planes.length / bandBits
+    array((0 until nBands).map { b =>
+      val bv = (0 until bandBits).map { i =>
+        when(dot(v, typedlit(planes(b * bandBits + i).toSeq)) > 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bv.as("bv"))
+    }: _*)
+  }
+
+  /** The scale path q51's docstring promises: embedding near-dup pairs
+    * over the FULL corpus via banded hyperplane LSH — sign-band both
+    * sides, candidate-join on (band, value), verify EXACT cosine within
+    * candidates. Semantics are "band-collision pairs with cosine ≥ t"
+    * (the oracle replicates the banding with literal planes, as q38's
+    * does); EmbeddingDedupSpec measures recall vs the exact pair set —
+    * 24 bands × 2 bits reaches recall 1.0 on both fixtures even at the
+    * weak t=0.35 the natural fixtures require, and at a production dedup
+    * threshold (0.9 ⇒ per-plane agreement .856) the same banding prunes
+    * aggressively. Shuffle cost: the band explode carries only
+    * (vec_id, band, bv) — vectors join back by id for the verify step,
+    * so the ×nBands blowup never ships the embeddings themselves. */
+  def embeddingDupsBucketed(s: SparkSession, d: String, nPlanes: Int = 48,
+      bandBits: Int = 2, threshold: Double = 0.35): DataFrame = {
+    val planes = hyperplanes(64, nPlanes)
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val banded = e.select(col("vec_id"),
+      explode(signBands(col("v"), planes, bandBits)).as("b"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+      .persist()
+    try {
+      cand
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          round(cosine(col("va"), col("vb")), 6).as("cosine"))
+        .filter(col("cosine") >= threshold)
+        .localCheckpoint(eager = true)
+    } finally cand.unpersist(false)
+  }
+
   val queries: Map[String, Q] = Map(
     "q25_ann_cosine_topk" -> annCosineTopK,
     "q26_label_centroids" -> labelCentroidStats,
     "q38_ann_lsh_topk" -> annLshTopK,
     "q42_ann_ivf_topk" -> annIvfTopK,
     "q51_embedding_dups" -> embeddingDupPairs,
+    "q54_embedding_dups_lsh" -> ((s, d) => embeddingDupsBucketed(s, d)),
   )
 
   /** q38's oracle is GENERATED: the deterministic hyperplanes are
@@ -384,7 +436,38 @@ object SimilarityOps {
   def oracles: Map[String, String] = staticOracles ++
     ivfOracleState.map { case (np, cs) => "q42_ann_ivf_topk" -> ivfOracle(np, cs) }
 
+  /** q54's oracle is GENERATED like q38's: literal plane coordinates,
+    * band values as CASE-sum bit packs, candidates from a DISTINCT
+    * (band, value) self-join, exact cosine verify — the same semantics
+    * the Spark plan executes, so the hash compare is exact. */
+  private def bucketedDupOracle(nPlanes: Int, bandBits: Int,
+      threshold: Double): String = {
+    val planes = hyperplanes(64, nPlanes)
+    def arr(h: Array[Double]) = h.mkString("[", ",", "]") + "::DOUBLE[]"
+    val nBands = nPlanes / bandBits
+    val bandSelects = (0 until nBands).map { b =>
+      val bv = (0 until bandBits).map { i =>
+        s"(CASE WHEN list_dot_product(v, ${arr(planes(b * bandBits + i))}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bv AS bv FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bands AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+       |SELECT c.vec_a, c.vec_b,
+       | round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+       |FROM cand c
+       |JOIN e ea ON c.vec_a = ea.vec_id
+       |JOIN e eb ON c.vec_b = eb.vec_id
+       |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= $threshold""".stripMargin
+  }
+
   private val staticOracles: Map[String, String] = Map(
+    "q54_embedding_dups_lsh" -> bucketedDupOracle(48, 2, 0.35),
     "q51_embedding_dups" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v
