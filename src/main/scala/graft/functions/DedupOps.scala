@@ -258,13 +258,16 @@ object DedupOps {
     * Instead of re-self-joining the whole corpus per run (minhashLsh,
     * fine for a one-shot audit), persist a band index once and probe it
     * with each new batch: cost per batch = O(batch × matching buckets).
-    * Layout note: the index is partitionBy("band") for file organization
-    * only — a probe touches all 8 bands, so band partitioning prunes
-    * NOTHING. The selective key is (band, bhash); the probe join
-    * shuffles both sides on it (the probe side is a micro-batch, so AQE
-    * broadcasts it). A bucketed-by-bhash table layout would make probes
-    * shuffle-free on the index side — see operators.Bucketing for the
-    * mechanism. */
+    * Layout: the index is partitionBy("bmod") where bmod =
+    * pmod(bhash, lshIndexBuckets) — the selective key folded to a
+    * bounded directory count. A probe enumerates its own bmod set on
+    * the driver (≤ 8 × batch values, the ANN-index pattern of
+    * probeAnnLshIndex) and filters the scan with literal isin, so
+    * parquet partition pruning reads ONLY matching directories, and the
+    * micro-batch probe side is broadcast — the index is never shuffled
+    * NOR fully scanned. At larger index:batch ratios raise
+    * lshIndexBuckets so a batch's bucket set stays a small fraction of
+    * the directories. LshIndexSpec pins both plan properties. */
 
   /** (doc_id, band struct, hs) rows for a doc batch — one fused pass. */
   private def indexRows(docs: DataFrame): DataFrame = {
@@ -287,11 +290,17 @@ object DedupOps {
     * ingest (e.g. a foreachBatch retry) replaces its own segment instead
     * of appending duplicate index rows — extend the index by writing NEW
     * ingest ids. */
+  /** Directory fan-out of the bands table: bmod = pmod(bhash, this).
+    * 64 suits the test scale; at 100 TB size it so a micro-batch's
+    * distinct bucket set stays ≪ the directory count. */
+  val lshIndexBuckets = 64
+
   def buildLshIndex(docs: DataFrame, path: String, ingestId: Long = 0L): Unit = {
     // one hashing pass, materialized, feeds both tables
     val rows = indexRows(docs).localCheckpoint()
-    rows.select(col("doc_id"), col("band"), col("bhash"))
-      .write.mode("overwrite").partitionBy("band")
+    rows.select(col("doc_id"), col("band"), col("bhash"),
+        pmod(col("bhash"), lit(lshIndexBuckets)).as("bmod"))
+      .write.mode("overwrite").partitionBy("bmod")
       .parquet(s"$path/bands/ingest=$ingestId")
     rows.select(col("doc_id"), col("hs")).dropDuplicates("doc_id")
       .write.mode("overwrite")
@@ -304,17 +313,31 @@ object DedupOps {
     * join touches only the narrow `bands` table (the probe side is a
     * micro-batch, so AQE broadcasts it); shingle-hash arrays are fetched
     * from `docs` only for pairs that already share a band. */
-  def probeLshIndex(newDocs: DataFrame, path: String,
-      threshold: Double = 0.5): DataFrame = {
+  /** Candidate (new_doc, dup_of, hs_n) rows of a probe: the index scan is
+    * partition-pruned to the probe's driver-enumerated bmod set and the
+    * micro-batch side is broadcast, so the index side carries no
+    * Exchange and reads only matching directories (both pinned by
+    * LshIndexSpec). Public for that spec's plan assertions. */
+  def lshProbeCandidates(newDocs: DataFrame, path: String): DataFrame = {
     val spark = newDocs.sparkSession
-    val probe = indexRows(newDocs)
+    val probe = indexRows(newDocs).localCheckpoint()
+    val bmods = probe
+      .select(pmod(col("bhash"), lit(lshIndexBuckets)).as("bmod"))
+      .distinct().collect().map(_.getLong(0)).toSeq
     val bands = spark.read.parquet(s"$path/bands")
-    val docsIdx = spark.read.parquet(s"$path/docs")
-    probe.as("n").join(bands.as("e"),
+      .filter(col("bmod").isin(bmods: _*))
+    broadcast(probe).as("n").join(bands.as("e"),
         col("n.band") === col("e.band") && col("n.bhash") === col("e.bhash") &&
           col("n.doc_id") =!= col("e.doc_id"))
       .select(col("n.doc_id").as("new_doc"), col("e.doc_id").as("dup_of"),
         col("n.hs").as("hs_n"))
+  }
+
+  def probeLshIndex(newDocs: DataFrame, path: String,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val docsIdx = spark.read.parquet(s"$path/docs")
+    lshProbeCandidates(newDocs, path)
       .dropDuplicates("new_doc", "dup_of") // shrink before fetching hs
       .join(docsIdx.select(col("doc_id").as("dup_of"), col("hs").as("hs_e")),
         Seq("dup_of"))

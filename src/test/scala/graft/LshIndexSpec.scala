@@ -63,6 +63,26 @@ class LshIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/docs").count() == 2L)
     // the narrow table must NOT carry the shingle arrays
     assert(spark.read.parquet(s"$idx/bands").columns.sorted.toSeq ==
-      Seq("band", "bhash", "doc_id", "ingest"))
+      Seq("band", "bhash", "bmod", "doc_id", "ingest"))
+  }
+
+  test("probe partition-prunes the index to its bucket set and never shuffles the index side") {
+    val idx = Files.createTempDirectory("lsh_prune").toString + "/index"
+    DedupOps.buildLshIndex(
+      Seq((0L, base), (1L, other), (2L, third)).toDF("doc_id", "text"), idx)
+    val cand = DedupOps.lshProbeCandidates(Seq((10L, near)).toDF("doc_id", "text"), idx)
+    cand.collect()
+    // AQE appends "== Initial Plan ==" — assert on the final plan only
+    val plan = cand.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"index side of the probe join shuffled:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"probe was not broadcast:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*bmod".r.findFirstIn(plan).isDefined,
+      s"no bmod partition pruning on the index scan:\n$plan")
+    // the probe's bucket set must be a strict subset of the index dirs:
+    // 3 indexed docs x 8 bands spread over more bmod dirs than 1 doc's 8
+    val dirs = new java.io.File(s"$idx/bands/ingest=0").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bmod="))
+    assert(dirs > 8, s"fixture too small to show pruning ($dirs dirs)")
   }
 }
