@@ -140,8 +140,8 @@ object SimilarityOps {
   private def ensureAnnLshIndex(s: SparkSession, d: String, bits: Int): String =
     synchronized {
       val path =
-        s"${sys.props("java.io.tmpdir")}/graft-annlsh/${sourceTag(d, "embeddings")}-b$bits"
-      if (!new java.io.File(s"$path/corpus/_SUCCESS").exists) {
+        s"${sys.props("java.io.tmpdir")}/graft-annlsh/${sourceTag(s, d, "embeddings")}-b$bits"
+      if (!graft.sinks.Hfs.exists(s, s"$path/corpus/_SUCCESS")) {
         val emb = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         buildAnnLshIndex(emb, path, bits)
@@ -244,23 +244,23 @@ object SimilarityOps {
     * invalidates the cached index instead of silently serving stale
     * neighbors (and distinct dirs can never collide on a sanitized
     * name). */
-  private def sourceTag(d: String, table: String): String = {
-    val f = new java.io.File(s"$d/$table.parquet")
+  private def sourceTag(s: SparkSession, d: String, table: String): String = {
+    val (len, mtime) = graft.sinks.Hfs.stat(s, s"$d/$table.parquet")
     val id = Integer.toHexString(d.hashCode)
-    s"$id-${f.length()}-${f.lastModified()}"
+    s"$id-$len-$mtime"
   }
 
   /** Index location for a given sf dir (deterministic build → safe to
     * reuse across calls; _SUCCESS markers gate completeness, the
     * fingerprint in the name gates freshness). */
-  def ivfIndexPath(d: String, k: Int, iters: Int): String =
-    s"${sys.props("java.io.tmpdir")}/graft-ivf/${sourceTag(d, "embeddings")}-k$k-i$iters"
+  def ivfIndexPath(s: SparkSession, d: String, k: Int, iters: Int): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ivf/${sourceTag(s, d, "embeddings")}-k$k-i$iters"
 
   private def ensureIvfIndex(s: SparkSession, d: String, k: Int,
       iters: Int): String = synchronized {
-    val path = ivfIndexPath(d, k, iters)
-    val done = new java.io.File(s"$path/corpus/_SUCCESS").exists &&
-      new java.io.File(s"$path/centroids/_SUCCESS").exists
+    val path = ivfIndexPath(s, d, k, iters)
+    val done = graft.sinks.Hfs.exists(s, s"$path/corpus/_SUCCESS") &&
+      graft.sinks.Hfs.exists(s, s"$path/centroids/_SUCCESS")
     if (!done) {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -41,14 +41,10 @@ object MergeParquetSink {
   private def deltaRoot(path: String) = s"$path/delta"
   private def basePath(path: String) = s"$path/base"
 
-  private def listSeqs(spark: SparkSession, path: String): Seq[Long] = {
-    val dir = new java.io.File(deltaRoot(path))
-    if (!dir.isDirectory) Seq.empty
-    else dir.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("seq="))
-      .map(_.getName.stripPrefix("seq=").toLong)
+  private def listSeqs(spark: SparkSession, path: String): Seq[Long] =
+    Hfs.childDirs(spark, deltaRoot(path), "seq=")
+      .map(_.stripPrefix("seq=").toLong)
       .sorted
-  }
 
   private def nextSeq(spark: SparkSession, path: String): Long =
     listSeqs(spark, path).lastOption.fold(0L)(_ + 1L)
@@ -122,11 +118,29 @@ object MergeParquetSink {
       .drop("__rn", DeletedCol, SeqCol)
   }
 
+  private def stagingPath(path: String) = s"$path/base__staging"
+
   /** Fold base + deltas into a fresh base and clear the deltas. The only
     * operation that rewrites partitions — run on a cadence, not per
-    * batch. */
+    * batch.
+    *
+    * Crash safety (stage-and-rename): the snapshot is fully written to a
+    * staging dir while the old base stays readable, then swapped in with
+    * a delete + rename and only THEN are the deltas cleared. Every crash
+    * window is re-runnable: before the swap the table is untouched;
+    * between delete and rename the completed staging dir is adopted as
+    * the base on the next compact (recovery below); after the rename,
+    * re-reading base ∪ leftover deltas picks the same winners, so a rerun
+    * just rewrites an identical base. */
   def compact(spark: SparkSession, path: String, keyCols: Seq[String],
       dtCol: String, versionCol: String): Unit = {
+    val staging = stagingPath(path)
+    // recovery: a previous compact crashed between delete and rename —
+    // the staging dir IS the complete new base (staging is only ever
+    // complete once the old base was deleted after a full write)
+    if (!Hfs.exists(spark, basePath(path)) && Hfs.exists(spark, staging))
+      Hfs.rename(spark, staging, basePath(path))
+    else Hfs.deleteRecursive(spark, staging)
     val snapshot = read(spark, path, keyCols, versionCol).localCheckpoint()
     // partitionOverwriteMode MUST be static here regardless of session
     // conf: the snapshot replaces the whole base. Under dynamic mode a
@@ -138,16 +152,11 @@ object MergeParquetSink {
     // write leaves a file-less dir (unreadable schema); an unpartitioned
     // empty write keeps one schema-bearing footer, so the table stays
     // readable as empty
-    if (snapshot.isEmpty) writer.parquet(basePath(path))
-    else writer.partitionBy(dtCol).parquet(basePath(path))
-    val root = new java.io.File(deltaRoot(path))
-    if (root.isDirectory) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(root)
-    }
+    if (snapshot.isEmpty) writer.parquet(staging)
+    else writer.partitionBy(dtCol).parquet(staging)
+    Hfs.deleteRecursive(spark, basePath(path))
+    Hfs.rename(spark, staging, basePath(path))
+    Hfs.deleteRecursive(spark, deltaRoot(path))
   }
 
   /** foreachBatch adapter (streaming upsert). */

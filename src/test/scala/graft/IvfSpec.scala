@@ -22,7 +22,7 @@ class IvfSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       s"probe scan is not partition-pruned:\n$plan")
-    val path = SimilarityOps.ivfIndexPath(sf0001, 8, 1)
+    val path = SimilarityOps.ivfIndexPath(spark, sf0001, 8, 1)
     val corpus = spark.read.parquet(s"$path/corpus")
     val allFiles = corpus.select(input_file_name()).distinct().count()
     val twoCells = corpus.filter(col("cell").isin(0, 1))
@@ -39,7 +39,7 @@ class IvfSpec extends SparkSpec {
     assert(sql.contains("LIMIT 2") && sql.contains("c.cell DESC"), sql)
     // the literals must be the index's own centroids, not recomputed ones
     val cents = SimilarityOps.loadCentroids(
-      spark, SimilarityOps.ivfIndexPath(sf0001, 8, 1))
+      spark, SimilarityOps.ivfIndexPath(spark, sf0001, 8, 1))
     assert(sql.contains(cents(0).mkString("[", ",", "]")))
   }
 

@@ -148,4 +148,24 @@ class MergeSinkSpec extends SparkSpec {
       new java.io.File(s"$path/delta").listFiles().isEmpty)
     assert(readAll(path) == Set(("m1", "2024-01-01", 1L, 10.0)))
   }
+
+  test("compaction crash between base delete and rename recovers on the next compact") {
+    val path = Files.createTempDirectory("merge5").toString + "/t"
+    val rows = Set(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-02", 2L, 20.0))
+    MergeParquetSink.upsert(table(rows.toSeq: _*), path, "dt")
+    MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
+    MergeParquetSink.upsert(table(("m1", "2024-01-01", 3L, 30.0)), path, "dt")
+    // simulate the crash window: a fully-written staging snapshot exists
+    // and the old base is gone (exactly the delete→rename gap)
+    import java.nio.file.{Files => JF, Paths}
+    MergeParquetSink.read(spark, path, Seq("mid"), "ver")
+      .write.mode("overwrite").partitionBy("dt").parquet(s"$path/base__staging")
+    graft.sinks.Hfs.deleteRecursive(spark, s"$path/base")
+    // next compact must adopt the staging dir, then fold normally
+    MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
+    assert(readAll(path) ==
+      Set(("m1", "2024-01-01", 3L, 30.0), ("m2", "2024-01-02", 2L, 20.0)))
+    assert(!JF.exists(Paths.get(s"$path/base__staging")),
+      "staging dir must not survive a successful compact")
+  }
 }
