@@ -13,8 +13,12 @@ object Graft {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Register every fixture table under `dir` as a temp view and install
-    * the custom SQL functions. */
+    * the custom SQL functions. The one deliberate conf change happens
+    * here, at session setup: events.parquet needs [[Tables.nanosConf]]
+    * (TIMESTAMP(NANOS) footers), and init is the declared place a session
+    * becomes a graft warehouse. */
   def init(spark: SparkSession, dir: String): SparkSession = {
+    spark.conf.set(Tables.nanosConf, "true")
     tableNames.foreach(n => Tables.t(spark, dir, n).createOrReplaceTempView(n))
     expressions.GraftExtensions.register(spark)
     spark

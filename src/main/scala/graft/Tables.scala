@@ -17,13 +17,21 @@ object Tables {
       case _        => spark.read.parquet(s"$dir/$name.parquet")
     }
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default ([PARQUET_TYPE_ILLEGAL]). We read nanos as a long
-    * and floor-convert to microseconds — the same truncation DuckDB
-    * applies when it reads TIMESTAMP_NS, so oracle comparisons agree.
-    */
+  /** The session conf reading events.parquet requires (its `ts` is
+    * parquet TIMESTAMP(NANOS), which Spark rejects by default with
+    * [PARQUET_TYPE_ILLEGAL]). Set it at session build time — every graft
+    * entry point (Verify/Bench/ScaleProbe/PlanDump builders, Graft.init)
+    * does; `events` fails fast with a pointer here rather than mutating
+    * the caller's session behind its back. */
+  val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Nanos are read as long and floor-converted to microseconds — the
+    * same truncation DuckDB applies reading TIMESTAMP_NS, so oracle
+    * comparisons agree. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get(nanosConf, "false") == "true",
+      s"reading events.parquet requires $nanosConf=true — set it on the " +
+        "session builder or call Graft.init (see Tables.nanosConf)")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

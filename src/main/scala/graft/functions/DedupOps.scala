@@ -366,8 +366,11 @@ object DedupOps {
         col("a.hs").as("hs_a"), col("b.hs").as("hs_b"))
       .dropDuplicates("da", "db")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .filter(col("inter") /
-        (size(col("hs_a")) + size(col("hs_b")) - col("inter")) >= threshold)
+      // round(.,4) matches minhashLsh/probeLshIndex exactly, so a
+      // borderline pair gets the same verdict whether its members arrive
+      // in one batch or across batches
+      .filter(round(col("inter") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4) >= threshold)
       .select(col("db").as("doc_id")).distinct()
     batch.join(losers, Seq("doc_id"), "left_anti")
   }

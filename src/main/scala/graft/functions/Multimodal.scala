@@ -90,7 +90,12 @@ object Multimodal {
     * with its decode result, then the two filters prune to the side they
     * keep — rejected payloads are ROUTED (doc_id + payload preserved for
     * a dead-letter sink), not silently dropped as in the plain
-    * decodeBatchPartitions. */
+    * decodeBatchPartitions. The tagged intermediate is persisted so the
+    * decoder runs ONCE per row even when both sides are consumed (and a
+    * non-deterministic production decoder cannot route a row to
+    * both/neither side); callers may `.unpersist()` either returned
+    * dataset's parent once both sides are materialized — otherwise LRU
+    * eviction reclaims it. */
   def decodeSplit(media: Dataset[MediaRow],
       decoder: Array[Byte] => Option[MediaMeta] = p => Some(decodeStub(p)))
       : (Dataset[Decoded], Dataset[MediaRow]) = {
@@ -98,7 +103,7 @@ object Multimodal {
     val tagged = media.mapPartitions { rows =>
       val decode = decoder // one handle per partition
       rows.map(r => (r.doc_id, r.payload, decode(r.payload)))
-    }
+    }.persist()
     val ok = tagged.flatMap { case (id, _, m) =>
       m.map(x => Decoded(id, x.width, x.height, x.checksum))
     }
