@@ -297,6 +297,34 @@ object Relational {
         regexp_replace(col("p_name"), "(widget|small)", "<em>$1</em>")
           .as("highlighted"))
 
+  /** Q3 scored: relevance-ranked full-text match — the ES surface the
+    * conjunctive q06/q19 matches lack (ref PublishDaoImpl.java:58-61
+    * scores matchQuery hits; EsTest.scala:78-92 returns them _score
+    * ordered). Score = Σ_term tf × idf over the query terms with
+    * idf = N/df in plain-arithmetic form: deliberately transcendental-
+    * free (no ln) so Spark and DuckDB produce bit-identical doubles and
+    * the raw score hash-compares without rounding. BM25's saturation and
+    * length normalization drop into the same two-scan shape (tiny
+    * corpus-stats row broadcast into a single scoring scan). */
+  val scoredMatch: Q = (s, d) => {
+    val terms = Seq("spark", "merge")
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      terms.map(tm => sum(when(array_contains(col("toks"), tm), 1).otherwise(0))
+        .cast("double").as(s"df_$tm")): _*)
+    val score = terms.map { tm =>
+      size(filter(col("toks"), x => x === tm)).cast("double") *
+        (col("n") / col(s"df_$tm"))
+    }.reduce(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .filter(terms.map(tm => array_contains(col("toks"), tm)).reduce(_ && _))
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** S9: point get by key (ref EsTest.scala:54-60 getById) — the plan
     * should be a pushed-down single-key scan, not an index the engine
     * lacks; at scale the dt/bucket layout bounds the touched files. */
@@ -308,6 +336,7 @@ object Relational {
 
   val queries: Map[String, Q] = Map(
     "q45_point_get" -> pointGet,
+    "q55_scored_match" -> scoredMatch,
     "q15_dau_day_over_day" -> dauDayOverDay,
     "q16_segment_decode" -> segmentDecode,
     "q17_semi_anti" -> semiAntiJoin,
@@ -388,6 +417,21 @@ object Relational {
         | count(DISTINCT user_id) AS dau_exact,
         | true AS within_bound
         |FROM events GROUP BY 1""".stripMargin,
+    "q55_scored_match" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |stats AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |    sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df_spark,
+        |    sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df_merge
+        |  FROM tk)
+        |SELECT doc_id,
+        |  len(list_filter(toks, x -> x = 'spark'))::DOUBLE * (n / df_spark)
+        |  + len(list_filter(toks, x -> x = 'merge'))::DOUBLE * (n / df_merge)
+        |    AS score
+        |FROM tk, stats
+        |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'merge')
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q03_dau_hourly" ->
       """WITH entries AS (
         |  SELECT ts, strftime(ts,'%Y-%m-%d') AS dt,
