@@ -183,10 +183,12 @@ object Multimodal {
     decodeBatchPartitions(media).toDF()
   }
 
-  /** Media features through the per-partition pipeline, then a cosine
-    * self-similarity check against vec 0 using the similarity tier —
-    * media → embedding → ANN, end to end. Deterministic but stub-hash
-    * based → rows-only driver check (ApproxSpec pins the values). */
+  /** Media features through the per-partition pipeline — media →
+    * embedding bridge, end to end (ApproxSpec pins the values). The
+    * stub hash IS DuckDB-expressible: the oracle below replays
+    * frame-sample → zero-pad → per-chunk FNV fold with HUGEINT
+    * arithmetic mod 2^64 (JVM longs wrap silently; SQL must simulate)
+    * and float32 scaling, so even this query hash-compares. */
   val mediaFeaturesQ: Q = (s, d) => {
     import s.implicits._
     val media = mediaTable(s, d).select(col("doc_id"), col("payload")).as[MediaRow]
@@ -213,5 +215,50 @@ object Multimodal {
         | octet_length(CAST(text AS BLOB)) % 48 + 1 AS height,
         | md5(text) AS checksum
         |FROM documents""".stripMargin,
+    // Replays featureBatchPartitions in SQL: 4 frames at starts
+    // min(i*step, len-1), zero-padded to 64 bytes each (fixtures are
+    // ASCII, so ascii(substr) == the payload byte), then per 16-byte
+    // chunk the FNV-ish fold h = h*31 + b in HUGEINT mod 2^64 (the JVM
+    // wraps longs silently; SQL must do it explicitly), Java floorMod
+    // via the signed reinterpretation, float32 scale to [-1,1), and the
+    // double left-fold norm rounded to 4 — the same rounding the Spark
+    // side applies to this aggregate.
+    "q49_media_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len,
+        |         greatest(1, octet_length(CAST(text AS BLOB)) // 4) AS step
+        |  FROM documents),
+        |flat AS (
+        |  SELECT doc_id, len,
+        |    flatten(list_transform(range(4), i ->
+        |      list_transform(range(64), j ->
+        |        CASE WHEN least(i*step, len-1) + j < len
+        |          THEN ascii(substr(text, least(i*step, len-1) + j + 1, 1))
+        |          ELSE 0 END))) AS bytes
+        |  FROM d),
+        |feat AS (
+        |  SELECT doc_id, len,
+        |    list_transform(range(16), dd ->
+        |      list_reduce(
+        |        list_prepend(1125899906842597::HUGEINT,
+        |          list_transform(list_slice(bytes, dd*16 + 1, dd*16 + 16),
+        |            b -> b::HUGEINT)),
+        |        (h, b) -> (h * 31 + b) % 18446744073709551616::HUGEINT)) AS hs
+        |  FROM flat),
+        |vals AS (
+        |  SELECT doc_id, len,
+        |    list_transform(hs, h ->
+        |      ((((CASE WHEN h >= 9223372036854775808::HUGEINT
+        |           THEN h - 18446744073709551616::HUGEINT ELSE h END) % 2000003)
+        |         + 2000003) % 2000003)::BIGINT) AS ms
+        |  FROM feat)
+        |SELECT doc_id,
+        |  CASE WHEN len > 0 THEN 4 ELSE 0 END AS n_frames,
+        |  round(sqrt(list_reduce(
+        |    list_prepend(0.0::DOUBLE,
+        |      list_transform(ms, m -> ((m::REAL / 1000001.5::REAL) - 1.0::REAL)::DOUBLE
+        |                              * ((m::REAL / 1000001.5::REAL) - 1.0::REAL)::DOUBLE)),
+        |    (a, x) -> a + x)), 4) AS feature_norm
+        |FROM vals""".stripMargin,
   )
 }
