@@ -80,4 +80,71 @@ object Publisher {
       .orderBy(col("value").desc)
       .collect().map(r => StatItem(r.getString(0), r.getDouble(1))).toSeq
   }
+
+  // ---- SQL-first twins: the same two endpoints through nothing but
+  // `spark.sql` over the views `Graft.init` registers — what a user
+  // gets without touching the Scala query API. PublisherSpec asserts
+  // payload equality with the programmatic forms above.
+
+  /** Day must be yyyy-MM-dd; tokens must be word characters — both are
+    * interpolated into SQL text. */
+  private def checkDay(day: String): String = {
+    require(day.matches("\\d{4}-\\d{2}-\\d{2}"), s"bad day: $day")
+    day
+  }
+
+  /** /dauRealtime via one SQL statement: per-day per-user first event →
+    * hour histogram for td and yd in a single pass; dauTotal = the td
+    * histogram's sum (exactly one row per user per day). */
+  def dauRealtimeSql(spark: SparkSession, td: String): DauRealtime = {
+    val yd = java.time.LocalDate.parse(checkDay(td)).minusDays(1).toString
+    val rows = spark.sql(
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, date_format(ts, 'yyyy-MM-dd') AS dt
+         |  FROM events
+         |  WHERE date_format(ts, 'yyyy-MM-dd') IN ('$td', '$yd')),
+         |ranked AS (
+         |  SELECT dt, ts,
+         |    row_number() OVER (PARTITION BY dt, user_id
+         |                       ORDER BY ts, event_id) AS rn
+         |  FROM e)
+         |SELECT dt, date_format(ts, 'HH') AS hr, count(*) AS n
+         |FROM ranked WHERE rn = 1 GROUP BY dt, hr""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def hist(day: String) =
+      rows.collect { case (`day`, hr, n) => hr -> n }.toMap
+    val dauTd = hist(td)
+    DauRealtime(dauTd.values.sum, dauTd, hist(yd))
+  }
+
+  /** /statsByItem via one SQL statement (conjunctive LIKE match + CASE
+    * re-bucketing + grouped sum). */
+  def statsByItemSql(spark: SparkSession, itemTokens: Seq[String],
+      t0: String): Seq[StatItem] = {
+    itemTokens.foreach(tok =>
+      require(tok.matches("\\w+"), s"bad token: $tok"))
+    val matchPred = itemTokens
+      .map(tok => s"p_name LIKE '%$tok%'").mkString(" AND ")
+    val nameExpr = t0 match {
+      case "segment" =>
+        """CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'auto'
+          |     WHEN c_mktsegment = 'BUILDING' THEN 'building'
+          |     WHEN c_mktsegment = 'MACHINERY' THEN 'machinery'
+          |     ELSE 'other' END""".stripMargin
+      case "band" =>
+        """CASE WHEN c_acctbal < 0 THEN 'negative'
+          |     WHEN c_acctbal < 5000 THEN 'mid'
+          |     ELSE 'high' END""".stripMargin
+      case other => throw new IllegalArgumentException(s"t=$other")
+    }
+    spark.sql(
+      s"""SELECT $nameExpr AS name, round(sum(l_extendedprice), 2) AS value
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE $matchPred
+         |GROUP BY 1 ORDER BY value DESC""".stripMargin)
+      .collect().map(r => StatItem(r.getString(0), r.getDouble(1))).toSeq
+  }
 }

@@ -28,4 +28,16 @@ class PublisherSpec extends SparkSpec {
       Publisher.statsByItem(spark, sf0001, Seq("x"), "bogus")
     }
   }
+
+  test("SQL-first twins: both endpoints through spark.sql over Graft.init views equal the programmatic payloads") {
+    Graft.init(spark, sf0001)
+    assert(Publisher.dauRealtimeSql(spark, "2024-01-15") ==
+      Publisher.dauRealtime(spark, sf0001, "2024-01-15"))
+    for (t0 <- Seq("segment", "band"))
+      assert(Publisher.statsByItemSql(spark, Seq("small", "widget"), t0) ==
+        Publisher.statsByItem(spark, sf0001, Seq("small", "widget"), t0))
+    intercept[IllegalArgumentException] {
+      Publisher.statsByItemSql(spark, Seq("x'; DROP--"), "segment")
+    }
+  }
 }
