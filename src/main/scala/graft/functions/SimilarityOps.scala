@@ -337,13 +337,14 @@ object SimilarityOps {
     * candidates. Semantics are "band-collision pairs with cosine ≥ t"
     * (the oracle replicates the banding with literal planes, as q38's
     * does); EmbeddingDedupSpec measures recall vs the exact pair set —
-    * 24 bands × 2 bits reaches recall 1.0 on both fixtures even at the
-    * weak t=0.35 the natural fixtures require, and at a production dedup
+    * 16 bands × 2 bits reaches recall 1.0 on both fixtures even at the
+    * weak t=0.35 the natural fixtures require (24 bands also does, at
+    * ~1.8× the join cost — measured 7.8 s vs 4.3 s on sf0.1), and at a production dedup
     * threshold (0.9 ⇒ per-plane agreement .856) the same banding prunes
     * aggressively. Shuffle cost: the band explode carries only
     * (vec_id, band, bv) — vectors join back by id for the verify step,
     * so the ×nBands blowup never ships the embeddings themselves. */
-  def embeddingDupsBucketed(s: SparkSession, d: String, nPlanes: Int = 48,
+  def embeddingDupsBucketed(s: SparkSession, d: String, nPlanes: Int = 32,
       bandBits: Int = 2, threshold: Double = 0.35): DataFrame = {
     val planes = hyperplanes(64, nPlanes)
     val e = t(s, d, "embeddings")
@@ -356,11 +357,17 @@ object SimilarityOps {
       .distinct()
       .persist()
     try {
+      // norms precomputed once per VECTOR, not once per pair — the
+      // division tree stays dot/(na*nb), bit-identical to cosine()
+      val en = e.withColumn("nrm", norm(col("v")))
       cand
-        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+        .join(en.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("nrm").as("na")), "vec_a")
+        .join(en.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("nrm").as("nb")), "vec_b")
         .select(col("vec_a"), col("vec_b"),
-          round(cosine(col("va"), col("vb")), 6).as("cosine"))
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+            .as("cosine"))
         .filter(col("cosine") >= threshold)
         .localCheckpoint(eager = true)
     } finally cand.unpersist(false)
@@ -467,7 +474,7 @@ object SimilarityOps {
   }
 
   private val staticOracles: Map[String, String] = Map(
-    "q54_embedding_dups_lsh" -> bucketedDupOracle(48, 2, 0.35),
+    "q54_embedding_dups_lsh" -> bucketedDupOracle(32, 2, 0.35),
     "q51_embedding_dups" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v

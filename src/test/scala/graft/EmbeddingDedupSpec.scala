@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Guards q54 (banded hyperplane-LSH embedding dedup): its banding must
   * recall every exact cosine-≥-0.35 pair on both driver fixtures (the
   * planes and data are deterministic, so recall is a fixed number per
-  * corpus — measured 1.0 at 24 bands × 2 bits), and its candidates must
+  * corpus — measured 1.0 at 16 bands × 2 bits), and its candidates must
   * come from an equality join, never an all-pairs comparison. */
 class EmbeddingDedupSpec extends SparkSpec {
   import spark.implicits._
@@ -36,7 +36,7 @@ class EmbeddingDedupSpec extends SparkSpec {
   }
 
   test("candidates come from an equality join on (band, value), not an all-pairs comparison") {
-    val planes = SimilarityOps.hyperplanes(64, 48)
+    val planes = SimilarityOps.hyperplanes(64, 32)
     val e = Tables.t(spark, sf0001, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val banded = e.select(col("vec_id"),
@@ -50,10 +50,10 @@ class EmbeddingDedupSpec extends SparkSpec {
   }
 
   test("signBands packs every plane exactly once and bit-agrees with bucketOf") {
-    // 48 planes / 2-bit bands: band b bit i == bucketOf bit (2b+i) for the
-    // same family — reassembling band values must reproduce the 48-bit
+    // 32 planes / 2-bit bands: band b bit i == bucketOf bit (2b+i) for the
+    // same family — reassembling band values must reproduce the 32-bit
     // signature bucketOf computes over the identical planes.
-    val planes = SimilarityOps.hyperplanes(64, 48)
+    val planes = SimilarityOps.hyperplanes(64, 32)
     val e = Tables.t(spark, sf0001, "embeddings").limit(50)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val sig = e.select(col("vec_id"),

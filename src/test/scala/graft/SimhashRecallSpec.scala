@@ -42,20 +42,39 @@ class SimhashRecallSpec extends SparkSpec {
   }
 
   test("pigeonhole blocking: candidates come from an equality join, not an all-pairs comparison") {
-    val df = DedupOps.simhashNearDupPairs(spark, sf0001)
-    val plan = df.queryExecution.analyzed.toString
     // the result is a localCheckpoint; re-derive the candidate subplan
-    // instead: block self-join on (blk, bval) must be an equi-join
+    // instead: block-pair self-join on the combo key must be an equi-join
     val fp = Tables.t(spark, sf0001, "documents")
       .select(col("doc_id"), graft.expressions.TextHashes.simhash64(col("text")).as("f"))
     val blocked = fp.select(col("doc_id"), col("f"),
-      explode(DedupOps.simhashBlocks(col("f"), 11)).as("b"))
+      explode(DedupOps.simhashBlockPairs(col("f"), 12)).as("b"))
     val cand = blocked.as("a").join(blocked.as("b"),
       col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
     cand.collect()
     val exec = cand.queryExecution.executedPlan.toString
     assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoop"),
       s"block join degenerated to all-pairs:\n$exec")
+  }
+
+  test("block pairs cover every 2-combination and agree with the single-block values") {
+    val df = Seq(0x123456789abcdef0L, -1L, Long.MinValue).toDF("f")
+      .select(col("f"), explode(DedupOps.simhashBlockPairs(col("f"), 12)).as("b"))
+      .select(col("f"), col("b.bi"), col("b.bj"), col("b.vi"), col("b.vj"))
+      .as[(Long, Int, Int, Long, Long)].collect()
+    val single = Seq(0x123456789abcdef0L, -1L, Long.MinValue).toDF("f")
+      .select(col("f"), explode(DedupOps.simhashBlocks(col("f"), 12)).as("b"))
+      .select(col("f"), col("b.blk"), col("b.bval"))
+      .as[(Long, Int, Long)].collect()
+      .map { case (f, i, v) => (f, i) -> v }.toMap
+    df.groupBy(_._1).foreach { case (f, rows) =>
+      assert(rows.length == 66, s"expected C(12,2)=66 combos for $f")
+      assert(rows.map(r => (r._2, r._3)).toSet ==
+        (for { i <- 0 until 12; j <- (i + 1) until 12 } yield (i, j)).toSet)
+    }
+    df.foreach { case (f, i, j, vi, vj) =>
+      assert(vi == single((f, i)) && vj == single((f, j)),
+        s"pair ($i,$j) of $f disagrees with single blocks")
+    }
   }
 
   test("simhashBlocks partitions all 64 bits: block values reassemble the fingerprint") {
