@@ -61,12 +61,41 @@ object TextOps {
 
   /** Document fingerprint over normalized text (lowercase, alnum+space
     * only). md5 prefix keeps the oracle SQL-expressible; the rolling-hash
-    * variant lives in Fingerprint (custom expression, rows-only check). */
+    * winnowing variant is q56 (`winnowFingerprint` below). */
   val fingerprint: Q = (s, d) =>
     t(s, d, "documents")
       .select(col("doc_id"),
         substring(md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
           .cast("binary")), 1, 16).as("fingerprint"))
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * local document fingerprinting scheme): hash every k=8 char-gram,
+    * slide a w=4 window over the hash sequence, keep each window's
+    * minimum, dedup — any shared substring of length ≥ k+w−1 guarantees
+    * a shared fingerprint, so the selected set supports partial-overlap
+    * detection exact hashing (q22) cannot. The gram hash is a djb2-style
+    * polynomial mod 1e9+7: every intermediate fits a long with room to
+    * spare, so Spark 4's ANSI overflow checking never fires and DuckDB
+    * mirrors the arithmetic exactly (WinnowSpec pins the subset/window
+    * coverage properties; docs shorter than k+w−1 have no window and are
+    * filtered). Emitted as (n_fps, fp_sum) — order-independent integer
+    * reductions of the fingerprint SET, so the two engines agree without
+    * caring how each orders array_distinct. */
+  val winnowFingerprint: Q = (s, d) =>
+    t(s, d, "documents")
+      .filter(length(col("text")) >= 11)
+      .withColumn("bytes",
+        expr("transform(sequence(1, length(text)), j -> ascii(substr(text, j, 1)))"))
+      .withColumn("gh", expr(
+        """transform(sequence(0, length(text) - 8),
+          |  i -> aggregate(slice(bytes, i + 1, 8), 5381L,
+          |         (h, b) -> (h * 33 + b) % 1000000007))""".stripMargin))
+      .withColumn("fps", expr(
+        """array_distinct(transform(sequence(0, size(gh) - 4),
+          |  i -> array_min(slice(gh, i + 1, 4))))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fps"),
+        expr("aggregate(fps, 0L, (a, x) -> a + x)").as("fp_sum"))
 
   /** Exact deduplication by content hash: one shuffle on the hash key,
     * map-side partial agg first. `keeper_doc_id` = min doc_id per group
@@ -158,9 +187,40 @@ object TextOps {
     "q23_dedup_exact" -> dedupExact,
     "q24_lang_id" -> langId,
     "q52_bpe_tokens" -> bpeTokenCount,
+    "q56_winnow_fps" -> winnowFingerprint,
   )
 
   val oracles: Map[String, String] = Map(
+    // mirrors winnowFingerprint: DuckDB range(a,b) is exclusive where
+    // Spark sequence(a,b) is inclusive (bounds shifted accordingly);
+    // n_fps/fp_sum are order-independent set reductions, so the two
+    // engines' array_distinct orderings cannot matter
+    "q56_winnow_fps" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) >= 11),
+        |b AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(1, n + 1),
+        |      j -> ascii(substr(text, j::INTEGER, 1))) AS bytes
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, n - 7), i ->
+        |      list_reduce(
+        |        list_prepend(5381::BIGINT,
+        |          list_transform(list_slice(bytes, (i + 1)::INTEGER, (i + 8)::INTEGER),
+        |            x -> x::BIGINT)),
+        |        (h, x) -> (h * 33 + x) % 1000000007)) AS gh
+        |  FROM b),
+        |sel AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, len(gh) - 3), i ->
+        |      list_min(list_slice(gh, (i + 1)::INTEGER, (i + 4)::INTEGER)))) AS fps
+        |  FROM g)
+        |SELECT doc_id, len(fps)::BIGINT AS n_fps,
+        |  list_aggregate(fps, 'sum')::BIGINT AS fp_sum
+        |FROM sel""".stripMargin,
     "q40_pipeline_filter" ->
       """WITH scored AS (
         |  SELECT doc_id, lang, md5(text) AS text_hash,
