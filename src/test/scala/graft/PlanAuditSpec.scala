@@ -51,4 +51,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("regexp"),
       s"fused form must not run regexp_replace:\n$plan")
   }
+
+  test("q55 scored match: corpus stats broadcast, no sort before the top-k") {
+    val plan = executedPlan(operators.Relational.scoredMatch(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row stats side must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy+limit should fuse into a top-k, not a global sort:\n$plan")
+  }
+
+  test("q56 winnowing: map-only — no shuffle, no join, one documents scan") {
+    val plan = executedPlan(functions.TextOps.winnowFingerprint(spark, sf0001))
+    assert(!plan.contains("Exchange"), s"winnowing must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"winnowing must not join:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one documents scan, got $scans:\n$plan")
+  }
+
+  test("q54 verify stage: candidate pairs join vectors via broadcast, no cartesian") {
+    val plan = executedPlan(functions.SimilarityOps.embeddingDupsBucketed(spark, sf0001))
+    // the result is a localCheckpoint scan; audit the candidate stage
+    // via the public pieces instead
+    val planes = functions.SimilarityOps.hyperplanes(64, 32)
+    val e = Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val banded = e.select(col("vec_id"),
+      explode(functions.SimilarityOps.signBands(col("v"), planes, 2)).as("b"))
+    val cand = banded.as("a").join(banded.as("b"),
+      col("a.b") === col("b.b") && col("a.vec_id") < col("b.vec_id"))
+    val candPlan = executedPlan(cand.select(col("a.vec_id"), col("b.vec_id")))
+    assert(!candPlan.contains("CartesianProduct"),
+      s"band candidates must come from an equi-join:\n$candPlan")
+  }
 }
