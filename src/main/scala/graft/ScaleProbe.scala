@@ -83,6 +83,24 @@ object ScaleProbe {
       println(f"SCALE n=$n%9d minhash_lsh_candidates ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       docs.unpersist()
     }
+    // winnowing fingerprint scan (q56, fused expression): map-only, so
+    // time must be ~linear in corpus size on a fixed-core box. (The
+    // interpreted-HOF twin measured 411 s at n=100k — 4 ms/doc of lambda
+    // boxing — which is why q56 runs the fused expression.)
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      val docs = synthDocs(n).persist()
+      docs.count()
+      val t0w = System.nanoTime()
+      docs
+        .filter(length(col("text")) >= 11)
+        .select(col("doc_id"),
+          graft.expressions.TextHashes.winnow_fingerprints(col("text")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+          expr("aggregate(fps, 0L, (a, x) -> a + x)").as("fp_sum"))
+        .write.format("noop").mode("overwrite").save()
+      println(f"SCALE n=$n%9d winnow_fingerprints ${(System.nanoTime() - t0w) / 1e9}%6.2f s")
+      docs.unpersist()
+    }
     // skew: 16M rows, 90% on one key — plain shuffle join vs salted vs AQE
     val n = 16000000L
     val big = spark.range(n).select(

@@ -38,6 +38,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => SimHash64(text)
         case _ => throw new IllegalArgumentException("simhash64(text)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => WinnowFingerprints(text, 8, 4, 1000000007L)
+        case Seq(text, k, w) =>
+          WinnowFingerprints(text, intArg(k, "k"), intArg(w, "w"), 1000000007L)
+        case _ => throw new IllegalArgumentException(
+          "winnow_fingerprints(text[, k, w])")
+      }))
   }
 }
 
@@ -55,5 +65,13 @@ object GraftExtensions {
       }, "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       args => SimHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fingerprints",
+      args => args match {
+        case Seq(t) => WinnowFingerprints(t, 8, 4, 1000000007L)
+        case Seq(t, Literal(k: Int, _), Literal(w: Int, _)) =>
+          WinnowFingerprints(t, k, w, 1000000007L)
+        case _ => throw new IllegalArgumentException(
+          "winnow_fingerprints(text[, k, w])")
+      }, "built-in")
   }
 }

@@ -39,6 +39,10 @@ object TextHashes {
   def text_stats(c: Column, sets: Seq[Seq[String]]): Column =
     column(TextStats(expression(c), sets))
 
+  def winnow_fingerprints(c: Column, k: Int = 8, w: Int = 4,
+      mod: Long = 1000000007L): Column =
+    column(WinnowFingerprints(expression(c), k, w, mod))
+
   private def expression(c: Column): Expression =
     org.apache.spark.sql.graftbridge.Bridge.expression(c)
 }
@@ -143,6 +147,42 @@ object TextHashRuntime {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints in one pass: gram hash = djb2-style
+    * polynomial (h*33 + codepoint) mod `mod` over k consecutive CODE
+    * POINTS (matching ascii(substr(text, j, 1)) per position), then the
+    * min of every w-window of the gram-hash sequence, deduped in
+    * first-occurrence order — bit-identical to the HOF pipeline in
+    * TextOps.winnowFingerprint's docstring (WinnowSpec equivalence). */
+  def winnow(text: UTF8String, k: Int, w: Int, mod: Long): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val nG = cps.length - k + 1
+    if (nG < w) return new GenericArrayData(Array.emptyLongArray)
+    val gh = new Array[Long](nG)
+    var i = 0
+    while (i < nG) {
+      var h = 5381L
+      var j = 0
+      while (j < k) { h = (h * 33 + cps(i + j)) % mod; j += 1 }
+      gh(i) = h
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val nW = nG - w + 1
+    i = 0
+    while (i < nW) {
+      var m = gh(i)
+      var j = 1
+      while (j < w) { if (gh(i + j) < m) m = gh(i + j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   private def shingleHash(toks: Array[UTF8String], i: Int, width: Int): Long = {
     val parts = new Array[UTF8String](width)
     var k = 0
@@ -230,6 +270,27 @@ case class TextStats(child: Expression, sets: Seq[Seq[String]])
   }
 
   override protected def withNewChildInternal(c: Expression): TextStats =
+    copy(child = c)
+}
+
+/** Winnowing fingerprint set (Schleimer et al.) — min-of-each-w-window
+  * over k-gram polynomial hashes, distinct, first-occurrence order. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int, mod: Long)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1 && mod > 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashRuntime.winnow(input.asInstanceOf[UTF8String], k, w, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextHashRuntime.winnow($c, $k, $w, ${mod}L);")
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
     copy(child = c)
 }
 

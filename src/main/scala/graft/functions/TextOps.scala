@@ -80,9 +80,27 @@ object TextOps {
     * coverage properties; docs shorter than k+w−1 have no window and are
     * filtered). Emitted as (n_fps, fp_sum) — order-independent integer
     * reductions of the fingerprint SET, so the two engines agree without
-    * caring how each orders array_distinct. */
+    * caring how each orders array_distinct.
+    *
+    * Runs through the fused WinnowFingerprints expression (one pass per
+    * row inside WholeStageCodegen): the composable HOF form below is
+    * semantically identical but interprets ~4 ms/doc — measured 400+ s
+    * for a 100 k-doc scan vs seconds fused — and is kept only as the
+    * equivalence twin (WinnowSpec proves bit-identical fingerprints). */
   val winnowFingerprint: Q = (s, d) =>
     t(s, d, "documents")
+      .filter(length(col("text")) >= 11)
+      .select(col("doc_id"),
+        graft.expressions.TextHashes.winnow_fingerprints(col("text")).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fps"),
+        expr("aggregate(fps, 0L, (a, x) -> a + x)").as("fp_sum"))
+
+  /** The interpreted-HOF twin of WinnowFingerprints — equivalence spec
+    * fodder only; never on a hot path. */
+  def winnowFingerprintHof(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .filter(length(col("text")) >= 11)
       .withColumn("bytes",
         expr("transform(sequence(1, length(text)), j -> ascii(substr(text, j, 1)))"))
@@ -93,9 +111,7 @@ object TextOps {
       .withColumn("fps", expr(
         """array_distinct(transform(sequence(0, size(gh) - 4),
           |  i -> array_min(slice(gh, i + 1, 4))))""".stripMargin))
-      .select(col("doc_id"),
-        size(col("fps")).cast("long").as("n_fps"),
-        expr("aggregate(fps, 0L, (a, x) -> a + x)").as("fp_sum"))
+      .select(col("doc_id"), col("fps"))
 
   /** Exact deduplication by content hash: one shuffle on the hash key,
     * map-side partial agg first. `keeper_doc_id` = min doc_id per group

@@ -36,6 +36,25 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("fused WinnowFingerprints expression == interpreted HOF pipeline (bit-identical arrays)") {
+    val docs = Tables.t(spark, sf0001, "documents").select("doc_id", "text")
+    val fused = docs.filter(length(col("text")) >= 11)
+      .select(col("doc_id"),
+        graft.expressions.TextHashes.winnow_fingerprints(col("text")).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val hof = TextOps.winnowFingerprintHof(docs)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused.keySet == hof.keySet)
+    fused.foreach { case (id, fps) =>
+      assert(fps == hof(id), s"doc $id: fused $fps vs HOF ${hof(id)}")
+    }
+    // codegen actually engaged (no CodegenFallback boxing)
+    val plan = docs.filter(length(col("text")) >= 11)
+      .select(graft.expressions.TextHashes.winnow_fingerprints(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || !plan.contains("Fallback"), plan)
+  }
+
   test("shared substring of length >= k+w-1 implies a shared fingerprint") {
     val shared = "abcdefghijk" // exactly k+w-1 = 11 chars
     val a = s"prefix one $shared tail xxxx"
