@@ -158,7 +158,33 @@ object Analytics {
         col("asof_order").as("last_order"))
   }
 
+  /** Sequence packing — the concat-and-chunk strategy of LLM
+    * pretraining pipelines: concatenate documents in a deterministic
+    * order, cut every `budget` tokens, and every chunk becomes one
+    * training sequence. A document belongs to the chunk its FIRST token
+    * lands in (bin = running-total-before ÷ budget). Packing is
+    * shard-local (shard = doc_id % 8): each shard packs independently
+    * under its own window, so at 100 TB the shuffle is one exchange on
+    * the shard key and no window ever sees more than corpus/shards rows
+    * — the global-window single-partition cliff never appears. Emitted
+    * per (shard, bin): docs packed, tokens filled, and the doc-id range
+    * the chunk covers. */
+  val sequencePack: Q = (s, d) => {
+    val budget = 2048
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_after", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum_after - n_tokens) div $budget"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_filled"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q57_sequence_pack" -> sequencePack,
     "q50_asof_join" -> asofJoin,
     "q46_incremental_dedup" -> incrementalDedup,
     "q47_stats_corr" -> statsCorr,
@@ -172,6 +198,20 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_sequence_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     - n_tokens) // 2048 AS bin
+        |  FROM toks)
+        |SELECT shard, bin, count(*) AS n_docs, sum(n_tokens) AS tok_filled,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM packed GROUP BY shard, bin""".stripMargin,
     "q50_asof_join" ->
       """WITH o2 AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_order
