@@ -373,7 +373,31 @@ object SimilarityOps {
     } finally cand.unpersist(false)
   }
 
+  /** Int8 scalar quantization of the embedding column — the storage
+    * scale play for ANN (4× smaller index, SIMD int8 dot products).
+    * Per vector: scale = max |x|, q_j = floor(x_j·127/scale) ∈
+    * [-127, 127]. floor, not round: round-half behavior differs between
+    * engines at exact .5 boundaries, floor never does, so scale (raw
+    * double), the quantized norm (exact integer), and the rounded
+    * reconstruction RMSE all hash-compare. The fold orders match the
+    * DuckDB oracle term for term. */
+  val embeddingQuant: Q = (s, d) =>
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("scale") > 0)
+      .withColumn("qv",
+        expr("transform(v, x -> cast(floor(x * 127.0 / scale) AS BIGINT))"))
+      .select(col("vec_id"), col("scale"),
+        expr("aggregate(qv, 0L, (a, x) -> a + x * x)").as("qnorm2"),
+        round(sqrt(expr(
+          """aggregate(zip_with(v, qv, (x, q) ->
+            |  (x - q * scale / 127.0) * (x - q * scale / 127.0)),
+            |  0D, (a, y) -> a + y)""".stripMargin) / size(col("v"))), 6)
+          .as("recon_rmse"))
+
   val queries: Map[String, Q] = Map(
+    "q58_embedding_quant" -> embeddingQuant,
     "q25_ann_cosine_topk" -> annCosineTopK,
     "q26_label_centroids" -> labelCentroidStats,
     "q38_ann_lsh_topk" -> annLshTopK,
@@ -474,6 +498,28 @@ object SimilarityOps {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    "q58_embedding_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM e WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x -> (floor(x * 127.0 / scale))::BIGINT) AS qv
+        |  FROM sc)
+        |SELECT vec_id, scale,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(qv, x -> x * x)),
+        |    (a, b) -> a + b) AS qnorm2,
+        |  round(sqrt(list_reduce(
+        |    list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, len(v) + 1), i ->
+        |        (v[i::INTEGER] - qv[i::INTEGER] * scale / 127.0)
+        |        * (v[i::INTEGER] - qv[i::INTEGER] * scale / 127.0))),
+        |    (a, y) -> a + y) / len(v)), 6) AS recon_rmse
+        |FROM q""".stripMargin,
     "q54_embedding_dups_lsh" -> bucketedDupOracle(32, 2, 0.35),
     "q51_embedding_dups" ->
       """WITH e AS (
