@@ -125,6 +125,53 @@ object Streams {
       }
   }
 
+  /** Streaming twin of Analytics.sequencePack (q57) — stateful
+    * concat-and-chunk packing for a training-data ingest: docs arrive in
+    * micro-batches keyed by shard, state carries each shard's running
+    * token total plus its open chunk, so chunk boundaries are stable
+    * across batches. A chunk is emitted once a later doc lands past it
+    * (append semantics); the open chunk stays in state. Docs pack in
+    * doc_id order within a batch and arrival order across batches — fed
+    * in doc_id order the closed chunks equal the batch q57 result minus
+    * each shard's final open chunk (SequencePackSpec proves it). State
+    * is ONE small struct per shard — bounded by shard count, no
+    * timeout needed. */
+  case class PackedBin(shard: Long, bin: Long, n_docs: Long,
+      tok_filled: Long, first_doc: Long, last_doc: Long)
+  case class PackState(cum: Long, open: PackedBin)
+
+  def packStream(docs: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+      budget: Long = 2048L)
+      : org.apache.spark.sql.Dataset[PackedBin] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs // (shard, doc_id, n_tokens)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PackState, PackedBin](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[PackState]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          var open = state.getOption.map(_.open).orNull
+          val closed = Seq.newBuilder[PackedBin]
+          rows.toSeq.sortBy(_._2).foreach { case (_, docId, n) =>
+            val bin = cum / budget
+            if (open == null)
+              open = PackedBin(shard, bin, 1L, n, docId, docId)
+            else if (bin == open.bin)
+              open = open.copy(n_docs = open.n_docs + 1,
+                tok_filled = open.tok_filled + n, last_doc = docId)
+            else {
+              closed += open
+              open = PackedBin(shard, bin, 1L, n, docId, docId)
+            }
+            cum += n
+          }
+          state.update(PackState(cum, open))
+          closed.result().iterator
+      }
+  }
+
   /** ST10/P10: CDC routing with per-batch config refresh — the fact/dim
     * table lists are re-read from `configPath` on EVERY micro-batch (the
     * reference re-reads Redis sets each batch, app/OdsBaseDbApp.scala:

@@ -47,6 +47,34 @@ class SequencePackSpec extends SparkSpec {
       docId: Long): Long =
     docs.collectFirst { case (id, s, n) if id == docId && s == shard => n }.get
 
+  test("streaming packStream closed chunks == batch q57 minus each shard's open chunk") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select((col("doc_id") % 8).as("shard"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.Streams.packStream(in.toDS())
+      .writeStream.format("memory").queryName("packed")
+      .outputMode("append").start()
+    try {
+      // three arbitrary batch cuts — chunk boundaries must not care
+      docs.grouped(docs.length / 3 + 1).foreach { b =>
+        in.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("packed")
+        .as[graft.streaming.Streams.PackedBin].collect()
+        .map(b => (b.shard, b.bin, b.n_docs, b.tok_filled, b.first_doc, b.last_doc))
+        .toSet
+      val batch = Analytics.sequencePack(spark, sf0001)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      val batchClosed = batch.groupBy(_._1).values
+        .flatMap(sbins => sbins.sortBy(_._2).init).toSet
+      assert(streamed == batchClosed,
+        s"missing=${(batchClosed -- streamed).take(3)} extra=${(streamed -- batchClosed).take(3)}")
+    } finally q.stop()
+  }
+
   test("q57 plan: the packing window partitions by shard (no global window)") {
     val df = Analytics.sequencePack(spark, sf0001)
     df.collect()
