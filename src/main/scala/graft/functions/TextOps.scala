@@ -121,6 +121,41 @@ object TextOps {
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
 
+  /** Repetition statistics — the Gopher-rule family of training-data
+    * quality filters (Rae et al., 2021 measure duplicate-line and
+    * top-n-gram fractions; the fixtures are single-line word streams, so
+    * the token-level forms carry the signal here): distinct-token count
+    * and the occurrence count of the most frequent bigram/trigram. All
+    * emissions are exact integers — downstream filters take ratios, the
+    * oracle hash-compares without any float concern. The per-row
+    * mode-of-n-grams is O(distinct × n) interpreted HOF work —
+    * acceptable for a quality pass over documents (~10k ops/doc); the
+    * fusion path exists (TextHashes) if a 100 TB run ever needs it. */
+  val repetitionStats: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      // guards: sequence(a, b) with b < a yields a DESCENDING sequence
+      // in Spark, so short docs must branch to an empty n-gram list
+      .withColumn("bgs", expr(
+        """if(size(toks) >= 2,
+          |  transform(sequence(1, size(toks) - 1),
+          |    i -> concat(toks[i - 1], ' ', toks[i])),
+          |  array())""".stripMargin))
+      .withColumn("tgs", expr(
+        """if(size(toks) >= 3,
+          |  transform(sequence(2, size(toks) - 1),
+          |    i -> concat(toks[i - 2], ' ', toks[i - 1], ' ', toks[i])),
+          |  array())""".stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        coalesce(expr("""array_max(transform(array_distinct(bgs),
+          |  b -> size(filter(bgs, x -> x = b))))""".stripMargin), lit(0))
+          .cast("long").as("top_bigram_n"),
+        coalesce(expr("""array_max(transform(array_distinct(tgs),
+          |  t -> size(filter(tgs, x -> x = t))))""".stripMargin), lit(0))
+          .cast("long").as("top_trigram_n"))
+
   val langWords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
@@ -204,9 +239,35 @@ object TextOps {
     "q24_lang_id" -> langId,
     "q52_bpe_tokens" -> bpeTokenCount,
     "q56_winnow_fps" -> winnowFingerprint,
+    "q59_repetition_stats" -> repetitionStats,
   )
 
   val oracles: Map[String, String] = Map(
+    "q59_repetition_stats" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(2, len(toks) + 1),
+        |        i -> toks[(i - 1)::INTEGER] || ' ' || toks[i::INTEGER])
+        |    ELSE []::VARCHAR[] END AS bgs,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(3, len(toks) + 1),
+        |        i -> toks[(i - 2)::INTEGER] || ' ' || toks[(i - 1)::INTEGER]
+        |             || ' ' || toks[i::INTEGER])
+        |    ELSE []::VARCHAR[] END AS tgs
+        |  FROM tk)
+        |SELECT doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  len(list_distinct(toks))::BIGINT AS n_distinct,
+        |  coalesce(list_max(list_transform(list_distinct(bgs),
+        |    bb -> len(list_filter(bgs, x -> x = bb)))), 0)::BIGINT
+        |    AS top_bigram_n,
+        |  coalesce(list_max(list_transform(list_distinct(tgs),
+        |    tt -> len(list_filter(tgs, x -> x = tt)))), 0)::BIGINT
+        |    AS top_trigram_n
+        |FROM b""".stripMargin,
     // mirrors winnowFingerprint: DuckDB range(a,b) is exclusive where
     // Spark sequence(a,b) is inclusive (bounds shifted accordingly);
     // n_fps/fp_sum are order-independent set reductions, so the two

@@ -1,0 +1,39 @@
+package graft
+
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
+
+/** q59 (Gopher-style repetition stats) edge cases and an independent
+  * recomputation on fixture docs. */
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("edge cases: single-token and fully-repetitive docs") {
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq((1L, "solo"), (2L, "ha ha ha ha"), (3L, "a b a b a b"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.repetitionStats(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((1L, 1L, 0L, 0L)))       // no n-grams at all
+    assert(got(2L) == ((4L, 1L, 3L, 2L)))       // "ha ha" x3, "ha ha ha" x2
+    assert(got(3L) == ((6L, 2L, 3L, 2L)))       // "a b" x3, "a b a" x2
+  }
+
+  test("fixture docs match an independent driver-side recomputation") {
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().take(100)
+    val got = TextOps.repetitionStats(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val bgs = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val tgs = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      def top(xs: Seq[String]) =
+        if (xs.isEmpty) 0L else xs.groupBy(identity).values.map(_.size).max.toLong
+      assert(got(id) == ((toks.length.toLong, toks.distinct.length.toLong,
+        top(bgs), top(tgs))), s"doc $id")
+    }
+  }
+}
