@@ -43,6 +43,9 @@ object TextHashes {
       mod: Long = 1000000007L): Column =
     column(WinnowFingerprints(expression(c), k, w, mod))
 
+  def repetition_stats(c: Column): Column =
+    column(RepetitionStats(expression(c)))
+
   private def expression(c: Column): Expression =
     org.apache.spark.sql.graftbridge.Bridge.expression(c)
 }
@@ -183,6 +186,36 @@ object TextHashRuntime {
     new GenericArrayData(out)
   }
 
+  /** Repetition stats in one pass: [n_tokens, n_distinct, top_bigram_n,
+    * top_trigram_n] — same token split as everywhere (split(text, ' ')
+    * keeping empties); n-gram keys join tokens with a single space, so
+    * counts equal the HOF concat form exactly (RepetitionSpec). */
+  def repetitionStats(text: UTF8String): ArrayData = {
+    val toks = text.split(SPACE, -1)
+    val n = toks.length
+    val distinct = new java.util.HashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n) { distinct.add(toks(i)); i += 1 }
+    def topGram(width: Int): Long = {
+      if (n < width) return 0L
+      val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+      var best = 0
+      var j = 0
+      while (j <= n - width) {
+        val parts = new Array[UTF8String](width)
+        var k = 0
+        while (k < width) { parts(k) = toks(j + k); k += 1 }
+        val g = UTF8String.concatWs(SPACE, parts: _*)
+        val c = counts.merge(g, 1, (a, b) => a + b)
+        if (c > best) best = c
+        j += 1
+      }
+      best.toLong
+    }
+    new GenericArrayData(Array(n.toLong, distinct.size.toLong,
+      topGram(2), topGram(3)))
+  }
+
   private def shingleHash(toks: Array[UTF8String], i: Int, width: Int): Long = {
     val parts = new Array[UTF8String](width)
     var k = 0
@@ -291,6 +324,26 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, mod: Long)
       s"${ev.value} = graft.expressions.TextHashRuntime.winnow($c, $k, $w, ${mod}L);")
 
   override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
+/** [n_tokens, n_distinct, top_bigram_n, top_trigram_n] in one pass —
+  * the q59 Gopher-rule inputs. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashRuntime.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextHashRuntime.repetitionStats($c);")
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
     copy(child = c)
 }
 

@@ -20,6 +20,16 @@ class RepetitionSpec extends SparkSpec {
     assert(got(3L) == ((6L, 2L, 3L, 2L)))       // "a b" x3, "a b a" x2
   }
 
+  test("fused RepetitionStats expression == interpreted HOF pipeline") {
+    val docs = Tables.t(spark, sf0001, "documents").select("doc_id", "text")
+    val fused = TextOps.repetitionStats(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val hof = TextOps.repetitionStatsHof(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(fused == hof,
+      s"diff=${(fused -- hof).take(3)} / ${(hof -- fused).take(3)}")
+  }
+
   test("fixture docs match an independent driver-side recomputation") {
     val docs = Tables.t(spark, sf0001, "documents")
       .select("doc_id", "text").as[(Long, String)].collect().take(100)
