@@ -170,6 +170,30 @@ object TextOps {
           |  t -> size(filter(tgs, x -> x = t))))""".stripMargin), lit(0))
           .cast("long").as("top_trigram_n"))
 
+  /** Deterministic mixture sampling — the domain-reweighting step of a
+    * training-data pipeline (down-sample over-represented languages to a
+    * target mixture): keep a doc iff a uniform hash of its id falls
+    * under its language's rate. The hash is Knuth-multiplicative mod a
+    * prime — pure integer arithmetic both engines compute identically
+    * (exact up to doc_id ≈ 3.5e9 before 64-bit overflow; swap in a
+    * 128-bit or split-multiply hash beyond that). Deterministic: re-runs
+    * and the oracle pick the SAME docs, no RNG state anywhere. Emission
+    * is per-lang totals plus kept ids' checksum, all exact integers. */
+  val mixtureSample: Q = (s, d) => {
+    val rates = Map("en" -> 0.4, "zh" -> 1.0, "es" -> 1.0, "de" -> 1.0, "fr" -> 1.0)
+    val p = 1000003L
+    val rateCol = rates.foldLeft(lit(1.0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    t(s, d, "documents")
+      .withColumn("u", pmod(col("doc_id") * 2654435761L, lit(p)))
+      .withColumn("keep", col("u") < rateCol * p)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+  }
+
   val langWords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
@@ -254,9 +278,23 @@ object TextOps {
     "q52_bpe_tokens" -> bpeTokenCount,
     "q56_winnow_fps" -> winnowFingerprint,
     "q59_repetition_stats" -> repetitionStats,
+    "q60_mixture_sample" -> mixtureSample,
   )
 
   val oracles: Map[String, String] = Map(
+    "q60_mixture_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang,
+        |    (doc_id * 2654435761) % 1000003 AS u,
+        |    CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 1.0
+        |      WHEN 'es' THEN 1.0 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 1.0
+        |      ELSE 1.0 END AS rate
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_total,
+        |  sum(CASE WHEN u < rate * 1000003 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  sum(CASE WHEN u < rate * 1000003 THEN doc_id ELSE 0 END)::BIGINT
+        |    AS kept_id_sum
+        |FROM k GROUP BY lang""".stripMargin,
     "q59_repetition_stats" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -4,9 +4,27 @@ import graft.functions.TextOps
 import org.apache.spark.sql.functions._
 
 /** q59 (Gopher-style repetition stats) edge cases and an independent
-  * recomputation on fixture docs. */
+  * recomputation on fixture docs, plus q60 mixture-sampling properties. */
 class RepetitionSpec extends SparkSpec {
   import spark.implicits._
+
+  test("q60 mixture sampling: deterministic, rate-tracking, full-keep for rate-1 langs") {
+    val r1 = TextOps.mixtureSample(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val r2 = TextOps.mixtureSample(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(r1 == r2, "hash sampling must be run-deterministic")
+    val byLang = r1.map(r => r._1 -> r).toMap
+    // rate-1.0 languages keep everything
+    Seq("zh", "es", "de", "fr").foreach { l =>
+      val (_, total, kept, _) = byLang(l)
+      assert(kept == total, s"$l: rate-1.0 must keep all ($kept/$total)")
+    }
+    // en down-samples near its 0.4 target (binomial tolerance on ~200 docs)
+    val (_, enTotal, enKept, _) = byLang("en")
+    val rate = enKept.toDouble / enTotal
+    assert(rate > 0.25 && rate < 0.55, s"en realized rate $rate far from 0.4")
+  }
 
   test("edge cases: single-token and fully-repetitive docs") {
     val dir = java.nio.file.Files.createTempDirectory("rep").toString
