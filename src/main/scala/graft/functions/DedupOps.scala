@@ -251,6 +251,29 @@ object DedupOps {
     } finally { cand.unpersist(false); candDocs.unpersist(false) }
   }
 
+  /** Benchmark decontamination — the eval-leak check every training
+    * pipeline runs beside dedup: a training doc is contaminated if it
+    * shares word-3-gram shingles with the benchmark set (here the
+    * doc_id < 20 slice stands in for an eval suite; production swaps in
+    * the real benchmark table). Shape: the benchmark shingle set is
+    * TINY and broadcast; the corpus streams past it — one scan, no
+    * corpus-side shuffle before the per-doc count, so it scales as a
+    * map-side join however large the training side grows. Emission:
+    * every contaminated doc with its distinct shared-shingle count
+    * (exact integers). */
+  val decontaminate: Q = (s, d) => {
+    val sh = (df: DataFrame) => df
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(split(col("text"), " ")))).as("shingle"))
+    val docs = t(s, d, "documents")
+    val bench = sh(docs.filter(col("doc_id") < 20))
+      .select(col("shingle")).distinct()
+    sh(docs.filter(col("doc_id") >= 20))
+      .join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Token-set Jaccard similarity pairs (1-gram variant, SQL-expressible
     * oracle). Restricted to doc_id < 200 — pairwise is the verification
     * tier, not the scale path (see header). */
@@ -449,9 +472,21 @@ object DedupOps {
     "q27_jaccard_pairs" -> jaccardPairs,
     "q28_minhash_lsh" -> minhashLsh,
     "q29_simhash" -> simhashNearDupPairs,
+    "q61_decontaminate" -> decontaminate,
   )
 
   val oracles: Map[String, String] = Map(
+    "q61_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))) AS shingle
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+        |SELECT s.doc_id, count(*) AS n_shared
+        |FROM sh s JOIN bench b ON s.shingle = b.shingle
+        |WHERE s.doc_id >= 20
+        |GROUP BY s.doc_id""".stripMargin,
     "q41_shingle_jaccard" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text,' ') AS toks

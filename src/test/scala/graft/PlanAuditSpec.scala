@@ -68,6 +68,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"expected one documents scan, got $scans:\n$plan")
   }
 
+  test("q61 decontamination: benchmark side broadcast — no corpus-side shuffle before the count") {
+    val plan = executedPlan(functions.DedupOps.decontaminate(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the tiny benchmark shingle set must broadcast:\n$plan")
+    // the corpus (streamed) side runs scan → explode → join with no
+    // shuffle: in the plan text that is the segment between the join and
+    // the broadcast subtree. (The bench side's own distinct shuffle and
+    // the final per-doc count shuffle are expected and benign.)
+    val streamed = plan.substring(plan.indexOf("BroadcastHashJoin"),
+      plan.indexOf("BroadcastQueryStage"))
+    assert(!streamed.contains("Exchange"),
+      s"corpus side must reach the join unshuffled:\n$plan")
+  }
+
   test("q54 verify stage: candidate pairs join vectors via broadcast, no cartesian") {
     val plan = executedPlan(functions.SimilarityOps.embeddingDupsBucketed(spark, sf0001))
     // the result is a localCheckpoint scan; audit the candidate stage
