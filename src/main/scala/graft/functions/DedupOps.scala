@@ -189,12 +189,17 @@ object DedupOps {
 
   /** SimHash near-dup pairs with exact-Jaccard verification — q29, the
     * third dedup family's end-to-end query. Candidates come from the
-    * block-PAIR pigeonhole join (12 blocks, C(12,2)=66 pair keys:
-    * hamming ≤ 10 leaves ≥2 clean blocks, so some pair matches exactly;
-    * production SimHash typically runs hamming ≤ 3, but the fixtures'
-    * engineered jaccard-0.5 near-dups reach hamming 9, and recall must be
-    * 1.0 for the oracle — SimhashRecallSpec guards it per fixture), then
-    * exact hamming filters, then exact shingle-set Jaccard verifies.
+    * SINGLE-block pigeonhole join (hammingMax+1 = 10 blocks of 6-7 bits:
+    * hamming ≤ 9 leaves ≥1 clean block that matches exactly; production
+    * SimHash typically runs hamming ≤ 3, but the fixtures' engineered
+    * jaccard-0.5 near-dups reach hamming 9, and recall must be 1.0 for
+    * the oracle — SimhashRecallSpec guards it per fixture), then exact
+    * hamming filters, then exact shingle-set Jaccard verifies. The
+    * block-PAIR variant (simhashBlockPairs above) emits far fewer raw
+    * join rows but explodes 66 structs/doc instead of 10 and measured
+    * slower end-to-end here, because on this correlated corpus the
+    * Jaccard VERIFY tier — ~3% of all pairs sit within hamming 10 —
+    * dominates regardless of which blocking feeds it.
     * Because the verify step recomputes TRUE Jaccard, the output equals
     * the brute-force shingle-Jaccard pair set whenever blocking+hamming
     * recall is 1.0 — so q29 shares q28's SQL oracle. Same memory
@@ -258,18 +263,24 @@ object DedupOps {
     * the real benchmark table). Shape: the benchmark shingle set is
     * TINY and broadcast; the corpus streams past it — one scan, no
     * corpus-side shuffle before the per-doc count, so it scales as a
-    * map-side join however large the training side grows. Emission:
-    * every contaminated doc with its distinct shared-shingle count
-    * (exact integers). */
+    * map-side join however large the training side grows. Both sides
+    * shingle through the fused ShingleHashes expression (~10 µs/doc vs
+    * ~4 ms/doc for the interpreted HOF twin) and join on the 8-byte
+    * hash, not the shingle string — counts equal the string join modulo
+    * 64-bit collisions (the same argument q28/q29's verify tier
+    * already rests on), and the 8-byte key broadcasts and probes far
+    * cheaper than variable-length strings. The DuckDB oracle keeps the
+    * string form. Emission: every contaminated doc with its distinct
+    * shared-shingle count (exact integers). */
   val decontaminate: Q = (s, d) => {
     val sh = (df: DataFrame) => df
       .select(col("doc_id"),
-        explode(array_distinct(shingles3(split(col("text"), " ")))).as("shingle"))
+        explode(graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("h"))
     val docs = t(s, d, "documents")
     val bench = sh(docs.filter(col("doc_id") < 20))
-      .select(col("shingle")).distinct()
+      .select(col("h")).distinct()
     sh(docs.filter(col("doc_id") >= 20))
-      .join(broadcast(bench), "shingle")
+      .join(broadcast(bench), "h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }

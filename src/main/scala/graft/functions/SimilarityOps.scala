@@ -336,16 +336,27 @@ object SimilarityOps {
     * sides, candidate-join on (band, value), verify EXACT cosine within
     * candidates. Semantics are "band-collision pairs with cosine ≥ t"
     * (the oracle replicates the banding with literal planes, as q38's
-    * does); EmbeddingDedupSpec measures recall vs the exact pair set —
-    * 16 bands × 2 bits reaches recall 1.0 on both fixtures even at the
-    * weak t=0.35 the natural fixtures require (24 bands also does, at
-    * ~1.8× the join cost — measured 7.8 s vs 4.3 s on sf0.1), and at a production dedup
-    * threshold (0.9 ⇒ per-plane agreement .856) the same banding prunes
-    * aggressively. Shuffle cost: the band explode carries only
+    * does), so correctness holds at ANY banding parameters; the
+    * parameters set the recall/cost point, and the defaults here are
+    * chosen for SELECTIVITY — 16 bands × 8 bits over 128 planes keys
+    * each band on 256 values, so a random pair collides with prob
+    * 16/256 ≈ 6% and the candidate join stays ~7% of all pairs
+    * (measured on sf0.1) instead of the 4×-worse-than-brute-force blowup
+    * that 2-bit bands produced. The price is honest LSH recall: at the
+    * fixtures' weak t=0.35 (69° apart — per-plane agreement only .61,
+    * barely above random) recall vs the exact pair set is ~0.3
+    * (EmbeddingDedupSpec pins the measured floor); at a production
+    * near-dup threshold (0.9 ⇒ per-plane agreement .856, band collision
+    * .856⁸ = .29) the same banding catches a pair with prob
+    * 1−(1−.29)¹⁶ ≈ .996 — the spec proves recall 1.0 on seeded
+    * synthetic dup pairs at cosine ≥ .95. Callers needing high recall at
+    * weak thresholds should widen bands (fewer bits) or fall back to the
+    * exact tier (q51) — no sign-LSH parameterization is both selective
+    * and high-recall at 69°. Shuffle cost: the band explode carries only
     * (vec_id, band, bv) — vectors join back by id for the verify step,
     * so the ×nBands blowup never ships the embeddings themselves. */
-  def embeddingDupsBucketed(s: SparkSession, d: String, nPlanes: Int = 32,
-      bandBits: Int = 2, threshold: Double = 0.35): DataFrame = {
+  def embeddingDupsBucketed(s: SparkSession, d: String, nPlanes: Int = 128,
+      bandBits: Int = 8, threshold: Double = 0.35): DataFrame = {
     val planes = hyperplanes(64, nPlanes)
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -520,7 +531,7 @@ object SimilarityOps {
         |        * (v[i::INTEGER] - qv[i::INTEGER] * scale / 127.0))),
         |    (a, y) -> a + y) / len(v)), 6) AS recon_rmse
         |FROM q""".stripMargin,
-    "q54_embedding_dups_lsh" -> bucketedDupOracle(32, 2, 0.35),
+    "q54_embedding_dups_lsh" -> bucketedDupOracle(128, 8, 0.35),
     "q51_embedding_dups" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v

@@ -205,11 +205,12 @@ object Analytics {
         |  FROM documents),
         |packed AS (
         |  SELECT shard, doc_id, n_tokens,
-        |    (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |     - n_tokens) // 2048 AS bin
+        |     - n_tokens) // 2048 AS BIGINT) AS bin
         |  FROM toks)
-        |SELECT shard, bin, count(*) AS n_docs, sum(n_tokens) AS tok_filled,
+        |SELECT shard, bin, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tok_filled,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM packed GROUP BY shard, bin""".stripMargin,
     "q50_asof_join" ->

@@ -3,11 +3,16 @@ package graft
 import graft.functions.SimilarityOps
 import org.apache.spark.sql.functions._
 
-/** Guards q54 (banded hyperplane-LSH embedding dedup): its banding must
-  * recall every exact cosine-≥-0.35 pair on both driver fixtures (the
-  * planes and data are deterministic, so recall is a fixed number per
-  * corpus — measured 1.0 at 16 bands × 2 bits), and its candidates must
-  * come from an equality join, never an all-pairs comparison. */
+/** Guards q54 (banded hyperplane-LSH embedding dedup). The banding is
+  * parameterized for SELECTIVITY (16 bands × 8 bits over 128 planes):
+  * candidates must stay a small fraction of all pairs — the previous
+  * 2-bit bands emitted ~4× MORE join rows than brute force, which is
+  * the one thing an LSH join must never do. The price, pinned here, is
+  * honest LSH recall at the fixtures' weak t=0.35 (69° apart is barely
+  * better than random for sign bits); at a production near-dup
+  * threshold the same banding recalls everything, proven on seeded
+  * synthetic dup pairs. q54's oracle replicates the banding, so these
+  * parameters are a recall/cost choice, not a correctness one. */
 class EmbeddingDedupSpec extends SparkSpec {
   import spark.implicits._
 
@@ -21,26 +26,83 @@ class EmbeddingDedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
   }
 
-  test("q54 banding recalls the full exact pair set on sf0.001 AND the driver's sf0.01") {
+  test("q54 emits band-collision ∩ exact-cosine pairs: a subset of the exact set, recall ≥ pinned floor") {
+    // planes and fixtures are deterministic, so recall is a fixed number
+    // per corpus: measured 0.3035 (sf0.001) / 0.3100 (sf0.01) at t=0.35.
+    // The floor is set just below; a parameter change that collapses
+    // recall (e.g. 16-bit bands → 0.004 measured offline) trips it.
     for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
       val got = SimilarityOps.embeddingDupsBucketed(spark, dir)
         .as[(Long, Long, Double)].collect().toSet
       val exact = exactPairs(dir)
       assert(exact.size > 200, s"$dir fixture should have a few hundred ≥0.35 pairs")
-      val missed = exact -- got
-      assert(missed.isEmpty, s"$dir: banding missed ${missed.size} pairs, e.g. ${missed.take(5)}")
-      // q54's semantics are band-collision ∩ cosine≥t, so got ⊆ exact too:
       val extra = got -- exact
       assert(extra.isEmpty, s"$dir: pairs outside the exact set: ${extra.take(5)}")
+      val recall = (got & exact).size.toDouble / exact.size
+      info(s"$dir: recall ${f"$recall%.4f"} (${got.size}/${exact.size})")
+      assert(recall >= 0.20, s"$dir: recall $recall below pinned floor 0.20")
     }
   }
 
+  test("the candidate join is selective: raw join rows ≤ 15% of all pairs (2-bit bands were 400%)") {
+    val planes = SimilarityOps.hyperplanes(64, 128)
+    val e = Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = e.count()
+    val banded = e.select(col("vec_id"),
+      explode(SimilarityOps.signBands(col("v"), planes, 8)).as("b"))
+    val raw = banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.vec_id") < col("b.vec_id"))
+      .count()
+    val allPairs = n * (n - 1) / 2
+    info(s"raw candidate rows: $raw of $allPairs all-pairs (${f"${100.0 * raw / allPairs}%.1f"}%)")
+    assert(raw <= allPairs * 0.15,
+      s"band join emitted $raw raw rows — more than 15% of $allPairs pairs; " +
+        "the banding has degenerated toward (or past) brute force")
+  }
+
+  test("production-threshold recall: every seeded synthetic dup pair (cos ≥ .9) collides on some band") {
+    // 100 base gaussians (dim 64) + perturbed copies at cosine ≈ .98:
+    // per-plane agreement .936, band collision .936^8 ≈ .59, miss
+    // probability (1-.59)^16 ≈ 7e-7 per pair — and the fixed seed makes
+    // the measured 100/100 a frozen fact, not a coin flip.
+    val rnd = new java.util.Random(12345L)
+    def gauss() = Array.fill(64)(rnd.nextGaussian())
+    def unit(a: Array[Double]) = {
+      val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n)
+    }
+    val rows = (0 until 100).flatMap { i =>
+      val base = unit(gauss())
+      val dup = unit(base.zip(unit(gauss())).map { case (x, g) => x + 0.2 * g })
+      Seq((i.toLong, base.toSeq), (i.toLong + 100, dup.toSeq))
+    }
+    val e = rows.toDF("vec_id", "v")
+    val planes = SimilarityOps.hyperplanes(64, 128)
+    val banded = e.select(col("vec_id"),
+      explode(SimilarityOps.signBands(col("v"), planes, 8)).as("b"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+      .as[(Long, Long)].collect().toSet
+    val truePairs = (0L until 100L).map(i => (i, i + 100))
+    // guard the premise: the perturbation really produced ≥0.9-cosine dups
+    val cos = e.as("a").join(e.as("b"),
+        col("a.vec_id") + 100 === col("b.vec_id"))
+      .select(SimilarityOps.cosine(col("a.v"), col("b.v")).as("c"))
+      .as[Double].collect()
+    assert(cos.forall(_ >= 0.9), s"perturbation too strong: min cosine ${cos.min}")
+    val missed = truePairs.filterNot(cand.contains)
+    assert(missed.isEmpty,
+      s"banding missed ${missed.size}/100 production-grade dup pairs: ${missed.take(5)}")
+  }
+
   test("candidates come from an equality join on (band, value), not an all-pairs comparison") {
-    val planes = SimilarityOps.hyperplanes(64, 32)
+    val planes = SimilarityOps.hyperplanes(64, 128)
     val e = Tables.t(spark, sf0001, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val banded = e.select(col("vec_id"),
-      explode(SimilarityOps.signBands(col("v"), planes, 2)).as("b"))
+      explode(SimilarityOps.signBands(col("v"), planes, 8)).as("b"))
     val cand = banded.as("a").join(banded.as("b"),
       col("a.b") === col("b.b") && col("a.vec_id") < col("b.vec_id"))
     cand.collect()

@@ -37,6 +37,30 @@ def norm(rows, cols):
         out.append(tuple(row[i] for i in order))
     return sorted(cols), sorted(out, key=lambda r: tuple(str(x) for x in r))
 
+def type_cat(t):
+    """Canonical type category for the spark-vs-duckdb schema guard.
+    Calibrated against driver rounds: any int width hashes alike (int32
+    vs BIGINT was hash-green in r04), but HUGEINT — what DuckDB returns
+    for sum(BIGINT) — and DECIMAL hash DIFFERENTLY from int64 even when
+    values are equal (the q57 r04 failure: Python's 1 == Decimal(1)
+    masked it locally). Keep them as their own categories."""
+    t = str(t).lower()
+    if t.startswith("decimal"):
+        return t  # exact precision/scale must agree
+    if t == "hugeint":
+        return "hugeint"
+    if t in ("int8", "int16", "int32", "int64", "uint8", "uint16",
+             "uint32", "uint64", "tinyint", "smallint", "integer", "bigint"):
+        return "int"
+    if t in ("float", "double", "real", "halffloat"):
+        return "float"
+    if t in ("string", "large_string", "varchar"):
+        return "str"
+    if t in ("bool", "boolean"):
+        return "bool"
+    return t
+
+
 def close(a, b):
     if a == b:
         return True
@@ -64,6 +88,16 @@ for name in sorted(json.loads(Path(f"{OUT}/oracle_sql.json").read_text())):
     dc, dr = norm(drows, dcols)
     if sc != dc:
         print(f"FAIL {name}: columns spark={sc} duck={dc}"); fails += 1; continue
+    stypes = {f.name: f.type for f in tbl.schema}
+    tbad = [(c, stypes[c], t) for c, t in zip(res.columns, res.types)
+            if type_cat(stypes[c]) != type_cat(t)]
+    if tbad:
+        c, st, dt = tbad[0]
+        print(f"FAIL {name}: type mismatch on '{c}': spark={st} duck={dt} "
+              f"(values may compare equal here but the driver hash encodes "
+              f"the type — CAST the oracle column)")
+        fails += 1
+        continue
     if len(sr) != len(dr):
         print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}"); fails += 1; continue
     bad = exact_bad = 0
