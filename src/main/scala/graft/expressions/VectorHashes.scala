@@ -1,0 +1,133 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Fused custom Catalyst expressions for the embedding/set tier — same
+  * rationale as TextHashes: the composable Column forms (zip_with +
+  * aggregate dots, array_intersect) are correct but interpreted
+  * per-element; these do the identical math in one tight primitive-array
+  * pass and stay inside WholeStageCodegen.
+  *
+  * - SignBandVals: all hyperplane dot products of one banding family in
+  *   a single pass (q54's banding ran 128 interpreted HOF dots/row —
+  *   ~ms/row; fused is ~µs/row). Accumulation order matches the
+  *   zip_with+aggregate composition term for term, so sign decisions —
+  *   and therefore band values — are bit-identical
+  *   (EmbeddingDedupSpec equivalence test).
+  * - SortedIntersectCount: |A ∩ B| of two SORTED distinct long arrays
+  *   by linear merge — replaces size(array_intersect(...)), which
+  *   builds a hash set per pair, in the dedup verify tiers where pairs
+  *   vastly outnumber documents (sort once per doc, merge per pair).
+  */
+object VectorHashes {
+
+  def column(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+
+  private def expression(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.Bridge.expression(c)
+
+  def sign_band_vals(v: Column, planes: Seq[Seq[Double]], bandBits: Int): Column =
+    column(SignBandVals(expression(v), planes, bandBits))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
+}
+
+object VectorRuntime {
+
+  /** Band values of a sign-bit hyperplane family: band b's value packs
+    * the sign bits of planes [b·bandBits, (b+1)·bandBits). planesFlat is
+    * row-major (plane p occupies [p·dims, (p+1)·dims)). The inner dot
+    * accumulates left to right from 0.0 — the exact fp operation order
+    * of aggregate(zip_with(v, plane, _*_), 0.0, _+_). */
+  def signBandVals(v: ArrayData, planesFlat: Array[Double], dims: Int,
+      bandBits: Int): ArrayData = {
+    val x = v.toDoubleArray()
+    val nPlanes = planesFlat.length / dims
+    val out = new Array[Long](nPlanes / bandBits)
+    var p = 0
+    while (p < nPlanes) {
+      var acc = 0.0
+      val off = p * dims
+      var i = 0
+      while (i < dims) { acc += x(i) * planesFlat(off + i); i += 1 }
+      if (acc > 0) out(p / bandBits) |= 1L << (p % bandBits)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Intersection size of two ascending-sorted distinct long arrays. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val x = a.toLongArray(); val y = b.toLongArray()
+    var i = 0; var j = 0; var c = 0L
+    while (i < x.length && j < y.length) {
+      if (x(i) < y(j)) i += 1
+      else if (x(i) > y(j)) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+}
+
+/** array<bigint> of band values for one vector under a literal
+  * hyperplane family — the fused twin of SimilarityOps.signBands
+  * (which stays as the spec-proven reference composition). */
+case class SignBandVals(child: Expression, planes: Seq[Seq[Double]],
+    bandBits: Int) extends UnaryExpression {
+  require(planes.nonEmpty && bandBits >= 1 && planes.length % bandBits == 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_band_vals"
+
+  private val dims = planes.head.length
+  @transient private lazy val flat: Array[Double] = {
+    val out = new Array[Double](planes.length * dims)
+    var p = 0
+    while (p < planes.length) {
+      val src = planes(p)
+      var i = 0
+      while (i < dims) { out(p * dims + i) = src(i); i += 1 }
+      p += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorRuntime.signBandVals(input.asInstanceOf[ArrayData], flat, dims, bandBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signBandPlanes", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.VectorRuntime.signBandVals($c, $ref, $dims, $bandBits);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignBandVals =
+    copy(child = c)
+}
+
+/** |A ∩ B| over two sorted distinct array<bigint> columns. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorRuntime.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.VectorRuntime.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SortedIntersectCount = copy(left = l, right = r)
+}

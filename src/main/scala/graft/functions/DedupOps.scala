@@ -107,15 +107,19 @@ object DedupOps {
       // is safe at any size and AQE still broadcasts it when it fits.
       val candIds = cand
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      // hs sorted ONCE per doc so the per-pair intersection is a linear
+      // merge (fused SortedIntersectCount) instead of a hash-set build
+      // (array_intersect) — pairs outnumber docs, so the sort amortizes
       val candDocs = t(s, d, "documents")
         .join(candIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"),
-          graft.expressions.TextHashes.shingle_hashes(col("text"), 3).as("hs"))
+        .select(col("doc_id"), sort_array(
+          graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("hs"))
         .filter(size(col("hs")) > 0)
       val shA = candDocs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
       val shB = candDocs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
       cand.join(shA, "doc_a").join(shB, "doc_b")
-        .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .withColumn("inter", graft.expressions.VectorHashes
+          .sorted_intersect_count(col("hs_a"), col("hs_b")))
         .withColumn("jaccard", round(col("inter") /
           (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
         .filter(col("jaccard") >= 0.5)
@@ -224,8 +228,8 @@ object DedupOps {
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val candDocs = t(s, d, "documents")
       .join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        graft.expressions.TextHashes.shingle_hashes(col("text"), 3).as("hs"))
+      .select(col("doc_id"), sort_array(
+        graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("sz", size(col("hs")))
       .persist()
@@ -247,7 +251,8 @@ object DedupOps {
       pruned
         .join(candDocs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
         .join(candDocs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-        .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .withColumn("inter", graft.expressions.VectorHashes
+          .sorted_intersect_count(col("hs_a"), col("hs_b")))
         .withColumn("jaccard", round(col("inter") /
           (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
         .filter(col("jaccard") >= 0.5)

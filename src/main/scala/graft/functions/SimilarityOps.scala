@@ -360,10 +360,15 @@ object SimilarityOps {
     val planes = hyperplanes(64, nPlanes)
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // fused banding: one primitive-array pass per row computes all
+    // nPlanes dots (the signBands composition — kept as the spec
+    // reference — runs them as interpreted HOFs, ~ms/row at 128 planes)
     val banded = e.select(col("vec_id"),
-      explode(signBands(col("v"), planes, bandBits)).as("b"))
+      posexplode(graft.expressions.VectorHashes.sign_band_vals(
+        col("v"), planes.toSeq.map(_.toSeq), bandBits)).as(Seq("band", "bv")))
     val cand = banded.as("a").join(banded.as("b"),
-        col("a.b") === col("b.b") && col("a.vec_id") < col("b.vec_id"))
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
       .persist()

@@ -109,4 +109,20 @@ class DedupSpec extends SparkSpec {
       .select(size(DedupOps.shingles3(split(col("text"), " "))).as("n"))
     assert(df.as[Int].collect().toSeq == Seq(0, 1, 2))
   }
+
+  test("SortedIntersectCount ≡ size(array_intersect) on every fixture doc pair sample") {
+    // all pairs among 40 fixture docs: the merge count over sorted hash
+    // sets must equal array_intersect's hash-set count exactly
+    val hs = Tables.t(spark, sf0001, "documents").limit(40)
+      .select(col("doc_id"),
+        graft.expressions.TextHashes.shingle_hashes(col("text"), 3).as("hs"))
+    val both = hs.as("a").join(hs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        graft.expressions.VectorHashes.sorted_intersect_count(
+          sort_array(col("a.hs")), sort_array(col("b.hs"))).as("merged"),
+        size(array_intersect(col("a.hs"), col("b.hs"))).cast("long").as("hashed"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty && both.forall { case (m, h) => m == h },
+      s"first divergence: ${both.find { case (m, h) => m != h }}")
+  }
 }

@@ -111,6 +111,25 @@ class EmbeddingDedupSpec extends SparkSpec {
       s"band join degenerated to all-pairs:\n$exec")
   }
 
+  test("fused sign_band_vals ≡ signBands composition (bit-identical band values)") {
+    // the fused expression accumulates each dot in the same fp order as
+    // the zip_with+aggregate composition, so every sign decision — and
+    // thus every band value — must agree exactly
+    val planes = SimilarityOps.hyperplanes(64, 128)
+    val e = Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val fused = e.select(col("vec_id"),
+        posexplode(graft.expressions.VectorHashes.sign_band_vals(
+          col("v"), planes.toSeq.map(_.toSeq), 8)).as(Seq("band", "bv")))
+      .as[(Long, Int, Long)].collect().toSet
+    val composed = e.select(col("vec_id"),
+        explode(SimilarityOps.signBands(col("v"), planes, 8)).as("b"))
+      .select(col("vec_id"), col("b.band"), col("b.bv"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(fused == composed,
+      s"diverging rows e.g. ${(fused diff composed).take(3)} vs ${(composed diff fused).take(3)}")
+  }
+
   test("signBands packs every plane exactly once and bit-agrees with bucketOf") {
     // 32 planes / 2-bit bands: band b bit i == bucketOf bit (2b+i) for the
     // same family — reassembling band values must reproduce the 32-bit
