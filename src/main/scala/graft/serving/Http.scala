@@ -1,0 +1,117 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Publisher
+
+/** The thin HTTP layer that closes the serving story: the reference
+  * exposes its two analytics endpoints over REST
+  * (publish-realtime/.../controller/publishController.java:26-47); the
+  * engine side of those payloads lives in [[graft.operators.Publisher]]
+  * (spec-proven against the SQL-first twins), and this binds them to a
+  * port with the JDK's built-in server — zero dependencies, because the
+  * serving layer's job here is routing + JSON, not a web framework.
+  *
+  *   GET /dauRealtime?td=2024-01-02
+  *     → {"dauTotal":N,"dauTd":{"HH":n,…},"dauYd":{"HH":n,…}}
+  *   GET /statsByItem?itemName=green+metallic&t=segment|band
+  *     → [{"name":…,"value":…},…]
+  *
+  * Query execution is Spark-distributed; only the assembled ≤24-row
+  * payload crosses the HTTP boundary. Bad parameters → 400 with a
+  * plain-text reason (the reference leaves Spring's defaults; we make
+  * the contract explicit). Serving shares the session's FAIR scheduler
+  * with any running streams, same as the reference's ES reads beside
+  * the streaming writes. */
+object Http {
+
+  /** Minimal JSON writer — the payloads are flat maps/arrays of strings,
+    * longs and doubles; doubles print via Double.toString (round-trips
+    * exactly, matches the payload specs). */
+  private[graft] def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
+  private def jmap(m: Map[String, Long]): String =
+    m.toSeq.sorted.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
+
+  private[graft] def dauJson(p: Publisher.DauRealtime): String =
+    s"""{"dauTotal":${p.dauTotal},"dauTd":${jmap(p.dauTd)},"dauYd":${jmap(p.dauYd)}}"""
+
+  private[graft] def statsJson(items: Seq[Publisher.StatItem]): String =
+    items.map(i => s"""{"name":${jstr(i.name)},"value":${i.value}}""")
+      .mkString("[", ",", "]")
+
+  private def params(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      ctype: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def handle(ex: HttpExchange)(f: Map[String, String] => String): Unit =
+    try respond(ex, 200, f(params(ex)))
+    catch {
+      case e: IllegalArgumentException =>
+        respond(ex, 400, Option(e.getMessage).getOrElse("bad request"), "text/plain")
+      case e: Exception =>
+        respond(ex, 500, Option(e.getMessage).getOrElse("error"), "text/plain")
+    }
+
+  private def need(p: Map[String, String], k: String): String =
+    p.getOrElse(k, throw new IllegalArgumentException(s"missing param $k"))
+
+  /** Start serving on `port` (0 = ephemeral; read the bound port off the
+    * returned server). Assumes `Graft.init(spark, dir)` has registered
+    * the views the SQL-first payload queries read. */
+  def start(spark: SparkSession, port: Int): HttpServer = {
+    val srv = HttpServer.create(new InetSocketAddress(port), 0)
+    srv.createContext("/dauRealtime", (ex: HttpExchange) => handle(ex) { p =>
+      dauJson(Publisher.dauRealtimeSql(spark, need(p, "td")))
+    })
+    srv.createContext("/statsByItem", (ex: HttpExchange) => handle(ex) { p =>
+      val toks = need(p, "itemName").split("[+ ]").filter(_.nonEmpty).toSeq
+      statsJson(Publisher.statsByItemSql(spark, toks, need(p, "t")))
+    })
+    srv.setExecutor(null) // the built-in serial executor: payloads are tiny
+    srv.start()
+    srv
+  }
+
+  /** Standalone serving entry: `runMain graft.serving.Http <sfDir> [port]`. */
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val port = args.lift(1).map(_.toInt).getOrElse(8070)
+    val spark = SparkSession.builder()
+      .appName("graft-serve").master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.Graft.init(spark, dir)
+    val srv = start(spark, port)
+    println(s"[serve] listening on ${srv.getAddress}")
+  }
+}
