@@ -48,6 +48,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "winnow_fingerprints(text[, k, w])")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => ShingleHashes(text, 3)
+        case Seq(text, w) => ShingleHashes(text, intArg(w, "width"))
+        case _ => throw new IllegalArgumentException("shingle_hashes(text[, width])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => RepetitionStats(text)
+        case _ => throw new IllegalArgumentException("repetition_stats(text)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => SortedIntersectCount(a, b)
+        case _ => throw new IllegalArgumentException(
+          "sorted_intersect_count(sorted_array, sorted_array)")
+      }))
   }
 }
 
@@ -72,6 +95,20 @@ object GraftExtensions {
           WinnowFingerprints(t, k, w, 1000000007L)
         case _ => throw new IllegalArgumentException(
           "winnow_fingerprints(text[, k, w])")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      args => args match {
+        case Seq(t) => ShingleHashes(t, 3)
+        case Seq(t, Literal(w: Int, _)) => ShingleHashes(t, w)
+        case _ => throw new IllegalArgumentException("shingle_hashes(text[, width])")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("repetition_stats",
+      args => RepetitionStats(args.head), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      args => args match {
+        case Seq(a, b) => SortedIntersectCount(a, b)
+        case _ => throw new IllegalArgumentException(
+          "sorted_intersect_count(sorted_array, sorted_array)")
       }, "built-in")
   }
 }

@@ -349,11 +349,16 @@ object DedupOps {
     * lshIndexBuckets so a batch's bucket set stays a small fraction of
     * the directories. LshIndexSpec pins both plan properties. */
 
-  /** (doc_id, band struct, hs) rows for a doc batch — one fused pass. */
+  /** (doc_id, band struct, hs) rows for a doc batch — one fused pass.
+    * hs is SORTED here, once per doc: every consumer (index docs table,
+    * probe, in-batch dedup) intersects via the linear-merge
+    * SortedIntersectCount instead of array_intersect's per-pair hash
+    * set. */
   private def indexRows(docs: DataFrame): DataFrame = {
     val sig = docs.select(col("doc_id"),
       graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"),
-      graft.expressions.TextHashes.shingle_hashes(col("text"), 3).as("hs"))
+      sort_array(
+        graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("hs"))
       .filter(size(col("sig")) > 0)
     sig.select(col("doc_id"), col("hs"),
         explode(lshBands(col("sig"), 32, 4)).as("b"))
@@ -421,7 +426,8 @@ object DedupOps {
       .dropDuplicates("new_doc", "dup_of") // shrink before fetching hs
       .join(docsIdx.select(col("doc_id").as("dup_of"), col("hs").as("hs_e")),
         Seq("dup_of"))
-      .withColumn("inter", size(array_intersect(col("hs_n"), col("hs_e"))))
+      .withColumn("inter", graft.expressions.VectorHashes
+        .sorted_intersect_count(col("hs_n"), col("hs_e")))
       .withColumn("jaccard", round(col("inter") /
         (size(col("hs_n")) + size(col("hs_e")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
@@ -445,7 +451,8 @@ object DedupOps {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.hs").as("hs_a"), col("b.hs").as("hs_b"))
       .dropDuplicates("da", "db")
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("inter", graft.expressions.VectorHashes
+        .sorted_intersect_count(col("hs_a"), col("hs_b")))
       // round(.,4) matches minhashLsh/probeLshIndex exactly, so a
       // borderline pair gets the same verdict whether its members arrive
       // in one batch or across batches

@@ -22,4 +22,27 @@ class ExtensionsSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect()(0)
     assert(viaSql == viaColumn)
   }
+
+  test("shingle_hashes, repetition_stats and sorted_intersect_count callable from SQL") {
+    GraftExtensions.register(spark)
+    Seq((1L, "a b c d e a b c"), (2L, "c d e f g h i j"))
+      .toDF("id", "text").createOrReplaceTempView("docs_ext2")
+    val viaSql = spark.sql(
+      """SELECT shingle_hashes(text) AS hs,
+        |       repetition_stats(text) AS rep FROM docs_ext2 ORDER BY id""".stripMargin)
+      .as[(Seq[Long], Seq[Long])].collect().toSeq
+    val viaColumn = spark.table("docs_ext2").orderBy("id").select(
+      graft.expressions.TextHashes.shingle_hashes(col("text"), 3),
+      graft.expressions.TextHashes.repetition_stats(col("text")))
+      .as[(Seq[Long], Seq[Long])].collect().toSeq
+    assert(viaSql == viaColumn)
+    // the SQL form of the q28/q29 verify tier: merge-intersect == set intersect
+    val inter = spark.sql(
+      """SELECT sorted_intersect_count(sort_array(a.hs), sort_array(b.hs)) AS i,
+        |       size(array_intersect(a.hs, b.hs)) AS j
+        |FROM (SELECT shingle_hashes(text) hs FROM docs_ext2 WHERE id = 1) a,
+        |     (SELECT shingle_hashes(text) hs FROM docs_ext2 WHERE id = 2) b""".stripMargin)
+      .as[(Long, Int)].collect()(0)
+    assert(inter._1 == inter._2.toLong && inter._1 > 0)
+  }
 }
