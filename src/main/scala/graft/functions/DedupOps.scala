@@ -214,41 +214,37 @@ object DedupOps {
     // (SimhashRecallSpec measures recall 1.0 at both sfs), and each
     // block widens 5-6 -> 6-7 bits, shrinking the candidate buckets ~2x
     val hammingMax = 9
+    // sz (distinct shingle count, one fused pass) rides along into the
+    // band join so the size-ratio prefilter — J(A,B) ≥ t ⇒
+    // min(|A|,|B|) ≥ t·max(|A|,|B|), loses no true pair — runs INSIDE
+    // the join, before the distinct, instead of costing two separate
+    // size-lookup joins against the pair table afterwards
     val fp = t(s, d, "documents")
-      .select(col("doc_id"), graft.expressions.TextHashes.simhash64(col("text")).as("f"))
-    val blocked = fp.select(col("doc_id"), col("f"),
+      .select(col("doc_id"),
+        graft.expressions.TextHashes.simhash64(col("text")).as("f"),
+        size(graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("sz"))
+    val blocked = fp.select(col("doc_id"), col("f"), col("sz"),
       explode(simhashBlocks(col("f"), hammingMax + 1)).as("b"))
     val cand = blocked.as("a").join(blocked.as("b"),
         col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
       .filter(expr(s"bit_count(a.f ^ b.f) <= $hammingMax"))
+      .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
+        lit(0.5) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .persist()
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    // shingle arrays are hashed (and sorted, for the merge intersect)
+    // only for docs that survived blocking + prefilter
     val candDocs = t(s, d, "documents")
       .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), sort_array(
         graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("hs"))
       .filter(size(col("hs")) > 0)
-      .withColumn("sz", size(col("hs")))
       .persist()
     try {
-      // size prefilter before shipping shingle arrays into pairs:
-      // J(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B| ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|),
-      // so the ratio test loses no true pair but spares the array
-      // shuffle + intersect for the bulk of the hamming-band survivors
-      // (this corpus is correlated enough that ~3% of ALL pairs sit
-      // within hamming 10 — the verify tier, not the block join, is the
-      // cost center).
-      val sizes = candDocs.select(col("doc_id"), col("sz"))
-      val pruned = cand
-        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-        .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
-          lit(0.5) * greatest(col("sz_a"), col("sz_b")))
-        .select(col("doc_a"), col("doc_b"))
-      pruned
+      cand
         .join(candDocs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
         .join(candDocs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
         .withColumn("inter", graft.expressions.VectorHashes

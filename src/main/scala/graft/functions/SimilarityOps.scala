@@ -352,7 +352,11 @@ object SimilarityOps {
     * synthetic dup pairs at cosine ≥ .95. Callers needing high recall at
     * weak thresholds should widen bands (fewer bits) or fall back to the
     * exact tier (q51) — no sign-LSH parameterization is both selective
-    * and high-recall at 69°. Shuffle cost: the band explode carries only
+    * and high-recall at 69°. Tuning with corpus size: expected random
+    * collisions are nBands·2^-bandBits·N²/2, so each extra band bit
+    * halves the candidate volume — at larger N raise bandBits and add
+    * bands to hold recall (cost of banding grows only as nBands·N),
+    * the standard LSH (b,r) trade. Shuffle cost: the band explode carries only
     * (vec_id, band, bv) — vectors join back by id for the verify step,
     * so the ×nBands blowup never ships the embeddings themselves. */
   def embeddingDupsBucketed(s: SparkSession, d: String, nPlanes: Int = 128,
