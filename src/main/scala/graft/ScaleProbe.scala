@@ -101,6 +101,26 @@ object ScaleProbe {
       println(f"SCALE n=$n%9d winnow_fingerprints ${(System.nanoTime() - t0w) / 1e9}%6.2f s")
       docs.unpersist()
     }
+    // hyperplane banding scan (q54's candidate-generation stage, fused
+    // SignBandVals): 128 dots/vector over 64 dims, map-only — must be
+    // ~linear in vectors. (The signBands composition runs the same dots
+    // as interpreted HOFs at ~ms/vector — two orders of magnitude off.)
+    val planes = functions.SimilarityOps.hyperplanes(64, 128).toSeq.map(_.toSeq)
+    def synthVecs(n: Long) = spark.range(n).select(
+      col("id").as("vec_id"),
+      array((0 until 64).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(2000)) - 1000) / 1000.0): _*).as("v"))
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      val vecs = synthVecs(n).persist()
+      vecs.count()
+      val t0v = System.nanoTime()
+      vecs.select(col("vec_id"),
+          posexplode(graft.expressions.VectorHashes.sign_band_vals(
+            col("v"), planes, 8)).as(Seq("band", "bv")))
+        .write.format("noop").mode("overwrite").save()
+      println(f"SCALE n=$n%9d sign_band_scan ${(System.nanoTime() - t0v) / 1e9}%6.2f s")
+      vecs.unpersist()
+    }
     // skew: 16M rows, 90% on one key — plain shuffle join vs salted vs AQE
     val n = 16000000L
     val big = spark.range(n).select(
