@@ -329,6 +329,49 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Near-dup cluster collapse — q62. Pair queries (q28/q29/q41/q54)
+    * emit EDGES; a real dedup pipeline must collapse them into
+    * connected components and keep one representative per component
+    * (A~B and B~C must not keep both A and C just because the A-C edge
+    * fell under threshold). Algorithm: hash-min label propagation over
+    * the pair graph — every node starts labeled with its own id, each
+    * round takes the min of its neighbors' labels, fixpoint in
+    * graph-diameter rounds (near-dup chains are short; iteration is
+    * capped and convergence asserted). Scale shape: the loop runs over
+    * the PAIR graph (dup-rate-proportional), never the corpus; each
+    * round is one join + one groupBy-min, localCheckpoint-ed so lineage
+    * stays flat. Massive components would want the star-contraction
+    * variant (Kiveris et al., "Connected Components in MapReduce"), but
+    * near-dup graphs have bounded components by construction. Output:
+    * (doc_id, cluster_rep = min doc_id of the component) for every doc
+    * in at least one pair; the DuckDB oracle replays it as a recursive
+    * transitive closure. */
+  val dedupClusters: Q = (s, d) => {
+    val pairs = shingleJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 30) {
+      val msgs = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("lbl"))
+      val next = msgs.union(labels)
+        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(eager = true)
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
+        .filter(col("lbl") < col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $iter rounds")
+    labels.select(col("doc_id"), col("lbl").as("cluster_rep"))
+  }
+
   /** ---- Incremental LSH index (the 100 TB ingestion shape) ----
     *
     * Instead of re-self-joining the whole corpus per run (minhashLsh,
@@ -492,9 +535,38 @@ object DedupOps {
     "q28_minhash_lsh" -> minhashLsh,
     "q29_simhash" -> simhashNearDupPairs,
     "q61_decontaminate" -> decontaminate,
+    "q62_dedup_clusters" -> dedupClusters,
   )
 
   val oracles: Map[String, String] = Map(
+    "q62_dedup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+        |      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |  FROM tk),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |             JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+        |SELECT n AS doc_id, min(m) AS cluster_rep
+        |FROM reach GROUP BY n""".stripMargin,
     "q61_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(

@@ -110,6 +110,54 @@ class DedupSpec extends SparkSpec {
     assert(df.as[Int].collect().toSeq == Seq(0, 1, 2))
   }
 
+  test("dedupClusters: components are transitive closures of the pair set with min-id reps") {
+    val pairs = DedupOps.shingleJaccardPairs(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val got = DedupOps.dedupClusters(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    // brute-force union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    assert(pairs.nonEmpty && got == expected)
+    // every rep is a member of its own cluster (min-id convention)
+    assert(got.filter { case (id, rep) => id == rep }.keySet ==
+      got.values.toSet)
+    // and a chain exists somewhere: at least one component of size > 2
+    // would prove transitivity beyond direct pairs on richer fixtures;
+    // here assert components cover exactly the docs appearing in pairs
+    assert(got.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
+  test("dedupClusters collapses a synthetic chain a-b-c-d to one component in few rounds") {
+    // sliding 12-token windows over one token stream, stride 2: adjacent
+    // docs share 8 of 12 shingles (J = 8/12 ≥ 0.5), distance-2 docs only
+    // 6 of 14 (0.43 < 0.5) — so the graph is a pure CHAIN 0-1-2-3 with
+    // no shortcut edges, and only transitive closure can unify it
+    val stream = (1 to 18).map(i => s"t$i")
+    val docs = (0L to 3L).map(i =>
+      (i, stream.slice(2 * i.toInt, 2 * i.toInt + 12).mkString(" "))) :+
+      (10L, (1 to 12).map(i => s"z$i").mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("cc").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val pairSet = DedupOps.shingleJaccardPairs(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairSet == Set((0L, 1L), (1L, 2L), (2L, 3L)),
+      s"fixture must form a pure chain, got $pairSet")
+    val got = DedupOps.dedupClusters(spark, dir).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L),
+      s"chain must collapse to rep 0, got $got")
+    assert(!got.contains(10L), "isolated docs don't appear in the pair graph")
+  }
+
   test("SortedIntersectCount ≡ size(array_intersect) on every fixture doc pair sample") {
     // all pairs among 40 fixture docs: the merge count over sorted hash
     // sets must equal array_intersect's hash-set count exactly
