@@ -268,7 +268,37 @@ object TextOps {
           .cast("long").as("n_bpe_tokens"),
         size(tokens(col("text"))).cast("long").as("n_ws_tokens"))
 
+  /** Per-source corpus composition — the mixture-planning report that
+    * feeds a sampler like q60: for every ingestion source, its doc and
+    * token counts, its share of corpus tokens, and how many of its docs
+    * are exact duplicates of anything in the WHOLE corpus (cross-source
+    * dup pressure is what demotes a source in the mix). One corpus scan;
+    * dup detection is a window count over md5 partitions (shuffle on
+    * hash — the exact-dedup shuffle, q23), then one groupBy(source).
+    * token_share divides two exact longs — deterministic IEEE division,
+    * rounded in both engines. */
+  val sourceMix: Q = (s, d) => {
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+    val withDup = base.withColumn("n_same",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+    withDup
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      // the share window runs over the ALREADY-AGGREGATED per-source
+      // frame (≤ #sources rows) — the single-partition window is fine
+      // at any corpus size, same argument as q43's lag
+      .withColumn("token_share",
+        round(col("n_tokens") / sum(col("n_tokens")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q63_source_mix" -> sourceMix,
     "q40_pipeline_filter" -> pipelineFilter,
     "q20_token_count" -> tokenCount,
     "q21_quality_score" -> qualityScore,
@@ -282,6 +312,24 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q63_source_mix" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    md5(text) AS h
+        |  FROM documents),
+        |dup AS (
+        |  SELECT *, count(*) OVER (PARTITION BY h) AS n_same FROM b),
+        |agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_docs
+        |  FROM dup GROUP BY source)
+        |SELECT source, n_docs, n_tokens, n_dup_docs,
+        |  round(n_tokens / CAST(sum(n_tokens) OVER () AS BIGINT), 6)
+        |    AS token_share
+        |FROM agg""".stripMargin,
     "q60_mixture_sample" ->
       """WITH k AS (
         |  SELECT doc_id, lang,
