@@ -190,7 +190,7 @@ object SimilarityOps {
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       struct(cosine(col("v"), typedlit(c.toSeq)).as("cos"), lit(i).as("cell"))
     }
-    emb.withColumn("cell", array_max(array(cells: _*)).getField("cell"))
+    emb.withColumn("cell", array_max(array(cells.toIndexedSeq: _*)).getField("cell"))
   }
 
   private def cosLocal(a: Array[Double], b: Array[Double]): Double = {

@@ -41,7 +41,7 @@ object KeyedParquetSink {
         // only partitions touched by this batch participate in the merge
         val touched = incoming.select(col(dtCol)).distinct()
         Some(cur.join(broadcast(touched), Seq(dtCol), "left_semi")
-          .select(cols.map(col): _*).withColumn("__is_new", lit(0)))
+          .select(cols.toIndexedSeq.map(col): _*).withColumn("__is_new", lit(0)))
       } catch {
         // ONLY path-not-found means first write; any other failure (e.g.
         // corrupt footer) must abort, not silently clobber the table
@@ -55,7 +55,7 @@ object KeyedParquetSink {
     val merged = unioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(cols.map(col): _*)
+      .select(cols.toIndexedSeq.map(col): _*)
       // localCheckpoint: materialize BEFORE the overwrite starts, or the
       // dynamic overwrite would delete the files it is still reading.
       .localCheckpoint()
@@ -88,7 +88,7 @@ object KeyedParquetSink {
     val hit = coalesce(cond, lit(false))
     val deleted = scoped.filter(hit).count()
     scoped.filter(!hit)
-      .select(cur.columns.map(col): _*)
+      .select(cur.columns.toIndexedSeq.map(col): _*)
       .localCheckpoint()
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -112,7 +112,7 @@ object KeyedParquetSink {
       df.withColumn(c, when(cond, v).otherwise(col(c)))
     }
     val matched = scoped.filter(cond).count()
-    updated.select(cur.columns.map(col): _*)
+    updated.select(cur.columns.toIndexedSeq.map(col): _*)
       .localCheckpoint()
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

@@ -69,7 +69,7 @@ object MergeParquetSink {
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(schemaFrom.schema(c).dataType))
     }
-    full.select(schemaFrom.columns.map(col): _*)
+    full.select(schemaFrom.columns.toIndexedSeq.map(col): _*)
       .withColumn(DeletedCol, lit(true))
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy(dtCol)
@@ -112,7 +112,7 @@ object MergeParquetSink {
         // deterministic last-resort tie-break for equal (version, seq) —
         // e.g. duplicate keys within one upsert batch: hash of the row
         // content, so every read and every compaction picks the same row
-        xxhash64(struct(dataCols.map(col): _*)).desc)
+        xxhash64(struct(dataCols.toIndexedSeq.map(col): _*)).desc)
     all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col(DeletedCol))
       .drop("__rn", DeletedCol, SeqCol)
