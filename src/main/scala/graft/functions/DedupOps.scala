@@ -173,10 +173,15 @@ object DedupOps {
   /** Block-PAIR keys (Manku's multi-block table arrangement): hamming
     * ≤ nBlocks−2 touches at most nBlocks−2 blocks, so ≥2 blocks stay
     * clean and the pair of them matches exactly — same recall guarantee
-    * as single-block pigeonhole with nBlocks−1 blocks, but the join key
-    * carries ~2× the bits (10-11 here vs 5-6), so buckets over a
-    * correlated corpus stay small: measured 20.1M raw join rows with
-    * 11 single blocks vs 0.7M with 12 block pairs on the sf0.1 fixture. */
+    * as single-block pigeonhole with nBlocks−1 blocks, and the join key
+    * carries ~2× the bits (10-13 here vs 5-7). On THIS corpus that does
+    * not help: fingerprints that collide on one block mostly collide on
+    * whole pairs of blocks too — measured at sf0.1 (hamming ≤ 9):
+    * 16.7M raw join rows with 10 single blocks vs 16.2M with 11-block
+    * pairs, and 20.1M with 11 single blocks vs 28.6M with 12-block
+    * pairs — while exploding 55-66 structs/doc instead of 10-11. Kept
+    * as the reference implementation of the scheme (DedupSpec proves
+    * its coverage/agreement); q29 runs single blocks. */
   def simhashBlockPairs(f: Column, nBlocks: Int): Column = {
     val base = 64 / nBlocks
     val extra = 64 % nBlocks
@@ -199,11 +204,10 @@ object DedupOps {
     * jaccard-0.5 near-dups reach hamming 9, and recall must be 1.0 for
     * the oracle — SimhashRecallSpec guards it per fixture), then exact
     * hamming filters, then exact shingle-set Jaccard verifies. The
-    * block-PAIR variant (simhashBlockPairs above) emits far fewer raw
-    * join rows but explodes 66 structs/doc instead of 10 and measured
-    * slower end-to-end here, because on this correlated corpus the
-    * Jaccard VERIFY tier — ~3% of all pairs sit within hamming 10 —
-    * dominates regardless of which blocking feeds it.
+    * block-PAIR variant (simhashBlockPairs above) measured strictly
+    * worse here — see its docstring: this corpus collides on whole
+    * block pairs nearly as often as on single blocks, so the wider key
+    * buys nothing and the 55-66-struct explode costs real time.
     * Because the verify step recomputes TRUE Jaccard, the output equals
     * the brute-force shingle-Jaccard pair set whenever blocking+hamming
     * recall is 1.0 — so q29 shares q28's SQL oracle. Same memory
