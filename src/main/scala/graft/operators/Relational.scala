@@ -334,7 +334,32 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
 
+  /** TPC-H Q5 shape — revenue by nation for same-nation customer/
+    * supplier pairs inside one region: the canonical star multi-join.
+    * Scale shape: the fact-fact join (lineitem⋈orders⋈customer)
+    * shuffles on its true keys; supplier/nation/region are broadcast —
+    * the region filter reaches the supplier side through two broadcast
+    * hops, so at 100 TB the lineitem scan is the only big input and
+    * nothing dim-shaped ever shuffles. First query to touch the
+    * supplier and region fixtures. */
+  val localSupplierVolume: Q = (s, d) => {
+    val l = t(s, d, "lineitem"); val o = t(s, d, "orders")
+    val c = t(s, d, "customer"); val sup = t(s, d, "supplier")
+    val n = t(s, d, "nation"); val r = t(s, d, "region")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q64_local_supplier_volume" -> localSupplierVolume,
     "q45_point_get" -> pointGet,
     "q55_scored_match" -> scoredMatch,
     "q15_dau_day_over_day" -> dauDayOverDay,
@@ -360,6 +385,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q64_local_supplier_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
     "q45_point_get" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey = 100""".stripMargin,

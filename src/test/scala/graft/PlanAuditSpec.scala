@@ -97,4 +97,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!candPlan.contains("CartesianProduct"),
       s"band candidates must come from an equi-join:\n$candPlan")
   }
+
+  test("q64 star join: every dim side broadcast, region filter pushed to its scan") {
+    val plan = executedPlan(operators.Relational.localSupplierVolume(spark, sf0001))
+    val bcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bcasts >= 3,
+      s"supplier/nation/region must all broadcast, got $bcasts:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"star join degenerated:\n$plan")
+    assert(plan.contains("ASIA"),
+      s"region filter should appear as a pushed predicate:\n$plan")
+  }
 }
