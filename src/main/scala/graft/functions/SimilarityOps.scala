@@ -393,6 +393,124 @@ object SimilarityOps {
     } finally cand.unpersist(false)
   }
 
+  /** ---- Persistent embedding LSH index: the ingest shape of the
+    * embedding dedup family, mirroring DedupOps' MinHash ingest index
+    * (buildLshIndex/probeLshIndex/streamingDedupWriter) so BOTH dedup
+    * families have a one-shot audit (q54 there, q28 here→text) AND an
+    * incremental admission path. Layout: `bands` is the NARROW table —
+    * (vec_id, band, bv), partitionBy bmod = pmod(band·2^bits + bv,
+    * embIndexBuckets) — and `vecs` holds each vector once, joined only
+    * for candidates that already share a band. A probe enumerates its
+    * own bmod set on the driver (≤ 16 × batch values), prunes the scan
+    * with a literal isin, and broadcasts the micro-batch: the index is
+    * never shuffled nor fully read (EmbIndexSpec pins both). Threshold
+    * defaults to the production near-dup point (0.9), where the
+    * 16×8-bit banding catches a pair with p ≈ .996 (see
+    * embeddingDupsBucketed's docstring for the (b,r) math). */
+  val embIndexBuckets = 64
+  private val embIndexPlanes = 128
+  private val embIndexBandBits = 8
+
+  /** (vec_id, v, band, bv, bkey) rows for a vector batch — one fused
+    * SignBandVals pass; bkey folds (band, bv) into one long for the
+    * directory hash. */
+  private def embIndexRows(vecs: DataFrame): DataFrame = {
+    val planes = hyperplanes(64, embIndexPlanes).toSeq.map(_.toSeq)
+    vecs.select(col("vec_id"), col("v"),
+        posexplode(graft.expressions.VectorHashes.sign_band_vals(
+          col("v"), planes, embIndexBandBits)).as(Seq("band", "bv")))
+      .withColumn("bkey",
+        col("band").cast("long") * (1L << embIndexBandBits) + col("bv"))
+  }
+
+  /** Write one ingest segment (overwrite-by-ingestId, so foreachBatch
+    * retries replace their own output — same replay contract as the
+    * text index). */
+  def buildEmbLshIndex(vecs: DataFrame, path: String, ingestId: Long = 0L): Unit = {
+    val rows = embIndexRows(vecs).localCheckpoint()
+    rows.select(col("vec_id"), col("band"), col("bv"),
+        pmod(col("bkey"), lit(embIndexBuckets.toLong)).as("bmod"))
+      .write.mode("overwrite").partitionBy("bmod")
+      .parquet(s"$path/bands/ingest=$ingestId")
+    rows.select(col("vec_id"), col("v")).dropDuplicates("vec_id")
+      .write.mode("overwrite")
+      .parquet(s"$path/vecs/ingest=$ingestId")
+  }
+
+  /** Candidate (new_vec, dup_of, v_n) rows: bmod-pruned scan, broadcast
+    * probe — public for EmbIndexSpec's plan assertions. */
+  def embProbeCandidates(newVecs: DataFrame, path: String): DataFrame = {
+    val spark = newVecs.sparkSession
+    val probe = embIndexRows(newVecs).localCheckpoint()
+    val bmods = probe
+      .select(pmod(col("bkey"), lit(embIndexBuckets.toLong)).as("bmod"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val bands = spark.read.parquet(s"$path/bands")
+      .filter(col("bmod").isin(bmods: _*))
+    broadcast(probe).as("n").join(bands.as("e"),
+        col("n.band") === col("e.band") && col("n.bv") === col("e.bv") &&
+          col("n.vec_id") =!= col("e.vec_id"))
+      .select(col("n.vec_id").as("new_vec"), col("e.vec_id").as("dup_of"),
+        col("n.v").as("v_n"))
+  }
+
+  /** Probe: (new_vec, dup_of, cosine) pairs with verified exact cosine
+    * ≥ threshold. New vectors are NOT indexed here — callers
+    * buildEmbLshIndex after admission (dedup-then-ingest). */
+  def probeEmbLshIndex(newVecs: DataFrame, path: String,
+      threshold: Double = 0.9): DataFrame = {
+    val spark = newVecs.sparkSession
+    val vecsIdx = spark.read.parquet(s"$path/vecs")
+    embProbeCandidates(newVecs, path)
+      .dropDuplicates("new_vec", "dup_of") // shrink before fetching vectors
+      .join(vecsIdx.select(col("vec_id").as("dup_of"), col("v").as("v_e")),
+        Seq("dup_of"))
+      .withColumn("cosine", round(cosine(col("v_n"), col("v_e")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("new_vec"), col("dup_of"), col("cosine"))
+      // a vector re-indexed under more than one ingest segment has
+      // several vecs-table rows; emit the pair once
+      .dropDuplicates("new_vec", "dup_of")
+  }
+
+  /** In-batch near-dup resolution (greedy keep-lowest-vec_id), same
+    * policy as DedupOps.dedupWithinBatch. */
+  private def embDedupWithinBatch(batch: DataFrame, threshold: Double): DataFrame = {
+    val rows = embIndexRows(batch)
+    val losers = rows.as("a").join(rows.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("a.v").as("v_a"), col("b.v").as("v_b"))
+      .dropDuplicates("va", "vb")
+      .filter(round(cosine(col("v_a"), col("v_b")), 6) >= threshold)
+      .select(col("vb").as("vec_id")).distinct()
+    batch.join(losers, Seq("vec_id"), "left_anti")
+  }
+
+  /** Streaming near-dup admission for embeddings: probe the index,
+    * self-dedup the batch, write admitted vectors + their index
+    * segment keyed by batchId in overwrite mode (at-least-once retries
+    * replace their own output). Mirrors DedupOps.streamingDedupWriter. */
+  def streamingEmbDedupWriter(indexPath: String, outDir: String,
+      threshold: Double = 0.9)(batch: DataFrame, batchId: Long): Unit = {
+    val dups =
+      try probeEmbLshIndex(batch, indexPath, threshold)
+        .select(col("new_vec")).distinct()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          batch.sparkSession.emptyDataFrame.withColumn("new_vec", lit(0L))
+            .limit(0).select(col("new_vec"))
+      }
+    val novel = batch.join(dups,
+      batch("vec_id") === dups("new_vec"), "left_anti")
+    val admitted = embDedupWithinBatch(novel, threshold).localCheckpoint()
+    admitted.write.mode("overwrite").parquet(s"$outDir/admitted/ingest=$batchId")
+    buildEmbLshIndex(admitted, indexPath, batchId)
+  }
+
   /** Int8 scalar quantization of the embedding column — the storage
     * scale play for ANN (4× smaller index, SIMD int8 dot products).
     * Per vector: scale = max |x|, q_j = floor(x_j·127/scale) ∈

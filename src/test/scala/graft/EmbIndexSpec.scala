@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** Persistent embedding LSH index — the ingest path of the embedding
+  * dedup family: build once, probe batches against it, streaming
+  * dedup-then-ingest admits only novel vectors. Mirrors LshIndexSpec. */
+class EmbIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic unit-ish vectors: base family + a cos≈0.98 perturbed
+  // copy (the production near-dup regime the 0.9 threshold targets)
+  private val rnd = new java.util.Random(777L)
+  private def gauss() = Array.fill(64)(rnd.nextGaussian())
+  private def unit(a: Array[Double]) = {
+    val n = math.sqrt(a.map(x => x * x).sum); a.toSeq.map(_ / n)
+  }
+  private val base = unit(gauss())
+  private val other = unit(gauss())
+  private val third = unit(gauss())
+  private val near = unit(base.zip(unit(gauss())).map { case (x, g) => x + 0.2 * g }.toArray)
+
+  private def df(rows: (Long, Seq[Double])*) =
+    rows.toDF("vec_id", "v")
+
+  test("probe finds the planted near-dup of an indexed vector; novel vectors pass") {
+    val idx = Files.createTempDirectory("emb_idx").toString + "/index"
+    SimilarityOps.buildEmbLshIndex(df(0L -> base, 1L -> other), idx)
+    val dups = SimilarityOps.probeEmbLshIndex(df(10L -> near, 11L -> third), idx)
+      .select("new_vec", "dup_of").as[(Long, Long)].collect().toSet
+    assert(dups == Set((10L, 0L)), s"got $dups")
+  }
+
+  test("probe partition-prunes the index to its bucket set and never shuffles the index side") {
+    val idx = Files.createTempDirectory("emb_prune").toString + "/index"
+    SimilarityOps.buildEmbLshIndex(df(0L -> base, 1L -> other, 2L -> third), idx)
+    val cand = SimilarityOps.embProbeCandidates(df(10L -> near), idx)
+    cand.collect()
+    val plan = cand.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"index side of the probe join shuffled:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"probe was not broadcast:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*bmod".r.findFirstIn(plan).isDefined,
+      s"index scan not partition-pruned on bmod:\n$plan")
+  }
+
+  test("replaying an ingest overwrites its own segment; bands table stays narrow") {
+    val idx = Files.createTempDirectory("emb_replay").toString + "/index"
+    val vecs = df(0L -> base, 1L -> other)
+    SimilarityOps.buildEmbLshIndex(vecs, idx, ingestId = 7L)
+    SimilarityOps.buildEmbLshIndex(vecs, idx, ingestId = 7L)
+    // 2 vecs x 16 bands once in the narrow table; 2 vector rows once
+    assert(spark.read.parquet(s"$idx/bands").count() == 32L)
+    assert(spark.read.parquet(s"$idx/vecs").count() == 2L)
+    assert(spark.read.parquet(s"$idx/bands").columns.sorted.toSeq ==
+      Seq("band", "bmod", "bv", "ingest", "vec_id"))
+  }
+
+  test("streaming dedup-then-ingest: cross-batch and in-batch embedding dups are rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("emb_stream").toString
+    val idx = s"$dir/index"
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val q = in.toDF().toDF("vec_id", "v").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(SimilarityOps.streamingEmbDedupWriter(idx, dir) _)
+      .start()
+    try {
+      in.addData(0L -> base, 1L -> other)
+      q.processAllAvailable()
+      in.addData(2L -> near, 3L -> third) // near duplicates batch-1's base
+      q.processAllAvailable()
+      // two near-dups of each other in the SAME micro-batch, both novel
+      val fam = unit(gauss())
+      val famNear = unit(fam.zip(unit(gauss())).map { case (x, g) => x + 0.2 * g }.toArray)
+      in.addData(5L -> fam, 6L -> famNear)
+      q.processAllAvailable()
+      val admitted = spark.read.parquet(s"$dir/admitted")
+        .select("vec_id").as[Long].collect().toSet
+      assert(admitted == Set(0L, 1L, 3L, 5L), s"got $admitted")
+    } finally q.stop()
+  }
+}
