@@ -79,9 +79,16 @@ object MergeParquetSink {
   /** Merge-on-read view: newest row per key across base + all deltas;
     * tombstoned keys dropped. One shuffle on the key — at scale, prune
     * first (`read(...).filter(dt = ...)` pushes dt to both scans) and
-    * compact on a cadence so the delta list stays short. */
+    * compact on a cadence so the delta list stays short.
+    *
+    * Time travel: `asOfSeq = Some(n)` reconciles only deltas with
+    * seq ≤ n — the table exactly as it stood after delta n landed.
+    * History reaches back to the last compaction (compact folds deltas
+    * into the base and clears them, truncating earlier as-of points —
+    * the same horizon a vacuumed Delta table has); the delta scan is
+    * seq-partitioned, so the filter prunes directories, not rows. */
   def read(spark: SparkSession, path: String, keyCols: Seq[String],
-      versionCol: String): DataFrame = {
+      versionCol: String, asOfSeq: Option[Long] = None): DataFrame = {
     // PATH_NOT_FOUND: side never written. UNABLE_TO_INFER_SCHEMA: dir
     // exists but holds no parquet footers (a 0-row partitioned write
     // leaves only _SUCCESS) — both mean "nothing on this side".
@@ -99,6 +106,7 @@ object MergeParquetSink {
       else readSide(spark.read
         .option("basePath", deltaRoot(path)).parquet(deltaRoot(path))
         .withColumnRenamed("seq", SeqCol))
+        .map(d => asOfSeq.fold(d)(n => d.filter(col(SeqCol) <= n)))
     val all = (base, deltas) match {
       case (Some(b), Some(d)) => b.unionByName(d, allowMissingColumns = true)
       case (Some(b), None) => b

@@ -108,6 +108,30 @@ class MergeSinkSpec extends SparkSpec {
     }
   }
 
+  test("time travel: asOfSeq reads the table exactly as each delta left it") {
+    val path = Files.createTempDirectory("merge_tt").toString + "/t"
+    MergeParquetSink.upsert(table(("m1", "2024-01-01", 1L, 10.0)), path, "dt") // seq 0
+    MergeParquetSink.upsert(table(("m1", "2024-01-01", 2L, 20.0)), path, "dt") // seq 1
+    MergeParquetSink.delete( // seq 2
+      Seq(("m1", "2024-01-01", 3L)).toDF("mid", "dt", "ver"), path, "dt",
+      table())
+    def asOf(n: Long) =
+      MergeParquetSink.read(spark, path, Seq("mid"), "ver", asOfSeq = Some(n))
+        .select("mid", "ver", "amount").as[(String, Long, Double)].collect().toSet
+    assert(asOf(0) == Set(("m1", 1L, 10.0)))
+    assert(asOf(1) == Set(("m1", 2L, 20.0)))
+    assert(asOf(2).isEmpty) // the tombstone is visible at its own seq
+    assert(readAll(path).isEmpty) // and the present equals the last as-of
+    // the as-of filter prunes seq DIRECTORIES, not rows
+    val df = MergeParquetSink.read(spark, path, Seq("mid"), "ver", asOfSeq = Some(0))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the rename to __seq happens above the scan; the physical partition
+    // column is still `seq`, and the as-of predicate must reach it
+    assert("PartitionFilters: \\[[^\\]]*\\(seq#\\d+ <= 0\\)".r.findFirstIn(plan).isDefined,
+      s"as-of must reach the delta scan as a partition filter:\n$plan")
+  }
+
   test("fully-tombstoned table compacts to a READABLE empty table") {
     val path = Files.createTempDirectory("merge7").toString + "/t"
     val b = table(("m1", "2024-01-01", 1L, 10.0))
