@@ -297,7 +297,98 @@ object TextOps {
           org.apache.spark.sql.expressions.Window.partitionBy()), 6))
   }
 
+  /** Token-trigram phrases of a document — the posting unit of the
+    * phrase inverted index (q65/q66). Same guarded-sequence shape as the
+    * repetition n-grams: docs under 3 tokens contribute no phrases. */
+  private val trigramPhrases = expr(
+    """if(size(toks) >= 3,
+      |  transform(sequence(2, size(toks) - 1),
+      |    i -> concat(toks[i - 2], ' ', toks[i - 1], ' ', toks[i])),
+      |  array())""".stripMargin)
+
+  /** Phrase inverted-index build — the ES-style index the reference
+    * delegates to, built as a first-class batch operator: explode each
+    * document into token trigrams, one shuffle on the phrase key
+    * (map-side partial agg), emit per-phrase document frequency,
+    * occurrence count, and order-independent checksums of the posting
+    * list (min/max/sum of distinct doc ids — the driver compare can't
+    * hash array columns, and the checksums pin the SAME set; q66 then
+    * materializes actual postings as rows). df >= 3 keeps the published
+    * slice to phrases with real posting lists. At 100 TB the shuffle
+    * carries (phrase, doc_id) pairs only; hot-phrase skew is bounded by
+    * the df cap a production build would add (AQE skew-split covers the
+    * rest), and postings would be delta-encoded per term shard. */
+  val phraseIndex: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("tgs", trigramPhrases)
+      .select(col("doc_id"), explode(col("tgs")).as("phrase"))
+      .groupBy(col("phrase"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("occ"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum_distinct(col("doc_id")).as("id_sum"))
+      .filter(col("df") >= 3)
+
+  /** Conjunctive-candidate phrase search THROUGH the index: the top-3
+    * phrases by (df desc, phrase) are looked up and their posting lists
+    * emitted as (phrase, doc_id) hits — the index-backed half of the
+    * reference's ES match query. The oracle deliberately takes the other
+    * road (substring containment scan over the raw corpus), so the two
+    * engines agree only if index build + posting lookup is semantically
+    * a full-text presence scan. Single-space tokenization makes
+    * token-aligned trigram presence ⟺ ' phrase ' substring of
+    * ' text ' (PhraseIndexSpec pins the equivalence). The top-3 frame is
+    * tiny and broadcast; at scale the posting lookup is a partition-
+    * pruned point read of the term shard, not a corpus scan. */
+  val phraseSearch: Q = (s, d) => {
+    val inv = t(s, d, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("tgs", trigramPhrases)
+      .select(col("doc_id"), explode(col("tgs")).as("phrase"))
+      .distinct()
+    val top = inv.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("phrase").asc)
+      .limit(3)
+    inv.join(broadcast(top.select(col("phrase"))), Seq("phrase"))
+      .select(col("phrase"), col("doc_id"))
+  }
+
+  /** Exact global-decile quality gate — "keep the longest 10 % of the
+    * corpus by token count" without a global sort: aggregate to the
+    * distinct-value frame first (one narrow shuffle; at most as many
+    * rows as distinct token counts, thousands not billions), run the
+    * cumulative count over THAT tiny frame (the single-partition window
+    * is over the aggregated frame — q43/q63's accepted argument), pick
+    * the smallest value whose top-cumulative count stays within
+    * ceil(N/10), then broadcast the one-row threshold back as a filter.
+    * Ties at the boundary are kept wholesale (value-threshold semantics,
+    * deterministic — no arbitrary row_number cut). All arithmetic is
+    * exact integers in both engines. */
+  val decileFilter: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val thr = docs.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("n_tokens").desc)))
+      .withColumn("nt", sum(col("cnt")).over(Window.partitionBy()))
+      .filter(col("cum") <= expr("(nt + 9) div 10"))
+      .agg(min(col("n_tokens")).as("threshold"))
+    docs.join(broadcast(thr), docs("n_tokens") >= thr("threshold"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("n_tokens")).as("min_tok"),
+        max(col("n_tokens")).as("max_tok"),
+        max(col("threshold")).as("threshold"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q65_phrase_index" -> phraseIndex,
+    "q66_phrase_search" -> phraseSearch,
+    "q67_decile_filter" -> decileFilter,
     "q63_source_mix" -> sourceMix,
     "q40_pipeline_filter" -> pipelineFilter,
     "q20_token_count" -> tokenCount,
@@ -312,6 +403,62 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // mirrors phraseIndex's trigram construct; DuckDB sum/sum(DISTINCT)
+    // over BIGINT returns HUGEINT → CAST (the q57 lesson)
+    "q65_phrase_index" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(3, len(toks) + 1),
+        |        i -> toks[(i - 2)::INTEGER] || ' ' || toks[(i - 1)::INTEGER]
+        |             || ' ' || toks[i::INTEGER])
+        |    ELSE []::VARCHAR[] END) AS phrase
+        |  FROM tk)
+        |SELECT phrase, count(DISTINCT doc_id) AS df, count(*) AS occ,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  CAST(sum(DISTINCT doc_id) AS BIGINT) AS id_sum
+        |FROM e GROUP BY phrase HAVING count(DISTINCT doc_id) >= 3""".stripMargin,
+    // the DIFFERENT road on purpose: top-3 phrases via the same trigram
+    // counts, but hits via substring containment over the raw corpus —
+    // agreeing with the Spark side's index-posting lookup proves the
+    // index round-trips a presence scan
+    "q66_phrase_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |e AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(3, len(toks) + 1),
+        |        i -> toks[(i - 2)::INTEGER] || ' ' || toks[(i - 1)::INTEGER]
+        |             || ' ' || toks[i::INTEGER])
+        |    ELSE []::VARCHAR[] END) AS phrase
+        |  FROM tk),
+        |top3 AS (
+        |  SELECT phrase FROM e GROUP BY phrase
+        |  ORDER BY count(*) DESC, phrase LIMIT 3)
+        |SELECT t.phrase, d.doc_id
+        |FROM top3 t JOIN documents d
+        |  ON contains(' ' || d.text || ' ', ' ' || t.phrase || ' ')""".stripMargin,
+    "q67_decile_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |v AS (SELECT n_tokens, count(*) AS cnt FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT n_tokens,
+        |    CAST(sum(cnt) OVER (ORDER BY n_tokens DESC) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS nt
+        |  FROM v),
+        |t AS (SELECT min(n_tokens) AS threshold FROM c
+        |      WHERE cum <= (nt + 9) // 10)
+        |SELECT source, count(*) AS n_kept,
+        |  min(n_tokens) AS min_tok, max(n_tokens) AS max_tok,
+        |  max(t.threshold) AS threshold
+        |FROM d, t WHERE d.n_tokens >= t.threshold
+        |GROUP BY source""".stripMargin,
     "q63_source_mix" ->
       """WITH b AS (
         |  SELECT doc_id, source,

@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
+
+/** Phrase inverted index (q65), index-backed search (q66), and the exact
+  * global-decile gate (q67). The load-bearing assertion is the q66
+  * equivalence: posting-list lookup through the index must coincide with
+  * a substring containment scan of the raw corpus — the same
+  * cross-validation the DuckDB oracle runs, proven here in-engine so the
+  * property is pinned at spec granularity too.
+  */
+class PhraseIndexSpec extends SparkSpec {
+
+  test("q65: df/occ/posting checksums are internally consistent") {
+    val idx = TextOps.phraseIndex(spark, sf0001).cache()
+    val bad = idx.filter(
+      col("df") > col("occ") ||
+        col("min_doc") > col("max_doc") ||
+        // sum of df distinct ids is bounded by df × the extremes
+        col("id_sum") < col("df") * col("min_doc") ||
+        col("id_sum") > col("df") * col("max_doc") ||
+        col("df") < 3)
+    assert(bad.count() === 0)
+    assert(idx.count() > 0)
+    // phrases are unique index keys
+    assert(idx.count() === idx.select(col("phrase")).distinct().count())
+    idx.unpersist()
+  }
+
+  test("q66: index posting lookup == substring containment scan") {
+    val viaIndex = TextOps.phraseSearch(spark, sf0001)
+    val phrases = viaIndex.select(col("phrase")).distinct()
+    val docs = Tables.t(spark, sf0001, "documents")
+    val viaScan = docs
+      .crossJoin(broadcast(phrases))
+      .filter(contains(concat(lit(" "), col("text"), lit(" ")),
+        concat(lit(" "), col("phrase"), lit(" "))))
+      .select(col("phrase"), col("doc_id"))
+    assert(viaIndex.exceptAll(viaScan).count() === 0)
+    assert(viaScan.exceptAll(viaIndex).count() === 0)
+    assert(viaIndex.count() > 0)
+  }
+
+  test("q67: value-threshold decile keeps ceil(N/10) up to boundary ties") {
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .cache()
+    val n = docs.count()
+    val out = TextOps.decileFilter(spark, sf0001).cache()
+    val kept = out.agg(sum(col("n_kept"))).head.getLong(0)
+    val thr = out.agg(max(col("threshold"))).head.getLong(0)
+    // every doc at-or-above the threshold is kept, none below
+    assert(kept === docs.filter(col("n_tokens") >= thr).count())
+    // the kept set stays within the decile budget, and the threshold is
+    // maximal: admitting the next distinct value would blow the budget
+    val target = (n + 9) / 10
+    assert(kept <= target)
+    val below = docs.filter(col("n_tokens") < thr).agg(max(col("n_tokens"))).head
+    if (!below.isNullAt(0))
+      assert(docs.filter(col("n_tokens") >= below.getLong(0)).count() > target)
+    out.unpersist(); docs.unpersist()
+  }
+}
