@@ -183,7 +183,57 @@ object Analytics {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  case class PackIn(shard: Long, doc_id: Long, n_tokens: Long)
+  case class PackBin(shard: Long, bin: Long, n_docs: Long, tok_filled: Long,
+      first_doc: Long, last_doc: Long)
+
+  /** Greedy NO-SPLIT packing — the other canonical pretraining packing
+    * strategy next to q57's concat-and-chunk: documents stay whole; a
+    * bin accepts docs in doc_id order until the next one would overflow
+    * the budget, then a fresh bin opens (an oversize doc gets a bin to
+    * itself). The running "fill" resets on overflow, which no built-in
+    * window can express (cum-sum-with-reset is inherently sequential),
+    * so this is the repo's one designed use of the typed-Dataset escape
+    * hatch: groupByKey(shard) + flatMapSortedGroups walks each shard's
+    * docs in order through a constant-state lazy iterator — O(1) memory
+    * per shard, bins stream out as they close, nothing buffers. Sharding
+    * makes it scale exactly like q57: one exchange on the shard key,
+    * shards pack independently (production would key shards ≈ corpus /
+    * executor-target rather than the fixture's % 8). Oracle = a DuckDB
+    * recursive CTE walking the same order — an independent sequential
+    * formulation of the same recurrence. */
+  val packGreedy: Q = (s, d) => {
+    import s.implicits._
+    val budget = 2048L
+    t(s, d, "documents")
+      .select((col("doc_id") % 8).as("shard"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[PackIn]
+      .groupByKey(_.shard)
+      .flatMapSortedGroups($"doc_id") { (shard: Long, it: Iterator[PackIn]) =>
+        new Iterator[PackBin] {
+          private var binId = -1L
+          private var fill, nDocs, firstDoc, lastDoc = 0L
+          private var pending: PackIn = if (it.hasNext) it.next() else null
+          def hasNext: Boolean = pending != null
+          def next(): PackBin = {
+            while (pending != null &&
+                (nDocs == 0 || fill + pending.n_tokens <= budget)) {
+              if (nDocs == 0) { binId += 1; fill = 0; firstDoc = pending.doc_id }
+              fill += pending.n_tokens; nDocs += 1; lastDoc = pending.doc_id
+              pending = if (it.hasNext) it.next() else null
+            }
+            val out = PackBin(shard, binId, nDocs, fill, firstDoc, lastDoc)
+            nDocs = 0; fill = 0
+            out
+          }
+        }
+      }
+      .toDF()
+  }
+
   val queries: Map[String, Q] = Map(
+    "q68_pack_greedy" -> packGreedy,
     "q57_sequence_pack" -> sequencePack,
     "q50_asof_join" -> asofJoin,
     "q46_incremental_dedup" -> incrementalDedup,
@@ -198,6 +248,31 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same first-fit recurrence, written as the sequential walk it
+    // is: recursion steps once per doc within a shard (depth = docs per
+    // shard), bins aggregate at the end
+    "q68_pack_greedy" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+        |      AS rn
+        |  FROM documents),
+        |walk AS (
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |    0::BIGINT AS bin, n_tokens AS fill
+        |  FROM toks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+        |    CASE WHEN w.fill + t.n_tokens <= 2048
+        |         THEN w.bin ELSE w.bin + 1 END,
+        |    CASE WHEN w.fill + t.n_tokens <= 2048
+        |         THEN w.fill + t.n_tokens ELSE t.n_tokens END
+        |  FROM toks t JOIN walk w ON t.shard = w.shard AND t.rn = w.rn + 1)
+        |SELECT shard, bin, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tok_filled,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM walk GROUP BY shard, bin""".stripMargin,
     "q57_sequence_pack" ->
       """WITH toks AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

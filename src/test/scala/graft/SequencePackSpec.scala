@@ -75,6 +75,40 @@ class SequencePackSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q68 greedy no-split: lossless, within-budget, and maximal") {
+    val bins = Analytics.packGreedy(spark, sf0001)
+      .select(col("shard"), col("bin"), col("n_docs"), col("tok_filled"),
+        col("first_doc"), col("last_doc"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long, Long)].collect()
+    // lossless: every doc in exactly one bin, every token accounted for
+    assert(bins.map(_._3).sum == docs.length)
+    assert(bins.map(_._4).sum == docs.map(_._3).sum)
+    bins.groupBy(_._1).foreach { case (shard, sbins) =>
+      val ordered = sbins.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == ordered.indices.map(_.toLong))
+      // no-split: a bin only exceeds the budget when it holds exactly
+      // one (oversize) document
+      ordered.foreach { b =>
+        assert(b._4 <= Budget || b._3 == 1L,
+          s"shard $shard bin ${b._2}: multi-doc bin over budget")
+      }
+      // greedy maximality: the next bin's first doc would NOT have fit
+      ordered.init.zip(ordered.tail).foreach { case (a, b) =>
+        assert(a._4 + docsTok(docs, shard, b._5) > Budget,
+          s"shard $shard bin ${a._2}: closed early (next doc fit)")
+      }
+      // contiguity in doc order
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5)
+        case _ => ()
+      }
+    }
+  }
+
   test("q57 plan: the packing window partitions by shard (no global window)") {
     val df = Analytics.sequencePack(spark, sf0001)
     df.collect()
