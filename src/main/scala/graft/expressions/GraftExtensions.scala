@@ -64,6 +64,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("repetition_stats(text)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("token_ngrams"),
+      new ExpressionInfo(classOf[TokenNgrams].getName, "token_ngrams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => TokenNgrams(text, 3)
+        case Seq(text, w) => TokenNgrams(text, intArg(w, "width"))
+        case _ => throw new IllegalArgumentException("token_ngrams(text[, width])")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (args: Seq[Expression]) => args match {
@@ -104,6 +112,12 @@ object GraftExtensions {
       }, "built-in")
     reg.createOrReplaceTempFunction("repetition_stats",
       args => RepetitionStats(args.head), "built-in")
+    reg.createOrReplaceTempFunction("token_ngrams",
+      args => args match {
+        case Seq(t) => TokenNgrams(t, 3)
+        case Seq(t, Literal(w: Int, _)) => TokenNgrams(t, w)
+        case _ => throw new IllegalArgumentException("token_ngrams(text[, width])")
+      }, "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       args => args match {
         case Seq(a, b) => SortedIntersectCount(a, b)

@@ -46,6 +46,9 @@ object TextHashes {
   def repetition_stats(c: Column): Column =
     column(RepetitionStats(expression(c)))
 
+  def token_ngrams(c: Column, width: Int = 3): Column =
+    column(TokenNgrams(expression(c), width))
+
   private def expression(c: Column): Expression =
     org.apache.spark.sql.graftbridge.Bridge.expression(c)
 }
@@ -216,6 +219,25 @@ object TextHashRuntime {
       topGram(2), topGram(3)))
   }
 
+  /** All word `width`-grams as space-joined strings, in order, with
+    * multiplicity (q65 counts occurrences — no dedup here). Same token
+    * split as everywhere. */
+  def tokenNgrams(text: UTF8String, width: Int): ArrayData = {
+    val toks = text.split(SPACE, -1)
+    val n = toks.length - width + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val parts = new Array[UTF8String](width)
+      var k = 0
+      while (k < width) { parts(k) = toks(i + k); k += 1 }
+      out(i) = UTF8String.concatWs(SPACE, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def shingleHash(toks: Array[UTF8String], i: Int, width: Int): Long = {
     val parts = new Array[UTF8String](width)
     var k = 0
@@ -344,6 +366,30 @@ case class RepetitionStats(child: Expression)
       s"${ev.value} = graft.expressions.TextHashRuntime.repetitionStats($c);")
 
   override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+}
+
+/** Word `width`-gram strings with multiplicity — the phrase unit of the
+  * q65/q66 inverted index, fused for the same reason as ShingleHashes:
+  * the transform(sequence, i -> concat(...)) HOF form interprets
+  * ~1.4 ms/doc (measured 7 s for a 5 000-doc single-partition scan at
+  * sf0.1) where this runs ~10 µs/doc inside WholeStageCodegen. */
+case class TokenNgrams(child: Expression, width: Int)
+    extends UnaryExpression {
+  require(width >= 1)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashRuntime.tokenNgrams(input.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextHashRuntime.tokenNgrams($c, $width);")
+
+  override protected def withNewChildInternal(c: Expression): TokenNgrams =
     copy(child = c)
 }
 

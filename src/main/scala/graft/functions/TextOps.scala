@@ -298,9 +298,15 @@ object TextOps {
   }
 
   /** Token-trigram phrases of a document — the posting unit of the
-    * phrase inverted index (q65/q66). Same guarded-sequence shape as the
-    * repetition n-grams: docs under 3 tokens contribute no phrases. */
-  private val trigramPhrases = expr(
+    * phrase inverted index (q65/q66). Fused TokenNgrams expression
+    * (~10 µs/doc in codegen); docs under 3 tokens contribute none. */
+  private def trigramPhrases: Column =
+    graft.expressions.TextHashes.token_ngrams(col("text"), 3)
+
+  /** Interpreted-HOF twin of TokenNgrams over a bound `toks` column
+    * (PhraseIndexSpec proves the two identical) — ~1.4 ms/doc, never on
+    * a hot path. */
+  def trigramPhrasesHof: Column = expr(
     """if(size(toks) >= 3,
       |  transform(sequence(2, size(toks) - 1),
       |    i -> concat(toks[i - 2], ' ', toks[i - 1], ' ', toks[i])),
@@ -320,7 +326,6 @@ object TextOps {
     * rest), and postings would be delta-encoded per term shard. */
   val phraseIndex: Q = (s, d) =>
     t(s, d, "documents")
-      .withColumn("toks", tokens(col("text")))
       .withColumn("tgs", trigramPhrases)
       .select(col("doc_id"), explode(col("tgs")).as("phrase"))
       .groupBy(col("phrase"))
@@ -344,7 +349,6 @@ object TextOps {
     * pruned point read of the term shard, not a corpus scan. */
   val phraseSearch: Q = (s, d) => {
     val inv = t(s, d, "documents")
-      .withColumn("toks", tokens(col("text")))
       .withColumn("tgs", trigramPhrases)
       .select(col("doc_id"), explode(col("tgs")).as("phrase"))
       .distinct()
@@ -385,7 +389,41 @@ object TextOps {
         max(col("threshold")).as("threshold"))
   }
 
+  /** Cross-source overlap matrix — the dedup-planning report behind a
+    * mixture decision (how much of source A is already in source B):
+    * per-source distinct trigram-phrase sets, pairwise shared counts and
+    * Jaccard. Computed the inverted-list way — explode to (phrase,
+    * source) presence pairs, self-join on the phrase key, count per
+    * source pair — never a doc×doc or corpus cross join. Per-phrase
+    * fan-out is bounded by C(#sources, 2); at 100 TB with many sources
+    * the standard df-cap on ubiquitous shingles bounds the hot keys (the
+    * fixture's 20 sources need none). Jaccard is long/long division →
+    * identical IEEE doubles in both engines, rounded in both. */
+  val sourceOverlap: Q = (s, d) => {
+    val pres = t(s, d, "documents")
+      .withColumn("tgs", trigramPhrases)
+      .select(col("source"), explode(col("tgs")).as("phrase"))
+      .distinct()
+    val sizes = pres.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sh"))
+    val pairs = pres.as("a")
+      .join(pres.withColumnRenamed("source", "source_b").as("b"), Seq("phrase"))
+      .filter(col("a.source") < col("source_b"))
+      .groupBy(col("a.source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("source_a"))
+      .join(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4)
+          .as("jaccard"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q69_source_overlap" -> sourceOverlap,
     "q65_phrase_index" -> phraseIndex,
     "q66_phrase_search" -> phraseSearch,
     "q67_decile_filter" -> decileFilter,
@@ -403,6 +441,30 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_source_overlap" ->
+      """WITH tk AS (
+        |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |pres AS (
+        |  SELECT DISTINCT source,
+        |    unnest(CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(3, len(toks) + 1),
+        |        i -> toks[(i - 2)::INTEGER] || ' ' || toks[(i - 1)::INTEGER]
+        |             || ' ' || toks[i::INTEGER])
+        |    ELSE []::VARCHAR[] END) AS phrase
+        |  FROM tk),
+        |sizes AS (SELECT source, count(*) AS n_sh FROM pres GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS shared
+        |  FROM pres a JOIN pres b
+        |    ON a.phrase = b.phrase AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.shared, sa.n_sh AS n_a,
+        |  sb.n_sh AS n_b,
+        |  round(p.shared / (sa.n_sh + sb.n_sh - p.shared), 4) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.source = p.source_a
+        |JOIN sizes sb ON sb.source = p.source_b""".stripMargin,
     // mirrors phraseIndex's trigram construct; DuckDB sum/sum(DISTINCT)
     // over BIGINT returns HUGEINT → CAST (the q57 lesson)
     "q65_phrase_index" ->

@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   */
 class PhraseIndexSpec extends SparkSpec {
 
+  test("fused TokenNgrams == interpreted HOF trigram twin") {
+    val docs = Tables.t(spark, sf0001, "documents")
+    val fused = docs.select(col("doc_id"),
+      graft.expressions.TextHashes.token_ngrams(col("text"), 3).as("tgs"))
+    val hof = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), TextOps.trigramPhrasesHof.as("tgs"))
+    assert(fused.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(fused).count() === 0)
+    // multiplicity and order preserved, not a distinct set
+    val n = docs.select(sum(greatest(
+      size(split(col("text"), " ")) - 2, lit(0)))).head.getLong(0)
+    assert(fused.select(sum(size(col("tgs")))).head.getLong(0) === n)
+  }
+
   test("q65: df/occ/posting checksums are internally consistent") {
     val idx = TextOps.phraseIndex(spark, sf0001).cache()
     val bad = idx.filter(
