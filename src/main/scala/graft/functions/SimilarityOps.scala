@@ -393,6 +393,38 @@ object SimilarityOps {
     } finally cand.unpersist(false)
   }
 
+  /** Hybrid two-tier dedup — the modality-bridging audit a production
+    * pipeline runs before deleting anything: candidate pairs from the
+    * CHEAP tier (q54's banded hyperplane LSH + exact-cosine verify),
+    * then each surviving pair scored on the OTHER modality — text
+    * shingle Jaccard via the fused ShingleHashes sets and the
+    * linear-merge SortedIntersectCount (never array_intersect). Kills
+    * the classic failure of single-modality dedup: embedding neighbors
+    * that are textually unrelated (template/boilerplate collapse) show
+    * up with jaccard ≈ 0 and survive; true dups agree on both scores.
+    * vec_id is doc_id's embedding (aligned synthetic tables). Scale
+    * shape: candidate generation is q54's (narrow banded shuffle);
+    * the text join ships shingle-hash arrays only for the ~7%-of-pairs
+    * candidate set, keyed by id — two hash joins, no corpus pair scan. */
+  val hybridDedup: Q = (s, d) => {
+    val pairs = embeddingDupsBucketed(s, d)
+    val sh = t(s, d, "documents").select(col("doc_id"),
+      sort_array(graft.expressions.TextHashes.shingle_hashes(col("text"), 3))
+        .as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+    pairs
+      .join(sh.select(col("doc_id").as("vec_a"), col("sh").as("sha"),
+        col("sz").as("sza")), "vec_a")
+      .join(sh.select(col("doc_id").as("vec_b"), col("sh").as("shb"),
+        col("sz").as("szb")), "vec_b")
+      .withColumn("i",
+        graft.expressions.VectorHashes.sorted_intersect_count(
+          col("sha"), col("shb")).cast("long"))
+      .select(col("vec_a"), col("vec_b"), col("cosine"),
+        round(col("i") / (col("sza") + col("szb") - col("i")), 4)
+          .as("jaccard"))
+  }
+
   /** ---- Persistent embedding LSH index: the ingest shape of the
     * embedding dedup family, mirroring DedupOps' MinHash ingest index
     * (buildLshIndex/probeLshIndex/streamingDedupWriter) so BOTH dedup
@@ -542,6 +574,7 @@ object SimilarityOps {
     "q42_ann_ivf_topk" -> annIvfTopK,
     "q51_embedding_dups" -> embeddingDupPairs,
     "q54_embedding_dups_lsh" -> ((s, d) => embeddingDupsBucketed(s, d)),
+    "q70_hybrid_dedup" -> hybridDedup,
   )
 
   /** q38's oracle is GENERATED: the deterministic hyperplanes are
@@ -635,6 +668,43 @@ object SimilarityOps {
        |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= $threshold""".stripMargin
   }
 
+  /** q70's oracle = q54's generated candidate/cosine CTEs + the text
+    * tier over shingle STRINGS (the hash-vs-string collision caveat is
+    * the one already accepted for q28/q41); zero-overlap pairs keep
+    * jaccard 0 via the LEFT JOIN + coalesce. */
+  private def hybridDedupOracle(nPlanes: Int, bandBits: Int,
+      threshold: Double): String = {
+    val base = bucketedDupOracle(nPlanes, bandBits, threshold)
+    // splice: reuse the full q54 SELECT (already margin-stripped) as the
+    // `cv` CTE body appended to q54's WITH chain
+    val idx = base.indexOf("\nSELECT c.vec_a")
+    require(idx > 0, "bucketedDupOracle shape changed")
+    val ctes = base.substring(0, idx)
+    val finalSelect = base.substring(idx + 1)
+    s"""$ctes,
+       |cv AS (
+       |$finalSelect),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+       |  FROM tk),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT cv.vec_a, cv.vec_b, count(*) AS i
+       |  FROM cv JOIN sh a ON a.doc_id = cv.vec_a
+       |          JOIN sh b ON b.doc_id = cv.vec_b AND a.shingle = b.shingle
+       |  GROUP BY 1, 2)
+       |SELECT cv.vec_a, cv.vec_b, cv.cosine,
+       |  round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4)
+       |    AS jaccard
+       |FROM cv
+       |JOIN sizes sa ON sa.doc_id = cv.vec_a
+       |JOIN sizes sb ON sb.doc_id = cv.vec_b
+       |LEFT JOIN inter i ON i.vec_a = cv.vec_a AND i.vec_b = cv.vec_b""".stripMargin
+  }
+
   private val staticOracles: Map[String, String] = Map(
     "q58_embedding_quant" ->
       """WITH e AS (
@@ -659,6 +729,7 @@ object SimilarityOps {
         |    (a, y) -> a + y) / len(v)), 6) AS recon_rmse
         |FROM q""".stripMargin,
     "q54_embedding_dups_lsh" -> bucketedDupOracle(128, 8, 0.35),
+    "q70_hybrid_dedup" -> hybridDedupOracle(128, 8, 0.35),
     "q51_embedding_dups" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v

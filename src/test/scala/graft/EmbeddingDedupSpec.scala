@@ -151,4 +151,31 @@ class EmbeddingDedupSpec extends SparkSpec {
       assert(s == sig(id), s"vec $id: band reassembly $s != signature ${sig(id)}")
     }
   }
+
+  test("q70 hybrid: pairs == q54's, jaccard == exact shingle jaccard per pair") {
+    val hybrid = SimilarityOps.hybridDedup(spark, sf0001).cache()
+    val q54 = SimilarityOps.embeddingDupsBucketed(spark, sf0001)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+    // tier 1 unchanged: same pair set and cosines as q54
+    assert(hybrid.select(col("vec_a"), col("vec_b"), col("cosine"))
+      .exceptAll(q54).count() === 0)
+    assert(q54.exceptAll(
+      hybrid.select(col("vec_a"), col("vec_b"), col("cosine"))).count() === 0)
+    // tier 2: jaccard matches a direct exact computation over shingle sets
+    val sh = Tables.t(spark, sf0001, "documents").select(col("doc_id"),
+      graft.expressions.TextHashes.shingle_hashes(col("text"), 3).as("sh"))
+    val direct = hybrid.select(col("vec_a"), col("vec_b"))
+      .join(sh.select(col("doc_id").as("vec_a"), col("sh").as("sa")), "vec_a")
+      .join(sh.select(col("doc_id").as("vec_b"), col("sh").as("sb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(size(array_intersect(col("sa"), col("sb"))) /
+          (size(col("sa")) + size(col("sb"))
+            - size(array_intersect(col("sa"), col("sb")))), 4).as("jaccard"))
+    val joined = hybrid.select(col("vec_a"), col("vec_b"), col("jaccard"))
+      .join(direct.withColumnRenamed("jaccard", "expected"),
+        Seq("vec_a", "vec_b"))
+    assert(joined.filter(col("jaccard") =!= col("expected")).count() === 0)
+    assert(hybrid.count() > 0)
+    hybrid.unpersist()
+  }
 }
