@@ -232,7 +232,51 @@ object Analytics {
       .toDF()
   }
 
+  /** The end-to-end training-data pipeline as ONE composed plan — the
+    * proof that the engine's stages are orthogonal operators, not
+    * stovepipes: quality gate (q40's thresholds on the fused TextStats
+    * pass) → exact-dedup keepers (q23's min-doc-id-per-hash, left-semi)
+    * → deterministic mixture sampling (q60's integer-hash rule) →
+    * concat-and-chunk sequence packing (q57's shard-local window) →
+    * per-shard report. Shuffle ledger for the whole pipeline: one
+    * exchange on the content hash (dedup), one on the shard key
+    * (packing) — the gates are all map-side. Emissions are exact
+    * integers. */
+  val e2ePipeline: Q = (s, d) => {
+    val budget = 2048
+    val rates = Map("en" -> 0.4, "zh" -> 1.0, "es" -> 1.0, "de" -> 1.0,
+      "fr" -> 1.0)
+    val p = 1000003L
+    val rateCol = rates.foldLeft(lit(1.0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    val scored = t(s, d, "documents")
+      .withColumn("st", graft.expressions.TextHashes.text_stats(
+        col("text"), Seq(graft.functions.TextOps.stopwords)))
+      .select(col("doc_id"), col("lang"),
+        col("st")(1).as("n_tokens"),
+        (col("st")(3).cast("double") / col("st")(1)).as("stop_ratio"),
+        md5(col("text").cast("binary")).as("h"))
+    val keepers = scored.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    val kept = scored
+      .join(keepers, Seq("h", "doc_id"), "left_semi")
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
+        col("stop_ratio") <= 0.5)
+      .filter(pmod(col("doc_id") * 2654435761L, lit(p)) < rateCol * p)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept
+      .withColumn("shard", col("doc_id") % 8)
+      .withColumn("cum_after", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum_after - n_tokens) div $budget"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("bin")).as("n_bins"),
+        sum(col("n_tokens")).as("tok_total"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q71_e2e_pipeline" -> e2ePipeline,
     "q68_pack_greedy" -> packGreedy,
     "q57_sequence_pack" -> sequencePack,
     "q50_asof_join" -> asofJoin,
@@ -248,6 +292,32 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q71_e2e_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, md5(text) AS h,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        tok -> tok IN ('the','a','of','and','to','in')))
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM documents),
+        |keepers AS (SELECT h, min(doc_id) AS doc_id FROM scored GROUP BY 1),
+        |kept AS (
+        |  SELECT s.doc_id, s.lang, s.n_tokens FROM scored s
+        |  WHERE EXISTS (SELECT 1 FROM keepers k
+        |                WHERE k.h = s.h AND k.doc_id = s.doc_id)
+        |    AND s.n_tokens BETWEEN 20 AND 1000 AND s.stop_ratio <= 0.5
+        |    AND (s.doc_id * 2654435761) % 1000003 <
+        |        (CASE s.lang WHEN 'en' THEN 0.4 ELSE 1.0 END) * 1000003),
+        |packed AS (
+        |  SELECT doc_id % 8 AS shard, n_tokens,
+        |    CAST((sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     - n_tokens) // 2048 AS BIGINT) AS bin
+        |  FROM kept)
+        |SELECT shard, count(*) AS n_docs,
+        |  count(DISTINCT bin) AS n_bins,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tok_total
+        |FROM packed GROUP BY shard""".stripMargin,
     // the same first-fit recurrence, written as the sequential walk it
     // is: recursion steps once per doc within a shard (depth = docs per
     // shard), bins aggregate at the end
