@@ -1,0 +1,105 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained phrase inverted index — the streaming twin
+  * of the q65 batch build, and the ADDITIVE counterpart of
+  * [[MergeParquetSink]] (whose newest-row-wins reconcile fits dim
+  * tables, not count accumulation).
+  *
+  * Layout: `path/seq=N/` holds batch N's per-phrase PARTIAL aggregate
+  * (df, occ, min_doc, max_doc, id_sum). All five are decomposable
+  * aggregates, so the read side reconciles with one groupBy(phrase):
+  * sum(df), sum(occ), min(min_doc), max(max_doc), sum(id_sum) — the
+  * merge-on-read trick applied to counts instead of versions.
+  *
+  * df stays additive under ONE contract: a document's phrases arrive in
+  * exactly one micro-batch (each doc admitted once — upstream dedup
+  * admission, e.g. `DedupOps.streamingDedupWriter`, provides exactly
+  * this). Replays are idempotent the same way the merge sink's are:
+  * each batch writes to its own `seq=batchId` dir with ErrorIfExists,
+  * so a restarted batch re-write no-ops instead of double-counting.
+  *
+  * `compact` folds all segments into one (seq=COMPACT_SEQ via staging +
+  * atomic rename, crash-recoverable like the merge sink's), bounding
+  * read-side merge cost on a cadence.
+  *
+  * Scale: each segment is a per-batch aggregate — segment size is
+  * bounded by the batch's distinct-phrase count, not the corpus; the
+  * read-side merge shuffles one narrow row per (segment, phrase).
+  * Reference analog: the ES index the reference's publisher queries
+  * (PublishDaoImpl.java) — here the index is a first-class table the
+  * engine maintains itself.
+  */
+object PhraseIndexSink {
+
+  /** Matches q65's per-phrase aggregate over one batch of (doc_id, text). */
+  private[graft] def partial(batch: DataFrame): DataFrame =
+    batch
+      .withColumn("tgs",
+        graft.expressions.TextHashes.token_ngrams(col("text"), 3))
+      .select(col("doc_id"), explode(col("tgs")).as("phrase"))
+      .groupBy(col("phrase"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("occ"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum_distinct(col("doc_id")).as("id_sum"))
+
+  /** foreachBatch hook: append batch N's partial as segment seq=N.
+    * ErrorIfExists makes a replayed batch a no-op (idempotent). */
+  def writer(path: String)(batch: DataFrame, batchId: Long): Unit =
+    try partial(batch).write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"$path/seq=$batchId")
+    catch {
+      case _: org.apache.spark.sql.AnalysisException
+        if Hfs.exists(batch.sparkSession, s"$path/seq=$batchId") => ()
+    }
+
+  /** Merge-on-read: one groupBy(phrase) over all segments. `minDf`
+    * mirrors q65's published df floor. */
+  def read(spark: SparkSession, path: String, minDf: Long = 0L): DataFrame = {
+    val segs = Hfs.childDirs(spark, path, "seq=")
+    require(segs.nonEmpty, s"no index segments under $path")
+    spark.read.parquet(segs.map(sd => s"$path/$sd"): _*)
+      .groupBy(col("phrase"))
+      .agg(sum(col("df")).as("df"), sum(col("occ")).as("occ"),
+        min(col("min_doc")).as("min_doc"), max(col("max_doc")).as("max_doc"),
+        sum(col("id_sum")).as("id_sum"))
+      .filter(col("df") >= minDf)
+  }
+
+  /** Fold every segment into ONE — kept at the MAX existing seq, which
+    * is what makes compaction replay-safe: Structured Streaming can only
+    * re-run the newest (possibly checkpoint-uncommitted) batch id, and
+    * that id's dir still exists after the fold, so the replayed write
+    * no-ops; every older id is checkpoint-committed and never replayed.
+    * Staging + atomic rename (staging name carries the target seq so a
+    * crash between delete and rename is adopted on the next compact). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val stagingPrefix = "__compact_staging_"
+    // A staging dir WITH _SUCCESS is a complete fold of every segment
+    // that existed when it was written — a crash anywhere in the swap is
+    // recovered by finishing it (delete survivors, rename); without
+    // _SUCCESS it is a partial write and is discarded. Compaction (like
+    // the merge sink's) requires quiescent ingestion: a batch landing
+    // mid-swap would not be part of the fold.
+    Hfs.childDirs(spark, path, stagingPrefix).foreach { st =>
+      val full = s"$path/$st"
+      if (Hfs.exists(spark, s"$full/_SUCCESS")) {
+        Hfs.childDirs(spark, path, "seq=")
+          .foreach(sd => Hfs.deleteRecursive(spark, s"$path/$sd"))
+        Hfs.rename(spark, full, s"$path/seq=${st.stripPrefix(stagingPrefix)}")
+      } else Hfs.deleteRecursive(spark, full)
+    }
+    val segs = Hfs.childDirs(spark, path, "seq=")
+    if (segs.size <= 1) return
+    val maxSeq = segs.map(_.stripPrefix("seq=").toLong).max
+    val staging = s"$path/$stagingPrefix$maxSeq"
+    val merged = read(spark, path).localCheckpoint(true)
+    merged.write.mode(SaveMode.ErrorIfExists).parquet(staging)
+    segs.foreach(sd => Hfs.deleteRecursive(spark, s"$path/$sd"))
+    Hfs.rename(spark, staging, s"$path/seq=$maxSeq")
+  }
+}

@@ -57,6 +57,48 @@ class PhraseIndexSpec extends SparkSpec {
     assert(viaIndex.count() > 0)
   }
 
+  test("streaming index: batched ingest == batch q65; replay and compact are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("phraseidx").toString
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = in.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(graft.sinks.PhraseIndexSink.writer(dir) _)
+      .outputMode("append").start()
+    try {
+      docs.grouped(docs.length / 3 + 1).foreach { b =>
+        in.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = TextOps.phraseIndex(spark, sf0001)
+    def readIdx() = graft.sinks.PhraseIndexSink.read(spark, dir, minDf = 3)
+    assert(readIdx().exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(readIdx()).count() === 0)
+    // replayed batch id → no-op (segment dir already exists)
+    val seg0 = graft.sinks.Hfs.childDirs(spark, dir, "seq=").head
+    graft.sinks.PhraseIndexSink.writer(dir)(
+      Tables.t(spark, sf0001, "documents").select(col("doc_id"), col("text")),
+      seg0.stripPrefix("seq=").toLong)
+    assert(readIdx().exceptAll(batch).count() === 0)
+    // compact folds to one segment with identical read
+    graft.sinks.PhraseIndexSink.compact(spark, dir)
+    assert(graft.sinks.Hfs.childDirs(spark, dir, "seq=").size === 1)
+    assert(readIdx().exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(readIdx()).count() === 0)
+    // crash between delete and rename: the completed staging (with
+    // _SUCCESS) is adopted by the next compact
+    val seg = graft.sinks.Hfs.childDirs(spark, dir, "seq=").head
+    graft.sinks.Hfs.rename(spark, s"$dir/$seg",
+      s"$dir/__compact_staging_${seg.stripPrefix("seq=")}")
+    graft.sinks.PhraseIndexSink.compact(spark, dir)
+    assert(graft.sinks.Hfs.childDirs(spark, dir, "seq=").size === 1)
+    assert(readIdx().exceptAll(batch).count() === 0)
+  }
+
   test("q67: value-threshold decile keeps ceil(N/10) up to boundary ties") {
     val docs = Tables.t(spark, sf0001, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
