@@ -121,6 +121,38 @@ object ScaleProbe {
       println(f"SCALE n=$n%9d sign_band_scan ${(System.nanoTime() - t0v) / 1e9}%6.2f s")
       vecs.unpersist()
     }
+    // phrase-index build scan (q65's hot stage, fused TokenNgrams +
+    // explode + two-phase distinct agg) and the greedy no-split packing
+    // scan (q68, flatMapSortedGroups): both must be ~linear in docs.
+    // (The interpreted transform/concat trigram HOF measured ~1.4 ms/doc
+    // — 7 s for 5k docs on one partition — which is why q65 fuses.)
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      val docs = synthDocs(n).persist()
+      docs.count()
+      val t0p = System.nanoTime()
+      docs
+        .withColumn("tgs",
+          graft.expressions.TextHashes.token_ngrams(col("text"), 3))
+        .select(col("doc_id"), explode(col("tgs")).as("phrase"))
+        .groupBy(col("phrase"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
+        .write.format("noop").mode("overwrite").save()
+      println(f"SCALE n=$n%9d phrase_index_build ${(System.nanoTime() - t0p) / 1e9}%6.2f s")
+      val t0g = System.nanoTime()
+      locally {
+        import spark.implicits._
+        docs.select((col("doc_id") % 256).as("shard"), col("doc_id"),
+            (length(col("text")).cast("long") % 400L + 20L).as("n_tokens"))
+          .as[operators.Analytics.PackIn]
+          .groupByKey(_.shard)
+          .flatMapSortedGroups($"doc_id")(
+            (sh: Long, it: Iterator[operators.Analytics.PackIn]) =>
+              operators.Analytics.packShard(sh, it))
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"SCALE n=$n%9d pack_greedy ${(System.nanoTime() - t0g) / 1e9}%6.2f s")
+      docs.unpersist()
+    }
     // skew: 16M rows, 90% on one key — plain shuffle join vs salted vs AQE
     val n = 16000000L
     val big = spark.range(n).select(

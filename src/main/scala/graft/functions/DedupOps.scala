@@ -333,6 +333,36 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Contamination-aware train/test split audit — the leakage check a
+    * training-data pipeline runs AFTER splitting: assign every doc to
+    * train (90 %) or test by the same deterministic integer hash q60
+    * samples with (no RNG state; re-runs and the oracle pick identical
+    * splits), then join the near-dup pair set (q41's exact
+    * jaccard ≥ 0.5 edges) against both sides' assignments and report
+    * pair counts per (split_a, split_b) cell — the off-diagonal cells
+    * ARE the train→test leakage a decontamination pass must remove.
+    * Emissions are exact integers plus order-independent min/max (never
+    * avg over doubles — partial-agg order would wiggle the last ULP).
+    * Scale: the split is a map-side column; the join touches only the
+    * pair set (dup-rate-proportional, never corpus²). */
+  val splitLeakage: Q = (s, d) => {
+    val p = 1000003L
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id") * 2654435761L, lit(p)) < lit(p * 9 / 10),
+          lit("train")).otherwise(lit("test")).as("split"))
+    shingleJaccardPairs(s, d)
+      .join(docs.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        "doc_b")
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("doc_a") + col("doc_b")).as("pair_id_sum"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** Near-dup cluster collapse — q62. Pair queries (q28/q29/q41/q54)
     * emit EDGES; a real dedup pipeline must collapse them into
     * connected components and keep one representative per component
@@ -535,6 +565,7 @@ object DedupOps {
 
   val queries: Map[String, Q] = Map(
     "q41_shingle_jaccard" -> shingleJaccardPairs,
+    "q72_split_leakage" -> splitLeakage,
     "q27_jaccard_pairs" -> jaccardPairs,
     "q28_minhash_lsh" -> minhashLsh,
     "q29_simhash" -> simhashNearDupPairs,
@@ -582,6 +613,39 @@ object DedupOps {
         |FROM sh s JOIN bench b ON s.shingle = b.shingle
         |WHERE s.doc_id >= 20
         |GROUP BY s.doc_id""".stripMargin,
+    "q72_split_leakage" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+        |      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |  FROM tk),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b,
+        |    round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |             JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5),
+        |splits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id * 2654435761) % 1000003 < (1000003 * 9) // 10
+        |         THEN 'train' ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT a.split AS split_a, b.split AS split_b,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(p.doc_a + p.doc_b) AS BIGINT) AS pair_id_sum,
+        |  min(p.jaccard) AS min_jaccard, max(p.jaccard) AS max_jaccard
+        |FROM pairs p
+        |JOIN splits a ON p.doc_a = a.doc_id
+        |JOIN splits b ON p.doc_b = b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     "q41_shingle_jaccard" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text,' ') AS toks

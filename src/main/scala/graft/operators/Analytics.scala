@@ -202,33 +202,37 @@ object Analytics {
     * executor-target rather than the fixture's % 8). Oracle = a DuckDB
     * recursive CTE walking the same order — an independent sequential
     * formulation of the same recurrence. */
+  /** The first-fit recurrence as a constant-state lazy iterator over
+    * one shard's doc_id-sorted rows (shared by q68 and ScaleProbe). */
+  def packShard(shard: Long, it: Iterator[PackIn],
+      budget: Long = 2048L): Iterator[PackBin] =
+    new Iterator[PackBin] {
+      private var binId = -1L
+      private var fill, nDocs, firstDoc, lastDoc = 0L
+      private var pending: PackIn = if (it.hasNext) it.next() else null
+      def hasNext: Boolean = pending != null
+      def next(): PackBin = {
+        while (pending != null &&
+            (nDocs == 0 || fill + pending.n_tokens <= budget)) {
+          if (nDocs == 0) { binId += 1; fill = 0; firstDoc = pending.doc_id }
+          fill += pending.n_tokens; nDocs += 1; lastDoc = pending.doc_id
+          pending = if (it.hasNext) it.next() else null
+        }
+        val out = PackBin(shard, binId, nDocs, fill, firstDoc, lastDoc)
+        nDocs = 0; fill = 0
+        out
+      }
+    }
+
   val packGreedy: Q = (s, d) => {
     import s.implicits._
-    val budget = 2048L
     t(s, d, "documents")
       .select((col("doc_id") % 8).as("shard"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .as[PackIn]
       .groupByKey(_.shard)
-      .flatMapSortedGroups($"doc_id") { (shard: Long, it: Iterator[PackIn]) =>
-        new Iterator[PackBin] {
-          private var binId = -1L
-          private var fill, nDocs, firstDoc, lastDoc = 0L
-          private var pending: PackIn = if (it.hasNext) it.next() else null
-          def hasNext: Boolean = pending != null
-          def next(): PackBin = {
-            while (pending != null &&
-                (nDocs == 0 || fill + pending.n_tokens <= budget)) {
-              if (nDocs == 0) { binId += 1; fill = 0; firstDoc = pending.doc_id }
-              fill += pending.n_tokens; nDocs += 1; lastDoc = pending.doc_id
-              pending = if (it.hasNext) it.next() else null
-            }
-            val out = PackBin(shard, binId, nDocs, fill, firstDoc, lastDoc)
-            nDocs = 0; fill = 0
-            out
-          }
-        }
-      }
+      .flatMapSortedGroups($"doc_id")((sh: Long, it: Iterator[PackIn]) =>
+        packShard(sh, it))
       .toDF()
   }
 
