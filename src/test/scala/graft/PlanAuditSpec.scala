@@ -108,4 +108,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ASIA"),
       s"region filter should appear as a pushed predicate:\n$plan")
   }
+
+  test("q65 index build: exactly the two distinct-agg exchanges, fused ngrams, pruned scan") {
+    val plan = executedPlan(functions.TextOps.phraseIndex(spark, sf0001))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges (distinct agg), got $exchanges:\n$plan")
+    assert(plan.contains("token_ngrams"), s"must run the fused expression:\n$plan")
+    assert(!plan.contains("transform("), s"no interpreted HOF on the hot path:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to (doc_id, text):\n$plan")
+  }
+
+  test("q68 greedy packing: one exchange on the shard key, then a sort and the object scan") {
+    val plan = executedPlan(operators.Analytics.packGreedy(spark, sf0001))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges:\n$plan")
+    assert(plan.contains("MapGroups"), s"expected the typed group scan:\n$plan")
+  }
+
+  test("q71 pipeline: two hash exchanges total (content hash + shard), gates map-side") {
+    val plan = executedPlan(operators.Analytics.e2ePipeline(spark, sf0001))
+    // dedup keepers (hash) + packing window (shard) + the final tiny
+    // per-shard agg may reuse the shard partitioning — allow 2..3 but
+    // never a corpus-wide extra
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"pipeline grew extra shuffles ($exchanges):\n$plan")
+    assert(plan.contains("text_stats"), s"quality gate must be the fused pass:\n$plan")
+  }
+
+  test("q67 decile gate: corpus joins a broadcast threshold; no global corpus sort") {
+    val plan = executedPlan(functions.TextOps.decileFilter(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"threshold must broadcast:\n$plan")
+    // the only Sort allowed is the one feeding the distinct-value window
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(sorts <= 1, s"unexpected sorts ($sorts) — global corpus sort crept in:\n$plan")
+  }
 }
