@@ -422,7 +422,58 @@ object TextOps {
           .as("jaccard"))
   }
 
+  /** Overlapping chunk split — the retrieval/embedding-prep shape (w=32
+    * token windows, stride 24, 8-token overlap so no boundary sentence
+    * is lost): one chunk row per window start, with the chunk's token
+    * count and content hash. Chunk starts are a tiny integer sequence
+    * per row (never a lambda over tokens); slice/concat_ws/md5 are
+    * native collection expressions, so the whole thing is a map-only
+    * explode — at 100 TB it streams at scan speed like q20-q24. Both
+    * engines clamp a slice past the end identically, so the tail chunk
+    * hashes agree. */
+  val chunkSplit: Q = (s, d) => {
+    val w = 32
+    val stride = 24
+    t(s, d, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("starts",
+        expr(s"sequence(0, ((size(toks) - 1) div $stride) * $stride, $stride)"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("starts")).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(expr(s"slice(toks, start + 1, $w)")).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", expr(s"slice(toks, start + 1, $w)"))
+          .cast("binary")).as("chunk_hash"))
+  }
+
+  /** Length-bucketed batching report — the dynamic-batching planner's
+    * input: every doc rounds up to the next power-of-two token bucket,
+    * and each bucket reports its doc count, real token mass, padding
+    * waste (what a padded batch burns), and fill ratio. The bucket
+    * assignment is an exact integer comparison chain in BOTH engines —
+    * no log2 float hazard at exact powers of two. Map-side classify +
+    * one tiny groupBy: corpus-scan shaped. */
+  val lengthBuckets: Q = (s, d) => {
+    val bounds = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+    def bucketOf(n: Column): Column =
+      bounds.reverse.foldLeft(lit(bounds.last)) { case (acc, b) =>
+        when(n <= b, lit(b)).otherwise(acc)
+      }
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", bucketOf(col("n_tokens")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tok_total"),
+        sum(col("bucket") - col("n_tokens")).as("pad_waste"))
+      .withColumn("fill",
+        round(col("tok_total") / (col("n_docs") * col("bucket")), 4))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q73_chunk_split" -> chunkSplit,
+    "q74_length_buckets" -> lengthBuckets,
     "q69_source_overlap" -> sourceOverlap,
     "q65_phrase_index" -> phraseIndex,
     "q66_phrase_search" -> phraseSearch,
@@ -441,6 +492,38 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q73_chunk_split" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, ((len(toks) - 1) // 24))) AS ci
+        |  FROM tk)
+        |SELECT doc_id, ci AS chunk_idx,
+        |  len(toks[(ci * 24 + 1)::INTEGER : (ci * 24 + 32)::INTEGER])::BIGINT
+        |    AS chunk_len,
+        |  md5(array_to_string(
+        |    toks[(ci * 24 + 1)::INTEGER : (ci * 24 + 32)::INTEGER], ' '))
+        |    AS chunk_hash
+        |FROM st""".stripMargin,
+    "q74_length_buckets" ->
+      """WITH b AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |cl AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |         WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+        |         WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+        |         WHEN n_tokens <= 1024 THEN 1024
+        |         WHEN n_tokens <= 2048 THEN 2048 ELSE 4096 END AS bucket
+        |  FROM b)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+        |  CAST(sum(bucket - n_tokens) AS BIGINT) AS pad_waste,
+        |  round(CAST(sum(n_tokens) AS BIGINT)
+        |    / (count(*) * bucket), 4) AS fill
+        |FROM cl GROUP BY bucket""".stripMargin,
     "q69_source_overlap" ->
       """WITH tk AS (
         |  SELECT source, string_split(text, ' ') AS toks FROM documents),

@@ -99,6 +99,48 @@ class PhraseIndexSpec extends SparkSpec {
     assert(readIdx().exceptAll(batch).count() === 0)
   }
 
+  test("q73 chunks: full token coverage, stride-exact overlap, hash = content") {
+    import spark.implicits._
+    val chunks = TextOps.chunkSplit(spark, sf0001)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_len"))
+      .as[(Long, Long, Long)].collect()
+    val toks = Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = toks(doc)
+      val ordered = cs.sortBy(_._2)
+      // dense indices; every chunk is full-width except possibly the tail
+      assert(ordered.map(_._2).toSeq == ordered.indices.map(_.toLong))
+      ordered.init.foreach(c => assert(c._3 == 32L || c._2 * 24 + c._3 == n))
+      // the last chunk reaches the end of the doc exactly
+      val last = ordered.last
+      assert(last._2 * 24 + last._3 == n, s"doc $doc: tail not covered")
+      // number of chunks matches the stride recurrence
+      assert(ordered.length == ((n - 1) / 24 + 1), s"doc $doc: chunk count")
+    }
+  }
+
+  test("q74 buckets: lossless doc count, power-of-two bounds, fill in (0,1]") {
+    import spark.implicits._
+    val out = TextOps.lengthBuckets(spark, sf0001)
+      .select(col("bucket"), col("n_docs"), col("tok_total"),
+        col("pad_waste"), col("fill"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val n = Tables.t(spark, sf0001, "documents").count()
+    assert(out.map(_._2).sum == n)
+    out.foreach { case (bucket, nd, tok, pad, fill) =>
+      assert((bucket & (bucket - 1)) == 0L, s"bucket $bucket not a power of two")
+      assert(pad == nd * bucket - tok, s"bucket $bucket: waste identity")
+      assert(fill > 0.0 && fill <= 1.0, s"bucket $bucket: fill $fill")
+      // every doc fits its bucket; above the floor bucket none would
+      // have fit one bucket lower (n_tokens > bucket/2 per doc)
+      assert(tok <= nd * bucket, s"bucket $bucket: mass over capacity")
+      if (bucket > 16L)
+        assert(tok > nd * bucket / 2, s"bucket $bucket: doc fits lower bucket")
+    }
+  }
+
   test("q67: value-threshold decile keeps ceil(N/10) up to boundary ties") {
     val docs = Tables.t(spark, sf0001, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
