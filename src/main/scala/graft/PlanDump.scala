@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Writes PLANS.md: the formatted physical plan of each headline query
+  * at the given sf dir — the artifact backing the scale claims in
+  * README/COVERAGE (broadcasts where expected, partition pruning on the
+  * stored ANN layouts, single-scan pivots, no fan-out joins). Each entry
+  * may carry a commentary paragraph (the why-this-shape notes); the
+  * footer holds the ScaleProbe numbers, updated when the probe re-runs.
+  *
+  * Usage: sbt "runMain graft.PlanDump /root/testdata/sf0.01 PLANS.md"
+  */
+object PlanDump {
+  val headline: Seq[(String, String, String)] = Seq(
+    ("q05_order_wide", "fact-fact shuffle join + broadcast dims", ""),
+    ("q15_dau_day_over_day", "single-pass pivot (one scan, no join)", ""),
+    ("q21_quality_score", "fused TextStats expression, regex-free", ""),
+    ("q28_minhash_lsh", "LSH band join + exact-Jaccard verify", ""),
+    ("q38_ann_lsh_topk", "stored bucket layout, partition-pruned probe", ""),
+    ("q42_ann_ivf_topk", "stored IVF cells, partition-pruned probe", ""),
+    ("q50_asof_join", "merge-form as-of (union + window, no join)", ""),
+    ("q51_embedding_dups", "bounded pairwise cosine (verification tier)", ""),
+    ("q65_phrase_index", "inverted-index build (fused explode + two-phase distinct agg)",
+      """Trigram generation is the fused `TokenNgrams` codegen expression (the
+        |interpreted `transform(sequence, i -> concat(...))` HOF measured
+        |~1.4 ms/doc — 7 s at sf0.1 because one parquet row-group means one
+        |task; fused ≈ 10 µs/doc). Catalyst plans the mixed
+        |distinct/non-distinct aggregate as the standard two-phase form: a
+        |first exchange keyed (phrase, doc_id) dedups postings with map-side
+        |partials, a second keyed (phrase) finishes. Both shuffles carry
+        |narrow rows (phrase + 4 longs). At 100 TB the only hot spot is
+        |ubiquitous phrases (df-cap them before publish); AQE skew-split
+        |handles the band in between.""".stripMargin),
+    ("q67_decile_filter", "exact global quantile without a global sort",
+      """The corpus is scanned twice (once to build the distinct-value frame,
+        |once to filter) but never globally sorted: the single-partition
+        |Sort+Window runs over the aggregated value frame (≤ distinct token
+        |counts — thousands of rows at any corpus size), and the filter side
+        |joins against a broadcast single-row threshold. The alternative —
+        |percent_rank over the raw corpus — is the global-sort cliff this
+        |shape exists to avoid.""".stripMargin),
+    ("q68_pack_greedy", "stateful shard-local scan (the one typed-Dataset operator)",
+      """One exchange on the shard key, a within-partition sort, and a linear
+        |walk. Cum-sum-with-reset (first-fit bin packing) cannot be a window
+        |function, so this is the designed `flatMapSortedGroups` escape hatch
+        |— the iterator holds four longs of state per shard regardless of
+        |shard size.""".stripMargin),
+    ("q69_source_overlap", "inverted-list pair counting (no doc-pair join)",
+      """Presence pairs (source, phrase) are built by the same fused explode +
+        |distinct two-exchange shape as q65, self-joined on the phrase key
+        |(AQE picks broadcast at this SF; sort-merge on phrase at scale), then
+        |aggregated per (source_a, source_b) and joined to the per-source set
+        |sizes (both broadcast — ≤ #sources rows). Per-phrase fan-out is
+        |bounded by C(#sources, 2), so the join output never approaches
+        |doc-pair cardinality; at production source counts a df-cap on
+        |ubiquitous phrases bounds the hot keys. The presence set is
+        |recomputed for each side of the self-join at this scale; a 100 TB run
+        |would checkpoint it once instead — the shuffle/join shape is
+        |unchanged.""".stripMargin),
+    ("q71_e2e_pipeline", "quality gate → dedup → sample → pack in one plan",
+      """Two hash exchanges end to end — the dedup-keeper shuffle on the
+        |content hash and the packing window's shuffle on the shard key; the
+        |quality gate, the mixture-sampling hash rule, and the bucket
+        |assignment are all map-side expressions fused into the scan
+        |stages.""".stripMargin))
+
+  val footer: String =
+    """
+      |## ScaleProbe round-5 additions (local[32], synthetic corpora)
+      |
+      |```
+      |phrase_index_build   100k 2.7s | 400k 5.1s | 1.6M 30.4s   (93M trigram rows at 1.6M docs;
+      |                     shuffle-bound through the two distinct-agg exchanges — the fused
+      |                     TokenNgrams scan itself is noise; the 400k→1.6M step pays shuffle spill)
+      |pack_greedy          100k 0.65s | 400k 0.45s | 1.6M 0.66s (flat — the one-exchange +
+      |                     lazy-iterator scan is below measurement noise at these sizes)
+      |sign_band_scan       100k 0.36s | 400k 0.20s | 1.6M 0.55s (linear)
+      |winnow_fingerprints  100k 0.95s | 400k 0.78s | 1.6M 2.52s (linear)
+      |```
+      |
+      |Bench context at sf0.1 after the round: 74 queries total ≈ 28-39 s
+      |(median-of-3 per query; box swings ±20 % run to run) against the 90.5 s
+      |(2× baseline) gate; the heaviest single query is q29's irreducible
+      |exact-verify tier (~3.4 s), and every round-5 addition lands sub-second.
+      |""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("PLANS.md")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
+    sb.append(s"Generated by `graft.PlanDump` at `$sfDir`. AQE final plans ")
+    sb.append("(executed once so runtime re-optimizations are visible).\n")
+    headline.foreach { case (name, note, detail) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0).trim
+      sb.append(s"\n## $name — $note\n\n```\n$plan\n```\n")
+      if (detail.nonEmpty) sb.append(s"\n${detail.stripLineEnd}\n")
+    }
+    sb.append(footer)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    println(s"[plandump] wrote $out")
+    spark.stop()
+  }
+}

@@ -130,12 +130,7 @@ object ScaleProbe {
       val docs = synthDocs(n).persist()
       docs.count()
       val t0p = System.nanoTime()
-      docs
-        .withColumn("tgs",
-          graft.expressions.TextHashes.token_ngrams(col("text"), 3))
-        .select(col("doc_id"), explode(col("tgs")).as("phrase"))
-        .groupBy(col("phrase"))
-        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
+      functions.TextOps.phraseAggregate(docs)
         .write.format("noop").mode("overwrite").save()
       println(f"SCALE n=$n%9d phrase_index_build ${(System.nanoTime() - t0p) / 1e9}%6.2f s")
       val t0g = System.nanoTime()

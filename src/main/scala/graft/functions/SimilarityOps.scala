@@ -420,8 +420,11 @@ object SimilarityOps {
       .withColumn("i",
         graft.expressions.VectorHashes.sorted_intersect_count(
           col("sha"), col("shb")).cast("long"))
+      // two shingle-less docs (under 3 tokens) have 0/0 — define that
+      // as jaccard 0, mirrored by the oracle's CASE (NaN would diverge)
       .select(col("vec_a"), col("vec_b"), col("cosine"),
-        round(col("i") / (col("sza") + col("szb") - col("i")), 4)
+        when(col("sza") + col("szb") === 0, lit(0.0))
+          .otherwise(round(col("i") / (col("sza") + col("szb") - col("i")), 4))
           .as("jaccard"))
   }
 
@@ -697,11 +700,13 @@ object SimilarityOps {
        |          JOIN sh b ON b.doc_id = cv.vec_b AND a.shingle = b.shingle
        |  GROUP BY 1, 2)
        |SELECT cv.vec_a, cv.vec_b, cv.cosine,
-       |  round(coalesce(i.i, 0) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4)
-       |    AS jaccard
+       |  CASE WHEN coalesce(sa.sz, 0) + coalesce(sb.sz, 0) = 0 THEN 0.0
+       |       ELSE round(coalesce(i.i, 0) /
+       |         (coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(i.i, 0)), 4)
+       |  END AS jaccard
        |FROM cv
-       |JOIN sizes sa ON sa.doc_id = cv.vec_a
-       |JOIN sizes sb ON sb.doc_id = cv.vec_b
+       |LEFT JOIN sizes sa ON sa.doc_id = cv.vec_a
+       |LEFT JOIN sizes sb ON sb.doc_id = cv.vec_b
        |LEFT JOIN inter i ON i.vec_a = cv.vec_a AND i.vec_b = cv.vec_b""".stripMargin
   }
 

@@ -324,8 +324,12 @@ object TextOps {
     * carries (phrase, doc_id) pairs only; hot-phrase skew is bounded by
     * the df cap a production build would add (AQE skew-split covers the
     * rest), and postings would be delta-encoded per term shard. */
-  val phraseIndex: Q = (s, d) =>
-    t(s, d, "documents")
+  /** The five-aggregate phrase build over (doc_id, text) rows — q65,
+    * the streaming sink's per-batch partial (PhraseIndexSink.partial)
+    * and ScaleProbe all run THIS code, so the batch query, the
+    * incremental index, and the scale probe cannot drift apart. */
+  def phraseAggregate(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tgs", trigramPhrases)
       .select(col("doc_id"), explode(col("tgs")).as("phrase"))
       .groupBy(col("phrase"))
@@ -334,7 +338,9 @@ object TextOps {
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"),
         sum_distinct(col("doc_id")).as("id_sum"))
-      .filter(col("df") >= 3)
+
+  val phraseIndex: Q = (s, d) =>
+    phraseAggregate(t(s, d, "documents")).filter(col("df") >= 3)
 
   /** Conjunctive-candidate phrase search THROUGH the index: the top-3
     * phrases by (df desc, phrase) are looked up and their posting lists
@@ -376,11 +382,16 @@ object TextOps {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // fallback: when even the top value-group alone exceeds the decile
+    // budget (heavy ties at the max), keep that tied top group rather
+    // than returning an empty report — "ties kept wholesale" applies at
+    // the first boundary too
     val thr = docs.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("n_tokens").desc)))
       .withColumn("nt", sum(col("cnt")).over(Window.partitionBy()))
-      .filter(col("cum") <= expr("(nt + 9) div 10"))
-      .agg(min(col("n_tokens")).as("threshold"))
+      .agg(coalesce(
+        min(when(col("cum") <= expr("(nt + 9) div 10"), col("n_tokens"))),
+        max(col("n_tokens"))).as("threshold"))
     docs.join(broadcast(thr), docs("n_tokens") >= thr("threshold"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"),
@@ -453,8 +464,15 @@ object TextOps {
     * assignment is an exact integer comparison chain in BOTH engines —
     * no log2 float hazard at exact powers of two. Map-side classify +
     * one tiny groupBy: corpus-scan shaped. */
+  /** Power-of-two bucket bounds 16..2^20 — the oracle's CASE chain is
+    * generated from the SAME seq, so the two engines cannot drift. 2^20
+    * tokens ≈ 5 MB of text in one row, beyond the string-column design
+    * point, so the chain never clamps in practice (a clamp would make
+    * pad_waste negative — the bug class this generated chain removes). */
+  private[graft] val bucketBounds: Seq[Long] = (4 to 20).map(1L << _)
+
   val lengthBuckets: Q = (s, d) => {
-    val bounds = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+    val bounds = bucketBounds
     def bucketOf(n: Column): Column =
       bounds.reverse.foldLeft(lit(bounds.last)) { case (acc, b) =>
         when(n <= b, lit(b)).otherwise(acc)
@@ -506,24 +524,23 @@ object TextOps {
         |    toks[(ci * 24 + 1)::INTEGER : (ci * 24 + 32)::INTEGER], ' '))
         |    AS chunk_hash
         |FROM st""".stripMargin,
-    "q74_length_buckets" ->
-      """WITH b AS (
+    "q74_length_buckets" -> {
+      val chain = bucketBounds.dropRight(1)
+        .map(b => s"WHEN n_tokens <= $b THEN $b").mkString(" ")
+      s"""WITH b AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
         |  FROM documents),
         |cl AS (
         |  SELECT doc_id, n_tokens,
-        |    CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
-        |         WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
-        |         WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
-        |         WHEN n_tokens <= 1024 THEN 1024
-        |         WHEN n_tokens <= 2048 THEN 2048 ELSE 4096 END AS bucket
+        |    CASE $chain ELSE ${bucketBounds.last} END AS bucket
         |  FROM b)
         |SELECT bucket, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
         |  CAST(sum(bucket - n_tokens) AS BIGINT) AS pad_waste,
         |  round(CAST(sum(n_tokens) AS BIGINT)
         |    / (count(*) * bucket), 4) AS fill
-        |FROM cl GROUP BY bucket""".stripMargin,
+        |FROM cl GROUP BY bucket""".stripMargin
+    },
     "q69_source_overlap" ->
       """WITH tk AS (
         |  SELECT source, string_split(text, ' ') AS toks FROM documents),
@@ -597,8 +614,9 @@ object TextOps {
         |    CAST(sum(cnt) OVER (ORDER BY n_tokens DESC) AS BIGINT) AS cum,
         |    CAST(sum(cnt) OVER () AS BIGINT) AS nt
         |  FROM v),
-        |t AS (SELECT min(n_tokens) AS threshold FROM c
-        |      WHERE cum <= (nt + 9) // 10)
+        |t AS (SELECT coalesce(
+        |        min(CASE WHEN cum <= (nt + 9) // 10 THEN n_tokens END),
+        |        max(n_tokens)) AS threshold FROM c)
         |SELECT source, count(*) AS n_kept,
         |  min(n_tokens) AS min_tok, max(n_tokens) AS max_tok,
         |  max(t.threshold) AS threshold

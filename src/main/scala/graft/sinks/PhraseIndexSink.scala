@@ -34,41 +34,41 @@ import org.apache.spark.sql.functions._
   */
 object PhraseIndexSink {
 
-  /** Matches q65's per-phrase aggregate over one batch of (doc_id, text). */
+  /** q65's per-phrase aggregate over one batch of (doc_id, text) — the
+    * SAME code the batch query runs (shared builder, cannot drift). */
   private[graft] def partial(batch: DataFrame): DataFrame =
-    batch
-      .withColumn("tgs",
-        graft.expressions.TextHashes.token_ngrams(col("text"), 3))
-      .select(col("doc_id"), explode(col("tgs")).as("phrase"))
-      .groupBy(col("phrase"))
-      .agg(countDistinct(col("doc_id")).as("df"),
-        count(lit(1)).as("occ"),
-        min(col("doc_id")).as("min_doc"),
-        max(col("doc_id")).as("max_doc"),
-        sum_distinct(col("doc_id")).as("id_sum"))
+    graft.functions.TextOps.phraseAggregate(batch)
 
   /** foreachBatch hook: append batch N's partial as segment seq=N.
-    * ErrorIfExists makes a replayed batch a no-op (idempotent). */
-  def writer(path: String)(batch: DataFrame, batchId: Long): Unit =
-    try partial(batch).write.mode(SaveMode.ErrorIfExists)
-      .parquet(s"$path/seq=$batchId")
-    catch {
-      case _: org.apache.spark.sql.AnalysisException
-        if Hfs.exists(batch.sparkSession, s"$path/seq=$batchId") => ()
-    }
+    * Replay idempotence keys on the COMMIT marker, not bare directory
+    * existence: a crashed first attempt can leave a seq dir without
+    * `_SUCCESS` (the committer's abort removes only `_temporary`), and
+    * treating that as done would silently drop the batch's counts — so
+    * an uncommitted leftover is cleared and rewritten, and only a
+    * marker-complete segment makes the replay a no-op. */
+  def writer(path: String)(batch: DataFrame, batchId: Long): Unit = {
+    val seg = s"$path/seq=$batchId"
+    val spark = batch.sparkSession
+    if (Hfs.exists(spark, s"$seg/_SUCCESS")) return
+    Hfs.deleteRecursive(spark, seg)
+    partial(batch).write.mode(SaveMode.ErrorIfExists).parquet(seg)
+  }
 
   /** Merge-on-read: one groupBy(phrase) over all segments. `minDf`
     * mirrors q65's published df floor. */
   def read(spark: SparkSession, path: String, minDf: Long = 0L): DataFrame = {
     val segs = Hfs.childDirs(spark, path, "seq=")
     require(segs.nonEmpty, s"no index segments under $path")
+    readSegments(spark, path, segs).filter(col("df") >= minDf)
+  }
+
+  private def readSegments(spark: SparkSession, path: String,
+      segs: Seq[String]): DataFrame =
     spark.read.parquet(segs.map(sd => s"$path/$sd"): _*)
       .groupBy(col("phrase"))
       .agg(sum(col("df")).as("df"), sum(col("occ")).as("occ"),
         min(col("min_doc")).as("min_doc"), max(col("max_doc")).as("max_doc"),
         sum(col("id_sum")).as("id_sum"))
-      .filter(col("df") >= minDf)
-  }
 
   /** Fold every segment into ONE — kept at the MAX existing seq, which
     * is what makes compaction replay-safe: Structured Streaming can only
@@ -80,24 +80,30 @@ object PhraseIndexSink {
   def compact(spark: SparkSession, path: String): Unit = {
     val stagingPrefix = "__compact_staging_"
     // A staging dir WITH _SUCCESS is a complete fold of every segment
-    // that existed when it was written — a crash anywhere in the swap is
-    // recovered by finishing it (delete survivors, rename); without
-    // _SUCCESS it is a partial write and is discarded. Compaction (like
-    // the merge sink's) requires quiescent ingestion: a batch landing
-    // mid-swap would not be part of the fold.
+    // with seq <= its target — a crash anywhere in the swap is recovered
+    // by finishing it for EXACTLY that range: segments appended AFTER the
+    // staging was written (the stream resumed before anyone re-ran
+    // compact) have seq > target and must survive the recovery, or
+    // their checkpoint-committed, never-replayed batches would be lost.
+    // A staging without _SUCCESS is a partial write and is discarded.
     Hfs.childDirs(spark, path, stagingPrefix).foreach { st =>
       val full = s"$path/$st"
+      val target = st.stripPrefix(stagingPrefix).toLong
       if (Hfs.exists(spark, s"$full/_SUCCESS")) {
         Hfs.childDirs(spark, path, "seq=")
+          .filter(_.stripPrefix("seq=").toLong <= target)
           .foreach(sd => Hfs.deleteRecursive(spark, s"$path/$sd"))
-        Hfs.rename(spark, full, s"$path/seq=${st.stripPrefix(stagingPrefix)}")
+        Hfs.rename(spark, full, s"$path/seq=$target")
       } else Hfs.deleteRecursive(spark, full)
     }
     val segs = Hfs.childDirs(spark, path, "seq=")
     if (segs.size <= 1) return
     val maxSeq = segs.map(_.stripPrefix("seq=").toLong).max
     val staging = s"$path/$stagingPrefix$maxSeq"
-    val merged = read(spark, path).localCheckpoint(true)
+    // fold EXACTLY the snapshotted segment list — a batch landing after
+    // the listing keeps its own segment and is not in the fold, so it is
+    // neither lost nor double-counted
+    val merged = readSegments(spark, path, segs).localCheckpoint(true)
     merged.write.mode(SaveMode.ErrorIfExists).parquet(staging)
     segs.foreach(sd => Hfs.deleteRecursive(spark, s"$path/$sd"))
     Hfs.rename(spark, staging, s"$path/seq=$maxSeq")
