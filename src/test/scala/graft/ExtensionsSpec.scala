@@ -45,4 +45,21 @@ class ExtensionsSpec extends SparkSpec {
       .as[(Long, Int)].collect()(0)
     assert(inter._1 == inter._2.toLong && inter._1 > 0)
   }
+
+  test("token_ngrams callable from SQL, default width 3") {
+    GraftExtensions.register(spark)
+    Seq((1L, "a b c d e")).toDF("id", "text")
+      .createOrReplaceTempView("docs_ext3")
+    val viaSql = spark.sql(
+      """SELECT token_ngrams(text) AS t3,
+        |       token_ngrams(text, 2) AS t2 FROM docs_ext3""".stripMargin)
+      .as[(Seq[String], Seq[String])].collect()(0)
+    val viaColumn = spark.table("docs_ext3").select(
+      graft.expressions.TextHashes.token_ngrams(col("text"), 3),
+      graft.expressions.TextHashes.token_ngrams(col("text"), 2))
+      .as[(Seq[String], Seq[String])].collect()(0)
+    assert(viaSql == viaColumn)
+    assert(viaSql._1 == Seq("a b c", "b c d", "c d e"))
+    assert(viaSql._2 == Seq("a b", "b c", "c d", "d e"))
+  }
 }
