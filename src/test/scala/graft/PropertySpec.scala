@@ -110,4 +110,28 @@ class PropertySpec extends SparkSpec {
     val total = Tables.t(spark, sf0001, "events").count()
     assert(sess == total)
   }
+
+  test("packShard invariants over arbitrary token sequences (pure, no Spark)") {
+    import graft.operators.Analytics.{packShard, PackIn}
+    val genDocs: Gen[List[Long]] =
+      Gen.listOf(Gen.frequency(
+        8 -> Gen.choose(1L, 500L),      // normal docs
+        1 -> Gen.choose(2000L, 3000L),  // near/over budget
+        1 -> Gen.const(2048L)))         // exactly at budget
+    check(Prop.forAllNoShrink(genDocs) { toks =>
+      val docs = toks.zipWithIndex.map { case (n, i) => PackIn(0L, i.toLong, n) }
+      val bins = packShard(0L, docs.iterator).toList
+      val lossless = bins.map(_.n_docs).sum == docs.length &&
+        bins.map(_.tok_filled).sum == toks.sum
+      val dense = bins.map(_.bin) == bins.indices.map(_.toLong)
+      val noSplit = bins.forall(b => b.tok_filled <= 2048L || b.n_docs == 1L)
+      val maximal = bins.zip(bins.drop(1)).forall { case (a, b) =>
+        a.tok_filled + docs(b.first_doc.toInt).n_tokens > 2048L
+      }
+      val contiguous = bins.zip(bins.drop(1)).forall { case (a, b) =>
+        a.last_doc < b.first_doc
+      }
+      lossless && dense && noSplit && maximal && contiguous
+    }, minTests = 200)
+  }
 }
