@@ -51,4 +51,23 @@ object Hfs {
     val st = f.getFileStatus(p)
     (st.getLen, st.getModificationTime)
   }
+
+  /** Overwrite a tiny marker file (single-block create; readers see the
+    * old or the new content, never a torn mix, on HDFS/local). */
+  def writeString(spark: SparkSession, path: String, content: String): Unit = {
+    val (f, p) = fs(spark, path)
+    val out = f.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readString(spark: SparkSession, path: String): Option[String] = {
+    val (f, p) = fs(spark, path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
 }

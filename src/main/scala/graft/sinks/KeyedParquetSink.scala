@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object KeyedParquetSink {
 
+  /** "Nothing readable at this path yet": never written
+    * (PATH_NOT_FOUND), or a crashed first write left a dir with no
+    * parquet footers — only `_temporary` debris
+    * (UNABLE_TO_INFER_SCHEMA). Treating only the first as fresh wedged
+    * the sink permanently after a crashed first write: every retry
+    * failed on the schema error before its overwrite could heal the
+    * dir. */
+  private def isFreshPath(e: org.apache.spark.sql.AnalysisException): Boolean =
+    e.getCondition == "PATH_NOT_FOUND" ||
+      e.getCondition == "UNABLE_TO_INFER_SCHEMA"
+
   /** NOTE on the partition-scoped merge: only dt partitions present in
     * the incoming batch participate, so keys must be STABLE WITHIN dt
     * (include dt in keyCols, as the reference's per-day ES indexes do —
@@ -40,18 +51,31 @@ object KeyedParquetSink {
         val cur = spark.read.parquet(path)
         // only partitions touched by this batch participate in the merge
         val touched = incoming.select(col(dtCol)).distinct()
+        // pin the existing side to the BATCH's column types: partition
+        // type inference reads a string dt back as DATE, and a merge
+        // over drifting types makes the content-hash tie-break rank the
+        // same rows differently on replay (hashing a date's int days vs
+        // a string) — the replay-idempotence contract silently breaks
         Some(cur.join(broadcast(touched), Seq(dtCol), "left_semi")
-          .select(cols.toIndexedSeq.map(col): _*).withColumn("__is_new", lit(0)))
+          .select(cols.toIndexedSeq.map(c =>
+            col(c).cast(batch.schema(c).dataType).as(c)): _*)
+          .withColumn("__is_new", lit(0)))
       } catch {
-        // ONLY path-not-found means first write; any other failure (e.g.
+        // fresh/healable path means first write; any other failure (e.g.
         // corrupt footer) must abort, not silently clobber the table
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" => None
+        case e: org.apache.spark.sql.AnalysisException if isFreshPath(e) =>
+          None
       }
 
     val unioned = existing.fold(incoming)(e => incoming.unionByName(e))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("__is_new").desc)
+      .orderBy(col(versionCol).desc, col("__is_new").desc,
+        // deterministic last-resort tie-break (duplicate keys at equal
+        // version WITHIN one batch): hash of the row content, so the
+        // first run and every replay pick the same winner — without it
+        // row_number's arbitrary choice could flip on replay and break
+        // the replay-leaves-table-unchanged contract
+        xxhash64(struct(cols.toIndexedSeq.map(col): _*)).desc)
     val merged = unioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -75,7 +99,9 @@ object KeyedParquetSink {
     if (!batch.isEmpty) upsert(batch, path, keyCols, dtCol, versionCol)
 
   /** S10: delete-by-query — rows matching `cond` removed; only touched dt
-    * partitions are rewritten. Returns rows deleted. */
+    * partitions are rewritten. Returns rows deleted. Re-runnable: a crash
+    * between the rewrite and the emptied-partition cleanup below is
+    * healed by running the same delete again. */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
       dtCol: String, cond: org.apache.spark.sql.Column): Long = {
     val cur = spark.read.parquet(path)
@@ -87,32 +113,48 @@ object KeyedParquetSink {
     // silently drop NULL-evaluating rows without counting them.
     val hit = coalesce(cond, lit(false))
     val deleted = scoped.filter(hit).count()
-    scoped.filter(!hit)
+    // materialize BEFORE the overwrite: both read the files it replaces
+    val touchedDts = touched.collect().map(_.get(0)).toSeq
+    val remaining = scoped.filter(!hit)
       .select(cur.columns.toIndexedSeq.map(col): _*)
       .localCheckpoint()
-      .write.mode(SaveMode.Overwrite)
+    remaining.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(dtCol).parquet(path)
+    // dynamic overwrite only replaces partitions PRESENT in the output —
+    // a dt whose every row matched produces no output partition and its
+    // old files would silently survive ("deleted" rows resurrecting on
+    // the next read). Remove emptied partitions explicitly; `touchedDts`
+    // is bounded by the distinct dt count.
+    val remainingDts = remaining.select(col(dtCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    touchedDts.filterNot(remainingDts)
+      .foreach(v => Hfs.deleteRecursive(spark, s"$path/$dtCol=$v"))
     deleted
   }
 
   /** S10: update-by-query over the serving table (the ES painless
     * conditional update, EsTest.scala:178-195, as a relational
     * read-modify-write): rows matching `cond` get `set` applied; only dt
-    * partitions containing matches are rewritten. */
+    * partitions containing matches are rewritten. Every `set` expression
+    * and the predicate evaluate against the ORIGINAL row — all updated
+    * columns are computed in one projection, so a set column feeding the
+    * predicate (or another set expression) can never see an
+    * already-updated value. `set` may only target existing columns. */
   def updateWhere(spark: org.apache.spark.sql.SparkSession, path: String,
       dtCol: String, cond: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Long = {
     val cur = spark.read.parquet(path)
+    val unknown = set.keySet -- cur.columns.toSet
+    require(unknown.isEmpty, s"updateWhere: unknown columns $unknown")
     val touched = cur.filter(cond).select(col(dtCol)).distinct()
-    val nTouched = touched.count()
-    if (nTouched == 0) return 0L
+    if (touched.isEmpty) return 0L
     val scoped = cur.join(broadcast(touched), Seq(dtCol), "left_semi")
-    val updated = set.foldLeft(scoped) { case (df, (c, v)) =>
-      df.withColumn(c, when(cond, v).otherwise(col(c)))
-    }
-    val matched = scoped.filter(cond).count()
-    updated.select(cur.columns.toIndexedSeq.map(col): _*)
+    val hit = coalesce(cond, lit(false))
+    val matched = scoped.filter(hit).count()
+    scoped.select(cur.columns.toIndexedSeq.map { c =>
+        set.get(c).fold(col(c))(v => when(hit, v).otherwise(col(c)).as(c))
+      }: _*)
       .localCheckpoint()
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

@@ -40,14 +40,25 @@ object MergeParquetSink {
 
   private def deltaRoot(path: String) = s"$path/delta"
   private def basePath(path: String) = s"$path/base"
+  private def horizonPath(path: String) = s"$path/__seq_horizon"
 
   private def listSeqs(spark: SparkSession, path: String): Seq[Long] =
     Hfs.childDirs(spark, deltaRoot(path), "seq=")
       .map(_.stripPrefix("seq=").toLong)
       .sorted
 
+  /** First seq number still reconstructible by time travel: compaction
+    * folds every delta ≤ horizon−1 into the base and records the
+    * horizon, which also keeps seq numbering MONOTONIC across
+    * compactions — without it, post-compaction deltas would restart at
+    * 0 and a caller's recorded asOfSeq would silently alias unrelated
+    * newer batches. */
+  def seqHorizon(spark: SparkSession, path: String): Long =
+    Hfs.readString(spark, horizonPath(path)).map(_.trim.toLong).getOrElse(0L)
+
   private def nextSeq(spark: SparkSession, path: String): Long =
-    listSeqs(spark, path).lastOption.fold(0L)(_ + 1L)
+    math.max(listSeqs(spark, path).lastOption.fold(0L)(_ + 1L),
+      seqHorizon(spark, path))
 
   /** Append the batch as a new delta; NO existing file is read or
     * rewritten. */
@@ -61,9 +72,16 @@ object MergeParquetSink {
 
   /** Append tombstones for the given keys. `keys` needs the key columns,
     * the dt column, and the version column (tombstone wins from that
-    * version on); remaining data columns are nulled. */
+    * version on); remaining data columns are nulled. Pass `versionCol`
+    * to ENFORCE the version requirement — a keys frame missing it would
+    * otherwise get a null version filled in below, and a null-version
+    * tombstone sorts below every data row in the read-side merge
+    * (desc_nulls_last): the delete would be a silent no-op forever. */
   def delete(keys: DataFrame, path: String, dtCol: String,
-      schemaFrom: DataFrame): Unit = {
+      schemaFrom: DataFrame, versionCol: String = ""): Unit = {
+    require(versionCol.isEmpty || keys.columns.contains(versionCol),
+      s"delete keys frame lacks version column '$versionCol' — the " +
+        "tombstones would never win the merge")
     val seq = nextSeq(keys.sparkSession, path)
     val full = schemaFrom.columns.foldLeft(keys) { (df, c) =>
       if (df.columns.contains(c)) df
@@ -99,7 +117,19 @@ object MergeParquetSink {
             if e.getCondition == "PATH_NOT_FOUND" ||
               e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
       }
+    asOfSeq.foreach { n =>
+      val h = seqHorizon(spark, path)
+      require(n >= h - 1, s"asOfSeq=$n predates the compaction horizon " +
+        s"$h — that history was folded into the base and is no longer " +
+        "reconstructible (same truncation as a vacuumed Delta table)")
+    }
+    // crash window of compact (old base deleted, completed staging not
+    // yet renamed): the staging dir IS the base — by protocol it is only
+    // ever complete once the old base has been fully replaced-able. A
+    // read here must adopt it or every pre-compaction row would silently
+    // vanish until the next compact's recovery runs.
     val base = readSide(spark.read.parquet(basePath(path)))
+      .orElse(readSide(spark.read.parquet(stagingPath(path))))
       .map(_.withColumn(DeletedCol, lit(false)).withColumn(SeqCol, lit(-1L)))
     val deltas =
       if (listSeqs(spark, path).isEmpty) None
@@ -149,6 +179,7 @@ object MergeParquetSink {
     if (!Hfs.exists(spark, basePath(path)) && Hfs.exists(spark, staging))
       Hfs.rename(spark, staging, basePath(path))
     else Hfs.deleteRecursive(spark, staging)
+    val folded = listSeqs(spark, path)
     val snapshot = read(spark, path, keyCols, versionCol).localCheckpoint()
     // partitionOverwriteMode MUST be static here regardless of session
     // conf: the snapshot replaces the whole base. Under dynamic mode a
@@ -164,6 +195,12 @@ object MergeParquetSink {
     else writer.partitionBy(dtCol).parquet(staging)
     Hfs.deleteRecursive(spark, basePath(path))
     Hfs.rename(spark, staging, basePath(path))
+    // horizon BEFORE clearing deltas: a crash in between leaves folded
+    // deltas on disk (harmless — re-reading base ∪ them picks the same
+    // winners) but never an un-bumped horizon with cleared deltas (which
+    // would let seq numbering restart and alias old asOfSeq values)
+    folded.lastOption.foreach(m =>
+      Hfs.writeString(spark, horizonPath(path), (m + 1L).toString))
     Hfs.deleteRecursive(spark, deltaRoot(path))
   }
 

@@ -54,12 +54,26 @@ object PhraseIndexSink {
     partial(batch).write.mode(SaveMode.ErrorIfExists).parquet(seg)
   }
 
+  private val StagingPrefix = "__compact_staging_"
+
   /** Merge-on-read: one groupBy(phrase) over all segments. `minDf`
-    * mirrors q65's published df floor. */
+    * mirrors q65's published df floor. If a COMPLETE compaction staging
+    * exists (compact crashed mid-swap), the fold stands in for every
+    * segment with seq ≤ its target — summing the survivors alone would
+    * silently undercount, and summing staging + folded survivors would
+    * double-count. */
   def read(spark: SparkSession, path: String, minDf: Long = 0L): DataFrame = {
     val segs = Hfs.childDirs(spark, path, "seq=")
-    require(segs.nonEmpty, s"no index segments under $path")
-    readSegments(spark, path, segs).filter(col("df") >= minDf)
+    val staged = Hfs.childDirs(spark, path, StagingPrefix)
+      .filter(st => Hfs.exists(spark, s"$path/$st/_SUCCESS"))
+    val live = staged.headOption match {
+      case Some(st) =>
+        val target = st.stripPrefix(StagingPrefix).toLong
+        st +: segs.filter(_.stripPrefix("seq=").toLong > target)
+      case None => segs
+    }
+    require(live.nonEmpty, s"no index segments under $path")
+    readSegments(spark, path, live).filter(col("df") >= minDf)
   }
 
   private def readSegments(spark: SparkSession, path: String,
@@ -78,7 +92,7 @@ object PhraseIndexSink {
     * Staging + atomic rename (staging name carries the target seq so a
     * crash between delete and rename is adopted on the next compact). */
   def compact(spark: SparkSession, path: String): Unit = {
-    val stagingPrefix = "__compact_staging_"
+    val stagingPrefix = StagingPrefix
     // A staging dir WITH _SUCCESS is a complete fold of every segment
     // with seq <= its target — a crash anywhere in the swap is recovered
     // by finishing it for EXACTLY that range: segments appended AFTER the

@@ -178,6 +178,23 @@ object Streams {
     * 80-93), so routing reconfigures hot without restarting the query.
     * Config file: one CSV line per table, `name,kind` with kind ∈
     * {fact, dim}. */
+  /** Exactly-once per-batch publish into an append-style topic dir: each
+    * (sink, batch) pair lands in its own `batch=<id>` segment, committed
+    * by the parquet `_SUCCESS` marker — a replayed batch no-ops per
+    * sink, a crash between sinks resumes exactly where it stopped, and
+    * an uncommitted leftover is cleared and rewritten (same protocol as
+    * PhraseIndexSink.writer). Readers scan the sink root; the `batch`
+    * partition column is lineage metadata they may ignore. Empty sides
+    * are skipped — there is nothing a replay could duplicate. */
+  private def publishBatch(df: DataFrame, dir: String, batchId: Long): Unit = {
+    val seg = s"$dir/batch=$batchId"
+    val spark = df.sparkSession
+    if (graft.sinks.Hfs.exists(spark, s"$seg/_SUCCESS")) return
+    graft.sinks.Hfs.deleteRecursive(spark, seg)
+    if (!df.isEmpty)
+      df.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(seg)
+  }
+
   def cdcRouteBatchWriter(configPath: String, outDir: String)
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -186,22 +203,24 @@ object Streams {
     val facts = conf.collect { case (n, "fact") => n }.toSeq
     val dims = conf.collect { case (n, "dim") => n }.toSeq
     val routed = graft.operators.CdcRouter.route(batch, facts, dims)
-    routed("fact").write.mode("append").parquet(s"$outDir/fact")
-    routed("dim").write.mode("append").parquet(s"$outDir/dim")
+    publishBatch(routed("fact"), s"$outDir/fact", batchId)
+    publishBatch(routed("dim"), s"$outDir/dim", batchId)
   }
 
   /** P6/S3: the 5-way fan-out as a single foreachBatch — one parse, one
     * persist, five filtered sinks; per-sink parquet dirs play the five
-    * Kafka topics. Idempotent per epoch (overwrite by batch id would be
-    * the exactly-once upgrade; tests use append + dedup-by-key). */
+    * Kafka topics. Exactly-once per (sink, batch) via the
+    * marker-committed `batch=<id>` segments of [[publishBatch]] — the
+    * bare-append form double-published partially-written batches on
+    * replay. */
   def fanoutBatchWriter(outDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val parsed = graft.sources.Envelopes.parseLog(batch).persist()
     try {
-      LogFanout.errors(parsed).write.mode("append").parquet(s"$outDir/error")
-      LogFanout.pages(parsed).write.mode("append").parquet(s"$outDir/page")
-      LogFanout.displays(parsed).write.mode("append").parquet(s"$outDir/display")
-      LogFanout.actions(parsed).write.mode("append").parquet(s"$outDir/action")
-      LogFanout.starts(parsed).write.mode("append").parquet(s"$outDir/start")
+      publishBatch(LogFanout.errors(parsed), s"$outDir/error", batchId)
+      publishBatch(LogFanout.pages(parsed), s"$outDir/page", batchId)
+      publishBatch(LogFanout.displays(parsed), s"$outDir/display", batchId)
+      publishBatch(LogFanout.actions(parsed), s"$outDir/action", batchId)
+      publishBatch(LogFanout.starts(parsed), s"$outDir/start", batchId)
     } finally parsed.unpersist()
   }
 }

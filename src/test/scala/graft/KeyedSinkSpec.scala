@@ -88,6 +88,54 @@ class KeyedSinkSpec extends SparkSpec {
     assert(got == Seq("m1", "m2"))
   }
 
+  test("updateWhere: a set column feeding the predicate reads the ORIGINAL value") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("sink8").toString + "/t"
+    KeyedParquetSink.upsert(
+      table(("m1", "2024-01-01", 1L, 150.0), ("m2", "2024-01-01", 1L, 50.0)),
+      path, Seq("mid", "dt"), "dt", "ver")
+    // cond reads amount; set zeroes amount AND bumps ver. The old
+    // withColumn fold applied amount first, so ver's when(cond) saw the
+    // zeroed amount and never fired — ver must be 9 on the matched row.
+    val n = KeyedParquetSink.updateWhere(spark, path, "dt",
+      col("amount") > 100.0,
+      Map("amount" -> lit(0.0), "ver" -> lit(9L)))
+    assert(n == 1)
+    val got = spark.read.parquet(path).select("mid", "ver", "amount")
+      .as[(String, Long, Double)].collect().sorted.toSeq
+    assert(got == Seq(("m1", 9L, 0.0), ("m2", 1L, 50.0)))
+  }
+
+  test("deleteWhere fully emptying a dt partition removes it — no resurrection") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("sink9").toString + "/t"
+    KeyedParquetSink.upsert(
+      table(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-01", 1L, 20.0),
+        ("m3", "2024-01-02", 1L, 30.0)),
+      path, Seq("mid", "dt"), "dt", "ver")
+    // every row of dt=2024-01-01 matches: dynamic overwrite alone would
+    // skip the emptied partition and its files would survive
+    assert(KeyedParquetSink.deleteWhere(spark, path, "dt",
+      col("dt") === "2024-01-01") == 2L)
+    val got = spark.read.parquet(path).select("mid").as[String].collect().toSeq
+    assert(got == Seq("m3"))
+    assert(!new java.io.File(s"$path/dt=2024-01-01").exists(),
+      "emptied partition dir must be removed")
+  }
+
+  test("replay with equal-version duplicate keys in one batch is deterministic") {
+    val path = Files.createTempDirectory("sink10").toString + "/t"
+    val dup = table(("m1", "2024-01-01", 1L, 10.0), ("m1", "2024-01-01", 1L, 20.0))
+    KeyedParquetSink.upsert(dup, path, Seq("mid", "dt"), "dt", "ver")
+    val first = spark.read.parquet(path)
+      .select("mid", "amount").as[(String, Double)].collect().toSeq
+    KeyedParquetSink.upsert(dup, path, Seq("mid", "dt"), "dt", "ver") // replay
+    val second = spark.read.parquet(path)
+      .select("mid", "amount").as[(String, Double)].collect().toSeq
+    assert(first == second, "replay changed the table under an equal-version tie")
+    assert(first.size == 1)
+  }
+
   test("rows land in per-row dt partitions; untouched partitions survive") {
     val path = Files.createTempDirectory("sink3").toString + "/t"
     KeyedParquetSink.upsert(

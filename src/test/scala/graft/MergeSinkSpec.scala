@@ -192,4 +192,41 @@ class MergeSinkSpec extends SparkSpec {
     assert(!JF.exists(Paths.get(s"$path/base__staging")),
       "staging dir must not survive a successful compact")
   }
+
+  test("READ during the compaction crash window adopts the staging snapshot") {
+    val path = Files.createTempDirectory("merge6").toString + "/t"
+    MergeParquetSink.upsert(
+      table(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-02", 2L, 20.0)),
+      path, "dt")
+    MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
+    MergeParquetSink.upsert(table(("m3", "2024-01-03", 1L, 30.0)), path, "dt")
+    // crash window: base fully staged, old base deleted, rename pending
+    MergeParquetSink.read(spark, path, Seq("mid"), "ver")
+      .write.mode("overwrite").partitionBy("dt").parquet(s"$path/base__staging")
+    graft.sinks.Hfs.deleteRecursive(spark, s"$path/base")
+    graft.sinks.Hfs.deleteRecursive(spark, s"$path/delta")
+    // a plain read (no compact first) must see every pre-compaction row
+    assert(readAll(path) == Set(
+      ("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-02", 2L, 20.0),
+      ("m3", "2024-01-03", 1L, 30.0)))
+  }
+
+  test("seq numbering stays monotonic across compaction; pre-horizon asOfSeq fails loudly") {
+    val path = Files.createTempDirectory("merge7").toString + "/t"
+    MergeParquetSink.upsert(table(("m1", "2024-01-01", 1L, 10.0)), path, "dt") // seq 0
+    MergeParquetSink.upsert(table(("m1", "2024-01-01", 2L, 20.0)), path, "dt") // seq 1
+    MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
+    // post-compaction deltas must NOT restart at 0 — a recorded
+    // asOfSeq=1 would otherwise alias an unrelated future batch
+    MergeParquetSink.upsert(table(("m1", "2024-01-01", 3L, 30.0)), path, "dt") // seq 2
+    assert(MergeParquetSink.seqHorizon(spark, path) == 2L)
+    assert(readAll(s"$path") == Set(("m1", "2024-01-01", 3L, 30.0)))
+    // asOfSeq = horizon-1 is the compacted state itself — still valid
+    assert(MergeParquetSink.read(spark, path, Seq("mid"), "ver", asOfSeq = Some(1L))
+      .select("ver").as[Long].collect().toSeq == Seq(2L))
+    // anything earlier was folded away: loud failure, not wrong data
+    intercept[IllegalArgumentException] {
+      MergeParquetSink.read(spark, path, Seq("mid"), "ver", asOfSeq = Some(0L))
+    }
+  }
 }
