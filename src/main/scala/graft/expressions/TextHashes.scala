@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -250,7 +250,9 @@ object TextHashRuntime {
 /** MinHash signature of word `width`-gram shingles: array of `perms`
   * signed minima. Empty/too-short docs → empty array. */
 case class MinHashSignature(child: Expression, perms: Int, width: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(perms >= 1 && perms <= 63 && width >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -274,7 +276,9 @@ case class MinHashSignature(child: Expression, perms: Int, width: Int)
   * 64-bit hash collisions) at a fraction of the compare cost — the
   * verification-stage companion to the signature. */
 case class ShingleHashes(child: Expression, width: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(width >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -301,7 +305,9 @@ case class ShingleHashes(child: Expression, width: Int)
   * Equivalence to the composable HOF forms is spec-proven
   * (TextStatsSpec). */
 case class TextStats(child: Expression, sets: Seq[Seq[String]])
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -331,7 +337,9 @@ case class TextStats(child: Expression, sets: Seq[Seq[String]])
 /** Winnowing fingerprint set (Schleimer et al.) — min-of-each-w-window
   * over k-gram polynomial hashes, distinct, first-occurrence order. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int, mod: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(k >= 1 && w >= 1 && mod > 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -352,7 +360,9 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, mod: Long)
 /** [n_tokens, n_distinct, top_bigram_n, top_trigram_n] in one pass —
   * the q59 Gopher-rule inputs. */
 case class RepetitionStats(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -375,7 +385,9 @@ case class RepetitionStats(child: Expression)
   * ~1.4 ms/doc (measured 7 s for a 5 000-doc single-partition scan at
   * sf0.1) where this runs ~10 µs/doc inside WholeStageCodegen. */
 case class TokenNgrams(child: Expression, width: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(width >= 1)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -396,7 +408,9 @@ case class TokenNgrams(child: Expression, width: Int)
 /** 64-bit SimHash over whitespace tokens (xxhash64 seed 42 per token,
   * majority vote per bit). */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true

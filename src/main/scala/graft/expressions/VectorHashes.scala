@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -56,7 +56,12 @@ object VectorRuntime {
       val off = p * dims
       var i = 0
       while (i < dims) { acc += x(i) * planesFlat(off + i); i += 1 }
-      if (acc > 0) out(p / bandBits) |= 1L << (p % bandBits)
+      // Spark SQL comparison semantics: NaN is GREATER than any value,
+      // so the composable `dot > 0` sets the bit for a NaN dot product
+      // while Java's `NaN > 0` is false — match Spark or the fused and
+      // composition twins band a NaN-bearing vector differently
+      if (acc > 0 || java.lang.Double.isNaN(acc))
+        out(p / bandBits) |= 1L << (p % bandBits)
       p += 1
     }
     new GenericArrayData(out)
@@ -79,9 +84,17 @@ object VectorRuntime {
   * hyperplane family — the fused twin of SimilarityOps.signBands
   * (which stays as the spec-proven reference composition). */
 case class SignBandVals(child: Expression, planes: Seq[Seq[Double]],
-    bandBits: Int) extends UnaryExpression {
+    bandBits: Int) extends UnaryExpression with ImplicitCastInputTypes {
   require(planes.nonEmpty && bandBits >= 1 && planes.length % bandBits == 0)
+  // a 64-bit band value holds at most 63 sign bits without shift wrap
+  require(bandBits <= 63, s"bandBits $bandBits exceeds 63")
+  // silent truncation hazard: dims is taken from planes.head, so a
+  // LONGER later plane would quietly contribute only its prefix
+  require(planes.forall(_.length == planes.head.length),
+    "hyperplane family must have uniform dimensionality")
 
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sign_band_vals"
@@ -114,8 +127,14 @@ case class SignBandVals(child: Expression, planes: Seq[Seq[Double]],
 
 /** |A ∩ B| over two sorted distinct array<bigint> columns. */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  // without declared input types, `sorted_intersect_count(array(1,2))`
+  // over array<int> passes analysis and toLongArray's 8-byte-stride
+  // reads return GARBAGE counts in the codegen path — declare long
+  // arrays so analysis casts or rejects
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sorted_intersect_count"

@@ -75,7 +75,10 @@ object Http {
   private def handle(ex: HttpExchange)(f: Map[String, String] => String): Unit =
     try respond(ex, 200, f(params(ex)))
     catch {
-      case e: IllegalArgumentException =>
+      // DateTimeException: a well-FORMED but invalid date (2024-13-40)
+      // passes the shape regex and fails only in LocalDate.parse — still
+      // a bad PARAMETER, not a server error
+      case e @ (_: IllegalArgumentException | _: java.time.DateTimeException) =>
         respond(ex, 400, Option(e.getMessage).getOrElse("bad request"), "text/plain")
       case e: Exception =>
         respond(ex, 500, Option(e.getMessage).getOrElse("error"), "text/plain")
@@ -94,9 +97,16 @@ object Http {
     })
     srv.createContext("/statsByItem", (ex: HttpExchange) => handle(ex) { p =>
       val toks = need(p, "itemName").split("[+ ]").filter(_.nonEmpty).toSeq
+      // an itemName of only separators would build WHERE-less SQL → a
+      // parser 500; it is a bad parameter, say so
+      if (toks.isEmpty)
+        throw new IllegalArgumentException("itemName has no searchable tokens")
       statsJson(Publisher.statsByItemSql(spark, toks, need(p, "t")))
     })
-    srv.setExecutor(null) // the built-in serial executor: payloads are tiny
+    // small pool, not the serial default: the payload is tiny but each
+    // request runs a multi-second Spark job — serial dispatch would
+    // head-of-line-block every client behind the slowest query
+    srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     srv.start()
     srv
   }

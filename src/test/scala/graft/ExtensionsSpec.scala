@@ -46,6 +46,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(inter._1 == inter._2.toLong && inter._1 > 0)
   }
 
+  test("SQL surface rejects wrong arity and casts int arrays instead of garbage counts") {
+    GraftExtensions.register(spark)
+    Seq((1L, "a b")).toDF("id", "text").createOrReplaceTempView("docs_ext4")
+    // extra args must be an error, not silently dropped (the per-session
+    // path used args.head and computed simhash64(text) for any arity)
+    intercept[Exception] {
+      spark.sql("SELECT simhash64(text, 7) FROM docs_ext4").collect()
+    }
+    // int-array literals: without declared input types, toLongArray read
+    // packed 4-byte ints with an 8-byte stride — garbage counts, no
+    // error; the declared long-array type makes analysis insert casts
+    val n = spark.sql(
+      "SELECT sorted_intersect_count(array(1, 2, 3), array(2, 3, 4)) AS i")
+      .as[Long].collect()(0)
+    assert(n === 2L)
+  }
+
   test("token_ngrams callable from SQL, default width 3") {
     GraftExtensions.register(spark)
     Seq((1L, "a b c d e")).toDF("id", "text")

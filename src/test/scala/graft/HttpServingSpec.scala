@@ -47,6 +47,12 @@ class HttpServingSpec extends SparkSpec {
       // SQL-injection-shaped token is rejected by the same require that
       // guards the programmatic twin
       assert(get(s"$base/statsByItem?itemName=x%27%3B%20DROP--&t=segment")._1 == 400)
+      // a WELL-FORMED but impossible date passes the shape regex and
+      // fails in LocalDate.parse — still a bad parameter, not a 500
+      assert(get(s"$base/dauRealtime?td=2024-13-40")._1 == 400)
+      // itemName decoding to only separators would otherwise build
+      // WHERE-less SQL and surface as a parser 500
+      assert(get(s"$base/statsByItem?itemName=%2B%2B&t=segment")._1 == 400)
     } finally srv.stop(0)
   }
 
