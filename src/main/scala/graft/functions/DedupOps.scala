@@ -399,6 +399,10 @@ object DedupOps {
         .localCheckpoint(eager = true)
       changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
         .filter(col("lbl") < col("prev")).count()
+      // `next` is materialized (eager checkpoint) and `changed` computed:
+      // the superseded round's blocks serve nothing — without this the
+      // loop pins up to 30 label-frame copies in executor storage
+      labels.unpersist(false)
       labels = next
       iter += 1
     }
@@ -495,20 +499,27 @@ object DedupOps {
       threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
     val docsIdx = spark.read.parquet(s"$path/docs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_doc"), col("dup_of"))
+      .orderBy(col("ingest").desc)
     lshProbeCandidates(newDocs, path)
       .dropDuplicates("new_doc", "dup_of") // shrink before fetching hs
-      .join(docsIdx.select(col("doc_id").as("dup_of"), col("hs").as("hs_e")),
-        Seq("dup_of"))
+      .join(docsIdx.select(col("doc_id").as("dup_of"), col("hs").as("hs_e"),
+        col("ingest")), Seq("dup_of"))
+      // a doc re-indexed across ingest segments (possibly with REVISED
+      // text) has one docs row per segment; score each pair against the
+      // LATEST indexed version only — the old any-version-then-
+      // dropDuplicates form emitted whichever segment's jaccard survived
+      // an arbitrary dedup, so two identical probes could disagree. The
+      // window runs over the candidate-pair frame, never the index.
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .withColumn("inter", graft.expressions.VectorHashes
         .sorted_intersect_count(col("hs_n"), col("hs_e")))
       .withColumn("jaccard", round(col("inter") /
         (size(col("hs_n")) + size(col("hs_e")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("new_doc"), col("dup_of"), col("jaccard"))
-      // final pair-level dedup: a doc re-indexed under MORE THAN ONE
-      // ingest segment has several docs-table rows, and the hs join
-      // would otherwise emit the pair once per segment
-      .dropDuplicates("new_doc", "dup_of")
   }
 
   /** In-batch near-dup resolution: greedy keep-lowest-doc_id. Any doc

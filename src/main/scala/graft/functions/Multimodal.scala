@@ -93,12 +93,14 @@ object Multimodal {
     * decodeBatchPartitions. The tagged intermediate is persisted so the
     * decoder runs ONCE per row even when both sides are consumed (and a
     * non-deterministic production decoder cannot route a row to
-    * both/neither side); callers may `.unpersist()` either returned
-    * dataset's parent once both sides are materialized — otherwise LRU
-    * eviction reclaims it. */
+    * both/neither side). The returned handle is the CACHED tagged
+    * intermediate itself — `.unpersist()` it once both sides are
+    * materialized (unpersisting the derived datasets would be a no-op:
+    * their flatMapped plans never match the cache entry), otherwise LRU
+    * eviction reclaims the pinned payload bytes eventually. */
   def decodeSplit(media: Dataset[MediaRow],
       decoder: Array[Byte] => Option[MediaMeta] = p => Some(decodeStub(p)))
-      : (Dataset[Decoded], Dataset[MediaRow]) = {
+      : (Dataset[Decoded], Dataset[MediaRow], Dataset[_]) = {
     import media.sparkSession.implicits._
     val tagged = media.mapPartitions { rows =>
       val decode = decoder // one handle per partition
@@ -110,7 +112,7 @@ object Multimodal {
     val rejected = tagged.flatMap { case (id, payload, m) =>
       if (m.isEmpty) Some(MediaRow(id, payload)) else None
     }
-    (ok, rejected)
+    (ok, rejected, tagged)
   }
 
   /** STUB frame sampler: split the payload into `n` evenly-spaced
@@ -161,8 +163,14 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val frames = frameSample(r.payload, nFrames, frameLen)
-        val resized = frames.map(resizeStub(_, frameLen))
-        val feats = featuresFromPayload(resized.flatten, dims)
+        // an empty payload samples no frames, but the oracle's fixed
+        // nFrames×frameLen zero-padded grid still FOLDS (zero bytes →
+        // seed-derived features, nonzero norm); mirror it or the two
+        // engines diverge on empty documents (n_frames stays 0)
+        val padded =
+          if (frames.isEmpty) Array.fill(nFrames)(new Array[Byte](frameLen))
+          else frames.map(resizeStub(_, frameLen))
+        val feats = featuresFromPayload(padded.flatten, dims)
         MediaFeatures(r.doc_id, frames.length, feats)
       }
     }

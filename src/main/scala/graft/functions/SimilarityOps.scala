@@ -496,16 +496,22 @@ object SimilarityOps {
       threshold: Double = 0.9): DataFrame = {
     val spark = newVecs.sparkSession
     val vecsIdx = spark.read.parquet(s"$path/vecs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_vec"), col("dup_of"))
+      .orderBy(col("ingest").desc)
     embProbeCandidates(newVecs, path)
       .dropDuplicates("new_vec", "dup_of") // shrink before fetching vectors
-      .join(vecsIdx.select(col("vec_id").as("dup_of"), col("v").as("v_e")),
-        Seq("dup_of"))
+      .join(vecsIdx.select(col("vec_id").as("dup_of"), col("v").as("v_e"),
+        col("ingest")), Seq("dup_of"))
+      // score against the LATEST indexed version of a re-ingested vector
+      // (deterministic), not whichever segment survives an arbitrary
+      // dedup — same fix as DedupOps.probeLshIndex; the window runs over
+      // the candidate-pair frame only
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .withColumn("cosine", round(cosine(col("v_n"), col("v_e")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("new_vec"), col("dup_of"), col("cosine"))
-      // a vector re-indexed under more than one ingest segment has
-      // several vecs-table rows; emit the pair once
-      .dropDuplicates("new_vec", "dup_of")
   }
 
   /** In-batch near-dup resolution (greedy keep-lowest-vec_id), same

@@ -179,20 +179,26 @@ object TextOps {
     * 128-bit or split-multiply hash beyond that). Deterministic: re-runs
     * and the oracle pick the SAME docs, no RNG state anywhere. Emission
     * is per-lang totals plus kept ids' checksum, all exact integers. */
-  val mixtureSample: Q = (s, d) => {
-    val rates = Map("en" -> 0.4, "zh" -> 1.0, "es" -> 1.0, "de" -> 1.0, "fr" -> 1.0)
-    val p = 1000003L
-    val rateCol = rates.foldLeft(lit(1.0)) { case (acc, (l, r)) =>
-      when(col("lang") === l, lit(r)).otherwise(acc)
+  /** q60's admission rule as ONE reusable predicate — the e2e pipeline
+    * (q71) applies the SAME Column, so the two cannot drift. */
+  val mixtureRates: Map[String, Double] =
+    Map("en" -> 0.4, "zh" -> 1.0, "es" -> 1.0, "de" -> 1.0, "fr" -> 1.0)
+  val mixturePrime = 1000003L
+
+  def mixtureKeep(docId: Column, lang: Column): Column = {
+    val rateCol = mixtureRates.foldLeft(lit(1.0)) { case (acc, (l, r)) =>
+      when(lang === l, lit(r)).otherwise(acc)
     }
+    pmod(docId * 2654435761L, lit(mixturePrime)) < rateCol * mixturePrime
+  }
+
+  val mixtureSample: Q = (s, d) =>
     t(s, d, "documents")
-      .withColumn("u", pmod(col("doc_id") * 2654435761L, lit(p)))
-      .withColumn("keep", col("u") < rateCol * p)
+      .withColumn("keep", mixtureKeep(col("doc_id"), col("lang")))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
-  }
 
   val langWords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),

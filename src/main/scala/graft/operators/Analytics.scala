@@ -248,12 +248,6 @@ object Analytics {
     * integers. */
   val e2ePipeline: Q = (s, d) => {
     val budget = 2048
-    val rates = Map("en" -> 0.4, "zh" -> 1.0, "es" -> 1.0, "de" -> 1.0,
-      "fr" -> 1.0)
-    val p = 1000003L
-    val rateCol = rates.foldLeft(lit(1.0)) { case (acc, (l, r)) =>
-      when(col("lang") === l, lit(r)).otherwise(acc)
-    }
     val scored = t(s, d, "documents")
       .withColumn("st", graft.expressions.TextHashes.text_stats(
         col("text"), Seq(graft.functions.TextOps.stopwords)))
@@ -266,7 +260,8 @@ object Analytics {
       .join(keepers, Seq("h", "doc_id"), "left_semi")
       .filter(col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
         col("stop_ratio") <= 0.5)
-      .filter(pmod(col("doc_id") * 2654435761L, lit(p)) < rateCol * p)
+      // literally q60's admission predicate — shared, cannot drift
+      .filter(graft.functions.TextOps.mixtureKeep(col("doc_id"), col("lang")))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     kept

@@ -26,7 +26,16 @@ object Bucketing {
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
-  /** True iff the physical plan contains no shuffle exchange. */
-  def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  /** True iff the physical plan contains no shuffle exchange — ANY
+    * partitioning (hash, range, single-partition, round-robin), not just
+    * the literal hash form: matching only "Exchange hashpartitioning"
+    * certified an orderBy's range-partition shuffle as shuffle-free.
+    * BroadcastExchange is NOT a shuffle and stays allowed. */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    !plan.contains("Exchange ") || {
+      // strip broadcast exchanges, then look again
+      !plan.replace("BroadcastExchange ", "").contains("Exchange ")
+    }
+  }
 }

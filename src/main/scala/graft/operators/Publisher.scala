@@ -64,20 +64,18 @@ object Publisher {
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
     val grouped = t0 match {
-      case "segment" => matched.groupBy( // F7-style relabel (same map as
-        // Relational.segmentDecode — keep the twins consistent)
-        when(col("c_mktsegment") === "AUTOMOBILE", "auto")
-          .when(col("c_mktsegment") === "BUILDING", "building")
-          .when(col("c_mktsegment") === "MACHINERY", "machinery")
-          .otherwise("other").as("name"))
-      case "band" => matched.groupBy( // A5-style re-bucketing, one pass
-        when(col("c_acctbal") < 0, "negative")
-          .when(col("c_acctbal") < 5000, "mid")
-          .otherwise("high").as("name"))
+      // F7/A5 relabel maps: the SAME Column builders q16/q07 run —
+      // a drifting copy here desynchronized the endpoint silently
+      case "segment" => matched.groupBy(
+        Relational.segmentLabel(col("c_mktsegment")).as("name"))
+      case "band" => matched.groupBy(
+        Relational.acctbalBand(col("c_acctbal")).as("name"))
       case other => throw new IllegalArgumentException(s"t=$other")
     }
+    // name tiebreaker: equal revenues must order identically across
+    // runs and across the SQL twin (the repo's top-k determinism rule)
     grouped.agg(round(sum(col("l_extendedprice")), 2).as("value"))
-      .orderBy(col("value").desc)
+      .orderBy(col("value").desc, col("name").asc)
       .collect().map(r => StatItem(r.getString(0), r.getDouble(1))).toSeq
   }
 
@@ -144,7 +142,7 @@ object Publisher {
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |WHERE $matchPred
-         |GROUP BY 1 ORDER BY value DESC""".stripMargin)
+         |GROUP BY 1 ORDER BY value DESC, name ASC""".stripMargin)
       .collect().map(r => StatItem(r.getString(0), r.getDouble(1))).toSeq
   }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables.t
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -102,12 +102,14 @@ object Relational {
   /** A5+F6 analog: client-side age re-bucketing done engine-side in one
     * pass (ref PublisherServiceImpl.java:55-74) — acctbal bands play age
     * bands. */
+  /** The acctbal band map — ONE definition for q07 and the /statsByItem
+    * serving twin (the SQL-text twin is asserted equal by PublisherSpec). */
+  def acctbalBand(c: Column): Column =
+    when(c < 0, "negative").when(c < 5000, "mid").otherwise("high")
+
   val acctbalBands: Q = (s, d) =>
     t(s, d, "customer")
-      .groupBy(
-        when(col("c_acctbal") < 0, "negative")
-          .when(col("c_acctbal") < 5000, "mid")
-          .otherwise("high").as("band"))
+      .groupBy(acctbalBand(col("c_acctbal")).as("band"))
       .agg(count(lit(1)).as("n_customers"),
         round(sum(col("c_acctbal")), 2).as("total_bal"))
 
@@ -228,13 +230,17 @@ object Relational {
   /** F7: code→label decode + group (ref PublisherServiceImpl.java:40-54
     * decodes gender codes; same shape over market segments, with the
     * reference's slur label replaced by a neutral one per SURVEY §2.3). */
+  /** The segment relabel map — ONE definition for q16 and the
+    * /statsByItem serving twin. */
+  def segmentLabel(c: Column): Column =
+    when(c === "AUTOMOBILE", "auto")
+      .when(c === "BUILDING", "building")
+      .when(c === "MACHINERY", "machinery")
+      .otherwise("other")
+
   val segmentDecode: Q = (s, d) =>
     t(s, d, "customer")
-      .withColumn("segment_label",
-        when(col("c_mktsegment") === "AUTOMOBILE", "auto")
-          .when(col("c_mktsegment") === "BUILDING", "building")
-          .when(col("c_mktsegment") === "MACHINERY", "machinery")
-          .otherwise("other"))
+      .withColumn("segment_label", segmentLabel(col("c_mktsegment")))
       .groupBy(col("segment_label"))
       .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
 

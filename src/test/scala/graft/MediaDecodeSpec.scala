@@ -50,7 +50,7 @@ class MediaDecodeSpec extends SparkSpec {
   test("decodeSplit routes rejects to the error side with payloads intact") {
     val good = imageBytes(6, 7, "png")
     val bad = "not an image".getBytes("UTF-8")
-    val (ok, rejected) = Multimodal.decodeSplit(
+    val (ok, rejected, tagged) = Multimodal.decodeSplit(
       Seq(MediaRow(1L, good), MediaRow(2L, bad)).toDS(), Multimodal.decodeImage)
     assert(ok.collect().map(d => d.doc_id -> ((d.width, d.height))).toMap ==
       Map(1L -> ((6, 7))))
@@ -58,6 +58,7 @@ class MediaDecodeSpec extends SparkSpec {
     assert(rej.map(_.doc_id).toSeq == Seq(2L))
     assert(java.util.Arrays.equals(rej.head.payload, bad),
       "dead-letter side must carry the original payload")
+    tagged.unpersist()
   }
 
   test("truncated PNG (valid magic, corrupt body) maps to None, not an exception") {
