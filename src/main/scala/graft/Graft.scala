@@ -23,4 +23,21 @@ object Graft {
     expressions.GraftExtensions.register(spark)
     spark
   }
+
+  /** The ONE local-session recipe every main (Bench / Verify / PlanDump /
+    * ScaleProbe) builds from — `parallelism` sets master threads AND
+    * shuffle partitions. The four copies this replaces had to be edited
+    * in lockstep (Tables.nanosConf's docstring enumerated them all). */
+  def localSession(parallelism: Int, logLevel: String = "ERROR"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$parallelism]")
+      .config("spark.sql.shuffle.partitions", parallelism.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.nanosConf, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(logLevel)
+    spark
+  }
 }

@@ -12,14 +12,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Graft.localSession(32)
     def synth(n: Long) = spark.range(n).select(
       col("id").as("event_id"),
       timestamp_millis(lit(1704067200000L) + (col("id") % 2592000000L)).as("ts"),

@@ -34,7 +34,12 @@ object Tables {
         "session builder or call Graft.init (see Tables.nanosConf)")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // FLOOR division, not `div` (truncate-toward-zero): a pre-1970
+      // nanosecond timestamp must round down like DuckDB's TIMESTAMP_NS
+      // → µs conversion, or the two engines differ by 1 µs on negative
+      // non-multiples of 1000. Integer-exact (no double round-trip).
+      raw.withColumn("ts", expr(
+        "timestamp_micros(ts div 1000 - if(ts % 1000 < 0, 1, 0))"))
     else raw
   }
 }

@@ -6,21 +6,18 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = Graft.localSession(cpus, "WARN")
     Files.createDirectories(Paths.get(outDir))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // clear any PREVIOUS run's output for this query: a stale
+        // committed parquet dir would be hand-delivered to the DuckDB
+        // compare as if this run produced it — a green gate for a query
+        // that no longer runs
+        graft.sinks.Hfs.deleteRecursive(spark, s"$outDir/$name")
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

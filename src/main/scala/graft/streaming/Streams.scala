@@ -110,7 +110,12 @@ object Streams {
           else {
             val seen = state.getOption.getOrElse(Set.empty)
             val events = rows.toSeq
-            val days = events.map(r => r._2.toLocalDateTime.toLocalDate.toString)
+            // UTC explicitly: Timestamp.toLocalDateTime uses the JVM
+            // default zone, which would assign midnight-adjacent events
+            // to a different day than the dauDedup twin's to_date under
+            // spark.sql.session.timeZone=UTC on any non-UTC machine
+            val days = events.map(r => r._2.toInstant
+                .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
               .distinct.sorted
             val fresh = days.filterNot(seen)
             state.update(seen ++ fresh)
@@ -172,12 +177,6 @@ object Streams {
       }
   }
 
-  /** ST10/P10: CDC routing with per-batch config refresh — the fact/dim
-    * table lists are re-read from `configPath` on EVERY micro-batch (the
-    * reference re-reads Redis sets each batch, app/OdsBaseDbApp.scala:
-    * 80-93), so routing reconfigures hot without restarting the query.
-    * Config file: one CSV line per table, `name,kind` with kind ∈
-    * {fact, dim}. */
   /** Exactly-once per-batch publish into an append-style topic dir: each
     * (sink, batch) pair lands in its own `batch=<id>` segment, committed
     * by the parquet `_SUCCESS` marker — a replayed batch no-ops per
@@ -195,6 +194,14 @@ object Streams {
       df.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(seg)
   }
 
+  /** ST10/P10: CDC routing with per-batch config refresh — the fact/dim
+    * table lists are re-read from `configPath` on EVERY micro-batch (the
+    * reference re-reads Redis sets each batch, app/OdsBaseDbApp.scala:
+    * 80-93), so routing reconfigures hot without restarting the query.
+    * Config file: one CSV line per table, `name,kind` with kind ∈
+    * {fact, dim}. The routed decode is persisted for the duration of the
+    * batch: both sinks' isEmpty probe + write would otherwise re-parse
+    * every CDC envelope four times. */
   def cdcRouteBatchWriter(configPath: String, outDir: String)
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -203,8 +210,12 @@ object Streams {
     val facts = conf.collect { case (n, "fact") => n }.toSeq
     val dims = conf.collect { case (n, "dim") => n }.toSeq
     val routed = graft.operators.CdcRouter.route(batch, facts, dims)
-    publishBatch(routed("fact"), s"$outDir/fact", batchId)
-    publishBatch(routed("dim"), s"$outDir/dim", batchId)
+    val fact = routed("fact").persist()
+    val dim = routed("dim").persist()
+    try {
+      publishBatch(fact, s"$outDir/fact", batchId)
+      publishBatch(dim, s"$outDir/dim", batchId)
+    } finally { fact.unpersist(); dim.unpersist() }
   }
 
   /** P6/S3: the 5-way fan-out as a single foreachBatch — one parse, one
