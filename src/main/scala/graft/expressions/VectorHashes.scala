@@ -36,6 +36,12 @@ object VectorHashes {
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
 }
 
 object VectorRuntime {
@@ -65,6 +71,38 @@ object VectorRuntime {
       p += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** dot(a,b), accumulating left to right from 0.0 — the exact fp
+    * operation order of aggregate(zip_with(a, b, _*_), 0.0, _+_), so the
+    * fused and composed forms are bit-identical. zip_with semantics on
+    * length mismatch: the shorter side pads with NULL → the composed
+    * aggregate returns NULL; mirror that (embedding fixtures are
+    * uniform-dims, but the twins must agree on malformed input too). */
+  def dotProduct(a: ArrayData, b: ArrayData): Any = {
+    if (a.numElements != b.numElements) return null
+    val x = a.toDoubleArray(); val y = b.toDoubleArray()
+    var acc = 0.0
+    var i = 0
+    while (i < x.length) { acc += x(i) * y(i); i += 1 }
+    acc
+  }
+
+  /** cosine(a,b) = dot/(norm(a)*norm(b)) with every partial sum
+    * accumulated left to right — bit-identical to the
+    * dot(a,b)/(norm(a)*norm(b)) composition (and to DuckDB's
+    * list_cosine_similarity modulo its own fp order, which the oracle
+    * rounding already absorbs). Zero-norm input divides to NaN/Infinity
+    * exactly as the composition does. */
+  def cosineSim(a: ArrayData, b: ArrayData): Any = {
+    if (a.numElements != b.numElements) return null
+    val x = a.toDoubleArray(); val y = b.toDoubleArray()
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < x.length) {
+      d += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Intersection size of two ascending-sorted distinct long arrays. */
@@ -123,6 +161,61 @@ case class SignBandVals(child: Expression, planes: Seq[Seq[Double]],
 
   override protected def withNewChildInternal(c: Expression): SignBandVals =
     copy(child = c)
+}
+
+/** Shared shape of the fused pairwise vector-math expressions: one
+  * primitive-array pass per pair instead of the zip_with/aggregate
+  * composition, which Spark evaluates as CodegenFallback (interpreted,
+  * one boxed lambda binding PER ELEMENT — the dedup verify tiers ran
+  * ~200 allocations per candidate pair through it). NULL on length
+  * mismatch mirrors the composition (zip_with pads the short side with
+  * NULL and the aggregate collapses to NULL), hence the boxed runtime
+  * return and the explicit isNull reassignment in codegen. */
+sealed trait FusedVectorPairMath extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  // nullable even over non-null children: length mismatch → NULL
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  /** Fully-qualified runtime method (ArrayData, ArrayData) => Any. */
+  protected def runtimeCall: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("fusedVec")
+      s"""Object $r = $runtimeCall($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
+         |""".stripMargin
+    })
+}
+
+/** dot(a,b) fused — bit-identical to
+  * aggregate(zip_with(a, b, _*_), 0.0, _+_). */
+case class DotProduct(left: Expression, right: Expression)
+    extends FusedVectorPairMath {
+  override def prettyName: String = "dot_product"
+  override protected def runtimeCall: String =
+    "graft.expressions.VectorRuntime.dotProduct"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorRuntime.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): DotProduct = copy(left = l, right = r)
+}
+
+/** cosine(a,b) fused — bit-identical to dot(a,b)/(norm(a)*norm(b)). */
+case class CosineSim(left: Expression, right: Expression)
+    extends FusedVectorPairMath {
+  override def prettyName: String = "cosine_sim"
+  override protected def runtimeCall: String =
+    "graft.expressions.VectorRuntime.cosineSim"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorRuntime.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CosineSim = copy(left = l, right = r)
 }
 
 /** |A ∩ B| over two sorted distinct array<bigint> columns. */

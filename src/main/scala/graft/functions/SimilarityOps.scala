@@ -20,8 +20,14 @@ object SimilarityOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** dot(a,b) via zip_with + aggregate — pure Catalyst expressions
-    * (codegen), no UDF. */
+  /** dot(a,b) via zip_with + aggregate — pure Catalyst expressions, no
+    * UDF, but NOT codegen: Spark's higher-order functions are
+    * CodegenFallback (interpreted, one boxed lambda binding per
+    * element). Kept as the spec-proven reference composition;
+    * every per-PAIR hot path uses the bit-identical fused
+    * [[graft.expressions.VectorHashes.dot_product]] /
+    * [[graft.expressions.VectorHashes.cosine_sim]] instead
+    * (EmbeddingDedupSpec pins fused ≡ composed bit-for-bit). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -29,6 +35,10 @@ object SimilarityOps {
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** The fused twin, used by every hot path below. */
+  private def fcos(a: Column, b: Column): Column =
+    graft.expressions.VectorHashes.cosine_sim(a, b)
 
   /** Brute-force cosine top-k: query vector = vec_id 0, corpus = the rest.
     * Broadcast the single query row; rank by rounded score with vec_id
@@ -40,7 +50,7 @@ object SimilarityOps {
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id").as("neighbor_id"),
-        round(cosine(col("v"), col("qv")), 6).as("cosine"))
+        round(fcos(col("v"), col("qv")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
       .limit(10)
   }
@@ -94,7 +104,7 @@ object SimilarityOps {
       .crossJoin(broadcast(q))
       .filter(expr(s"bit_count(bucket ^ qbucket) <= $probe"))
       .select(col("vec_id").as("neighbor_id"),
-        round(cosine(col("v"), col("qv")), 6).as("cosine"))
+        round(fcos(col("v"), col("qv")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
       .limit(k)
   }
@@ -132,7 +142,7 @@ object SimilarityOps {
     s.read.parquet(s"$path/corpus")
       .filter(col("bucket").isin(probed: _*) && col("vec_id") =!= excludeVecId)
       .select(col("vec_id").as("neighbor_id"),
-        round(cosine(col("v"), typedlit(qVec.toSeq)), 6).as("cosine"))
+        round(fcos(col("v"), typedlit(qVec.toSeq)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
       .limit(k)
   }
@@ -188,7 +198,7 @@ object SimilarityOps {
     * struct(cos, cell) — pure columnar. */
   def assignCells(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val cells = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col("v"), typedlit(c.toSeq)).as("cos"), lit(i).as("cell"))
+      struct(fcos(col("v"), typedlit(c.toSeq)).as("cos"), lit(i).as("cell"))
     }
     emb.withColumn("cell", array_max(array(cells.toIndexedSeq: _*)).getField("cell"))
   }
@@ -234,7 +244,7 @@ object SimilarityOps {
     s.read.parquet(s"$path/corpus")
       .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= excludeVecId)
       .select(col("vec_id").as("neighbor_id"),
-        round(cosine(col("v"), typedlit(qVec.toSeq)), 6).as("cosine"))
+        round(fcos(col("v"), typedlit(qVec.toSeq)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
       .limit(topk)
   }
@@ -311,7 +321,7 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cosine"))
+        round(fcos(col("a.v"), col("b.v")), 6).as("cosine"))
       .filter(col("cosine") >= 0.35)
   }
 
@@ -370,27 +380,24 @@ object SimilarityOps {
     val banded = e.select(col("vec_id"),
       posexplode(graft.expressions.VectorHashes.sign_band_vals(
         col("v"), planes.toSeq.map(_.toSeq), bandBits)).as(Seq("band", "bv")))
+    // one straight pipeline — cand has exactly one consumer, so there is
+    // nothing to persist/checkpoint (the earlier persist+eager-checkpoint
+    // form leaked storage blocks into whatever the session ran next);
+    // the verify tier scores pairs with the fused CosineSim (one
+    // primitive pass/pair — the dot/norm HOF composition is interpreted
+    // CodegenFallback and dominated the whole query)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-      .persist()
-    try {
-      // norms precomputed once per VECTOR, not once per pair — the
-      // division tree stays dot/(na*nb), bit-identical to cosine()
-      val en = e.withColumn("nrm", norm(col("v")))
-      cand
-        .join(en.select(col("vec_id").as("vec_a"), col("v").as("va"),
-          col("nrm").as("na")), "vec_a")
-        .join(en.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-          col("nrm").as("nb")), "vec_b")
-        .select(col("vec_a"), col("vec_b"),
-          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-            .as("cosine"))
-        .filter(col("cosine") >= threshold)
-        .localCheckpoint(eager = true)
-    } finally cand.unpersist(false)
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(graft.expressions.VectorHashes.cosine_sim(
+          col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** Hybrid two-tier dedup — the modality-bridging audit a production
@@ -509,7 +516,7 @@ object SimilarityOps {
       // the candidate-pair frame only
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .withColumn("cosine", round(cosine(col("v_n"), col("v_e")), 6))
+      .withColumn("cosine", round(fcos(col("v_n"), col("v_e")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("new_vec"), col("dup_of"), col("cosine"))
   }
@@ -524,7 +531,7 @@ object SimilarityOps {
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         col("a.v").as("v_a"), col("b.v").as("v_b"))
       .dropDuplicates("va", "vb")
-      .filter(round(cosine(col("v_a"), col("v_b")), 6) >= threshold)
+      .filter(round(fcos(col("v_a"), col("v_b")), 6) >= threshold)
       .select(col("vb").as("vec_id")).distinct()
     batch.join(losers, Seq("vec_id"), "left_anti")
   }

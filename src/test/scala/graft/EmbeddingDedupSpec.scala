@@ -130,6 +130,34 @@ class EmbeddingDedupSpec extends SparkSpec {
       s"diverging rows e.g. ${(fused diff composed).take(3)} vs ${(composed diff fused).take(3)}")
   }
 
+  test("fused cosine_sim/dot_product ≡ dot/norm/cosine composition (bit-identical)") {
+    // same accumulation order ⇒ the fused one-pass form must equal the
+    // interpreted HOF composition on every pair, BEFORE any rounding
+    val e = Tables.t(spark, sf0001, "embeddings").limit(60)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val diverging = pairs.select(
+        SimilarityOps.cosine(col("a.v"), col("b.v")).as("composed"),
+        graft.expressions.VectorHashes.cosine_sim(col("a.v"), col("b.v")).as("fused"),
+        SimilarityOps.dot(col("a.v"), col("b.v")).as("dcomposed"),
+        graft.expressions.VectorHashes.dot_product(col("a.v"), col("b.v")).as("dfused"))
+      .filter(col("composed") =!= col("fused") || col("dcomposed") =!= col("dfused"))
+      .count()
+    assert(diverging == 0L)
+  }
+
+  test("fused pair math NULL semantics match the zip_with composition") {
+    // length mismatch: zip_with pads with NULL and the aggregate
+    // collapses to NULL — the fused forms must return NULL, not garbage
+    graft.expressions.GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d)) AS c,
+        |       dot_product(array(1.0d, 2.0d), array(1.0d)) AS d,
+        |       dot_product(array(1.0d, 2.0d), CAST(NULL AS ARRAY<DOUBLE>)) AS n
+        |""".stripMargin).collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+  }
+
   test("signBands packs every plane exactly once and bit-agrees with bucketOf") {
     // 32 planes / 2-bit bands: band b bit i == bucketOf bit (2b+i) for the
     // same family — reassembling band values must reproduce the 32-bit
