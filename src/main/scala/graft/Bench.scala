@@ -53,6 +53,8 @@ object Bench {
     try functions.SimilarityOps.annLshTopK(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // the builds' leftovers are not the first timed query's bill either
+    dropLeakedBlocks(spark)
     // Median of N in-process runs per query (fixtures are hot after the
     // first): the box swings ±20% run-to-run, which single-run numbers
     // kept masquerading as regressions across rounds.

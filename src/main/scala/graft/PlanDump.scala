@@ -21,6 +21,19 @@ object PlanDump {
     ("q42_ann_ivf_topk", "stored IVF cells, partition-pruned probe", ""),
     ("q50_asof_join", "merge-form as-of (union + window, no join)", ""),
     ("q51_embedding_dups", "bounded pairwise cosine (verification tier)", ""),
+    ("q54_embedding_dups_lsh", "banded hyperplane LSH + fused-cosine verify",
+      """One straight pipeline: fused SignBandVals banding (codegen, one
+        |primitive pass per row), equality join on (band, value), distinct,
+        |then the verify tier joins vectors back by id and scores each
+        |candidate with the fused CosineSim expression. The earlier form
+        |persisted the candidate frame and eagerly localCheckpoint-ed the
+        |result — blocks that leaked into whatever the session ran next —
+        |and scored pairs through the zip_with/aggregate HOF composition,
+        |which is CodegenFallback (interpreted): the verify stage alone
+        |cost 19s at sf0.1 and grew run-over-run. Fused + unpersisted:
+        |0.8s, flat across runs. At scale the only wide exchange is the
+        |narrow (vec_id, band, bv) band table; embeddings ship once,
+        |keyed by id, to exactly the candidate set.""".stripMargin),
     ("q65_phrase_index", "inverted-index build (fused explode + two-phase distinct agg)",
       """Trigram generation is the fused `TokenNgrams` codegen expression (the
         |interpreted `transform(sequence, i -> concat(...))` HOF measured

@@ -114,6 +114,28 @@ object ScaleProbe {
       println(f"SCALE n=$n%9d sign_band_scan ${(System.nanoTime() - t0v) / 1e9}%6.2f s")
       vecs.unpersist()
     }
+    // fused pairwise-cosine verify scan (q54's tier 2, one CosineSim per
+    // candidate pair): both vectors synthesized in-row so the number is
+    // pure per-pair scoring throughput — must be ~linear in pairs. (The
+    // dot/norm HOF composition this replaced is interpreted
+    // CodegenFallback; at 128k candidate pairs it alone held q54 at
+    // ~19 s before the fusing.)
+    def synthPairs(n: Long) = spark.range(n).select(
+      array((0 until 64).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(2000)) - 1000) / 1000.0): _*).as("v"),
+      array((0 until 64).map(i =>
+        (pmod(xxhash64(col("id"), lit(i + 64)), lit(2000)) - 1000) / 1000.0): _*).as("w"))
+    for (n <- Seq(1000000L, 4000000L, 16000000L)) {
+      val pairs = synthPairs(n).persist()
+      pairs.count()
+      val t0c = System.nanoTime()
+      pairs.select(graft.expressions.VectorHashes.cosine_sim(
+          col("v"), col("w")).as("c"))
+        .filter(col("c") >= 0.99)
+        .write.format("noop").mode("overwrite").save()
+      println(f"SCALE n=$n%9d cosine_verify_pairs ${(System.nanoTime() - t0c) / 1e9}%6.2f s")
+      pairs.unpersist()
+    }
     // phrase-index build scan (q65's hot stage, fused TokenNgrams +
     // explode + two-phase distinct agg) and the greedy no-split packing
     // scan (q68, flatMapSortedGroups): both must be ~linear in docs.

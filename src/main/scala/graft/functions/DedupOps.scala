@@ -290,6 +290,50 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Decontamination with a Bloom prefilter — q75, the shape q61 grows
+    * into when the benchmark suite is too large to broadcast exactly.
+    * q61 broadcasts the full benchmark shingle-hash set (right at small
+    * suite sizes); at a production eval registry (hundreds of benchmarks
+    * × contamination windows → billions of shingles) the exact set blows
+    * the broadcast budget, so the scan-side membership test becomes a
+    * Bloom filter: ~1.25 bytes/item at 3% FP instead of 8-byte exact
+    * hashes, built DISTRIBUTED by Spark's own BloomFilterAggregate (the
+    * expression behind runtime row-level filtering) — only the finished
+    * bit array (bounded by construction) reaches the driver. The
+    * might_contain scan prunes the corpus side map-side to the
+    * contaminated sliver plus FPs; the SAME exact hash join as q61 then
+    * eliminates FPs, so the Bloom tier is semantically TRANSPARENT and
+    * q75 shares q61's oracle verbatim. Deliberately no broadcast hint on
+    * the final join: at scale both sides shuffle, and the Bloom filter
+    * is what keeps the corpus side of that shuffle small (locally AQE
+    * still picks a broadcast — fine, it is the same result). */
+  def decontaminateBloom(s: SparkSession, d: String,
+      estItems: Long = 1L << 16): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val sh = (df: DataFrame) => df
+      .select(col("doc_id"),
+        explode(graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("h"))
+    val docs = t(s, d, "documents")
+    val bench = sh(docs.filter(col("doc_id") < 20)).select(col("h")).distinct()
+    // distributed build; collect()(0) is the one bit-array row (~160 KB
+    // at the default sizing), not data — the bounded-collect pattern of
+    // the stored ANN models
+    val bloomBytes = bench.select(Bridge.column(
+        new BloomFilterAggregate(Bridge.expression(col("h")),
+          Literal(estItems), Literal(estItems * 8L)).toAggregateExpression())
+        .as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal(bloomBytes), Bridge.expression(col("h"))))
+    sh(docs.filter(col("doc_id") >= 20))
+      .filter(mightContain)
+      .join(bench, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Token-set Jaccard similarity pairs (1-gram variant, SQL-expressible
     * oracle). Restricted to doc_id < 200 — pairwise is the verification
     * tier, not the scale path (see header). */
@@ -581,6 +625,7 @@ object DedupOps {
     "q28_minhash_lsh" -> minhashLsh,
     "q29_simhash" -> simhashNearDupPairs,
     "q61_decontaminate" -> decontaminate,
+    "q75_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "q62_dedup_clusters" -> dedupClusters,
   )
 
@@ -614,6 +659,19 @@ object DedupOps {
         |SELECT n AS doc_id, min(m) AS cluster_rep
         |FROM reach GROUP BY n""".stripMargin,
     "q61_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))) AS shingle
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+        |SELECT s.doc_id, count(*) AS n_shared
+        |FROM sh s JOIN bench b ON s.shingle = b.shingle
+        |WHERE s.doc_id >= 20
+        |GROUP BY s.doc_id""".stripMargin,
+    // the Bloom prefilter is semantically transparent (FPs die in the
+    // exact join) — q75's oracle is q61's, verbatim
+    "q75_decontaminate_bloom" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),

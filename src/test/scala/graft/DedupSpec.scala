@@ -173,4 +173,21 @@ class DedupSpec extends SparkSpec {
     assert(both.nonEmpty && both.forall { case (m, h) => m == h },
       s"first divergence: ${both.find { case (m, h) => m != h }}")
   }
+
+  test("q75 Bloom prefilter is semantically transparent: result ≡ q61 exactly") {
+    // the Bloom tier may only ADD candidate rows (false positives) before
+    // the exact join kills them — the grouped output must be identical,
+    // including at a deliberately tiny/overloaded filter sizing where the
+    // FP rate is high
+    val exact = functions.DedupOps.decontaminate(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    val bloom = functions.DedupOps.decontaminateBloom(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    val bloomTiny = functions.DedupOps
+      .decontaminateBloom(spark, sf0001, estItems = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(bloom == exact)
+    assert(bloomTiny == exact,
+      "an overloaded (high-FP) Bloom filter must still verify exactly")
+  }
 }
