@@ -79,8 +79,19 @@ object VectorRuntime {
     * length mismatch: the shorter side pads with NULL → the composed
     * aggregate returns NULL; mirror that (embedding fixtures are
     * uniform-dims, but the twins must agree on malformed input too). */
+  /** Any NULL element → NULL result, as in the composition (a null
+    * multiplicand nulls its product, and one null term nulls the whole
+    * left-fold sum) — toDoubleArray on a null-bearing array would
+    * silently read garbage instead. */
+  private def anyNullElement(a: ArrayData): Boolean = {
+    var i = 0
+    while (i < a.numElements) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   def dotProduct(a: ArrayData, b: ArrayData): Any = {
     if (a.numElements != b.numElements) return null
+    if (anyNullElement(a) || anyNullElement(b)) return null
     val x = a.toDoubleArray(); val y = b.toDoubleArray()
     var acc = 0.0
     var i = 0
@@ -96,6 +107,7 @@ object VectorRuntime {
     * exactly as the composition does. */
   def cosineSim(a: ArrayData, b: ArrayData): Any = {
     if (a.numElements != b.numElements) return null
+    if (anyNullElement(a) || anyNullElement(b)) return null
     val x = a.toDoubleArray(); val y = b.toDoubleArray()
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0

@@ -153,9 +153,13 @@ class EmbeddingDedupSpec extends SparkSpec {
     val row = spark.sql(
       """SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d)) AS c,
         |       dot_product(array(1.0d, 2.0d), array(1.0d)) AS d,
-        |       dot_product(array(1.0d, 2.0d), CAST(NULL AS ARRAY<DOUBLE>)) AS n
+        |       dot_product(array(1.0d, 2.0d), CAST(NULL AS ARRAY<DOUBLE>)) AS n,
+        |       dot_product(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS e,
+        |       cosine_sim(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS f
         |""".stripMargin).collect()(0)
-    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+    assert((0 until 5).forall(row.isNullAt),
+      "length mismatch, null array, and null ELEMENT must all yield NULL " +
+        "(the zip_with composition nulls the whole fold)")
   }
 
   test("signBands packs every plane exactly once and bit-agrees with bucketOf") {
