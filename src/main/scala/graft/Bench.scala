@@ -8,13 +8,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Optional args are query-name prefixes (`runMain graft.Bench q54 q61`
   * times only those) — the profiling loop for one hot query without
-  * paying the other 73. SPARK_GRAFT_BENCH_ITERS overrides the per-query
+  * paying the other 74. SPARK_GRAFT_BENCH_ITERS overrides the per-query
   * iteration count (default 3, median reported).
   */
 object Bench {
 
   /** Drop every persisted block the finished query leaked (eager
-    * localCheckpoints, forgotten caches). Without this, 74 queries × 3
+    * localCheckpoints, forgotten caches). Without this, 75 queries × 3
     * iterations accumulate storage blocks in the one shared JVM until
     * eviction + GC churn dominate the LATER queries' measurements —
     * round 4→5 showed unchanged trivial queries inflating 5-20× purely
@@ -26,6 +26,15 @@ object Bench {
       .foreach(_.unpersist(blocking = false))
   }
 
+  /** Median that is correct for EVEN counts too (mean of the middle
+    * pair) — `sorted(n/2)` alone would report the MAX of a 2-iteration
+    * quick run, overstating every query by the box's noise band. */
+  private def median(times: Seq[Double]): Double = {
+    val s = times.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -34,6 +43,11 @@ object Bench {
     val sorted =
       if (args.isEmpty) all
       else all.filter { case (n, _) => args.exists(n.startsWith) }
+    // a typo'd prefix must fail loudly — an empty suite would print
+    // total 0.0, which reads as a (very fast) passing run
+    require(sorted.nonEmpty,
+      s"no query matches prefixes [${args.mkString(", ")}] — known: " +
+        all.map(_._1).mkString(", "))
     // Warmup at the smallest sf: pays JIT/codegen/parquet-reader init once
     // so the timed run measures the plans, not JVM warmup.
     sorted.foreach { case (name, fn) =>
@@ -45,6 +59,8 @@ object Bench {
     // total at sf0.1): warmup above runs at sf0.001, so without this the
     // FIRST timed query per table pays the first-touch file read — the
     // timed runs should measure the plans, not page-cache weather.
+    // (Kept under prefix filtering too: priming stabilizes ANY query's
+    // measurement and costs ~2 s.)
     Graft.tableNames.foreach { n =>
       try Tables.t(spark, sfDir, n).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -52,15 +68,19 @@ object Bench {
     // One-off stored-layout builds (IVF cells, ANN-LSH buckets) are
     // ingest jobs, not queries — build for the bench dir up front so the
     // timed q42/q38 measure the partition-pruned probes, as in
-    // production.
+    // production. Skipped when a prefix filter excludes both consumers:
+    // the filter exists to profile one query without fixed overhead.
     // independent try per build: one failing must not skip the other
     // (the timed query would then silently include its build cost)
-    try functions.SimilarityOps.annIvf(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-    try functions.SimilarityOps.annLshTopK(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    val timed = sorted.map(_._1).toSet
+    if (timed.exists(_.startsWith("q42")))
+      try functions.SimilarityOps.annIvf(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    if (timed.exists(_.startsWith("q38")))
+      try functions.SimilarityOps.annLshTopK(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     // the builds' leftovers are not the first timed query's bill either
     dropLeakedBlocks(spark)
     // Median of N in-process runs per query (fixtures are hot after the
@@ -88,7 +108,7 @@ object Bench {
       // visible somewhere
       System.err.println(s"[bench] $name iters=" +
         times.map(t => f"$t%.2f").mkString(","))
-      name -> (if (times.size < iters) -1.0 else times.sorted.apply(iters / 2))
+      name -> (if (times.size < iters) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -99,10 +99,15 @@ object ScaleProbe {
     // ~linear in vectors. (The signBands composition runs the same dots
     // as interpreted HOFs at ~ms/vector — two orders of magnitude off.)
     val planes = functions.SimilarityOps.hyperplanes(64, 128).toSeq.map(_.toSeq)
+    // one shared element builder — the vector synthesis formula must not
+    // fork between the banding probe and the pair probe, or they would
+    // silently measure different distributions
+    def synthElem(seed: Int) =
+      (pmod(xxhash64(col("id"), lit(seed)), lit(2000)) - 1000) / 1000.0
+    def synthVec(seedBase: Int) =
+      array((0 until 64).map(i => synthElem(seedBase + i)): _*)
     def synthVecs(n: Long) = spark.range(n).select(
-      col("id").as("vec_id"),
-      array((0 until 64).map(i =>
-        (pmod(xxhash64(col("id"), lit(i)), lit(2000)) - 1000) / 1000.0): _*).as("v"))
+      col("id").as("vec_id"), synthVec(0).as("v"))
     for (n <- Seq(100000L, 400000L, 1600000L)) {
       val vecs = synthVecs(n).persist()
       vecs.count()
@@ -121,10 +126,7 @@ object ScaleProbe {
     // CodegenFallback; at 128k candidate pairs it alone held q54 at
     // ~19 s before the fusing.)
     def synthPairs(n: Long) = spark.range(n).select(
-      array((0 until 64).map(i =>
-        (pmod(xxhash64(col("id"), lit(i)), lit(2000)) - 1000) / 1000.0): _*).as("v"),
-      array((0 until 64).map(i =>
-        (pmod(xxhash64(col("id"), lit(i + 64)), lit(2000)) - 1000) / 1000.0): _*).as("w"))
+      synthVec(0).as("v"), synthVec(64).as("w"))
     for (n <- Seq(1000000L, 4000000L, 16000000L)) {
       val pairs = synthPairs(n).persist()
       pairs.count()

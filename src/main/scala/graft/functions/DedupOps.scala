@@ -316,10 +316,18 @@ object DedupOps {
       .select(col("doc_id"),
         explode(graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("h"))
     val docs = t(s, d, "documents")
+    // persisted because it has TWO consumers — the Bloom-build job below
+    // materializes it into storage, and the exact FP-kill join then
+    // reads the same blocks instead of re-shingling + re-distinct-ing
+    // the benchmark slice in a second job. Deliberately NOT unpersisted
+    // here: the returned (lazy) plan still reads it; the blocks fall to
+    // the caller's cleanup (Bench drops leaked blocks per query; the
+    // ContextCleaner reclaims them once the frame is unreachable).
     val bench = sh(docs.filter(col("doc_id") < 20)).select(col("h")).distinct()
-    // distributed build; collect()(0) is the one bit-array row (~160 KB
-    // at the default sizing), not data — the bounded-collect pattern of
-    // the stored ANN models
+      .persist()
+    // distributed build; collect()(0) is the one bit-array row (64 KB at
+    // the default sizing: 2^16 items × 8 bits/item = 2^19 bits), not
+    // data — the bounded-collect pattern of the stored ANN models
     val bloomBytes = bench.select(Bridge.column(
         new BloomFilterAggregate(Bridge.expression(col("h")),
           Literal(estItems), Literal(estItems * 8L)).toAggregateExpression())
