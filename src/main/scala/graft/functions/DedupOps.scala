@@ -626,6 +626,53 @@ object DedupOps {
     buildLshIndex(admitted, indexPath, batchId)
   }
 
+  /** Streaming decontamination admission — q75's Bloom+exact gate
+    * applied per micro-batch: an incoming doc is dropped when it shares
+    * ≥ minShared word-3-gram shingles with the benchmark set. The
+    * benchmark suite is STATIC for a training run, so the Bloom bit
+    * array and the exact bench-hash frame are built ONCE at writer
+    * construction and reused by every batch (a suite change is a new
+    * writer); the persisted bench frame is the writer's long-lived
+    * state, released with the stream. Per batch the cost is the batch's
+    * own scan: shingle → might_contain map-side prune → exact join
+    * (kills Bloom FPs) → per-doc count → anti-join. Admitted docs write
+    * keyed by batchId in overwrite mode — an at-least-once foreachBatch
+    * retry replaces its own output, the same idempotence contract as
+    * [[streamingDedupWriter]]. */
+  def streamingDecontaminationWriter(benchDocs: DataFrame, outDir: String,
+      minShared: Long = 1L,
+      estItems: Long = 1L << 16): (DataFrame, Long) => Unit = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val bench = benchDocs
+      .select(explode(
+        graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("h"))
+      .distinct().persist()
+    // empty benchmark set → null bit array → might_contain yields NULL →
+    // the filter admits nothing into the contamination check → every doc
+    // is admitted (no benchmark ⇒ nothing is contaminated), matching q75
+    val bloomBytes = bench.select(Bridge.column(
+        new BloomFilterAggregate(Bridge.expression(col("h")),
+          Literal(estItems), Literal(estItems * 8L)).toAggregateExpression())
+        .as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    (batch: DataFrame, batchId: Long) => {
+      val mightContain = Bridge.column(BloomFilterMightContain(
+        Literal(bloomBytes), Bridge.expression(col("h"))))
+      val contaminated = batch
+        .select(col("doc_id"), explode(
+          graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("h"))
+        .filter(mightContain)
+        .join(bench, "h")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .select(col("doc_id"))
+      batch.join(contaminated, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$outDir/admitted/ingest=$batchId")
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_shingle_jaccard" -> shingleJaccardPairs,
     "q72_split_leakage" -> splitLeakage,

@@ -83,9 +83,17 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q54 verify stage: candidate pairs join vectors via broadcast, no cartesian") {
+    // q54 is one straight pipeline since the round-5 rewrite (no
+    // persist/localCheckpoint), so the executed plan IS the whole query:
+    // the verify tier must score through the fused cosine_sim inside
+    // codegen and join vectors back by id, never a cartesian
     val plan = executedPlan(functions.SimilarityOps.embeddingDupsBucketed(spark, sf0001))
-    // the result is a localCheckpoint scan; audit the candidate stage
-    // via the public pieces instead
+    assert(plan.contains("cosine_sim"),
+      s"verify must use the fused CosineSim, not the HOF composition:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"verify joins must be keyed:\n$plan")
+    assert(!plan.contains("zip_with") && !plan.contains("aggregate(lambda"),
+      s"no interpreted HOF math may remain in the q54 plan:\n$plan")
     val planes = functions.SimilarityOps.hyperplanes(64, 32)
     val e = Tables.t(spark, sf0001, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -96,6 +104,26 @@ class PlanAuditSpec extends SparkSpec {
     val candPlan = executedPlan(cand.select(col("a.vec_id"), col("b.vec_id")))
     assert(!candPlan.contains("CartesianProduct"),
       s"band candidates must come from an equi-join:\n$candPlan")
+  }
+
+  test("q75 Bloom tier: might_contain prunes the corpus side BEFORE its join exchange") {
+    val plan = executedPlan(functions.DedupOps.decontaminateBloom(spark, sf0001))
+    assert(plan.contains("might_contain"),
+      s"the Bloom membership test must appear in the plan:\n$plan")
+    // the corpus side must run scan → explode → bloom-filter with no
+    // exchange in between: the filter is the thing that keeps the join
+    // shuffle small at scale, so it has to sit on the scan side of any
+    // Exchange. In the plan text, every might_contain occurrence must
+    // come AFTER the last Exchange above it belongs to the other
+    // (bench/aggregate) subtrees — assert the direct parent chain:
+    // Filter(might_contain) over Generate over the parquet scan.
+    val filterIdx = plan.indexOf("might_contain")
+    val below = plan.substring(filterIdx)
+    val scanIdx = below.indexOf("Scan parquet")
+    val exchangeBetween = below.substring(0, math.max(scanIdx, 0))
+      .contains("Exchange")
+    assert(scanIdx > 0 && !exchangeBetween,
+      s"might_contain must sit directly over the corpus scan (map-side prune):\n$plan")
   }
 
   test("q64 star join: every dim side broadcast, region filter pushed to its scan") {
