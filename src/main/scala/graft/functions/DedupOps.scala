@@ -309,37 +309,66 @@ object DedupOps {
     * still picks a broadcast — fine, it is the same result). */
   def decontaminateBloom(s: SparkSession, d: String,
       estItems: Long = 1L << 16): DataFrame = {
+    val docs = t(s, d, "documents")
+    // the gate's persisted bench frame is deliberately NOT released
+    // here: the returned (lazy) plan still reads it; the blocks fall to
+    // the caller's cleanup (Bench drops leaked blocks per query; the
+    // ContextCleaner reclaims them once the frame is unreachable)
+    new BloomGate(docs.filter(col("doc_id") < 20), estItems)
+      .contaminated(docs.filter(col("doc_id") >= 20), minShared = 1L)
+  }
+
+  /** The ONE Bloom-gate construction q75 and the streaming admission
+    * share — the two copies this replaces had already been flagged as a
+    * sync hazard (sizing, shingle width and the FP-kill join must not
+    * fork between the batch query the oracle checks and the streaming
+    * gate). Lifecycle: the persisted bench frame lives until
+    * [[release]]; Spark's CacheManager holds it strongly, so dropping
+    * the gate (or stopping a stream that used it) does NOT free it. */
+  final class BloomGate(benchDocs: DataFrame, estItems: Long = 1L << 16) {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.Bridge
-    val sh = (df: DataFrame) => df
-      .select(col("doc_id"),
-        explode(graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("h"))
-    val docs = t(s, d, "documents")
-    // persisted because it has TWO consumers — the Bloom-build job below
-    // materializes it into storage, and the exact FP-kill join then
-    // reads the same blocks instead of re-shingling + re-distinct-ing
-    // the benchmark slice in a second job. Deliberately NOT unpersisted
-    // here: the returned (lazy) plan still reads it; the blocks fall to
-    // the caller's cleanup (Bench drops leaked blocks per query; the
-    // ContextCleaner reclaims them once the frame is unreachable).
-    val bench = sh(docs.filter(col("doc_id") < 20)).select(col("h")).distinct()
-      .persist()
+
+    private def sh(df: DataFrame) = df.select(col("doc_id"), explode(
+      graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("h"))
+
+    /** Distinct benchmark shingle hashes — persisted because it has TWO
+      * consumers: the Bloom-build job materializes it, and every exact
+      * FP-kill join then reads the same blocks instead of re-shingling
+      * the benchmark slice. */
+    val bench: DataFrame = sh(benchDocs).select(col("h")).distinct().persist()
+
     // distributed build; collect()(0) is the one bit-array row (64 KB at
     // the default sizing: 2^16 items × 8 bits/item = 2^19 bits), not
-    // data — the bounded-collect pattern of the stored ANN models
-    val bloomBytes = bench.select(Bridge.column(
+    // data — the bounded-collect pattern of the stored ANN models.
+    // Empty benchmark set → null bit array → might_contain yields NULL →
+    // the filter admits nothing into the contamination check, so nothing
+    // is contaminated.
+    private val bloomBytes: Array[Byte] = bench.select(Bridge.column(
         new BloomFilterAggregate(Bridge.expression(col("h")),
           Literal(estItems), Literal(estItems * 8L)).toAggregateExpression())
         .as("bf"))
       .collect()(0).getAs[Array[Byte]](0)
-    val mightContain = Bridge.column(BloomFilterMightContain(
-      Literal(bloomBytes), Bridge.expression(col("h"))))
-    sh(docs.filter(col("doc_id") >= 20))
-      .filter(mightContain)
-      .join(bench, "h")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"))
+
+    /** (doc_id, n_shared) of every doc sharing ≥ minShared DISTINCT
+      * shingles with the benchmark set (ShingleHashes emits a distinct
+      * set per doc, so the exploded rows carry no multiplicity): Bloom
+      * map-side prune, then the exact join kills false positives —
+      * semantically transparent at any FP rate. */
+    def contaminated(docs: DataFrame, minShared: Long): DataFrame = {
+      val mightContain = Bridge.column(BloomFilterMightContain(
+        Literal(bloomBytes), Bridge.expression(col("h"))))
+      sh(docs)
+        .filter(mightContain)
+        .join(bench, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+    }
+
+    /** Free the persisted bench blocks. The gate must not be used after. */
+    def release(): Unit = { bench.unpersist(false): Unit }
   }
 
   /** Token-set Jaccard similarity pairs (1-gram variant, SQL-expressible
@@ -628,49 +657,33 @@ object DedupOps {
 
   /** Streaming decontamination admission — q75's Bloom+exact gate
     * applied per micro-batch: an incoming doc is dropped when it shares
-    * ≥ minShared word-3-gram shingles with the benchmark set. The
-    * benchmark suite is STATIC for a training run, so the Bloom bit
-    * array and the exact bench-hash frame are built ONCE at writer
-    * construction and reused by every batch (a suite change is a new
-    * writer); the persisted bench frame is the writer's long-lived
-    * state, released with the stream. Per batch the cost is the batch's
-    * own scan: shingle → might_contain map-side prune → exact join
-    * (kills Bloom FPs) → per-doc count → anti-join. Admitted docs write
-    * keyed by batchId in overwrite mode — an at-least-once foreachBatch
-    * retry replaces its own output, the same idempotence contract as
-    * [[streamingDedupWriter]]. */
+    * ≥ minShared distinct word-3-gram shingles with the benchmark set.
+    * The benchmark suite is STATIC for a training run, so the shared
+    * [[BloomGate]] is built ONCE at writer construction and reused by
+    * every batch (a suite change is a new writer); per batch the cost
+    * is the batch's own scan. Admitted docs write keyed by batchId in
+    * overwrite mode — an at-least-once foreachBatch retry replaces its
+    * own output, the same idempotence contract as
+    * [[streamingDedupWriter]]. The writer IS a `(DataFrame, Long) =>
+    * Unit` for foreachBatch; call [[StreamingDecontamination.release]]
+    * after stopping the stream — the gate's persisted bench frame does
+    * NOT free itself when the query stops. */
   def streamingDecontaminationWriter(benchDocs: DataFrame, outDir: String,
       minShared: Long = 1L,
-      estItems: Long = 1L << 16): (DataFrame, Long) => Unit = {
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.Bridge
-    val bench = benchDocs
-      .select(explode(
-        graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("h"))
-      .distinct().persist()
-    // empty benchmark set → null bit array → might_contain yields NULL →
-    // the filter admits nothing into the contamination check → every doc
-    // is admitted (no benchmark ⇒ nothing is contaminated), matching q75
-    val bloomBytes = bench.select(Bridge.column(
-        new BloomFilterAggregate(Bridge.expression(col("h")),
-          Literal(estItems), Literal(estItems * 8L)).toAggregateExpression())
-        .as("bf"))
-      .collect()(0).getAs[Array[Byte]](0)
-    (batch: DataFrame, batchId: Long) => {
-      val mightContain = Bridge.column(BloomFilterMightContain(
-        Literal(bloomBytes), Bridge.expression(col("h"))))
-      val contaminated = batch
-        .select(col("doc_id"), explode(
-          graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("h"))
-        .filter(mightContain)
-        .join(bench, "h")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= minShared)
-        .select(col("doc_id"))
-      batch.join(contaminated, Seq("doc_id"), "left_anti")
+      estItems: Long = 1L << 16): StreamingDecontamination =
+    new StreamingDecontamination(benchDocs, outDir, minShared, estItems)
+
+  final class StreamingDecontamination private[DedupOps] (
+      benchDocs: DataFrame, outDir: String, minShared: Long, estItems: Long)
+      extends ((DataFrame, Long) => Unit) {
+    private val gate = new BloomGate(benchDocs, estItems)
+    override def apply(batch: DataFrame, batchId: Long): Unit = {
+      val dropped = gate.contaminated(batch, minShared).select(col("doc_id"))
+      batch.join(dropped, Seq("doc_id"), "left_anti")
         .write.mode("overwrite").parquet(s"$outDir/admitted/ingest=$batchId")
     }
+    /** Free the gate's persisted bench blocks once the stream is done. */
+    def release(): Unit = gate.release()
   }
 
   val queries: Map[String, Q] = Map(

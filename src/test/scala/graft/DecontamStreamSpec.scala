@@ -24,16 +24,17 @@ class DecontamStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("decontam_stream").toString
     val bench = Seq((0L, benchA), (1L, benchB)).toDF("doc_id", "text")
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val writer = DedupOps.streamingDecontaminationWriter(bench, dir)
     val q = in.toDF().toDF("doc_id", "text").writeStream
       .option("checkpointLocation", s"$dir/ckpt")
-      .foreachBatch(DedupOps.streamingDecontaminationWriter(bench, dir))
+      .foreachBatch(writer)
       .start()
     try {
       in.addData((10L, leaked), (11L, clean1))
       q.processAllAvailable()
       in.addData((12L, clean2), (13L, benchB)) // verbatim benchmark doc
       q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); writer.release() }
     val admitted = spark.read.parquet(s"$dir/admitted")
       .select(col("doc_id")).as[Long].collect().toSet
     assert(admitted == Set(11L, 12L),
@@ -42,8 +43,9 @@ class DecontamStreamSpec extends SparkSpec {
     // empty benchmark set: nothing is contaminated, everything admits
     val dir2 = Files.createTempDirectory("decontam_stream_empty").toString
     val noBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
-    val writer = DedupOps.streamingDecontaminationWriter(noBench, dir2)
-    writer(Seq((20L, leaked), (21L, clean1)).toDF("doc_id", "text"), 0L)
+    val emptyWriter = DedupOps.streamingDecontaminationWriter(noBench, dir2)
+    try emptyWriter(Seq((20L, leaked), (21L, clean1)).toDF("doc_id", "text"), 0L)
+    finally emptyWriter.release()
     val all = spark.read.parquet(s"$dir2/admitted")
       .select(col("doc_id")).as[Long].collect().toSet
     assert(all == Set(20L, 21L))
