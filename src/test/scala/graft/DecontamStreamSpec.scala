@@ -34,11 +34,19 @@ class DecontamStreamSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData((12L, clean2), (13L, benchB)) // verbatim benchmark doc
       q.processAllAvailable()
-    } finally { q.stop(); writer.release() }
+    } finally q.stop()
     val admitted = spark.read.parquet(s"$dir/admitted")
       .select(col("doc_id")).as[Long].collect().toSet
     assert(admitted == Set(11L, 12L),
       s"only the clean docs may pass the gate, got $admitted")
+    // at-least-once replay: re-running batch 0 must REPLACE ingest=0,
+    // not append a second copy of its admitted rows
+    try writer(Seq((10L, leaked), (11L, clean1)).toDF("doc_id", "text"), 0L)
+    finally writer.release()
+    val replayed = spark.read.parquet(s"$dir/admitted")
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(replayed.sorted == Seq(11L, 12L),
+      s"replaying a batch must be a no-op, got $replayed")
 
     // empty benchmark set: nothing is contaminated, everything admits
     val dir2 = Files.createTempDirectory("decontam_stream_empty").toString
