@@ -6,14 +6,18 @@ import org.apache.spark.sql.functions._
 /** Guards the property that lets q29_simhash carry the brute-force SQL
   * oracle (q28's): the pipeline verifies exact shingle Jaccard on every
   * block-join candidate, so its output equals the quadratic exact result
-  * exactly when pigeonhole-blocking + hamming ≤ 10 recall is 1.0 on the
+  * exactly when pigeonhole-blocking + hamming ≤ 12 recall is 1.0 on the
   * ≥ 0.5-Jaccard pairs. SimHash is deterministic (xxhash64 per token), so
-  * this either holds for a corpus or it doesn't — assert it on both
+  * this either holds for a corpus or it doesn't — assert it on ALL THREE
   * driver fixtures (measured max hamming over true pairs: 9 at sf0.001,
-  * 5 at sf0.01). */
+  * 5 at sf0.01, 12 at sf0.1 — the sf0.1 number is what forced
+  * hammingMax from the fixture-tuned 9 up to 12; recall is a per-corpus
+  * property, so every fixture the driver can run must be pinned). */
 class SimhashRecallSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Truth source over shingle STRINGS — fully independent of the
+    * TextHashes expressions, used for the smaller fixtures. */
   private def exactPairs(dir: String) = {
     val sh = Tables.t(spark, dir, "documents")
       .select(col("doc_id"),
@@ -30,11 +34,38 @@ class SimhashRecallSpec extends SparkSpec {
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
   }
 
-  test("simhash pairs == exact shingle-Jaccard over the full corpus (sf0.001 AND the driver's sf0.01)") {
-    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+  /** Truth source over shingle HASHES (sorted-merge intersect) for the
+    * sf0.1 leg — minutes faster in the 4-thread test JVM; fair because
+    * DedupSpec separately proves ShingleHashes ≡ xxhash64 over the
+    * distinct shingle-string set, so the two formulations agree modulo
+    * 64-bit collisions (the argument the verify tier itself rests on). */
+  private def exactPairsHashed(dir: String) = {
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), sort_array(
+        graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("hs"))
+      .filter(size(col("hs")) > 0)
+    docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", graft.expressions.VectorHashes
+        .sorted_intersect_count(col("a.hs"), col("b.hs")))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("a.hs")) + size(col("b.hs")) - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("simhash pairs == exact shingle-Jaccard over the full corpus (all three driver fixtures)") {
+    // sf0.1 is the leg that caught the fixture-tuned hammingMax=9
+    // silently missing 5 of 256 true pairs — recall is per-corpus, so
+    // every fixture the driver can run gets pinned
+    for ((dir, truth) <- Seq(
+        sf0001 -> exactPairs _,
+        "/root/testdata/sf0.01" -> exactPairs _,
+        "/root/testdata/sf0.1" -> exactPairsHashed _)) {
       val sim = DedupOps.simhashNearDupPairs(spark, dir)
         .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
-      val exact = exactPairs(dir)
+      val exact = truth(dir)
       assert(exact.nonEmpty, s"$dir should contain engineered near-dups")
       assert(sim == exact, s"SimHash/exact divergence at $dir: " +
         s"missed=${(exact -- sim).take(5)} extra=${(sim -- exact).take(5)}")
