@@ -179,9 +179,13 @@ object DedupOps {
     * whole pairs of blocks too — measured at sf0.1 (hamming ≤ 9):
     * 16.7M raw join rows with 10 single blocks vs 16.2M with 11-block
     * pairs, and 20.1M with 11 single blocks vs 28.6M with 12-block
-    * pairs — while exploding 55-66 structs/doc instead of 10-11. Kept
-    * as the reference implementation of the scheme (DedupSpec proves
-    * its coverage/agreement); q29 runs single blocks. */
+    * pairs — while exploding 55-66 structs/doc instead of 10-11. Re-
+    * measured at the round-5 hamming ≤ 12 (where 4-5-bit single blocks
+    * looked weak enough that pairs might win): still 30.8 s vs 5.5 s
+    * for single blocks — the correlation dominates at every radius
+    * tried. Kept as the reference implementation of the scheme
+    * (DedupSpec proves its coverage/agreement); q29 runs single
+    * blocks. */
   def simhashBlockPairs(f: Column, nBlocks: Int): Column = {
     val base = 64 / nBlocks
     val extra = 64 % nBlocks
