@@ -61,6 +61,64 @@ object DedupOps {
     array(bands: _*)
   }
 
+  /** Hot-bucket (stop-band) capped candidate enumeration for band-bucket
+    * self-joins — the production relief valve for boilerplate clusters.
+    * Real corpora carry near-identical boilerplate docs (license
+    * headers, templated pages) that pile into ONE band bucket; the
+    * self-join then enumerates occupancy² pairs, and the size-ratio
+    * prefilter cannot stop it because the docs genuinely are near-dups.
+    *
+    * Input: (id, b) rows — `id` any numeric doc/vec id, `b` the bucket
+    * key. Output: candidate (doc_a, doc_b) pairs, doc_a < doc_b, where
+    * each bucket contributes at most C(maxBucket, 2) full pairs plus
+    * one STAR edge per overflow row (overflow rows pair with their
+    * bucket's first kept row instead of with each other). Bucket cost
+    * is therefore O(maxBucket² + occupancy) instead of O(occupancy²).
+    *
+    * Semantics of the cap: PAIR-level recall is lost for pairs whose
+    * members are BOTH beyond the cap in EVERY bucket they share — but
+    * each overflow doc keeps its star edge to the bucket representative,
+    * so CLUSTER-level connectivity (what q62's collapse consumes)
+    * survives whenever the representative truly is a near-dup of the
+    * cluster — which is the hot-cluster case by construction (the
+    * bucket is hot BECAUSE its members are near-identical; the verify
+    * tier still kills accidental collisions). This is the standard
+    * production trade (hot-bucket drop/subsample in large-scale dedup
+    * pipelines); the oracle-checked paths (q28/q29) run uncapped —
+    * audit violating buckets with [[hotBuckets]] before enabling.
+    *
+    * Plan shape: ranking uses a window partitioned by the SAME key the
+    * candidate join shuffles on, so the cap adds no extra exchange —
+    * the self-join reuses the window's hash partitioning, and the
+    * window's (b, id) sort already satisfies the merge join's `b`
+    * prefix. */
+  def cappedBandCandidates(keyed: DataFrame, maxBucket: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("id"))
+    val ranked = keyed.select(col(idCol).as("id"), col("b"))
+      .withColumn("__occ", row_number().over(w))
+    val kept = ranked.filter(col("__occ") <= maxBucket)
+    val full = kept.as("x").join(kept.as("y"),
+        col("x.b") === col("y.b") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+    val reps = ranked.filter(col("__occ") === 1)
+      .select(col("b"), col("id").as("rep"))
+    val star = ranked.filter(col("__occ") > maxBucket)
+      .join(reps, "b")
+      .select(least(col("id"), col("rep")).as("doc_a"),
+        greatest(col("id"), col("rep")).as("doc_b"))
+    full.unionByName(star).distinct()
+  }
+
+  /** (bucket, occupancy) of buckets exceeding maxBucket — the audit
+    * companion of [[cappedBandCandidates]]: log these (they name the
+    * boilerplate clusters) before enabling the cap. */
+  def hotBuckets(keyed: DataFrame, maxBucket: Int): DataFrame =
+    keyed.groupBy(col("b")).agg(count(lit(1)).as("occupancy"))
+      .filter(col("occupancy") > maxBucket)
+
   /** MinHash/LSH near-dup candidates with exact-Jaccard verification on
     * shingle sets. 32 perms, 8 bands x 4 rows (catches jaccard ≳ 0.5).
     * Output: candidate pairs with verified shingle-set Jaccard ≥ 0.5.
@@ -80,7 +138,15 @@ object DedupOps {
     * PAIR set (dup-rate-proportional, ~16 B/row) is persisted, and it is
     * freed before the query returns (the final result is
     * localCheckpoint-ed so the returned frame no longer depends on it). */
-  val minhashLsh: Q = (s, d) => {
+  val minhashLsh: Q = (s, d) => minhashLshWithCap(s, d, maxBucket = None)
+
+  /** minhashLsh with an optional hot-bucket cap — `maxBucket = None` is
+    * the exact oracle path (q28); `Some(c)` bounds any band bucket's
+    * candidate contribution per [[cappedBandCandidates]] (the
+    * boilerplate-cluster relief valve; DedupSpec's 1 k-identical-doc
+    * case pins the bound and fixture-equality under a generous cap). */
+  def minhashLshWithCap(s: SparkSession, d: String,
+      maxBucket: Option[Int]): DataFrame = {
     // One fused pass over the corpus produces the signatures (custom
     // Catalyst expression — bit-identical to the HOF pipeline, ~50x
     // faster; see graft.expressions.MinHashSignature).
@@ -92,11 +158,13 @@ object DedupOps {
     // so the shuffle payload stays ~16 bytes/row at any corpus size.
     val banded = sig.select(col("doc_id"),
       explode(lshBands(col("sig"), 32, 4)).as("b"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .persist() // pairs only; feeds the id-list AND the final join; freed below
+    val cand = (maxBucket match {
+      case Some(c) => cappedBandCandidates(banded, c)
+      case None => banded.as("a").join(banded.as("b"),
+          col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }).persist() // pairs only; feeds the id-list AND the final join; freed below
     try {
       // Exact-Jaccard verification over distinct shingle-HASH sets (fused
       // ShingleHashes expression): only candidate docs are hashed
@@ -200,56 +268,90 @@ object DedupOps {
         bval(i).as("vi"), bval(j).as("vj"))): _*)
   }
 
+  /** Unified two-tier candidate keys for q29 — one row per (doc, key),
+    * with the doc's fingerprint `f` and distinct-shingle count `sz`
+    * riding along so the hamming and size-ratio prefilters run INSIDE
+    * the candidate join. Exposed for ScaleProbe's asymptotics probe.
+    *
+    * Tier 0 — SimHash pigeonhole at PRODUCTION radius (hamming ≤
+    * `simhashRadius` = 4; Manku et al. WWW'07 run 3-4): 5 blocks of
+    * 12-13 bits, key space 4·2^13 + 2^12 = 36 864. The round-5 scheme
+    * widened this tier alone to hamming 12 — 13 blocks of 4-5 bits,
+    * 355 distinct (blk,bval) keys TOTAL — so candidate enumeration
+    * degenerated to Σ-over-keys occupancy² ≈ N²/c: 32.0 M raw join rows
+    * at sf0.1 (~5.5 k docs) — MORE than the 15 M all-pairs count,
+    * near-quadratic at any scale-up.
+    * Tier 1 — MinHash band keys (q28's 8 bands × 4 rows over a 32-perm
+    * signature; 64-bit band-hash key space) covering the far tail: the
+    * fixtures' engineered Jaccard-0.5 near-dups reach hamming 12, far
+    * outside SimHash's effective radius, and pigeonholing hamming 12
+    * directly is exactly what degenerated. Band recall at J ≥ 0.5 is
+    * the SAME per-corpus property q28's oracle already rests on
+    * (LshRecallSpec pins it; SimhashRecallSpec re-pins it through this
+    * query on all three driver fixtures).
+    * Measured raw candidate-join volume at sf0.1: 32.0 M rows over 355
+    * distinct keys (round-5 single-tier hamming-12 blocks) → 1.10 M
+    * rows over 41 897 distinct keys (this two-tier union; tier 0
+    * contributes 1.10 M, tier 1 a further 1 814) — a 29× volume drop
+    * and a 118× key widening, with identical q29 output. Tier 0's
+    * residual volume is block-value skew (simhash bits of same-language
+    * text are correlated, so a few block values run hot) — ~7% of
+    * all-pairs at this corpus; the hot-bucket cap
+    * ([[cappedBandCandidates]]) is the production relief valve there.
+    *
+    * The two tiers share one join: keys are (t, v) structs where tier 0
+    * uses t = blk ∈ [0,5) and tier 1 uses t = 16+band ∈ [16,24), so the
+    * key sets are disjoint by construction and a block value can never
+    * equi-join a band hash. */
+  def simhashTieredKeys(docs: DataFrame, simhashRadius: Int = 4): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      graft.expressions.TextHashes.simhash64(col("text")).as("f"),
+      graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"),
+      size(graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("sz"))
+    val tier0 = fp.select(col("doc_id"), col("f"), col("sz"),
+      explode(simhashBlocks(col("f"), simhashRadius + 1)).as("bk"))
+      .select(col("doc_id"), col("f"), col("sz"),
+        struct(col("bk.blk").as("t"), col("bk.bval").as("v")).as("b"))
+    val tier1 = fp.filter(size(col("sig")) > 0)
+      .select(col("doc_id"), col("f"), col("sz"),
+        explode(lshBands(col("sig"), 32, 4)).as("bk"))
+      .select(col("doc_id"), col("f"), col("sz"),
+        struct((col("bk.band") + lit(16)).as("t"), col("bk.bhash").as("v")).as("b"))
+    tier0.unionByName(tier1)
+  }
+
   /** SimHash near-dup pairs with exact-Jaccard verification — q29, the
-    * third dedup family's end-to-end query. Candidates come from the
-    * SINGLE-block pigeonhole join (hammingMax+1 = 13 blocks of 4-5 bits:
-    * hamming ≤ 12 leaves ≥1 clean block that matches exactly; production
-    * SimHash typically runs hamming ≤ 3, but the fixtures' engineered
-    * jaccard-0.5 near-dups reach hamming 12 at sf0.1, and recall must be
-    * 1.0 for the oracle — SimhashRecallSpec pins it on every driver
-    * fixture, which is exactly how the fixture-tuned 9 that silently
-    * missed 5 sf0.1 pairs was caught), then exact
-    * hamming filters, then exact shingle-set Jaccard verifies. The
-    * block-PAIR variant (simhashBlockPairs above) measured strictly
-    * worse here — see its docstring: this corpus collides on whole
-    * block pairs nearly as often as on single blocks, so the wider key
-    * buys nothing and the 55-66-struct explode costs real time.
-    * Because the verify step recomputes TRUE Jaccard, the output equals
-    * the brute-force shingle-Jaccard pair set whenever blocking+hamming
-    * recall is 1.0 — so q29 shares q28's SQL oracle. Same memory
-    * discipline as minhashLsh: only the candidate pair set is persisted,
-    * freed before return. */
+    * third dedup family's end-to-end query. Candidates come from ONE
+    * equality self-join over the two-tier key union (simhashTieredKeys
+    * above: production-radius SimHash blocks + MinHash bands for the
+    * far tail), then the exact hamming ≤ 12 filter and the size-ratio
+    * prefilter run inside the join, then exact shingle-set Jaccard
+    * verifies every survivor. hammingMax = 12: measured max hamming
+    * over TRUE (jaccard ≥ 0.5) pairs is 9 / 5 / 12 at sf0.001 / 0.01 /
+    * 0.1 — recall is a PER-CORPUS property, not a bound, so
+    * SimhashRecallSpec pins 1.0 on all three driver fixtures (which is
+    * how a fixture-tuned hamming 9 that silently missed 5 sf0.1 pairs
+    * was caught). Because the verify step recomputes TRUE Jaccard, the
+    * output equals the brute-force shingle-Jaccard pair set whenever
+    * candidate recall is 1.0 — so q29 shares q28's SQL oracle. Same
+    * memory discipline as minhashLsh: only the candidate pair set is
+    * persisted, freed before return. */
   val simhashNearDupPairs: Q = (s, d) => {
-    // 12: measured max hamming over TRUE (jaccard ≥ 0.5) pairs is 9 at
-    // sf0.001, 5 at sf0.01 — and 12 at sf0.1, where the earlier
-    // fixture-tuned 9 silently missed 5 of 256 pairs (recall is a
-    // PER-CORPUS property, not a bound; SimhashRecallSpec now pins 1.0
-    // on all three driver fixtures). 13 blocks of 4-5 bits pigeonhole
-    // hamming ≤ 12; the size-ratio prefilter inside the join absorbs
-    // most of the extra candidate volume the narrower block keys admit.
     val hammingMax = 12
-    // sz (distinct shingle count, one fused pass) rides along into the
-    // band join so the size-ratio prefilter — J(A,B) ≥ t ⇒
-    // min(|A|,|B|) ≥ t·max(|A|,|B|), loses no true pair — runs INSIDE
-    // the join, before the distinct, instead of costing two separate
-    // size-lookup joins against the pair table afterwards
-    val fp = t(s, d, "documents")
-      .select(col("doc_id"),
-        graft.expressions.TextHashes.simhash64(col("text")).as("f"),
-        size(graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("sz"))
-    // repartition on the block key: the fixtures arrive as ONE parquet
-    // partition, and a broadcast block-join preserves input partitioning
-    // — without this the entire candidate enumeration (32M raw rows at
-    // sf0.1) runs in a single task on one core (measured: 13 s of the
-    // old 15 s total). On a real multi-file corpus the scan is already
-    // parallel; the repartition makes the plan's parallelism a property
-    // of the query, not of the input layout.
-    val blocked = fp.select(col("doc_id"), col("f"), col("sz"),
-      explode(simhashBlocks(col("f"), hammingMax + 1)).as("b"))
-      .repartition(col("b"))
-    val cand = blocked.as("a").join(blocked.as("b"),
+    // repartition on the key: the fixtures arrive as ONE parquet
+    // partition, and a broadcast key-join preserves input partitioning —
+    // without this the entire candidate enumeration runs in a single
+    // task on one core. The tier-1 band hashes are 64-bit, so the key
+    // cardinality (unlike the round-5 ~400-value block keys) supports
+    // any partition count. On a real multi-file corpus the scan is
+    // already parallel; the repartition makes the plan's parallelism a
+    // property of the query, not of the input layout.
+    val keys = simhashTieredKeys(t(s, d, "documents")).repartition(col("b"))
+    val cand = keys.as("a").join(keys.as("b"),
         col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
       .filter(expr(s"bit_count(a.f ^ b.f) <= $hammingMax"))
+      // size-ratio prefilter: J(A,B) ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
+      // — loses no true pair; runs inside the join, before the distinct
       .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
         lit(0.5) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -328,12 +430,17 @@ object DedupOps {
   def decontaminateBloom(s: SparkSession, d: String,
       estItems: Long = 1L << 16): DataFrame = {
     val docs = t(s, d, "documents")
-    // the gate's persisted bench frame is deliberately NOT released
-    // here: the returned (lazy) plan still reads it; the blocks fall to
-    // the caller's cleanup (Bench drops leaked blocks per query; the
-    // ContextCleaner reclaims them once the frame is unreachable)
-    new BloomGate(docs.filter(col("doc_id") < 20), estItems)
-      .contaminated(docs.filter(col("doc_id") >= 20), minShared = 1L)
+    // materialize-then-release (the same discipline as q28/q29's
+    // candidate frames): the eager localCheckpoint severs the returned
+    // frame's dependency on the gate's persisted bench blocks, so the
+    // gate is released in a finally instead of leaking cached blocks to
+    // the caller for the session lifetime (CacheManager holds cached
+    // plans strongly — a round-5 leak-by-contract, now closed; DedupSpec
+    // asserts nothing stays cached after this returns)
+    val gate = new BloomGate(docs.filter(col("doc_id") < 20), estItems)
+    try gate.contaminated(docs.filter(col("doc_id") >= 20), minShared = 1L)
+      .localCheckpoint(eager = true)
+    finally gate.release()
   }
 
   /** The ONE Bloom-gate construction q75 and the streaming admission
@@ -343,10 +450,23 @@ object DedupOps {
     * gate). Lifecycle: the persisted bench frame lives until
     * [[release]]; Spark's CacheManager holds it strongly, so dropping
     * the gate (or stopping a stream that used it) does NOT free it. */
+  /** Sizing note (ADVICE r5): BloomFilterAggregate silently clamps its
+    * arguments to the session confs
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default
+    * 4 M) and `...maxNumBits` (default 67 M ≈ 8 MB), so an estItems
+    * above 4 M degrades to a HIGHER FP rate rather than a bigger
+    * filter — still correct here (the exact join kills FPs; DedupSpec's
+    * overloaded-filter case proves it at estItems = 64), but a
+    * production billion-shingle gate must raise those confs alongside
+    * estItems to get the advertised ~1.25 bytes/item. The require below
+    * rejects sizes whose numBits product would overflow a Long. */
   final class BloomGate(benchDocs: DataFrame, estItems: Long = 1L << 16) {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.Bridge
+
+    require(estItems > 0 && estItems <= Long.MaxValue / 8,
+      s"estItems out of range: $estItems")
 
     private def sh(df: DataFrame) = df.select(col("doc_id"), explode(
       graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("h"))

@@ -174,6 +174,55 @@ class DedupSpec extends SparkSpec {
       s"first divergence: ${both.find { case (m, h) => m != h }}")
   }
 
+  test("cappedBandCandidates bounds a 1k-identical-doc hot bucket and keeps star connectivity") {
+    // 1000 identical docs: every band bucket is one hot bucket of
+    // occupancy 1000, so uncapped enumeration is 8 × C(1000,2) raw
+    // pairs — the occupancy² blowup no size-ratio prefilter can stop
+    // (the docs really are dups). The cap bounds each bucket at
+    // C(cap,2) full pairs + one star edge per overflow row.
+    val n = 1000
+    val docs = (0 until n).map(i => (i.toLong, base)).toDF("doc_id", "text")
+    val banded = docs.select(col("doc_id"),
+        graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"))
+      .select(col("doc_id"), explode(DedupOps.lshBands(col("sig"), 32, 4)).as("b"))
+    val cap = 16
+    val cand = DedupOps.cappedBandCandidates(banded, cap)
+    // identical docs → identical bands → all 8 buckets emit the same
+    // capped pair set, so after distinct: C(16,2) + (1000-16) star edges
+    assert(cand.count() == cap * (cap - 1) / 2 + (n - cap))
+    // cluster connectivity survives the cap: union-find over the capped
+    // candidates must still connect all 1000 docs into one component
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    cand.as[(Long, Long)].collect().foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    assert((0 until n).map(i => find(i.toLong)).toSet.size == 1,
+      "star edges must keep the hot cluster connected")
+    // and the audit companion names the 8 hot buckets
+    assert(DedupOps.hotBuckets(banded, cap).count() == 8)
+  }
+
+  test("a generous hot-bucket cap leaves the fixture result unchanged (recall intact)") {
+    val capped = DedupOps.minhashLshWithCap(spark, sf0001, Some(64))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val exact = DedupOps.minhashLsh(spark, sf0001)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty && capped == exact)
+  }
+
+  test("q75 releases its Bloom gate: nothing stays cached after the call") {
+    spark.catalog.clearCache()
+    val out = functions.DedupOps.decontaminateBloom(spark, sf0001)
+    assert(out.count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "decontaminateBloom leaked cached plans (gate not released)")
+  }
+
   test("q75 Bloom prefilter is semantically transparent: result ≡ q61 exactly") {
     // the Bloom tier may only ADD candidate rows (false positives) before
     // the exact join kills them — the grouped output must be identical,

@@ -5,14 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Guards the property that lets q29_simhash carry the brute-force SQL
   * oracle (q28's): the pipeline verifies exact shingle Jaccard on every
-  * block-join candidate, so its output equals the quadratic exact result
-  * exactly when pigeonhole-blocking + hamming ≤ 12 recall is 1.0 on the
-  * ≥ 0.5-Jaccard pairs. SimHash is deterministic (xxhash64 per token), so
-  * this either holds for a corpus or it doesn't — assert it on ALL THREE
-  * driver fixtures (measured max hamming over true pairs: 9 at sf0.001,
-  * 5 at sf0.01, 12 at sf0.1 — the sf0.1 number is what forced
-  * hammingMax from the fixture-tuned 9 up to 12; recall is a per-corpus
-  * property, so every fixture the driver can run must be pinned). */
+  * candidate, so its output equals the quadratic exact result exactly
+  * when candidate recall is 1.0 on the ≥ 0.5-Jaccard pairs. Since round
+  * 6 candidates come from the TWO-TIER key union (simhashTieredKeys):
+  * radius-4 SimHash pigeonhole blocks (deterministic for hamming ≤ 4)
+  * plus q28's MinHash bands for the far tail — the round-5 single-tier
+  * hamming-12 blocks had ~400 distinct keys and degenerated to
+  * near-quadratic enumeration. SimHash/MinHash are deterministic
+  * (xxhash64 per token), so recall either holds for a corpus or it
+  * doesn't — assert it on ALL THREE driver fixtures (measured max
+  * hamming over true pairs: 9 at sf0.001, 5 at sf0.01, 12 at sf0.1;
+  * recall is a per-corpus property, so every fixture the driver can run
+  * must be pinned). */
 class SimhashRecallSpec extends SparkSpec {
   import spark.implicits._
 
@@ -69,6 +73,23 @@ class SimhashRecallSpec extends SparkSpec {
       assert(exact.nonEmpty, s"$dir should contain engineered near-dups")
       assert(sim == exact, s"SimHash/exact divergence at $dir: " +
         s"missed=${(exact -- sim).take(5)} extra=${(sim -- exact).take(5)}")
+    }
+  }
+
+  test("two-tier keys: tags disjoint by construction, key space stays wide") {
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val docs = Tables.t(spark, dir, "documents")
+      val keys = DedupOps.simhashTieredKeys(docs)
+      val tags = keys.select(col("b.t")).distinct().as[Int].collect().toSet
+      // tier 0 = blk ∈ [0,5), tier 1 = 16+band ∈ [16,24): a block value
+      // can never equi-join a band hash
+      assert(tags.subsetOf((0 until 5).toSet ++ (16 until 24).toSet), s"$dir: $tags")
+      // the degenerate round-5 scheme collapsed to ~400 keys regardless
+      // of corpus size; the union's key count must track the corpus
+      // (band hashes are ~unique per doc) — pin ≥ 4 keys/doc
+      val nDocs = docs.count()
+      val nKeys = keys.select(col("b")).distinct().count()
+      assert(nKeys >= 4 * nDocs, s"$dir: key space collapsed: $nKeys keys / $nDocs docs")
     }
   }
 
