@@ -19,6 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      operators.Publisher.queries ++
       operators.Analytics.queries ++
       functions.TextOps.queries ++
       functions.SimilarityOps.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
+      operators.Publisher.oracles ++
       operators.Analytics.oracles ++
       functions.TextOps.oracles ++
       functions.SimilarityOps.oracles ++

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables.t
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -91,16 +91,18 @@ object Publisher {
     day
   }
 
-  /** /dauRealtime via one SQL statement: per-day per-user first event →
-    * hour histogram for td and yd in a single pass; dauTotal = the td
-    * histogram's sum (exactly one row per user per day). */
-  def dauRealtimeSql(spark: SparkSession, td: String): DauRealtime = {
-    val yd = java.time.LocalDate.parse(checkDay(td)).minusDays(1).toString
-    val rows = spark.sql(
+  /** The /dauRealtime histogram as a DataFrame (dt, hr, n) — per-day
+    * per-user first event → hour histogram for both days in one pass.
+    * This IS the distributed part of the endpoint; [[dauRealtimeSql]]
+    * collects it (≤ 48 rows) and assembles the payload. Exposed
+    * un-collected so q77 can drive it through the driver's DuckDB
+    * oracle. */
+  def dauRealtimeSqlDf(spark: SparkSession, td: String, yd: String): DataFrame =
+    spark.sql(
       s"""WITH e AS (
          |  SELECT user_id, ts, event_id, date_format(ts, 'yyyy-MM-dd') AS dt
          |  FROM events
-         |  WHERE date_format(ts, 'yyyy-MM-dd') IN ('$td', '$yd')),
+         |  WHERE date_format(ts, 'yyyy-MM-dd') IN ('${checkDay(td)}', '${checkDay(yd)}')),
          |ranked AS (
          |  SELECT dt, ts,
          |    row_number() OVER (PARTITION BY dt, user_id
@@ -108,6 +110,12 @@ object Publisher {
          |  FROM e)
          |SELECT dt, date_format(ts, 'HH') AS hr, count(*) AS n
          |FROM ranked WHERE rn = 1 GROUP BY dt, hr""".stripMargin)
+
+  /** /dauRealtime via one SQL statement: dauTotal = the td histogram's
+    * sum (exactly one row per user per day). */
+  def dauRealtimeSql(spark: SparkSession, td: String): DauRealtime = {
+    val yd = java.time.LocalDate.parse(checkDay(td)).minusDays(1).toString
+    val rows = dauRealtimeSqlDf(spark, td, yd)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     def hist(day: String) =
       rows.collect { case (`day`, hr, n) => hr -> n }.toMap
@@ -115,10 +123,11 @@ object Publisher {
     DauRealtime(dauTd.values.sum, dauTd, hist(yd))
   }
 
-  /** /statsByItem via one SQL statement (conjunctive LIKE match + CASE
-    * re-bucketing + grouped sum). */
-  def statsByItemSql(spark: SparkSession, itemTokens: Seq[String],
-      t0: String): Seq[StatItem] = {
+  /** The /statsByItem result as a DataFrame (name, value) — conjunctive
+    * LIKE match + CASE re-bucketing + grouped sum; [[statsByItemSql]]
+    * collects it (≤ 4 rows). Exposed un-collected for q78. */
+  def statsByItemSqlDf(spark: SparkSession, itemTokens: Seq[String],
+      t0: String): DataFrame = {
     itemTokens.foreach(tok =>
       require(tok.matches("\\w+"), s"bad token: $tok"))
     val matchPred = itemTokens
@@ -143,6 +152,54 @@ object Publisher {
          |JOIN customer ON o_custkey = c_custkey
          |WHERE $matchPred
          |GROUP BY 1 ORDER BY value DESC, name ASC""".stripMargin)
-      .collect().map(r => StatItem(r.getString(0), r.getDouble(1))).toSeq
   }
+
+  /** /statsByItem via one SQL statement. */
+  def statsByItemSql(spark: SparkSession, itemTokens: Seq[String],
+      t0: String): Seq[StatItem] =
+    statsByItemSqlDf(spark, itemTokens, t0)
+      .collect().map(r => StatItem(r.getString(0), r.getDouble(1))).toSeq
+
+  // ---- Driver-oracle entries (round 6): the SQL-surface twins were
+  // spec-checked against the programmatic forms (PublisherSpec) but not
+  // driver-oracle-checked; these q-entries run the EXACT endpoint SQL
+  // over Graft.init's registered views and hand the un-collected frame
+  // to the driver's DuckDB compare. Fixture days per FIXTURES.md
+  // (2024-01-15 is the events table's densest day — q15 uses the same
+  // pair).
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_dau_realtime_sql" -> ((s, d) => {
+      graft.Graft.init(s, d)
+      dauRealtimeSqlDf(s, "2024-01-15", "2024-01-14")
+    }),
+    "q78_stats_by_item_sql" -> ((s, d) => {
+      graft.Graft.init(s, d)
+      statsByItemSqlDf(s, Seq("small", "widget"), "segment")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q77_dau_realtime_sql" ->
+      """WITH ranked AS (
+        |  SELECT strftime(ts,'%Y-%m-%d') AS dt, ts,
+        |    row_number() OVER (PARTITION BY strftime(ts,'%Y-%m-%d'), user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE strftime(ts,'%Y-%m-%d') IN ('2024-01-15', '2024-01-14'))
+        |SELECT dt, strftime(ts,'%H') AS hr, count(*) AS n
+        |FROM ranked WHERE rn = 1 GROUP BY dt, hr""".stripMargin,
+    "q78_stats_by_item_sql" ->
+      """SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'auto'
+        |            WHEN c_mktsegment = 'BUILDING' THEN 'building'
+        |            WHEN c_mktsegment = 'MACHINERY' THEN 'machinery'
+        |            ELSE 'other' END AS name,
+        | round(sum(l_extendedprice), 2) AS value
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE p_name LIKE '%small%' AND p_name LIKE '%widget%'
+        |GROUP BY 1 ORDER BY value DESC, name ASC""".stripMargin,
+  )
 }

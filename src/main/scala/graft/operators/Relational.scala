@@ -99,6 +99,31 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** q76 — the DecimalType money twin of q06 (SURVEY §7.4). Money stays
+    * Double on the other query paths for oracle parity with the
+    * reference's Double amounts (ref bean/OrderDetail.scala:7 — the
+    * defect being upgraded); this query is the production-correct
+    * DECIMAL(18,2) form, proving exact-sum parity where Double
+    * summation is order-sensitive and lossy. The decimal sum
+    * (DECIMAL(28,2) after Spark's sum widening) is emitted as a STRING
+    * so the driver's hash compare is representation-stable across
+    * engines — decimal addition is exact and associative, so no
+    * round() is needed in either engine, which is the point. */
+  val statsByItemDecimal: Q = (s, d) => {
+    val l = t(s, d, "lineitem")
+    val p = t(s, d, "part")
+    val o = t(s, d, "orders")
+    val c = t(s, d, "customer")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_name").contains("small") && col("p_name").contains("widget"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(28,2)").cast("string").as("amount_dec"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** A5+F6 analog: client-side age re-bucketing done engine-side in one
     * pass (ref PublisherServiceImpl.java:55-74) — acctbal bands play age
     * bands. */
@@ -379,6 +404,7 @@ object Relational {
     "q04_session_entry" -> sessionEntry,
     "q05_order_wide" -> orderWide,
     "q06_stats_by_item" -> statsByItem,
+    "q76_money_decimal" -> statsByItemDecimal,
     "q07_acctbal_bands" -> acctbalBands,
     "q08_topk_avg" -> topkAvg,
     "q09_sort_page" -> sortPage,
@@ -499,6 +525,17 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "q06_stats_by_item" ->
       """SELECT c_mktsegment, round(sum(l_extendedprice),2) AS amount,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE p_name LIKE '%small%' AND p_name LIKE '%widget%'
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q76_money_decimal" ->
+      """SELECT c_mktsegment,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |   AS DECIMAL(28,2)) AS VARCHAR) AS amount_dec,
         | count(*) AS n_items
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
