@@ -13,12 +13,18 @@ import org.apache.spark.sql.expressions.Window
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = Graft.localSession(32)
+    // optional probe-name filter: `runMain graft.ScaleProbe simhash_tiered_candidates
+    // cluster_collapse` runs only the named probes (substring match on
+    // the SCALE label); no args = the full suite
+    val only = args.toSet
+    def on(name: String): Boolean = only.isEmpty || only.exists(name.contains)
     def synth(n: Long) = spark.range(n).select(
       col("id").as("event_id"),
       timestamp_millis(lit(1704067200000L) + (col("id") % 2592000000L)).as("ts"),
       pmod(xxhash64(col("id")), lit(100000)).as("user_id"),
       concat(lit("tok"), pmod(xxhash64(col("id"), lit(1)), lit(50))).as("event_type"),
       (pmod(xxhash64(col("id"), lit(2)), lit(10000)) / 100.0).as("value"))
+    if (Seq("dau_dedup_hourly", "windowed_agg", "simhash_scan").exists(on))
     for (n <- Seq(1000000L, 4000000L, 16000000L)) {
       val e = synth(n).persist()
       e.count()
@@ -60,6 +66,7 @@ object ScaleProbe {
         concat_ws(" ", (0 until 60).map(i =>
           concat(lit("w"), pmod(xxhash64(eff, lit(i)), lit(5000)))): _*).as("text"))
     }
+    if (on("minhash_lsh_candidates"))
     for (n <- Seq(100000L, 400000L, 1600000L)) {
       val docs = synthDocs(n).persist()
       docs.count()
@@ -67,8 +74,11 @@ object ScaleProbe {
       val sig = docs.select(col("doc_id"),
         graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"))
         .filter(size(col("sig")) > 0)
+      // long hashed band key — the shape minhashLsh runs since round 6
+      // (struct keys sort interpreted in SMJ; see simhashTieredKeys)
       val banded = sig.select(col("doc_id"),
-        explode(functions.DedupOps.lshBands(col("sig"), 32, 4)).as("b"))
+          explode(functions.DedupOps.lshBands(col("sig"), 32, 4)).as("bk"))
+        .select(col("doc_id"), xxhash64(col("bk.band"), col("bk.bhash")).as("b"))
       banded.as("a").join(banded.as("b"),
           col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
@@ -76,10 +86,56 @@ object ScaleProbe {
       println(f"SCALE n=$n%9d minhash_lsh_candidates ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       docs.unpersist()
     }
+    // q29 candidate enumeration (round-6 two-tier scheme): raw pair
+    // volume and wall time at 1×/4×/16× docs. The round-5 single-tier
+    // scheme was ~quadratic here (75.7 M raw rows at 400 k docs even
+    // for radius-4 SINGLE blocks; the shipped hamming-12 blocks were
+    // worse still); the block-pair + band union over long hashed keys
+    // must grow far slower. The synthetic corpus's 5 000-token
+    // vocabulary correlates fingerprint bits, so some block-pair
+    // values run hot — the residual super-linearity is exactly what
+    // cappedBandCandidates absorbs in production.
+    if (on("simhash_tiered_candidates"))
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      val docs = synthDocs(n).persist(); docs.count()
+      val t0 = System.nanoTime()
+      val keys = functions.DedupOps.simhashTieredKeys(docs).repartition(col("b"))
+      val pairs = keys.as("a").join(keys.as("b"),
+          col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
+        .filter(expr("bit_count(a.f ^ b.f) <= 12"))
+        .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(0.5) * greatest(col("a.sz"), col("b.sz")))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().count()
+      println(f"SCALE n=$n%9d simhash_tiered_candidates ${(System.nanoTime() - t0) / 1e9}%6.2f s ($pairs%,d pairs)")
+      docs.unpersist()
+    }
+    // q62 label propagation over a synthetic pair graph of 3-doc chains
+    // (the near-dup graph shape: bounded components, diameter 2) at
+    // 1×/4×/16× edges: each round is one join + one groupBy-min over
+    // the edge set and the round count is diameter-bound, so total time
+    // must scale ~linearly in edges.
+    if (on("cluster_collapse"))
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      // edge k: component base = (k div 2)·10, offset k mod 2 →
+      // components {b, b+1, b+2} with edges (b,b+1),(b+1,b+2)
+      val ofs = pmod(col("id"), lit(2))
+      val base = (col("id") - ofs) * 5
+      val edges = spark.range(n)
+        .select((base + ofs).as("doc_a"), (base + ofs + 1).as("doc_b"))
+        .persist()
+      edges.count()
+      val t0 = System.nanoTime()
+      val labels = functions.DedupOps.collapseClusters(edges)
+      val comps = labels.filter(col("doc_id") === col("cluster_rep")).count()
+      println(f"SCALE n=$n%9d cluster_collapse ${(System.nanoTime() - t0) / 1e9}%6.2f s ($comps%,d components)")
+      edges.unpersist()
+    }
     // winnowing fingerprint scan (q56, fused expression): map-only, so
     // time must be ~linear in corpus size on a fixed-core box. (The
     // interpreted-HOF twin measured 411 s at n=100k — 4 ms/doc of lambda
     // boxing — which is why q56 runs the fused expression.)
+    if (on("winnow_fingerprints"))
     for (n <- Seq(100000L, 400000L, 1600000L)) {
       val docs = synthDocs(n).persist()
       docs.count()
@@ -108,6 +164,7 @@ object ScaleProbe {
       array((0 until 64).map(i => synthElem(seedBase + i)): _*)
     def synthVecs(n: Long) = spark.range(n).select(
       col("id").as("vec_id"), synthVec(0).as("v"))
+    if (on("sign_band_scan"))
     for (n <- Seq(100000L, 400000L, 1600000L)) {
       val vecs = synthVecs(n).persist()
       vecs.count()
@@ -127,6 +184,7 @@ object ScaleProbe {
     // ~19 s before the fusing.)
     def synthPairs(n: Long) = spark.range(n).select(
       synthVec(0).as("v"), synthVec(64).as("w"))
+    if (on("cosine_verify_pairs"))
     for (n <- Seq(1000000L, 4000000L, 16000000L)) {
       val pairs = synthPairs(n).persist()
       pairs.count()
@@ -143,6 +201,7 @@ object ScaleProbe {
     // scan (q68, flatMapSortedGroups): both must be ~linear in docs.
     // (The interpreted transform/concat trigram HOF measured ~1.4 ms/doc
     // — 7 s for 5k docs on one partition — which is why q65 fuses.)
+    if (Seq("phrase_index_build", "pack_greedy").exists(on))
     for (n <- Seq(100000L, 400000L, 1600000L)) {
       val docs = synthDocs(n).persist()
       docs.count()
@@ -166,25 +225,27 @@ object ScaleProbe {
       docs.unpersist()
     }
     // skew: 16M rows, 90% on one key — plain shuffle join vs salted vs AQE
-    val n = 16000000L
-    val big = spark.range(n).select(
-      when(pmod(col("id"), lit(10)) =!= 0, lit(1L))
-        .otherwise(pmod(xxhash64(col("id")), lit(100000))).as("k"),
-      col("id").as("v")).persist()
-    big.count()
-    val small = spark.range(100000).select(col("id").as("k"),
-      concat(lit("dim_"), col("id")).as("label"))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    for ((name, skewOn) <- Seq(("aqe_skew_join", "true"), ("no_aqe_skew", "false"))) {
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn)
+    if (on("skew")) {
+      val n = 16000000L
+      val big = spark.range(n).select(
+        when(pmod(col("id"), lit(10)) =!= 0, lit(1L))
+          .otherwise(pmod(xxhash64(col("id")), lit(100000))).as("k"),
+        col("id").as("v")).persist()
+      big.count()
+      val small = spark.range(100000).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("label"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for ((name, skewOn) <- Seq(("aqe_skew_join", "true"), ("no_aqe_skew", "false"))) {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn)
+        val t0 = System.nanoTime()
+        big.join(small, "k").write.format("noop").mode("overwrite").save()
+        println(f"SKEW $name ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
       val t0 = System.nanoTime()
-      big.join(small, "k").write.format("noop").mode("overwrite").save()
-      println(f"SKEW $name ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      graft.operators.SkewJoin.saltedJoin(big, small, "k", 16)
+        .write.format("noop").mode("overwrite").save()
+      println(f"SKEW salted_join ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
-    val t0 = System.nanoTime()
-    graft.operators.SkewJoin.saltedJoin(big, small, "k", 16)
-      .write.format("noop").mode("overwrite").save()
-    println(f"SKEW salted_join ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     spark.stop()
   }
 }

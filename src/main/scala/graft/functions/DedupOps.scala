@@ -154,10 +154,16 @@ object DedupOps {
       .select(col("doc_id"),
         graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"))
       .filter(size(col("sig")) > 0)
-    // Band join carries ONLY (doc_id, band) — never the shingle arrays —
-    // so the shuffle payload stays ~16 bytes/row at any corpus size.
+    // Band join carries ONLY (doc_id, band-key) — never the shingle
+    // arrays — so the shuffle payload stays ~16 bytes/row at any corpus
+    // size. The (band, bhash) struct is hashed to ONE long key: struct
+    // join keys sort interpreted in SortMergeJoin (no radix prefix —
+    // measured 15-40× slower at volume on q29's tier join); a 64-bit
+    // collision only admits a false candidate the exact-Jaccard verify
+    // kills, the argument the band hash itself already rests on.
     val banded = sig.select(col("doc_id"),
-      explode(lshBands(col("sig"), 32, 4)).as("b"))
+      explode(lshBands(col("sig"), 32, 4)).as("bk"))
+      .select(col("doc_id"), xxhash64(col("bk.band"), col("bk.bhash")).as("b"))
     val cand = (maxBucket match {
       case Some(c) => cappedBandCandidates(banded, c)
       case None => banded.as("a").join(banded.as("b"),
@@ -250,10 +256,12 @@ object DedupOps {
     * pairs — while exploding 55-66 structs/doc instead of 10-11. Re-
     * measured at the round-5 hamming ≤ 12 (where 4-5-bit single blocks
     * looked weak enough that pairs might win): still 30.8 s vs 5.5 s
-    * for single blocks — the correlation dominates at every radius
-    * tried. Kept as the reference implementation of the scheme
-    * (DedupSpec proves its coverage/agreement); q29 runs single
-    * blocks. */
+    * for single blocks — at WIDE radii the correlation dominates at
+    * every arrangement tried. At the production radius 4 the picture
+    * inverts: 6-block pairs carry 20-22-bit keys and measured 39×
+    * fewer raw join rows than radius-4 single blocks at 100 k docs —
+    * q29's tier 0 (simhashTieredKeys) runs THIS scheme, hashed to a
+    * long key. SimhashRecallSpec proves coverage/agreement. */
   def simhashBlockPairs(f: Column, nBlocks: Int): Column = {
     val base = 64 / nBlocks
     val extra = 64 % nBlocks
@@ -273,50 +281,58 @@ object DedupOps {
     * riding along so the hamming and size-ratio prefilters run INSIDE
     * the candidate join. Exposed for ScaleProbe's asymptotics probe.
     *
-    * Tier 0 — SimHash pigeonhole at PRODUCTION radius (hamming ≤
-    * `simhashRadius` = 4; Manku et al. WWW'07 run 3-4): 5 blocks of
-    * 12-13 bits, key space 4·2^13 + 2^12 = 36 864. The round-5 scheme
-    * widened this tier alone to hamming 12 — 13 blocks of 4-5 bits,
-    * 355 distinct (blk,bval) keys TOTAL — so candidate enumeration
-    * degenerated to Σ-over-keys occupancy² ≈ N²/c: 32.0 M raw join rows
-    * at sf0.1 (~5.5 k docs) — MORE than the 15 M all-pairs count,
-    * near-quadratic at any scale-up.
+    * Tier 0 — SimHash pigeonhole BLOCK PAIRS at production radius
+    * (hamming ≤ 4; Manku et al. WWW'07 run 3-4): 6 blocks of 10-11
+    * bits; hamming ≤ 4 dirties ≤ 4 blocks, so ≥ 2 stay clean and some
+    * pair of clean blocks matches exactly — C(6,2) = 15 keys/doc of
+    * 20-22 bits (~31.5 M combined key space). The round-5 scheme was
+    * SINGLE blocks pigeonholing hamming 12 directly — 13 blocks of 4-5
+    * bits, 355 distinct keys TOTAL at sf0.1 — so candidate enumeration
+    * degenerated to Σ-over-keys occupancy² ≈ N²/c: 32.0 M raw join
+    * rows (~5.5 k docs), MORE than the 15 M all-pairs count. (Radius-4
+    * SINGLE blocks — 5 × 12-13 bits, 36 864 keys — were measured too:
+    * 1.10 M raw at sf0.1 but quadratic again by 400 k docs, 75.7 M raw
+    * on the synthetic corpus; pair keys measured 122 k / 1.06 M raw at
+    * 100 k / 400 k docs on the same corpus. Block-value skew from
+    * correlated text bits persists at any width — the hot-bucket cap
+    * ([[cappedBandCandidates]]) is the production relief valve.)
     * Tier 1 — MinHash band keys (q28's 8 bands × 4 rows over a 32-perm
-    * signature; 64-bit band-hash key space) covering the far tail: the
-    * fixtures' engineered Jaccard-0.5 near-dups reach hamming 12, far
-    * outside SimHash's effective radius, and pigeonholing hamming 12
-    * directly is exactly what degenerated. Band recall at J ≥ 0.5 is
-    * the SAME per-corpus property q28's oracle already rests on
-    * (LshRecallSpec pins it; SimhashRecallSpec re-pins it through this
-    * query on all three driver fixtures).
-    * Measured raw candidate-join volume at sf0.1: 32.0 M rows over 355
-    * distinct keys (round-5 single-tier hamming-12 blocks) → 1.10 M
-    * rows over 41 897 distinct keys (this two-tier union; tier 0
-    * contributes 1.10 M, tier 1 a further 1 814) — a 29× volume drop
-    * and a 118× key widening, with identical q29 output. Tier 0's
-    * residual volume is block-value skew (simhash bits of same-language
-    * text are correlated, so a few block values run hot) — ~7% of
-    * all-pairs at this corpus; the hot-bucket cap
-    * ([[cappedBandCandidates]]) is the production relief valve there.
+    * signature) covering the far tail: the fixtures' engineered
+    * Jaccard-0.5 near-dups reach hamming 12, far outside SimHash's
+    * effective radius, and pigeonholing hamming 12 directly is exactly
+    * what degenerated. Band recall at J ≥ 0.5 is the SAME per-corpus
+    * property q28's oracle already rests on (LshRecallSpec pins it;
+    * SimhashRecallSpec re-pins it through this query on all three
+    * driver fixtures).
     *
-    * The two tiers share one join: keys are (t, v) structs where tier 0
-    * uses t = blk ∈ [0,5) and tier 1 uses t = 16+band ∈ [16,24), so the
-    * key sets are disjoint by construction and a block value can never
-    * equi-join a band hash. */
-  def simhashTieredKeys(docs: DataFrame, simhashRadius: Int = 4): DataFrame = {
+    * The key is ONE xxhash64 LONG, tiers kept disjoint by a leading
+    * tag literal (0 = block pair, 1 = band) in the hash input — NOT a
+    * struct: SortMergeJoin sorts struct keys through interpreted
+    * ordering with no radix prefix, measured 15-40× slower than the
+    * 8-byte long at 400 k docs (55-157 s vs 3.7 s for the identical
+    * candidate set); the long key radix-sorts and halves the shuffle
+    * payload. A 64-bit hash collision across tiers or between distinct
+    * block values merely admits a false candidate for the hamming +
+    * Jaccard verify tiers to kill — the same argument the band hash
+    * itself rests on.
+    * Measured raw candidate-join volume at sf0.1: 32.0 M rows
+    * (round-5) → 0.32 M rows (tier 0 ≈ 318 k + tier 1 ≈ 1.8 k) — a
+    * 100× drop with identical q29 output. */
+  def simhashTieredKeys(docs: DataFrame): DataFrame = {
     val fp = docs.select(col("doc_id"),
       graft.expressions.TextHashes.simhash64(col("text")).as("f"),
       graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"),
       size(graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("sz"))
     val tier0 = fp.select(col("doc_id"), col("f"), col("sz"),
-      explode(simhashBlocks(col("f"), simhashRadius + 1)).as("bk"))
+      explode(simhashBlockPairs(col("f"), 6)).as("bk"))
       .select(col("doc_id"), col("f"), col("sz"),
-        struct(col("bk.blk").as("t"), col("bk.bval").as("v")).as("b"))
+        xxhash64(lit(0), col("bk.bi"), col("bk.bj"),
+          col("bk.vi"), col("bk.vj")).as("b"))
     val tier1 = fp.filter(size(col("sig")) > 0)
       .select(col("doc_id"), col("f"), col("sz"),
         explode(lshBands(col("sig"), 32, 4)).as("bk"))
       .select(col("doc_id"), col("f"), col("sz"),
-        struct((col("bk.band") + lit(16)).as("t"), col("bk.bhash").as("v")).as("b"))
+        xxhash64(lit(1), col("bk.band"), col("bk.bhash")).as("b"))
     tier0.unionByName(tier1)
   }
 
@@ -599,8 +615,15 @@ object DedupOps {
     * (doc_id, cluster_rep = min doc_id of the component) for every doc
     * in at least one pair; the DuckDB oracle replays it as a recursive
     * transitive closure. */
-  val dedupClusters: Q = (s, d) => {
-    val pairs = shingleJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+  val dedupClusters: Q = (s, d) =>
+    collapseClusters(shingleJaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
+
+  /** The label-propagation loop itself, over ANY (doc_a, doc_b) pair
+    * set — q62 feeds it the fixture pairs; ScaleProbe feeds it
+    * synthetic pair graphs at 1×/4×/16× to measure the per-round cost
+    * exponent (each round is one join + one groupBy-min over the pair
+    * graph, so rounds must scale ~linearly in edges). */
+  def collapseClusters(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")

@@ -107,34 +107,63 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q75 Bloom tier: might_contain prunes the corpus side BEFORE its join exchange") {
-    // the Bloom literal prints its whole bit array — scrub hex so the
-    // audited text is the plan structure, not 250 KB of filter constant
-    val plan = executedPlan(functions.DedupOps.decontaminateBloom(spark, sf0001))
-      .replaceAll("0x[0-9a-fA-F]+", "0x…")
-    // The claim is about the STREAMED (corpus) side of the FP-kill join:
-    // scan → explode → bloom-filter with no exchange in between — the
-    // filter is what keeps the join shuffle small at scale, so it must
-    // sit on the scan side of any Exchange. Audit that side explicitly:
-    // Catalyst also propagates the predicate to the bench side through
-    // the join-key constraint (a copy whose cached-distinct subtree
-    // legitimately contains an Exchange), and runtime row-level
-    // filtering may inject further copies — anchoring on "the first
-    // occurrence anywhere" would audit the wrong node.
-    val joinIdx = plan.indexOf("BroadcastHashJoin") match {
-      case -1 => plan.indexOf("SortMergeJoin")
-      case i  => i
+    // Audited on the gate's LIVE plan: q75 itself returns a
+    // localCheckpoint-ed frame since the round-6 release fix (its
+    // executed plan is just the checkpoint scan). And audited by
+    // WALKING the SparkPlan tree, not by plan-string substring windows
+    // (ADVICE r5): on a SortMergeJoin fallback or a BuildLeft broadcast
+    // the string windows anchor on the wrong subtree.
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // full traversal that descends through AQE wrappers and query stages
+    // (plain SparkPlan.collect treats QueryStageExec as a leaf)
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val next = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: next.flatMap(walk)
     }
-    assert(joinIdx >= 0, s"expected a keyed FP-kill join:\n$plan")
-    val buildIdx = plan.indexOf("BroadcastQueryStage", joinIdx)
-    val streamedSide =
-      plan.substring(joinIdx, if (buildIdx > 0) buildIdx else plan.length)
-    val mcIdx = streamedSide.indexOf("might_contain")
-    assert(mcIdx > 0,
-      s"the corpus side must carry the Bloom membership filter:\n$plan")
-    val below = streamedSide.substring(mcIdx)
-    val scanIdx = below.indexOf("Scan parquet")
-    assert(scanIdx > 0 && !below.substring(0, scanIdx).contains("Exchange"),
-      s"might_contain must sit directly over the corpus scan (map-side prune):\n$plan")
+    def hasMightContain(f: FilterExec): Boolean =
+      f.condition.exists(_.isInstanceOf[BloomFilterMightContain])
+    val docs = Tables.t(spark, sf0001, "documents")
+    val gate = new functions.DedupOps.BloomGate(docs.filter(col("doc_id") < 20))
+    try {
+      val df = gate.contaminated(docs.filter(col("doc_id") >= 20), minShared = 1L)
+      df.collect()
+      val all = walk(df.queryExecution.executedPlan)
+      // the FP-kill join: the join with the Bloom-filtered corpus subtree
+      // on one side (the other side reads the gate's cached bench set)
+      val audited = all.collectFirst(Function.unlift { p: SparkPlan => p match {
+        case j: BaseJoinExec =>
+          Seq(j.left, j.right).find(side => walk(side).exists {
+            case f: FilterExec => hasMightContain(f)
+            case _ => false
+          }).map(side => (j, side))
+        case _ => None
+      }})
+      assert(audited.nonEmpty,
+        s"expected a keyed FP-kill join with a might_contain corpus side:\n" +
+          df.queryExecution.executedPlan)
+      val (_, corpusSide) = audited.get
+      val mcFilter = walk(corpusSide).collectFirst {
+        case f: FilterExec if hasMightContain(f) => f
+      }.get
+      // the prune must be map-side: below the filter sits the parquet
+      // scan with NO exchange in between — any shuffle on the corpus
+      // side may only run ABOVE the filter, so at scale the exchange
+      // moves the contaminated sliver + FPs, never the whole corpus
+      val below = walk(mcFilter.child)
+      assert(below.exists(_.isInstanceOf[FileSourceScanExec]),
+        s"might_contain must sit over the corpus parquet scan:\n$mcFilter")
+      assert(!below.exists(_.isInstanceOf[Exchange]),
+        s"no Exchange may sit between might_contain and the corpus scan:\n$mcFilter")
+    } finally gate.release()
   }
 
   test("q64 star join: every dim side broadcast, region filter pushed to its scan") {

@@ -76,20 +76,34 @@ class SimhashRecallSpec extends SparkSpec {
     }
   }
 
-  test("two-tier keys: tags disjoint by construction, key space stays wide") {
+  test("two-tier keys: tier key sets disjoint, key space stays wide") {
     for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
       val docs = Tables.t(spark, dir, "documents")
       val keys = DedupOps.simhashTieredKeys(docs)
-      val tags = keys.select(col("b.t")).distinct().as[Int].collect().toSet
-      // tier 0 = blk ∈ [0,5), tier 1 = 16+band ∈ [16,24): a block value
-      // can never equi-join a band hash
-      assert(tags.subsetOf((0 until 5).toSet ++ (16 until 24).toSet), s"$dir: $tags")
       // the degenerate round-5 scheme collapsed to ~400 keys regardless
       // of corpus size; the union's key count must track the corpus
       // (band hashes are ~unique per doc) — pin ≥ 4 keys/doc
       val nDocs = docs.count()
       val nKeys = keys.select(col("b")).distinct().count()
       assert(nKeys >= 4 * nDocs, s"$dir: key space collapsed: $nKeys keys / $nDocs docs")
+      // rebuild each tier's key set from the same building blocks: the
+      // leading tag literal (0 = block pair, 1 = band) must keep the
+      // hash domains disjoint on the fixture (an overlap would be a
+      // 64-bit collision — harmless to results, but a systematic one
+      // would mean the tag got dropped), and their union must be
+      // exactly what simhashTieredKeys emits (pins builder drift)
+      val fp = docs.select(col("doc_id"),
+        graft.expressions.TextHashes.simhash64(col("text")).as("f"),
+        graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"))
+      val t0k = fp.select(explode(DedupOps.simhashBlockPairs(col("f"), 6)).as("bk"))
+        .select(xxhash64(lit(0), col("bk.bi"), col("bk.bj"),
+          col("bk.vi"), col("bk.vj")).as("b")).distinct()
+      val t1k = fp.filter(size(col("sig")) > 0)
+        .select(explode(DedupOps.lshBands(col("sig"), 32, 4)).as("bk"))
+        .select(xxhash64(lit(1), col("bk.band"), col("bk.bhash")).as("b")).distinct()
+      assert(t0k.join(t1k, "b").count() == 0, s"$dir: tier key sets overlap")
+      assert(t0k.union(t1k).distinct().count() == nKeys,
+        s"$dir: spec's rebuilt key union drifted from simhashTieredKeys")
     }
   }
 
