@@ -722,14 +722,36 @@ object DedupOps {
     * micro-batch side is broadcast, so the index side carries no
     * Exchange and reads only matching directories (both pinned by
     * LshIndexSpec). Public for that spec's plan assertions. */
-  def lshProbeCandidates(newDocs: DataFrame, path: String): DataFrame = {
+  def lshProbeCandidates(newDocs: DataFrame, path: String,
+      maxPerBucket: Option[Int] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val probe = indexRows(newDocs).localCheckpoint()
     val bmods = probe
       .select(pmod(col("bhash"), lit(lshIndexBuckets)).as("bmod"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val bands = spark.read.parquet(s"$path/bands")
+    val pruned = spark.read.parquet(s"$path/bands")
       .filter(col("bmod").isin(bmods: _*))
+    // Hot-bucket cap, probe flavor: a boilerplate cluster indexed
+    // earlier puts occupancy rows into ONE (band, bhash) bucket, and a
+    // probe doc landing there joins against ALL of them — O(batch ×
+    // occupancy) candidates the verify tier then has to score. With
+    // the cap, each index bucket contributes its `c` lowest-doc_id
+    // rows (deterministic across ingest segments). Pair recall against
+    // beyond-cap members is lost, but the ADMISSION question — "is
+    // this new doc a dup of anything indexed?" — survives: the bucket
+    // is hot because its members are near-identical, so matching any
+    // kept representative answers it (same cluster-connectivity
+    // argument as cappedBandCandidates). The window shuffles only the
+    // bmod-pruned slice, only when the cap is enabled; the exact path
+    // (None) keeps the no-Exchange index side LshIndexSpec pins.
+    val bands = maxPerBucket match {
+      case Some(c) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bhash")).orderBy(col("doc_id"))
+        pruned.withColumn("__occ", row_number().over(w))
+          .filter(col("__occ") <= c).drop("__occ")
+      case None => pruned
+    }
     broadcast(probe).as("n").join(bands.as("e"),
         col("n.band") === col("e.band") && col("n.bhash") === col("e.bhash") &&
           col("n.doc_id") =!= col("e.doc_id"))
@@ -738,13 +760,13 @@ object DedupOps {
   }
 
   def probeLshIndex(newDocs: DataFrame, path: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxPerBucket: Option[Int] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val docsIdx = spark.read.parquet(s"$path/docs")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("new_doc"), col("dup_of"))
       .orderBy(col("ingest").desc)
-    lshProbeCandidates(newDocs, path)
+    lshProbeCandidates(newDocs, path, maxPerBucket)
       .dropDuplicates("new_doc", "dup_of") // shrink before fetching hs
       .join(docsIdx.select(col("doc_id").as("dup_of"), col("hs").as("hs_e"),
         col("ingest")), Seq("dup_of"))
@@ -793,11 +815,16 @@ object DedupOps {
     * micro-batch are invisible to the index — one must still lose), then
     * write admitted docs and their index segment, both keyed by batchId
     * in overwrite mode so an at-least-once foreachBatch retry replaces
-    * its own output instead of appending duplicates. */
+    * its own output instead of appending duplicates. `maxPerBucket`
+    * threads the probe's hot-bucket cap (see [[lshProbeCandidates]]) —
+    * the knob that bounds per-batch latency when the INDEX carries a
+    * boilerplate cluster. */
   def streamingDedupWriter(indexPath: String, outDir: String,
-      threshold: Double = 0.5)(batch: DataFrame, batchId: Long): Unit = {
+      threshold: Double = 0.5, maxPerBucket: Option[Int] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
     val dups =
-      try probeLshIndex(batch, indexPath, threshold).select(col("new_doc")).distinct()
+      try probeLshIndex(batch, indexPath, threshold, maxPerBucket)
+        .select(col("new_doc")).distinct()
       catch {
         // PATH_NOT_FOUND: first batch, index not created yet.
         // UNABLE_TO_INFER_SCHEMA: every segment so far was written from a

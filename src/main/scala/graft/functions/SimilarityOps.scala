@@ -370,7 +370,8 @@ object SimilarityOps {
     * (vec_id, band, bv) — vectors join back by id for the verify step,
     * so the ×nBands blowup never ships the embeddings themselves. */
   def embeddingDupsBucketed(s: SparkSession, d: String, nPlanes: Int = 128,
-      bandBits: Int = 8, threshold: Double = 0.35): DataFrame = {
+      bandBits: Int = 8, threshold: Double = 0.35,
+      maxBucket: Option[Int] = None): DataFrame = {
     val planes = hyperplanes(64, nPlanes)
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -386,11 +387,28 @@ object SimilarityOps {
     // the verify tier scores pairs with the fused CosineSim (one
     // primitive pass/pair — the dot/norm HOF composition is interpreted
     // CodegenFallback and dominated the whole query)
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    val cand = (maxBucket match {
+      // hot-bucket relief valve, same trade as minhashLshWithCap: a
+      // boilerplate cluster of near-identical vectors piles into one
+      // (band, bv) bucket and the self-join enumerates occupancy²
+      // pairs. The cap keys buckets on ONE xxhash64 long (the capped
+      // path is already a pair-recall trade, and every admitted pair
+      // still passes the EXACT cosine ≥ t verify below, so a 64-bit
+      // bucket collision can only add pairs that genuinely clear the
+      // threshold — only their band-collision provenance is relaxed).
+      // The oracle path (maxBucket = None, q54) keeps the exact
+      // (band, bv) key join.
+      case Some(c) => DedupOps.cappedBandCandidates(
+          banded.select(col("vec_id"),
+            xxhash64(col("band"), col("bv")).as("b")),
+          c, idCol = "vec_id")
+        .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+      case None => banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+    })
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
@@ -481,14 +499,28 @@ object SimilarityOps {
 
   /** Candidate (new_vec, dup_of, v_n) rows: bmod-pruned scan, broadcast
     * probe — public for EmbIndexSpec's plan assertions. */
-  def embProbeCandidates(newVecs: DataFrame, path: String): DataFrame = {
+  def embProbeCandidates(newVecs: DataFrame, path: String,
+      maxPerBucket: Option[Int] = None): DataFrame = {
     val spark = newVecs.sparkSession
     val probe = embIndexRows(newVecs).localCheckpoint()
     val bmods = probe
       .select(pmod(col("bkey"), lit(embIndexBuckets.toLong)).as("bmod"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val bands = spark.read.parquet(s"$path/bands")
+    val pruned = spark.read.parquet(s"$path/bands")
       .filter(col("bmod").isin(bmods: _*))
+    // hot-bucket cap, probe flavor — semantics and plan notes at
+    // DedupOps.lshProbeCandidates (each index (band, bv) bucket
+    // contributes its `c` lowest-vec_id rows; admission survives via
+    // the kept representatives; window touches only the pruned slice,
+    // only when enabled)
+    val bands = maxPerBucket match {
+      case Some(c) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bv")).orderBy(col("vec_id"))
+        pruned.withColumn("__occ", row_number().over(w))
+          .filter(col("__occ") <= c).drop("__occ")
+      case None => pruned
+    }
     broadcast(probe).as("n").join(bands.as("e"),
         col("n.band") === col("e.band") && col("n.bv") === col("e.bv") &&
           col("n.vec_id") =!= col("e.vec_id"))
@@ -500,13 +532,13 @@ object SimilarityOps {
     * ≥ threshold. New vectors are NOT indexed here — callers
     * buildEmbLshIndex after admission (dedup-then-ingest). */
   def probeEmbLshIndex(newVecs: DataFrame, path: String,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9, maxPerBucket: Option[Int] = None): DataFrame = {
     val spark = newVecs.sparkSession
     val vecsIdx = spark.read.parquet(s"$path/vecs")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("new_vec"), col("dup_of"))
       .orderBy(col("ingest").desc)
-    embProbeCandidates(newVecs, path)
+    embProbeCandidates(newVecs, path, maxPerBucket)
       .dropDuplicates("new_vec", "dup_of") // shrink before fetching vectors
       .join(vecsIdx.select(col("vec_id").as("dup_of"), col("v").as("v_e"),
         col("ingest")), Seq("dup_of"))
@@ -541,9 +573,10 @@ object SimilarityOps {
     * segment keyed by batchId in overwrite mode (at-least-once retries
     * replace their own output). Mirrors DedupOps.streamingDedupWriter. */
   def streamingEmbDedupWriter(indexPath: String, outDir: String,
-      threshold: Double = 0.9)(batch: DataFrame, batchId: Long): Unit = {
+      threshold: Double = 0.9, maxPerBucket: Option[Int] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
     val dups =
-      try probeEmbLshIndex(batch, indexPath, threshold)
+      try probeEmbLshIndex(batch, indexPath, threshold, maxPerBucket)
         .select(col("new_vec")).distinct()
       catch {
         case e: org.apache.spark.sql.AnalysisException

@@ -47,6 +47,27 @@ class EmbIndexSpec extends SparkSpec {
       s"index scan not partition-pruned on bmod:\n$plan")
   }
 
+  test("probe hot-bucket cap bounds candidates from an indexed vector cluster; admission survives") {
+    // 100 identical indexed vectors fill every band bucket the probe
+    // lands in with occupancy-100 rows; the cap keeps each bucket's `c`
+    // lowest-vec_id rows, and admission survives via those
+    // representatives (mirrors LshIndexSpec's probe-cap case).
+    val idx = Files.createTempDirectory("emb_cap").toString + "/index"
+    val cluster = (0 until 100).map(i => i.toLong -> base.toSeq)
+    SimilarityOps.buildEmbLshIndex(df((cluster :+ (900L -> other)): _*), idx)
+    val probe = df(1000L -> near)
+    val uncapped = SimilarityOps.embProbeCandidates(probe, idx).count()
+    assert(uncapped >= 100L, s"fixture not hot enough ($uncapped candidates)")
+    val cap = 4
+    val capped = SimilarityOps.embProbeCandidates(probe, idx, Some(cap)).count()
+    assert(capped <= 16L * cap, s"cap leaked: $capped candidates > ${16 * cap}")
+    val dups = SimilarityOps.probeEmbLshIndex(probe, idx, maxPerBucket = Some(cap))
+      .select("new_vec", "dup_of").as[(Long, Long)].collect()
+    assert(dups.nonEmpty && dups.forall { case (n, d) => n == 1000L && d < cap },
+      s"admission lost or matched beyond-cap rows: ${dups.toSeq}")
+    assert(SimilarityOps.embProbeCandidates(probe, idx, None).count() == uncapped)
+  }
+
   test("replaying an ingest overwrites its own segment; bands table stays narrow") {
     val idx = Files.createTempDirectory("emb_replay").toString + "/index"
     val vecs = df(0L -> base, 1L -> other)

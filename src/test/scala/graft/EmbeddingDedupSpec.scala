@@ -61,6 +61,33 @@ class EmbeddingDedupSpec extends SparkSpec {
         "the banding has degenerated toward (or past) brute force")
   }
 
+  test("a generous maxBucket leaves q54's fixture result unchanged (recall intact)") {
+    val capped = SimilarityOps.embeddingDupsBucketed(spark, sf0001, maxBucket = Some(64))
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = SimilarityOps.embeddingDupsBucketed(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty && capped == exact,
+      s"capped path diverged: missing ${(exact -- capped).take(3)}, extra ${(capped -- exact).take(3)}")
+  }
+
+  test("maxBucket bounds a 300-identical-vector hot cluster at C(cap,2) + star edges") {
+    // identical vectors agree on every band, so all 16 (band, bv)
+    // buckets hold the same 300 ids: uncapped enumeration is C(300,2) =
+    // 44 850 verified pairs; the cap bounds it at C(cap,2) full pairs +
+    // one star edge per overflow row — and every admitted pair still
+    // passes the exact cosine ≥ t verify (cosine 1.0 here)
+    val dir = java.nio.file.Files.createTempDirectory("emb_hot").toString
+    val n = 300
+    val v = Array.tabulate(64)(i => math.sin(i + 1.0)).toSeq
+    (0 until n).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val cap = 8
+    val got = SimilarityOps.embeddingDupsBucketed(spark, dir, maxBucket = Some(cap))
+    assert(got.count() == cap * (cap - 1) / 2 + (n - cap),
+      "capped hot cluster must emit exactly the full-pair core plus star edges")
+    assert(got.agg(min(col("cosine"))).as[Double].head() == 1.0)
+  }
+
   test("production-threshold recall: every seeded synthetic dup pair (cos ≥ .9) collides on some band") {
     // 100 base gaussians (dim 64) + perturbed copies at cosine ≈ .98:
     // per-plane agreement .936, band collision .936^8 ≈ .59, miss

@@ -66,6 +66,31 @@ class LshIndexSpec extends SparkSpec {
       Seq("band", "bhash", "bmod", "doc_id", "ingest"))
   }
 
+  test("probe hot-bucket cap bounds candidates from an indexed boilerplate cluster; admission survives") {
+    // 200 identical indexed docs put occupancy-200 rows into each of the
+    // 8 band buckets a probe of a near-dup lands in: uncapped, the probe
+    // join returns 8 x 200 candidate rows the verify tier must score.
+    // The cap keeps each bucket's `c` lowest-doc_id rows — the admission
+    // question ("is this new doc a dup of ANYTHING indexed?") survives
+    // via the kept representatives.
+    val idx = Files.createTempDirectory("lsh_cap").toString + "/index"
+    val cluster = (0 until 200).map(i => (i.toLong, base))
+    DedupOps.buildLshIndex((cluster :+ (900L, other)).toDF("doc_id", "text"), idx)
+    val probe = Seq((1000L, near)).toDF("doc_id", "text")
+    val uncapped = DedupOps.lshProbeCandidates(probe, idx).count()
+    assert(uncapped >= 200L, s"fixture not hot enough ($uncapped candidates)")
+    val cap = 4
+    val capped = DedupOps.lshProbeCandidates(probe, idx, Some(cap)).count()
+    assert(capped <= 8L * cap, s"cap leaked: $capped candidates > ${8 * cap}")
+    // admission still detected, and only against kept (lowest-id) members
+    val dups = DedupOps.probeLshIndex(probe, idx, maxPerBucket = Some(cap))
+      .select("new_doc", "dup_of").as[(Long, Long)].collect()
+    assert(dups.nonEmpty && dups.forall { case (n, d) => n == 1000L && d < cap },
+      s"admission lost or matched beyond-cap rows: ${dups.toSeq}")
+    // the exact path is untouched by the new parameter
+    assert(DedupOps.lshProbeCandidates(probe, idx, None).count() == uncapped)
+  }
+
   test("probe partition-prunes the index to its bucket set and never shuffles the index side") {
     val idx = Files.createTempDirectory("lsh_prune").toString + "/index"
     DedupOps.buildLshIndex(
