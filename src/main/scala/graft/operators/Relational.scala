@@ -356,6 +356,42 @@ object Relational {
       .limit(20)
   }
 
+  /** Q3 scored, BM25 form — the saturation + length normalization q55's
+    * plain tf×idf lacks (ref PublishDaoImpl.java:58-61's matchQuery is
+    * Lucene BM25 under the hood since ES 5): per term,
+    * idf × (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)) with k1 = 1.2,
+    * b = 0.75. One deliberate deviation for the hash-compare oracle:
+    * idf is the RATIONAL core (N − df + 0.5)/(df + 0.5) without
+    * Lucene's ln(1 + ·) — ln is not guaranteed bit-identical across
+    * engines (Java Math.log is 1-ulp, DuckDB uses libm), while +,−,×,÷
+    * are exactly rounded everywhere, so the raw doubles hash-compare
+    * with NO rounding as long as the operand order matches the SQL
+    * text. Monotone per term; documented, not hidden. Same two-scan
+    * scale shape as q55: a one-row corpus-stats aggregate broadcast
+    * into a single scoring scan — no shuffle touches the corpus. */
+  val bm25Match: Q = (s, d) => {
+    val terms = Seq("spark", "merge")
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val aggs = Seq(count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).as("sum_dl")) ++
+      terms.map(tm => sum(when(array_contains(col("toks"), tm), 1).otherwise(0))
+        .cast("double").as(s"df_$tm"))
+    val stats = docs.agg(aggs.head, aggs.tail: _*)
+    val score = terms.map { tm =>
+      val tf = size(filter(col("toks"), x => x === tm)).cast("double")
+      val idf = (col("n") - col(s"df_$tm") + lit(0.5)) / (col(s"df_$tm") + lit(0.5))
+      idf * ((tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / (col("sum_dl") / col("n")))))
+    }.reduce(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .filter(terms.map(tm => array_contains(col("toks"), tm)).reduce(_ && _))
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** S9: point get by key (ref EsTest.scala:54-60 getById) — the plan
     * should be a pushed-down single-key scan, not an index the engine
     * lacks; at scale the dt/bucket layout bounds the touched files. */
@@ -393,6 +429,7 @@ object Relational {
     "q64_local_supplier_volume" -> localSupplierVolume,
     "q45_point_get" -> pointGet,
     "q55_scored_match" -> scoredMatch,
+    "q79_bm25_match" -> bm25Match,
     "q15_dau_day_over_day" -> dauDayOverDay,
     "q16_segment_decode" -> segmentDecode,
     "q17_semi_anti" -> semiAntiJoin,
@@ -495,6 +532,32 @@ object Relational {
         |  len(list_filter(toks, x -> x = 'spark'))::DOUBLE * (n / df_spark)
         |  + len(list_filter(toks, x -> x = 'merge'))::DOUBLE * (n / df_merge)
         |    AS score
+        |FROM tk, stats
+        |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'merge')
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // mirrors bm25Match operand-for-operand: every arithmetic op below
+    // is exactly rounded IEEE, so matching the operand order makes the
+    // raw doubles bit-identical across engines (see the Scaladoc)
+    "q79_bm25_match" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' '))::DOUBLE AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(dl) AS sum_dl,
+        |    sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df_spark,
+        |    sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df_merge
+        |  FROM tk)
+        |SELECT doc_id,
+        |  ((n - df_spark + 0.5) / (df_spark + 0.5))
+        |    * ((len(list_filter(toks, x -> x = 'spark'))::DOUBLE * 2.2)
+        |       / (len(list_filter(toks, x -> x = 'spark'))::DOUBLE
+        |          + 1.2 * (0.25 + (0.75 * dl) / (sum_dl / n))))
+        |  + ((n - df_merge + 0.5) / (df_merge + 0.5))
+        |    * ((len(list_filter(toks, x -> x = 'merge'))::DOUBLE * 2.2)
+        |       / (len(list_filter(toks, x -> x = 'merge'))::DOUBLE
+        |          + 1.2 * (0.25 + (0.75 * dl) / (sum_dl / n))))
+        |  AS score
         |FROM tk, stats
         |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'merge')
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
