@@ -96,6 +96,24 @@ object PlanDump {
       |(median-of-3 per query; box swings ±20 % run to run) against the 90.5 s
       |(2× baseline) gate; the heaviest single query is q29's irreducible
       |exact-verify tier (~3.4 s), and every round-5 addition lands sub-second.
+      |
+      |## ScaleProbe round-6 additions (local[32])
+      |
+      |The two asymptotics the round-5 verdict contested, at 1×/4×/16× docs
+      |(synthetic 5 000-token-vocabulary corpus — adversarially dup-dense):
+      |
+      |```
+      |simhash_tiered_candidates  100k  7.97s | 400k 69.44s | 1.6M 587.1s  (uncapped two-tier
+      |                           enumeration; exponent ~1.54 on THIS corpus — linear on the
+      |                           driver fixtures, but the synthetic vocab concentrates
+      |                           occupancy into hot block values)
+      |simhash_tiered_capped      100k 21.85s | 400k 50.13s | 1.6M 155.0s  (same keys through
+      |                           cappedBandCandidates(64): exponent ≤0.8 — enumeration back
+      |                           to ~linear, 3.8× faster at 1.6M and diverging)
+      |cluster_collapse           100k 11.46s | 400k 10.64s | 1.6M 11.91s  (q62 label
+      |                           propagation, 3-doc-chain graph: flat — diameter-bound
+      |                           rounds, per-round cost linear in edges)
+      |```
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -110,6 +110,22 @@ object ScaleProbe {
       println(f"SCALE n=$n%9d simhash_tiered_candidates ${(System.nanoTime() - t0) / 1e9}%6.2f s ($pairs%,d pairs)")
       docs.unpersist()
     }
+    // the same tiered keys through the production hot-bucket cap
+    // (cappedBandCandidates, cap 64): candidate enumeration must return
+    // to ~linear — each bucket contributes at most C(64,2) full pairs
+    // plus one star edge per overflow row, so Σ occupancy² becomes
+    // Σ min(occupancy, 64)² + overflow. Measured against the uncapped
+    // row above, this is the capped-vs-uncapped exponent pair PLANS.md
+    // records.
+    if (on("simhash_tiered_capped"))
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      val docs = synthDocs(n).persist(); docs.count()
+      val t0 = System.nanoTime()
+      val keys = functions.DedupOps.simhashTieredKeys(docs)
+      val pairs = functions.DedupOps.cappedBandCandidates(keys, 64).count()
+      println(f"SCALE n=$n%9d simhash_tiered_capped ${(System.nanoTime() - t0) / 1e9}%6.2f s ($pairs%,d pairs)")
+      docs.unpersist()
+    }
     // q62 label propagation over a synthetic pair graph of 3-doc chains
     // (the near-dup graph shape: bounded components, diameter 2) at
     // 1×/4×/16× edges: each round is one join + one groupBy-min over

@@ -60,6 +60,20 @@ class PlanAuditSpec extends SparkSpec {
       s"orderBy+limit should fuse into a top-k, not a global sort:\n$plan")
   }
 
+  test("q79 BM25: same shape as q55 — stats broadcast, top-k fused, corpus never shuffled") {
+    val plan = executedPlan(operators.Relational.bm25Match(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row stats side must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy+limit should fuse into a top-k, not a global sort:\n$plan")
+    // the only exchanges allowed are the stats aggregation's (partial →
+    // final over one row) and the broadcast itself — the scoring scan
+    // must read documents exactly twice (stats pass + scoring pass)
+    // with no shuffle of corpus rows
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no corpus row may shuffle on a hash key:\n$plan")
+  }
+
   test("q56 winnowing: map-only — no shuffle, no join, one documents scan") {
     val plan = executedPlan(functions.TextOps.winnowFingerprint(spark, sf0001))
     assert(!plan.contains("Exchange"), s"winnowing must not shuffle:\n$plan")
