@@ -200,6 +200,47 @@ object TextOps {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
 
+  /** PII scrub patterns — email, IPv4, international-ish phone. RE2-
+    * and java.util.regex-compatible subset ON PURPOSE: no lookaround,
+    * no backreferences, greedy quantifiers only, so Spark (Java regex)
+    * and DuckDB (RE2) find the SAME matches and the redacted text
+    * hash-compares. ASCII classes only (`[0-9]`, not `\d` — Java's \d
+    * is ASCII by default but spelling it out removes the ambiguity). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}" -> "<PHONE>")
+
+  /** Sequential redaction passes in declaration order (email first so
+    * an address's dotted host is consumed before the IP pattern can
+    * bite into it). Map-only — composes into any scan. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** q80: PII scrub — the redaction stage every released training set
+    * runs (emails, IPs, phone numbers → typed tags). The fixtures carry
+    * no PII, so the query APPENDS a deterministic PII-bearing suffix
+    * built from fixture columns — identically in both engines — then
+    * scrubs it: every row exercises one real match per pattern class
+    * and the original text must pass through byte-identical (the
+    * generated-oracle pattern of q38/q42/q74). Counts are taken BEFORE
+    * redaction via regexp_extract_all so detection and replacement are
+    * verified independently. 100 TB shape: map-only, no shuffle, three
+    * codegen'd regex passes per row (PlanAuditSpec pins no-Exchange). */
+  val piiScrub: Q = (s, d) => {
+    val suffixed = t(s, d, "documents").select(col("doc_id"), concat(
+      col("text"), lit(" reach user"), col("doc_id"),
+      lit("@example.com at 10.0."), pmod(col("doc_id"), lit(256)),
+      lit(".7 or +12 345-678-9012")).as("s"))
+    val counts = piiPatterns.zip(Seq("n_emails", "n_ips", "n_phones")).map {
+      case ((pat, _), name) =>
+        size(regexp_extract_all(col("s"), lit(pat), lit(0))).cast("long").as(name)
+    }
+    suffixed.select(col("doc_id") +: scrubPii(col("s")).as("redacted") +: counts: _*)
+  }
+
   val langWords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
@@ -463,6 +504,45 @@ object TextOps {
           .cast("binary")).as("chunk_hash"))
   }
 
+  /** q81: chunk-level exact dedup with document reassembly — the
+    * C4-style span dedup that doc-level q23 can't do: a boilerplate
+    * paragraph repeated across otherwise-distinct documents survives
+    * doc-level dedup forever, while chunk-level keeps its globally
+    * FIRST occurrence (min (doc_id, chunk_idx)) and drops the rest,
+    * then stitches every document back together from its surviving
+    * chunks. Chunks are the disjoint 24-token spans of the q73 grid
+    * (stride = width — dedup wants a partition, not retrieval's
+    * overlapping windows). Output per doc: total/kept chunk counts and
+    * the md5 of the reassembled text ('' when every span was seen
+    * earlier — exact-dup docs collapse to empty, subsuming q23).
+    *
+    * 100 TB shape: two exchanges — the keeper window shuffles on the
+    * chunk TEXT (the dedup identity, same contract as q23's content
+    * key; hashing it first would trade a 64-bit-collision correctness
+    * hole for shuffle width), then reassembly shuffles the kept slivers
+    * on doc_id. Both partial-aggregate map-side; no corpus-sized state
+    * anywhere. */
+  val chunkDedup: Q = (s, d) => {
+    val w = 24
+    val chunks = t(s, d, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("starts",
+        expr(s"sequence(0, ((size(toks) - 1) div $w) * $w, $w)"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("starts")).as(Seq("ci", "start")))
+      .select(col("doc_id"), col("ci").cast("long").as("ci"),
+        concat_ws(" ", expr(s"slice(toks, start + 1, $w)")).as("chunk"))
+    val keep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk")).orderBy(col("doc_id"), col("ci"))
+    chunks.withColumn("rk", row_number().over(keep))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN rk = 1 THEN struct(ci, chunk) END)), x -> x.chunk)"))
+          .cast("binary")).as("clean_md5"))
+  }
+
   /** Length-bucketed batching report — the dynamic-batching planner's
     * input: every doc rounds up to the next power-of-two token bucket,
     * and each bucket reports its doc count, real token mass, padding
@@ -513,9 +593,54 @@ object TextOps {
     "q56_winnow_fps" -> winnowFingerprint,
     "q59_repetition_stats" -> repetitionStats,
     "q60_mixture_sample" -> mixtureSample,
+    "q80_pii_scrub" -> piiScrub,
+    "q81_chunk_dedup" -> chunkDedup,
   )
 
   val oracles: Map[String, String] = Map(
+    // mirrors piiScrub: same suffix construction, same patterns, same
+    // pass order; 'g' flag matches Spark regexp_replace's replace-all
+    "q80_pii_scrub" ->
+      """WITH sfx AS (
+        |  SELECT doc_id,
+        |    text || ' reach user' || doc_id || '@example.com at 10.0.'
+        |      || (doc_id % 256) || '.7 or +12 345-678-9012' AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+        |  len(regexp_extract_all(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(s,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ips,
+        |  len(regexp_extract_all(s,
+        |    '\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones
+        |FROM sfx""".stripMargin,
+    // mirrors chunkDedup: q73's slicing grid at stride = width = 24,
+    // keeper = row_number over (chunk) ordered by (doc_id, ci);
+    // coalesce('') matches Spark's concat_ws over an empty array
+    "q81_chunk_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ch AS (
+        |  SELECT doc_id, ci,
+        |    array_to_string(toks[(ci * 24 + 1)::INTEGER : (ci * 24 + 24)::INTEGER], ' ')
+        |      AS chunk
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(0, ((len(toks) - 1) // 24))) AS ci
+        |        FROM tk)),
+        |mk AS (
+        |  SELECT doc_id, ci, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rk
+        |  FROM ch)
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |  sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  md5(coalesce(
+        |    string_agg(CASE WHEN rk = 1 THEN chunk END, ' ' ORDER BY ci), ''))
+        |    AS clean_md5
+        |FROM mk GROUP BY doc_id""".stripMargin,
     "q73_chunk_split" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
