@@ -74,6 +74,24 @@ class PlanAuditSpec extends SparkSpec {
       s"no corpus row may shuffle on a hash key:\n$plan")
   }
 
+  test("q80 PII scrub: map-only — no shuffle, no join, one documents scan") {
+    val plan = executedPlan(functions.TextOps.piiScrub(spark, sf0001))
+    assert(!plan.contains("Exchange"), s"redaction must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"redaction must not join:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one documents scan, got $scans:\n$plan")
+  }
+
+  test("q81 chunk dedup: exactly two hash exchanges — chunk-key window, doc_id reassembly") {
+    val plan = executedPlan(functions.TextOps.chunkDedup(spark, sf0001))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"expected the keeper-window + reassembly exchanges only, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"reassembly is an agg, not a join:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one documents scan, got $scans:\n$plan")
+  }
+
   test("q56 winnowing: map-only — no shuffle, no join, one documents scan") {
     val plan = executedPlan(functions.TextOps.winnowFingerprint(spark, sf0001))
     assert(!plan.contains("Exchange"), s"winnowing must not shuffle:\n$plan")
