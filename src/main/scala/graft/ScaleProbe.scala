@@ -15,8 +15,20 @@ object ScaleProbe {
     val spark = Graft.localSession(32)
     // optional probe-name filter: `runMain graft.ScaleProbe simhash_tiered_candidates
     // cluster_collapse` runs only the named probes (substring match on
-    // the SCALE label); no args = the full suite
+    // the guard names below — NOTE the three skew variants are all
+    // selected by the single guard name "skew"); no args = the full
+    // suite. A typo'd name must fail loudly: an unmatched filter would
+    // otherwise print nothing and exit 0, which reads as a clean run
+    // (same hazard Bench guards with its require).
+    val guardNames = Seq("dau_dedup_hourly", "windowed_agg", "simhash_scan",
+      "minhash_lsh_candidates", "simhash_tiered_candidates",
+      "simhash_tiered_capped", "cluster_collapse", "winnow_fingerprints",
+      "sign_band_scan", "cosine_verify_pairs", "phrase_index_build",
+      "pack_greedy", "skew")
     val only = args.toSet
+    require(only.forall(o => guardNames.exists(_.contains(o))),
+      s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
+        s"known guards: ${guardNames.mkString(", ")}")
     def on(name: String): Boolean = only.isEmpty || only.exists(name.contains)
     def synth(n: Long) = spark.range(n).select(
       col("id").as("event_id"),

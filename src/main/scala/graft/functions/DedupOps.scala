@@ -75,9 +75,12 @@ object DedupOps {
     * bucket's first kept row instead of with each other). Bucket cost
     * is therefore O(maxBucket² + occupancy) instead of O(occupancy²).
     *
-    * Semantics of the cap: PAIR-level recall is lost for pairs whose
-    * members are BOTH beyond the cap in EVERY bucket they share — but
-    * each overflow doc keeps its star edge to the bucket representative,
+    * Semantics of the cap: PAIR-level recall is lost for any pair with
+    * at least one overflow member, in every bucket they share, unless
+    * the kept member is that bucket's rank-1 representative (kept×kept
+    * full pairs and overflow×rep star edges are ALL the cap emits — a
+    * kept-but-not-rep × overflow pair is dropped) — but each overflow
+    * doc keeps its star edge to the bucket representative,
     * so CLUSTER-level connectivity (what q62's collapse consumes)
     * survives whenever the representative truly is a near-dup of the
     * cluster — which is the hot-cluster case by construction (the
@@ -452,11 +455,16 @@ object DedupOps {
     // gate is released in a finally instead of leaking cached blocks to
     // the caller for the session lifetime (CacheManager holds cached
     // plans strongly — a round-5 leak-by-contract, now closed; DedupSpec
-    // asserts nothing stays cached after this returns)
-    val gate = new BloomGate(docs.filter(col("doc_id") < 20), estItems)
-    try gate.contaminated(docs.filter(col("doc_id") >= 20), minShared = 1L)
-      .localCheckpoint(eager = true)
-    finally gate.release()
+    // asserts nothing stays cached after this returns). Construction
+    // sits INSIDE the guarded region: the gate's constructor runs the
+    // Bloom-build job after registering the persist, so a failed build
+    // (task failure, corrupt input) must still release the bench frame.
+    var gate: BloomGate = null
+    try {
+      gate = new BloomGate(docs.filter(col("doc_id") < 20), estItems)
+      gate.contaminated(docs.filter(col("doc_id") >= 20), minShared = 1L)
+        .localCheckpoint(eager = true)
+    } finally if (gate != null) gate.release()
   }
 
   /** The ONE Bloom-gate construction q75 and the streaming admission
@@ -498,12 +506,17 @@ object DedupOps {
     // data — the bounded-collect pattern of the stored ANN models.
     // Empty benchmark set → null bit array → might_contain yields NULL →
     // the filter admits nothing into the contamination check, so nothing
-    // is contaminated.
-    private val bloomBytes: Array[Byte] = bench.select(Bridge.column(
-        new BloomFilterAggregate(Bridge.expression(col("h")),
-          Literal(estItems), Literal(estItems * 8L)).toAggregateExpression())
-        .as("bf"))
-      .collect()(0).getAs[Array[Byte]](0)
+    // is contaminated. A FAILED build self-releases: the persist above
+    // is already registered in CacheManager when this job runs, and the
+    // caller never gets a gate to release() — without the catch, a
+    // task failure here would leak the bench frame for the session.
+    private val bloomBytes: Array[Byte] =
+      try bench.select(Bridge.column(
+          new BloomFilterAggregate(Bridge.expression(col("h")),
+            Literal(estItems), Literal(estItems * 8L)).toAggregateExpression())
+          .as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      catch { case e: Throwable => bench.unpersist(false); throw e }
 
     /** (doc_id, n_shared) of every doc sharing ≥ minShared DISTINCT
       * shingles with the benchmark set (ShingleHashes emits a distinct
@@ -735,20 +748,24 @@ object DedupOps {
     // earlier puts occupancy rows into ONE (band, bhash) bucket, and a
     // probe doc landing there joins against ALL of them — O(batch ×
     // occupancy) candidates the verify tier then has to score. With
-    // the cap, each index bucket contributes its `c` lowest-doc_id
-    // rows (deterministic across ingest segments). Pair recall against
-    // beyond-cap members is lost, but the ADMISSION question — "is
-    // this new doc a dup of anything indexed?" — survives: the bucket
-    // is hot because its members are near-identical, so matching any
-    // kept representative answers it (same cluster-connectivity
-    // argument as cappedBandCandidates). The window shuffles only the
-    // bmod-pruned slice, only when the cap is enabled; the exact path
-    // (None) keeps the no-Exchange index side LshIndexSpec pins.
+    // the cap, each index bucket contributes its `c` lowest DISTINCT
+    // doc_ids — dense_rank, NOT row_number: a doc re-ingested into
+    // several segments has equal-doc_id rows in one bucket, and
+    // row_number would both tie-break them arbitrarily and let the
+    // copies consume cap slots (fewer than c distinct representatives).
+    // Pair recall against beyond-cap members is lost, but the ADMISSION
+    // question — "is this new doc a dup of anything indexed?" —
+    // survives: the bucket is hot because its members are
+    // near-identical, so matching any kept representative answers it
+    // (same cluster-connectivity argument as cappedBandCandidates). The
+    // window shuffles only the bmod-pruned slice, only when the cap is
+    // enabled; the exact path (None) keeps the no-Exchange index side
+    // LshIndexSpec pins.
     val bands = maxPerBucket match {
       case Some(c) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bhash")).orderBy(col("doc_id"))
-        pruned.withColumn("__occ", row_number().over(w))
+        pruned.withColumn("__occ", dense_rank().over(w))
           .filter(col("__occ") <= c).drop("__occ")
       case None => pruned
     }

@@ -510,14 +510,15 @@ object SimilarityOps {
       .filter(col("bmod").isin(bmods: _*))
     // hot-bucket cap, probe flavor — semantics and plan notes at
     // DedupOps.lshProbeCandidates (each index (band, bv) bucket
-    // contributes its `c` lowest-vec_id rows; admission survives via
-    // the kept representatives; window touches only the pruned slice,
-    // only when enabled)
+    // contributes its `c` lowest DISTINCT vec_ids — dense_rank so
+    // re-ingested copies neither tie-break arbitrarily nor consume cap
+    // slots; admission survives via the kept representatives; window
+    // touches only the pruned slice, only when enabled)
     val bands = maxPerBucket match {
       case Some(c) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bv")).orderBy(col("vec_id"))
-        pruned.withColumn("__occ", row_number().over(w))
+        pruned.withColumn("__occ", dense_rank().over(w))
           .filter(col("__occ") <= c).drop("__occ")
       case None => pruned
     }

@@ -345,8 +345,12 @@ object Relational {
       count(lit(1)).cast("double").as("n"),
       terms.map(tm => sum(when(array_contains(col("toks"), tm), 1).otherwise(0))
         .cast("double").as(s"df_$tm")): _*)
+    // tf as size − size(array_remove): ArrayRemove is a codegen'd
+    // collection expression, while the filter() HOF is interpreted
+    // CodegenFallback (the repo's measured hot-path hazard) — same
+    // exact integer either way
     val score = terms.map { tm =>
-      size(filter(col("toks"), x => x === tm)).cast("double") *
+      (size(col("toks")) - size(array_remove(col("toks"), tm))).cast("double") *
         (col("n") / col(s"df_$tm"))
     }.reduce(_ + _)
     docs.crossJoin(broadcast(stats))
@@ -379,8 +383,10 @@ object Relational {
       terms.map(tm => sum(when(array_contains(col("toks"), tm), 1).otherwise(0))
         .cast("double").as(s"df_$tm"))
     val stats = docs.agg(aggs.head, aggs.tail: _*)
+    // tf via codegen'd array_remove, not the interpreted filter() HOF
+    // (see scoredMatch) — identical exact integer
     val score = terms.map { tm =>
-      val tf = size(filter(col("toks"), x => x === tm)).cast("double")
+      val tf = (size(col("toks")) - size(array_remove(col("toks"), tm))).cast("double")
       val idf = (col("n") - col(s"df_$tm") + lit(0.5)) / (col(s"df_$tm") + lit(0.5))
       idf * ((tf * lit(2.2)) /
         (tf + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / (col("sum_dl") / col("n")))))

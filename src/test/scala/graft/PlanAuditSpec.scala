@@ -171,10 +171,17 @@ class PlanAuditSpec extends SparkSpec {
       val all = walk(df.queryExecution.executedPlan)
       // the FP-kill join: the join with the Bloom-filtered corpus subtree
       // on one side (the other side reads the gate's cached bench set)
+      // anchor on the side whose might_contain filter sits over the
+      // corpus PARQUET scan (FileSourceScanExec descendant) — Catalyst
+      // propagates the predicate to the bench side too through the
+      // join-key constraint, but the bench side reads the gate's CACHED
+      // set (InMemoryTableScan), so requiring a file scan below the
+      // filter keeps the anchor off it under BuildLeft/SMJ orderings
       val audited = all.collectFirst(Function.unlift { p: SparkPlan => p match {
         case j: BaseJoinExec =>
           Seq(j.left, j.right).find(side => walk(side).exists {
-            case f: FilterExec => hasMightContain(f)
+            case f: FilterExec => hasMightContain(f) &&
+              walk(f.child).exists(_.isInstanceOf[FileSourceScanExec])
             case _ => false
           }).map(side => (j, side))
         case _ => None
@@ -184,7 +191,8 @@ class PlanAuditSpec extends SparkSpec {
           df.queryExecution.executedPlan)
       val (_, corpusSide) = audited.get
       val mcFilter = walk(corpusSide).collectFirst {
-        case f: FilterExec if hasMightContain(f) => f
+        case f: FilterExec if hasMightContain(f) &&
+          walk(f.child).exists(_.isInstanceOf[FileSourceScanExec]) => f
       }.get
       // the prune must be map-side: below the filter sits the parquet
       // scan with NO exchange in between — any shuffle on the corpus
