@@ -80,8 +80,20 @@ object SimilarityOps {
     Array.fill(k)(Array.fill(dims)(rnd.nextGaussian()))
   }
 
-  /** Sign-bucket of a vector under `planes`: bit i = (v·h_i > 0). */
+  /** Sign-bucket of a vector under `planes`: bit i = (v·h_i > 0).
+    * Runs the fused [[graft.expressions.VectorHashes.sign_band_vals]]
+    * as ONE band of planes.length bits — identical packing, but a
+    * single codegen'd primitive pass instead of |planes| interpreted
+    * HOF dots per row (the corpus-scan cost of q38 and the stored ANN
+    * index build). [[bucketOfComposed]] keeps the HOF form for the
+    * equivalence specs. */
   def bucketOf(v: Column, planes: Array[Array[Double]]): Column =
+    element_at(graft.expressions.VectorHashes.sign_band_vals(
+      v, planes.map(_.toSeq).toSeq, planes.length), 1)
+
+  /** The spec-proven HOF composition bucketOf fuses (AnnLshSpec /
+    * EmbeddingDedupSpec pin bit-equality). */
+  def bucketOfComposed(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (h, i) =>
       when(dot(v, typedlit(h.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)

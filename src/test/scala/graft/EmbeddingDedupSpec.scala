@@ -189,6 +189,18 @@ class EmbeddingDedupSpec extends SparkSpec {
         "(the zip_with composition nulls the whole fold)")
   }
 
+  test("fused bucketOf bit-equals the HOF composition on fixture vectors") {
+    val planes = SimilarityOps.hyperplanes(64, 8)
+    val e = Tables.t(spark, sf0001, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mismatches = e.select(
+        SimilarityOps.bucketOf(col("v"), planes).as("fused"),
+        SimilarityOps.bucketOfComposed(col("v"), planes).as("composed"))
+      .filter(col("fused") =!= col("composed")).count()
+    assert(mismatches == 0L,
+      "one-band SignBandVals must pack the same sign bits as the HOF fold")
+  }
+
   test("signBands packs every plane exactly once and bit-agrees with bucketOf") {
     // 32 planes / 2-bit bands: band b bit i == bucketOf bit (2b+i) for the
     // same family — reassembling band values must reproduce the 32-bit
