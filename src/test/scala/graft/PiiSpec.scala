@@ -38,6 +38,21 @@ class PiiSpec extends SparkSpec {
     assert(scrub("u123@example.com ip 10.0.0.1") == "<EMAIL> ip <IP>")
   }
 
+  test("scrubPii streams unchanged: the same column redacts a MemoryStream micro-batch") {
+    // map-only → batch/stream unification is free; this pins it stays
+    // that way (a stateful rewrite of scrubPii would break this test)
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = in.toDF().select(TextOps.scrubPii(col("value")).as("red"))
+      .writeStream.format("memory").queryName("pii_out").outputMode("append").start()
+    try {
+      in.addData("a@b.io from 10.0.0.1", "clean row")
+      q.processAllAvailable()
+      val out = spark.table("pii_out").as[String].collect().sorted.toSeq
+      assert(out == Seq("<EMAIL> from <IP>", "clean row"))
+    } finally q.stop()
+  }
+
   test("q80 over the fixtures: every row detects exactly one hit per class; prefix passes through") {
     val rows = TextOps.piiScrub(spark, sf0001)
     val n = rows.count()
