@@ -522,9 +522,12 @@ object TextOps {
     * hole for shuffle width), then reassembly shuffles the kept slivers
     * on doc_id. Both partial-aggregate map-side; no corpus-sized state
     * anywhere. */
-  val chunkDedup: Q = (s, d) => {
+  /** The disjoint 24-token chunk grid of a documents frame — q81's
+    * partition (stride = width) and the unit the chunk index stores.
+    * One row per (doc_id, ci, chunk). */
+  private[graft] def chunkGrid(docs: DataFrame): DataFrame = {
     val w = 24
-    val chunks = t(s, d, "documents")
+    docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("starts",
         expr(s"sequence(0, ((size(toks) - 1) div $w) * $w, $w)"))
@@ -532,6 +535,10 @@ object TextOps {
         posexplode(col("starts")).as(Seq("ci", "start")))
       .select(col("doc_id"), col("ci").cast("long").as("ci"),
         concat_ws(" ", expr(s"slice(toks, start + 1, $w)")).as("chunk"))
+  }
+
+  val chunkDedup: Q = (s, d) => {
+    val chunks = chunkGrid(t(s, d, "documents"))
     val keep = org.apache.spark.sql.expressions.Window
       .partitionBy(col("chunk")).orderBy(col("doc_id"), col("ci"))
     chunks.withColumn("rk", row_number().over(keep))
@@ -541,6 +548,90 @@ object TextOps {
         md5(concat_ws(" ", expr(
           "transform(array_sort(collect_list(CASE WHEN rk = 1 THEN struct(ci, chunk) END)), x -> x.chunk)"))
           .cast("binary")).as("clean_md5"))
+  }
+
+  /** ---- Persistent chunk index: q81's ingest symmetry (the same
+    * build/probe/streaming-admission triple the MinHash-LSH and
+    * embedding-LSH families carry). The index stores one md5 per
+    * DISTINCT chunk ever admitted — 128-bit hash equality stands in
+    * for chunk-text equality (2^-64 collision odds at corpus scale;
+    * same stand-in q23's exact dedup and C4-style span dedup use in
+    * production), so the index row is 32 bytes regardless of chunk
+    * width. Rows are partitioned by pmod(xxhash64(h), buckets): a probe
+    * enumerates its batch's bucket set on the driver and the index scan
+    * partition-prunes to those directories — per-batch cost tracks the
+    * BATCH's chunk count, not the corpus (the LshIndexSpec property,
+    * mirrored here). Segments are keyed by ingest id in overwrite mode:
+    * an at-least-once foreachBatch retry replaces its own segment, and
+    * the probe excludes the in-flight ingest id so a replay never sees
+    * its own failed attempt's hashes as "already indexed". */
+  val chunkIndexBuckets = 64
+
+  def buildChunkIndex(docs: DataFrame, path: String, ingestId: Long = 0L): Unit =
+    writeChunkSegment(
+      chunkGrid(docs).select(md5(col("chunk").cast("binary")).as("h")),
+      path, ingestId)
+
+  private def writeChunkSegment(hashes: DataFrame, path: String,
+      ingestId: Long): Unit =
+    hashes.dropDuplicates("h")
+      .select(col("h"), pmod(xxhash64(col("h")), lit(chunkIndexBuckets.toLong)).as("bmod"))
+      .write.mode("overwrite").partitionBy("bmod")
+      .parquet(s"$path/chunks/ingest=$ingestId")
+
+  /** Streaming chunk-dedup admission: per micro-batch, drop every chunk
+    * whose hash is already indexed (earlier ingests only), self-dedup
+    * the batch's own chunks (globally-first (doc_id, ci) wins — the q81
+    * keeper rule applied within the batch), reassemble each doc from
+    * its surviving chunks, then write the cleaned docs and the batch's
+    * new-hash segment, both keyed by batchId in overwrite mode. Output
+    * rows: (doc_id, n_chunks, n_kept, clean_text) — a doc whose every
+    * span was seen earlier survives as an EMPTY doc (n_kept = 0), the
+    * caller's signal to drop it entirely.
+    *
+    * Plan shape: the index side is partition-pruned to the batch's
+    * bucket set and joined against the BROADCAST batch hashes, so the
+    * index is never shuffled nor fully read; the seen-set that comes
+    * back is batch-sized and broadcasts into the anti-join. */
+  def streamingChunkDedupWriter(indexPath: String, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val chunks = chunkGrid(batch)
+      .withColumn("h", md5(col("chunk").cast("binary")))
+      .localCheckpoint()
+    val batchH = chunks.select(col("h")).distinct()
+    val seen =
+      try {
+        val bmods = batchH
+          .select(pmod(xxhash64(col("h")), lit(chunkIndexBuckets.toLong)).as("bmod"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        spark.read.parquet(s"$indexPath/chunks")
+          .filter(col("ingest") =!= lit(batchId)) // replay safety
+          .filter(col("bmod").isin(bmods: _*))
+          .join(broadcast(batchH), "h")
+          .select(col("h")).distinct()
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          spark.emptyDataFrame.withColumn("h", lit("")).limit(0).select(col("h"))
+      }
+    val keep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("ci"))
+    val marked = chunks
+      .join(seen.withColumn("__seen", lit(true)), Seq("h"), "left")
+      .withColumn("rk", row_number().over(keep))
+      .withColumn("kept", col("__seen").isNull && col("rk") === 1)
+    val admitted = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(ci, chunk) END)), x -> x.chunk)"))
+          .as("clean_text"))
+      .localCheckpoint()
+    admitted.write.mode("overwrite").parquet(s"$outDir/admitted/ingest=$batchId")
+    writeChunkSegment(
+      marked.filter(col("kept")).select(col("h")), indexPath, batchId)
   }
 
   /** Length-bucketed batching report — the dynamic-batching planner's

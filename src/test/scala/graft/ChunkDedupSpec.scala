@@ -43,6 +43,62 @@ class ChunkDedupSpec extends SparkSpec {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("streaming chunk admission: two ordered batch cuts equal the batch q81 keeper rule") {
+    val tmp = java.nio.file.Files.createTempDirectory("chunk_idx").toString
+    val boiler = (1 to 24).map(i => s"b$i").mkString(" ")
+    val b1 = Seq(
+      (1L, boiler + " " + (1 to 24).map(i => s"x$i").mkString(" ")),
+      (2L, boiler)).toDF("doc_id", "text")
+    val b2 = Seq(
+      (3L, boiler + " " + (1 to 24).map(i => s"y$i").mkString(" ")),
+      (4L, (1 to 24).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text")
+    val w = TextOps.streamingChunkDedupWriter(s"$tmp/index", s"$tmp/out") _
+    w(b1, 0L); w(b2, 1L)
+    val streamed = spark.read.parquet(s"$tmp/out/admitted")
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        md5(col("clean_text").cast("binary")).as("m"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // batch twin over the union — doc_ids increase with the batch cuts,
+    // so the global (doc_id, ci) keeper picks the same survivors
+    val union = java.nio.file.Files.createTempDirectory("chunk_union").toString
+    b1.unionByName(b2).write.parquet(s"$union/documents.parquet")
+    val batch = TextOps.chunkDedup(spark, union)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(streamed == batch,
+      s"streamed cuts diverge from the batch keeper:\n$streamed\nvs\n$batch")
+    // semantics spot-check: doc 2 is pure boilerplate (all spans seen in
+    // doc 1's first chunk) → empty; doc 4 repeats doc 1's tail → empty
+    assert(streamed(2L)._2 == 0L && streamed(4L)._2 == 0L)
+    assert(streamed(3L) == ((2L, 1L, md5hex((1 to 24).map(i => s"y$i").mkString(" ")))))
+  }
+
+  test("replaying a batch overwrites its own segment and is not poisoned by it") {
+    val tmp = java.nio.file.Files.createTempDirectory("chunk_replay").toString
+    val doc = Seq((1L, (1 to 48).map(i => s"r$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val w = TextOps.streamingChunkDedupWriter(s"$tmp/index", s"$tmp/out") _
+    w(doc, 0L)
+    val first = spark.read.parquet(s"$tmp/out/admitted")
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toSet
+    assert(first == Set(1L -> 2L))
+    // at-least-once retry of the SAME batch: its own ingest=0 segment is
+    // already on disk — the probe must ignore it, and the rewrite must
+    // replace, not append
+    w(doc, 0L)
+    val second = spark.read.parquet(s"$tmp/out/admitted")
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toSet
+    assert(second == first, s"replay changed the admitted output: $second")
+    val segs = spark.read.parquet(s"$tmp/index/chunks")
+      .select("ingest").distinct().as[Long].collect().toSeq
+    assert(segs == Seq(0L), s"replay must not mint extra segments: $segs")
+  }
+
   test("a boilerplate span shared by distinct docs survives only in the first doc") {
     val boiler = (1 to 24).map(i => s"b$i").mkString(" ")
     val docs = Seq(
