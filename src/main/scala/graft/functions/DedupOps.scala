@@ -429,6 +429,32 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-source contamination report (q83) — q61's detection rolled up
+    * to the dataset card every training run publishes: for each corpus
+    * source, how many docs share any benchmark shingle, and the rate.
+    * Same scale shape as q61 (tiny broadcast bench set, corpus streams
+    * past it map-side); the rollup then reduces doc-count-sized hits to
+    * a ≤ #sources frame, and the totals join is tiny × tiny. */
+  val contaminationReport: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val shingles = (df: DataFrame) =>
+      df.withColumn("h",
+        explode(graft.expressions.TextHashes.shingle_hashes(col("text"), 3)))
+    val bench = shingles(docs.filter(col("doc_id") < 20))
+      .select(col("h")).distinct()
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val contam = shingles(corpus.select(col("doc_id"), col("source"), col("text")))
+      .join(broadcast(bench), "h")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_contaminated"))
+    corpus.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(contam, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)) / col("n_docs"), 6)
+          .as("contamination_rate"))
+  }
+
   /** Decontamination with a Bloom prefilter — q75, the shape q61 grows
     * into when the benchmark suite is too large to broadcast exactly.
     * q61 broadcasts the full benchmark shingle-hash set (right at small
@@ -899,6 +925,7 @@ object DedupOps {
     "q29_simhash" -> simhashNearDupPairs,
     "q61_decontaminate" -> decontaminate,
     "q75_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
+    "q83_contamination_report" -> contaminationReport,
     "q62_dedup_clusters" -> dedupClusters,
   )
 
@@ -931,6 +958,28 @@ object DedupOps {
         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
         |SELECT n AS doc_id, min(m) AS cluster_rep
         |FROM reach GROUP BY n""".stripMargin,
+    // q61's shingle construction, rolled up per source; BIGINT/BIGINT
+    // divides as double in both engines
+    "q83_contamination_report" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))) AS shingle
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+        |contam AS (
+        |  SELECT s.doc_id FROM sh s JOIN bench b ON s.shingle = b.shingle
+        |  WHERE s.doc_id >= 20 GROUP BY s.doc_id),
+        |tot AS (
+        |  SELECT source, count(*) AS n_docs FROM documents
+        |  WHERE doc_id >= 20 GROUP BY source),
+        |c AS (
+        |  SELECT d.source, count(*) AS n_contaminated
+        |  FROM documents d JOIN contam USING (doc_id) GROUP BY d.source)
+        |SELECT t.source, t.n_docs,
+        |  coalesce(c.n_contaminated, 0) AS n_contaminated,
+        |  round(coalesce(c.n_contaminated, 0) / t.n_docs, 6) AS contamination_rate
+        |FROM tot t LEFT JOIN c ON t.source = c.source""".stripMargin,
     "q61_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(

@@ -593,6 +593,30 @@ object TextOps {
     * bucket set and joined against the BROADCAST batch hashes, so the
     * index is never shuffled nor fully read; the seen-set that comes
     * back is batch-sized and broadcasts into the anti-join. */
+  /** Probe: which of `batchH`'s hashes are already indexed? The batch's
+    * bucket set is enumerated on the DRIVER (one tiny distinct over the
+    * batch) and pushed as a partition filter, so the index scan reads
+    * only the batch's bmod directories and joins the BROADCAST batch
+    * hashes — the index is never shuffled nor fully read
+    * (ChunkDedupSpec walks the executed plan for both pins). */
+  private[graft] def probeChunkIndex(spark: SparkSession, indexPath: String,
+      batchH: DataFrame, excludeIngest: Long): DataFrame =
+    try {
+      val bmods = batchH
+        .select(pmod(xxhash64(col("h")), lit(chunkIndexBuckets.toLong)).as("bmod"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      spark.read.parquet(s"$indexPath/chunks")
+        .filter(col("ingest") =!= lit(excludeIngest)) // replay safety
+        .filter(col("bmod").isin(bmods: _*))
+        .join(broadcast(batchH), "h")
+        .select(col("h")).distinct()
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+            e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        spark.emptyDataFrame.withColumn("h", lit("")).limit(0).select(col("h"))
+    }
+
   def streamingChunkDedupWriter(indexPath: String, outDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -600,22 +624,7 @@ object TextOps {
       .withColumn("h", md5(col("chunk").cast("binary")))
       .localCheckpoint()
     val batchH = chunks.select(col("h")).distinct()
-    val seen =
-      try {
-        val bmods = batchH
-          .select(pmod(xxhash64(col("h")), lit(chunkIndexBuckets.toLong)).as("bmod"))
-          .distinct().collect().map(_.getLong(0)).toSeq
-        spark.read.parquet(s"$indexPath/chunks")
-          .filter(col("ingest") =!= lit(batchId)) // replay safety
-          .filter(col("bmod").isin(bmods: _*))
-          .join(broadcast(batchH), "h")
-          .select(col("h")).distinct()
-      } catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" ||
-              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-          spark.emptyDataFrame.withColumn("h", lit("")).limit(0).select(col("h"))
-      }
+    val seen = probeChunkIndex(spark, indexPath, batchH, excludeIngest = batchId)
     val keep = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h")).orderBy(col("doc_id"), col("ci"))
     val marked = chunks
@@ -666,8 +675,62 @@ object TextOps {
         round(col("tok_total") / (col("n_docs") * col("bucket")), 4))
   }
 
+  /** Corpus vocabulary build (q82) — the tokenizer-training /
+    * frequency-table pass every pipeline runs before BPE fitting: one
+    * row per token with corpus frequency, document frequency, and a
+    * deterministic frequency rank (ties broken by token text). Shape:
+    * explode → ONE hash-shuffle groupBy(token) with map-side partial
+    * aggregation (df via the two-phase distinct expansion), then the
+    * top-k lands via orderBy+limit — Spark's TakeOrderedAndProject, a
+    * per-partition heap + driver merge of k rows, NOT a global sort.
+    * The rank window runs over the already-limited k-row frame (same
+    * tiny-frame argument as q63's share window). At 100 TB the token
+    * key space is vocabulary-sized (≪ corpus), so the groupBy's reduce
+    * side is small however large the scan; skewed hot tokens ("the")
+    * are absorbed by the map-side partial agg. */
+  val vocabBuild: Q = (s, d) => {
+    val k = 200
+    val top = t(s, d, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("token").asc)).cast("long"))
+  }
+
+  /** Token-budget mixture planner (q84) — temperature-based source
+    * sampling (p_i ∝ mass_i^α, α = 0.5 — the multilingual-training
+    * upweighting of small sources): given a target token budget, emit
+    * each source's available token mass, its α-tempered mix weight, the
+    * token target that weight implies, and the epoch count (how many
+    * passes over the source the target costs — > 1 means oversampling).
+    * Shape: one scan → tiny per-source aggregate (≤ #sources rows);
+    * the normalization window runs over that aggregated frame, so the
+    * single partition holds source-count rows at any corpus size. Only
+    * the per-source masses are exact longs; the tempered weights are
+    * doubles rounded identically in both engines. */
+  val tokenBudgetPlan: Q = (s, d) => {
+    val budget = 1000000L
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    t(s, d, "documents")
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("avail_tokens"))
+      .withColumn("w", sqrt(col("avail_tokens")) / sum(sqrt(col("avail_tokens"))).over(all))
+      .select(col("source"), col("avail_tokens"),
+        round(col("w"), 6).as("mix_weight"),
+        floor(col("w") * budget).cast("long").as("target_tokens"),
+        round(floor(col("w") * budget) / col("avail_tokens"), 4).as("epochs"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q73_chunk_split" -> chunkSplit,
+    "q82_vocab_build" -> vocabBuild,
+    "q84_token_budget_plan" -> tokenBudgetPlan,
     "q74_length_buckets" -> lengthBuckets,
     "q69_source_overlap" -> sourceOverlap,
     "q65_phrase_index" -> phraseIndex,
@@ -689,6 +752,31 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q82_vocab_build" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |agg AS (
+        |  SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS df
+        |  FROM tok GROUP BY token)
+        |SELECT token, freq, df,
+        |  row_number() OVER (ORDER BY freq DESC, token) AS rank
+        |FROM agg ORDER BY freq DESC, token LIMIT 200""".stripMargin,
+    // same α=0.5 tempering; BIGINT/BIGINT divides as double in both
+    // engines, and both rounds run at matched precision
+    "q84_token_budget_plan" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, avail_tokens,
+        |    sqrt(avail_tokens) / sum(sqrt(avail_tokens)) OVER () AS w
+        |  FROM m)
+        |SELECT source, avail_tokens, round(w, 6) AS mix_weight,
+        |  CAST(floor(w * 1000000) AS BIGINT) AS target_tokens,
+        |  round(floor(w * 1000000) / avail_tokens, 4) AS epochs
+        |FROM w""".stripMargin,
     // mirrors piiScrub: same suffix construction, same patterns, same
     // pass order; 'g' flag matches Spark regexp_replace's replace-all
     "q80_pii_scrub" ->

@@ -99,6 +99,55 @@ class ChunkDedupSpec extends SparkSpec {
     assert(segs == Seq(0L), s"replay must not mint extra segments: $segs")
   }
 
+  test("chunk probe partition-prunes the index to the batch's buckets; index side never shuffled") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val next = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: next.flatMap(walk)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("chunk_prune").toString
+    // 40 docs of globally-unique spans spread hashes over most bmod dirs
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, (1 to 48).map(j => s"t${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    TextOps.buildChunkIndex(corpus, s"$tmp/index")
+    val dirs = new java.io.File(s"$tmp/index/chunks/ingest=0").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bmod="))
+    // one batch doc re-using doc 5's first span: its bucket set is tiny
+    val batch = Seq((100L, (1 to 24).map(j => s"t5_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batchH = TextOps.chunkGrid(batch)
+      .select(md5(col("chunk").cast("binary")).as("h")).distinct()
+    val seen = TextOps.probeChunkIndex(spark, s"$tmp/index", batchH, excludeIngest = 99L)
+    assert(seen.count() == 1L, "the shared span must be reported as indexed")
+    val all = walk(seen.queryExecution.executedPlan)
+    val scan = all.collectFirst {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("chunk_prune")) => f
+    }.getOrElse(fail("no parquet scan of the index in the plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "bmod")),
+      s"index scan must partition-prune on bmod: ${scan.partitionFilters}")
+    assert(scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+      .length < dirs,
+      "probe must read a strict subset of the index's bucket directories")
+    // the join is batch-broadcast, and the index side reaches the join
+    // without any exchange (the only shuffle sits above, in the distinct)
+    val join = all.collectFirst { case j: BroadcastHashJoinExec => j }
+      .getOrElse(fail("probe join must be a BroadcastHashJoin"))
+    val indexSide = Seq(join.left, join.right).find(side =>
+      walk(side).exists(_.isInstanceOf[FileSourceScanExec]))
+      .getOrElse(fail("neither join side reads the index"))
+    assert(!walk(indexSide).exists(_.isInstanceOf[Exchange]),
+      "no exchange may sit between the index scan and the probe join")
+  }
+
   test("a boilerplate span shared by distinct docs survives only in the first doc") {
     val boiler = (1 to 24).map(i => s"b$i").mkString(" ")
     val docs = Seq(

@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.{DedupOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Invariants behind the corpus-statistics trio the DuckDB hash compare
+  * states but doesn't explain: the vocabulary table conserves token
+  * mass (q82), the mixture plan is a proper distribution whose targets
+  * honor the budget (q84), and the per-source contamination rollup
+  * agrees with q61's per-doc detection (q83). */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q82 vocab: frequency mass conserved, df bounded by freq, rank dense by (freq, token)") {
+    val vocab = TextOps.vocabBuild(spark, sf0001)
+      .select("token", "freq", "df", "rank")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._4)
+    val totalTokens = Tables.t(spark, sf0001, "documents")
+      .select(sum(size(split(col("text"), " "))).cast("long")).as[Long].head()
+    // the sf fixtures' vocabulary is far below the 200 cap, so the
+    // table IS the whole vocabulary and must conserve the token mass
+    assert(vocab.length < 200, "fixture vocab must sit below the top-k cap")
+    assert(vocab.map(_._2).sum == totalTokens, "Σ freq == corpus token count")
+    assert(vocab.forall(v => v._3 >= 1 && v._3 <= v._2), "1 <= df <= freq")
+    assert(vocab.map(_._4).toSeq == (1L to vocab.length).toSeq, "dense ranks")
+    assert(vocab.sortBy(v => (-v._2, v._1)).map(_._4).toSeq ==
+      vocab.map(_._4).toSeq.sorted, "rank order is (freq desc, token asc)")
+  }
+
+  test("q84 mixture plan: weights a distribution, targets honor the budget, epochs consistent") {
+    val plan = TextOps.tokenBudgetPlan(spark, sf0001)
+      .select("source", "avail_tokens", "mix_weight", "target_tokens", "epochs")
+      .as[(String, Long, Double, Long, Double)].collect()
+    assert(plan.length > 1)
+    assert(math.abs(plan.map(_._3).sum - 1.0) < 1e-4, "tempered weights sum to 1")
+    // floor() per source can only undershoot the budget, by < #sources
+    val budget = 1000000L
+    assert(plan.map(_._4).sum <= budget &&
+      plan.map(_._4).sum > budget - plan.length, "Σ target within floor slack")
+    plan.foreach { case (src, avail, _, target, epochs) =>
+      assert(math.abs(epochs - math.rint(target.toDouble / avail * 1e4) / 1e4) < 1e-9,
+        s"$src epochs must equal round(target/avail, 4)")
+    }
+    // α = 0.5 upweights small sources: every source's tempered weight
+    // must sit at or above its natural (α = 1) mass share
+    val mass = plan.map(_._2).sum.toDouble
+    val minSrc = plan.minBy(_._2)
+    assert(minSrc._3 >= minSrc._2 / mass - 1e-9,
+      "temperature sampling must not downweight the smallest source")
+  }
+
+  test("q83 per-source rollup agrees with q61's per-doc detection") {
+    val perDoc = DedupOps.decontaminate(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val docs = Tables.t(spark, sf0001, "documents")
+      .filter(col("doc_id") >= 20)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val expected = docs.groupBy(_._2).map { case (src, rows) =>
+      src -> ((rows.length.toLong, rows.count(r => perDoc(r._1)).toLong))
+    }
+    val report = DedupOps.contaminationReport(spark, sf0001)
+      .select("source", "n_docs", "n_contaminated", "contamination_rate")
+      .as[(String, Long, Long, Double)].collect()
+    assert(report.map(r => r._1 -> ((r._2, r._3))).toMap == expected)
+    report.foreach { r =>
+      assert(r._4 == math.rint(r._3.toDouble / r._2 * 1e6) / 1e6, s"rate mismatch for ${r._1}")
+    }
+    // benchmark docs must not count themselves as contaminated corpus
+    assert(report.map(_._2).sum == docs.length.toLong)
+  }
+}
