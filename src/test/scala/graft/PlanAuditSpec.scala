@@ -206,6 +206,19 @@ class PlanAuditSpec extends SparkSpec {
     } finally gate.release()
   }
 
+  test("q82 vocab build: partial agg before the token shuffle, top-k fused, no global sort") {
+    val plan = executedPlan(functions.TextOps.vocabBuild(spark, sf0001))
+    // map-side combine: a partial_count must run BELOW the exchange so
+    // hot tokens ("the") reach the reduce side pre-collapsed
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"token groupBy must partially aggregate map-side:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must fuse into TakeOrdered, not a global sort:\n$plan")
+    // the only Sort allowed is the rank window's 200-row local sort
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no range-partitioned global sort in a top-k plan:\n$plan")
+  }
+
   test("q64 star join: every dim side broadcast, region filter pushed to its scan") {
     val plan = executedPlan(operators.Relational.localSupplierVolume(spark, sf0001))
     val bcasts = "BroadcastHashJoin".r.findAllIn(plan).length
