@@ -436,23 +436,20 @@ object DedupOps {
     * past it map-side); the rollup then reduces doc-count-sized hits to
     * a ≤ #sources frame, and the totals join is tiny × tiny. */
   val contaminationReport: Q = (s, d) => {
-    val docs = t(s, d, "documents")
-    val shingles = (df: DataFrame) =>
-      df.withColumn("h",
-        explode(graft.expressions.TextHashes.shingle_hashes(col("text"), 3)))
-    val bench = shingles(docs.filter(col("doc_id") < 20))
-      .select(col("h")).distinct()
-    val corpus = docs.filter(col("doc_id") >= 20)
-    val contam = shingles(corpus.select(col("doc_id"), col("source"), col("text")))
-      .join(broadcast(bench), "h")
+    // the contaminated sliver IS q61's output — derived, not
+    // re-implemented, so the two can never diverge on the shingle
+    // width, the bench cut, or the hash convention. The sliver is
+    // contamination-rate-sized (production keeps it far under the
+    // broadcast budget — it's the doc set you're about to DROP), so
+    // the flag join broadcasts and the rollup stays map-side.
+    val contam = decontaminate(s, d).select(col("doc_id"), lit(true).as("c"))
+    t(s, d, "documents").filter(col("doc_id") >= 20)
+      .join(broadcast(contam), Seq("doc_id"), "left")
       .groupBy(col("source"))
-      .agg(countDistinct(col("doc_id")).as("n_contaminated"))
-    corpus.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .join(contam, Seq("source"), "left")
-      .select(col("source"), col("n_docs"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        round(coalesce(col("n_contaminated"), lit(0L)) / col("n_docs"), 6)
-          .as("contamination_rate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c"), 1L).otherwise(0L)).as("n_contaminated"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        round(col("n_contaminated") / col("n_docs"), 6).as("contamination_rate"))
   }
 
   /** Decontamination with a Bloom prefilter — q75, the shape q61 grows

@@ -489,20 +489,26 @@ object TextOps {
     * explode — at 100 TB it streams at scan speed like q20-q24. Both
     * engines clamp a slice past the end identically, so the tail chunk
     * hashes agree. */
-  val chunkSplit: Q = (s, d) => {
-    val w = 32
-    val stride = 24
-    t(s, d, "documents")
+  /** Token-window grid shared by q73 and q81: one row per (doc_id, ci)
+    * window start with the sliced token array. stride == w gives q81's
+    * disjoint grid; w > stride gives q73's overlapping windows. Starts
+    * are a tiny integer sequence per row (never a lambda over tokens),
+    * so the whole thing is a map-only explode. */
+  private def tokenWindows(docs: DataFrame, w: Int, stride: Int): DataFrame =
+    docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("starts",
         expr(s"sequence(0, ((size(toks) - 1) div $stride) * $stride, $stride)"))
       .select(col("doc_id"), col("toks"),
-        posexplode(col("starts")).as(Seq("chunk_idx", "start")))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        size(expr(s"slice(toks, start + 1, $w)")).cast("long").as("chunk_len"),
-        md5(concat_ws(" ", expr(s"slice(toks, start + 1, $w)"))
-          .cast("binary")).as("chunk_hash"))
-  }
+        posexplode(col("starts")).as(Seq("ci", "start")))
+      .select(col("doc_id"), col("ci").cast("long").as("ci"),
+        expr(s"slice(toks, start + 1, $w)").as("win"))
+
+  val chunkSplit: Q = (s, d) =>
+    tokenWindows(t(s, d, "documents"), w = 32, stride = 24)
+      .select(col("doc_id"), col("ci").as("chunk_idx"),
+        size(col("win")).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", col("win")).cast("binary")).as("chunk_hash"))
 
   /** q81: chunk-level exact dedup with document reassembly — the
     * C4-style span dedup that doc-level q23 can't do: a boilerplate
@@ -525,17 +531,10 @@ object TextOps {
   /** The disjoint 24-token chunk grid of a documents frame — q81's
     * partition (stride = width) and the unit the chunk index stores.
     * One row per (doc_id, ci, chunk). */
-  private[graft] def chunkGrid(docs: DataFrame): DataFrame = {
-    val w = 24
-    docs
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("starts",
-        expr(s"sequence(0, ((size(toks) - 1) div $w) * $w, $w)"))
-      .select(col("doc_id"), col("toks"),
-        posexplode(col("starts")).as(Seq("ci", "start")))
-      .select(col("doc_id"), col("ci").cast("long").as("ci"),
-        concat_ws(" ", expr(s"slice(toks, start + 1, $w)")).as("chunk"))
-  }
+  private[graft] def chunkGrid(docs: DataFrame): DataFrame =
+    tokenWindows(docs, w = 24, stride = 24)
+      .select(col("doc_id"), col("ci"),
+        concat_ws(" ", col("win")).as("chunk"))
 
   val chunkDedup: Q = (s, d) => {
     val chunks = chunkGrid(t(s, d, "documents"))
@@ -567,10 +566,17 @@ object TextOps {
     * its own failed attempt's hashes as "already indexed". */
   val chunkIndexBuckets = 64
 
-  def buildChunkIndex(docs: DataFrame, path: String, ingestId: Long = 0L): Unit =
+  /** Bulk-build ingest ids are NEGATIVE (default -1) and streaming
+    * batchIds are >= 0 (the foreachBatch contract, asserted in the
+    * writer), so a bootstrap segment is never excluded by a batch-0
+    * probe's replay filter and never clobbered by a batch-0 segment
+    * overwrite — the id spaces are disjoint by sign. */
+  def buildChunkIndex(docs: DataFrame, path: String, ingestId: Long = -1L): Unit = {
+    require(ingestId < 0, s"bulk-build ingest ids are negative, got $ingestId")
     writeChunkSegment(
       chunkGrid(docs).select(md5(col("chunk").cast("binary")).as("h")),
       path, ingestId)
+  }
 
   private def writeChunkSegment(hashes: DataFrame, path: String,
       ingestId: Long): Unit =
@@ -619,6 +625,8 @@ object TextOps {
 
   def streamingChunkDedupWriter(indexPath: String, outDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0,
+      s"streaming batchIds are >= 0 (negative ids are bulk builds), got $batchId")
     val spark = batch.sparkSession
     val chunks = chunkGrid(batch)
       .withColumn("h", md5(col("chunk").cast("binary")))
@@ -627,17 +635,19 @@ object TextOps {
     val seen = probeChunkIndex(spark, indexPath, batchH, excludeIngest = batchId)
     val keep = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h")).orderBy(col("doc_id"), col("ci"))
+    // checkpointed so the probe join + keeper window run ONCE per batch
+    // — both the admitted rollup and the segment write read from here
     val marked = chunks
       .join(seen.withColumn("__seen", lit(true)), Seq("h"), "left")
       .withColumn("rk", row_number().over(keep))
       .withColumn("kept", col("__seen").isNull && col("rk") === 1)
+      .localCheckpoint()
     val admitted = marked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         concat_ws(" ", expr(
           "transform(array_sort(collect_list(CASE WHEN kept THEN struct(ci, chunk) END)), x -> x.chunk)"))
           .as("clean_text"))
-      .localCheckpoint()
     admitted.write.mode("overwrite").parquet(s"$outDir/admitted/ingest=$batchId")
     writeChunkSegment(
       marked.filter(col("kept")).select(col("h")), indexPath, batchId)

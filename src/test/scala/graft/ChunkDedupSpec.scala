@@ -118,7 +118,7 @@ class ChunkDedupSpec extends SparkSpec {
     val corpus = (0 until 40).map(i =>
       (i.toLong, (1 to 48).map(j => s"t${i}_$j").mkString(" "))).toDF("doc_id", "text")
     TextOps.buildChunkIndex(corpus, s"$tmp/index")
-    val dirs = new java.io.File(s"$tmp/index/chunks/ingest=0").listFiles()
+    val dirs = new java.io.File(s"$tmp/index/chunks/ingest=-1").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("bmod="))
     // one batch doc re-using doc 5's first span: its bucket set is tiny
     val batch = Seq((100L, (1 to 24).map(j => s"t5_$j").mkString(" ")))
@@ -146,6 +146,31 @@ class ChunkDedupSpec extends SparkSpec {
       .getOrElse(fail("neither join side reads the index"))
     assert(!walk(indexSide).exists(_.isInstanceOf[Exchange]),
       "no exchange may sit between the index scan and the probe join")
+  }
+
+  test("bootstrap index survives batch 0: probe sees it, segment write doesn't clobber it") {
+    // the id-collision hazard: bulk builds land at ingest=-1, so batch 0's
+    // replay filter (ingest != 0) keeps the bootstrap visible and batch
+    // 0's overwrite of ingest=0 cannot delete it
+    val tmp = java.nio.file.Files.createTempDirectory("chunk_boot").toString
+    val span = (1 to 24).map(i => s"s$i").mkString(" ")
+    val fresh = (1 to 24).map(i => s"f$i").mkString(" ")
+    TextOps.buildChunkIndex(Seq((1L, span)).toDF("doc_id", "text"), s"$tmp/index")
+    val w = TextOps.streamingChunkDedupWriter(s"$tmp/index", s"$tmp/out") _
+    // batch 0: one bootstrap-indexed span (must be dropped) + one new one
+    w(Seq((10L, span + " " + fresh)).toDF("doc_id", "text"), 0L)
+    val admitted = spark.read.parquet(s"$tmp/out/admitted")
+      .select("doc_id", "n_chunks", "n_kept").as[(Long, Long, Long)].collect().toSet
+    assert(admitted == Set((10L, 2L, 1L)),
+      s"batch 0 must see the bootstrap segment and drop the indexed span: $admitted")
+    val segs = spark.read.parquet(s"$tmp/index/chunks")
+      .select("ingest").distinct().as[Long].collect().toSet
+    assert(segs == Set(-1L, 0L),
+      s"bootstrap segment must survive batch 0's overwrite: $segs")
+    intercept[IllegalArgumentException] {
+      TextOps.buildChunkIndex(Seq((1L, span)).toDF("doc_id", "text"),
+        s"$tmp/index", ingestId = 3L)
+    }
   }
 
   test("a boilerplate span shared by distinct docs survives only in the first doc") {
