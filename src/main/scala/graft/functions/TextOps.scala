@@ -698,19 +698,27 @@ object TextOps {
     * key space is vocabulary-sized (≪ corpus), so the groupBy's reduce
     * side is small however large the scan; skewed hot tokens ("the")
     * are absorbed by the map-side partial agg. */
-  val vocabBuild: Q = (s, d) => {
-    val k = 200
-    val top = t(s, d, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+  /** The per-token (freq, df) aggregate — shared by the q82 batch
+    * query and the streaming vocabulary sink (same builder, cannot
+    * drift). Both outputs are decomposable sums, so per-batch partials
+    * merge exactly under the one-doc-one-batch admission contract. */
+  private[graft] def vocabAggregate(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"),
         countDistinct(col("doc_id")).as("df"))
-      .orderBy(col("freq").desc, col("token").asc)
-      .limit(k)
-    top.withColumn("rank",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("freq").desc, col("token").asc)).cast("long"))
-  }
+
+  /** The deterministic (freq desc, token asc) top-k + dense rank over
+    * an already-aggregated vocab frame — shared by q82 and the sink's
+    * read side. TakeOrdered top-k, rank windowed over k rows only. */
+  private[graft] def vocabTopK(agg: DataFrame, k: Int): DataFrame =
+    agg.orderBy(col("freq").desc, col("token").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("token").asc)).cast("long"))
+
+  val vocabBuild: Q = (s, d) =>
+    vocabTopK(vocabAggregate(t(s, d, "documents")), 200)
 
   /** Token-budget mixture planner (q84) — temperature-based source
     * sampling (p_i ∝ mass_i^α, α = 0.5 — the multilingual-training

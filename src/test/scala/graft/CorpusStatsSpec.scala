@@ -49,6 +49,27 @@ class CorpusStatsSpec extends SparkSpec {
       "temperature sampling must not downweight the smallest source")
   }
 
+  test("streaming vocab: batch cuts + replay + compact reconcile to the q82 batch result") {
+    val tmp = java.nio.file.Files.createTempDirectory("vocab_sink").toString
+    val docs = Tables.t(spark, sf0001, "documents").select("doc_id", "text")
+    val w = sinks.VocabSink.writer(s"$tmp/vocab") _
+    w(docs.filter(col("doc_id") % 2 === 0), 0L)
+    w(docs.filter(col("doc_id") % 2 === 1), 1L)
+    w(docs.filter(col("doc_id") % 2 === 1), 1L) // replay must no-op
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("token", "freq", "df", "rank")
+        .as[(String, Long, Long, Long)].collect().toSet
+    val expected = rows(TextOps.vocabBuild(spark, sf0001))
+    assert(rows(sinks.VocabSink.topK(spark, s"$tmp/vocab")) == expected,
+      "merged segments must equal the batch vocabulary")
+    sinks.VocabSink.compact(spark, s"$tmp/vocab")
+    val segs = new java.io.File(s"$tmp/vocab").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("seq="))
+    assert(segs == 1, s"compact must fold to one segment, got $segs")
+    assert(rows(sinks.VocabSink.topK(spark, s"$tmp/vocab")) == expected,
+      "compaction must preserve the vocabulary exactly")
+  }
+
   test("q83 per-source rollup agrees with q61's per-doc detection") {
     val perDoc = DedupOps.decontaminate(spark, sf0001)
       .select("doc_id").as[Long].collect().toSet
