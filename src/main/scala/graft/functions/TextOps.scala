@@ -389,6 +389,25 @@ object TextOps {
   val phraseIndex: Q = (s, d) =>
     phraseAggregate(t(s, d, "documents")).filter(col("df") >= 3)
 
+  /** Boilerplate stop-band report (q85) — the data-driven input to the
+    * hot-bucket caps and a C4-style boilerplate filter list: the top-k
+    * trigram phrases by document coverage (df / corpus docs), with raw
+    * df/occ. Runs THROUGH phraseAggregate (the q65 builder — cannot
+    * drift), top-k via TakeOrdered on (df desc, phrase) so boundary
+    * ties cut deterministically; the 1-row corpus total broadcasts into
+    * the k-row frame. A production pipeline feeds this list back as the
+    * band-join stop list, exactly how full-text engines drop stopwords. */
+  val boilerplateReport: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    phraseAggregate(docs)
+      .select(col("phrase"), col("df"), col("occ"))
+      .orderBy(col("df").desc, col("phrase").asc)
+      .limit(20)
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("total_docs"))))
+      .select(col("phrase"), col("df"), col("occ"),
+        round(col("df") / col("total_docs"), 6).as("coverage"))
+  }
+
   /** Conjunctive-candidate phrase search THROUGH the index: the top-3
     * phrases by (df desc, phrase) are looked up and their posting lists
     * emitted as (phrase, doc_id) hits — the index-backed half of the
@@ -749,6 +768,7 @@ object TextOps {
     "q73_chunk_split" -> chunkSplit,
     "q82_vocab_build" -> vocabBuild,
     "q84_token_budget_plan" -> tokenBudgetPlan,
+    "q85_boilerplate_report" -> boilerplateReport,
     "q74_length_buckets" -> lengthBuckets,
     "q69_source_overlap" -> sourceOverlap,
     "q65_phrase_index" -> phraseIndex,
@@ -795,6 +815,26 @@ object TextOps {
         |  CAST(floor(w * 1000000) AS BIGINT) AS target_tokens,
         |  round(floor(w * 1000000) / avail_tokens, 4) AS epochs
         |FROM w""".stripMargin,
+    // q65's trigram CTE + deterministic (df desc, phrase) top-20;
+    // BIGINT/BIGINT divides as double in both engines
+    "q85_boilerplate_report" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(3, len(toks) + 1),
+        |        i -> toks[(i - 2)::INTEGER] || ' ' || toks[(i - 1)::INTEGER]
+        |             || ' ' || toks[i::INTEGER])
+        |    ELSE []::VARCHAR[] END) AS phrase
+        |  FROM tk),
+        |agg AS (
+        |  SELECT phrase, count(DISTINCT doc_id) AS df, count(*) AS occ
+        |  FROM e GROUP BY phrase),
+        |total AS (SELECT count(*) AS total_docs FROM documents)
+        |SELECT phrase, df, occ, round(df / total_docs, 6) AS coverage
+        |FROM agg, total
+        |ORDER BY df DESC, phrase LIMIT 20""".stripMargin,
     // mirrors piiScrub: same suffix construction, same patterns, same
     // pass order; 'g' flag matches Spark regexp_replace's replace-all
     "q80_pii_scrub" ->
