@@ -219,6 +219,48 @@ class PlanAuditSpec extends SparkSpec {
       s"no range-partitioned global sort in a top-k plan:\n$plan")
   }
 
+  test("q83 rollup: contaminated sliver broadcasts, corpus never shuffles before the source agg") {
+    // walked, not substring-matched: the sliver's OWN dedup exchange
+    // lives inside the broadcast subtree and is sliver-sized — only the
+    // corpus (streamed) side must reach the flag join shuffle-free
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val next = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: next.flatMap(walk)
+    }
+    val df = functions.DedupOps.contaminationReport(spark, sf0001)
+    df.collect()
+    val joins = walk(df.queryExecution.executedPlan)
+      .collect { case j: BroadcastHashJoinExec => j }
+    val flagJoin = joins.find(_.joinType.sql == "LEFT OUTER")
+      .getOrElse(fail(s"no broadcast left-outer flag join:\n${df.queryExecution.executedPlan}"))
+    val streamed = flagJoin.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => flagJoin.left
+      case _ => flagJoin.right
+    }
+    assert(!walk(streamed).exists(_.isInstanceOf[Exchange]),
+      s"corpus side must reach the flag join shuffle-free:\n$flagJoin")
+  }
+
+  test("q85 stop-band: fused ngrams, TakeOrdered top-k, 1-row total broadcast") {
+    val plan = executedPlan(functions.TextOps.boilerplateReport(spark, sf0001))
+    assert(plan.contains("token_ngrams"), s"must run the fused expression:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must fuse, not globally sort:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no range-partitioned sort in a top-k plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row corpus total must broadcast:\n$plan")
+  }
+
   test("q64 star join: every dim side broadcast, region filter pushed to its scan") {
     val plan = executedPlan(operators.Relational.localSupplierVolume(spark, sf0001))
     val bcasts = "BroadcastHashJoin".r.findAllIn(plan).length
