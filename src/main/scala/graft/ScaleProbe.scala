@@ -24,7 +24,7 @@ object ScaleProbe {
       "minhash_lsh_candidates", "simhash_tiered_candidates",
       "simhash_tiered_capped", "cluster_collapse", "winnow_fingerprints",
       "sign_band_scan", "cosine_verify_pairs", "phrase_index_build",
-      "pack_greedy", "skew")
+      "pack_greedy", "chunk_dedup", "vocab_build", "skew")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -250,6 +250,38 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       println(f"SCALE n=$n%9d pack_greedy ${(System.nanoTime() - t0g) / 1e9}%6.2f s")
+      docs.unpersist()
+    }
+    // q81 chunk-grid dedup (keeper window on the chunk text + doc
+    // reassembly — the two-exchange shape) and q82 vocab build (one
+    // token shuffle with map-side partial agg + TakeOrdered top-k):
+    // both must be ~linear in docs. The 5%-dup synthetic corpus gives
+    // the keeper window real multi-row chunk groups, and the 5 000-token
+    // vocabulary makes every token hot — the worst case the partial agg
+    // must absorb.
+    if (Seq("chunk_dedup", "vocab_build").exists(on))
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      val docs = synthDocs(n).persist(); docs.count()
+      if (on("chunk_dedup")) {
+        val t0c = System.nanoTime()
+        val keep = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("ci"))
+        functions.TextOps.chunkGrid(docs)
+          .withColumn("rk", row_number().over(keep))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+            md5(concat_ws(" ", expr(
+              "transform(array_sort(collect_list(CASE WHEN rk = 1 THEN struct(ci, chunk) END)), x -> x.chunk)"))
+              .cast("binary")).as("clean_md5"))
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALE n=$n%9d chunk_dedup ${(System.nanoTime() - t0c) / 1e9}%6.2f s")
+      }
+      if (on("vocab_build")) {
+        val t0v = System.nanoTime()
+        functions.TextOps.vocabTopK(functions.TextOps.vocabAggregate(docs), 200)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALE n=$n%9d vocab_build ${(System.nanoTime() - t0v) / 1e9}%6.2f s")
+      }
       docs.unpersist()
     }
     // skew: 16M rows, 90% on one key — plain shuffle join vs salted vs AQE
