@@ -764,8 +764,32 @@ object TextOps {
         round(floor(col("w") * budget) / col("avail_tokens"), 4).as("epochs"))
   }
 
+  /** Deterministic stratified sample (q86) — the eval-holdout
+    * construction primitive: k docs per source, chosen by md5 hash
+    * order so the sample is reproducible across runs, engines, and
+    * corpus re-partitionings (the property `rand()`-sampling lacks).
+    * Two-phase so it scales: a map-side HASH GATE (hkey < threshold,
+    * an ~25% oversample) prunes the corpus at scan speed, and the
+    * per-source rank window runs over the gated sliver only — the
+    * window's source-count-bounded parallelism never sees the full
+    * corpus. The gate is part of the SEMANTICS (both engines apply
+    * it), so the result is exact, not approximate: the k lowest-hash
+    * gated docs per source. */
+  val stratifiedSample: Q = (s, d) => {
+    val k = 5
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
+    t(s, d, "documents")
+      .withColumn("hkey", md5(concat_ws(":", col("doc_id"), col("text"))))
+      .filter(col("hkey") < "40")
+      .withColumn("rk", row_number().over(byHash).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("doc_id"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q73_chunk_split" -> chunkSplit,
+    "q86_stratified_sample" -> stratifiedSample,
     "q82_vocab_build" -> vocabBuild,
     "q84_token_budget_plan" -> tokenBudgetPlan,
     "q85_boilerplate_report" -> boilerplateReport,
@@ -815,6 +839,17 @@ object TextOps {
         |  CAST(floor(w * 1000000) AS BIGINT) AS target_tokens,
         |  round(floor(w * 1000000) / avail_tokens, 4) AS epochs
         |FROM w""".stripMargin,
+    // same hash gate + rank; BIGINT || VARCHAR concatenates identically
+    // and both md5s emit lowercase hex, so the orders match exactly
+    "q86_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, md5(doc_id || ':' || text) AS hkey
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS rk
+        |  FROM h WHERE hkey < '40')
+        |SELECT source, doc_id, rk FROM g WHERE rk <= 5""".stripMargin,
     // q65's trigram CTE + deterministic (df desc, phrase) top-20;
     // BIGINT/BIGINT divides as double in both engines
     "q85_boilerplate_report" ->

@@ -70,6 +70,26 @@ class CorpusStatsSpec extends SparkSpec {
       "compaction must preserve the vocabulary exactly")
   }
 
+  test("q86 stratified sample: at most k per source, dense ranks, reproducible") {
+    def run() = TextOps.stratifiedSample(spark, sf0001)
+      .select("source", "doc_id", "rk").as[(String, Long, Long)].collect().toSet
+    val sample = run()
+    assert(sample.nonEmpty)
+    sample.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.size <= 5, s"$src over k")
+      assert(rows.map(_._3) == (1L to rows.size).toSet, s"$src ranks not dense")
+    }
+    assert(run() == sample, "hash-ordered sampling must be reproducible")
+    // the gate is the semantics: every sampled doc's hash is below it
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    sample.foreach { case (_, id, _) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:${docs(id)}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(h < "40", s"doc $id escaped the hash gate: $h")
+    }
+  }
+
   test("q83 per-source rollup agrees with q61's per-doc detection") {
     val perDoc = DedupOps.decontaminate(spark, sf0001)
       .select("doc_id").as[Long].collect().toSet
