@@ -583,6 +583,11 @@ object TextOps {
     * an at-least-once foreachBatch retry replaces its own segment, and
     * the probe excludes the in-flight ingest id so a replay never sees
     * its own failed attempt's hashes as "already indexed". */
+  /** Directory fan-out: bmod = pmod(xxhash64(h), this). 64 suits the
+    * test scale; at 100 TB size it so a micro-batch's distinct bucket
+    * set stays ≪ the directory count — otherwise every probe touches
+    * every directory and the pruning is vacuous (the same sizing
+    * contract as DedupOps.lshIndexBuckets). */
   val chunkIndexBuckets = 64
 
   /** Bulk-build ingest ids are NEGATIVE (default -1) and streaming
