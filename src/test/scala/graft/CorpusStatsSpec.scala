@@ -90,6 +90,75 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("property: vocab segments reconcile to the batch aggregate under ANY batch cut") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random corpora from a tiny vocabulary (forces shared tokens) cut
+    // into a random number of batches, one doc per batch at most once —
+    // the additive contract's whole domain
+    val genDoc = for {
+      n <- Gen.choose(1, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "e"))
+    } yield toks.mkString(" ")
+    val prop = Prop.forAllNoShrink(
+      Gen.choose(1, 4).flatMap(k =>
+        Gen.listOfN(10, genDoc).map(docs => (k, docs)))) { case (k, texts) =>
+      val tmp = java.nio.file.Files.createTempDirectory("vocab_prop").toString
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      (0 until k).foreach { b =>
+        sinks.VocabSink.writer(s"$tmp/v")(
+          docs.filter(col("doc_id") % k === b), b.toLong)
+      }
+      val merged = sinks.VocabSink.read(spark, s"$tmp/v")
+        .as[(String, Long, Long)].collect().toSet
+      val direct = TextOps.vocabAggregate(docs)
+        .as[(String, Long, Long)].collect().toSet
+      merged == direct
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: chunk dedup conserves mass and reassembles unique-span docs byte-identically") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // docs of 24-token spans drawn from a small span pool — guaranteed
+    // cross-doc span collisions — plus unique filler spans
+    val pool = (0 until 4).map(p => (1 to 24).map(i => s"p${p}_$i").mkString(" "))
+    val genDoc = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.choose(0, 3).map(pool), Gen.const("U"))))
+    val prop = Prop.forAllNoShrink(Gen.listOfN(8, genDoc)) { parts =>
+      val texts = parts.zipWithIndex.map { case (spans, i) =>
+        spans.zipWithIndex.map {
+          case ("U", j) => (1 to 24).map(t => s"u${i}_${j}_$t").mkString(" ")
+          case (s, _) => s
+        }.mkString(" ")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("chunk_prop").toString
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+      val out = TextOps.chunkDedup(spark, tmp)
+        .select("doc_id", "n_kept", "clean_md5")
+        .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+      val distinctSpans = docs.flatMap(_._2.split(" ", -1).grouped(24).map(_.mkString(" "))).toSet
+      val massOk = out.values.map(_._2).sum == distinctSpans.size.toLong
+      val spanCounts = docs.flatMap(_._2.split(" ", -1).grouped(24).map(_.mkString(" ")))
+        .groupBy(identity).view.mapValues(_.size)
+      val uniqueOk = docs.forall { case (id, t) =>
+        val spans = t.split(" ", -1).grouped(24).map(_.mkString(" ")).toSeq
+        !spans.forall(s => spanCounts(s) == 1) || {
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          out(id)._3 == md
+        }
+      }
+      massOk && uniqueOk
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q83 per-source rollup agrees with q61's per-doc detection") {
     val perDoc = DedupOps.decontaminate(spark, sf0001)
       .select("doc_id").as[Long].collect().toSet
