@@ -173,6 +173,71 @@ class ChunkDedupSpec extends SparkSpec {
     }
   }
 
+  private def span(tag: String) = (1 to 24).map(i => s"${tag}$i").mkString(" ")
+
+  private def batchHashes(texts: String*) = {
+    import org.apache.spark.sql.DataFrame
+    val df: DataFrame = texts.zipWithIndex
+      .map { case (t, i) => (900L + i, t) }.toDF("doc_id", "text")
+    TextOps.chunkGrid(df).select(md5(col("chunk").cast("binary")).as("h")).distinct()
+  }
+
+  private def ingestDirs(idx: String): Set[Long] =
+    graft.sinks.Hfs.childDirs(spark, s"$idx/chunks", "ingest=")
+      .map(_.stripPrefix("ingest=").toLong).toSet
+
+  test("compaction folds all but the newest batch; probe and replay semantics unchanged") {
+    val tmp = java.nio.file.Files.createTempDirectory("chunk_compact").toString
+    val idx = s"$tmp/index"
+    TextOps.buildChunkIndex(Seq((1L, span("s"))).toDF("doc_id", "text"), idx) // ingest=-1
+    val w = TextOps.streamingChunkDedupWriter(idx, s"$tmp/out") _
+    w(Seq((10L, span("a"))).toDF("doc_id", "text"), 0L)
+    w(Seq((20L, span("s") + " " + span("b"))).toDF("doc_id", "text"), 1L)
+    def probeAll() = TextOps.probeChunkIndex(spark, idx,
+      batchHashes(span("s"), span("a"), span("b")), excludeIngest = 2L)
+      .as[String].collect().toSet
+    val before = probeAll()
+    assert(before.size == 3, s"all three spans indexed pre-compaction: $before")
+    TextOps.compactChunkIndex(spark, idx)
+    // folded {-1, 0} -> K=0 -> ingest=-2; newest batch (1) survives
+    assert(ingestDirs(idx) == Set(-2L, 1L), s"unexpected dirs: ${ingestDirs(idx)}")
+    assert(probeAll() == before, "compaction must not change probe results")
+    // replay of the SURVIVING batch: its own segment still excluded, the
+    // folded bootstrap span still visible -> identical admitted output
+    w(Seq((20L, span("s") + " " + span("b"))).toDF("doc_id", "text"), 1L)
+    val admitted = spark.read.parquet(s"$tmp/out/admitted/ingest=1")
+      .select("doc_id", "n_chunks", "n_kept").as[(Long, Long, Long)].collect().toSet
+    assert(admitted == Set((20L, 2L, 1L)), s"replay after compaction diverged: $admitted")
+    // idempotent: nothing left to fold but the fold itself + newest
+    TextOps.compactChunkIndex(spark, idx)
+    assert(ingestDirs(idx) == Set(-2L, 1L))
+  }
+
+  test("a crashed compaction is invisible to probes and adopted by the next compact") {
+    val tmp = java.nio.file.Files.createTempDirectory("chunk_crash").toString
+    val idx = s"$tmp/index"
+    val chunksPath = s"$idx/chunks"
+    TextOps.buildChunkIndex(Seq((1L, span("s"))).toDF("doc_id", "text"), idx)
+    val w = TextOps.streamingChunkDedupWriter(idx, s"$tmp/out") _
+    w(Seq((10L, span("a"))).toDF("doc_id", "text"), 0L)
+    w(Seq((20L, span("b"))).toDF("doc_id", "text"), 1L)
+    // simulate compact crashing mid-swap: staging for {-1, 0} is
+    // COMPLETE (_SUCCESS), one folded dir already deleted, one not
+    spark.read.option("basePath", chunksPath)
+      .parquet(s"$chunksPath/ingest=-1", s"$chunksPath/ingest=0")
+      .select(col("h"), col("bmod")).dropDuplicates("h")
+      .write.partitionBy("bmod").parquet(s"$chunksPath/__compact_staging_0")
+    graft.sinks.Hfs.deleteRecursive(spark, s"$chunksPath/ingest=0")
+    val probed = TextOps.probeChunkIndex(spark, idx,
+      batchHashes(span("s"), span("a"), span("b")), excludeIngest = 2L)
+      .as[String].collect().toSet
+    assert(probed.size == 3,
+      s"mid-swap probe must see staging + survivors, got ${probed.size}")
+    TextOps.compactChunkIndex(spark, idx) // adopts the staging
+    assert(ingestDirs(idx) == Set(-2L, 1L), s"adoption failed: ${ingestDirs(idx)}")
+    assert(graft.sinks.Hfs.childDirs(spark, chunksPath, "__compact_staging_").isEmpty)
+  }
+
   test("a boilerplate span shared by distinct docs survives only in the first doc") {
     val boiler = (1 to 24).map(i => s"b$i").mkString(" ")
     val docs = Seq(
