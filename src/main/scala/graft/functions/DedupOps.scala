@@ -735,7 +735,13 @@ object DedupOps {
     * distinct bucket set stays ≪ the directory count. */
   val lshIndexBuckets = 64
 
-  def buildLshIndex(docs: DataFrame, path: String, ingestId: Long = 0L): Unit = {
+  /** Bulk bootstraps should pass a NEGATIVE ingestId (default -1):
+    * streaming batches use batchId ≥ 0 in overwrite mode, so a
+    * non-negative bootstrap id would be silently clobbered by that
+    * batch's segment write (the id spaces are disjoint by sign — same
+    * contract as TextOps.buildChunkIndex, where the probe's replay
+    * exclusion makes the collision doubly fatal). */
+  def buildLshIndex(docs: DataFrame, path: String, ingestId: Long = -1L): Unit = {
     // one hashing pass, materialized, feeds both tables
     val rows = indexRows(docs).localCheckpoint()
     rows.select(col("doc_id"), col("band"), col("bhash"),
@@ -745,6 +751,33 @@ object DedupOps {
     rows.select(col("doc_id"), col("hs")).dropDuplicates("doc_id")
       .write.mode("overwrite")
       .parquet(s"$path/docs/ingest=$ingestId")
+  }
+
+  /** Compact both index tables (the [[graft.sinks.IngestSegments]]
+    * contract — fold all but the newest replayable batch segment into
+    * one negative-id segment, crash-safe staging, probes read the live
+    * set throughout). The tables fold independently (each is complete
+    * on its own, so a crash between the two leaves a consistent
+    * index). bands fold = exact-row dedup: a doc re-ingested with
+    * identical text collapses, a REVISED doc keeps both band sets —
+    * exactly the rows the un-compacted index would have served. docs
+    * fold = latest version per doc_id (resolved on the in-fold
+    * `ingest`); cross-segment recency survives because every surviving
+    * segment id is > K > -(K+2), so probeLshIndex's latest-version
+    * window keeps ordering correctly. */
+  def compactLshIndex(spark: SparkSession, path: String): Unit = {
+    graft.sinks.IngestSegments.compact(spark, s"$path/bands",
+      fold = _.select(col("doc_id"), col("band"), col("bhash"), col("bmod"))
+        .dropDuplicates("doc_id", "band", "bhash"),
+      partitionCols = Seq("bmod"))
+    graft.sinks.IngestSegments.compact(spark, s"$path/docs",
+      fold = df => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("ingest").desc)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).select(col("doc_id"), col("hs"))
+      },
+      partitionCols = Seq.empty)
   }
 
   /** Probe: near-dup pairs (new doc, indexed doc) with verified shingle
@@ -762,10 +795,14 @@ object DedupOps {
       maxPerBucket: Option[Int] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val probe = indexRows(newDocs).localCheckpoint()
+    val live = graft.sinks.IngestSegments.readLive(spark, s"$path/bands")
+    if (live.isEmpty) // no index yet (or only footerless empty segments)
+      return probe.limit(0).select(col("doc_id").as("new_doc"),
+        col("doc_id").as("dup_of"), col("hs").as("hs_n"))
     val bmods = probe
       .select(pmod(col("bhash"), lit(lshIndexBuckets)).as("bmod"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val pruned = spark.read.parquet(s"$path/bands")
+    val pruned = live.get
       .filter(col("bmod").isin(bmods: _*))
     // Hot-bucket cap, probe flavor: a boilerplate cluster indexed
     // earlier puts occupancy rows into ONE (band, bhash) bucket, and a
@@ -802,7 +839,11 @@ object DedupOps {
   def probeLshIndex(newDocs: DataFrame, path: String,
       threshold: Double = 0.5, maxPerBucket: Option[Int] = None): DataFrame = {
     val spark = newDocs.sparkSession
-    val docsIdx = spark.read.parquet(s"$path/docs")
+    val live = graft.sinks.IngestSegments.readLive(spark, s"$path/docs")
+    if (live.isEmpty) // no index yet — nothing can be a dup
+      return newDocs.limit(0).select(col("doc_id").as("new_doc"),
+        col("doc_id").as("dup_of"), lit(0.0).as("jaccard"))
+    val docsIdx = live.get
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("new_doc"), col("dup_of"))
       .orderBy(col("ingest").desc)
@@ -862,20 +903,9 @@ object DedupOps {
   def streamingDedupWriter(indexPath: String, outDir: String,
       threshold: Double = 0.5, maxPerBucket: Option[Int] = None)(
       batch: DataFrame, batchId: Long): Unit = {
-    val dups =
-      try probeLshIndex(batch, indexPath, threshold, maxPerBucket)
-        .select(col("new_doc")).distinct()
-      catch {
-        // PATH_NOT_FOUND: first batch, index not created yet.
-        // UNABLE_TO_INFER_SCHEMA: every segment so far was written from a
-        // shingle-less batch (0 rows → only _SUCCESS markers, no
-        // footers) — an empty index either way.
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" ||
-              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-          batch.sparkSession.emptyDataFrame.withColumn("new_doc", lit(0L))
-            .limit(0).select(col("new_doc"))
-      }
+    // a missing or footerless-empty index probes as empty (readLive)
+    val dups = probeLshIndex(batch, indexPath, threshold, maxPerBucket)
+      .select(col("new_doc")).distinct()
     val novel = batch.join(dups,
       batch("doc_id") === dups("new_doc"), "left_anti")
     val admitted = dedupWithinBatch(novel, threshold).localCheckpoint()

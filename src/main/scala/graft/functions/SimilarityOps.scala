@@ -497,8 +497,11 @@ object SimilarityOps {
 
   /** Write one ingest segment (overwrite-by-ingestId, so foreachBatch
     * retries replace their own output — same replay contract as the
-    * text index). */
-  def buildEmbLshIndex(vecs: DataFrame, path: String, ingestId: Long = 0L): Unit = {
+    * text index). Bulk bootstraps should pass a NEGATIVE ingestId
+    * (default -1): streaming batches use batchId ≥ 0, so a non-negative
+    * bootstrap would be clobbered by that batch's overwrite (id spaces
+    * disjoint by sign — the DedupOps.buildLshIndex contract). */
+  def buildEmbLshIndex(vecs: DataFrame, path: String, ingestId: Long = -1L): Unit = {
     val rows = embIndexRows(vecs).localCheckpoint()
     rows.select(col("vec_id"), col("band"), col("bv"),
         pmod(col("bkey"), lit(embIndexBuckets.toLong)).as("bmod"))
@@ -507,6 +510,24 @@ object SimilarityOps {
     rows.select(col("vec_id"), col("v")).dropDuplicates("vec_id")
       .write.mode("overwrite")
       .parquet(s"$path/vecs/ingest=$ingestId")
+  }
+
+  /** Compact both index tables — the DedupOps.compactLshIndex twin
+    * (see its scaladoc for the fold semantics; bands dedup exact rows,
+    * vecs keep the latest version per vec_id). */
+  def compactEmbLshIndex(spark: SparkSession, path: String): Unit = {
+    graft.sinks.IngestSegments.compact(spark, s"$path/bands",
+      fold = _.select(col("vec_id"), col("band"), col("bv"), col("bmod"))
+        .dropDuplicates("vec_id", "band", "bv"),
+      partitionCols = Seq("bmod"))
+    graft.sinks.IngestSegments.compact(spark, s"$path/vecs",
+      fold = df => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).select(col("vec_id"), col("v"))
+      },
+      partitionCols = Seq.empty)
   }
 
   /** Candidate (new_vec, dup_of, v_n) rows: bmod-pruned scan, broadcast
@@ -518,7 +539,11 @@ object SimilarityOps {
     val bmods = probe
       .select(pmod(col("bkey"), lit(embIndexBuckets.toLong)).as("bmod"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val pruned = spark.read.parquet(s"$path/bands")
+    val live = graft.sinks.IngestSegments.readLive(spark, s"$path/bands")
+    if (live.isEmpty) // no index yet (or only footerless empty segments)
+      return probe.limit(0).select(col("vec_id").as("new_vec"),
+        col("vec_id").as("dup_of"), col("v").as("v_n"))
+    val pruned = live.get
       .filter(col("bmod").isin(bmods: _*))
     // hot-bucket cap, probe flavor — semantics and plan notes at
     // DedupOps.lshProbeCandidates (each index (band, bv) bucket
@@ -547,7 +572,11 @@ object SimilarityOps {
   def probeEmbLshIndex(newVecs: DataFrame, path: String,
       threshold: Double = 0.9, maxPerBucket: Option[Int] = None): DataFrame = {
     val spark = newVecs.sparkSession
-    val vecsIdx = spark.read.parquet(s"$path/vecs")
+    val live = graft.sinks.IngestSegments.readLive(spark, s"$path/vecs")
+    if (live.isEmpty) // no index yet — nothing can be a dup
+      return newVecs.limit(0).select(col("vec_id").as("new_vec"),
+        col("vec_id").as("dup_of"), lit(0.0).as("cosine"))
+    val vecsIdx = live.get
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("new_vec"), col("dup_of"))
       .orderBy(col("ingest").desc)
@@ -588,16 +617,9 @@ object SimilarityOps {
   def streamingEmbDedupWriter(indexPath: String, outDir: String,
       threshold: Double = 0.9, maxPerBucket: Option[Int] = None)(
       batch: DataFrame, batchId: Long): Unit = {
-    val dups =
-      try probeEmbLshIndex(batch, indexPath, threshold, maxPerBucket)
-        .select(col("new_vec")).distinct()
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" ||
-              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-          batch.sparkSession.emptyDataFrame.withColumn("new_vec", lit(0L))
-            .limit(0).select(col("new_vec"))
-      }
+    // a missing or footerless-empty index probes as empty (readLive)
+    val dups = probeEmbLshIndex(batch, indexPath, threshold, maxPerBucket)
+      .select(col("new_vec")).distinct()
     val novel = batch.join(dups,
       batch("vec_id") === dups("new_vec"), "left_anti")
     val admitted = embDedupWithinBatch(novel, threshold).localCheckpoint()

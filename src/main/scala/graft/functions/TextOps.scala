@@ -623,111 +623,38 @@ object TextOps {
     * bucket set and joined against the BROADCAST batch hashes, so the
     * index is never shuffled nor fully read; the seen-set that comes
     * back is batch-sized and broadcasts into the anti-join. */
-  private val ChunkStagingPrefix = "__compact_staging_"
-
-  /** The segment set a chunk-index reader must see: the live ingest
-    * dirs, plus — if a COMPLETE compaction staging exists (compact
-    * crashed mid-swap) — that staging standing in for every ingest ≤
-    * its recorded K (reading the survivors alone during the swap's
-    * delete window would silently drop indexed hashes). */
-  private def chunkLiveSegments(spark: SparkSession,
-      chunksPath: String): (Seq[Long], Option[(String, Long)]) = {
-    val ids = graft.sinks.Hfs.childDirs(spark, chunksPath, "ingest=")
-      .map(_.stripPrefix("ingest=").toLong)
-    val staged = graft.sinks.Hfs.childDirs(spark, chunksPath, ChunkStagingPrefix)
-      .filter(st => graft.sinks.Hfs.exists(spark, s"$chunksPath/$st/_SUCCESS"))
-    staged.headOption match {
-      case Some(st) =>
-        val k = st.stripPrefix(ChunkStagingPrefix).toLong
-        (ids.filter(_ > k), Some((st, k)))
-      case None => (ids, None)
-    }
-  }
-
   /** Probe: which of `batchH`'s hashes are already indexed? The batch's
     * bucket set is enumerated on the DRIVER (one tiny distinct over the
     * batch) and pushed as a partition filter, so the index scan reads
     * only the batch's bmod directories and joins the BROADCAST batch
     * hashes — the index is never shuffled nor fully read
     * (ChunkDedupSpec walks the executed plan for both pins). Reads the
-    * live segment set, so a probe racing a crashed compaction still
-    * sees every indexed hash exactly once. */
+    * LIVE segment set (IngestSegments), so a probe racing a crashed
+    * compaction still sees every indexed hash exactly once. */
   private[graft] def probeChunkIndex(spark: SparkSession, indexPath: String,
-      batchH: DataFrame, excludeIngest: Long): DataFrame = {
-    val chunksPath = s"$indexPath/chunks"
-    val (liveIds, staging) = chunkLiveSegments(spark, chunksPath)
-    if (liveIds.isEmpty && staging.isEmpty)
-      return spark.emptyDataFrame.withColumn("h", lit("")).limit(0).select(col("h"))
-    val bmods = batchH
-      .select(pmod(xxhash64(col("h")), lit(chunkIndexBuckets.toLong)).as("bmod"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val parts = Seq(
-      if (liveIds.nonEmpty) Some(
-        spark.read.option("basePath", chunksPath)
-          .parquet(liveIds.map(id => s"$chunksPath/ingest=$id"): _*)
-          .select(col("h"), col("bmod").cast("long").as("bmod"),
-            col("ingest").cast("long").as("ingest")))
-      else None,
-      staging.map { case (st, k) =>
-        spark.read.parquet(s"$chunksPath/$st")
-          .select(col("h"), col("bmod").cast("long").as("bmod"),
-            lit(-(math.max(k, 0L) + 2)).as("ingest"))
-      }).flatten
-    parts.reduce(_.unionByName(_))
-      .filter(col("ingest") =!= lit(excludeIngest)) // replay safety
-      .filter(col("bmod").isin(bmods: _*))
-      .join(broadcast(batchH), "h")
-      .select(col("h")).distinct()
-  }
-
-  /** Compact the chunk index: fold every segment EXCEPT the newest
-    * non-negative ingest into ONE negative segment, bounding the
-    * directory/file count after thousands of micro-batch ingests (the
-    * small-files problem every per-batch store accrues). The newest
-    * batch segment survives untouched because it is the only one
-    * Structured Streaming can still replay — its overwrite-by-ingest
-    * contract and the probe's exclusion filter keep working; every
-    * older batch is checkpoint-committed and never replayed, and a
-    * batch id can never come back, so folded content is never subject
-    * to the exclusion filter again. The fold lands at ingest -(K+2)
-    * (K = max folded id): negative, so no future batch overwrites it,
-    * and ≤ -2, so the recommended bootstrap id -1 stays free.
-    * Crash-safe via the AdditiveSegments staging discipline: the fold
-    * writes to a staging dir first; a staging WITH _SUCCESS is adopted
-    * (delete all ingests ≤ its K, rename) by the next compact, and
-    * probes treat it as live in the meantime; one WITHOUT _SUCCESS is
-    * discarded. */
-  def compactChunkIndex(spark: SparkSession, indexPath: String): Unit = {
-    val chunksPath = s"$indexPath/chunks"
-    graft.sinks.Hfs.childDirs(spark, chunksPath, ChunkStagingPrefix).foreach { st =>
-      val full = s"$chunksPath/$st"
-      val k = st.stripPrefix(ChunkStagingPrefix).toLong
-      if (graft.sinks.Hfs.exists(spark, s"$full/_SUCCESS")) {
-        graft.sinks.Hfs.childDirs(spark, chunksPath, "ingest=")
-          .filter(_.stripPrefix("ingest=").toLong <= k)
-          .foreach(sd => graft.sinks.Hfs.deleteRecursive(spark, s"$chunksPath/$sd"))
-        graft.sinks.Hfs.rename(spark, full,
-          s"$chunksPath/ingest=${-(math.max(k, 0L) + 2)}")
-      } else graft.sinks.Hfs.deleteRecursive(spark, full)
+      batchH: DataFrame, excludeIngest: Long): DataFrame =
+    graft.sinks.IngestSegments.readLive(spark, s"$indexPath/chunks") match {
+      case None =>
+        spark.emptyDataFrame.withColumn("h", lit("")).limit(0).select(col("h"))
+      case Some(idx) =>
+        val bmods = batchH
+          .select(pmod(xxhash64(col("h")), lit(chunkIndexBuckets.toLong)).as("bmod"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        idx.filter(col("ingest") =!= lit(excludeIngest)) // replay safety
+          .filter(col("bmod").isin(bmods: _*))
+          .join(broadcast(batchH), "h")
+          .select(col("h")).distinct()
     }
-    val ids = graft.sinks.Hfs.childDirs(spark, chunksPath, "ingest=")
-      .map(_.stripPrefix("ingest=").toLong)
-    val maxBatch = ids.filter(_ >= 0).sorted.lastOption
-    val folded = ids.filterNot(maxBatch.contains)
-    // k < 0 (only bootstrap segments foldable) would put the fold id
-    // INSIDE the folded range and the adoption rule would eat it
-    if (folded.size <= 1 || folded.max < 0) return
-    val k = folded.max
-    val staging = s"$chunksPath/$ChunkStagingPrefix$k"
-    spark.read.option("basePath", chunksPath)
-      .parquet(folded.map(id => s"$chunksPath/ingest=$id"): _*)
-      .select(col("h"), col("bmod"))
-      .dropDuplicates("h") // same h ⇒ same bmod, so the fold stays consistent
-      .write.mode("errorifexists").partitionBy("bmod").parquet(staging)
-    folded.foreach(id =>
-      graft.sinks.Hfs.deleteRecursive(spark, s"$chunksPath/ingest=$id"))
-    graft.sinks.Hfs.rename(spark, staging, s"$chunksPath/ingest=${-(k + 2)}")
-  }
+
+  /** Compact the chunk index (the [[graft.sinks.IngestSegments]]
+    * contract: fold all but the newest replayable batch segment into
+    * one negative-id segment; crash-safe staging; probes read the live
+    * set throughout). The chunk fold is a plain distinct on h — same h
+    * ⇒ same bmod, so the bucketing stays consistent. */
+  def compactChunkIndex(spark: SparkSession, indexPath: String): Unit =
+    graft.sinks.IngestSegments.compact(spark, s"$indexPath/chunks",
+      fold = _.select(col("h"), col("bmod")).dropDuplicates("h"),
+      partitionCols = Seq("bmod"))
 
   def streamingChunkDedupWriter(indexPath: String, outDir: String)(
       batch: DataFrame, batchId: Long): Unit = {

@@ -34,6 +34,30 @@ class EmbIndexSpec extends SparkSpec {
     assert(dups == Set((10L, 0L)), s"got $dups")
   }
 
+  test("compaction folds old segments; probe results and latest-version scoring unchanged") {
+    val idx = Files.createTempDirectory("emb_compact").toString + "/index"
+    // bootstrap (-1) indexes vec 0 v1 = base; batch 0 RE-INGESTS vec 0
+    // as `near` (revised) + adds vec 5; batch 1 adds vec 9
+    SimilarityOps.buildEmbLshIndex(df(0L -> base), idx)
+    SimilarityOps.buildEmbLshIndex(df(0L -> near, 5L -> other), idx, 0L)
+    SimilarityOps.buildEmbLshIndex(df(9L -> third), idx, 1L)
+    def probeAll() = SimilarityOps.probeEmbLshIndex(df(100L -> near, 101L -> third), idx)
+      .select("new_vec", "dup_of", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val before = probeAll()
+    // vec 0 must score against its LATEST (ingest-0, == near) version
+    assert(before.exists { case (n, d, c) => n == 100L && d == 0L && c == 1.0 },
+      s"latest-version scoring broken pre-compaction: $before")
+    SimilarityOps.compactEmbLshIndex(spark, idx)
+    def dirs(table: String) = graft.sinks.Hfs.childDirs(spark, s"$idx/$table", "ingest=")
+      .map(_.stripPrefix("ingest=").toLong).toSet
+    assert(dirs("bands") == Set(-2L, 1L) && dirs("vecs") == Set(-2L, 1L),
+      s"unexpected dirs: ${dirs("bands")} / ${dirs("vecs")}")
+    assert(probeAll() == before, "compaction changed probe results")
+    assert(spark.read.parquet(s"$idx/vecs").groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0L)
+  }
+
   test("probe partition-prunes the index to its bucket set and never shuffles the index side") {
     val idx = Files.createTempDirectory("emb_prune").toString + "/index"
     SimilarityOps.buildEmbLshIndex(df(0L -> base, 1L -> other, 2L -> third), idx)

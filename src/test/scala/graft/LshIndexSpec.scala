@@ -91,6 +91,33 @@ class LshIndexSpec extends SparkSpec {
     assert(DedupOps.lshProbeCandidates(probe, idx, None).count() == uncapped)
   }
 
+  test("compaction folds old segments; probe results and latest-version scoring unchanged") {
+    val idx = Files.createTempDirectory("lsh_compact").toString + "/index"
+    // bootstrap (-1) indexes doc 0 v1 = base; batch 0 RE-INGESTS doc 0
+    // with revised text (near) + adds doc 5; batch 1 adds doc 9
+    DedupOps.buildLshIndex(Seq((0L, base)).toDF("doc_id", "text"), idx)
+    DedupOps.buildLshIndex(Seq((0L, near), (5L, other)).toDF("doc_id", "text"), idx, 0L)
+    DedupOps.buildLshIndex(Seq((9L, third)).toDF("doc_id", "text"), idx, 1L)
+    def probeAll() = DedupOps.probeLshIndex(
+      Seq((100L, near), (101L, third)).toDF("doc_id", "text"), idx)
+      .select("new_doc", "dup_of", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val before = probeAll()
+    // doc 0 must score against its LATEST (ingest-0, == near) version
+    assert(before.exists { case (n, d, j) => n == 100L && d == 0L && j == 1.0 },
+      s"latest-version scoring broken pre-compaction: $before")
+    DedupOps.compactLshIndex(spark, idx)
+    // folded {-1, 0} -> K=0 -> ingest=-2; newest batch (1) survives
+    def dirs(table: String) = graft.sinks.Hfs.childDirs(spark, s"$idx/$table", "ingest=")
+      .map(_.stripPrefix("ingest=").toLong).toSet
+    assert(dirs("bands") == Set(-2L, 1L) && dirs("docs") == Set(-2L, 1L),
+      s"unexpected dirs: ${dirs("bands")} / ${dirs("docs")}")
+    assert(probeAll() == before, "compaction changed probe results")
+    // the docs fold kept ONE row per doc_id (the latest version)
+    assert(spark.read.parquet(s"$idx/docs").groupBy("doc_id").count()
+      .filter(col("count") > 1).count() == 0L)
+  }
+
   test("probe partition-prunes the index to its bucket set and never shuffles the index side") {
     val idx = Files.createTempDirectory("lsh_prune").toString + "/index"
     DedupOps.buildLshIndex(
@@ -106,7 +133,7 @@ class LshIndexSpec extends SparkSpec {
       s"no bmod partition pruning on the index scan:\n$plan")
     // the probe's bucket set must be a strict subset of the index dirs:
     // 3 indexed docs x 8 bands spread over more bmod dirs than 1 doc's 8
-    val dirs = new java.io.File(s"$idx/bands/ingest=0").listFiles()
+    val dirs = new java.io.File(s"$idx/bands/ingest=-1").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("bmod="))
     assert(dirs > 8, s"fixture too small to show pruning ($dirs dirs)")
   }
