@@ -731,17 +731,25 @@ object DedupOps {
     * of appending duplicate index rows — extend the index by writing NEW
     * ingest ids. */
   /** Directory fan-out of the bands table: bmod = pmod(bhash, this).
-    * 64 suits the test scale; at 100 TB size it so a micro-batch's
+    * 64 suits the test scale; at 100 TB, size it so a micro-batch's
     * distinct bucket set stays ≪ the directory count. */
   val lshIndexBuckets = 64
 
-  /** Bulk bootstraps should pass a NEGATIVE ingestId (default -1):
-    * streaming batches use batchId ≥ 0 in overwrite mode, so a
-    * non-negative bootstrap id would be silently clobbered by that
-    * batch's segment write (the id spaces are disjoint by sign — same
-    * contract as TextOps.buildChunkIndex, where the probe's replay
+  /** Bulk bootstrap: ingestId must be NEGATIVE (default -1) and not a
+    * compaction fold — streaming batches use batchId ≥ 0 in overwrite
+    * mode, so a non-negative bootstrap would be silently clobbered by
+    * that batch's segment write (enforced by IngestSegments.guardBuild;
+    * same contract as TextOps.buildChunkIndex, where the probe's replay
     * exclusion makes the collision doubly fatal). */
   def buildLshIndex(docs: DataFrame, path: String, ingestId: Long = -1L): Unit = {
+    graft.sinks.IngestSegments.guardBuild(docs.sparkSession, s"$path/bands", ingestId)
+    ingestLshSegment(docs, path, ingestId)
+  }
+
+  /** The unguarded segment write — the streaming writer's path (batchId
+    * ≥ 0, overwrite-on-replay). */
+  private[graft] def ingestLshSegment(docs: DataFrame, path: String,
+      ingestId: Long): Unit = {
     // one hashing pass, materialized, feeds both tables
     val rows = indexRows(docs).localCheckpoint()
     rows.select(col("doc_id"), col("band"), col("bhash"),
@@ -910,7 +918,7 @@ object DedupOps {
       batch("doc_id") === dups("new_doc"), "left_anti")
     val admitted = dedupWithinBatch(novel, threshold).localCheckpoint()
     admitted.write.mode("overwrite").parquet(s"$outDir/admitted/ingest=$batchId")
-    buildLshIndex(admitted, indexPath, batchId)
+    ingestLshSegment(admitted, indexPath, batchId)
   }
 
   /** Streaming decontamination admission — q75's Bloom+exact gate

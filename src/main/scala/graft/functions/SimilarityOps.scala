@@ -495,13 +495,19 @@ object SimilarityOps {
         col("band").cast("long") * (1L << embIndexBandBits) + col("bv"))
   }
 
-  /** Write one ingest segment (overwrite-by-ingestId, so foreachBatch
-    * retries replace their own output — same replay contract as the
-    * text index). Bulk bootstraps should pass a NEGATIVE ingestId
-    * (default -1): streaming batches use batchId ≥ 0, so a non-negative
-    * bootstrap would be clobbered by that batch's overwrite (id spaces
-    * disjoint by sign — the DedupOps.buildLshIndex contract). */
+  /** Bulk bootstrap: ingestId must be NEGATIVE (default -1) and not a
+    * compaction fold (IngestSegments.guardBuild — the
+    * DedupOps.buildLshIndex contract). */
   def buildEmbLshIndex(vecs: DataFrame, path: String, ingestId: Long = -1L): Unit = {
+    graft.sinks.IngestSegments.guardBuild(vecs.sparkSession, s"$path/bands", ingestId)
+    ingestEmbSegment(vecs, path, ingestId)
+  }
+
+  /** The unguarded segment write (overwrite-by-ingestId, so foreachBatch
+    * retries replace their own output — same replay contract as the
+    * text index). */
+  private[graft] def ingestEmbSegment(vecs: DataFrame, path: String,
+      ingestId: Long): Unit = {
     val rows = embIndexRows(vecs).localCheckpoint()
     rows.select(col("vec_id"), col("band"), col("bv"),
         pmod(col("bkey"), lit(embIndexBuckets.toLong)).as("bmod"))
@@ -536,13 +542,13 @@ object SimilarityOps {
       maxPerBucket: Option[Int] = None): DataFrame = {
     val spark = newVecs.sparkSession
     val probe = embIndexRows(newVecs).localCheckpoint()
-    val bmods = probe
-      .select(pmod(col("bkey"), lit(embIndexBuckets.toLong)).as("bmod"))
-      .distinct().collect().map(_.getLong(0)).toSeq
     val live = graft.sinks.IngestSegments.readLive(spark, s"$path/bands")
     if (live.isEmpty) // no index yet (or only footerless empty segments)
       return probe.limit(0).select(col("vec_id").as("new_vec"),
         col("vec_id").as("dup_of"), col("v").as("v_n"))
+    val bmods = probe
+      .select(pmod(col("bkey"), lit(embIndexBuckets.toLong)).as("bmod"))
+      .distinct().collect().map(_.getLong(0)).toSeq
     val pruned = live.get
       .filter(col("bmod").isin(bmods: _*))
     // hot-bucket cap, probe flavor — semantics and plan notes at
@@ -624,7 +630,7 @@ object SimilarityOps {
       batch("vec_id") === dups("new_vec"), "left_anti")
     val admitted = embDedupWithinBatch(novel, threshold).localCheckpoint()
     admitted.write.mode("overwrite").parquet(s"$outDir/admitted/ingest=$batchId")
-    buildEmbLshIndex(admitted, indexPath, batchId)
+    ingestEmbSegment(admitted, indexPath, batchId)
   }
 
   /** Int8 scalar quantization of the embedding column — the storage

@@ -584,7 +584,7 @@ object TextOps {
     * the probe excludes the in-flight ingest id so a replay never sees
     * its own failed attempt's hashes as "already indexed". */
   /** Directory fan-out: bmod = pmod(xxhash64(h), this). 64 suits the
-    * test scale; at 100 TB size it so a micro-batch's distinct bucket
+    * test scale; at 100 TB, size it so a micro-batch's distinct bucket
     * set stays ≪ the directory count — otherwise every probe touches
     * every directory and the pruning is vacuous (the same sizing
     * contract as DedupOps.lshIndexBuckets). */
@@ -596,7 +596,7 @@ object TextOps {
     * probe's replay filter and never clobbered by a batch-0 segment
     * overwrite — the id spaces are disjoint by sign. */
   def buildChunkIndex(docs: DataFrame, path: String, ingestId: Long = -1L): Unit = {
-    require(ingestId < 0, s"bulk-build ingest ids are negative, got $ingestId")
+    graft.sinks.IngestSegments.guardBuild(docs.sparkSession, s"$path/chunks", ingestId)
     writeChunkSegment(
       chunkGrid(docs).select(md5(col("chunk").cast("binary")).as("h")),
       path, ingestId)

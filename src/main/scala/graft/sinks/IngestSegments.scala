@@ -16,95 +16,100 @@ import org.apache.spark.sql.functions._
   * non-negative ingest — the only one Structured Streaming can still
   * replay (older batch ids are checkpoint-committed and can never come
   * back), so its overwrite-by-ingest replay contract survives
-  * untouched. The fold lands at ingest -(K+2) (K = max folded id):
-  * negative, so no future batch overwrites it, and ≤ -2, so the
-  * recommended bootstrap id -1 stays free. Crash-safe via the
-  * [[AdditiveSegments]] staging discipline: the fold writes to a
-  * staging dir first; a staging WITH _SUCCESS is adopted by the next
-  * compact (delete every ingest ≤ its K, rename), one WITHOUT is
-  * discarded — and [[readLive]] treats a complete staging as standing
-  * in for every ingest ≤ K, so a reader racing a crashed swap still
-  * sees every indexed row exactly once.
+  * untouched. The fold id is strictly below every existing id (so it
+  * can never collide with a live directory nor be overwritten by a
+  * future batch), and the fold dir carries a `_FOLD` marker so a bulk
+  * bootstrap can be refused the id ([[guardBuild]]).
   *
-  * Unlike [[AdditiveSegments]] (additive counts, merge-on-read), these
-  * tables are row stores: the fold is a caller-supplied per-table
-  * function (dedup exact rows for band tables; latest-version-per-key
-  * for doc/vector tables — the fold input carries the `ingest` column
-  * so recency can be resolved, and cross-segment recency survives the
-  * fold because every surviving segment id is > K > -(K+2)).
+  * Crash safety is RENAME-BEFORE-DELETE: the fold is written to a
+  * staging dir, renamed LIVE, and only then are the folded segments
+  * deleted. Nothing is ever deleted before its content is serving, so
+  * a staging dir is always redundant derived data — a crashed compact
+  * is recovered by discarding any staging and refolding. The price is
+  * that a reader racing the delete phase can see a row in both the
+  * fold and a not-yet-deleted source segment; every consumer of these
+  * tables is duplicate-tolerant by construction (probes `distinct`
+  * hashes, candidate pairs dedup on (new, dup_of) and cap with
+  * dense_rank, doc/vector scoring resolves latest-version-per-key —
+  * and the fold id sits BELOW every surviving segment id, so recency
+  * still resolves to the same row). This is exactly where the protocol
+  * differs from [[AdditiveSegments]]: additive counts CANNOT tolerate
+  * duplicates (double-counting), so that lifecycle must delete before
+  * rename and carry the staging-stand-in read rule; these row stores
+  * can, and buy a simpler recovery for it.
+  *
+  * The fold itself is a caller-supplied per-table function (dedup
+  * exact rows for band tables; latest-version-per-key for doc/vector
+  * tables — the fold input carries the `ingest` column so recency can
+  * be resolved inside the fold).
   */
 object IngestSegments {
 
   private val StagingPrefix = "__compact_staging_"
+  private val FoldMarker = "_FOLD"
 
-  private def foldId(k: Long): Long = -(math.max(k, 0L) + 2)
-
-  /** (live ingest ids, completed staging (dirName, K) if present). */
-  def liveSegments(spark: SparkSession,
-      tablePath: String): (Seq[Long], Option[(String, Long)]) = {
-    val ids = Hfs.childDirs(spark, tablePath, "ingest=")
+  /** Live ingest ids of a table (staging dirs are never part of the
+    * readable state — see the object doc). */
+  def liveSegments(spark: SparkSession, tablePath: String): Seq[Long] =
+    Hfs.childDirs(spark, tablePath, "ingest=")
       .map(_.stripPrefix("ingest=").toLong)
-    val staged = Hfs.childDirs(spark, tablePath, StagingPrefix)
-      .filter(st => Hfs.exists(spark, s"$tablePath/$st/_SUCCESS"))
-    staged.headOption match {
-      case Some(st) =>
-        val k = st.stripPrefix(StagingPrefix).toLong
-        (ids.filter(_ > k), Some((st, k)))
-      case None => (ids, None)
-    }
-  }
 
-  /** The live row set with a LONG `ingest` column on every row (the
-    * staging's rows get their future fold id). None when the table has
-    * no readable rows yet (absent, or only footerless empty segments). */
+  /** The live row set with a LONG `ingest` column on every row. None
+    * when the table has no readable rows yet (absent, or only
+    * footerless empty segments). A segment dir deleted between the
+    * listing and the read (a compact's delete phase racing this
+    * reader) surfaces as PATH_NOT_FOUND — retried with a fresh listing
+    * rather than misread as an empty index, which would admit every
+    * duplicate in the racing batch. */
   def readLive(spark: SparkSession, tablePath: String): Option[DataFrame] = {
-    val (liveIds, staging) = liveSegments(spark, tablePath)
-    def tryRead(f: => DataFrame): Option[DataFrame] =
-      try Some(f) catch {
+    var lastRace: org.apache.spark.sql.AnalysisException = null
+    for (_ <- 0 until 3) {
+      val ids = liveSegments(spark, tablePath)
+      if (ids.isEmpty) return None
+      try {
+        return Some(spark.read.option("basePath", tablePath)
+          .parquet(ids.map(id => s"$tablePath/ingest=$id"): _*)
+          .withColumn("ingest", col("ingest").cast("long")))
+      } catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" ||
-              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          return None // real segments, all footerless-empty
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          lastRace = e // concurrent compact delete — re-list and retry
       }
-    val segs =
-      if (liveIds.isEmpty) None
-      else tryRead(spark.read.option("basePath", tablePath)
-        .parquet(liveIds.map(id => s"$tablePath/ingest=$id"): _*)
-        .withColumn("ingest", col("ingest").cast("long")))
-    val st = staging.flatMap { case (dir, k) =>
-      tryRead(spark.read.parquet(s"$tablePath/$dir")
-        .withColumn("ingest", lit(foldId(k))))
     }
-    (segs, st) match {
-      case (Some(a), Some(b)) => Some(a.unionByName(b))
-      case (a, b) => a.orElse(b)
-    }
+    throw lastRace
   }
 
-  /** Fold old segments of one table (see object doc for the contract).
-    * `fold` receives the folded segments' rows WITH the long `ingest`
-    * column and returns the rows to keep (ingest dropped — the fold
-    * directory's id speaks for them); `partitionCols` preserves the
-    * table's directory layout (e.g. bmod bucketing). */
+  /** Refuse a bulk-bootstrap ingest id that is non-negative (streaming
+    * batch space — batch N's overwrite would clobber the bootstrap) or
+    * already taken by a compaction fold (the overwrite would silently
+    * destroy the folded index). Re-running a bootstrap on its OWN id
+    * stays legal — that is the replay contract. */
+  def guardBuild(spark: SparkSession, tablePath: String, ingestId: Long): Unit = {
+    require(ingestId < 0,
+      s"bulk-build ingest ids are negative (batch ids are >= 0), got $ingestId")
+    require(!Hfs.exists(spark, s"$tablePath/ingest=$ingestId/$FoldMarker"),
+      s"ingest=$ingestId of $tablePath is a compaction fold — writing over it " +
+        "would destroy the folded index; pick a fresh negative id")
+  }
+
+  /** Fold old segments of one table (see the object doc for the
+    * protocol). `fold` receives the folded segments' rows WITH the long
+    * `ingest` column and returns the rows to keep; `partitionCols`
+    * preserves the table's directory layout (e.g. bmod bucketing). */
   def compact(spark: SparkSession, tablePath: String,
       fold: DataFrame => DataFrame, partitionCols: Seq[String]): Unit = {
-    Hfs.childDirs(spark, tablePath, StagingPrefix).foreach { st =>
-      val full = s"$tablePath/$st"
-      val k = st.stripPrefix(StagingPrefix).toLong
-      if (Hfs.exists(spark, s"$full/_SUCCESS")) {
-        Hfs.childDirs(spark, tablePath, "ingest=")
-          .filter(_.stripPrefix("ingest=").toLong <= k)
-          .foreach(sd => Hfs.deleteRecursive(spark, s"$tablePath/$sd"))
-        Hfs.rename(spark, full, s"$tablePath/ingest=${foldId(k)}")
-      } else Hfs.deleteRecursive(spark, full)
-    }
-    val ids = Hfs.childDirs(spark, tablePath, "ingest=")
-      .map(_.stripPrefix("ingest=").toLong)
+    // any staging — complete or not — is derived data from segments
+    // that were never deleted; discard and refold
+    Hfs.childDirs(spark, tablePath, StagingPrefix)
+      .foreach(st => Hfs.deleteRecursive(spark, s"$tablePath/$st"))
+    val ids = liveSegments(spark, tablePath)
     val maxBatch = ids.filter(_ >= 0).sorted.lastOption
     val folded = ids.filterNot(maxBatch.contains)
-    // folded.max < 0 (only bootstraps foldable) would put the fold id
-    // inside the folded range and the adoption rule would eat it
-    if (folded.size <= 1 || folded.max < 0) return
-    val k = folded.max
+    if (folded.size <= 1) return
+    val foldId = math.min(ids.min, -1L) - 1 // strictly below every live id
     val src =
       try spark.read.option("basePath", tablePath)
         .parquet(folded.map(id => s"$tablePath/ingest=$id"): _*)
@@ -113,11 +118,12 @@ object IngestSegments {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => return
       }
-    val staging = s"$tablePath/$StagingPrefix$k"
+    val staging = s"$tablePath/$StagingPrefix$foldId"
     val w = fold(src).write.mode("errorifexists")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(staging)
+    Hfs.writeString(spark, s"$staging/$FoldMarker", "")
+    Hfs.rename(spark, staging, s"$tablePath/ingest=$foldId") // fold is LIVE
     folded.foreach(id => Hfs.deleteRecursive(spark, s"$tablePath/ingest=$id"))
-    Hfs.rename(spark, staging, s"$tablePath/ingest=${foldId(k)}")
   }
 }

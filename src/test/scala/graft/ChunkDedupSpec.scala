@@ -213,7 +213,7 @@ class ChunkDedupSpec extends SparkSpec {
     assert(ingestDirs(idx) == Set(-2L, 1L))
   }
 
-  test("a crashed compaction is invisible to probes and adopted by the next compact") {
+  test("a crashed compaction loses nothing: staging is derived, delete leftovers tolerated") {
     val tmp = java.nio.file.Files.createTempDirectory("chunk_crash").toString
     val idx = s"$tmp/index"
     val chunksPath = s"$idx/chunks"
@@ -221,21 +221,38 @@ class ChunkDedupSpec extends SparkSpec {
     val w = TextOps.streamingChunkDedupWriter(idx, s"$tmp/out") _
     w(Seq((10L, span("a"))).toDF("doc_id", "text"), 0L)
     w(Seq((20L, span("b"))).toDF("doc_id", "text"), 1L)
-    // simulate compact crashing mid-swap: staging for {-1, 0} is
-    // COMPLETE (_SUCCESS), one folded dir already deleted, one not
+    def probeAll() = TextOps.probeChunkIndex(spark, idx,
+      batchHashes(span("s"), span("a"), span("b")), excludeIngest = 2L)
+      .as[String].collect().toSet
+    val healthy = probeAll()
+    assert(healthy.size == 3)
+    // crash shape 1 — fold written, rename never happened: the staging
+    // is redundant derived data (nothing was deleted before it), so
+    // probes ignore it and the next compact discards and refolds
     spark.read.option("basePath", chunksPath)
       .parquet(s"$chunksPath/ingest=-1", s"$chunksPath/ingest=0")
       .select(col("h"), col("bmod")).dropDuplicates("h")
-      .write.partitionBy("bmod").parquet(s"$chunksPath/__compact_staging_0")
-    graft.sinks.Hfs.deleteRecursive(spark, s"$chunksPath/ingest=0")
-    val probed = TextOps.probeChunkIndex(spark, idx,
-      batchHashes(span("s"), span("a"), span("b")), excludeIngest = 2L)
-      .as[String].collect().toSet
-    assert(probed.size == 3,
-      s"mid-swap probe must see staging + survivors, got ${probed.size}")
-    TextOps.compactChunkIndex(spark, idx) // adopts the staging
-    assert(ingestDirs(idx) == Set(-2L, 1L), s"adoption failed: ${ingestDirs(idx)}")
+      .write.partitionBy("bmod").parquet(s"$chunksPath/__compact_staging_-2")
+    assert(probeAll() == healthy, "a pre-rename staging must be invisible")
+    TextOps.compactChunkIndex(spark, idx)
+    assert(ingestDirs(idx) == Set(-2L, 1L), s"refold failed: ${ingestDirs(idx)}")
     assert(graft.sinks.Hfs.childDirs(spark, chunksPath, "__compact_staging_").isEmpty)
+    assert(probeAll() == healthy)
+    // crash shape 2 — fold live but a folded source dir survived the
+    // crash (delete phase interrupted): duplicate rows are tolerated by
+    // the probe's distinct, and the next compact folds the leftover away
+    TextOps.buildChunkIndex(Seq((1L, span("s"))).toDF("doc_id", "text"), idx,
+      ingestId = -9L) // stands in for a not-yet-deleted folded source
+    assert(probeAll() == healthy, "duplicate rows must not change probe results")
+    TextOps.compactChunkIndex(spark, idx)
+    // {-9, -2} fold to min-1 = -10; batch 1 survives
+    assert(ingestDirs(idx) == Set(-10L, 1L), s"leftover not folded: ${ingestDirs(idx)}")
+    assert(probeAll() == healthy)
+    // a bootstrap aimed at a FOLD id must be refused, not clobber it
+    intercept[IllegalArgumentException] {
+      TextOps.buildChunkIndex(Seq((1L, span("s"))).toDF("doc_id", "text"), idx,
+        ingestId = -10L)
+    }
   }
 
   test("a boilerplate span shared by distinct docs survives only in the first doc") {

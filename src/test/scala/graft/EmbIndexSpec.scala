@@ -39,8 +39,8 @@ class EmbIndexSpec extends SparkSpec {
     // bootstrap (-1) indexes vec 0 v1 = base; batch 0 RE-INGESTS vec 0
     // as `near` (revised) + adds vec 5; batch 1 adds vec 9
     SimilarityOps.buildEmbLshIndex(df(0L -> base), idx)
-    SimilarityOps.buildEmbLshIndex(df(0L -> near, 5L -> other), idx, 0L)
-    SimilarityOps.buildEmbLshIndex(df(9L -> third), idx, 1L)
+    SimilarityOps.ingestEmbSegment(df(0L -> near, 5L -> other), idx, 0L)
+    SimilarityOps.ingestEmbSegment(df(9L -> third), idx, 1L)
     def probeAll() = SimilarityOps.probeEmbLshIndex(df(100L -> near, 101L -> third), idx)
       .select("new_vec", "dup_of", "cosine")
       .as[(Long, Long, Double)].collect().toSet
@@ -95,8 +95,8 @@ class EmbIndexSpec extends SparkSpec {
   test("replaying an ingest overwrites its own segment; bands table stays narrow") {
     val idx = Files.createTempDirectory("emb_replay").toString + "/index"
     val vecs = df(0L -> base, 1L -> other)
-    SimilarityOps.buildEmbLshIndex(vecs, idx, ingestId = 7L)
-    SimilarityOps.buildEmbLshIndex(vecs, idx, ingestId = 7L)
+    SimilarityOps.ingestEmbSegment(vecs, idx, ingestId = 7L)
+    SimilarityOps.ingestEmbSegment(vecs, idx, ingestId = 7L)
     // 2 vecs x 16 bands once in the narrow table; 2 vector rows once
     assert(spark.read.parquet(s"$idx/bands").count() == 32L)
     assert(spark.read.parquet(s"$idx/vecs").count() == 2L)

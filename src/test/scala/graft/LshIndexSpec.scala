@@ -56,8 +56,8 @@ class LshIndexSpec extends SparkSpec {
   test("replaying an ingest overwrites its own segment (no duplicate index rows)") {
     val idx = Files.createTempDirectory("lsh_replay").toString + "/index"
     val docs = Seq((0L, base), (1L, other)).toDF("doc_id", "text")
-    DedupOps.buildLshIndex(docs, idx, ingestId = 7L)
-    DedupOps.buildLshIndex(docs, idx, ingestId = 7L) // retry of the same ingest
+    DedupOps.ingestLshSegment(docs, idx, ingestId = 7L)
+    DedupOps.ingestLshSegment(docs, idx, ingestId = 7L) // retry of the same ingest
     // 2 docs x 8 bands once in the narrow table; 2 hs rows once
     assert(spark.read.parquet(s"$idx/bands").count() == 16L)
     assert(spark.read.parquet(s"$idx/docs").count() == 2L)
@@ -96,8 +96,8 @@ class LshIndexSpec extends SparkSpec {
     // bootstrap (-1) indexes doc 0 v1 = base; batch 0 RE-INGESTS doc 0
     // with revised text (near) + adds doc 5; batch 1 adds doc 9
     DedupOps.buildLshIndex(Seq((0L, base)).toDF("doc_id", "text"), idx)
-    DedupOps.buildLshIndex(Seq((0L, near), (5L, other)).toDF("doc_id", "text"), idx, 0L)
-    DedupOps.buildLshIndex(Seq((9L, third)).toDF("doc_id", "text"), idx, 1L)
+    DedupOps.ingestLshSegment(Seq((0L, near), (5L, other)).toDF("doc_id", "text"), idx, 0L)
+    DedupOps.ingestLshSegment(Seq((9L, third)).toDF("doc_id", "text"), idx, 1L)
     def probeAll() = DedupOps.probeLshIndex(
       Seq((100L, near), (101L, third)).toDF("doc_id", "text"), idx)
       .select("new_doc", "dup_of", "jaccard")
