@@ -763,16 +763,16 @@ object DedupOps {
 
   /** Compact both index tables (the [[graft.sinks.IngestSegments]]
     * contract — fold all but the newest replayable batch segment into
-    * one negative-id segment, crash-safe staging, probes read the live
-    * set throughout). The tables fold independently (each is complete
-    * on its own, so a crash between the two leaves a consistent
-    * index). bands fold = exact-row dedup: a doc re-ingested with
-    * identical text collapses, a REVISED doc keeps both band sets —
-    * exactly the rows the un-compacted index would have served. docs
-    * fold = latest version per doc_id (resolved on the in-fold
-    * `ingest`); cross-segment recency survives because every surviving
-    * segment id is > K > -(K+2), so probeLshIndex's latest-version
-    * window keeps ordering correctly. */
+    * one fold segment at a strictly-below-every-live-id negative id,
+    * rename-before-delete). The tables fold independently (each is
+    * complete on its own, so a crash between the two leaves a
+    * consistent index). bands fold = exact-row dedup: a doc
+    * re-ingested with identical text collapses, a REVISED doc keeps
+    * both band sets — exactly the rows the un-compacted index would
+    * have served. docs fold = latest version per doc_id (resolved on
+    * the in-fold `ingest`); cross-segment recency survives because the
+    * fold id sits below every surviving segment id, so probeLshIndex's
+    * ingest-desc latest-version window keeps ordering correctly. */
   def compactLshIndex(spark: SparkSession, path: String): Unit = {
     graft.sinks.IngestSegments.compact(spark, s"$path/bands",
       fold = _.select(col("doc_id"), col("band"), col("bhash"), col("bmod"))

@@ -648,9 +648,9 @@ object TextOps {
 
   /** Compact the chunk index (the [[graft.sinks.IngestSegments]]
     * contract: fold all but the newest replayable batch segment into
-    * one negative-id segment; crash-safe staging; probes read the live
-    * set throughout). The chunk fold is a plain distinct on h — same h
-    * ⇒ same bmod, so the bucketing stays consistent. */
+    * one fold segment at a strictly-below-every-live-id negative id,
+    * rename-before-delete). The chunk fold is a plain distinct on h —
+    * same h ⇒ same bmod, so the bucketing stays consistent. */
   def compactChunkIndex(spark: SparkSession, indexPath: String): Unit =
     graft.sinks.IngestSegments.compact(spark, s"$indexPath/chunks",
       fold = _.select(col("h"), col("bmod")).dropDuplicates("h"),

@@ -60,7 +60,13 @@ object IngestSegments {
     * listing and the read (a compact's delete phase racing this
     * reader) surfaces as PATH_NOT_FOUND — retried with a fresh listing
     * rather than misread as an empty index, which would admit every
-    * duplicate in the racing batch. */
+    * duplicate in the racing batch. Residual window: the retry covers
+    * the eager planning step only — a delete landing between planning
+    * and the consuming ACTION fails that job with FileNotFoundException,
+    * which a streaming batch retry re-plans and survives (transient,
+    * never silent). Do NOT enable spark.sql.files.ignoreMissingFiles on
+    * index paths: it would turn that failure into silently-missing
+    * index rows. */
   def readLive(spark: SparkSession, tablePath: String): Option[DataFrame] = {
     var lastRace: org.apache.spark.sql.AnalysisException = null
     for (_ <- 0 until 3) {
@@ -124,6 +130,12 @@ object IngestSegments {
       .parquet(staging)
     Hfs.writeString(spark, s"$staging/$FoldMarker", "")
     Hfs.rename(spark, staging, s"$tablePath/ingest=$foldId") // fold is LIVE
-    folded.foreach(id => Hfs.deleteRecursive(spark, s"$tablePath/ingest=$id"))
+    // ASCENDING delete order is load-bearing: a crash mid-delete must
+    // leave the NEWEST ids as the survivors, or a stale older version
+    // of a key could outrank the fold's latest-version row in the
+    // ingest-desc recency windows (and the next refold would bake the
+    // stale row in). Filesystem listing order is unspecified — sort.
+    folded.sorted.foreach(id =>
+      Hfs.deleteRecursive(spark, s"$tablePath/ingest=$id"))
   }
 }
