@@ -764,19 +764,31 @@ object TextOps {
     * single partition holds source-count rows at any corpus size. Only
     * the per-source masses are exact longs; the tempered weights are
     * doubles rounded identically in both engines. */
-  val tokenBudgetPlan: Q = (s, d) => {
-    val budget = 1000000L
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    t(s, d, "documents")
-      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+  /** The per-source (n_docs, n_tokens) aggregate — shared by q84's
+    * planner and the streaming source-stats sink (same builder, cannot
+    * drift). Decomposable sums: per-batch partials merge exactly under
+    * the one-doc-one-batch admission contract. */
+  private[graft] def sourceStatsAggregate(docs: DataFrame): DataFrame =
+    docs.select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
       .groupBy(col("source"))
-      .agg(sum(col("n")).as("avail_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+
+  /** α=0.5 tempered mixture plan over an already-aggregated
+    * (source, …, n_tokens) frame — q84's math, shared with the sink's
+    * planning view. The normalization window runs over the
+    * sources-sized frame only. */
+  private[graft] def temperedPlan(agg: DataFrame, budget: Long): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    agg.select(col("source"), col("n_tokens").as("avail_tokens"))
       .withColumn("w", sqrt(col("avail_tokens")) / sum(sqrt(col("avail_tokens"))).over(all))
       .select(col("source"), col("avail_tokens"),
         round(col("w"), 6).as("mix_weight"),
         floor(col("w") * budget).cast("long").as("target_tokens"),
         round(floor(col("w") * budget) / col("avail_tokens"), 4).as("epochs"))
   }
+
+  val tokenBudgetPlan: Q = (s, d) =>
+    temperedPlan(sourceStatsAggregate(t(s, d, "documents")), 1000000L)
 
   /** Deterministic stratified sample (q86) — the eval-holdout
     * construction primitive: k docs per source, chosen by md5 hash

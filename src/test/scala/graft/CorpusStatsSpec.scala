@@ -159,6 +159,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("streaming source stats: batch cuts + replay + compact reconcile; live mixture plan == q84") {
+    val tmp = java.nio.file.Files.createTempDirectory("src_stats").toString
+    val docs = Tables.t(spark, sf0001, "documents").select("doc_id", "source", "text")
+    val w = sinks.SourceStatsSink.writer(s"$tmp/stats") _
+    w(docs.filter(col("doc_id") % 3 === 0), 0L)
+    w(docs.filter(col("doc_id") % 3 === 1), 1L)
+    w(docs.filter(col("doc_id") % 3 === 1), 1L) // replay must no-op
+    w(docs.filter(col("doc_id") % 3 === 2), 2L)
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "avail_tokens", "mix_weight", "target_tokens", "epochs")
+        .as[(String, Long, Double, Long, Double)].collect().toSet
+    val live = plan(sinks.SourceStatsSink.mixturePlan(spark, s"$tmp/stats", 1000000L))
+    assert(live == plan(TextOps.tokenBudgetPlan(spark, sf0001)),
+      "live mixture plan must equal the q84 batch plan")
+    sinks.SourceStatsSink.compact(spark, s"$tmp/stats")
+    assert(plan(sinks.SourceStatsSink.mixturePlan(spark, s"$tmp/stats", 1000000L)) == live)
+  }
+
   test("q83 per-source rollup agrees with q61's per-doc detection") {
     val perDoc = DedupOps.decontaminate(spark, sf0001)
       .select("doc_id").as[Long].collect().toSet
