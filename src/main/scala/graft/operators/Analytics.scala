@@ -135,6 +135,38 @@ object Analytics {
     * Orders pre-aggregated to one row per (custkey, date) so the pick is
     * deterministic; kind sorts orders before events at the same instant
     * (ASOF is ≤). DuckDB's native ASOF JOIN is the oracle. */
+  /** Binned range join (q87) — the Spark-first answer to an interval
+    * join with NO equi key, which Catalyst would otherwise execute as a
+    * BroadcastNestedLoopJoin (per-pair predicate evaluation — a
+    * cartesian in disguise at corpus scale): for every purchase event,
+    * count ALL events (any user — burst correlation) inside its
+    * [ts, ts + 5 min) window. The time axis is binned at the window
+    * width, each probe explodes into its two covered bins, and the join
+    * becomes EQUI on the bin key — shuffle-partitioned, AQE-planable,
+    * skew bounded by per-bin occupancy (bin width is the knob). An
+    * event lives in exactly one bin, so a probe matches it at most once
+    * — no dedup needed — and the residual exact-range filter runs
+    * INSIDE the join. Micros arithmetic is exact integers in both
+    * engines (unix_micros / epoch_us). The oracle deliberately takes
+    * the other road — DuckDB's native inequality join — so agreement
+    * proves the binned rewrite is semantically exact, not an
+    * approximation. PlanAuditSpec pins the no-BNLJ/no-cartesian shape. */
+  val rangeJoin: Q = (s, d) => {
+    val binUs = 300000000L // 5 min in micros == the window width
+    val ev = t(s, d, "events")
+      .select(col("event_id").as("e_id"), unix_micros(col("ts")).as("e_us"))
+      .withColumn("bin", expr(s"e_us div $binUs"))
+    val probes = t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("bin",
+        explode(array(expr(s"p_us div $binUs"), expr(s"p_us div $binUs + 1"))))
+    probes.join(ev, Seq("bin"))
+      .filter(col("e_us") >= col("p_us") && col("e_us") < col("p_us") + binUs)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_in_window"))
+  }
+
   val asofJoin: Q = (s, d) => {
     val o = t(s, d, "orders")
       .groupBy(col("o_custkey"), col("o_orderdate"))
@@ -279,6 +311,7 @@ object Analytics {
     "q68_pack_greedy" -> packGreedy,
     "q57_sequence_pack" -> sequencePack,
     "q50_asof_join" -> asofJoin,
+    "q87_range_join" -> rangeJoin,
     "q46_incremental_dedup" -> incrementalDedup,
     "q47_stats_corr" -> statsCorr,
     "q48_quantiles" -> quantiles,
@@ -357,6 +390,16 @@ object Analytics {
         |  CAST(sum(n_tokens) AS BIGINT) AS tok_filled,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM packed GROUP BY shard, bin""".stripMargin,
+    // the DIFFERENT road on purpose: DuckDB's native inequality join
+    // (IEJoin) vs Spark's binned equi rewrite — agreement proves the
+    // binning exact; epoch_us/unix_micros are exact integer micros
+    "q87_range_join" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT p.event_id AS purchase_id, count(*) AS n_in_window
+        |FROM e p JOIN e
+        |  ON e.us >= p.us AND e.us < p.us + 300000000
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
     "q50_asof_join" ->
       """WITH o2 AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_order

@@ -261,6 +261,17 @@ class PlanAuditSpec extends SparkSpec {
       s"the 1-row corpus total must broadcast:\n$plan")
   }
 
+  test("q87 binned range join: equi on the bin key, never a nested-loop or cartesian") {
+    val plan = executedPlan(operators.Analytics.rangeJoin(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to per-pair evaluation:\n$plan")
+    assert(plan.contains("Join") && plan.contains("bin"),
+      s"expected an equi join keyed on the time bin:\n$plan")
+    // the exact-range residual must run inside the join, not as a
+    // post-join filter stage over a wider intermediate
+    assert("Join.*bin".r.findFirstIn(plan).isDefined, s"no bin key on the join:\n$plan")
+  }
+
   test("q64 star join: every dim side broadcast, region filter pushed to its scan") {
     val plan = executedPlan(operators.Relational.localSupplierVolume(spark, sf0001))
     val bcasts = "BroadcastHashJoin".r.findAllIn(plan).length
