@@ -40,6 +40,12 @@ object Tables {
       // non-multiples of 1000. Integer-exact (no double round-trip).
       raw.withColumn("ts", expr(
         "timestamp_micros(ts div 1000 - if(ts % 1000 < 0, 1, 0))"))
-    else raw
+    else
+      // Fixture generations vary: tz-naive parquet arrives as
+      // TIMESTAMP_NTZ, which unix_millis/unix_micros reject. Normalize
+      // to LTZ here so every query sees one timestamp type; the cast is
+      // value-preserving because the session timezone is pinned to UTC
+      // (Graft.scala), matching DuckDB's epoch on the same naive value.
+      raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 }
