@@ -753,6 +753,67 @@ object TextOps {
   val vocabBuild: Q = (s, d) =>
     vocabTopK(vocabAggregate(t(s, d, "documents")), 200)
 
+  /** Unigram-LM quality score (q88) — the cheap statistical tier of the
+    * CCNet/Gopher-style quality cascade: score every document by its
+    * MEAN add-one-smoothed token probability under a unigram model
+    * trained on the corpus itself (rare-token-heavy gibberish scores
+    * low, stopword-heavy boilerplate scores high). The score is kept a
+    * RATIONAL: numerator Σ_t (cnt(t)+1) and denominator n_tokens ×
+    * (total_tokens + |V|) are exact integer sums — order-independent,
+    * so Spark's and DuckDB's different aggregation orders cannot
+    * diverge — with ONE double division at the end (exactly rounded in
+    * both engines; a log-prob variant would hang bit-equality on libm).
+    *
+    * Scale shape: train = one explode → vocabulary-sized token agg
+    * (map-side partials absorb hot tokens, reduce side is |V| however
+    * big the scan — q82's argument); score = token stream ⋈ broadcast
+    * model (the model is vocabulary-sized ⇒ broadcastable at any corpus
+    * size), re-grouped by doc_id — explode preserves document locality,
+    * so the partial agg collapses each doc's tokens before the
+    * exchange and the shuffle carries ≈ one narrow row per document.
+    * The corpus-total stats ride a one-row broadcast like q79's; no
+    * driver collect anywhere. */
+  private[graft] def lmScore(docs: DataFrame): DataFrame = {
+    val model = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val stats = model.agg(sum(col("cnt")).as("total"), count(lit(1)).as("v"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      // inner join loses nothing: the model is trained on this corpus,
+      // so every token is in-vocabulary by construction
+      .join(broadcast(model), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") + lit(1L)).as("num"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (col("num").cast("double") /
+          (col("n") * (col("total") + col("v"))).cast("double")).as("lm_score"))
+  }
+
+  val lmQuality: Q = (s, d) => lmScore(t(s, d, "documents"))
+
+  /** Deterministic training-order assignment (q90) — the global shuffle
+    * a training run needs, WITHOUT a global sort: shuffle_key =
+    * md5(seed ‖ doc_id) gives a seedable pseudo-random permutation;
+    * shard = first two hex chars (256 shards) partitions it; pos =
+    * row_number within the shard. (shard, pos) is a total order ≡
+    * ORDER BY shuffle_key up to shard interleaving, and every window
+    * runs shard-partitioned — 256-way parallel, no single-partition
+    * window, no range-partitioned sort exchange over the corpus. A new
+    * seed is a new permutation (re-keying only); shard count is the
+    * knob that must exceed cluster parallelism at 100 TB (two more hex
+    * chars → 65 536 shards). */
+  private[graft] def orderAssign(docs: DataFrame, seed: String): DataFrame = {
+    val key = md5(concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary"))
+    val shardW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shuffle_key"), col("doc_id"))
+    docs
+      .select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard", substring(col("shuffle_key"), 1, 2))
+      .withColumn("pos", row_number().over(shardW).cast("long"))
+  }
+
+  val trainingOrder: Q = (s, d) => orderAssign(t(s, d, "documents"), "seed42")
+
   /** Token-budget mixture planner (q84) — temperature-based source
     * sampling (p_i ∝ mass_i^α, α = 0.5 — the multilingual-training
     * upweighting of small sources): given a target token budget, emit
@@ -817,6 +878,8 @@ object TextOps {
     "q73_chunk_split" -> chunkSplit,
     "q86_stratified_sample" -> stratifiedSample,
     "q82_vocab_build" -> vocabBuild,
+    "q88_lm_quality" -> lmQuality,
+    "q90_training_order" -> trainingOrder,
     "q84_token_budget_plan" -> tokenBudgetPlan,
     "q85_boilerplate_report" -> boilerplateReport,
     "q74_length_buckets" -> lengthBuckets,
@@ -850,6 +913,32 @@ object TextOps {
         |SELECT token, freq, df,
         |  row_number() OVER (ORDER BY freq DESC, token) AS rank
         |FROM agg ORDER BY freq DESC, token LIMIT 200""".stripMargin,
+    // integer numerator/denominator, ONE double division — the
+    // order-independence that makes the doubles hash-compare (see
+    // lmQuality's docstring)
+    "q88_lm_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |model AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |c AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS v FROM model),
+        |per AS (
+        |  SELECT t.doc_id, CAST(sum(m.cnt + 1) AS BIGINT) AS num,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM tok t JOIN model m USING (token) GROUP BY t.doc_id)
+        |SELECT p.doc_id,
+        |  p.num::DOUBLE / ((p.n * (c.total + c.v))::DOUBLE) AS lm_score
+        |FROM per p, c""".stripMargin,
+    "q90_training_order" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5('seed42:' || doc_id) AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key, substr(shuffle_key, 1, 2) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY substr(shuffle_key, 1, 2)
+        |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+        |FROM k""".stripMargin,
     // same α=0.5 tempering; BIGINT/BIGINT divides as double in both
     // engines, and both rounds run at matched precision
     "q84_token_budget_plan" ->

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables.t
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -23,6 +23,35 @@ object Analytics {
     t(s, d, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** Full grouping-set lattice (cube) — rollup's big sibling: all four
+    * subsets of {returnflag, linestatus}, so the cross-dimension slices
+    * rollup omits (linestatus totals without returnflag) come out of the
+    * SAME single-shuffle Expand plan instead of a second query. Scale
+    * shape: Expand multiplies scan rows by the grouping-set count
+    * BEFORE the exchange, but partial aggregation collapses each set to
+    * its group cardinality map-side, so the shuffle carries |groups| ×
+    * 4 rows, not corpus rows — same reduce-side bound as q34. */
+  val cubePricing: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** Wide→long unpivot (melt): the per-group metric columns become
+    * (metric, value) rows — the reshape every metrics store needs
+    * before a generic "one row per metric" sink. Runs AFTER the
+    * aggregate, so the generator multiplies a groups-sized frame (3×
+    * here), never the corpus; the scan itself stays columnar-pruned to
+    * exactly the three source metrics. */
+  val unpivotPricing: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_discount")), 4).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
 
   /** Per-user running revenue: daily sums (rounded once) accumulated in
     * date order. */
@@ -153,12 +182,13 @@ object Analytics {
     * approximation. PlanAuditSpec pins the no-BNLJ/no-cartesian shape. */
   val rangeJoin: Q = (s, d) => {
     val binUs = 300000000L // 5 min in micros == the window width
+    val tsUs = unix_micros(col("ts")) // ts normalized to LTZ in Tables.events
     val ev = t(s, d, "events")
-      .select(col("event_id").as("e_id"), unix_micros(col("ts")).as("e_us"))
+      .select(col("event_id").as("e_id"), tsUs.as("e_us"))
       .withColumn("bin", expr(s"e_us div $binUs"))
     val probes = t(s, d, "events")
       .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("p_us"))
+      .select(col("event_id").as("purchase_id"), tsUs.as("p_us"))
       .withColumn("bin",
         explode(array(expr(s"p_us div $binUs"), expr(s"p_us div $binUs + 1"))))
     probes.join(ev, Seq("bin"))
@@ -166,6 +196,21 @@ object Analytics {
       .groupBy(col("purchase_id"))
       .agg(count(lit(1)).as("n_in_window"))
   }
+
+  /** q89: SkewJoin.saltedJoin end-to-end under the driver oracle —
+    * lineitem (big, salted) ⋈ part (replicated ×8) on partkey, rolled
+    * up by brand. The oracle is the PLAIN join: agreement proves
+    * salting is a pure physical rewrite (SkewJoinSpec already pins
+    * row-level parity and hot-key spreading; this promotes the
+    * operator from spec-checked to driver-oracle-checked, as the
+    * round-5 verdict did for the Publisher SQL twins). */
+  val saltedJoinQuery: Q = (s, d) =>
+    SkewJoin.saltedJoin(
+      t(s, d, "lineitem").select(col("l_partkey"), col("l_quantity")),
+      t(s, d, "part").select(col("p_partkey").as("l_partkey"), col("p_brand")),
+      "l_partkey", 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
 
   val asofJoin: Q = (s, d) => {
     val o = t(s, d, "orders")
@@ -318,6 +363,9 @@ object Analytics {
     "q43_day_over_day_lag" -> dayOverDayLag,
     "q44_median_by_group" -> medianByGroup,
     "q34_rollup" -> rollupPricing,
+    "q91_cube" -> cubePricing,
+    "q92_unpivot" -> unpivotPricing,
+    "q89_salted_join" -> saltedJoinQuery,
     "q35_running_total" -> runningTotal,
     "q36_sessionize" -> sessionize,
     "q37_topn_per_group" -> topnPerGroup,
@@ -449,6 +497,29 @@ object Analytics {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | round(sum(l_quantity),2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q91_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    // UNION ALL, not DuckDB UNPIVOT, so the oracle spells out the exact
+    // (metric, value) contract the Spark unpivot must produce
+    "q92_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    round(sum(l_quantity),2) AS sum_qty,
+        |    round(sum(l_extendedprice),2) AS sum_price,
+        |    round(sum(l_discount),4) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc', sum_disc FROM agg""".stripMargin,
+    // the PLAIN join — salting must be invisible to the result
+    "q89_salted_join" ->
+      """SELECT p_brand, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
     "q35_running_total" ->
       """WITH daily AS (
         |  SELECT user_id, strftime(ts,'%Y-%m-%d') AS dt,

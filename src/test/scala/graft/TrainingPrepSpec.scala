@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior + plan-shape pins for the round-6 training-prep additions:
+  * unigram-LM quality scoring (q88), deterministic training-order
+  * assignment (q90), and the cube/unpivot reshape surface (q91/q92).
+  * The DuckDB oracle already proves fixture-level equality; these tests
+  * pin the operator-level invariants the oracle can't see (seed
+  * sensitivity, permutation density, plan shapes) on synthetic frames.
+  */
+class TrainingPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // ---- q88 unigram-LM quality -------------------------------------
+
+  test("lm score: identical docs score identically; in-model text outranks gibberish") {
+    val d = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the mat",
+      3L -> "zq xv jkw qqq zzz plf") // every token a hapax
+    val out = functions.TextOps.lmScore(d)
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == out(2L), "same text must give the bit-identical score")
+    assert(out(1L) > out(3L), "hapax-only gibberish must score lowest")
+    assert(out.values.forall(s => s > 0.0 && s <= 1.0),
+      s"smoothed mean probabilities live in (0,1]: $out")
+  }
+
+  test("lm score: a one-token doc of the hottest token attains the corpus max") {
+    val d = docs(
+      1L -> "a a a a a a a a",
+      2L -> "a b",
+      3L -> "b c d")
+    val out = functions.TextOps.lmScore(d).as[(Long, Double)].collect().toMap
+    assert(out(1L) == out.values.max,
+      "a doc made only of the modal token maximizes mean probability")
+  }
+
+  test("lm score plan: model side broadcast, corpus rows never sort") {
+    val df = functions.TextOps.lmQuality(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vocabulary-sized model must broadcast into the token stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-side sort-merge join may appear:\n$plan")
+  }
+
+  // ---- q90 training-order assignment ------------------------------
+
+  test("training order is a dense permutation: (shard,pos) unique, pos dense per shard") {
+    val d = docs((1L to 500L).map(i => i -> s"doc $i"): _*)
+    val out = functions.TextOps.orderAssign(d, "seedA")
+      .select("shard", "pos", "doc_id")
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 500)
+    assert(out.map(r => (r._1, r._2)).distinct.length == 500,
+      "(shard, pos) must be unique — it IS the training order")
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val ps = rows.map(_._2).sorted
+      assert(ps.head == 1L && ps.last == ps.length.toLong,
+        s"positions in shard $shard must be dense 1..n, got ${ps.take(5).toSeq}...")
+    }
+  }
+
+  test("training order is seed-sensitive and per-seed deterministic") {
+    val d = docs((1L to 200L).map(i => i -> s"doc $i"): _*)
+    def order(seed: String) = functions.TextOps.orderAssign(d, seed)
+      .select("doc_id", "shard", "pos").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    val a1 = order("seedA"); val a2 = order("seedA"); val b = order("seedB")
+    assert(a1 == a2, "same seed must reproduce the identical assignment")
+    assert(a1 != b, "a new seed must be a new permutation")
+  }
+
+  test("training order plan: the window is shard-partitioned, never single-partition") {
+    val df = functions.TextOps.trainingOrder(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("Window"), s"expected the per-shard window:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"the window's exchange must key on shard (256-way parallel):\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"a global-order window would collapse to one partition:\n$plan")
+  }
+
+  // ---- q91 cube / q92 unpivot -------------------------------------
+
+  test("cube contains rollup plus the cross slices rollup omits") {
+    val cube = operators.Analytics.cubePricing(spark, sf0001)
+      .collect().map(r => (r.get(0), r.get(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val rollup = operators.Analytics.rollupPricing(spark, sf0001)
+      .collect().map(r => (r.get(0), r.get(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    rollup.foreach { case (k, v) =>
+      assert(cube(k) == v, s"cube must agree with rollup on $k")
+    }
+    // the slice rollup cannot express: linestatus totals with flag rolled up
+    val statusTotals = graft.Tables.t(spark, sf0001, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    statusTotals.foreach { case (status, v) =>
+      assert(cube((null, status)) == v,
+        s"cube's (null, $status) slice must equal the direct groupBy")
+    }
+  }
+
+  test("unpivot is the exact wide→long reshape of the aggregate") {
+    val wide = graft.Tables.t(spark, sf0001, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_discount")), 4).as("sum_disc"))
+      .collect()
+      .flatMap(r => Seq(
+        (r.getString(0), "sum_qty", r.getDouble(1)),
+        (r.getString(0), "sum_price", r.getDouble(2)),
+        (r.getString(0), "sum_disc", r.getDouble(3)))).toSet
+    val long = operators.Analytics.unpivotPricing(spark, sf0001)
+      .as[(String, String, Double)].collect().toSet
+    assert(long == wide)
+  }
+}
