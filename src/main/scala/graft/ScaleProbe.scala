@@ -284,6 +284,28 @@ object ScaleProbe {
       }
       docs.unpersist()
     }
+    // q88 LM scoring (train pass + broadcast-model scoring pass — both
+    // linear scans; the doc_id regroup's partial agg should keep the
+    // shuffle ≈ one row per doc) and q90 training-order assignment
+    // (md5 key project + 256-shard-partitioned window: one exchange on
+    // shard, per-shard sorts — ~linear, parallelism = shard count).
+    if (Seq("lm_score", "training_order").exists(on))
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      val docs = synthDocs(n).persist(); docs.count()
+      if (on("lm_score")) {
+        val t0l = System.nanoTime()
+        functions.TextOps.lmScore(docs)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALE n=$n%9d lm_score ${(System.nanoTime() - t0l) / 1e9}%6.2f s")
+      }
+      if (on("training_order")) {
+        val t0o = System.nanoTime()
+        functions.TextOps.orderAssign(docs, "probe")
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALE n=$n%9d training_order ${(System.nanoTime() - t0o) / 1e9}%6.2f s")
+      }
+      docs.unpersist()
+    }
     // skew: 16M rows, 90% on one key — plain shuffle join vs salted vs AQE
     if (on("skew")) {
       val n = 16000000L

@@ -773,23 +773,63 @@ object TextOps {
     * exchange and the shuffle carries ≈ one narrow row per document.
     * The corpus-total stats ride a one-row broadcast like q79's; no
     * driver collect anywhere. */
-  private[graft] def lmScore(docs: DataFrame): DataFrame = {
-    val model = docs.select(explode(tokens(col("text"))).as("token"))
+  /** The (token, cnt) unigram model — q88's train pass, shared with the
+    * streaming gate (which maintains it incrementally via VocabSink). */
+  private[graft] def lmModel(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** Score `docs` against an explicit (token, cnt) model — the shared
+    * scoring builder (q88 trains on `docs` itself; the streaming gate
+    * passes the persisted corpus-so-far model). LEFT join + coalesce:
+    * an out-of-vocabulary token contributes the smoothing floor
+    * (cnt = 0 ⇒ +1), so scoring is total — q88's oracle uses an inner
+    * join, equivalent there because its model is trained on the same
+    * corpus (no OOV by construction). */
+  private[graft] def lmScoreAgainst(docs: DataFrame, model: DataFrame): DataFrame = {
     val stats = model.agg(sum(col("cnt")).as("total"), count(lit(1)).as("v"))
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      // inner join loses nothing: the model is trained on this corpus,
-      // so every token is in-vocabulary by construction
-      .join(broadcast(model), Seq("token"))
+      .join(broadcast(model), Seq("token"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(col("cnt") + lit(1L)).as("num"), count(lit(1)).as("n"))
+      .agg(sum(coalesce(col("cnt"), lit(0L)) + lit(1L)).as("num"),
+        count(lit(1)).as("n"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (col("num").cast("double") /
           (col("n") * (col("total") + col("v"))).cast("double")).as("lm_score"))
   }
 
+  private[graft] def lmScore(docs: DataFrame): DataFrame =
+    lmScoreAgainst(docs, lmModel(docs))
+
   val lmQuality: Q = (s, d) => lmScore(t(s, d, "documents"))
+
+  /** Streaming quality-gate admission — the stream twin of q88 and the
+    * statistical sibling of the dedup/decontamination admission
+    * writers: each micro-batch (1) folds its token counts into the
+    * persisted vocabulary (VocabSink segment seq = batchId —
+    * replay-idempotent), then (2) scores its documents against the
+    * MERGED model (corpus-so-far INCLUDING this batch — so a one-batch
+    * stream reproduces the q88 batch result exactly), and (3) admits
+    * docs with lm_score ≥ minScore to an overwrite-by-ingest output
+    * (a retried batch rewrites the same directory, no duplicates).
+    *
+    * Model semantics are prefix-trained: early batches score against a
+    * smaller corpus than late ones — the documented trade for O(batch)
+    * per-batch cost; re-scoring the full corpus each batch would be
+    * O(corpus). Per-batch cost: batch tokens × broadcast-model lookup +
+    * a vocabulary-sized segment merge — independent of corpus size. */
+  def streamingQualityGateWriter(vocabPath: String, outDir: String,
+      minScore: Double)(batch: DataFrame, batchId: Long): Unit = {
+    val b = batch.localCheckpoint()
+    graft.sinks.VocabSink.writer(vocabPath)(b, batchId)
+    val model = graft.sinks.VocabSink.read(b.sparkSession, vocabPath)
+      .select(col("token"), col("freq").as("cnt"))
+    val admitted = b.join(
+      lmScoreAgainst(b, model).filter(col("lm_score") >= minScore),
+      Seq("doc_id"))
+    admitted.write.mode("overwrite").parquet(s"$outDir/admitted/ingest=$batchId")
+  }
 
   /** Deterministic training-order assignment (q90) — the global shuffle
     * a training run needs, WITHOUT a global sort: shuffle_key =

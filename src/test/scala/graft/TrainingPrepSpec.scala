@@ -50,6 +50,85 @@ class TrainingPrepSpec extends SparkSpec {
       s"no corpus-side sort-merge join may appear:\n$plan")
   }
 
+  // ---- streaming quality gate (q88's stream twin) ------------------
+
+  test("quality gate: a one-batch stream reproduces the q88 batch scores exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("qgate1").toString
+    val d = Tables.t(spark, sf0001, "documents").select("doc_id", "text")
+    functions.TextOps.streamingQualityGateWriter(
+      s"$tmp/vocab", s"$tmp/out", minScore = 0.0)(d, 0L)
+    val admitted = spark.read.parquet(s"$tmp/out/admitted/ingest=0")
+      .select("doc_id", "lm_score").as[(Long, Double)].collect().toMap
+    val batch = functions.TextOps.lmScore(d)
+      .as[(Long, Double)].collect().toMap
+    assert(admitted == batch,
+      "single-batch streaming scores must be bit-identical to the batch query")
+  }
+
+  test("quality gate: threshold admits exactly the at-or-above-score docs; replay no-ops") {
+    val tmp = java.nio.file.Files.createTempDirectory("qgate2").toString
+    val d = Tables.t(spark, sf0001, "documents").select("doc_id", "text")
+    val scores = functions.TextOps.lmScore(d).as[(Long, Double)].collect()
+    val cut = scores.map(_._2).sorted.apply(scores.length / 2) // median
+    val w = functions.TextOps.streamingQualityGateWriter(
+      s"$tmp/vocab", s"$tmp/out", minScore = cut) _
+    w(d, 0L)
+    w(d, 0L) // retried batch must overwrite, not duplicate
+    val admitted = spark.read.parquet(s"$tmp/out/admitted/ingest=0")
+      .select("doc_id").as[Long].collect().toSet
+    val expected = scores.filter(_._2 >= cut).map(_._1).toSet
+    assert(admitted == expected)
+    // the replayed segment must not double the model either
+    val freqTotal = sinks.VocabSink.read(spark, s"$tmp/vocab")
+      .agg(sum(col("freq"))).as[Long].head()
+    val tokTotal = d.select(sum(size(split(col("text"), " "))).cast("long"))
+      .as[Long].head()
+    assert(freqTotal == tokTotal, "replay must leave one copy of the batch's tokens")
+  }
+
+  test("quality gate drives from a real stream: per-batch admission through foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("qgate_ms").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch(functions.TextOps.streamingQualityGateWriter(
+        s"$tmp/vocab", s"$tmp/out", minScore = 0.0) _)
+      .start()
+    try {
+      in.addData((1L, "the cat sat"), (2L, "the cat ran"))
+      q.processAllAvailable()
+      in.addData((3L, "the cat sat")) // scores against the merged model
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.read.parquet(s"$tmp/out/admitted")
+      .select("doc_id", "lm_score").as[(Long, Double)].collect().toMap
+    assert(admitted.keySet == Set(1L, 2L, 3L))
+    // doc 3 repeats batch 0's commonest trigram, so under the merged
+    // 9-token model it must outscore both earlier docs (scored when the
+    // model knew only 6 tokens and "sat"/"ran" were rarer)
+    assert(admitted(3L) > admitted(1L) && admitted(3L) > admitted(2L),
+      s"prefix-model scoring must value in-model repeats higher: $admitted")
+  }
+
+  test("quality gate: later batches score against the corpus-so-far model") {
+    val tmp = java.nio.file.Files.createTempDirectory("qgate3").toString
+    val d = Tables.t(spark, sf0001, "documents").select("doc_id", "text")
+    val b0 = d.filter(col("doc_id") % 2 === 0)
+    val b1 = d.filter(col("doc_id") % 2 === 1)
+    val w = functions.TextOps.streamingQualityGateWriter(
+      s"$tmp/vocab", s"$tmp/out", minScore = 0.0) _
+    w(b0, 0L); w(b1, 1L)
+    def admitted(i: Int) = spark.read.parquet(s"$tmp/out/admitted/ingest=$i")
+      .select("doc_id", "lm_score").as[(Long, Double)].collect().toMap
+    val exp0 = functions.TextOps.lmScore(b0).as[(Long, Double)].collect().toMap
+    val exp1 = functions.TextOps.lmScoreAgainst(b1,
+        functions.TextOps.lmModel(d).select(col("token"), col("cnt")))
+      .as[(Long, Double)].collect().toMap
+    assert(admitted(0) == exp0, "batch 0 sees only its own tokens as the model")
+    assert(admitted(1) == exp1, "batch 1 sees the b0+b1 merged model")
+  }
+
   // ---- q90 training-order assignment ------------------------------
 
   test("training order is a dense permutation: (shard,pos) unique, pos dense per shard") {
