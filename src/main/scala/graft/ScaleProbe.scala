@@ -24,7 +24,8 @@ object ScaleProbe {
       "minhash_lsh_candidates", "simhash_tiered_candidates",
       "simhash_tiered_capped", "cluster_collapse", "winnow_fingerprints",
       "sign_band_scan", "cosine_verify_pairs", "phrase_index_build",
-      "pack_greedy", "chunk_dedup", "vocab_build", "skew")
+      "pack_greedy", "chunk_dedup", "vocab_build", "lm_score",
+      "training_order", "skew")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
