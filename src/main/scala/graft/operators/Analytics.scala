@@ -153,6 +153,35 @@ object Analytics {
         round(percentile(col("value"), lit(0.5)), 4).as("p50"),
         round(percentile(col("value"), lit(0.75)), 4).as("p75"))
 
+  /** q93: the mergeable-sketch quantile path. q44/q48's exact
+    * percentile buffers every group value — fine for bounded groups, a
+    * memory hazard when one group holds billions of rows at 100 TB;
+    * approx_percentile's sketch is bounded-size and partition-mergeable
+    * (map-side partials combine like any algebraic agg). The oracle
+    * pins the EXACT columns plus the truth of a rank-window bound on
+    * the sketch estimates (q18's HLL pattern): with accuracy 10 000 the
+    * returned value's rank error is ≤ n/10 000, far inside the
+    * [p49, p51] / [p89, p91] exact windows asserted here — so the
+    * check is deterministic, not tolerance-tuned. */
+  val approxQuantiles: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)), 4).as("p50_exact"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90_exact"),
+        approx_percentile(col("value"), lit(0.5), lit(10000)).as("m_ap"),
+        approx_percentile(col("value"), lit(0.9), lit(10000)).as("p90_ap"),
+        percentile(col("value"), lit(0.49)).as("lo50"),
+        percentile(col("value"), lit(0.51)).as("hi50"),
+        percentile(col("value"), lit(0.89)).as("lo90"),
+        percentile(col("value"), lit(0.91)).as("hi90"))
+      .select(col("event_type"), col("n"), col("p50_exact"), col("p90_exact"),
+        (col("m_ap") >= col("lo50") && col("m_ap") <= col("hi50"))
+          .as("p50_within"),
+        (col("p90_ap") >= col("lo90") && col("p90_ap") <= col("hi90"))
+          .as("p90_within"))
+
   /** As-of join: each event paired with the user's most recent order at
     * or before the event time — an operator Spark lacks natively.
     * Implemented as the merge form: union both sides tagged by kind,
@@ -360,6 +389,7 @@ object Analytics {
     "q46_incremental_dedup" -> incrementalDedup,
     "q47_stats_corr" -> statsCorr,
     "q48_quantiles" -> quantiles,
+    "q93_approx_quantiles" -> approxQuantiles,
     "q43_day_over_day_lag" -> dayOverDayLag,
     "q44_median_by_group" -> medianByGroup,
     "q34_rollup" -> rollupPricing,
@@ -478,6 +508,14 @@ object Analytics {
         | round(quantile_cont(value, 0.25), 4) AS p25,
         | round(quantile_cont(value, 0.5), 4) AS p50,
         | round(quantile_cont(value, 0.75), 4) AS p75
+        |FROM events GROUP BY event_type""".stripMargin,
+    // exact columns + the bound's TRUTH (q18's HLL pattern) — the
+    // sketch internals are engine-specific, the rank window is not
+    "q93_approx_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        | round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        | round(quantile_cont(value, 0.9), 4) AS p90_exact,
+        | true AS p50_within, true AS p90_within
         |FROM events GROUP BY event_type""".stripMargin,
     "q43_day_over_day_lag" ->
       """WITH by_day AS (
