@@ -188,6 +188,28 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("cube plan: one Expand feeding a partial-then-final aggregate — no per-set rescan") {
+    val df = operators.Analytics.cubePricing(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("Expand"), s"grouping sets must ride one Expand:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"all four grouping sets must share ONE lineitem scan, got $scans")
+    // partial agg must sit below the exchange: the shuffle then carries
+    // |groups|×4 rows, not corpus×4
+    assert(plan.indexOf("HashAggregate") < plan.indexOf("Exchange"),
+      s"map-side partial agg must precede the exchange:\n$plan")
+  }
+
+  test("q93 plan: exact + sketch quantiles from a single events scan, no join") {
+    val df = operators.Analytics.approxQuantiles(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"all nine aggregates must share one scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"), s"no join may appear:\n$plan")
+  }
+
   test("unpivot is the exact wide→long reshape of the aggregate") {
     val wide = graft.Tables.t(spark, sf0001, "lineitem")
       .groupBy(col("l_returnflag"))
