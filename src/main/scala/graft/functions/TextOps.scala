@@ -785,7 +785,16 @@ object TextOps {
     * an out-of-vocabulary token contributes the smoothing floor
     * (cnt = 0 ⇒ +1), so scoring is total — q88's oracle uses an inner
     * join, equivalent there because its model is trained on the same
-    * corpus (no OOV by construction). */
+    * corpus (no OOV by construction).
+    *
+    * Integer range: the numerator Σ_t(cnt+1) is bounded by n_doc ×
+    * max_cnt — at the 100 TB design point (~2.5e13 tokens, hottest
+    * token ~5% of mass, docs ≤ ~1e6 tokens) that is ~1e18, inside
+    * int64 with a small margin; a degenerate corpus where one token
+    * carries most of 2.5e13 occurrences AND appears 1e6 times in one
+    * document would need the sum widened (DuckDB already computes it
+    * as HUGEINT). The denominator is two exact-long factors multiplied
+    * as doubles — overflow-free (see the select below). */
   private[graft] def lmScoreAgainst(docs: DataFrame, model: DataFrame): DataFrame = {
     val stats = model.agg(sum(col("cnt")).as("total"), count(lit(1)).as("v"))
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -794,9 +803,17 @@ object TextOps {
       .agg(sum(coalesce(col("cnt"), lit(0L)) + lit(1L)).as("num"),
         count(lit(1)).as("n"))
       .crossJoin(broadcast(stats))
+      // denominator as double × double, NOT an int64 product: n·(total+|V|)
+      // overflows long once a ~1e6-token document meets a ~2.5e13-token
+      // corpus (the 100 TB design point). Both factors are exact longs
+      // ≤ 2^53, so the one double multiply rounds the true product once —
+      // bit-identical to the int64-product-then-cast wherever that
+      // doesn't overflow, and well-defined everywhere (oracle mirrors
+      // the same two casts).
       .select(col("doc_id"),
         (col("num").cast("double") /
-          (col("n") * (col("total") + col("v"))).cast("double")).as("lm_score"))
+          (col("n").cast("double") *
+            (col("total") + col("v")).cast("double"))).as("lm_score"))
   }
 
   private[graft] def lmScore(docs: DataFrame): DataFrame =
@@ -818,11 +835,21 @@ object TextOps {
     * smaller corpus than late ones — the documented trade for O(batch)
     * per-batch cost; re-scoring the full corpus each batch would be
     * O(corpus). Per-batch cost: batch tokens × broadcast-model lookup +
-    * a vocabulary-sized segment merge — independent of corpus size. */
+    * the segment merge, whose fan-in is BOUNDED by `compactEvery`: the
+    * merge-on-read model unions one segment per batch since the last
+    * fold, so without compaction a long-running stream would reread
+    * O(batches) segments — the writer folds them every `compactEvery`
+    * batches (VocabSink.compact is crash-safe; see AdditiveSegments),
+    * keeping the read ≤ compactEvery + 1 vocabulary-sized segments
+    * regardless of stream age. */
   def streamingQualityGateWriter(vocabPath: String, outDir: String,
-      minScore: Double)(batch: DataFrame, batchId: Long): Unit = {
+      minScore: Double, compactEvery: Int = 32)(
+      batch: DataFrame, batchId: Long): Unit = {
+    require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
     val b = batch.localCheckpoint()
     graft.sinks.VocabSink.writer(vocabPath)(b, batchId)
+    if (batchId % compactEvery == (compactEvery - 1).toLong)
+      graft.sinks.VocabSink.compact(b.sparkSession, vocabPath)
     val model = graft.sinks.VocabSink.read(b.sparkSession, vocabPath)
       .select(col("token"), col("freq").as("cnt"))
     val admitted = b.join(
@@ -968,7 +995,7 @@ object TextOps {
         |         CAST(count(*) AS BIGINT) AS n
         |  FROM tok t JOIN model m USING (token) GROUP BY t.doc_id)
         |SELECT p.doc_id,
-        |  p.num::DOUBLE / ((p.n * (c.total + c.v))::DOUBLE) AS lm_score
+        |  p.num::DOUBLE / (p.n::DOUBLE * (c.total + c.v)::DOUBLE) AS lm_score
         |FROM per p, c""".stripMargin,
     "q90_training_order" ->
       """WITH k AS (

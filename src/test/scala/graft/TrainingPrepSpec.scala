@@ -86,6 +86,34 @@ class TrainingPrepSpec extends SparkSpec {
     assert(freqTotal == tokTotal, "replay must leave one copy of the batch's tokens")
   }
 
+  test("quality gate: compaction cadence bounds segment fan-in; scores and replay unaffected") {
+    val tmp = java.nio.file.Files.createTempDirectory("qgate_compact").toString
+    val d = Tables.t(spark, sf0001, "documents").select("doc_id", "text")
+    val parts = (0 until 3).map(i => d.filter(col("doc_id") % 3 === i))
+    val w = functions.TextOps.streamingQualityGateWriter(
+      s"$tmp/vocab", s"$tmp/out", minScore = 0.0, compactEvery = 2) _
+    w(parts(0), 0L); w(parts(1), 1L); w(parts(2), 2L) // compact fires at batch 1
+    def segCount = new java.io.File(s"$tmp/vocab").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("seq="))
+    assert(segCount <= 2,
+      s"cadence 2 must fold batches 0-1 into one segment (+ batch 2's own), got $segCount")
+    def admitted2 = spark.read.parquet(s"$tmp/out/admitted/ingest=2")
+      .select("doc_id", "lm_score").as[(Long, Double)].collect().toMap
+    val exp2 = functions.TextOps.lmScoreAgainst(parts(2), functions.TextOps.lmModel(d))
+      .as[(Long, Double)].collect().toMap
+    assert(admitted2 == exp2,
+      "scoring through the folded model must equal the unfolded full model")
+    // replay of the NEWEST batch (the only one streaming can re-run)
+    // after a fold: segment write no-ops, admitted rows overwrite equal
+    w(parts(2), 2L)
+    val freqTotal = sinks.VocabSink.read(spark, s"$tmp/vocab")
+      .agg(sum(col("freq"))).as[Long].head()
+    val tokTotal = d.select(sum(size(split(col("text"), " "))).cast("long"))
+      .as[Long].head()
+    assert(freqTotal == tokTotal, "replay after compaction must not double any batch")
+    assert(admitted2 == exp2)
+  }
+
   test("quality gate drives from a real stream: per-batch admission through foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("qgate_ms").toString
@@ -195,10 +223,16 @@ class TrainingPrepSpec extends SparkSpec {
     assert(plan.contains("Expand"), s"grouping sets must ride one Expand:\n$plan")
     val scans = "FileScan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"all four grouping sets must share ONE lineitem scan, got $scans")
-    // partial agg must sit below the exchange: the shuffle then carries
-    // |groups|×4 rows, not corpus×4
-    assert(plan.indexOf("HashAggregate") < plan.indexOf("Exchange"),
-      s"map-side partial agg must precede the exchange:\n$plan")
+    // a map-side PARTIAL aggregate must exist and sit BELOW the
+    // exchange (plans print top-down, so below = a LARGER string
+    // index than the Exchange): the shuffle then carries |groups|×4
+    // rows, not corpus×4
+    val partialIdx = plan.indexOf("partial_count")
+    assert(partialIdx >= 0, s"expected partial_count map-side functions:\n$plan")
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      s"the partial aggregate must sit below the exchange " +
+        s"(exchange@$exchangeIdx, partial@$partialIdx):\n$plan")
   }
 
   test("q93 plan: exact + sketch quantiles from a single events scan, no join") {
