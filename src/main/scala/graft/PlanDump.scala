@@ -133,7 +133,19 @@ object PlanDump {
       if (detail.nonEmpty) sb.append(s"\n${detail.stripLineEnd}\n")
     }
     sb.append(footer)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    // PLANS.md accumulates hand-written round narrative AFTER the
+    // generated footer (the ScaleProbe sections appended per round);
+    // regeneration would silently destroy it. Preserve the old file
+    // verbatim so nothing is lost, and say so loudly.
+    val target = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(target)) {
+      val bak = java.nio.file.Paths.get(out + ".bak")
+      java.nio.file.Files.copy(target, bak,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      println(s"[plandump] existing $out backed up to $bak — " +
+        "re-append any hand-maintained sections from it")
+    }
+    java.nio.file.Files.writeString(target, sb.toString)
     println(s"[plandump] wrote $out")
     spark.stop()
   }
