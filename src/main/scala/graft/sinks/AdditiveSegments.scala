@@ -11,23 +11,44 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * so the replay/recovery reasoning is written once.
   *
   * Replay idempotence keys on the COMMIT marker, not bare directory
-  * existence: a crashed first attempt can leave a seq dir without
-  * `_SUCCESS` (the committer's abort removes only `_temporary`), and
+  * existence: a crashed first attempt can leave a seq dir without its
+  * marker (the committer's abort removes only `_temporary`), and
   * treating that as done would silently drop the batch's counts — so
   * an uncommitted leftover is cleared and rewritten, and only a
-  * marker-complete segment makes the replay a no-op.
+  * marker-complete segment makes the replay a no-op. Marker-incomplete
+  * segments are equally invisible to `read` and to `compact`'s fold
+  * snapshot: reading one would count half a batch, and folding one
+  * would leave a committed fold at its id that turns the replayed
+  * write into a silent no-op.
   */
 private[sinks] object AdditiveSegments {
 
   private val StagingPrefix = "__compact_staging_"
 
+  /** The commit marker is OUR OWN file, written after the parquet job
+    * returns — not the committer's `_SUCCESS`, which disappears entirely
+    * under `mapreduce.fileoutputcommitter.marksuccessfuljobs=false`
+    * (standard advice on object stores): with the protocol keyed on
+    * `_SUCCESS` alone, every segment would look uncommitted there —
+    * replays would rewrite committed batches and compact recovery would
+    * discard complete stagings. `_SUCCESS` is still honored as a
+    * fallback marker for segments written before this change. */
+  private val Marker = "_GRAFT_COMMITTED"
+
+  private def committed(spark: SparkSession, dir: String): Boolean =
+    Hfs.exists(spark, s"$dir/$Marker") || Hfs.exists(spark, s"$dir/_SUCCESS")
+
+  private def markCommitted(spark: SparkSession, dir: String): Unit =
+    Hfs.writeString(spark, s"$dir/$Marker", "ok")
+
   /** foreachBatch hook body: append the batch's partial as seq=batchId. */
   def write(partial: DataFrame, path: String, batchId: Long): Unit = {
     val seg = s"$path/seq=$batchId"
     val spark = partial.sparkSession
-    if (Hfs.exists(spark, s"$seg/_SUCCESS")) return
+    if (committed(spark, seg)) return
     Hfs.deleteRecursive(spark, seg)
     partial.write.mode(SaveMode.ErrorIfExists).parquet(seg)
+    markCommitted(spark, seg)
   }
 
   /** Merge-on-read over the LIVE segment set. If a COMPLETE compaction
@@ -37,17 +58,34 @@ private[sinks] object AdditiveSegments {
     * would double-count. */
   def read(spark: SparkSession, path: String,
       reconcile: DataFrame => DataFrame): DataFrame = {
-    val segs = Hfs.childDirs(spark, path, "seq=")
-    val staged = Hfs.childDirs(spark, path, StagingPrefix)
-      .filter(st => Hfs.exists(spark, s"$path/$st/_SUCCESS"))
-    val live = staged.headOption match {
-      case Some(st) =>
-        val target = st.stripPrefix(StagingPrefix).toLong
-        st +: segs.filter(_.stripPrefix("seq=").toLong > target)
-      case None => segs
+    // Retry a PATH_NOT_FOUND from a segment deleted between the listing
+    // and the parquet planning (a cadence compact's swap racing this
+    // reader) with a fresh listing — same contract as
+    // IngestSegments.readLive, same residual action-time window.
+    var lastRace: org.apache.spark.sql.AnalysisException = null
+    for (_ <- 0 until 3) {
+      // uncommitted segments (a crashed write attempt's leftovers) are
+      // invisible: their batch is checkpoint-uncommitted and will be
+      // rewritten on replay — reading their partial files would count
+      // half a batch
+      val segs = Hfs.childDirs(spark, path, "seq=")
+        .filter(sd => committed(spark, s"$path/$sd"))
+      val staged = Hfs.childDirs(spark, path, StagingPrefix)
+        .filter(st => committed(spark, s"$path/$st"))
+      val live = staged.headOption match {
+        case Some(st) =>
+          val target = st.stripPrefix(StagingPrefix).toLong
+          st +: segs.filter(_.stripPrefix("seq=").toLong > target)
+        case None => segs
+      }
+      require(live.nonEmpty, s"no index segments under $path")
+      try return readSegments(spark, path, live, reconcile)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => lastRace = e
+      }
     }
-    require(live.nonEmpty, s"no index segments under $path")
-    readSegments(spark, path, live, reconcile)
+    throw lastRace
   }
 
   private def readSegments(spark: SparkSession, path: String,
@@ -73,14 +111,21 @@ private[sinks] object AdditiveSegments {
     Hfs.childDirs(spark, path, StagingPrefix).foreach { st =>
       val full = s"$path/$st"
       val target = st.stripPrefix(StagingPrefix).toLong
-      if (Hfs.exists(spark, s"$full/_SUCCESS")) {
+      if (committed(spark, full)) {
         Hfs.childDirs(spark, path, "seq=")
           .filter(_.stripPrefix("seq=").toLong <= target)
           .foreach(sd => Hfs.deleteRecursive(spark, s"$path/$sd"))
         Hfs.rename(spark, full, s"$path/seq=$target")
       } else Hfs.deleteRecursive(spark, full)
     }
+    // fold COMMITTED segments only. An uncommitted dir is a crashed
+    // write attempt whose batch the stream will REPLAY: folding its
+    // partial rows — and leaving a committed fold at its id — would
+    // make the replayed write() a no-op and silently lose the batch's
+    // counts. Left out of the fold, the leftover is cleared and
+    // rewritten by the replay exactly as the write() contract says.
     val segs = Hfs.childDirs(spark, path, "seq=")
+      .filter(sd => committed(spark, s"$path/$sd"))
     if (segs.size <= 1) return
     val maxSeq = segs.map(_.stripPrefix("seq=").toLong).max
     val staging = s"$path/$StagingPrefix$maxSeq"
@@ -89,6 +134,10 @@ private[sinks] object AdditiveSegments {
     // neither lost nor double-counted
     val merged = readSegments(spark, path, segs, reconcile).localCheckpoint(true)
     merged.write.mode(SaveMode.ErrorIfExists).parquet(staging)
+    // marker BEFORE the deletes: from here the staging stands in for
+    // every folded segment, so a crash anywhere below is recovered by
+    // the adoption path above
+    markCommitted(spark, staging)
     segs.foreach(sd => Hfs.deleteRecursive(spark, s"$path/$sd"))
     Hfs.rename(spark, staging, s"$path/seq=$maxSeq")
   }

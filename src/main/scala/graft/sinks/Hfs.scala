@@ -10,10 +10,35 @@ import org.apache.spark.sql.SparkSession
   * scheme — stale reads instead of errors.) */
 object Hfs {
 
+  // newHadoopConf() clones the full SQL+Hadoop conf on EVERY call —
+  // hot driver-side loops (per-segment compaction deletes, per-batch
+  // streaming writers) paid that copy per filesystem touch. Cache one
+  // conf per session: FileSystem instances are cached by Hadoop anyway,
+  // and fs-relevant conf does not mutate mid-session here. Weak keys so
+  // a stopped session's conf can be collected.
+  private val confCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, org.apache.hadoop.conf.Configuration]())
+
   def fs(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    var conf = confCache.get(spark)
+    if (conf == null) {
+      conf = spark.sessionState.newHadoopConf()
+      confCache.put(spark, conf)
+    }
+    (p.getFileSystem(conf), p)
   }
+
+  /** The "nothing readable here" classifier shared by every sink's
+    * optional-side read (KeyedParquetSink bootstrap, MergeParquetSink
+    * base/delta sides, IngestSegments live reads). PATH_NOT_FOUND: the
+    * side was never written. UNABLE_TO_INFER_SCHEMA: the dir exists but
+    * holds no parquet footers (a 0-row partitioned write leaves only
+    * _SUCCESS). Anything else — corrupt footers, permissions — must
+    * stay LOUD, so this predicate names exactly the two benign cases. */
+  def isEmptyPathError(e: org.apache.spark.sql.AnalysisException): Boolean =
+    e.getCondition == "PATH_NOT_FOUND" ||
+      e.getCondition == "UNABLE_TO_INFER_SCHEMA"
 
   def exists(spark: SparkSession, path: String): Boolean = {
     val (f, p) = fs(spark, path)
@@ -52,22 +77,39 @@ object Hfs {
     (st.getLen, st.getModificationTime)
   }
 
-  /** Overwrite a tiny marker file (single-block create; readers see the
-    * old or the new content, never a torn mix, on HDFS/local). */
+  /** Overwrite a tiny marker file via write-temp-then-rename. The
+    * previous in-place `create(p, overwrite = true)` truncated first:
+    * a crash (or a concurrent read) between create and close left an
+    * EMPTY marker — and an empty `__seq_horizon` wedges every
+    * subsequent `.toLong` forever. Now the new content is durable in
+    * `path.__tmp` before the old file is touched; the only crash
+    * window (between delete and rename) leaves no main file but a
+    * complete tmp, which readString adopts as the recovery copy. */
   def writeString(spark: SparkSession, path: String, content: String): Unit = {
     val (f, p) = fs(spark, path)
-    val out = f.create(p, true)
+    val tmp = new Path(path + ".__tmp")
+    val out = f.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) { f.delete(p, false): Unit }
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
   }
 
   def readString(spark: SparkSession, path: String): Option[String] = {
     val (f, p) = fs(spark, path)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+    def readFully(rp: Path): String = {
+      val in = f.open(rp)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
+    }
+    if (f.exists(p)) Some(readFully(p))
+    else {
+      // writeString crashed between delete and rename: the tmp IS the
+      // committed content (it is written and closed before the old
+      // file is removed)
+      val tmp = new Path(path + ".__tmp")
+      if (f.exists(tmp)) Some(readFully(tmp)) else None
     }
   }
 }

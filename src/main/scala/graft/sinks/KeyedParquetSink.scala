@@ -31,8 +31,7 @@ object KeyedParquetSink {
     * failed on the schema error before its overwrite could heal the
     * dir. */
   private def isFreshPath(e: org.apache.spark.sql.AnalysisException): Boolean =
-    e.getCondition == "PATH_NOT_FOUND" ||
-      e.getCondition == "UNABLE_TO_INFER_SCHEMA"
+    Hfs.isEmptyPathError(e)
 
   /** NOTE on the partition-scoped merge: only dt partitions present in
     * the incoming batch participate, so keys must be STABLE WITHIN dt
@@ -125,11 +124,21 @@ object KeyedParquetSink {
     // a dt whose every row matched produces no output partition and its
     // old files would silently survive ("deleted" rows resurrecting on
     // the next read). Remove emptied partitions explicitly; `touchedDts`
-    // is bounded by the distinct dt count.
+    // is bounded by the distinct dt count. Directory names use Hive's
+    // partition-path encoding, NOT raw values: a dt containing a space
+    // or colon writes an escaped dir, and a null dt writes the Hive
+    // default partition — a raw-interpolated path would miss both, the
+    // exists-check would no-op, and the "deleted" rows would resurrect.
     val remainingDts = remaining.select(col(dtCol)).distinct()
       .collect().map(_.get(0)).toSet
+    def dirName(v: Any): String = v match {
+      case null => org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      case x => org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(x.toString)
+    }
     touchedDts.filterNot(remainingDts)
-      .foreach(v => Hfs.deleteRecursive(spark, s"$path/$dtCol=$v"))
+      .foreach(v => Hfs.deleteRecursive(spark, s"$path/$dtCol=${dirName(v)}"))
     deleted
   }
 

@@ -107,15 +107,11 @@ object MergeParquetSink {
     * seq-partitioned, so the filter prunes directories, not rows. */
   def read(spark: SparkSession, path: String, keyCols: Seq[String],
       versionCol: String, asOfSeq: Option[Long] = None): DataFrame = {
-    // PATH_NOT_FOUND: side never written. UNABLE_TO_INFER_SCHEMA: dir
-    // exists but holds no parquet footers (a 0-row partitioned write
-    // leaves only _SUCCESS) — both mean "nothing on this side".
     def readSide(doRead: => DataFrame): Option[DataFrame] =
       try Some(doRead)
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" ||
-              e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+            if Hfs.isEmptyPathError(e) => None
       }
     asOfSeq.foreach { n =>
       val h = seqHorizon(spark, path)
@@ -127,9 +123,14 @@ object MergeParquetSink {
     // yet renamed): the staging dir IS the base — by protocol it is only
     // ever complete once the old base has been fully replaced-able. A
     // read here must adopt it or every pre-compaction row would silently
-    // vanish until the next compact's recovery runs.
+    // vanish until the next compact's recovery runs. The base is checked
+    // AGAIN after a staging miss: a LIVE compact's delete+rename can slip
+    // entirely between the two probes (base gone at the first check,
+    // staging already renamed at the second) — without the re-check the
+    // read would silently return delta-only results.
     val base = readSide(spark.read.parquet(basePath(path)))
       .orElse(readSide(spark.read.parquet(stagingPath(path))))
+      .orElse(readSide(spark.read.parquet(basePath(path))))
       .map(_.withColumn(DeletedCol, lit(false)).withColumn(SeqCol, lit(-1L)))
     val deltas =
       if (listSeqs(spark, path).isEmpty) None
@@ -179,8 +180,18 @@ object MergeParquetSink {
     if (!Hfs.exists(spark, basePath(path)) && Hfs.exists(spark, staging))
       Hfs.rename(spark, staging, basePath(path))
     else Hfs.deleteRecursive(spark, staging)
+    // Snapshot the delta list FIRST and fold EXACTLY it: the read is
+    // bounded to asOfSeq = folded.last (or horizon−1 when no deltas),
+    // and the clear below removes only these dirs — a delta appended
+    // concurrently (the documented cadence-job-next-to-live-stream
+    // shape) is neither folded with a too-low horizon (asOfSeq aliasing)
+    // nor deleted unfolded (silent data loss, the old
+    // deleteRecursive(deltaRoot) behavior).
     val folded = listSeqs(spark, path)
-    val snapshot = read(spark, path, keyCols, versionCol).localCheckpoint()
+    val asOf = folded.lastOption.getOrElse(seqHorizon(spark, path) - 1L)
+    val snapshot =
+      read(spark, path, keyCols, versionCol, asOfSeq = Some(asOf))
+        .localCheckpoint()
     // partitionOverwriteMode MUST be static here regardless of session
     // conf: the snapshot replaces the whole base. Under dynamic mode a
     // dt partition whose rows were all tombstoned would survive the
@@ -201,7 +212,8 @@ object MergeParquetSink {
     // would let seq numbering restart and alias old asOfSeq values)
     folded.lastOption.foreach(m =>
       Hfs.writeString(spark, horizonPath(path), (m + 1L).toString))
-    Hfs.deleteRecursive(spark, deltaRoot(path))
+    folded.foreach(s =>
+      Hfs.deleteRecursive(spark, s"${deltaRoot(path)}/seq=$s"))
   }
 
   /** foreachBatch adapter (streaming upsert). */

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Pins for the crash/concurrency fixes from the round-6 sink review:
+  * each test reproduces the exact state a crash or race leaves behind
+  * and asserts the recovery the protocol docs promise. These behaviors
+  * had no spec before — which is why the defects survived two rounds of
+  * review-hardening.
+  */
+class SinkHardeningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vocabOf(path: String): Map[String, Long] =
+    sinks.VocabSink.read(spark, path)
+      .select("token", "freq").as[(String, Long)].collect().toMap
+
+  test("additive compact skips an uncommitted segment; the replayed batch is not lost") {
+    val dir = Files.createTempDirectory("seg_uncommitted").toString
+    val w = sinks.VocabSink.writer(s"$dir/vocab") _
+    w(Seq((1L, "aa aa")).toDF("doc_id", "text"), 0L)
+    w(Seq((2L, "bb")).toDF("doc_id", "text"), 1L)
+    w(Seq((3L, "cc cc cc")).toDF("doc_id", "text"), 2L)
+    // simulate batch 2 having CRASHED mid-write: its data files exist
+    // but no commit marker survives (the committer's abort removes only
+    // _temporary) — streaming will replay batch 2 on restart
+    val seg2 = new java.io.File(s"$dir/vocab/seq=2")
+    assert(new java.io.File(seg2, "_GRAFT_COMMITTED").delete())
+    new java.io.File(seg2, "_SUCCESS").delete()
+    sinks.VocabSink.compact(spark, s"$dir/vocab")
+    // the fold must cover batches 0-1 ONLY — folding batch 2's partial
+    // rows would leave a committed fold at seq=2 and the replay below
+    // would no-op, silently losing the batch
+    assert(vocabOf(s"$dir/vocab") == Map("aa" -> 2L, "bb" -> 1L),
+      "uncommitted segment must be invisible to the fold and the read")
+    w(Seq((3L, "cc cc cc")).toDF("doc_id", "text"), 2L) // the replay
+    assert(vocabOf(s"$dir/vocab") ==
+      Map("aa" -> 2L, "bb" -> 1L, "cc" -> 3L),
+      "the replayed batch must be recorded exactly once")
+  }
+
+  test("marker write is crash-safe: an interrupted rewrite leaves the tmp as recovery copy") {
+    val dir = Files.createTempDirectory("marker").toString
+    val p = s"$dir/__seq_horizon"
+    sinks.Hfs.writeString(spark, p, "7")
+    assert(sinks.Hfs.readString(spark, p).contains("7"))
+    // crash window: new content durable in tmp, old file already deleted,
+    // rename not yet executed
+    sinks.Hfs.writeString(spark, s"$p.__tmp", "8")
+    assert(new java.io.File(p).delete())
+    assert(sinks.Hfs.readString(spark, p).contains("8"),
+      "the committed tmp must be adopted when the main file is missing")
+    // and a normal rewrite from that state heals it
+    sinks.Hfs.writeString(spark, p, "9")
+    assert(sinks.Hfs.readString(spark, p).contains("9"))
+  }
+
+  test("deleteWhere removes an emptied partition whose dt Hive-escapes in the path") {
+    val dir = Files.createTempDirectory("kps_escape").toString + "/t"
+    // a dt with a space writes an escaped partition dir (dt=a%20b)
+    val rows = Seq((1L, "a b", 1L, 10.0), (2L, "plain", 1L, 20.0))
+      .toDF("k", "dt", "v", "x")
+    sinks.KeyedParquetSink.upsert(rows, dir, Seq("k", "dt"), "dt", "v")
+    val n = sinks.KeyedParquetSink.deleteWhere(spark, dir, "dt",
+      col("dt") === "a b")
+    assert(n == 1L)
+    val back = spark.read.parquet(dir).select("dt").as[String].collect().toSeq
+    assert(back == Seq("plain"),
+      s"the escaped-dir partition must not resurrect its rows, got $back")
+  }
+
+  test("merge-sink read survives the compact swap window (staging adopted or base re-found)") {
+    val dir = Files.createTempDirectory("merge_swap").toString + "/t"
+    val b = Seq((1L, "2024-01-01", 1L, "x")).toDF("k", "dt", "v", "payload")
+    sinks.MergeParquetSink.upsert(b, dir, "dt")
+    sinks.MergeParquetSink.compact(spark, dir, Seq("k"), "dt", "v")
+    // crash window between base delete and staging rename: the staging
+    // IS the base — read must adopt it
+    sinks.Hfs.rename(spark, s"$dir/base", s"$dir/base__staging")
+    val rows = sinks.MergeParquetSink.read(spark, dir, Seq("k"), "v")
+      .select("k").as[Long].collect().toSeq
+    assert(rows == Seq(1L), "staging must stand in for the deleted base")
+    // next compact's recovery heals the layout
+    sinks.MergeParquetSink.compact(spark, dir, Seq("k"), "dt", "v")
+    assert(sinks.Hfs.exists(spark, s"$dir/base"))
+    assert(sinks.MergeParquetSink.read(spark, dir, Seq("k"), "v").count() == 1L)
+  }
+}
