@@ -50,6 +50,16 @@ object CdcRouter {
           .otherwise(col("data")).as("value"),
         col("op"))
 
+  /** The rows decode() drops — corrupt envelopes (`_corrupt` captured
+    * by parseCdc) and unknown CDC types: the CDC path's error-sink side
+    * (P4's contract extended to ingestion), so a malformed envelope is
+    * quarantined instead of silently vanishing in the op filter. */
+  def undecodable(parsed: DataFrame): DataFrame =
+    parsed.filter(col("_corrupt").isNotNull ||
+        col("type").isNull ||
+        !col("type").isin("bootstrap-insert", "insert", "update", "delete"))
+      .select(col("value"))
+
   /** Full router over raw CDC JSON. */
   def route(raw: DataFrame, factTables: Seq[String], dimTables: Seq[String])
       : Map[String, DataFrame] = {

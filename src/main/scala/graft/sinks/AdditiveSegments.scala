@@ -25,21 +25,13 @@ private[sinks] object AdditiveSegments {
 
   private val StagingPrefix = "__compact_staging_"
 
-  /** The commit marker is OUR OWN file, written after the parquet job
-    * returns — not the committer's `_SUCCESS`, which disappears entirely
-    * under `mapreduce.fileoutputcommitter.marksuccessfuljobs=false`
-    * (standard advice on object stores): with the protocol keyed on
-    * `_SUCCESS` alone, every segment would look uncommitted there —
-    * replays would rewrite committed batches and compact recovery would
-    * discard complete stagings. `_SUCCESS` is still honored as a
-    * fallback marker for segments written before this change. */
-  private val Marker = "_GRAFT_COMMITTED"
-
+  // the shared segment commit-marker protocol (see Hfs.CommitMarker for
+  // why the committer's _SUCCESS alone is not a safe key)
   private def committed(spark: SparkSession, dir: String): Boolean =
-    Hfs.exists(spark, s"$dir/$Marker") || Hfs.exists(spark, s"$dir/_SUCCESS")
+    Hfs.segmentCommitted(spark, dir)
 
   private def markCommitted(spark: SparkSession, dir: String): Unit =
-    Hfs.writeString(spark, s"$dir/$Marker", "ok")
+    Hfs.markSegmentCommitted(spark, dir)
 
   /** foreachBatch hook body: append the batch's partial as seq=batchId. */
   def write(partial: DataFrame, path: String, batchId: Long): Unit = {

@@ -29,6 +29,22 @@ object Hfs {
     (p.getFileSystem(conf), p)
   }
 
+  /** Segment commit-marker protocol shared by every per-batch segment
+    * sink (AdditiveSegments, Streams.publishBatch): OUR OWN marker file
+    * written after the parquet job returns — not the committer's
+    * `_SUCCESS`, which disappears entirely under
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` (standard
+    * on object stores) and would make every committed segment look
+    * uncommitted. `_SUCCESS` is honored as a fallback marker for
+    * segments written before this protocol. */
+  val CommitMarker = "_GRAFT_COMMITTED"
+
+  def segmentCommitted(spark: SparkSession, dir: String): Boolean =
+    exists(spark, s"$dir/$CommitMarker") || exists(spark, s"$dir/_SUCCESS")
+
+  def markSegmentCommitted(spark: SparkSession, dir: String): Unit =
+    writeString(spark, s"$dir/$CommitMarker", "ok")
+
   /** The "nothing readable here" classifier shared by every sink's
     * optional-side read (KeyedParquetSink bootstrap, MergeParquetSink
     * base/delta sides, IngestSegments live reads). PATH_NOT_FOUND: the

@@ -88,7 +88,13 @@ object Envelopes {
     * a third time on the ingest hot path. */
   def parseCdc(raw: DataFrame, valueCol: String = "value"): DataFrame =
     raw
-      .withColumn("m", from_json(col(valueCol), cdcMetaSchema))
+      // corrupt-record capture, same as parseLog: an unparseable
+      // envelope yields an all-null meta struct, and without `_corrupt`
+      // the record would silently vanish in decode()'s op filter
+      // instead of reaching the error sink (CdcRouter.undecodable)
+      .withColumn("m",
+        from_json(col(valueCol), cdcMetaSchema.add("_corrupt", StringType),
+          Map("columnNameOfCorruptRecord" -> "_corrupt")))
       .withColumn("data", get_json_object(col(valueCol), "$.data"))
       .select(
         col(valueCol),
@@ -96,6 +102,7 @@ object Envelopes {
         col("m.table").as("table"),
         col("m.type").as("type"),
         col("m.ts").as("cdc_ts"),
+        col("m._corrupt").as("_corrupt"),
         col("data"),
         get_json_object(col("data"), "$.id").as("id"))
 }

@@ -179,19 +179,24 @@ object Streams {
 
   /** Exactly-once per-batch publish into an append-style topic dir: each
     * (sink, batch) pair lands in its own `batch=<id>` segment, committed
-    * by the parquet `_SUCCESS` marker — a replayed batch no-ops per
-    * sink, a crash between sinks resumes exactly where it stopped, and
-    * an uncommitted leftover is cleared and rewritten (same protocol as
-    * PhraseIndexSink.writer). Readers scan the sink root; the `batch`
-    * partition column is lineage metadata they may ignore. Empty sides
-    * are skipped — there is nothing a replay could duplicate. */
+    * by the shared commit-marker protocol (Hfs.CommitMarker — the same
+    * marker the sink layer's segment stores key on; `_SUCCESS` alone
+    * vanishes under marksuccessfuljobs=false) — a replayed batch no-ops
+    * per sink, a crash between sinks resumes exactly where it stopped,
+    * and an uncommitted leftover is cleared and rewritten. Readers scan
+    * the sink root; the `batch` partition column is lineage metadata
+    * they may ignore. Empty sides are skipped without a marker — a
+    * replay re-probes isEmpty and skips again, so there is nothing to
+    * duplicate. */
   private def publishBatch(df: DataFrame, dir: String, batchId: Long): Unit = {
     val seg = s"$dir/batch=$batchId"
     val spark = df.sparkSession
-    if (graft.sinks.Hfs.exists(spark, s"$seg/_SUCCESS")) return
+    if (graft.sinks.Hfs.segmentCommitted(spark, seg)) return
     graft.sinks.Hfs.deleteRecursive(spark, seg)
-    if (!df.isEmpty)
+    if (!df.isEmpty) {
       df.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(seg)
+      graft.sinks.Hfs.markSegmentCommitted(spark, seg)
+    }
   }
 
   /** ST10/P10: CDC routing with per-batch config refresh — the fact/dim
@@ -205,17 +210,53 @@ object Streams {
   def cdcRouteBatchWriter(configPath: String, outDir: String)
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val conf = spark.read.schema("name STRING, kind STRING").csv(configPath)
-      .collect().map(r => r.getString(0) -> r.getString(1))
-    val facts = conf.collect { case (n, "fact") => n }.toSeq
-    val dims = conf.collect { case (n, "dim") => n }.toSeq
-    val routed = graft.operators.CdcRouter.route(batch, facts, dims)
-    val fact = routed("fact").persist()
-    val dim = routed("dim").persist()
+    // PIN the batch's routing config: the first attempt snapshots the
+    // live config beside the output (atomic tmp+rename via writeString)
+    // and every replay reads the PIN. Without it the per-sink marker
+    // protocol is unsound under hot reload: batch N publishes fact,
+    // crashes before dim, the config moves table T across kinds while
+    // the query is down — on replay fact no-ops under the OLD routing
+    // while dim recomputes under the NEW, so T's rows land in both
+    // sinks (fact→dim move) or in neither (dim→fact). Kinds are
+    // trimmed/case-normalized and unknown kinds fail LOUDLY — a typo'd
+    // kind silently unrouting a table is CDC data loss.
+    val pinPath = s"$outDir/__config/batch=$batchId"
+    val conf: Seq[(String, String)] =
+      graft.sinks.Hfs.readString(spark, pinPath) match {
+        case Some(s) =>
+          s.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+            val Array(n, k) = l.split(",", 2); (n, k)
+          }
+        case None =>
+          val fresh = spark.read.schema("name STRING, kind STRING")
+            .csv(configPath).collect().toSeq
+            .filter(r => !r.isNullAt(0))
+            .map(r => (r.getString(0).trim,
+              Option(r.getString(1)).fold("")(_.trim.toLowerCase)))
+          val unknown = fresh.filterNot { case (_, k) => k == "fact" || k == "dim" }
+          require(unknown.isEmpty,
+            s"unknown routing kind(s) in $configPath: $unknown (allowed: fact, dim)")
+          graft.sinks.Hfs.writeString(spark, pinPath,
+            fresh.map { case (n, k) => s"$n,$k" }.mkString("\n"))
+          fresh
+      }
+    val facts = conf.collect { case (n, "fact") => n }
+    val dims = conf.collect { case (n, "dim") => n }
+    // parse ONCE: persist the shared parsed prefix, not the two routed
+    // branches — the branch-persist form still re-parsed every envelope
+    // once per branch
+    val parsed = graft.sources.Envelopes.parseCdc(batch).persist()
+    val decoded = graft.operators.CdcRouter.decode(parsed)
     try {
-      publishBatch(fact, s"$outDir/fact", batchId)
-      publishBatch(dim, s"$outDir/dim", batchId)
-    } finally { fact.unpersist(); dim.unpersist() }
+      publishBatch(graft.operators.CdcRouter.facts(decoded, facts),
+        s"$outDir/fact", batchId)
+      publishBatch(graft.operators.CdcRouter.dims(decoded, dims),
+        s"$outDir/dim", batchId)
+      // P4 for the CDC path: corrupt envelopes and unknown CDC types
+      // reach an error sink instead of vanishing in decode's filter
+      publishBatch(graft.operators.CdcRouter.undecodable(parsed),
+        s"$outDir/error", batchId)
+    } finally { parsed.unpersist(); () }
   }
 
   /** P6/S3: the 5-way fan-out as a single foreachBatch — one parse, one

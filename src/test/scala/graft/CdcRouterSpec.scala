@@ -65,4 +65,60 @@ class CdcRouterSpec extends SparkSpec {
     val r = CdcRouter.route(raw, facts, dims)
     assert(r("fact").count() == 0 && r("dim").count() == 0)
   }
+
+  test("corrupt and unknown-type envelopes reach the error sink, not the void") {
+    val junk = """{"database":"gmall","table":"order_in""" // truncated JSON
+    val raw = Seq(
+      cdc("order_info", "insert", 1),
+      cdc("order_info", "truncate", 2), // valid JSON, unknown CDC type
+      junk).toDF("value")
+    val parsed = graft.sources.Envelopes.parseCdc(raw)
+    val errs = CdcRouter.undecodable(parsed).as[String].collect().toSet
+    assert(errs == Set(cdc("order_info", "truncate", 2), junk),
+      s"exactly the undecodable envelopes must be quarantined, got $errs")
+    // partition property: decodable ∪ undecodable == every input row
+    assert(CdcRouter.decode(parsed).count() + errs.size == 3)
+  }
+
+  test("cdc writer pins its batch's config: replay ignores a hot config change") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("cdc_pin").toString
+    def setConf(kind: String): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/conf.csv"), s"order_info,$kind\n")
+    setConf("fact")
+    val batch = Seq(cdc("order_info", "insert", 7)).toDF("value")
+    val w = streaming.Streams.cdcRouteBatchWriter(s"$dir/conf.csv", s"$dir/out") _
+    w(batch, 0L)
+    assert(spark.read.parquet(s"$dir/out/fact/batch=0").count() == 1)
+    // the config moves the table across kinds while the query is down;
+    // the REPLAY of batch 0 must keep the pinned old routing — without
+    // the pin, fact no-ops on its marker and dim recomputes under the
+    // new config: the same rows in BOTH sinks
+    setConf("dim")
+    w(batch, 0L)
+    assert(!sinks.Hfs.exists(spark, s"$dir/out/dim/batch=0"),
+      "replayed batch must not re-route under the new config")
+    // the NEXT batch picks up the new config (hot reload still works)
+    w(batch, 1L)
+    assert(spark.read.parquet(s"$dir/out/dim/batch=1").count() == 1)
+    assert(!sinks.Hfs.exists(spark, s"$dir/out/fact/batch=1"))
+  }
+
+  test("cdc writer trims config whitespace and fails loudly on unknown kinds") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_conf").toString
+    val batch = Seq(cdc("order_info", "insert", 8)).toDF("value")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/conf.csv"), "order_info, Fact\n")
+    streaming.Streams.cdcRouteBatchWriter(s"$dir/conf.csv", s"$dir/out")(batch, 0L)
+    assert(spark.read.parquet(s"$dir/out/fact/batch=0").count() == 1,
+      "' Fact' must route after trim + case-normalization")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/conf.csv"), "order_info,fct\n")
+    val e = intercept[IllegalArgumentException] {
+      streaming.Streams.cdcRouteBatchWriter(s"$dir/conf.csv", s"$dir/out2")(batch, 0L)
+    }
+    assert(e.getMessage.contains("fct"),
+      "a typo'd kind silently unrouting a table would be CDC data loss")
+  }
 }
