@@ -847,6 +847,10 @@ object TextOps {
       batch: DataFrame, batchId: Long): Unit = {
     require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
     val b = batch.localCheckpoint()
+    // an empty micro-batch writes nothing anywhere (no vocab segment,
+    // no admitted dir) — and must return BEFORE the model read, which
+    // rightly refuses a table with no segments on a cold start
+    if (b.isEmpty) return
     graft.sinks.VocabSink.writer(vocabPath)(b, batchId)
     if (batchId % compactEvery == (compactEvery - 1).toLong)
       graft.sinks.VocabSink.compact(b.sparkSession, vocabPath)

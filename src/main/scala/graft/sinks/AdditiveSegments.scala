@@ -33,12 +33,19 @@ private[sinks] object AdditiveSegments {
   private def markCommitted(spark: SparkSession, dir: String): Unit =
     Hfs.markSegmentCommitted(spark, dir)
 
-  /** foreachBatch hook body: append the batch's partial as seq=batchId. */
+  /** foreachBatch hook body: append the batch's partial as seq=batchId.
+    * An EMPTY partial writes nothing at all — not even a marker dir: a
+    * replayed empty batch re-probes isEmpty and skips again (content
+    * idempotence), while the 0-row partitioned write it replaces left a
+    * FOOTERLESS committed segment that wedged every subsequent read on
+    * UNABLE_TO_INFER_SCHEMA (an empty micro-batch is routine; a
+    * permanently crashed read loop is not). */
   def write(partial: DataFrame, path: String, batchId: Long): Unit = {
     val seg = s"$path/seq=$batchId"
     val spark = partial.sparkSession
     if (committed(spark, seg)) return
     Hfs.deleteRecursive(spark, seg)
+    if (partial.isEmpty) return
     partial.write.mode(SaveMode.ErrorIfExists).parquet(seg)
     markCommitted(spark, seg)
   }
@@ -50,34 +57,32 @@ private[sinks] object AdditiveSegments {
     * would double-count. */
   def read(spark: SparkSession, path: String,
       reconcile: DataFrame => DataFrame): DataFrame = {
-    // Retry a PATH_NOT_FOUND from a segment deleted between the listing
-    // and the parquet planning (a cadence compact's swap racing this
-    // reader) with a fresh listing — same contract as
-    // IngestSegments.readLive, same residual action-time window.
-    var lastRace: org.apache.spark.sql.AnalysisException = null
-    for (_ <- 0 until 3) {
+    // PATH_NOT_FOUND from a segment deleted between the listing and the
+    // parquet planning (a cadence compact's swap racing this reader) is
+    // retried with a fresh listing — same contract and residual
+    // action-time window as IngestSegments.readLive.
+    Hfs.withPathRaceRetry() {
       // uncommitted segments (a crashed write attempt's leftovers) are
       // invisible: their batch is checkpoint-uncommitted and will be
       // rewritten on replay — reading their partial files would count
       // half a batch
       val segs = Hfs.childDirs(spark, path, "seq=")
         .filter(sd => committed(spark, s"$path/$sd"))
+      // several committed stagings can only mean concurrent compacts
+      // (a contract violation); the MAX target is the superset fold —
+      // adopting any other would double-count once both land
       val staged = Hfs.childDirs(spark, path, StagingPrefix)
         .filter(st => committed(spark, s"$path/$st"))
-      val live = staged.headOption match {
+        .sortBy(_.stripPrefix(StagingPrefix).toLong)
+      val live = staged.lastOption match {
         case Some(st) =>
           val target = st.stripPrefix(StagingPrefix).toLong
           st +: segs.filter(_.stripPrefix("seq=").toLong > target)
         case None => segs
       }
       require(live.nonEmpty, s"no index segments under $path")
-      try return readSegments(spark, path, live, reconcile)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" => lastRace = e
-      }
+      readSegments(spark, path, live, reconcile)
     }
-    throw lastRace
   }
 
   private def readSegments(spark: SparkSession, path: String,
@@ -90,7 +95,17 @@ private[sinks] object AdditiveSegments {
     * that id's dir still exists after the fold, so the replayed write
     * no-ops; every older id is checkpoint-committed and never replayed.
     * Staging + atomic rename (staging name carries the target seq so a
-    * crash between delete and rename is adopted on the next compact). */
+    * crash between delete and rename is adopted on the next compact).
+    *
+    * ONE maintenance process per table: compact may run beside the
+    * live stream's writes (the snapshot reasoning below), but not
+    * beside ANOTHER compact, and not beside a restarted stream
+    * REPLAYING the max-seq batch from an external process — the replay
+    * could rewrite seq=maxSeq between this fold's delete and rename.
+    * That violation is LOUD, not silent: Hfs.rename refuses an
+    * existing destination (HDFS would otherwise bury the fold as a
+    * hidden subdirectory), and the adoption loop above converges
+    * multiple committed stagings on the superset fold. */
   def compact(spark: SparkSession, path: String,
       reconcile: DataFrame => DataFrame): Unit = {
     // A staging dir WITH _SUCCESS is a complete fold of every segment
@@ -100,16 +115,24 @@ private[sinks] object AdditiveSegments {
     // compact) have seq > target and must survive the recovery, or
     // their checkpoint-committed, never-replayed batches would be lost.
     // A staging without _SUCCESS is a partial write and is discarded.
-    Hfs.childDirs(spark, path, StagingPrefix).foreach { st =>
-      val full = s"$path/$st"
-      val target = st.stripPrefix(StagingPrefix).toLong
-      if (committed(spark, full)) {
-        Hfs.childDirs(spark, path, "seq=")
-          .filter(_.stripPrefix("seq=").toLong <= target)
-          .foreach(sd => Hfs.deleteRecursive(spark, s"$path/$sd"))
-        Hfs.rename(spark, full, s"$path/seq=$target")
-      } else Hfs.deleteRecursive(spark, full)
-    }
+    // Adopt stagings in ASCENDING target order: with two committed
+    // stagings (concurrent compacts — a contract violation, but one
+    // that must not corrupt), adopting the lower target first lets the
+    // higher (superset) adoption's delete phase remove the lower fold
+    // again, converging on the superset alone; unspecified listing
+    // order could leave both live and double-count every older batch.
+    Hfs.childDirs(spark, path, StagingPrefix)
+      .sortBy(_.stripPrefix(StagingPrefix).toLong)
+      .foreach { st =>
+        val full = s"$path/$st"
+        val target = st.stripPrefix(StagingPrefix).toLong
+        if (committed(spark, full)) {
+          Hfs.childDirs(spark, path, "seq=")
+            .filter(_.stripPrefix("seq=").toLong <= target)
+            .foreach(sd => Hfs.deleteRecursive(spark, s"$path/$sd"))
+          Hfs.rename(spark, full, s"$path/seq=$target")
+        } else Hfs.deleteRecursive(spark, full)
+      }
     // fold COMMITTED segments only. An uncommitted dir is a crashed
     // write attempt whose batch the stream will REPLAY: folding its
     // partial rows — and leaving a committed fold at its id — would
@@ -123,8 +146,12 @@ private[sinks] object AdditiveSegments {
     val staging = s"$path/$StagingPrefix$maxSeq"
     // fold EXACTLY the snapshotted segment list — a batch landing after
     // the listing keeps its own segment and is not in the fold, so it is
-    // neither lost nor double-counted
-    val merged = readSegments(spark, path, segs, reconcile).localCheckpoint(true)
+    // neither lost nor double-counted. No checkpoint: the source
+    // segments are deleted only AFTER this write completes, so the fold
+    // streams straight from them (an eager localCheckpoint pinned the
+    // whole merged index — corpus-distinct-key sized — in block-manager
+    // memory for no recoverability gain).
+    val merged = readSegments(spark, path, segs, reconcile)
     merged.write.mode(SaveMode.ErrorIfExists).parquet(staging)
     // marker BEFORE the deletes: from here the staging stands in for
     // every folded segment, so a crash anywhere below is recovered by

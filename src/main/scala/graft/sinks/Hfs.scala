@@ -39,8 +39,12 @@ object Hfs {
     * segments written before this protocol. */
   val CommitMarker = "_GRAFT_COMMITTED"
 
-  def segmentCommitted(spark: SparkSession, dir: String): Boolean =
-    exists(spark, s"$dir/$CommitMarker") || exists(spark, s"$dir/_SUCCESS")
+  def segmentCommitted(spark: SparkSession, dir: String): Boolean = {
+    // one listStatus, not two exists probes: marker checks run once per
+    // segment per read on the per-batch hot path
+    val files = childFiles(spark, dir)
+    files.contains(CommitMarker) || files.contains("_SUCCESS")
+  }
 
   def markSegmentCommitted(spark: SparkSession, dir: String): Unit =
     writeString(spark, s"$dir/$CommitMarker", "ok")
@@ -72,16 +76,55 @@ object Hfs {
       .filter(_.startsWith(prefix))
   }
 
+  /** Names of the FILES directly under `path` — one listStatus RPC,
+    * for callers that would otherwise probe several `exists` paths per
+    * directory (marker checks over many segments). */
+  def childFiles(spark: SparkSession, path: String): Seq[String] = {
+    val (f, p) = fs(spark, path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.getName)
+  }
+
+  /** Retry `body` when a concurrently-deleted path surfaces as
+    * PATH_NOT_FOUND during eager parquet planning (a compaction swap
+    * racing a reader) — the reader re-lists and retries rather than
+    * failing, or worse, misreading. The shared home of the loop both
+    * segment lifecycles need (IngestSegments.readLive documents the
+    * residual action-time window that remains). */
+  def withPathRaceRetry[T](attempts: Int = 3)(body: => T): T = {
+    var last: org.apache.spark.sql.AnalysisException = null
+    for (_ <- 0 until attempts) {
+      try return body
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => last = e
+      }
+    }
+    throw last
+  }
+
   def deleteRecursive(spark: SparkSession, path: String): Unit = {
     val (f, p) = fs(spark, path)
     if (f.exists(p)) { f.delete(p, true): Unit }
   }
 
   /** Rename within one filesystem — atomic on HDFS and local FS (the
-    * object-store caveat applies on s3a). */
+    * object-store caveat applies on s3a). Fails LOUDLY if the
+    * destination already exists: HDFS rename onto an existing directory
+    * silently moves the source INSIDE it (POSIX-mv semantics), which
+    * for the compaction swaps would bury a completed fold as a hidden
+    * subdirectory Spark never reads — every sink's swap protocol
+    * expects the destination to have been removed first, so an
+    * existing destination means a concurrent writer violated the
+    * one-maintenance-process contract and must surface, not corrupt. */
   def rename(spark: SparkSession, from: String, to: String): Unit = {
     val (f, p) = fs(spark, from)
-    if (!f.rename(p, new Path(to)))
+    val dest = new Path(to)
+    if (f.exists(dest))
+      throw new java.io.IOException(s"rename $from -> $to: destination " +
+        "exists — a concurrent writer owns it (one maintenance process " +
+        "per table)")
+    if (!f.rename(p, dest))
       throw new java.io.IOException(s"rename $from -> $to failed")
   }
 

@@ -41,6 +41,67 @@ class SinkHardeningSpec extends SparkSpec {
       "the replayed batch must be recorded exactly once")
   }
 
+  test("empty micro-batches leave no segment and cannot wedge the reads") {
+    val dir = Files.createTempDirectory("seg_empty").toString
+    val docs = Seq((1L, "aa bb")).toDF("doc_id", "text")
+    val empty = docs.filter(col("doc_id") < 0)
+    // cold start on an empty batch: the gate must no-op, not crash on
+    // the segment-less model read
+    functions.TextOps.streamingQualityGateWriter(
+      s"$dir/vocab", s"$dir/out", minScore = 0.0)(empty, 0L)
+    assert(!new java.io.File(s"$dir/vocab").exists() ||
+      new java.io.File(s"$dir/vocab").listFiles().isEmpty)
+    // a 0-row partial writes nothing — the footerless committed segment
+    // it used to leave made every later read throw UNABLE_TO_INFER_SCHEMA
+    val w = sinks.VocabSink.writer(s"$dir/vocab") _
+    w(empty.select("doc_id", "text"), 1L)
+    w(docs, 2L)
+    assert(vocabOf(s"$dir/vocab") == Map("aa" -> 1L, "bb" -> 1L))
+    sinks.VocabSink.compact(spark, s"$dir/vocab")
+    assert(vocabOf(s"$dir/vocab") == Map("aa" -> 1L, "bb" -> 1L))
+  }
+
+  test("two committed stagings (concurrent-compact debris) converge on the superset fold") {
+    val dir = Files.createTempDirectory("seg_twostage").toString
+    val w = sinks.VocabSink.writer(s"$dir/vocab") _
+    w(Seq((1L, "aa")).toDF("doc_id", "text"), 0L)
+    w(Seq((2L, "bb")).toDF("doc_id", "text"), 1L)
+    // fabricate the contract-violation state: a committed subset fold
+    // (target 0) beside a committed superset fold (target 1) — the
+    // adoption loop must end with the superset alone, not both (which
+    // would double-count batch 0)
+    val segs = s"$dir/vocab"
+    sinks.VocabSink.compact(spark, segs) // folds 0-1 at seq=1
+    // turn the fold back into a staging pair: copy seq=1 → stagings 0,1
+    import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+    def copyDir(from: String, to: String): Unit = {
+      JF.createDirectories(Paths.get(to))
+      JF.list(Paths.get(from)).forEach(p =>
+        JF.copy(p, Paths.get(to, p.getFileName.toString),
+          StandardCopyOption.COPY_ATTRIBUTES))
+    }
+    copyDir(s"$segs/seq=1", s"$segs/__compact_staging_0")
+    copyDir(s"$segs/seq=1", s"$segs/__compact_staging_1")
+    sinks.Hfs.deleteRecursive(spark, s"$segs/seq=1")
+    sinks.VocabSink.compact(spark, segs)
+    val liveSegs = new java.io.File(segs).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seq=")).map(_.getName)
+    assert(liveSegs.toSeq == Seq("seq=1"),
+      s"adoption must converge on the superset fold only, got ${liveSegs.toSeq}")
+    assert(vocabOf(segs) == Map("aa" -> 1L, "bb" -> 1L),
+      "no batch may be double-counted after the recovery")
+  }
+
+  test("rename refuses an existing destination instead of burying the source inside it") {
+    val dir = Files.createTempDirectory("rename_guard").toString
+    Files.createDirectory(java.nio.file.Paths.get(s"$dir/a"))
+    Files.createDirectory(java.nio.file.Paths.get(s"$dir/b"))
+    val e = intercept[java.io.IOException] {
+      sinks.Hfs.rename(spark, s"$dir/a", s"$dir/b")
+    }
+    assert(e.getMessage.contains("destination exists"))
+  }
+
   test("marker write is crash-safe: an interrupted rewrite leaves the tmp as recovery copy") {
     val dir = Files.createTempDirectory("marker").toString
     val p = s"$dir/__seq_horizon"
