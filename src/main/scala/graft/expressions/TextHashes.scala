@@ -67,12 +67,15 @@ object TextHashRuntime {
     val n = toks.length - width + 1
     if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
     val mins = Array.fill(perms)(Long.MaxValue)
+    // permConst depends only on p — hoist the perms multiplies out of
+    // the tokens × perms inner loop (the file's hottest path)
+    val consts = Array.tabulate(perms)(permConst)
     var i = 0
     while (i < n) {
       val h = shingleHash(toks, i, width)
       var p = 0
       while (p < perms) {
-        val v = java.lang.Long.rotateLeft(h, p + 1) ^ permConst(p)
+        val v = java.lang.Long.rotateLeft(h, p + 1) ^ consts(p)
         if (v < mins(p)) mins(p) = v
         p += 1
       }

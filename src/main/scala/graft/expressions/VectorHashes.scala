@@ -53,9 +53,18 @@ object VectorRuntime {
     * of aggregate(zip_with(v, plane, _*_), 0.0, _+_). */
   def signBandVals(v: ArrayData, planesFlat: Array[Double], dims: Int,
       bandBits: Int): ArrayData = {
-    val x = v.toDoubleArray()
     val nPlanes = planesFlat.length / dims
     val out = new Array[Long](nPlanes / bandBits)
+    // malformed embedding — wrong length or a null element: in the
+    // composition twin every per-plane dot is NULL (zip_with pads /
+    // nulls the product) and `when(dot > 0, ...)` falls through to 0,
+    // so every bit stays unset. Mirror that with all-zero bands instead
+    // of crashing on a short vector, silently truncating a long one, or
+    // reading garbage through toDoubleArray on a null-bearing one
+    // (dotProduct/cosineSim below guard the same two hazards).
+    if (v.numElements != dims || anyNullElement(v))
+      return new GenericArrayData(out)
+    val x = v.toDoubleArray()
     var p = 0
     while (p < nPlanes) {
       var acc = 0.0
@@ -117,8 +126,14 @@ object VectorRuntime {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Intersection size of two ascending-sorted distinct long arrays. */
+  /** Intersection size of two ascending-sorted distinct long arrays.
+    * A null ELEMENT violates the precondition but passes analysis
+    * (ArrayType(LongType) admits containsNull) and toLongArray would
+    * read the slot as garbage bytes in the unsafe path — reject LOUDLY
+    * rather than return a silently-wrong count. */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    require(!anyNullElement(a) && !anyNullElement(b),
+      "sorted_intersect_count: null element in input array")
     val x = a.toLongArray(); val y = b.toLongArray()
     var i = 0; var j = 0; var c = 0L
     while (i < x.length && j < y.length) {

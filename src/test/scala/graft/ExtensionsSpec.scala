@@ -79,4 +79,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql._1 == Seq("a b c", "b c d", "c d e"))
     assert(viaSql._2 == Seq("a b", "b c", "c d", "d e"))
   }
+
+  test("sorted_intersect_count rejects null elements loudly instead of counting garbage") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect_count(array(1L, NULL, 3L), array(1L, 3L))")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m != null && m.contains("null element")),
+      s"expected the precondition failure to surface, got: ${msgs(e)}")
+  }
+
+  test("sign_band_vals bands a malformed embedding as all-zeros, like the composition") {
+    val planes = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)) // dims = 3
+    val rows = Seq(
+      (1L, Seq(1.0, 2.0)),               // too short: would have crashed
+      (2L, Seq(1.0, 2.0, 3.0, 4.0)),     // too long: silently truncated before
+      (3L, Seq[Any](1.0, null, 3.0))) // null element: garbage read before
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(DoubleType, containsNull = true))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2))), schema)
+    val out = df.select(col("id"),
+      graft.expressions.VectorHashes.sign_band_vals(col("v"), planes, 2).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out.values.forall(_ == Seq(0L)),
+      s"malformed vectors must band to all-zero values, got $out")
+  }
 }
