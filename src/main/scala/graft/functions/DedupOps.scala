@@ -110,6 +110,12 @@ object DedupOps {
       .select(col("b"), col("id").as("rep"))
     val star = ranked.filter(col("__occ") > maxBucket)
       .join(reps, "b")
+      // a duplicate (id, b) input row (64-bit band-key collision within
+      // one doc, or a caller that didn't dedup) ranks the same id at
+      // occ 1 AND occ > cap — without this filter it becomes the
+      // self-pair (id, id), which the verify tier cannot kill
+      // (jaccard(A,A) = 1.0)
+      .filter(col("id") =!= col("rep"))
       .select(least(col("id"), col("rep")).as("doc_a"),
         greatest(col("id"), col("rep")).as("doc_b"))
     full.unionByName(star).distinct()
@@ -236,6 +242,13 @@ object DedupOps {
     * without an all-pairs comparison — Manku et al., WWW'07 (the Google
     * SimHash dedup paper). */
   def simhashBlocks(f: Column, nBlocks: Int): Column = {
+    // nBlocks = 1 would need a 64-bit mask, but 1L << 64 wraps to 1L
+    // (JVM shift mod 64) so the mask is 0 and EVERY fingerprint
+    // collides on every key — an all-pairs join in disguise; > 64
+    // gives zero-width blocks with the same mask-0 degeneration. Fail
+    // loudly instead (same stance as minhash's perms <= 63 guard).
+    require(nBlocks >= 2 && nBlocks <= 64,
+      s"nBlocks must be in [2, 64], got $nBlocks")
     val base = 64 / nBlocks
     val extra = 64 % nBlocks
     val bounds = (0 until nBlocks)
@@ -326,8 +339,15 @@ object DedupOps {
       graft.expressions.TextHashes.simhash64(col("text")).as("f"),
       graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"),
       size(graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("sz"))
-    val tier0 = fp.select(col("doc_id"), col("f"), col("sz"),
-      explode(simhashBlockPairs(col("f"), 6)).as("bk"))
+    // sz > 0 on BOTH tiers: docs with no shingle (under 3 tokens, incl.
+    // empty text) all hash to the same degenerate fingerprint, share
+    // every tier-0 key, and pass both prefilters (0 <= hamming, 0 >=
+    // 0.5*0) — N empty docs would persist ~N²/2 candidate pairs the
+    // verify tier then drops anyway (zero-shingle docs can never reach
+    // Jaccard ≥ 0.5, so no true pair is lost)
+    val tier0 = fp.filter(col("sz") > 0)
+      .select(col("doc_id"), col("f"), col("sz"),
+        explode(simhashBlockPairs(col("f"), 6)).as("bk"))
       .select(col("doc_id"), col("f"), col("sz"),
         xxhash64(lit(0), col("bk.bi"), col("bk.bj"),
           col("bk.vi"), col("bk.vj")).as("b"))
@@ -376,28 +396,34 @@ object DedupOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .persist()
-    val candIds = cand
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    // shingle arrays are hashed (and sorted, for the merge intersect)
-    // only for docs that survived blocking + prefilter
-    val candDocs = t(s, d, "documents")
-      .join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), sort_array(
-        graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .persist()
+    // ALL construction after the persist sits inside its guard: frame
+    // analysis is eager, so a failure while building candDocs (missing
+    // fixture, schema drift) would otherwise leak cand's cached plan
+    // for the session lifetime (CacheManager holds plans strongly)
     try {
-      cand
-        .join(candDocs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-        .join(candDocs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-        .withColumn("inter", graft.expressions.VectorHashes
-          .sorted_intersect_count(col("hs_a"), col("hs_b")))
-        .withColumn("jaccard", round(col("inter") /
-          (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .localCheckpoint(eager = true)
-    } finally { cand.unpersist(false); candDocs.unpersist(false) }
+      val candIds = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      // shingle arrays are hashed (and sorted, for the merge intersect)
+      // only for docs that survived blocking + prefilter
+      val candDocs = t(s, d, "documents")
+        .join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), sort_array(
+          graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .persist()
+      try {
+        cand
+          .join(candDocs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+          .join(candDocs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+          .withColumn("inter", graft.expressions.VectorHashes
+            .sorted_intersect_count(col("hs_a"), col("hs_b")))
+          .withColumn("jaccard", round(col("inter") /
+            (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .localCheckpoint(eager = true)
+      } finally candDocs.unpersist(false)
+    } finally cand.unpersist(false)
   }
 
   /** Benchmark decontamination — the eval-leak check every training
@@ -618,9 +644,13 @@ object DedupOps {
     * pair set (dup-rate-proportional, never corpus²). */
   val splitLeakage: Q = (s, d) => {
     val p = 1000003L
+    // reduce doc_id mod p BEFORE the multiply: (a·k) mod p ≡
+    // ((a mod p)·k) mod p, so the assignment is identical — but the
+    // raw product doc_id·2654435761 overflows int64 (ANSI throw) for
+    // doc_id > ~3.47e9, while (p−1)·k ≈ 2.7e15 never can
     val docs = t(s, d, "documents")
       .select(col("doc_id"),
-        when(pmod(col("doc_id") * 2654435761L, lit(p)) < lit(p * 9 / 10),
+        when(pmod(pmod(col("doc_id"), lit(p)) * 2654435761L, lit(p)) < lit(p * 9 / 10),
           lit("train")).otherwise(lit("test")).as("split"))
     shingleJaccardPairs(s, d)
       .join(docs.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
@@ -1061,7 +1091,7 @@ object DedupOps {
         |  WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5),
         |splits AS (
         |  SELECT doc_id,
-        |    CASE WHEN (doc_id * 2654435761) % 1000003 < (1000003 * 9) // 10
+        |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000003 < (1000003 * 9) // 10
         |         THEN 'train' ELSE 'test' END AS split
         |  FROM documents)
         |SELECT a.split AS split_a, b.split AS split_b,

@@ -187,7 +187,6 @@ object SimilarityOps {
     * job whose output partitions/buckets the corpus by cell_id; queries
     * then read only probed cells. */
   def kmeansLite(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
-    val spark = emb.sparkSession
     var centroids: Array[Array[Double]] = emb
       .orderBy(col("vec_id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
@@ -444,25 +443,43 @@ object SimilarityOps {
     * the text join ships shingle-hash arrays only for the ~7%-of-pairs
     * candidate set, keyed by id — two hash joins, no corpus pair scan. */
   val hybridDedup: Q = (s, d) => {
-    val pairs = embeddingDupsBucketed(s, d)
-    val sh = t(s, d, "documents").select(col("doc_id"),
-      sort_array(graft.expressions.TextHashes.shingle_hashes(col("text"), 3))
-        .as("sh"))
-      .withColumn("sz", size(col("sh")).cast("long"))
-    pairs
-      .join(sh.select(col("doc_id").as("vec_a"), col("sh").as("sha"),
-        col("sz").as("sza")), "vec_a")
-      .join(sh.select(col("doc_id").as("vec_b"), col("sh").as("shb"),
-        col("sz").as("szb")), "vec_b")
-      .withColumn("i",
-        graft.expressions.VectorHashes.sorted_intersect_count(
-          col("sha"), col("shb")).cast("long"))
-      // two shingle-less docs (under 3 tokens) have 0/0 — define that
-      // as jaccard 0, mirrored by the oracle's CASE (NaN would diverge)
-      .select(col("vec_a"), col("vec_b"), col("cosine"),
-        when(col("sza") + col("szb") === 0, lit(0.0))
-          .otherwise(round(col("i") / (col("sza") + col("szb") - col("i")), 4))
-          .as("jaccard"))
+    // pairs feeds BOTH the candidate-id set and the final join —
+    // persist it or the whole LSH pipeline runs twice; shingle-hash
+    // only the candidate docs (left_semi, the q29/q28 pattern) — the
+    // previous full-corpus `sh` frame was hashed once per join side.
+    // Eager checkpoint + unpersist-in-finally, as simhashNearDupPairs.
+    val pairs = embeddingDupsBucketed(s, d).persist()
+    try {
+      val candIds = pairs
+        .select(explode(array(col("vec_a"), col("vec_b"))).as("doc_id"))
+        .distinct()
+      // zero-shingle candidates are KEPT (unlike q29's filter): the
+      // jaccard-0 definition below must still emit their pairs
+      val sh = t(s, d, "documents")
+        .join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          sort_array(graft.expressions.TextHashes.shingle_hashes(col("text"), 3))
+            .as("sh"))
+        .withColumn("sz", size(col("sh")).cast("long"))
+        .persist()
+      try {
+        pairs
+          .join(sh.select(col("doc_id").as("vec_a"), col("sh").as("sha"),
+            col("sz").as("sza")), "vec_a")
+          .join(sh.select(col("doc_id").as("vec_b"), col("sh").as("shb"),
+            col("sz").as("szb")), "vec_b")
+          .withColumn("i",
+            graft.expressions.VectorHashes.sorted_intersect_count(
+              col("sha"), col("shb")).cast("long"))
+          // two shingle-less docs (under 3 tokens) have 0/0 — define that
+          // as jaccard 0, mirrored by the oracle's CASE (NaN would diverge)
+          .select(col("vec_a"), col("vec_b"), col("cosine"),
+            when(col("sza") + col("szb") === 0, lit(0.0))
+              .otherwise(round(col("i") / (col("sza") + col("szb") - col("i")), 4))
+              .as("jaccard"))
+          .localCheckpoint(eager = true)
+      } finally sh.unpersist(false)
+    } finally pairs.unpersist(false)
   }
 
   /** ---- Persistent embedding LSH index: the ingest shape of the

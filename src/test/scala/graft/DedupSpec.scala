@@ -174,6 +174,18 @@ class DedupSpec extends SparkSpec {
       s"first divergence: ${both.find { case (m, h) => m != h }}")
   }
 
+  test("cappedBandCandidates never emits self-pairs, even on duplicate (id, band) rows") {
+    // a duplicate (id, b) row (64-bit band-key collision within one
+    // doc, or an undeduped caller) ranks the same id at occ 1 AND
+    // occ > cap; the star edge must not become (id, id) — the verify
+    // tier cannot kill it (jaccard(A, A) = 1.0)
+    val keyed = Seq((5L, 1L), (5L, 1L), (7L, 1L)).toDF("doc_id", "b")
+    val pairs = DedupOps.cappedBandCandidates(keyed, maxBucket = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.forall { case (a, b) => a != b }, s"self-pair emitted: $pairs")
+    assert(pairs.contains((5L, 7L)), s"real pair must survive: $pairs")
+  }
+
   test("cappedBandCandidates bounds a 1k-identical-doc hot bucket and keeps star connectivity") {
     // 1000 identical docs: every band bucket is one hot bucket of
     // occupancy 1000, so uncapped enumeration is 8 × C(1000,2) raw
