@@ -33,9 +33,12 @@ object Bucketing {
     * BroadcastExchange is NOT a shuffle and stays allowed. */
   def isShuffleFree(df: DataFrame): Boolean = {
     val plan = df.queryExecution.executedPlan.toString
-    !plan.contains("Exchange ") || {
-      // strip broadcast exchanges, then look again
-      !plan.replace("BroadcastExchange ", "").contains("Exchange ")
-    }
+    // strip the two non-shuffle exchange spellings, then look: a
+    // ReusedExchange over a broadcast would otherwise read as a
+    // shuffle (and the previous un-stripped first disjunct was dead —
+    // the stripped check alone is complete)
+    !plan.replace("BroadcastExchange ", "")
+      .replace("ReusedExchange ", "")
+      .contains("Exchange ")
   }
 }

@@ -19,12 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object CdcRouter {
 
+  /** The CDC envelope types decode() accepts — ONE list shared with
+    * undecodable(), so the decoded/quarantined sets stay an exact
+    * partition of the input (editing either copy alone would
+    * double-process or silently drop an op type). */
+  private val KnownOps: Map[String, String] = Map(
+    "bootstrap-insert" -> "I", "insert" -> "I",
+    "update" -> "U", "delete" -> "D")
+
   def decode(parsed: DataFrame): DataFrame =
     parsed
       .withColumn("op",
-        when(col("type").isin("bootstrap-insert", "insert"), "I")
-          .when(col("type") === "update", "U")
-          .when(col("type") === "delete", "D"))
+        KnownOps.foldLeft(lit(null).cast("string")) { case (acc, (t, o)) =>
+          when(col("type") === t, lit(o)).otherwise(acc)
+        })
       .filter(col("op").isNotNull)
 
   /** Fact route: rows destined for Kafka topic `DWD_<TABLE>_<op>`
@@ -48,7 +56,10 @@ object CdcRouter {
         concat(lit("DIM:"), upper(col("table")), lit(":"), col("id")).as("key"),
         when(col("op") === "D", lit(null).cast("string"))
           .otherwise(col("data")).as("value"),
-        col("op"))
+        col("op"),
+        // the envelope's version: consumers resolving latest-per-key
+        // (Gmall.dimTable, the merge sink's versionCol) order on it
+        col("cdc_ts"))
 
   /** The rows decode() drops — corrupt envelopes (`_corrupt` captured
     * by parseCdc) and unknown CDC types: the CDC path's error-sink side
@@ -57,7 +68,7 @@ object CdcRouter {
   def undecodable(parsed: DataFrame): DataFrame =
     parsed.filter(col("_corrupt").isNotNull ||
         col("type").isNull ||
-        !col("type").isin("bootstrap-insert", "insert", "update", "delete"))
+        !col("type").isin(KnownOps.keys.toSeq: _*))
       .select(col("value"))
 
   /** Full router over raw CDC JSON. */

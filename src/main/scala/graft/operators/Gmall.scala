@@ -24,12 +24,25 @@ object Gmall {
     "id STRING, name STRING, iso_code STRING, iso_3166_2 STRING, area_code STRING"
 
   /** Parse a dim route output (key `DIM:<TABLE>:<id>`, value JSON) into a
-    * dim table with the given schema; tombstones drop the key. */
-  def dimTable(dims: DataFrame, schema: String): DataFrame =
-    dims.filter(col("value").isNotNull)
+    * dim table with the given schema — LATEST version per key, exactly
+    * the overwrite semantics of the reference's Redis SET per dim key:
+    * newest cdc_ts wins (tombstone wins an equal-ts tie), and a winning
+    * tombstone drops the KEY — not merely its own row, which was the
+    * previous behavior's bug: a key's earlier upsert survived its later
+    * delete, and repeated upserts of one key fanned out every broadcast
+    * join against the dim. The window is keyed per dim id over a
+    * dim-sized frame — no corpus-scaled cost. */
+  def dimTable(dims: DataFrame, schema: String): DataFrame = {
+    val newest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+      .orderBy(col("cdc_ts").desc_nulls_last,
+        when(col("op") === "D", 1).otherwise(0).desc)
+    dims.withColumn("__rn", row_number().over(newest))
+      .filter(col("__rn") === 1 && col("value").isNotNull)
       .select(from_json(col("value"),
         org.apache.spark.sql.types.StructType.fromDDL(schema)).as("d"))
       .select(col("d.*"))
+  }
 
   /** DwdDauApp twin: session-entry filter (P11) → first-visit-per-day
     * dedup (A6 batch twin) → user/province broadcast enrichment (J1) →

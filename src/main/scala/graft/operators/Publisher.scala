@@ -128,8 +128,11 @@ object Publisher {
     * collects it (≤ 4 rows). Exposed un-collected for q78. */
   def statsByItemSqlDf(spark: SparkSession, itemTokens: Seq[String],
       t0: String): DataFrame = {
+    // alphanumerics ONLY: \w admits '_', a LIKE single-char wildcard,
+    // which would make this SQL twin match MORE than the programmatic
+    // endpoint's literal contains() — 'foo_bar' would match 'fooXbar'
     itemTokens.foreach(tok =>
-      require(tok.matches("\\w+"), s"bad token: $tok"))
+      require(tok.matches("[A-Za-z0-9]+"), s"bad token: $tok"))
     val matchPred = itemTokens
       .map(tok => s"p_name LIKE '%$tok%'").mkString(" AND ")
     val nameExpr = t0 match {
@@ -168,13 +171,20 @@ object Publisher {
   // (2024-01-15 is the events table's densest day — q15 uses the same
   // pair).
 
+  // register ONLY the views each endpoint's SQL reads: the previous
+  // full Graft.init per invocation re-read all ten fixture footers and
+  // re-registered the extension functions on every bench iteration —
+  // overhead no other q-entry pays, charged to q77/q78's numbers
+  private def views(s: SparkSession, d: String, names: String*): Unit =
+    names.foreach(n => graft.Tables.t(s, d, n).createOrReplaceTempView(n))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_dau_realtime_sql" -> ((s, d) => {
-      graft.Graft.init(s, d)
+      views(s, d, "events")
       dauRealtimeSqlDf(s, "2024-01-15", "2024-01-14")
     }),
     "q78_stats_by_item_sql" -> ((s, d) => {
-      graft.Graft.init(s, d)
+      views(s, d, "lineitem", "part", "orders", "customer")
       statsByItemSqlDf(s, Seq("small", "widget"), "segment")
     }),
   )

@@ -115,11 +115,11 @@ object Http {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val port = args.lift(1).map(_.toInt).getOrElse(8070)
-    val spark = SparkSession.builder()
-      .appName("graft-serve").master("local[4]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the ONE shared local-session recipe — a hand-rolled builder here
+    // missed spark.sql.session.timeZone=UTC, so /dauRealtime's
+    // day/hour bucketing depended on the host timezone (every other
+    // main already goes through localSession for exactly this reason)
+    val spark = graft.Graft.localSession(4)
     graft.Graft.init(spark, dir)
     val srv = start(spark, port)
     println(s"[serve] listening on ${srv.getAddress}")

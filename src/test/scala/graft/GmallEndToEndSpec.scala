@@ -21,8 +21,8 @@ class GmallEndToEndSpec extends SparkSpec {
       .stripMargin.replaceAll("\n", "")
   }
 
-  private def cdc(table: String, typ: String, dataJson: String) =
-    s"""{"database":"gmall","table":"$table","type":"$typ","ts":1,"data":$dataJson}"""
+  private def cdc(table: String, typ: String, dataJson: String, ts: Long = 1L) =
+    s"""{"database":"gmall","table":"$table","type":"$typ","ts":$ts,"data":$dataJson}"""
 
   private val facts = Seq("order_info", "order_detail")
   private val dims = Seq("user_info", "base_province")
@@ -113,5 +113,22 @@ class GmallEndToEndSpec extends SparkSpec {
     KeyedParquetSink.upsert(batch, path, Seq("detail_id"), "create_date", "ver")
     KeyedParquetSink.upsert(batch, path, Seq("detail_id"), "create_date", "ver")
     assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("dimTable keeps the newest version per key; a later tombstone drops the KEY") {
+    val rawCdc = Seq(
+      cdc("user_info", "insert", """{"id":1,"gender":"F","birthday":"1990-06-15"}""", ts = 1),
+      cdc("user_info", "update", """{"id":1,"gender":"M","birthday":"1990-06-15"}""", ts = 2),
+      cdc("user_info", "insert", """{"id":2,"gender":"F","birthday":"2000-01-01"}""", ts = 1),
+      cdc("user_info", "delete", """{"id":2}""", ts = 2),
+      // delete then RE-insert: the newer image must win back the key
+      cdc("user_info", "insert", """{"id":3,"gender":"F","birthday":"1980-01-01"}""", ts = 1),
+      cdc("user_info", "delete", """{"id":3}""", ts = 2),
+      cdc("user_info", "insert", """{"id":3,"gender":"M","birthday":"1980-01-01"}""", ts = 3))
+      .toDF("value")
+    val users = Gmall.parseUsers(CdcRouter.route(rawCdc, facts, dims)("dim"))
+      .select("id", "gender").as[(String, String)].collect().toMap
+    assert(users == Map("1" -> "M", "3" -> "M"),
+      s"latest-per-key with tombstone-drops-key expected, got $users")
   }
 }
