@@ -386,6 +386,10 @@ object SimilarityOps {
     val planes = hyperplanes(64, nPlanes)
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // malformed vectors would ALL co-bucket on the all-zero band
+      // signature (occupancy² candidate blowup) and can never verify
+      // (NULL cosine) — drop before banding, see wellFormedVec
+      .filter(wellFormedVec(col("v"), 64))
     // fused banding: one primitive-array pass per row computes all
     // nPlanes dots (the signBands composition — kept as the spec
     // reference — runs them as interpreted HOFs, ~ms/row at 128 planes)
@@ -500,12 +504,28 @@ object SimilarityOps {
   private val embIndexPlanes = 128
   private val embIndexBandBits = 8
 
+  /** Bucketing admission for every sign-LSH path: a malformed embedding
+    * (wrong length or a null element) bands to the identical all-zero
+    * signature, so ALL malformed rows co-bucket into one (band, bv)
+    * bucket per band and the candidate self-join pays occupancy² for
+    * rows whose verify-tier cosine is NULL anyway — the exact
+    * degenerate-key hazard DedupOps.simhashNearDupPairs' zero-shingle
+    * filter guards. Filter them out BEFORE banding; they can never be
+    * near-dups of anything (cosine vs a malformed vector is NULL, which
+    * fails every ≥-threshold verify), so dropping them from candidate
+    * generation changes no result. */
+  private[graft] def wellFormedVec(v: Column, dims: Int): Column =
+    size(v) === dims && !exists(v, x => x.isNull)
+
   /** (vec_id, v, band, bv, bkey) rows for a vector batch — one fused
     * SignBandVals pass; bkey folds (band, bv) into one long for the
-    * directory hash. */
+    * directory hash. Malformed vectors are excluded here, the single
+    * choke point the bands/vecs writes, the probe banding, and the
+    * in-batch self-join all derive from (see [[wellFormedVec]]). */
   private def embIndexRows(vecs: DataFrame): DataFrame = {
     val planes = hyperplanes(64, embIndexPlanes).toSeq.map(_.toSeq)
-    vecs.select(col("vec_id"), col("v"),
+    vecs.filter(wellFormedVec(col("v"), 64))
+      .select(col("vec_id"), col("v"),
         posexplode(graft.expressions.VectorHashes.sign_band_vals(
           col("v"), planes, embIndexBandBits)).as(Seq("band", "bv")))
       .withColumn("bkey",

@@ -854,11 +854,19 @@ object TextOps {
     graft.sinks.VocabSink.writer(vocabPath)(b, batchId)
     if (batchId % compactEvery == (compactEvery - 1).toLong)
       graft.sinks.VocabSink.compact(b.sparkSession, vocabPath)
-    val model = graft.sinks.VocabSink.read(b.sparkSession, vocabPath)
-      .select(col("token"), col("freq").as("cnt"))
-    val admitted = b.join(
-      lmScoreAgainst(b, model).filter(col("lm_score") >= minScore),
-      Seq("doc_id"))
+    // readOpt, not read: a non-empty cold-start batch whose documents
+    // all tokenize to nothing writes no vocab segment, and read()'s
+    // loud no-segments failure would wedge the stream permanently —
+    // every replay of the batch fails identically. With no model, no
+    // doc can score ≥ minScore: write the (empty) admitted segment so
+    // the batch completes and replays no-op like any other.
+    val admitted = graft.sinks.VocabSink.readOpt(b.sparkSession, vocabPath) match {
+      case Some(m) =>
+        val model = m.select(col("token"), col("freq").as("cnt"))
+        b.join(lmScoreAgainst(b, model).filter(col("lm_score") >= minScore),
+          Seq("doc_id"))
+      case None => b.limit(0).withColumn("lm_score", lit(0.0))
+    }
     admitted.write.mode("overwrite").parquet(s"$outDir/admitted/ingest=$batchId")
   }
 

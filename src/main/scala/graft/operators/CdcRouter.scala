@@ -29,6 +29,11 @@ object CdcRouter {
 
   def decode(parsed: DataFrame): DataFrame =
     parsed
+      // Mirror undecodable()'s first disjunct: a PERMISSIVE parse can
+      // set _corrupt while still extracting a valid `type` (e.g.
+      // non-numeric ts), and such a row must land ONLY in the error
+      // sink — otherwise quarantine-replay double-applies the op.
+      .filter(col("_corrupt").isNull)
       .withColumn("op",
         KnownOps.foldLeft(lit(null).cast("string")) { case (acc, (t, o)) =>
           when(col("type") === t, lit(o)).otherwise(acc)

@@ -56,7 +56,16 @@ private[sinks] object AdditiveSegments {
     * would silently undercount, and summing staging + folded survivors
     * would double-count. */
   def read(spark: SparkSession, path: String,
-      reconcile: DataFrame => DataFrame): DataFrame = {
+      reconcile: DataFrame => DataFrame): DataFrame =
+    readOpt(spark, path, reconcile).getOrElse(
+      throw new IllegalArgumentException(s"no index segments under $path"))
+
+  /** read() that reports an empty table as None instead of throwing —
+    * for callers where "no segments yet" is a routine state (a
+    * streaming cold start whose batches so far produced empty
+    * partials), not a misconfiguration. */
+  def readOpt(spark: SparkSession, path: String,
+      reconcile: DataFrame => DataFrame): Option[DataFrame] = {
     // PATH_NOT_FOUND from a segment deleted between the listing and the
     // parquet planning (a cadence compact's swap racing this reader) is
     // retried with a fresh listing — same contract and residual
@@ -80,8 +89,8 @@ private[sinks] object AdditiveSegments {
           st +: segs.filter(_.stripPrefix("seq=").toLong > target)
         case None => segs
       }
-      require(live.nonEmpty, s"no index segments under $path")
-      readSegments(spark, path, live, reconcile)
+      if (live.isEmpty) None
+      else Some(readSegments(spark, path, live, reconcile))
     }
   }
 

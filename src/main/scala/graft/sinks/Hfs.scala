@@ -136,6 +136,13 @@ object Hfs {
     (st.getLen, st.getModificationTime)
   }
 
+  /** Completeness terminator for writeString frames: a tmp that lacks
+    * it is TORN (crash mid-write) and must never be adopted as
+    * committed content. Appended on write, stripped on read; a legacy
+    * main file without it is still accepted (mains are only ever
+    * created by renaming a complete tmp, so a main is never torn). */
+  private val EofMark = "\n#GRAFT_EOF#"
+
   /** Overwrite a tiny marker file via write-temp-then-rename. The
     * previous in-place `create(p, overwrite = true)` truncated first:
     * a crash (or a concurrent read) between create and close left an
@@ -143,12 +150,15 @@ object Hfs {
     * subsequent `.toLong` forever. Now the new content is durable in
     * `path.__tmp` before the old file is touched; the only crash
     * window (between delete and rename) leaves no main file but a
-    * complete tmp, which readString adopts as the recovery copy. */
+    * complete, terminator-framed tmp, which readString adopts as the
+    * recovery copy. A crash EARLIER — mid-tmp-write with no main file
+    * yet (first-ever write) — leaves a tmp without the terminator,
+    * which readString rejects instead of adopting torn bytes. */
   def writeString(spark: SparkSession, path: String, content: String): Unit = {
     val (f, p) = fs(spark, path)
     val tmp = new Path(path + ".__tmp")
     val out = f.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
+    try out.write((content + EofMark).getBytes("UTF-8")) finally out.close()
     if (f.exists(p)) { f.delete(p, false): Unit }
     if (!f.rename(tmp, p))
       throw new java.io.IOException(s"rename $tmp -> $p failed")
@@ -162,13 +172,21 @@ object Hfs {
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
     }
-    if (f.exists(p)) Some(readFully(p))
+    def strip(s: String): String =
+      if (s.endsWith(EofMark)) s.dropRight(EofMark.length) else s
+    if (f.exists(p)) Some(strip(readFully(p)))
     else {
       // writeString crashed between delete and rename: the tmp IS the
       // committed content (it is written and closed before the old
-      // file is removed)
+      // file is removed) — but ONLY a terminator-complete tmp counts.
+      // A tmp without the terminator is a torn first-ever write: there
+      // was never a committed value, so report none rather than adopt
+      // partial bytes (an empty __seq_horizon wedges .toLong forever).
       val tmp = new Path(path + ".__tmp")
-      if (f.exists(tmp)) Some(readFully(tmp)) else None
+      if (f.exists(tmp)) {
+        val s = readFully(tmp)
+        if (s.endsWith(EofMark)) Some(s.dropRight(EofMark.length)) else None
+      } else None
     }
   }
 }

@@ -34,6 +34,11 @@ object VocabSink {
   def read(spark: SparkSession, path: String): DataFrame =
     AdditiveSegments.read(spark, path, reconcile)
 
+  /** read() tolerating a segment-less table (cold-start streams whose
+    * batches so far tokenized to nothing). */
+  def readOpt(spark: SparkSession, path: String): Option[DataFrame] =
+    AdditiveSegments.readOpt(spark, path, reconcile)
+
   /** The q82-shaped view: deterministic top-k with dense ranks. */
   def topK(spark: SparkSession, path: String, k: Int = 200): DataFrame =
     graft.functions.TextOps.vocabTopK(read(spark, path), k)

@@ -224,8 +224,12 @@ object Streams {
     val conf: Seq[(String, String)] =
       graft.sinks.Hfs.readString(spark, pinPath) match {
         case Some(s) =>
+          // kind-first encoding: kind never contains a comma, so
+          // split-limit-2 always recovers the full name even when the
+          // name itself contains commas (name,kind order truncated such
+          // names and silently unrouted the table on replay)
           s.split("\n").toSeq.filter(_.nonEmpty).map { l =>
-            val Array(n, k) = l.split(",", 2); (n, k)
+            val Array(k, n) = l.split(",", 2); (n, k)
           }
         case None =>
           val fresh = spark.read.schema("name STRING, kind STRING")
@@ -236,8 +240,14 @@ object Streams {
           val unknown = fresh.filterNot { case (_, k) => k == "fact" || k == "dim" }
           require(unknown.isEmpty,
             s"unknown routing kind(s) in $configPath: $unknown (allowed: fact, dim)")
+          // newlines are the pin's record separator and cannot be
+          // escaped by field order — reject them loudly instead of
+          // silently splitting one table into two unrouted lines
+          val badNames = fresh.collect { case (n, _) if n.contains("\n") || n.contains("\r") => n }
+          require(badNames.isEmpty,
+            s"table name(s) with newline in $configPath cannot be pinned: $badNames")
           graft.sinks.Hfs.writeString(spark, pinPath,
-            fresh.map { case (n, k) => s"$n,$k" }.mkString("\n"))
+            fresh.map { case (n, k) => s"$k,$n" }.mkString("\n"))
           fresh
       }
     val facts = conf.collect { case (n, "fact") => n }

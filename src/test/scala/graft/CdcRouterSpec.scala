@@ -80,6 +80,24 @@ class CdcRouterSpec extends SparkSpec {
     assert(CdcRouter.decode(parsed).count() + errs.size == 3)
   }
 
+  test("partially-corrupt envelope (valid type, bad ts) routes ONLY to the error sink") {
+    // PERMISSIVE from_json sets _corrupt on the non-numeric ts while
+    // still extracting table/type — without decode()'s _corrupt filter
+    // this row lands in BOTH the fact route and the quarantine, and a
+    // quarantine-replay workflow double-applies the op.
+    val torn =
+      """{"database":"gmall","table":"order_info","type":"insert","ts":"not-a-number","data":{"id":5}}"""
+    val raw = Seq(cdc("order_info", "insert", 1), torn).toDF("value")
+    val parsed = graft.sources.Envelopes.parseCdc(raw)
+    val decoded = CdcRouter.decode(parsed)
+    val errs = CdcRouter.undecodable(parsed).as[String].collect().toSet
+    assert(errs == Set(torn), s"torn envelope must be quarantined, got $errs")
+    assert(decoded.count() == 1, "torn envelope must NOT also decode")
+    assert(decoded.select("id").as[String].collect().toSeq == Seq("1"))
+    // still an exact partition
+    assert(decoded.count() + errs.size == 2)
+  }
+
   test("cdc writer pins its batch's config: replay ignores a hot config change") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("cdc_pin").toString
@@ -120,5 +138,40 @@ class CdcRouterSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("fct"),
       "a typo'd kind silently unrouting a table would be CDC data loss")
+  }
+
+  test("config pin round-trips a table name containing a comma") {
+    // name,kind pin encoding truncated `a,b` at the first comma and the
+    // mangled kind matched neither route — the exact data-loss mode the
+    // pin exists to prevent; kind-first encoding makes names comma-safe
+    val dir = java.nio.file.Files.createTempDirectory("cdc_comma").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/conf.csv"), "\"weird,name\",fact\n")
+    val batch = Seq(cdc("weird,name", "insert", 3)).toDF("value")
+    val w = streaming.Streams.cdcRouteBatchWriter(s"$dir/conf.csv", s"$dir/out") _
+    w(batch, 0L)
+    assert(spark.read.parquet(s"$dir/out/fact/batch=0").count() == 1,
+      "comma-named table must route on the fresh path")
+    // force the REPLAY path: delete the fact segment but keep the pin;
+    // the pinned config must still route the comma-named table
+    sinks.Hfs.deleteRecursive(spark, s"$dir/out/fact/batch=0")
+    w(batch, 0L)
+    assert(spark.read.parquet(s"$dir/out/fact/batch=0").count() == 1,
+      "comma-named table must survive the pin round-trip on replay")
+  }
+
+  test("config with a newline-bearing table name fails loudly at pin time") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_nl").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/conf.csv"), "\"bad\nname\",fact\n")
+    val batch = Seq(cdc("order_info", "insert", 4)).toDF("value")
+    // line-split CSV tears the quoted name into two rows (one with a
+    // blank kind), so either the unknown-kind require or the newline
+    // guard fires — what matters is that it fails LOUDLY instead of
+    // pinning a config that silently unroutes the table on replay
+    intercept[IllegalArgumentException] {
+      streaming.Streams.cdcRouteBatchWriter(s"$dir/conf.csv", s"$dir/out")(batch, 0L)
+    }
+    ()
   }
 }

@@ -104,6 +104,31 @@ class EmbIndexSpec extends SparkSpec {
       Seq("band", "bmod", "bv", "ingest", "vec_id"))
   }
 
+  test("malformed vectors never enter the bands table or candidate pairs") {
+    // every malformed embedding (wrong length, null element) bands to
+    // the identical all-zero signature — unfiltered they ALL co-bucket,
+    // and a corpus with many of them pays occupancy² candidate pairs
+    // for rows whose verify cosine is NULL anyway
+    val idx = Files.createTempDirectory("emb_malformed").toString + "/index"
+    val rows: Seq[(Long, Seq[java.lang.Double])] = Seq(
+      0L -> base.map(java.lang.Double.valueOf),
+      1L -> other.map(java.lang.Double.valueOf),
+      2L -> base.take(32).map(java.lang.Double.valueOf),          // wrong length
+      3L -> base.map(java.lang.Double.valueOf).updated(3, null: java.lang.Double))
+    val withNull = rows.toDF("vec_id", "v")
+    SimilarityOps.buildEmbLshIndex(withNull, idx)
+    val banded = spark.read.parquet(s"$idx/bands")
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(banded == Set(0L, 1L),
+      s"malformed vectors must not be banded, got $banded")
+    assert(spark.read.parquet(s"$idx/vecs")
+      .select("vec_id").as[Long].collect().toSet == Set(0L, 1L))
+    // probing with a malformed batch yields no candidates (and no crash)
+    val probeDups = SimilarityOps.probeEmbLshIndex(
+      withNull.filter(col("vec_id") >= 2), idx)
+    assert(probeDups.count() == 0L)
+  }
+
   test("streaming dedup-then-ingest: cross-batch and in-batch embedding dups are rejected") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("emb_stream").toString

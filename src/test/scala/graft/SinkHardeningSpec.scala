@@ -118,6 +118,28 @@ class SinkHardeningSpec extends SparkSpec {
     assert(sinks.Hfs.readString(spark, p).contains("9"))
   }
 
+  test("a torn first-ever write is rejected, not adopted as committed content") {
+    // crash mid-tmp-write before any main file exists: the tmp holds
+    // partial bytes and no terminator — adopting it would wedge e.g.
+    // an empty __seq_horizon's .toLong forever, and replays would fail
+    // identically every time
+    val dir = Files.createTempDirectory("torn").toString
+    val p = s"$dir/__seq_horizon"
+    Files.writeString(java.nio.file.Paths.get(s"$p.__tmp"), "")       // torn: empty
+    assert(sinks.Hfs.readString(spark, p).isEmpty,
+      "an empty torn tmp with no main file must read as never-written")
+    Files.writeString(java.nio.file.Paths.get(s"$p.__tmp"), "12")     // torn: partial
+    assert(sinks.Hfs.readString(spark, p).isEmpty,
+      "a partial torn tmp with no main file must read as never-written")
+    // a real write from that state overwrites the torn tmp and commits
+    sinks.Hfs.writeString(spark, p, "42")
+    assert(sinks.Hfs.readString(spark, p).contains("42"))
+    // content that itself ends with the terminator still round-trips
+    val tricky = "x\n#GRAFT_EOF#"
+    sinks.Hfs.writeString(spark, p, tricky)
+    assert(sinks.Hfs.readString(spark, p).contains(tricky))
+  }
+
   test("deleteWhere removes an emptied partition whose dt Hive-escapes in the path") {
     val dir = Files.createTempDirectory("kps_escape").toString + "/t"
     // a dt with a space writes an escaped partition dir (dt=a%20b)

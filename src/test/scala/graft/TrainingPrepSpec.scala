@@ -157,6 +157,28 @@ class TrainingPrepSpec extends SparkSpec {
     assert(admitted(1) == exp1, "batch 1 sees the b0+b1 merged model")
   }
 
+  test("quality gate: a cold-start batch that tokenizes to nothing cannot wedge the stream") {
+    // non-empty batch, but every doc's text is null → empty vocab
+    // partial → no segment written; read()'s no-segments failure here
+    // would fail every replay identically, permanently wedging the
+    // stream. The gate must complete the batch (empty admission) and
+    // score later batches normally.
+    val tmp = java.nio.file.Files.createTempDirectory("qgate_cold").toString
+    val w = functions.TextOps.streamingQualityGateWriter(
+      s"$tmp/vocab", s"$tmp/out", minScore = 0.0) _
+    val nullTexts = Seq((1L, null: String), (2L, null: String)).toDF("doc_id", "text")
+    w(nullTexts, 0L)            // must not throw
+    w(nullTexts, 0L)            // replay must no-op identically
+    assert(new java.io.File(s"$tmp/out/admitted/ingest=0").exists(),
+      "the batch must complete with an (empty) admitted segment")
+    // the stream proceeds: a later real batch trains and admits
+    val real = Seq((3L, "the cat sat"), (4L, "the cat ran")).toDF("doc_id", "text")
+    w(real, 1L)
+    val admitted = spark.read.parquet(s"$tmp/out/admitted/ingest=1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(3L, 4L))
+  }
+
   // ---- q90 training-order assignment ------------------------------
 
   test("training order is a dense permutation: (shard,pos) unique, pos dense per shard") {
