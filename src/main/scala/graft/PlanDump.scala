@@ -59,18 +59,18 @@ object PlanDump {
         |function, so this is the designed `flatMapSortedGroups` escape hatch
         |— the iterator holds four longs of state per shard regardless of
         |shard size.""".stripMargin),
-    ("q69_source_overlap", "inverted-list pair counting (no doc-pair join)",
-      """Presence pairs (source, phrase) are built by the same fused explode +
-        |distinct two-exchange shape as q65, self-joined on the phrase key
-        |(AQE picks broadcast at this SF; sort-merge on phrase at scale), then
-        |aggregated per (source_a, source_b) and joined to the per-source set
-        |sizes (both broadcast — ≤ #sources rows). Per-phrase fan-out is
-        |bounded by C(#sources, 2), so the join output never approaches
-        |doc-pair cardinality; at production source counts a df-cap on
-        |ubiquitous phrases bounds the hot keys. The presence set is
-        |recomputed for each side of the self-join at this scale; a 100 TB run
-        |would checkpoint it once instead — the shuffle/join shape is
-        |unchanged.""".stripMargin),
+    ("q69_source_overlap", "phrase→sources inverted index, pairs exploded per phrase (no self-join)",
+      """ONE wide shuffle builds the phrase→sorted-source-set inverted index
+        |(collect_set with map-side partial agg — in-flight state per key is
+        |bounded by #sources, so hot phrases never concentrate rows). Each
+        |phrase then explodes its C(df, 2) ordered source pairs directly —
+        |the phrase self-join this replaced shuffled the presence list twice
+        |and paid the join besides. The df-cap drops phrases present in every
+        |source (constant +1 to all pairs/sizes, zero ranking information,
+        |and at 100 TB boilerplate IS everywhere) before pair generation, so
+        |per-phrase fan-out is strictly < C(#sources, 2) and the aggregate
+        |keys are the ≤ C(#sources, 2) source pairs. Sizes join broadcast
+        |(≤ #sources rows).""".stripMargin),
     ("q71_e2e_pipeline", "quality gate → dedup → sample → pack in one plan",
       """Two hash exchanges end to end — the dedup-keeper shuffle on the
         |content hash and the packing window's shuffle on the shard key; the

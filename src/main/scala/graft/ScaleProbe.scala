@@ -22,6 +22,7 @@ object ScaleProbe {
     // (same hazard Bench guards with its require).
     val guardNames = Seq("dau_dedup_hourly", "windowed_agg", "simhash_scan",
       "minhash_lsh_candidates", "simhash_tiered_candidates",
+      "simhash_join_occupancy",
       "simhash_tiered_capped", "cluster_collapse", "winnow_fingerprints",
       "sign_band_scan", "cosine_verify_pairs", "phrase_index_build",
       "pack_greedy", "chunk_dedup", "vocab_build", "lm_score",
@@ -121,6 +122,35 @@ object ScaleProbe {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct().count()
       println(f"SCALE n=$n%9d simhash_tiered_candidates ${(System.nanoTime() - t0) / 1e9}%6.2f s ($pairs%,d pairs)")
+      docs.unpersist()
+    }
+    // Effective parallelism of the q29 candidate join (ADVICE r6): the
+    // join runs partitioned by hashpartitioning(b), so its parallelism
+    // is the number of POPULATED partitions, and its balance is the
+    // largest partition's share. The round-5 single-block scheme had
+    // ~400 distinct keys total — fine for 32 local cores but a hard cap
+    // on a 1000-core cluster; the tiered 64-bit xxhash keys must
+    // populate every partition at production widths. Rows print
+    // (distinct keys, populated partitions of 256, max partition share)
+    // at 1×/4×/16× — the PLANS.md record for the parallelism bound.
+    if (on("simhash_join_occupancy"))
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      val docs = synthDocs(n).persist(); docs.count()
+      val t0 = System.nanoTime()
+      val keys = functions.DedupOps.simhashTieredKeys(docs)
+      // hash(b) pmod P mirrors hashpartitioning(b, P) (same Murmur3
+      // family), so this measures the join's actual partition layout
+      val occ = keys
+        .groupBy(pmod(hash(col("b")), lit(256)).as("part"))
+        .agg(count(lit(1)).as("rows"))
+      val row = occ.agg(
+        count(lit(1)).as("populated"),
+        max(col("rows")).as("maxrows"),
+        sum(col("rows")).as("total")).collect()(0)
+      val nKeys = keys.select(col("b")).distinct().count()
+      val share = row.getLong(1).toDouble / row.getLong(2)
+      println(f"SCALE n=$n%9d simhash_join_occupancy ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+        f"(keys=$nKeys%,d populated=${row.getLong(0)}%d/256 maxshare=$share%.4f)")
       docs.unpersist()
     }
     // the same tiered keys through the production hot-bucket cap

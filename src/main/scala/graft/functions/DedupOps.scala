@@ -380,11 +380,15 @@ object DedupOps {
     // repartition on the key: the fixtures arrive as ONE parquet
     // partition, and a broadcast key-join preserves input partitioning —
     // without this the entire candidate enumeration runs in a single
-    // task on one core. The tier-1 band hashes are 64-bit, so the key
-    // cardinality (unlike the round-5 ~400-value block keys) supports
-    // any partition count. On a real multi-file corpus the scan is
-    // already parallel; the repartition makes the plan's parallelism a
-    // property of the query, not of the input layout.
+    // task on one core. The tier keys are 64-bit xxhash values, so the
+    // key cardinality (unlike the round-5 ~400-value block keys)
+    // supports any partition count — measured (ScaleProbe
+    // simhash_join_occupancy, PLANS.md): 2.1M-27.7M distinct keys at
+    // 100k-1.6M docs, all 256 partitions populated, max partition share
+    // ~1/256 — effective parallelism tracks the partition count. On a
+    // real multi-file corpus the scan is already parallel; the
+    // repartition makes the plan's parallelism a property of the query,
+    // not of the input layout.
     val keys = simhashTieredKeys(t(s, d, "documents")).repartition(col("b"))
     val cand = keys.as("a").join(keys.as("b"),
         col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
@@ -523,16 +527,19 @@ object DedupOps {
     * gate). Lifecycle: the persisted bench frame lives until
     * [[release]]; Spark's CacheManager holds it strongly, so dropping
     * the gate (or stopping a stream that used it) does NOT free it. */
-  /** Sizing note (ADVICE r5): BloomFilterAggregate silently clamps its
-    * arguments to the session confs
-    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default
-    * 4 M) and `...maxNumBits` (default 67 M ≈ 8 MB), so an estItems
-    * above 4 M degrades to a HIGHER FP rate rather than a bigger
-    * filter — still correct here (the exact join kills FPs; DedupSpec's
-    * overloaded-filter case proves it at estItems = 64), but a
-    * production billion-shingle gate must raise those confs alongside
-    * estItems to get the advertised ~1.25 bytes/item. The require below
-    * rejects sizes whose numBits product would overflow a Long. */
+  /** Sizing: BloomFilterAggregate SILENTLY clamps its arguments to the
+    * session confs `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`
+    * (default 4 M) and `...maxNumBits` (default 67 M ≈ 8 MB), so an
+    * estItems above them would degrade to a HIGHER FP rate rather than
+    * a bigger filter — still CORRECT (the exact join kills FPs;
+    * DedupSpec's overloaded-filter case proves it at estItems = 64),
+    * but a production billion-shingle gate sized that way would
+    * silently pay a near-full-corpus exact join while reporting the
+    * advertised ~1.25 bytes/item. The constructor therefore REJECTS a
+    * sizing the session confs would clamp: the caller must raise the
+    * confs alongside estItems, making the degradation impossible to
+    * miss. The range require additionally rejects sizes whose numBits
+    * product would overflow a Long. */
   final class BloomGate(benchDocs: DataFrame, estItems: Long = 1L << 16) {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -540,6 +547,18 @@ object DedupOps {
 
     require(estItems > 0 && estItems <= Long.MaxValue / 8,
       s"estItems out of range: $estItems")
+    locally {
+      val conf = benchDocs.sparkSession.conf
+      val maxItems = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+      val maxBits = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+      require(estItems <= maxItems && estItems * 8L <= maxBits,
+        s"estItems=$estItems (numBits=${estItems * 8L}) would be SILENTLY " +
+          s"clamped by spark.sql.optimizer.runtime.bloomFilter.maxNumItems=" +
+          s"$maxItems / maxNumBits=$maxBits — raise those confs alongside " +
+          "estItems to get the requested FP rate")
+    }
 
     private def sh(df: DataFrame) = df.select(col("doc_id"), explode(
       graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("h"))

@@ -469,35 +469,55 @@ object TextOps {
   /** Cross-source overlap matrix — the dedup-planning report behind a
     * mixture decision (how much of source A is already in source B):
     * per-source distinct trigram-phrase sets, pairwise shared counts and
-    * Jaccard. Computed the inverted-list way — explode to (phrase,
-    * source) presence pairs, self-join on the phrase key, count per
-    * source pair — never a doc×doc or corpus cross join. Per-phrase
-    * fan-out is bounded by C(#sources, 2); at 100 TB with many sources
-    * the standard df-cap on ubiquitous shingles bounds the hot keys (the
-    * fixture's 20 sources need none). Jaccard is long/long division →
-    * identical IEEE doubles in both engines, rounded in both. */
-  val sourceOverlap: Q = (s, d) => {
-    val pres = t(s, d, "documents")
+    * Jaccard — never a doc×doc or corpus cross join. Built as a
+    * phrase→sources inverted index in ONE wide shuffle: collect_set
+    * dedups both in-doc repeats and same-source docs, and map-side
+    * partial aggregation keeps every in-flight set bounded by #sources,
+    * so a hot phrase never concentrates rows. Each phrase then emits
+    * its C(df, 2) source pairs from the sorted set — the phrase
+    * self-join this replaces shuffled the presence list twice and paid
+    * the join besides.
+    *
+    * The df-cap: a phrase present in EVERY source adds a constant +1 to
+    * every pair's shared count and every source's set size — zero
+    * ranking information for the full C(#sources, 2) fanout, and at
+    * 100 TB boilerplate phrases ARE in every source. The report is
+    * therefore defined over the informative phrase universe
+    * df < #sources (the oracle applies the identical cap). Jaccard is
+    * long/long division → identical IEEE doubles in both engines,
+    * rounded in both. */
+  private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val nSources = docs.agg(countDistinct(col("source"))).first().getLong(0)
+    val inv = docs
       .withColumn("tgs", trigramPhrases)
       .select(col("source"), explode(col("tgs")).as("phrase"))
-      .distinct()
-    val sizes = pres.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_sh"))
-    val pairs = pres.as("a")
-      .join(pres.withColumnRenamed("source", "source_b").as("b"), Seq("phrase"))
-      .filter(col("a.source") < col("source_b"))
-      .groupBy(col("a.source").as("source_a"), col("source_b"))
+      .groupBy(col("phrase"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) < nSources)
+    val sizes = inv.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    // ordered pairs straight from the sorted set: element i pairs with
+    // every later element — C(df, 2) structs per phrase, no self-join
+    val pairs = inv
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |    y -> named_struct('sa', x, 'sb', y))))""".stripMargin)).as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
       .agg(count(lit(1)).as("shared"))
     pairs
-      .join(sizes.withColumnRenamed("source", "source_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("source_a"))
-      .join(sizes.withColumnRenamed("source", "source_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("source_b"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_sh", "n_a")), Seq("source_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_sh", "n_b")), Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("shared"),
         col("n_a"), col("n_b"),
         round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4)
           .as("jaccard"))
   }
+
+  val sourceOverlap: Q = (s, d) => sourceOverlapOf(t(s, d, "documents"))
 
   /** Overlapping chunk split — the retrieval/embedding-prep shape (w=32
     * token windows, stride 24, 8-token overlap so no boundary sentence
@@ -876,18 +896,25 @@ object TextOps {
     * shard = first two hex chars (256 shards) partitions it; pos =
     * row_number within the shard. (shard, pos) is a total order ≡
     * ORDER BY shuffle_key up to shard interleaving, and every window
-    * runs shard-partitioned — 256-way parallel, no single-partition
-    * window, no range-partitioned sort exchange over the corpus. A new
-    * seed is a new permutation (re-keying only); shard count is the
-    * knob that must exceed cluster parallelism at 100 TB (two more hex
-    * chars → 65 536 shards). */
-  private[graft] def orderAssign(docs: DataFrame, seed: String): DataFrame = {
+    * runs shard-partitioned — 16^shardHexChars-way parallel, no
+    * single-partition window, no range-partitioned sort exchange over
+    * the corpus. A new seed is a new permutation (re-keying only);
+    * `shardHexChars` is the knob that must make the shard count exceed
+    * cluster parallelism at 100 TB — 2 hex chars = 256 shards (the
+    * default, right for local[32] and small clusters), 3 = 4 096,
+    * 4 = 65 536 (the 1000-executor design point). Widening only
+    * re-keys: (shard, pos) stays a total order ≡ ORDER BY shuffle_key
+    * up to shard interleaving at every width. */
+  private[graft] def orderAssign(docs: DataFrame, seed: String,
+      shardHexChars: Int = 2): DataFrame = {
+    require(shardHexChars >= 1 && shardHexChars <= 8,
+      s"shardHexChars must be in [1, 8], got $shardHexChars")
     val key = md5(concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary"))
     val shardW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("shuffle_key"), col("doc_id"))
     docs
       .select(col("doc_id"), key.as("shuffle_key"))
-      .withColumn("shard", substring(col("shuffle_key"), 1, 2))
+      .withColumn("shard", substring(col("shuffle_key"), 1, shardHexChars))
       .withColumn("pos", row_number().over(shardW).cast("long"))
   }
 
@@ -1138,6 +1165,8 @@ object TextOps {
         |    / (count(*) * bucket), 4) AS fill
         |FROM cl GROUP BY bucket""".stripMargin
     },
+    // the df-cap (drop phrases present in EVERY source) mirrors
+    // sourceOverlapOf — see its scaladoc for the semantics
     "q69_source_overlap" ->
       """WITH tk AS (
         |  SELECT source, string_split(text, ' ') AS toks FROM documents),
@@ -1149,11 +1178,17 @@ object TextOps {
         |             || ' ' || toks[i::INTEGER])
         |    ELSE []::VARCHAR[] END) AS phrase
         |  FROM tk),
-        |sizes AS (SELECT source, count(*) AS n_sh FROM pres GROUP BY 1),
+        |ns AS (SELECT count(DISTINCT source) AS n FROM documents),
+        |dfc AS (SELECT phrase, count(*) AS df FROM pres GROUP BY 1),
+        |keep AS (
+        |  SELECT p.source, p.phrase FROM pres p
+        |  JOIN dfc ON dfc.phrase = p.phrase CROSS JOIN ns
+        |  WHERE dfc.df < ns.n),
+        |sizes AS (SELECT source, count(*) AS n_sh FROM keep GROUP BY 1),
         |pairs AS (
         |  SELECT a.source AS source_a, b.source AS source_b,
         |    count(*) AS shared
-        |  FROM pres a JOIN pres b
+        |  FROM keep a JOIN keep b
         |    ON a.phrase = b.phrase AND a.source < b.source
         |  GROUP BY 1, 2)
         |SELECT p.source_a, p.source_b, p.shared, sa.n_sh AS n_a,

@@ -11,6 +11,29 @@ import org.apache.spark.sql.functions._
 class CorpusStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q69 overlap: a phrase present in EVERY source is excluded from pairs and sizes") {
+    // the df-cap: an everywhere-phrase adds a constant +1 to every
+    // pair and size — zero ranking information for the full
+    // C(#sources, 2) fanout. Each 3-token doc contributes exactly one
+    // trigram, so the phrase universe here is fully controlled.
+    val docs = Seq(
+      (1L, "s1", "aa bb cc"),   // ubiquitous: in all three sources
+      (2L, "s1", "xx yy zz"),
+      (3L, "s1", "s1 only p"),
+      (4L, "s2", "aa bb cc"),
+      (5L, "s2", "xx yy zz"),
+      (6L, "s3", "aa bb cc"),
+      (7L, "s3", "s3 only p")).toDF("doc_id", "source", "text")
+    val out = TextOps.sourceOverlapOf(docs)
+      .select("source_a", "source_b", "shared", "n_a", "n_b", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    // without the cap, (s1,s3) and (s2,s3) rows would exist with
+    // shared=1 via "aa bb cc"; with it, the ONLY informative overlap is
+    // s1∩s2 = {"xx yy zz"}, sized over informative phrases (s1 has 2)
+    assert(out == Set(("s1", "s2", 1L, 2L, 1L, 0.5)),
+      s"everywhere-phrase must be excluded from the report, got $out")
+  }
+
   test("q82 vocab: frequency mass conserved, df bounded by freq, rank dense by (freq, token)") {
     val vocab = TextOps.vocabBuild(spark, sf0001)
       .select("token", "freq", "df", "rank")

@@ -235,6 +235,22 @@ class DedupSpec extends SparkSpec {
       "decontaminateBloom leaked cached plans (gate not released)")
   }
 
+  test("Bloom gate rejects a sizing the session confs would silently clamp") {
+    // BloomFilterAggregate clamps numItems/numBits to the session confs
+    // without a warning: an estItems above them would build a high-FP
+    // filter that still RETURNS the right rows (exact join kills FPs)
+    // but pays a near-full-corpus join — construction must fail loudly
+    // instead
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+    val e = intercept[IllegalArgumentException] {
+      new functions.DedupOps.BloomGate(docs, estItems = 8L * 1000 * 1000)
+    }
+    assert(e.getMessage.contains("maxNumItems"),
+      s"clamped sizing must name the conf to raise, got: ${e.getMessage}")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a rejected gate must not leave cached blocks behind")
+  }
+
   test("q75 Bloom prefilter is semantically transparent: result ≡ q61 exactly") {
     // the Bloom tier may only ADD candidate rows (false positives) before
     // the exact join kills them — the grouped output must be identical,

@@ -13,6 +13,24 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
+  /** Full SparkPlan traversal that descends through AQE wrappers and
+    * query stages (plain SparkPlan.collect treats QueryStageExec as a
+    * leaf) — the anchor-free way to audit a specific join side;
+    * substring windows over the plan text anchor on the wrong subtree
+    * the moment a BuildLeft broadcast or SMJ fallback reorders it. */
+  private def walkPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val next = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: next.flatMap(walkPlan)
+  }
+
   test("q15 single-pass pivot: exactly one events scan, no join") {
     val plan = executedPlan(operators.Relational.dauDayOverDay(spark, sf0001))
     val scans = "FileScan parquet".r.findAllIn(plan).length
@@ -101,17 +119,29 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q61 decontamination: benchmark side broadcast — no corpus-side shuffle before the count") {
-    val plan = executedPlan(functions.DedupOps.decontaminate(spark, sf0001))
-    assert(plan.contains("BroadcastHashJoin"),
-      s"the tiny benchmark shingle set must broadcast:\n$plan")
+    // tree-walked, not substring-windowed: buildSide names the streamed
+    // side precisely, so the audit survives BuildLeft and any text
+    // layout change
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = functions.DedupOps.decontaminate(spark, sf0001)
+    df.collect()
+    val all = walkPlan(df.queryExecution.executedPlan)
+    val bhj = all.collectFirst { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      s"the tiny benchmark shingle set must broadcast:\n" +
+        df.queryExecution.executedPlan)
     // the corpus (streamed) side runs scan → explode → join with no
-    // shuffle: in the plan text that is the segment between the join and
-    // the broadcast subtree. (The bench side's own distinct shuffle and
-    // the final per-doc count shuffle are expected and benign.)
-    val streamed = plan.substring(plan.indexOf("BroadcastHashJoin"),
-      plan.indexOf("BroadcastQueryStage"))
-    assert(!streamed.contains("Exchange"),
-      s"corpus side must reach the join unshuffled:\n$plan")
+    // shuffle. (The bench side's own distinct shuffle and the final
+    // per-doc count shuffle are expected and benign.)
+    val streamed = walkPlan(
+      if (bhj.get.buildSide == BuildLeft) bhj.get.right else bhj.get.left)
+    assert(streamed.exists(_.isInstanceOf[FileSourceScanExec]),
+      s"the streamed side must be the corpus parquet scan:\n${bhj.get}")
+    assert(!streamed.exists(_.isInstanceOf[Exchange]),
+      s"corpus side must reach the join unshuffled:\n${bhj.get}")
   }
 
   test("q54 verify stage: candidate pairs join vectors via broadcast, no cartesian") {
@@ -150,17 +180,8 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
     import org.apache.spark.sql.execution.joins.BaseJoinExec
-    // full traversal that descends through AQE wrappers and query stages
-    // (plain SparkPlan.collect treats QueryStageExec as a leaf)
-    def walk(p: SparkPlan): Seq[SparkPlan] = {
-      val next = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case r: ReusedExchangeExec => Seq(r.child)
-        case other => other.children
-      }
-      p +: next.flatMap(walk)
-    }
+    // traversal: the shared walkPlan helper (descends AQE wrappers)
+    def walk(p: SparkPlan): Seq[SparkPlan] = walkPlan(p)
     def hasMightContain(f: FilterExec): Boolean =
       f.condition.exists(_.isInstanceOf[BloomFilterMightContain])
     val docs = Tables.t(spark, sf0001, "documents")

@@ -217,6 +217,46 @@ class TrainingPrepSpec extends SparkSpec {
       s"a global-order window would collapse to one partition:\n$plan")
   }
 
+  test("training order shard width: every width is a dense permutation with the pinned plan") {
+    // the 100 TB knob: 2 hex chars = 256 shards (default), 3 = 4 096 —
+    // widening must only re-key, never change the plan shape or break
+    // the (shard, pos) total order
+    val d = docs((1L to 400L).map(i => i -> s"doc $i"): _*)
+    for (w <- Seq(1, 2, 3)) {
+      val df = functions.TextOps.orderAssign(d, "seedW", shardHexChars = w)
+      val out = df.select("shard", "pos", "doc_id")
+        .as[(String, Long, Long)].collect()
+      assert(out.length == 400, s"width $w must keep every doc")
+      assert(out.map(r => (r._1, r._2)).distinct.length == 400,
+        s"(shard, pos) must stay unique at width $w")
+      assert(out.forall(_._1.length == w), s"shard keys must be $w hex chars")
+      out.groupBy(_._1).foreach { case (shard, rows) =>
+        val ps = rows.map(_._2).sorted
+        assert(ps.head == 1L && ps.last == ps.length.toLong,
+          s"positions in shard $shard must be dense 1..n at width $w")
+      }
+      // plan pin at every width: shard-keyed exchange, no collapse
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("hashpartitioning(shard"),
+        s"width $w window must key on shard:\n$plan")
+      assert(!plan.contains("SinglePartition"),
+        s"width $w must not collapse to one partition:\n$plan")
+    }
+    // widths refine consistently: the width-3 shard is a prefix
+    // extension of the width-2 shard for every doc (same md5 key)
+    val s2 = functions.TextOps.orderAssign(d, "seedW", 2)
+      .select("doc_id", "shard").as[(Long, String)].collect().toMap
+    val s3 = functions.TextOps.orderAssign(d, "seedW", 3)
+      .select("doc_id", "shard").as[(Long, String)].collect().toMap
+    assert(s3.forall { case (id, sh) => sh.startsWith(s2(id)) },
+      "wider shards must refine (prefix-extend) narrower ones")
+    intercept[IllegalArgumentException] {
+      functions.TextOps.orderAssign(d, "seedW", 0)
+    }
+    ()
+  }
+
   // ---- q91 cube / q92 unpivot -------------------------------------
 
   test("cube contains rollup plus the cross slices rollup omits") {
