@@ -82,16 +82,15 @@ object Gmall {
       .as[DauInfo]
   }
 
-  /** DwdOrderApp twin (batch): order_info ⋈ order_detail on order id
-    * (J2/J3), dim enrichment, F3 date/hour split. The streaming twin is
-    * Streams.orderWideJoin. */
-  def orderWidePipeline(info: Dataset[OrderInfo], detail: Dataset[OrderDetail],
-      users: DataFrame, provinces: DataFrame, asOf: String): Dataset[OrderWide] = {
-    import info.sparkSession.implicits._
-    detail.toDF()
-      .withColumnRenamed("id", "detail_id")
-      .withColumnRenamed("create_time", "detail_create_time")
-      .join(info.toDF().withColumnRenamed("id", "order_id"), Seq("order_id"))
+  /** Dim enrichment + F3 date/hour split over an already-joined
+    * info⋈detail frame — ONE builder shared by the batch pipeline below
+    * and the streaming topology's foreachBatch (GmallEndToEndSpec's
+    * composed run), so the two paths cannot drift. Input must carry the
+    * join-output columns (detail_id, order_id, the info/detail fields). */
+  private[graft] def enrichOrderWide(joined: DataFrame, users: DataFrame,
+      provinces: DataFrame, asOf: String): Dataset[OrderWide] = {
+    import joined.sparkSession.implicits._
+    joined
       .join(broadcast(users.select(col("id").cast("long").as("user_id"),
         col("gender"), col("birthday"))), Seq("user_id"), "left")
       .join(broadcast(provinces.select(col("id").cast("long").as("province_id"),
@@ -112,6 +111,18 @@ object Gmall {
         coalesce(Scalars.ageAt(col("birthday").cast("date"), lit(asOf).cast("date")),
           lit(-1L)).as("user_age")) // -1 on dim miss, see dauPipeline
       .as[OrderWide]
+  }
+
+  /** DwdOrderApp twin (batch): order_info ⋈ order_detail on order id
+    * (J2/J3), dim enrichment, F3 date/hour split. The streaming twin is
+    * Streams.orderWideJoin + [[enrichOrderWide]] per batch. */
+  def orderWidePipeline(info: Dataset[OrderInfo], detail: Dataset[OrderDetail],
+      users: DataFrame, provinces: DataFrame, asOf: String): Dataset[OrderWide] = {
+    val joined = detail.toDF()
+      .withColumnRenamed("id", "detail_id")
+      .withColumnRenamed("create_time", "detail_create_time")
+      .join(info.toDF().withColumnRenamed("id", "order_id"), Seq("order_id"))
+    enrichOrderWide(joined, users, provinces, asOf)
   }
 
   def parseUsers(dims: DataFrame): DataFrame = dimTable(
