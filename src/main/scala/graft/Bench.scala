@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, forcing full materialization through the `noop`
@@ -81,6 +82,10 @@ object Bench {
       try functions.SimilarityOps.annLshTopK(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+    if (timed.exists(_.startsWith("q94")))
+      try functions.PqOps.annIvfPq(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     // the builds' leftovers are not the first timed query's bill either
     dropLeakedBlocks(spark)
     // Median of N in-process runs per query (fixtures are hot after the
@@ -124,6 +129,45 @@ object Bench {
     val total =
       if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
+    // Skew handling measured, not asserted (ROADMAP's
+    // skew-as-bench-metric): 4M rows with 90% of keys on one value
+    // joined against a 100k dim with broadcast disabled — plain shuffle
+    // vs AQE skew-split vs explicit salting. Runs AFTER the timed loop
+    // (never in the reported total) and only on full-suite invocations.
+    val extras: String = if (args.nonEmpty) "{}" else try {
+      val n = 4000000L
+      val big = spark.range(n).select(
+        when(pmod(col("id"), lit(10)) =!= 0, lit(1L))
+          .otherwise(pmod(xxhash64(col("id")), lit(100000))).as("k"),
+        col("id").as("v")).persist()
+      big.count()
+      val small = spark.range(100000).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("label"))
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevS = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        val plain = time(big.join(small, "k")
+          .write.format("noop").mode("overwrite").save())
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        val aqe = time(big.join(small, "k")
+          .write.format("noop").mode("overwrite").save())
+        val salted = time(operators.SkewJoin.saltedJoin(big, small, "k", 16)
+          .write.format("noop").mode("overwrite").save())
+        s"""{"skew_rows":$n,"skew_plain_sec":${f"$plain%.3f"},""" +
+          s""""skew_aqe_sec":${f"$aqe%.3f"},"skew_salted_sec":${f"$salted%.3f"}}"""
+      } finally {
+        big.unpersist(false)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevS)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] skew extra failed: ${e.getMessage}"); "{}"
+    }
     // The complete per-query record (min + median + every iteration) as
     // a sidecar file in the working tree, so the official round artifact
     // never loses the head of the suite to the tail capture.
@@ -136,7 +180,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"total":${f"$total%.3f"},"iters":$iters,"cpus":$cpus,""" +
-        s""""sf":"$sfDir","queries":$detail}""" + "\n")
+        s""""sf":"$sfDir","queries":$detail,"extras":$extras}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }

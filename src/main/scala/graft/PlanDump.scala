@@ -19,6 +19,16 @@ object PlanDump {
     ("q28_minhash_lsh", "LSH band join + exact-Jaccard verify", ""),
     ("q38_ann_lsh_topk", "stored bucket layout, partition-pruned probe", ""),
     ("q42_ann_ivf_topk", "stored IVF cells, partition-pruned probe", ""),
+    ("q94_ann_ivfpq_topk", "stored IVF-PQ codes, ADC lookup scan over probed cells",
+      """The probed scan reads (vec_id, codes) only — m=8 int codes per
+        |vector instead of the 64-double embedding (the 32× I/O reduction
+        |is the point of PQ) — with PartitionFilters pruning to the nprobe
+        |cells. Scoring is literal-array lookups + adds per row; no vector
+        |math, no shuffle, no join: the plan is Scan → Project → TakeOrdered.
+        |The codebooks/centroids stay driver-side (model-sized). At 100 TB
+        |the codes table is the only thing that grows, and per-query cost
+        |is nprobe/k of it — same asymptotics as q42 but 32× less I/O per
+        |probed row.""".stripMargin),
     ("q50_asof_join", "merge-form as-of (union + window, no join)", ""),
     ("q51_embedding_dups", "bounded pairwise cosine (verification tier)", ""),
     ("q54_embedding_dups_lsh", "banded hyperplane LSH + fused-cosine verify",

@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Analytics.queries ++
       functions.TextOps.queries ++
       functions.SimilarityOps.queries ++
+      functions.PqOps.queries ++
       functions.DedupOps.queries ++
       functions.Multimodal.queries ++
       functions.Scalars.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
       operators.Analytics.oracles ++
       functions.TextOps.oracles ++
       functions.SimilarityOps.oracles ++
+      functions.PqOps.oracles ++
       functions.DedupOps.oracles ++
       functions.Multimodal.oracles ++
       functions.Scalars.oracles ++

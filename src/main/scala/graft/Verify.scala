@@ -5,11 +5,20 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir, prefixes) = (args: Seq[String]) match {
+      case Seq(s, o, rest @ _*) => (s, o, rest)
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [queryPrefix...]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Graft.localSession(cpus, "WARN")
     Files.createDirectories(Paths.get(outDir))
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional prefix filter (the Bench convention) — the driver always
+    // passes exactly two args, so the gate itself is unchanged
+    val selected =
+      if (prefixes.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+    require(selected.nonEmpty, s"no query matches prefixes $prefixes")
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -265,7 +265,7 @@ object SimilarityOps {
     * invalidates the cached index instead of silently serving stale
     * neighbors (and distinct dirs can never collide on a sanitized
     * name). */
-  private def sourceTag(s: SparkSession, d: String, table: String): String = {
+  private[functions] def sourceTag(s: SparkSession, d: String, table: String): String = {
     val (len, mtime) = graft.sinks.Hfs.stat(s, s"$d/$table.parquet")
     val id = Integer.toHexString(d.hashCode)
     s"$id-$len-$mtime"

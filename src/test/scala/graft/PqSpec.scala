@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.{PqOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ ANN (q94): ADC scoring is bit-reproducible from the stored
+  * model; the probe partition-prunes to the probed cells; engineered
+  * near-duplicates survive the quantization; the oracle is generated
+  * from the index's own model. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ADC scores reproduce exactly from the stored codes + model (nprobe = all cells)") {
+    val got = PqOps.annIvfPq(spark, sf0001, nprobe = 8)
+      .select("neighbor_id", "adc_score").as[(Long, Double)].collect().toSeq
+    val path = PqOps.pqIndexPath(spark, sf0001)
+    val (cents, books) = PqOps.loadModel(spark, path)
+    val qVec = Tables.t(spark, sf0001, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val cellDots = cents.map(c => dot(qVec, c))
+    val adc = Array.tabulate(8, 16)((j, c) =>
+      dot(qVec.slice(j * 8, (j + 1) * 8), books(j)(c)))
+    val want = spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Int, Seq[Int])].collect().toSeq
+      .map { case (id, cell, codes) =>
+        var a = 0.0
+        (0 until 8).foreach(j => a += adc(j)(codes(j)))
+        val s = cellDots(cell) + a
+        id -> java.math.BigDecimal.valueOf(s)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got == want)
+  }
+
+  test("nprobe = 2 probe is partition-pruned to a strict subset of cell partitions") {
+    val df = PqOps.annIvfPq(spark, sf0001, nprobe = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe scan is not partition-pruned:\n$plan")
+    val path = PqOps.pqIndexPath(spark, sf0001)
+    val codes = spark.read.parquet(s"$path/codes")
+    val allFiles = codes.select(input_file_name()).distinct().count()
+    val twoCells = codes.filter(col("cell").isin(0, 1))
+      .select(input_file_name()).distinct().count()
+    assert(twoCells > 0 && twoCells < allFiles,
+      s"expected a 2-cell scan to touch fewer files ($twoCells) than the full index ($allFiles)")
+  }
+
+  test("codes table stores m 4-bit codes per vector, nothing else") {
+    PqOps.annIvfPq(spark, sf0001).collect()
+    val path = PqOps.pqIndexPath(spark, sf0001)
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.columns.toSet == Set("vec_id", "cell", "codes"))
+    val bad = codes.filter(size(col("codes")) =!= 8 ||
+      exists(col("codes"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0)
+  }
+
+  test("q94 oracle is generated from the stored model after a run") {
+    PqOps.annIvfPq(spark, sf0001).collect()
+    val sql = PqOps.oracles("q94_ann_ivfpq_topk")
+    assert(sql.contains("list_position") && sql.contains("cell LIMIT 2"), sql.take(300))
+    val (cents, _) = PqOps.loadModel(spark, PqOps.pqIndexPath(spark, sf0001))
+    assert(sql.contains(cents(0).mkString("[", ",", "]")),
+      "oracle centroids are not the index's own")
+    // 8 centroid lists + 8 ADC lists + 1 cell-dot list at minimum
+    assert("::DOUBLE\\[\\]".r.findAllIn(sql).size >= 17)
+  }
+
+  test("engineered near-duplicates of the query survive PQ and top the ADC ranking") {
+    val rnd = new java.util.Random(23)
+    val base = Array.fill(64)(rnd.nextGaussian())
+    def noisy(eps: Double) = base.map(x => x + eps * rnd.nextGaussian())
+    val rows = (0L, base.toSeq) +:
+      ((1 to 5).map(i => (i.toLong, noisy(0.05).toSeq)) ++
+        (6 to 80).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian()).toSeq)))
+    val emb = rows.toDF("vec_id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqspec").toString
+    PqOps.buildPqIndex(emb, dir, kCells = 4)
+    val top = PqOps.probePqIndex(spark, dir, base, nprobe = 1, topk = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top == Set(1L, 2L, 3L, 4L, 5L),
+      s"near-dups lost under PQ: got $top")
+  }
+}
