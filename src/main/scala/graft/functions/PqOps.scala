@@ -126,25 +126,41 @@ object PqOps {
     books
   }
 
+  /** Encode a vector batch against a FROZEN model → (vec_id, cell,
+    * codes). The FAISS-style contract: the model is trained once at
+    * bootstrap, every later ingest encodes against it — re-training
+    * would silently re-map existing codes. */
+  private def encodeAgainst(vecs: DataFrame, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame =
+    // barrier: the assignment carries 8 fused-cosine terms per row over
+    // 512-double literals — checkpoint so the encode tree starts from
+    // plain attributes instead of re-analyzing the assignment lineage
+    SimilarityOps.assignCells(vecs, cents).localCheckpoint()
+      .withColumn("r", residualCol(cents))
+      .select(col("vec_id"), col("cell"), codesCol(books).as("codes"))
+
   /** Build the stored layout: coarse centroids (kmeansLite, the q42
     * model), PQ codebooks on residuals, then the corpus reduced to
-    * (vec_id, codes: array<int>) partitioned by cell. At 100 TB this is
-    * its own ingest job; everything a query needs besides the codes
-    * table is model-sized. */
+    * (vec_id, codes: array<int>) written as the bootstrap ingest
+    * segment, partitioned by cell (the IngestSegments lifecycle shared
+    * with the three dedup indexes — negative bootstrap ids, overwrite-
+    * by-ingest replay, compaction folds). At 100 TB this is its own
+    * ingest job; everything a query needs besides the codes table is
+    * model-sized. */
   def buildPqIndex(emb: DataFrame, path: String, kCells: Int = 8,
-      coarseIters: Int = 1, pqIters: Int = 1): Unit = {
+      coarseIters: Int = 1, pqIters: Int = 1, ingestId: Long = -1L): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    graft.sinks.IngestSegments.guardBuild(spark, s"$path/codes", ingestId)
     val cents = SimilarityOps.kmeansLite(emb, kCells, coarseIters)
-    // barrier: the assignment carries 8 fused-cosine terms per row over
-    // 512-double literals — checkpoint it so the training/encode trees
-    // below start from plain attributes instead of re-deriving (and
-    // re-analyzing) the k-means lineage three times
+    // the assignment feeds BOTH training and the final encode — one
+    // checkpointed frame (see encodeAgainst's barrier note)
     val assigned = SimilarityOps.assignCells(emb, cents).localCheckpoint()
     val books = trainPq(assigned, cents, pqIters)
     assigned.withColumn("r", residualCol(cents))
       .select(col("vec_id"), col("cell"), codesCol(books).as("codes"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes/ingest=$ingestId")
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cents")
@@ -152,6 +168,50 @@ object PqOps {
       .toDF("j", "code", "cb")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
   }
+
+  /** Incremental ingest: encode `newVecs` against the stored (frozen)
+    * model and write them as segment `ingestId` — overwrite mode, so an
+    * at-least-once retry of a streaming batch replaces its own output
+    * (the replay contract every index family shares). Within one ingest
+    * vec_ids are the caller's to keep unique (the upstream dedup
+    * admission's job); ACROSS ingests a re-ingested vec_id resolves
+    * latest-wins at probe and compaction. */
+  def ingestPqSegment(newVecs: DataFrame, path: String, ingestId: Long): Unit = {
+    val spark = newVecs.sparkSession
+    require(Seq("cents", "books")
+        .forall(t => graft.sinks.Hfs.exists(spark, s"$path/$t/_SUCCESS")),
+      s"no PQ model under $path — bootstrap with buildPqIndex first " +
+        "(ingest encodes against a frozen model, never trains one)")
+    val (cents, books) = loadModel(spark, path)
+    encodeAgainst(newVecs, cents, books)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes/ingest=$ingestId")
+  }
+
+  /** foreachBatch writer: append each micro-batch of (vec_id, v) to the
+    * PQ index keyed by batchId. Pure ingest — admission/dedup belongs
+    * upstream (the LSH index writers); this is the serving-index tail
+    * of that pipeline. Compaction cadence mirrors the other families. */
+  def streamingPqIngestWriter(indexPath: String, compactEvery: Long = 8L)(
+      batch: DataFrame, batchId: Long): Unit = {
+    ingestPqSegment(batch, indexPath, batchId)
+    if (batchId % compactEvery == (compactEvery - 1))
+      compactPqIndex(batch.sparkSession, indexPath)
+  }
+
+  /** Fold old code segments (latest ingest wins per vec_id), keeping
+    * the cell partitioning — the IngestSegments contract bounds file
+    * count after thousands of micro-batches. */
+  def compactPqIndex(spark: SparkSession, path: String): Unit =
+    graft.sinks.IngestSegments.compact(spark, s"$path/codes",
+      fold = df => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("vec_id"), col("cell"), col("codes"))
+      },
+      partitionCols = Seq("cell"))
 
   /** The stored model, ordered (cells by id; books by (j, code)). */
   def loadModel(s: SparkSession, path: String)
@@ -172,7 +232,11 @@ object PqOps {
     * lower cell, as probeIvfIndex), build the m×ksub ADC table from the
     * query subvectors, then scan ONLY the probed cell partitions of the
     * codes table — scoring is m literal-array lookups + adds per row,
-    * no vector math on the corpus. */
+    * no vector math on the corpus. With a single live segment (the
+    * bootstrap-only layout — the q94 path) the plan is Scan → Project →
+    * TakeOrdered; with several, a latest-ingest-wins window over just
+    * the PRUNED slice resolves re-ingested vec_ids (the
+    * probeEmbLshIndex convention). */
   def probePqIndex(s: SparkSession, path: String, qVec: Array[Double],
       nprobe: Int, topk: Int = 10, excludeVecId: Long = 0L): DataFrame = {
     val (cents, books) = loadModel(s, path)
@@ -186,8 +250,20 @@ object PqOps {
       (0 until M).map { j =>
         element_at(typedlit(adc(j).toSeq), element_at(col("codes"), j + 1) + 1)
       }.reduce(_ + _)
-    s.read.parquet(s"$path/codes")
+    val live = graft.sinks.IngestSegments.readLive(s, s"$path/codes")
+      .getOrElse(sys.error(s"no PQ code segments under $path"))
+    val pruned = live
       .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= excludeVecId)
+    val resolved =
+      if (graft.sinks.IngestSegments.liveSegments(s, s"$path/codes").size <= 1)
+        pruned
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
+        pruned.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+      }
+    resolved
       .select(col("vec_id").as("neighbor_id"), round(score, 6).as("adc_score"))
       .orderBy(col("adc_score").desc, col("neighbor_id"))
       .limit(topk)
@@ -199,7 +275,7 @@ object PqOps {
 
   private def ensurePqIndex(s: SparkSession, d: String): String = synchronized {
     val path = pqIndexPath(s, d)
-    val done = Seq("codes", "cents", "books")
+    val done = Seq("codes/ingest=-1", "cents", "books")
       .forall(t => graft.sinks.Hfs.exists(s, s"$path/$t/_SUCCESS"))
     if (!done) {
       val emb = t(s, d, "embeddings")

@@ -59,7 +59,7 @@ class PqSpec extends SparkSpec {
     PqOps.annIvfPq(spark, sf0001).collect()
     val path = PqOps.pqIndexPath(spark, sf0001)
     val codes = spark.read.parquet(s"$path/codes")
-    assert(codes.columns.toSet == Set("vec_id", "cell", "codes"))
+    assert(codes.columns.toSet == Set("vec_id", "cell", "codes", "ingest"))
     val bad = codes.filter(size(col("codes")) =!= 8 ||
       exists(col("codes"), c => c < 0 || c >= 16)).count()
     assert(bad == 0)
@@ -74,6 +74,39 @@ class PqSpec extends SparkSpec {
       "oracle centroids are not the index's own")
     // 8 centroid lists + 8 ADC lists + 1 cell-dot list at minimum
     assert("::DOUBLE\\[\\]".r.findAllIn(sql).size >= 17)
+  }
+
+  test("incremental ingest: frozen-model encode, replay idempotence, latest-wins, compaction") {
+    val rnd = new java.util.Random(31)
+    def rv() = Array.fill(64)(rnd.nextGaussian()).toSeq
+    val boot = (0 to 40).map(i => (i.toLong, rv()))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqinc").toString
+    PqOps.buildPqIndex(boot.toDF("vec_id", "v"), dir, kCells = 4)
+    val q = boot.head._2.toArray
+    def probe() = PqOps.probePqIndex(spark, dir, q, nprobe = 4, topk = 200)
+      .as[(Long, Double)].collect().toMap
+    // batch 0 appends new vectors against the frozen model
+    val b0 = (41 to 60).map(i => (i.toLong, rv()))
+    PqOps.ingestPqSegment(b0.toDF("vec_id", "v"), dir, 0L)
+    val r1 = probe()
+    assert(r1.keySet == (1L to 60L).toSet, "bootstrap + ingest not unioned")
+    // at-least-once replay of the same batch replaces its own segment
+    PqOps.ingestPqSegment(b0.toDF("vec_id", "v"), dir, 0L)
+    assert(probe() == r1, "replay changed the index")
+    // batch 1 re-ingests vec 41 with a new vector; 999 gets the same
+    // vector — identical input + frozen model must score identically,
+    // and 41 must resolve to its LATEST codes (one row, new score)
+    val w = rv()
+    PqOps.ingestPqSegment(Seq((41L, w), (999L, w)).toDF("vec_id", "v"), dir, 1L)
+    val r2 = probe()
+    assert(r2.keySet == (1L to 60L).toSet + 999L)
+    assert(r2(41L) == r2(999L), "same vector, same model, different score")
+    assert(r2(41L) != r1(41L), "re-ingest did not take the latest codes")
+    // compaction folds everything but the newest batch; results unchanged
+    PqOps.compactPqIndex(spark, dir)
+    assert(graft.sinks.IngestSegments
+      .liveSegments(spark, s"$dir/codes").size == 2)
+    assert(probe() == r2, "compaction changed probe results")
   }
 
   test("engineered near-duplicates of the query survive PQ and top the ADC ranking") {
