@@ -26,7 +26,7 @@ object ScaleProbe {
       "simhash_tiered_capped", "cluster_collapse", "winnow_fingerprints",
       "sign_band_scan", "cosine_verify_pairs", "phrase_index_build",
       "pack_greedy", "chunk_dedup", "vocab_build", "lm_score",
-      "training_order", "skew")
+      "training_order", "pq_build", "pq_probe", "skew")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -336,6 +336,31 @@ object ScaleProbe {
         println(f"SCALE n=$n%9d training_order ${(System.nanoTime() - t0o) / 1e9}%6.2f s")
       }
       docs.unpersist()
+    }
+    // q94 IVF-PQ: build (k-means + codebook training + interpreted HOF
+    // encode — the one-off ingest job) and probe (pruned 2-of-8-cell
+    // scan of 8-int codes + ADC lookups — the per-query cost that must
+    // stay ~nprobe/k · n) over synthetic 64-dim vectors.
+    if (Seq("pq_build", "pq_probe").exists(on))
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> " +
+          "pmod(xxhash64(id, i), 2000) / 1000.0D - 1.0D)").as("v"))
+        .persist()
+      vecs.count()
+      val dir = java.nio.file.Files.createTempDirectory("graft-pqprobe").toString
+      val t0b = System.nanoTime()
+      functions.PqOps.buildPqIndex(vecs, dir)
+      println(f"SCALE n=$n%9d pq_build ${(System.nanoTime() - t0b) / 1e9}%6.2f s")
+      if (on("pq_probe")) {
+        val q = Array.tabulate(64)(i => (i * 2654435761L % 2000) / 1000.0 - 1.0)
+        val t0p = System.nanoTime()
+        functions.PqOps.probePqIndex(spark, dir, q, nprobe = 2, topk = 10)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALE n=$n%9d pq_probe ${(System.nanoTime() - t0p) / 1e9}%6.2f s")
+      }
+      vecs.unpersist()
+      graft.sinks.Hfs.deleteRecursive(spark, dir)
     }
     // skew: 16M rows, 90% on one key — plain shuffle join vs salted vs AQE
     if (on("skew")) {
