@@ -156,6 +156,10 @@ object Bench {
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         val aqe = time(big.join(small, "k")
           .write.format("noop").mode("overwrite").save())
+        // salting measured ALONE (skew-split off, as ScaleProbe does) —
+        // with it on, AQE could fire inside the salted join and the
+        // three-way comparison would conflate the two mechanisms
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         val salted = time(operators.SkewJoin.saltedJoin(big, small, "k", 16)
           .write.format("noop").mode("overwrite").save())
         s"""{"skew_rows":$n,"skew_plain_sec":${f"$plain%.3f"},""" +

@@ -46,17 +46,12 @@ object PqOps {
   private val Sub = dims / M
   private val Ksub = 16
 
-  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
-    var acc = 0.0; var i = 0
-    while (i < a.length) { acc += a(i) * b(i); i += 1 }
-    acc
-  }
-
-  private def cosLocal(a: Array[Double], b: Array[Double]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
-    dot / math.sqrt(na * nb)
-  }
+  // ONE copy of the tie-sensitive driver-side vector math: q42's probe
+  // cell ranking and q94's must never drift apart bit-for-bit
+  private def dotLocal(a: Array[Double], b: Array[Double]): Double =
+    SimilarityOps.dotLocal(a, b)
+  private def cosLocal(a: Array[Double], b: Array[Double]): Double =
+    SimilarityOps.cosLocal(a, b)
 
   /** Residual array column: r_i = v_i − centroid[cell]_i. One zip_with
     * node (an unrolled 64-term form makes the Lloyd-update tree large
@@ -174,10 +169,27 @@ object PqOps {
     * at-least-once retry of a streaming batch replaces its own output
     * (the replay contract every index family shares). Within one ingest
     * vec_ids are the caller's to keep unique (the upstream dedup
-    * admission's job); ACROSS ingests a re-ingested vec_id resolves
-    * latest-wins at probe and compaction. */
+    * admission's job).
+    *
+    * THE IMMUTABILITY CONTRACT: a vec_id's vector is immutable across
+    * ingests — re-embedding a document is a NEW id, never an overwrite.
+    * Under it a cross-ingest duplicate of an id carries the same vector,
+    * the frozen model assigns it the same cell and codes, and the
+    * probe's latest-wins window over the PRUNED slice fully resolves it
+    * (duplicates co-locate by construction). A CHANGED vector for an
+    * existing id would break that: its new row can land in a different
+    * cell, and a probe that prunes to the old cell would serve the
+    * stale codes — resolving that would need a cross-cell version
+    * lookup per probe, exactly the full-scan the cell layout exists to
+    * avoid. PqSpec pins the contract's replay/duplicate behavior. */
   def ingestPqSegment(newVecs: DataFrame, path: String, ingestId: Long): Unit = {
     val spark = newVecs.sparkSession
+    // batch-id space only: a negative id could silently overwrite the
+    // bootstrap segment or a compaction fold (bootstraps go through
+    // buildPqIndex, which runs IngestSegments.guardBuild)
+    require(ingestId >= 0,
+      s"ingest ids are streaming batch ids (>= 0), got $ingestId — " +
+        "bootstrap builds go through buildPqIndex")
     require(Seq("cents", "books")
         .forall(t => graft.sinks.Hfs.exists(spark, s"$path/$t/_SUCCESS")),
       s"no PQ model under $path — bootstrap with buildPqIndex first " +
@@ -235,11 +247,22 @@ object PqOps {
     * no vector math on the corpus. With a single live segment (the
     * bootstrap-only layout — the q94 path) the plan is Scan → Project →
     * TakeOrdered; with several, a latest-ingest-wins window over just
-    * the PRUNED slice resolves re-ingested vec_ids (the
-    * probeEmbLshIndex convention). */
+    * the PRUNED slice dedups cross-ingest duplicates (sufficient under
+    * ingestPqSegment's immutability contract — duplicates of an id
+    * always share its cell). The segment-count branch uses the SAME
+    * listing the frame was planned over (readLiveWithIds), so a
+    * concurrent ingest/compact cannot skip the window on a
+    * multi-segment frame. */
   def probePqIndex(s: SparkSession, path: String, qVec: Array[Double],
       nprobe: Int, topk: Int = 10, excludeVecId: Long = 0L): DataFrame = {
     val (cents, books) = loadModel(s, path)
+    probeWithModel(s, path, cents, books, qVec, nprobe, topk, excludeVecId)
+  }
+
+  private def probeWithModel(s: SparkSession, path: String,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      qVec: Array[Double], nprobe: Int, topk: Int,
+      excludeVecId: Long): DataFrame = {
     val probeCells = cents.indices.sortBy(i => -cosLocal(qVec, cents(i)))
       .take(nprobe)
     val cellDots = cents.map(c => dotLocal(qVec, c))
@@ -250,13 +273,13 @@ object PqOps {
       (0 until M).map { j =>
         element_at(typedlit(adc(j).toSeq), element_at(col("codes"), j + 1) + 1)
       }.reduce(_ + _)
-    val live = graft.sinks.IngestSegments.readLive(s, s"$path/codes")
+    val (live, segIds) = graft.sinks.IngestSegments
+      .readLiveWithIds(s, s"$path/codes")
       .getOrElse(sys.error(s"no PQ code segments under $path"))
     val pruned = live
       .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= excludeVecId)
     val resolved =
-      if (graft.sinks.IngestSegments.liveSegments(s, s"$path/codes").size <= 1)
-        pruned
+      if (segIds.size <= 1) pruned
       else {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
@@ -294,7 +317,9 @@ object PqOps {
   @volatile private var pqOracleState: Option[PqOracleModel] = None
 
   /** q94: IVF-PQ ADC top-k against the stored index (built on first use
-    * per sf dir). Query = vec_id 0, as the rest of the ANN tier. */
+    * per sf dir). Query = vec_id 0, as the rest of the ANN tier. The
+    * model is loaded ONCE and shared between the oracle cache and the
+    * probe (probeWithModel). */
   def annIvfPq(s: SparkSession, d: String, nprobe: Int = 2,
       topk: Int = 10): DataFrame = {
     val path = ensurePqIndex(s, d)
@@ -307,7 +332,7 @@ object PqOps {
       dotLocal(qVec.slice(j * Sub, (j + 1) * Sub), books(j)(c))
     }
     pqOracleState = Some(PqOracleModel(nprobe, topk, cents, books, cellDots, adc))
-    probePqIndex(s, path, qVec, nprobe, topk)
+    probeWithModel(s, path, cents, books, qVec, nprobe, topk, excludeVecId = 0L)
   }
 
   val queries: Map[String, Q] = Map(

@@ -121,7 +121,7 @@ object SimilarityOps {
       .limit(k)
   }
 
-  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+  private[functions] def dotLocal(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0; var i = 0
     while (i < a.length) { acc += a(i) * b(i); i += 1 }
     acc
@@ -214,7 +214,7 @@ object SimilarityOps {
     emb.withColumn("cell", array_max(array(cells.toIndexedSeq: _*)).getField("cell"))
   }
 
-  private def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+  private[functions] def cosLocal(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
     dot / math.sqrt(na * nb)

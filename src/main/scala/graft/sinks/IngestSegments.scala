@@ -67,15 +67,24 @@ object IngestSegments {
     * never silent). Do NOT enable spark.sql.files.ignoreMissingFiles on
     * index paths: it would turn that failure into silently-missing
     * index rows. */
-  def readLive(spark: SparkSession, tablePath: String): Option[DataFrame] = {
+  def readLive(spark: SparkSession, tablePath: String): Option[DataFrame] =
+    readLiveWithIds(spark, tablePath).map(_._1)
+
+  /** readLive plus the EXACT segment-id listing the returned frame was
+    * planned over — for callers whose downstream logic branches on the
+    * segment count (e.g. PqOps skips its latest-wins window on a
+    * single-segment index): a second listing could disagree with the
+    * frame under a concurrent ingest/compact (TOCTOU), this cannot. */
+  def readLiveWithIds(spark: SparkSession,
+      tablePath: String): Option[(DataFrame, Seq[Long])] = {
     var lastRace: org.apache.spark.sql.AnalysisException = null
     for (_ <- 0 until 3) {
       val ids = liveSegments(spark, tablePath)
       if (ids.isEmpty) return None
       try {
-        return Some(spark.read.option("basePath", tablePath)
+        return Some((spark.read.option("basePath", tablePath)
           .parquet(ids.map(id => s"$tablePath/ingest=$id"): _*)
-          .withColumn("ingest", col("ingest").cast("long")))
+          .withColumn("ingest", col("ingest").cast("long")), ids))
       } catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>

@@ -93,15 +93,22 @@ class PqSpec extends SparkSpec {
     // at-least-once replay of the same batch replaces its own segment
     PqOps.ingestPqSegment(b0.toDF("vec_id", "v"), dir, 0L)
     assert(probe() == r1, "replay changed the index")
-    // batch 1 re-ingests vec 41 with a new vector; 999 gets the same
-    // vector — identical input + frozen model must score identically,
-    // and 41 must resolve to its LATEST codes (one row, new score)
-    val w = rv()
-    PqOps.ingestPqSegment(Seq((41L, w), (999L, w)).toDF("vec_id", "v"), dir, 1L)
+    // negative ids are the guarded bootstrap/fold space — refused
+    intercept[IllegalArgumentException] {
+      PqOps.ingestPqSegment(b0.toDF("vec_id", "v"), dir, -2L)
+    }
+    // batch 1 re-ingests vec 41 with ITS OWN vector (the in-contract
+    // cross-ingest duplicate — vectors are immutable per vec_id) and a
+    // new id 999 carrying the same vector: 41 resolves to ONE row with
+    // its unchanged score, and the identical vector under the frozen
+    // model scores identically for 999
+    val v41 = b0.head._2
+    PqOps.ingestPqSegment(Seq((41L, v41), (999L, v41)).toDF("vec_id", "v"), dir, 1L)
     val r2 = probe()
-    assert(r2.keySet == (1L to 60L).toSet + 999L)
-    assert(r2(41L) == r2(999L), "same vector, same model, different score")
-    assert(r2(41L) != r1(41L), "re-ingest did not take the latest codes")
+    assert(r2.keySet == (1L to 60L).toSet + 999L,
+      "cross-ingest duplicate emitted two rows or dropped an id")
+    assert(r2(41L) == r1(41L), "in-contract duplicate changed the score")
+    assert(r2(999L) == r2(41L), "same vector, same model, different score")
     // compaction folds everything but the newest batch; results unchanged
     PqOps.compactPqIndex(spark, dir)
     assert(graft.sinks.IngestSegments
