@@ -228,9 +228,22 @@ object Streams {
           // split-limit-2 always recovers the full name even when the
           // name itself contains commas (name,kind order truncated such
           // names and silently unrouted the table on replay)
-          s.split("\n").toSeq.filter(_.nonEmpty).map { l =>
-            val Array(k, n) = l.split(",", 2); (n, k)
+          val pinned = s.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+            l.split(",", 2) match {
+              case Array(k, n) => (n, k)
+              case _ => ("", l)
+            }
           }
+          // a pin this writer produced always decodes to fact/dim — any
+          // other kind means foreign bytes (a legacy name-first pin, a
+          // corrupt file) and silently unrouting under it is CDC data
+          // loss, the exact hazard the pin exists to prevent
+          val foreign = pinned.filterNot { case (_, k) => k == "fact" || k == "dim" }
+          require(foreign.isEmpty,
+            s"unreadable routing pin $pinPath (lines decode to non-fact/dim " +
+              s"kinds: $foreign) — delete the pin only if the batch's " +
+              "outputs are known-absent, else re-pin by hand")
+          pinned
         case None =>
           val fresh = spark.read.schema("name STRING, kind STRING")
             .csv(configPath).collect().toSeq

@@ -160,6 +160,27 @@ class CdcRouterSpec extends SparkSpec {
       "comma-named table must survive the pin round-trip on replay")
   }
 
+  test("a foreign/legacy pin fails loudly instead of silently unrouting") {
+    // a pin this writer wrote always decodes kind-first to fact/dim; a
+    // legacy name-first pin (`order_info,fact`) or corrupt bytes decode
+    // to a kind matching neither route — tolerating that silently
+    // unroutes EVERY table on replay, the exact CDC data loss the pin
+    // exists to prevent
+    val dir = java.nio.file.Files.createTempDirectory("cdc_foreign").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/conf.csv"), "order_info,fact\n")
+    val batch = Seq(cdc("order_info", "insert", 5)).toDF("value")
+    sinks.Hfs.writeString(spark, s"$dir/out/__config/batch=0", "order_info,fact")
+    val e = intercept[IllegalArgumentException] {
+      streaming.Streams.cdcRouteBatchWriter(s"$dir/conf.csv", s"$dir/out")(batch, 0L)
+    }
+    assert(e.getMessage.contains("order_info"),
+      "the offending pin line must be named in the failure")
+    assert(!sinks.Hfs.exists(spark, s"$dir/out/fact/batch=0") &&
+      !sinks.Hfs.exists(spark, s"$dir/out/dim/batch=0"),
+      "no output may be published under an unreadable pin")
+  }
+
   test("config with a newline-bearing table name fails loudly at pin time") {
     val dir = java.nio.file.Files.createTempDirectory("cdc_nl").toString
     java.nio.file.Files.writeString(
