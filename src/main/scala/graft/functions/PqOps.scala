@@ -53,6 +53,14 @@ object PqOps {
   private def cosLocal(a: Array[Double], b: Array[Double]): Double =
     SimilarityOps.cosLocal(a, b)
 
+  /** The shared sign-LSH admission rule applied to this index family:
+    * see [[buildPqIndex]]'s scaladoc for why malformed vectors are
+    * dropped rather than indexed or rejected (a streaming ingest that
+    * THREW on one bad row would wedge its stream permanently — the
+    * quality-gate cold-start lesson). */
+  private def wellFormed(vecs: DataFrame): DataFrame =
+    vecs.filter(SimilarityOps.wellFormedVec(col("v"), dims))
+
   /** Residual array column: r_i = v_i − centroid[cell]_i. One zip_with
     * node (an unrolled 64-term form makes the Lloyd-update tree large
     * enough that analysis recursion dominates — measured minutes at
@@ -141,16 +149,24 @@ object PqOps {
     * with the three dedup indexes — negative bootstrap ids, overwrite-
     * by-ingest replay, compaction folds). At 100 TB this is its own
     * ingest job; everything a query needs besides the codes table is
-    * model-sized. */
+    * model-sized.
+    *
+    * Malformed vectors (wrong length or a null element) are excluded by
+    * the same admission rule every sign-LSH banding applies
+    * (SimilarityOps.wellFormedVec): they can never be a neighbor (ADC
+    * against them is null, which sorts below every real score), a short
+    * one among the Ksub lowest vec_ids would crash codebook seeding on
+    * the driver, and indexing them would only pad every future probe's
+    * pruned scan with dead rows. */
   def buildPqIndex(emb: DataFrame, path: String, kCells: Int = 8,
       coarseIters: Int = 1, pqIters: Int = 1, ingestId: Long = -1L): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     graft.sinks.IngestSegments.guardBuild(spark, s"$path/codes", ingestId)
-    val cents = SimilarityOps.kmeansLite(emb, kCells, coarseIters)
+    val cents = SimilarityOps.kmeansLite(wellFormed(emb), kCells, coarseIters)
     // the assignment feeds BOTH training and the final encode — one
     // checkpointed frame (see encodeAgainst's barrier note)
-    val assigned = SimilarityOps.assignCells(emb, cents).localCheckpoint()
+    val assigned = SimilarityOps.assignCells(wellFormed(emb), cents).localCheckpoint()
     val books = trainPq(assigned, cents, pqIters)
     assigned.withColumn("r", residualCol(cents))
       .select(col("vec_id"), col("cell"), codesCol(books).as("codes"))
@@ -195,7 +211,7 @@ object PqOps {
       s"no PQ model under $path — bootstrap with buildPqIndex first " +
         "(ingest encodes against a frozen model, never trains one)")
     val (cents, books) = loadModel(spark, path)
-    encodeAgainst(newVecs, cents, books)
+    encodeAgainst(wellFormed(newVecs), cents, books)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes/ingest=$ingestId")
   }
@@ -225,20 +241,46 @@ object PqOps {
       },
       partitionCols = Seq("cell"))
 
-  /** The stored model, ordered (cells by id; books by (j, code)). */
+  /** The stored model, ordered (cells by id; books by (j, code)).
+    *
+    * Cached per (path, model-dir fingerprint): the model is FROZEN by
+    * the ingest contract (only code segments ever change after
+    * bootstrap), so a serving probe must not pay two driver-side
+    * parquet reads per request. The fingerprint (cents/books _SUCCESS
+    * mtimes) invalidates the entry if the index is ever REBUILT at the
+    * same path — the one legal way the model can change. */
   def loadModel(s: SparkSession, path: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val cents = s.read.parquet(s"$path/cents")
-      .select(col("cell"), col("centroid")).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
-    val flat = s.read.parquet(s"$path/books")
-      .select(col("j"), col("code"), col("cb")).collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
-      .toMap
-    val books = Array.tabulate(M, Ksub)((j, c) => flat((j, c)))
-    (cents, books)
+    val fp = Seq("cents", "books").map { t =>
+      graft.sinks.Hfs.stat(s, s"$path/$t/_SUCCESS")
+    }
+    modelCache.get((path, fp)) match {
+      case Some(m) => m
+      case None =>
+        val cents = s.read.parquet(s"$path/cents")
+          .select(col("cell"), col("centroid")).collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+          .sortBy(_._1).map(_._2)
+        val flat = s.read.parquet(s"$path/books")
+          .select(col("j"), col("code"), col("cb")).collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+          .toMap
+        val books = Array.tabulate(M, Ksub)((j, c) => flat((j, c)))
+        val m = (cents, books)
+        modelCache.synchronized {
+          // stale-fingerprint entries for this path die with the insert
+          // (a rebuilt index must not pin its predecessor's model)
+          modelCache.keys.filter(_._1 == path).foreach(modelCache.remove)
+          modelCache((path, fp)) = m
+        }
+        m
+    }
   }
+
+  /** (path, model fingerprint) → model; model-sized values (~9 KB). */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Seq[(Long, Long)]), (Array[Array[Double]], Array[Array[Array[Double]]])]
 
   /** Probe: rank cells by query·centroid cosine on the driver (ties →
     * lower cell, as probeIvfIndex), build the m×ksub ADC table from the

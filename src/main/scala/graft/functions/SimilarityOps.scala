@@ -234,8 +234,14 @@ object SimilarityOps {
       iters: Int = 1): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val centroids = kmeansLite(emb, k, iters)
-    assignCells(emb, centroids)
+    // same admission rule as every sign-LSH banding (wellFormedVec): a
+    // malformed vector can never be a neighbor (fcos against it is
+    // null, sorting below every real score), a short one among the k
+    // lowest vec_ids would seed a junk centroid, and indexing it only
+    // pads every future probe's pruned scan with dead rows
+    val clean = emb.filter(wellFormedVec(col("v"), 64))
+    val centroids = kmeansLite(clean, k, iters)
+    assignCells(clean, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -247,10 +253,8 @@ object SimilarityOps {
     * only (partition-pruned scan). */
   def probeIvfIndex(s: SparkSession, path: String, qVec: Array[Double],
       nprobe: Int, topk: Int = 10, excludeVecId: Long = 0L): DataFrame = {
-    val cents = s.read.parquet(s"$path/centroids")
-      .select(col("cell"), col("centroid")).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-    val probeCells = cents.keys.toSeq.sorted
+    val cents = loadCentroids(s, path)
+    val probeCells = cents.indices
       .sortBy(i => -cosLocal(qVec, cents(i))).take(nprobe)
     s.read.parquet(s"$path/corpus")
       .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= excludeVecId)
@@ -297,12 +301,32 @@ object SimilarityOps {
     * q38's printed hyperplanes. None until a q42 run caches it. */
   @volatile private var ivfOracleState: Option[(Int, Array[Array[Double]])] = None
 
-  /** The stored centroid model of an index, ordered by cell id. */
-  def loadCentroids(s: SparkSession, path: String): Array[Array[Double]] =
-    s.read.parquet(s"$path/centroids")
-      .select(col("cell"), col("centroid")).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
+  /** The stored centroid model of an index, ordered by cell id.
+    *
+    * Cached per (path, _SUCCESS fingerprint): the centroid model is
+    * immutable once built (the same frozen-model contract as the PQ
+    * sidecar), so serving probes skip the per-request driver-side
+    * parquet read; a rebuild at the same path refreshes the _SUCCESS
+    * mtime and invalidates the entry. */
+  def loadCentroids(s: SparkSession, path: String): Array[Array[Double]] = {
+    val fp = graft.sinks.Hfs.stat(s, s"$path/centroids/_SUCCESS")
+    centroidCache.get((path, fp)) match {
+      case Some(c) => c
+      case None =>
+        val c = s.read.parquet(s"$path/centroids")
+          .select(col("cell"), col("centroid")).collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+          .sortBy(_._1).map(_._2)
+        centroidCache.synchronized {
+          centroidCache.keys.filter(_._1 == path).foreach(centroidCache.remove)
+          centroidCache((path, fp)) = c
+        }
+        c
+    }
+  }
+
+  private val centroidCache = scala.collection.concurrent.TrieMap
+    .empty[(String, (Long, Long)), Array[Array[Double]]]
 
   /** IVF query against the stored index (built on first use per sf dir).
     * nprobe = k degrades to the exact q25 scan (spec-verified); the

@@ -59,4 +59,22 @@ class IvfSpec extends SparkSpec {
       assert(assigned(i.toLong) == qCell, s"near-dup $i not in query cell")
     }
   }
+
+  test("malformed vectors are excluded from the stored IVF corpus") {
+    // a SHORT vector with the lowest vec_id would otherwise seed a junk
+    // centroid (kmeansLite seeds from the k lowest ids), and a
+    // null-element vector scores null cosine forever — both are dropped
+    // by the build's admission filter, same rule as the sign-LSH paths
+    val rnd = new java.util.Random(13)
+    def rv() = Array.fill(64)(rnd.nextGaussian()).map(Double.box).toSeq
+    val withNull = rv().updated(17, null: java.lang.Double)
+    val rows = Seq((0L, Seq[java.lang.Double](1.0, 2.0)), (50L, withNull)) ++
+      (1 to 40).map(i => (i.toLong, rv()))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfmal").toString
+    SimilarityOps.buildIvfIndex(rows.toDF("vec_id", "v"), dir, k = 4)
+    val indexed = spark.read.parquet(s"$dir/corpus")
+      .select("vec_id").as[Long].collect().toSet
+    assert(indexed == (1L to 40L).toSet,
+      s"malformed vectors leaked into the corpus: ${indexed -- (1L to 40L)}")
+  }
 }

@@ -116,6 +116,55 @@ class PqSpec extends SparkSpec {
     assert(probe() == r2, "compaction changed probe results")
   }
 
+  test("frozen model is cached per fingerprint; a rebuild invalidates it") {
+    val rnd = new java.util.Random(41)
+    def rv() = Array.fill(64)(rnd.nextGaussian()).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqcache").toString
+    PqOps.buildPqIndex((0 to 40).map(i => (i.toLong, rv())).toDF("vec_id", "v"),
+      dir, kCells = 4)
+    val m1 = PqOps.loadModel(spark, dir)
+    val m2 = PqOps.loadModel(spark, dir)
+    assert(m1._1.eq(m2._1) && m1._2.eq(m2._2),
+      "second load of a frozen model must be the cached instance")
+    // a REBUILD at the same path is the one legal model change — the
+    // fresh _SUCCESS fingerprint must invalidate the cache
+    Thread.sleep(5) // mtime granularity
+    graft.sinks.Hfs.deleteRecursive(spark, s"$dir/codes")
+    PqOps.buildPqIndex((0 to 40).map(i => (i.toLong, rv())).toDF("vec_id", "v"),
+      dir, kCells = 4)
+    val m3 = PqOps.loadModel(spark, dir)
+    assert(!m1._1.eq(m3._1),
+      "a rebuilt index must not serve its predecessor's cached model")
+  }
+
+  test("malformed vectors are excluded from build and ingest, never indexed") {
+    // vec 0 is SHORT and has the lowest id: without the admission
+    // filter it seeds the codebooks and Array.tabulate(64)(v(i) - ...)
+    // crashes on the driver; vec 90 carries a null element, which would
+    // band/encode to junk null codes and pad every probe scan forever
+    val rnd = new java.util.Random(7)
+    def rv() = Array.fill(64)(rnd.nextGaussian()).toSeq
+    val short0 = (0L, Seq(1.0, 2.0))
+    val rows = short0 +: (1 to 80).map(i => (i.toLong, rv()))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqmal").toString
+    PqOps.buildPqIndex(rows.toDF("vec_id", "v"), dir, kCells = 4)
+    val withNull: Seq[java.lang.Double] =
+      rv().map(Double.box).updated(30, null: java.lang.Double)
+    PqOps.ingestPqSegment(
+      Seq((90L, withNull), (91L, rv().map(Double.box)))
+        .toDF("vec_id", "v"), dir, 0L)
+    val indexed = spark.read.parquet(s"$dir/codes")
+      .select("vec_id").as[Long].collect().toSet
+    assert(!indexed.contains(0L), "short vector must not be indexed")
+    assert(!indexed.contains(90L), "null-element vector must not be indexed")
+    assert(indexed == (1L to 80L).toSet + 91L,
+      "well-formed vectors must all be indexed")
+    val probed = PqOps.probePqIndex(spark, dir,
+      Array.fill(64)(rnd.nextGaussian()), nprobe = 4, topk = 200)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!probed.contains(0L) && !probed.contains(90L))
+  }
+
   test("engineered near-duplicates of the query survive PQ and top the ADC ranking") {
     val rnd = new java.util.Random(23)
     val base = Array.fill(64)(rnd.nextGaussian())
