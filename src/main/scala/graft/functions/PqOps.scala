@@ -251,8 +251,12 @@ object PqOps {
     * same path — the one legal way the model can change. */
   def loadModel(s: SparkSession, path: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    // fingerprint = the model dirs' file listings: parquet part names
+    // carry per-job UUIDs, so ANY rewrite changes the fingerprint —
+    // immune to filesystem mtime granularity (a fast rebuild within one
+    // mtime tick would alias a stat-based key)
     val fp = Seq("cents", "books").map { t =>
-      graft.sinks.Hfs.stat(s, s"$path/$t/_SUCCESS")
+      graft.sinks.Hfs.childFiles(s, s"$path/$t").sorted
     }
     modelCache.get((path, fp)) match {
       case Some(m) => m
@@ -280,7 +284,7 @@ object PqOps {
   /** (path, model fingerprint) → model; model-sized values (~9 KB). */
   private val modelCache =
     scala.collection.concurrent.TrieMap
-      .empty[(String, Seq[(Long, Long)]), (Array[Array[Double]], Array[Array[Array[Double]]])]
+      .empty[(String, Seq[Seq[String]]), (Array[Array[Double]], Array[Array[Array[Double]]])]
 
   /** Probe: rank cells by query·centroid cosine on the driver (ties →
     * lower cell, as probeIvfIndex), build the m×ksub ADC table from the

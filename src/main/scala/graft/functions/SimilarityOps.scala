@@ -309,7 +309,10 @@ object SimilarityOps {
     * parquet read; a rebuild at the same path refreshes the _SUCCESS
     * mtime and invalidates the entry. */
   def loadCentroids(s: SparkSession, path: String): Array[Array[Double]] = {
-    val fp = graft.sinks.Hfs.stat(s, s"$path/centroids/_SUCCESS")
+    // file-listing fingerprint, not _SUCCESS stat: part names carry
+    // per-job UUIDs, so any rewrite changes the key regardless of the
+    // filesystem's mtime granularity
+    val fp = graft.sinks.Hfs.childFiles(s, s"$path/centroids").sorted
     centroidCache.get((path, fp)) match {
       case Some(c) => c
       case None =>
@@ -326,7 +329,7 @@ object SimilarityOps {
   }
 
   private val centroidCache = scala.collection.concurrent.TrieMap
-    .empty[(String, (Long, Long)), Array[Array[Double]]]
+    .empty[(String, Seq[String]), Array[Array[Double]]]
 
   /** IVF query against the stored index (built on first use per sf dir).
     * nprobe = k degrades to the exact q25 scan (spec-verified); the
@@ -342,6 +345,77 @@ object SimilarityOps {
   }
 
   val annIvfTopK: Q = (s, d) => annIvf(s, d)
+
+  /** Batched ANN — the kNN-JOIN form of the IVF probe: top-k neighbors
+    * for EVERY row of a query table in ONE job, instead of one driver
+    * round-trip per query. This is the shape a pipeline actually runs at
+    * scale ("for each of this batch's N embeddings, its k nearest
+    * corpus neighbors"): per-query probe cells are ranked with the SAME
+    * fused cosine and tie rule as [[probeIvfIndex]] (ties → lower
+    * cell), the (query, cell) probe set is BROADCAST against the
+    * cell-partitioned corpus — so the corpus is scanned once at its own
+    * parallelism and never shuffled through the tiny cell-key space
+    * (a shuffle join on k≈8 cell values would collapse to k partitions)
+    * — and the rounded-cosine top-k per query runs as one
+    * query_id-partitioned window (high-cardinality shuffle, the only
+    * one in the plan).
+    *
+    * `queries` needs (query_id LONG, qv array<double>); self-matches
+    * (corpus vec_id == query_id) are excluded. Sizing: the broadcast
+    * side is |queries| × nprobe rows carrying the query vectors — right
+    * for micro-batch/batch query sets; for a corpus×corpus join, raise
+    * the index's k so cells (and the probe fan-out) stay balanced and
+    * chunk the query side. */
+  def ivfKnnJoin(s: SparkSession, path: String, queries: DataFrame,
+      nprobe: Int, topk: Int): DataFrame = {
+    val cents = loadCentroids(s, path)
+    // negcell, not cell, inside the sort struct: sort_array desc on
+    // (cos, negcell) breaks exact-cosine ties toward the LOWER cell —
+    // probeIvfIndex's stable-sort rule, pinned equal in IvfSpec
+    val ranked = sort_array(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(fcos(col("qv"), typedlit(c.toSeq)).as("cos"),
+        lit(-i).as("negcell"))
+    }: _*), asc = false)
+    val probed = queries
+      .select(col("query_id"), col("qv"),
+        explode(slice(ranked, 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("qv"), (-col("pc.negcell")).as("cell"))
+      .localCheckpoint() // cell enumeration + join read ONE probe pass
+    // driver-enumerated probed-cell union, pushed as a LITERAL partition
+    // filter: a data-dependent join key cannot prune the corpus scan, so
+    // without this the batch form reads every cell even for one query.
+    // Bounded by the index's cell count k (the lshIndexBuckets pattern),
+    // never by the query count.
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = s.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(cells: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(fcos(col("v"), col("qv")), 6).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topk)
+      .drop("__rn")
+  }
+
+  /** Model state for q95's generated oracle (the q42 pattern). */
+  @volatile private var knnOracleState: Option[(Int, Int, Int, Array[Array[Double]])] = None
+
+  /** q95: the kNN join over the stored IVF index — queries are the
+    * first 8 corpus vectors, top-5 neighbors each at nprobe=2. */
+  def annKnnJoin(s: SparkSession, d: String, nQueries: Int = 8,
+      nprobe: Int = 2, topk: Int = 5): DataFrame = {
+    val path = ensureIvfIndex(s, d, 8, 1)
+    knnOracleState = Some((nQueries, nprobe, topk, loadCentroids(s, path)))
+    val queries = t(s, d, "embeddings").filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    ivfKnnJoin(s, path, queries, nprobe, topk)
+  }
 
   /** Embedding-cosine near-dup PAIRS — the fifth dedup family of the
     * LLM-pipeline tier (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -726,6 +800,7 @@ object SimilarityOps {
     "q51_embedding_dups" -> embeddingDupPairs,
     "q54_embedding_dups_lsh" -> ((s, d) => embeddingDupsBucketed(s, d)),
     "q70_hybrid_dedup" -> hybridDedup,
+    "q95_ann_knn_join" -> ((s, d) => annKnnJoin(s, d)),
   )
 
   /** q38's oracle is GENERATED: the deterministic hyperplanes are
@@ -786,8 +861,53 @@ object SimilarityOps {
     * cached its centroid model (Verify reads oracleSql after the query
     * loop, so the driver always sees it; a cold JVM that never ran q42
     * falls back to the rows-only check). */
+  /** q95's oracle — q42's CTEs generalized to a query SET: per-query
+    * probe ranking (ties → lower cell, matching ivfKnnJoin's negcell
+    * sort), the q42 corpus cell assignment (ties → higher cell), join
+    * on probed cells, rounded-cosine top-k per query (round-then-rank,
+    * the q25 determinism pattern). */
+  private def knnOracle(nQueries: Int, nprobe: Int, topk: Int,
+      cents: Array[Array[Double]]): String = {
+    def arr(c: Array[Double]) = c.mkString("[", ",", "]") + "::DOUBLE[]"
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"  ($i, ${arr(c)})" }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent(cell, cv) AS (VALUES
+       |$rows),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell)
+       |        AS rn
+       |    FROM q CROSS JOIN cent c)
+       |  WHERE rn <= $nprobe),
+       |a AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC)
+       |        AS rn
+       |    FROM e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |sc AS (
+       |  SELECT q.qid AS query_id, a.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+       |  FROM probe p
+       |  JOIN q ON q.qid = p.qid
+       |  JOIN a ON a.cell = p.cell
+       |  WHERE a.vec_id <> q.qid)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $topk""".stripMargin
+  }
+
   def oracles: Map[String, String] = staticOracles ++
-    ivfOracleState.map { case (np, cs) => "q42_ann_ivf_topk" -> ivfOracle(np, cs) }
+    ivfOracleState.map { case (np, cs) => "q42_ann_ivf_topk" -> ivfOracle(np, cs) } ++
+    knnOracleState.map { case (nq, np, tk, cs) =>
+      "q95_ann_knn_join" -> knnOracle(nq, np, tk, cs) }
 
   /** q54's oracle is GENERATED like q38's: literal plane coordinates,
     * band values as CASE-sum bit packs, candidates from a DISTINCT

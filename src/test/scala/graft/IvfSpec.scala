@@ -60,6 +60,61 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("kNN join: every query row matches its single-probe twin exactly") {
+    // the batched join must be a pure re-plumbing of probeIvfIndex —
+    // same probe cells (tie rule included), same rounded scores, same
+    // top-k cuts, for EVERY query in the set
+    val got = SimilarityOps.annKnnJoin(spark, sf0001)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    val path = SimilarityOps.ivfIndexPath(spark, sf0001, 8, 1)
+    val emb = Tables.t(spark, sf0001, "embeddings")
+    (0L until 8L).foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .collect()(0).getSeq[Double](0).toArray
+      val want = SimilarityOps
+        .probeIvfIndex(spark, path, qv, nprobe = 2, topk = 5, excludeVecId = qid)
+        .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(got(qid) == want, s"query $qid drifted from its single-probe twin")
+    }
+  }
+
+  test("kNN join plan: probe set broadcasts; corpus reaches the join unshuffled") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val next = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: next.flatMap(walk)
+    }
+    val df = SimilarityOps.annKnnJoin(spark, sf0001)
+    df.collect()
+    val all = walk(df.queryExecution.executedPlan)
+    val bhj = all.collectFirst { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "a shuffle join on ~8 cell keys would collapse " +
+      s"parallelism — the probe set must broadcast:\n${df.queryExecution.executedPlan}")
+    val streamed = walk(
+      if (bhj.get.buildSide == BuildLeft) bhj.get.right else bhj.get.left)
+    assert(streamed.exists(_.isInstanceOf[FileSourceScanExec]) &&
+      !streamed.exists(_.isInstanceOf[Exchange]),
+      s"the corpus must reach the join as an unshuffled scan:\n${bhj.get}")
+    // the driver-enumerated probed-cell union must prune the corpus
+    // scan's partitions — a data-dependent join key alone cannot
+    val scan = streamed.collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.partitionFilters.nonEmpty &&
+      scan.partitionFilters.mkString.contains("cell"),
+      s"probed-cell union not pushed as a partition filter:\n$scan")
+  }
+
   test("malformed vectors are excluded from the stored IVF corpus") {
     // a SHORT vector with the lowest vec_id would otherwise seed a junk
     // centroid (kmeansLite seeds from the k lowest ids), and a

@@ -127,8 +127,8 @@ class PqSpec extends SparkSpec {
     assert(m1._1.eq(m2._1) && m1._2.eq(m2._2),
       "second load of a frozen model must be the cached instance")
     // a REBUILD at the same path is the one legal model change — the
-    // fresh _SUCCESS fingerprint must invalidate the cache
-    Thread.sleep(5) // mtime granularity
+    // fresh part-file listing (per-job UUID names) must invalidate the
+    // cache regardless of filesystem mtime granularity
     graft.sinks.Hfs.deleteRecursive(spark, s"$dir/codes")
     PqOps.buildPqIndex((0 to 40).map(i => (i.toLong, rv())).toDF("vec_id", "v"),
       dir, kCells = 4)
