@@ -29,6 +29,28 @@ object PlanDump {
         |the codes table is the only thing that grows, and per-query cost
         |is nprobe/k of it — same asymptotics as q42 but 32× less I/O per
         |probed row.""".stripMargin),
+    ("q95_ann_knn_join", "batched kNN join: broadcast probe set, pruned corpus scan, one window shuffle",
+      """The batch form of the IVF probe: per-query probe cells are ranked
+        |map-side with the fused cosine (no exchange), the (query, cell)
+        |probe set broadcasts, and the corpus scan carries BOTH prunings —
+        |PartitionFilters from the driver-enumerated probed-cell union
+        |(bounded by the index's k, never by the query count) and the
+        |broadcast join. A shuffle join on ~8 cell keys would collapse
+        |parallelism to the cell count; broadcast keeps the corpus at scan
+        |parallelism. The only exchange in the plan is the top-k window's
+        |hash partition on query_id — high-cardinality, skew-free. At
+        |100 TB queries arrive in batches: cost per batch is one pruned
+        |corpus-slice scan shared by ALL queries, vs one driver round-trip
+        |each under the single-probe form.""".stripMargin),
+    ("q96_ann_pq_knn_join", "batched ADC kNN over PQ codes: probe-side ADC tables, lookup-only scan side",
+      """The q95 shape over the compressed layout: the per-query ADC tables
+        |(m×ksub dots against codebook literals) and cell-dot vector are
+        |computed with interpreted HOF folds on the PROBE side — queries×1
+        |rows, where interpreted is free — and travel with the broadcast.
+        |The codes-side score is m element_at lookups + adds per row
+        |(codegen'd), on 8-int code rows instead of 64-double vectors: the
+        |32× I/O reduction of q94 retained in batch form. Same two
+        |prunings as q95, same single window exchange.""".stripMargin),
     ("q50_asof_join", "merge-form as-of (union + window, no join)", ""),
     ("q51_embedding_dups", "bounded pairwise cosine (verification tier)", ""),
     ("q54_embedding_dups_lsh", "banded hyperplane LSH + fused-cosine verify",

@@ -338,6 +338,80 @@ object PqOps {
       .limit(topk)
   }
 
+  /** Batched ADC kNN — the PQ twin of SimilarityOps.ivfKnnJoin: top-k
+    * neighbors for EVERY query row in one job over the compressed codes
+    * table. The per-query ADC tables (m×ksub dot products against the
+    * codebook literals) and cell-dot vector are computed ON THE PROBE
+    * SIDE — queries×1 rows, interpreted HOFs are fine there — and
+    * broadcast; the corpus-side score is then m codegen'd element_at
+    * lookups + adds per code row, never vector math. The probed-cell
+    * union is driver-enumerated (bounded by the cell count k) and
+    * pushed as a literal partition filter, so the codes scan prunes
+    * exactly as the single probe does; with several live segments the
+    * latest-wins window runs over the pruned slice (sound under the
+    * ingest immutability contract). `queries` needs (query_id LONG,
+    * qv array<double>); self-matches are excluded.
+    *
+    * Every fold matches the single probe bit-for-bit: the probe-side
+    * dots are left folds from 0.0 ≡ dotLocal's sequential loop, and the
+    * score sums cellDot + adc_0 + … + adc_{m-1} in j order. */
+  def pqKnnJoin(s: SparkSession, path: String, queries: DataFrame,
+      nprobe: Int, topk: Int): DataFrame = {
+    val (cents, books) = loadModel(s, path)
+    def dotLit(v: Column, lit2: Array[Double]): Column =
+      aggregate(zip_with(v, typedlit(lit2.toSeq), (x, y) => x * y),
+        lit(0.0), (a, tt) => a + tt)
+    // probe-cell ranking: fused cosine against centroid literals, exact
+    // ties to the LOWER cell (the negcell trick — probePqIndex's rule)
+    val ranked = sort_array(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(graft.expressions.VectorHashes
+        .cosine_sim(col("qv"), typedlit(c.toSeq)).as("cos"),
+        lit(-i).as("negcell"))
+    }: _*), asc = false)
+    val adcCol = array((0 until M).map { j =>
+      val sub = slice(col("qv"), lit(j * Sub + 1), lit(Sub))
+      array((0 until Ksub).map(c => dotLit(sub, books(j)(c))): _*)
+    }: _*)
+    val cdCol = array(cents.map(c => dotLit(col("qv"), c)).toIndexedSeq: _*)
+    val probed = queries
+      .select(col("query_id"), col("qv"),
+        adcCol.as("adc"), cdCol.as("cd"))
+      .select(col("query_id"), col("adc"), col("cd"),
+        explode(slice(ranked, 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("adc"), col("cd"),
+        (-col("pc.negcell")).as("cell"))
+      .localCheckpoint() // cell enumeration + join read ONE probe pass
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val (live, segIds) = graft.sinks.IngestSegments
+      .readLiveWithIds(s, s"$path/codes")
+      .getOrElse(sys.error(s"no PQ code segments under $path"))
+    val pruned = live.filter(col("cell").isin(cells: _*))
+    val resolved =
+      if (segIds.size <= 1) pruned
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
+        pruned.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    val score = element_at(col("cd"), col("cell") + 1) +
+      (0 until M).map { j =>
+        element_at(element_at(col("adc"), j + 1),
+          element_at(col("codes"), j + 1) + 1)
+      }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id"))
+    resolved.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(score, 6).as("adc_score"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topk)
+      .drop("__rn")
+  }
+
   def pqIndexPath(s: SparkSession, d: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-ivfpq/" +
       s"${SimilarityOps.sourceTag(s, d, "embeddings")}-c8-m$M-k$Ksub"
@@ -381,8 +455,27 @@ object PqOps {
     probeWithModel(s, path, cents, books, qVec, nprobe, topk, excludeVecId = 0L)
   }
 
+  /** Model state for q96's generated oracle. */
+  @volatile private var knnOracleState: Option[(Int, Int, Int,
+    Array[Array[Double]], Array[Array[Array[Double]]])] = None
+
+  /** q96: the batched ADC kNN join over the stored PQ index — queries
+    * are the first 8 corpus vectors, top-5 ADC neighbors each at
+    * nprobe=2. */
+  def annPqKnnJoin(s: SparkSession, d: String, nQueries: Int = 8,
+      nprobe: Int = 2, topk: Int = 5): DataFrame = {
+    val path = ensurePqIndex(s, d)
+    val (cents, books) = loadModel(s, path)
+    knnOracleState = Some((nQueries, nprobe, topk, cents, books))
+    val queries = t(s, d, "embeddings").filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    pqKnnJoin(s, path, queries, nprobe, topk)
+  }
+
   val queries: Map[String, Q] = Map(
-    "q94_ann_ivfpq_topk" -> ((s, d) => annIvfPq(s, d)))
+    "q94_ann_ivfpq_topk" -> ((s, d) => annIvfPq(s, d)),
+    "q96_ann_pq_knn_join" -> ((s, d) => annPqKnnJoin(s, d)))
 
   private def dArr(xs: Array[Double]): String =
     xs.mkString("[", ",", "]") + "::DOUBLE[]"
@@ -444,9 +537,90 @@ object PqOps {
        |FROM cd ORDER BY adc_score DESC, neighbor_id LIMIT ${mo.topk}""".stripMargin
   }
 
+  /** q96's oracle — q94's generated-model CTEs over a query SET. The
+    * encode (dist lists → argmin codes) is identical; what changes:
+    * per-query probe ranking (ties → lower cell, the negcell rule),
+    * codes computed for the probed-cell UNION, and the score's ADC
+    * terms computed IN SQL — per subspace j, list_dot_product of the
+    * query's slice against the codebook row SELECTED BY the stored
+    * code (list_extract on a DOUBLE[][] literal). Both engines fold
+    * every dot left-to-right and sum cellDot + adc_0 + … + adc_7 in j
+    * order, so raw doubles agree before the shared round. */
+  private def pqKnnOracle(nQueries: Int, nprobe: Int, topk: Int,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]]): String = {
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => s"  ($i, ${dArr(c)})" }.mkString(",\n")
+    def dist(j: Int, c: Int): String =
+      (0 until Sub).map { dd =>
+        val idx = j * Sub + dd + 1
+        val cb = books(j)(c)(dd).toString
+        s"(v[$idx] - cv[$idx] - ($cb::DOUBLE)) * (v[$idx] - cv[$idx] - ($cb::DOUBLE))"
+      }.mkString(" + ")
+    val distLists = (0 until M).map { j =>
+      (0 until Ksub).map(c => dist(j, c)).mkString(s"    [", ",\n     ", s"] AS l$j")
+    }.mkString(",\n")
+    val codeCols = (0 until M)
+      .map(j => s"    list_position(l$j, list_min(l$j)) - 1 AS c$j")
+      .mkString(",\n")
+    def cbLit(j: Int): String =
+      books(j).map(_.mkString("[", ",", "]")).mkString("[", ",\n      ", "]") +
+        "::DOUBLE[][]"
+    val adcSum = (0 until M).map { j =>
+      val lo = j * Sub + 1
+      val hi = j * Sub + Sub
+      s"list_dot_product(q.qv[$lo:$hi], list_extract(${cbLit(j)}, c$j + 1))"
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent(cell, cv) AS (VALUES
+       |$centRows),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell)
+       |        AS rn
+       |    FROM q CROSS JOIN cent c)
+       |  WHERE rn <= $nprobe),
+       |a AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC)
+       |        AS rn
+       |    FROM e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |f AS (
+       |  SELECT a.vec_id, a.v, a.cell, c.cv FROM a JOIN cent c ON a.cell = c.cell
+       |  WHERE a.cell IN (SELECT DISTINCT cell FROM probe)),
+       |r AS (
+       |  SELECT vec_id, cell,
+       |$distLists
+       |  FROM f),
+       |cd AS (
+       |  SELECT vec_id, cell,
+       |$codeCols
+       |  FROM r),
+       |sc AS (
+       |  SELECT q.qid AS query_id, cd.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.qv, cent.cv)
+       |    + $adcSum, 6) AS adc_score
+       |  FROM probe p
+       |  JOIN q ON q.qid = p.qid
+       |  JOIN cd ON cd.cell = p.cell
+       |  JOIN cent ON cent.cell = cd.cell
+       |  WHERE cd.vec_id <> q.qid)
+       |SELECT query_id, neighbor_id, adc_score FROM (
+       |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_score DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $topk""".stripMargin
+  }
+
   /** A def, not a val: present only after a q94 run has cached its
     * model (Verify reads oracleSql after the query loop — the q42
     * contract). */
   def oracles: Map[String, String] =
-    pqOracleState.map(mo => "q94_ann_ivfpq_topk" -> pqOracle(mo)).toMap
+    pqOracleState.map(mo => "q94_ann_ivfpq_topk" -> pqOracle(mo)).toMap ++
+      knnOracleState.map { case (nq, np, tk, cs, bs) =>
+        "q96_ann_pq_knn_join" -> pqKnnOracle(nq, np, tk, cs, bs) }
 }

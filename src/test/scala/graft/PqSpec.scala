@@ -116,6 +116,52 @@ class PqSpec extends SparkSpec {
     assert(probe() == r2, "compaction changed probe results")
   }
 
+  test("PQ kNN join: every query row matches its single-probe twin exactly") {
+    val got = PqOps.annPqKnnJoin(spark, sf0001)
+      .select("query_id", "neighbor_id", "adc_score")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    val path = PqOps.pqIndexPath(spark, sf0001)
+    val emb = Tables.t(spark, sf0001, "embeddings")
+    (0L until 8L).foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .collect()(0).getSeq[Double](0).toArray
+      val want = PqOps
+        .probePqIndex(spark, path, qv, nprobe = 2, topk = 5, excludeVecId = qid)
+        .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(got(qid) == want, s"query $qid drifted from its single-probe twin")
+    }
+  }
+
+  test("PQ kNN join plan: probe set broadcasts; codes scan partition-prunes") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val next = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: next.flatMap(walk)
+    }
+    val df = PqOps.annPqKnnJoin(spark, sf0001)
+    df.collect()
+    val all = walk(df.queryExecution.executedPlan)
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"probe set must broadcast:\n${df.queryExecution.executedPlan}")
+    val scan = all.collectFirst {
+      case f: FileSourceScanExec if f.partitionFilters.mkString.contains("cell") => f
+    }
+    assert(scan.nonEmpty && scan.get.partitionFilters.nonEmpty,
+      s"probed-cell union not pushed as a partition filter:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("frozen model is cached per fingerprint; a rebuild invalidates it") {
     val rnd = new java.util.Random(41)
     def rv() = Array.fill(64)(rnd.nextGaussian()).toSeq
