@@ -26,7 +26,8 @@ object ScaleProbe {
       "simhash_tiered_capped", "cluster_collapse", "winnow_fingerprints",
       "sign_band_scan", "cosine_verify_pairs", "phrase_index_build",
       "pack_greedy", "chunk_dedup", "vocab_build", "lm_score",
-      "training_order", "pq_build", "pq_probe", "skew")
+      "training_order", "pq_build", "pq_probe",
+      "knn_join", "pq_knn_join", "skew")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -361,6 +362,41 @@ object ScaleProbe {
       }
       vecs.unpersist()
       graft.sinks.Hfs.deleteRecursive(spark, dir)
+    }
+    // q95/q96 batched kNN joins: 1 024 queries against corpora at
+    // 1×/4×/16× — the batch-serving claim measured two ways: wall time
+    // must track the probed corpus SLICE (~linear in n), and the
+    // per-query amortized cost must sit far below the single-probe
+    // path's per-query job overhead.
+    if (Seq("knn_join", "pq_knn_join").exists(on))
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> " +
+          "pmod(xxhash64(id, i), 2000) / 1000.0D - 1.0D)").as("v"))
+        .persist()
+      vecs.count()
+      val queries = spark.range(1024).select(col("id").as("query_id"),
+        expr("transform(sequence(1, 64), i -> " +
+          "pmod(xxhash64(id + 7777777, i), 2000) / 1000.0D - 1.0D)").as("qv"))
+      if (on("knn_join")) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-knn").toString
+        functions.SimilarityOps.buildIvfIndex(vecs, dir)
+        val t0 = System.nanoTime()
+        functions.SimilarityOps.ivfKnnJoin(spark, dir, queries, nprobe = 2, topk = 10)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALE n=$n%9d knn_join ${(System.nanoTime() - t0) / 1e9}%6.2f s (1024 queries)")
+        graft.sinks.Hfs.deleteRecursive(spark, dir)
+      }
+      if (on("pq_knn_join")) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-pqknn").toString
+        functions.PqOps.buildPqIndex(vecs, dir)
+        val t0 = System.nanoTime()
+        functions.PqOps.pqKnnJoin(spark, dir, queries, nprobe = 2, topk = 10)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALE n=$n%9d pq_knn_join ${(System.nanoTime() - t0) / 1e9}%6.2f s (1024 queries)")
+        graft.sinks.Hfs.deleteRecursive(spark, dir)
+      }
+      vecs.unpersist()
     }
     // skew: 16M rows, 90% on one key — plain shuffle join vs salted vs AQE
     if (on("skew")) {
