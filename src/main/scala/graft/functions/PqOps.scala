@@ -350,7 +350,11 @@ object PqOps {
     * exactly as the single probe does; with several live segments the
     * latest-wins window runs over the pruned slice (sound under the
     * ingest immutability contract). `queries` needs (query_id LONG,
-    * qv array<double>); self-matches are excluded.
+    * qv array<double>); query_id SHARES the corpus vec_id space and a
+    * matching corpus row is excluded as a self-match — the dedup-shaped
+    * contract every probe here uses (probePqIndex's excludeVecId). For
+    * external queries, use ids outside the corpus space (e.g. negative)
+    * or a colliding id would silently drop one real neighbor.
     *
     * Every fold matches the single probe bit-for-bit: the probe-side
     * dots are left folds from 0.0 ≡ dotLocal's sequential loop, and the

@@ -360,8 +360,11 @@ object SimilarityOps {
     * query_id-partitioned window (high-cardinality shuffle, the only
     * one in the plan).
     *
-    * `queries` needs (query_id LONG, qv array<double>); self-matches
-    * (corpus vec_id == query_id) are excluded. Sizing: the broadcast
+    * `queries` needs (query_id LONG, qv array<double>); query_id SHARES
+    * the corpus vec_id space and a matching corpus row is excluded as a
+    * self-match (probeIvfIndex's excludeVecId contract) — external
+    * queries should use ids outside the corpus space (e.g. negative),
+    * or a colliding id silently drops one real neighbor. Sizing: the broadcast
     * side is |queries| × nprobe rows carrying the query vectors — right
     * for micro-batch/batch query sets; for a corpus×corpus join, raise
     * the index's k so cells (and the probe fan-out) stay balanced and

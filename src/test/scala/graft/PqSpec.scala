@@ -114,6 +114,23 @@ class PqSpec extends SparkSpec {
     assert(graft.sinks.IngestSegments
       .liveSegments(spark, s"$dir/codes").size == 2)
     assert(probe() == r2, "compaction changed probe results")
+    // the BATCHED join must resolve the same multi-segment latest-wins
+    // view: kNN-join each of three query vectors over the 2-segment
+    // index and compare with its single-probe twin (vec 41's
+    // cross-ingest duplicate must stay one row here too)
+    val qs = Seq((1L, boot(1)._2), (41L, v41), (50L, b0(9)._2))
+    val joined = PqOps.pqKnnJoin(spark, dir,
+        qs.toDF("query_id", "qv"), nprobe = 4, topk = 200)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    qs.foreach { case (qid, qv) =>
+      val want = PqOps.probePqIndex(spark, dir, qv.toArray, nprobe = 4,
+          topk = 200, excludeVecId = qid)
+        .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(joined(qid) == want,
+        s"multi-segment kNN join drifted from the single probe for $qid")
+    }
   }
 
   test("PQ kNN join: every query row matches its single-probe twin exactly") {
