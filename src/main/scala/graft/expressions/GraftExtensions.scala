@@ -69,6 +69,10 @@ object GraftExtensions {
       case Seq(text, w) => TokenNgrams(text, intArg(w, "width"))
       case _ => throw new IllegalArgumentException("token_ngrams(text[, width])")
     }),
+    ("ordered_pairs", classOf[OrderedPairs], {
+      case Seq(a) => OrderedPairs(a)
+      case _ => throw new IllegalArgumentException("ordered_pairs(array<string>)")
+    }),
     ("sorted_intersect_count", classOf[SortedIntersectCount], {
       case Seq(a, b) => SortedIntersectCount(a, b)
       case _ => throw new IllegalArgumentException(

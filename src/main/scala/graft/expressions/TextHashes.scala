@@ -49,6 +49,8 @@ object TextHashes {
   def token_ngrams(c: Column, width: Int = 3): Column =
     column(TokenNgrams(expression(c), width))
 
+  def ordered_pairs(c: Column): Column = column(OrderedPairs(expression(c)))
+
   private def expression(c: Column): Expression =
     org.apache.spark.sql.graftbridge.Bridge.expression(c)
 }
@@ -220,6 +222,29 @@ object TextHashRuntime {
     }
     new GenericArrayData(Array(n.toLong, distinct.size.toLong,
       topGram(2), topGram(3)))
+  }
+
+  /** C(n,2) ordered pairs of a string array as (sa, sb) rows, i < j in
+    * array order — bit-identical to the HOF
+    * flatten(transform(srcs, (x,i) -> transform(slice(srcs, i+2, n),
+    * y -> struct(x, y)))) composition (CorpusStatsSpec equivalence). */
+  def orderedPairs(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val x = a.getUTF8String(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](x, a.getUTF8String(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** All word `width`-grams as space-joined strings, in order, with
@@ -405,6 +430,35 @@ case class TokenNgrams(child: Expression, width: Int)
       s"${ev.value} = graft.expressions.TextHashRuntime.tokenNgrams($c, $width);")
 
   override protected def withNewChildInternal(c: Expression): TokenNgrams =
+    copy(child = c)
+}
+
+/** All ordered element pairs (i < j) of a string array as (sa, sb)
+  * structs — the q69 pair-explosion unit. The HOF composition
+  * (flatten(transform(slice...))) is CodegenFallback: interpreted,
+  * allocating a lambda frame per element, on a frame with one row per
+  * DISTINCT PHRASE — millions at corpus scale. One fused pass builds
+  * the C(n,2) rows directly. Input is the sorted distinct source set,
+  * so output order (i before j) preserves the sa < sb contract. */
+case class OrderedPairs(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("sa", StringType, nullable = true),
+    StructField("sb", StringType, nullable = true))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ordered_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashRuntime.orderedPairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextHashRuntime.orderedPairs($c);")
+
+  override protected def withNewChildInternal(c: Expression): OrderedPairs =
     copy(child = c)
 }
 

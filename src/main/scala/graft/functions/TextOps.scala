@@ -497,13 +497,15 @@ object TextOps {
     val sizes = inv.select(explode(col("srcs")).as("source"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     // ordered pairs straight from the sorted set: element i pairs with
-    // every later element — C(df, 2) structs per phrase, no self-join
+    // every later element — C(df, 2) structs per phrase, no self-join.
+    // Fused OrderedPairs expression: the HOF flatten/transform/slice
+    // composition is CodegenFallback (interpreted, lambda frame per
+    // element) and this runs once per DISTINCT PHRASE — the q69 hot row
+    // set (CorpusStatsSpec pins HOF bit-equivalence).
     val pairs = inv
       .filter(size(col("srcs")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(srcs, (x, i) ->
-          |  transform(slice(srcs, i + 2, size(srcs)),
-          |    y -> named_struct('sa', x, 'sb', y))))""".stripMargin)).as("p"))
+      .select(explode(
+        graft.expressions.TextHashes.ordered_pairs(col("srcs"))).as("p"))
       .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
       .agg(count(lit(1)).as("shared"))
     pairs

@@ -219,4 +219,34 @@ class CorpusStatsSpec extends SparkSpec {
     // benchmark docs must not count themselves as contaminated corpus
     assert(report.map(_._2).sum == docs.length.toLong)
   }
+
+  test("fused ordered_pairs is bit-identical to the HOF composition, codegen and interpreted") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // arrays of every parity incl. the n<2 degenerates the explode drops
+    val rows = Seq(
+      Seq("a", "b", "c", "d"), Seq("s1", "s2", "s3"),
+      Seq("x", "y"), Seq("only"), Seq.empty[String])
+    val df = rows.toDF("srcs")
+    val fused = df.select(
+      graft.expressions.TextHashes.ordered_pairs(col("srcs")).as("p"))
+    val hof = df.select(expr(
+      """flatten(transform(srcs, (x, i) ->
+        |  transform(slice(srcs, i + 2, size(srcs)),
+        |    y -> named_struct('sa', x, 'sb', y))))""".stripMargin).as("p"))
+    val get = (d: org.apache.spark.sql.DataFrame) =>
+      d.collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r =>
+        (r.getString(0), r.getString(1))).toList).toList
+    assert(get(fused) == get(hof))
+    assert(get(fused).head == List(("a","b"), ("a","c"), ("a","d"),
+      ("b","c"), ("b","d"), ("c","d")))
+    // interpreted eval path (no codegen) must agree too
+    val e = graft.expressions.OrderedPairs(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("p", "q", "r"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+    val arr = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(arr.numElements() == 3)
+  }
 }
