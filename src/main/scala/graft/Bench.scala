@@ -176,14 +176,17 @@ object Bench {
     }
     // The complete per-query record (min + median + every iteration) as
     // a sidecar file in the working tree, so the official round artifact
-    // never loses the head of the suite to the tail capture.
+    // never loses the head of the suite to the tail capture. FULL runs
+    // only, like the extras block: a prefix-filtered profiling run
+    // (`runMain graft.Bench q69`) must not clobber the round artifact
+    // with a one-query file.
     val detail = raw.map { case (name, times) =>
       val md = if (times.size < iters) -1.0 else median(times)
       val mn = if (times.isEmpty) -1.0 else times.min
       s""""$name":{"min":${f"$mn%.3f"},"median":${f"$md%.3f"},""" +
         s""""times":[${times.map(t => f"$t%.3f").mkString(",")}]}"""
     }.mkString("{", ",", "}")
-    try java.nio.file.Files.writeString(
+    try if (args.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"total":${f"$total%.3f"},"iters":$iters,"cpus":$cpus,""" +
         s""""sf":"$sfDir","queries":$detail,"extras":$extras}""" + "\n")
