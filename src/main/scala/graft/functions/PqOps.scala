@@ -377,7 +377,10 @@ object PqOps {
       array((0 until Ksub).map(c => dotLit(sub, books(j)(c))): _*)
     }: _*)
     val cdCol = array(cents.map(c => dotLit(col("qv"), c)).toIndexedSeq: _*)
+    // same query-side admission rule as ivfKnnJoin: malformed queries
+    // can only produce null-score junk rows
     val probed = queries
+      .filter(SimilarityOps.wellFormedVec(col("qv"), dims))
       .select(col("query_id"), col("qv"),
         adcCol.as("adc"), cdCol.as("cd"))
       .select(col("query_id"), col("adc"), col("cd"),

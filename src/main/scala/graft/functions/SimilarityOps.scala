@@ -379,7 +379,10 @@ object SimilarityOps {
       struct(fcos(col("qv"), typedlit(c.toSeq)).as("cos"),
         lit(-i).as("negcell"))
     }: _*), asc = false)
-    val probed = queries
+    // malformed queries score null against everything — the same
+    // admission rule the index side applies; without it they emit
+    // null-score junk rows ranked only by neighbor_id
+    val probed = queries.filter(wellFormedVec(col("qv"), 64))
       .select(col("query_id"), col("qv"),
         explode(slice(ranked, 1, nprobe)).as("pc"))
       .select(col("query_id"), col("qv"), (-col("pc.negcell")).as("cell"))

@@ -115,6 +115,26 @@ class IvfSpec extends SparkSpec {
       s"probed-cell union not pushed as a partition filter:\n$scan")
   }
 
+  test("kNN joins drop malformed query vectors instead of emitting null-score rows") {
+    val rnd = new java.util.Random(17)
+    def rv() = Array.fill(64)(rnd.nextGaussian()).map(Double.box).toSeq
+    val corpus = (1 to 40).map(i => (i.toLong, rv()))
+    val dir = java.nio.file.Files.createTempDirectory("graft-knnq").toString
+    SimilarityOps.buildIvfIndex(
+      corpus.map { case (id, v) => (id, v.map(_.doubleValue)) }.toDF("vec_id", "v"),
+      dir, k = 4)
+    val qs = Seq(
+      (100L, rv()),                                     // well-formed
+      (101L, Seq[java.lang.Double](1.0, 2.0)),          // short
+      (102L, rv().updated(5, null: java.lang.Double)))  // null element
+    val out = SimilarityOps.ivfKnnJoin(spark, dir,
+        qs.toDF("query_id", "qv"), nprobe = 4, topk = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet == Set(100L),
+      s"malformed queries must vanish, got ${out.map(_._1).toSet}")
+    assert(out.length == 3 && out.forall(r => !r._3.isNaN))
+  }
+
   test("malformed vectors are excluded from the stored IVF corpus") {
     // a SHORT vector with the lowest vec_id would otherwise seed a junk
     // centroid (kmeansLite seeds from the k lowest ids), and a
