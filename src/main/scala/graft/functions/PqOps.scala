@@ -387,7 +387,10 @@ object PqOps {
         explode(slice(ranked, 1, nprobe)).as("pc"))
       .select(col("query_id"), col("adc"), col("cd"),
         (-col("pc.negcell")).as("cell"))
-      .localCheckpoint() // cell enumeration + join read ONE probe pass
+      // same consistency + lifecycle reasoning as ivfKnnJoin's
+      // checkpoint: one probe pass for enumeration and join; blocks are
+      // ContextCleaner-collectable, not CacheManager-pinned
+      .localCheckpoint()
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val (live, segIds) = graft.sinks.IngestSegments

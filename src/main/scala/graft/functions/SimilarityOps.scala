@@ -385,8 +385,15 @@ object SimilarityOps {
     val probed = queries.filter(wellFormedVec(col("qv"), 64))
       .select(col("query_id"), col("qv"),
         explode(slice(ranked, 1, nprobe)).as("pc"))
-      .select(col("query_id"), col("qv"), (-col("pc.negcell")).as("cell"))
-      .localCheckpoint() // cell enumeration + join read ONE probe pass
+      // checkpoint: the cell enumeration below and the join must read
+      // the SAME probe pass (a non-deterministic queries frame could
+      // otherwise probe cells the scan filter didn't keep — silently
+      // missing neighbors). Lifecycle: plain RDD persistence, NOT a
+      // CacheManager entry — ContextCleaner frees the blocks once the
+      // returned frame is unreachable, so a serving loop does not
+      // accumulate pinned memory (unlike the round-5 BloomGate, which
+      // the CacheManager held strongly).
+      .localCheckpoint()
     // driver-enumerated probed-cell union, pushed as a LITERAL partition
     // filter: a data-dependent join key cannot prune the corpus scan, so
     // without this the batch form reads every cell even for one query.
