@@ -385,6 +385,7 @@ object SimilarityOps {
     val probed = queries.filter(wellFormedVec(col("qv"), 64))
       .select(col("query_id"), col("qv"),
         explode(slice(ranked, 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("qv"), (-col("pc.negcell")).as("cell"))
       // checkpoint: the cell enumeration below and the join must read
       // the SAME probe pass (a non-deterministic queries frame could
       // otherwise probe cells the scan filter didn't keep — silently
