@@ -38,6 +38,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"pivot form must not join:\n$plan")
   }
 
+  test("q66 phrase search: one documents scan; the posting distinct's exchange is reused") {
+    // inv (explode → distinct) feeds BOTH the top-3 aggregate and the
+    // broadcast-join probe side; if exchange reuse ever breaks, the
+    // inverted list computes twice and q66 silently doubles
+    val df = functions.TextOps.phraseSearch(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected ONE documents scan, got $scans:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"posting-list exchange must be reused by the top-3 side:\n$plan")
+  }
+
   test("q50 as-of merge form: one window, no join, both scans read once") {
     val plan = executedPlan(operators.Analytics.asofJoin(spark, sf0001))
     assert(!plan.contains("Join"), s"merge form must not join:\n$plan")
