@@ -27,7 +27,7 @@ object ScaleProbe {
       "sign_band_scan", "cosine_verify_pairs", "phrase_index_build",
       "pack_greedy", "chunk_dedup", "vocab_build", "lm_score",
       "training_order", "pq_build", "pq_probe",
-      "knn_join", "pq_knn_join", "skew")
+      "knn_join", "pq_knn_join", "knn_query_scaling", "skew")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -396,6 +396,31 @@ object ScaleProbe {
         println(f"SCALE n=$n%9d pq_knn_join ${(System.nanoTime() - t0) / 1e9}%6.2f s (1024 queries)")
         graft.sinks.Hfs.deleteRecursive(spark, dir)
       }
+      vecs.unpersist()
+    }
+    // the OTHER axis of the batched-join claim: query-count scaling at
+    // a FIXED 400k corpus (one index build, three probe sizes) — cost
+    // should grow ~linearly in #queries (each query pays its probed
+    // slice; the scan is shared, the per-query bill is the scoring)
+    if (on("knn_query_scaling")) {
+      val n = 400000L
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> " +
+          "pmod(xxhash64(id, i), 2000) / 1000.0D - 1.0D)").as("v"))
+        .persist()
+      vecs.count()
+      val dir = java.nio.file.Files.createTempDirectory("graft-knnq").toString
+      functions.SimilarityOps.buildIvfIndex(vecs, dir)
+      for (q <- Seq(256L, 1024L, 4096L)) {
+        val queries = spark.range(q).select(col("id").as("query_id"),
+          expr("transform(sequence(1, 64), i -> " +
+            "pmod(xxhash64(id + 7777777, i), 2000) / 1000.0D - 1.0D)").as("qv"))
+        val t0 = System.nanoTime()
+        functions.SimilarityOps.ivfKnnJoin(spark, dir, queries, nprobe = 2, topk = 10)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALE n=$n%9d knn_query_scaling ${(System.nanoTime() - t0) / 1e9}%6.2f s ($q queries)")
+      }
+      graft.sinks.Hfs.deleteRecursive(spark, dir)
       vecs.unpersist()
     }
     // skew: 16M rows, 90% on one key — plain shuffle join vs salted vs AQE
