@@ -40,6 +40,15 @@ object PqOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Geometry constants, matched to the fixtures' 64-dim embeddings.
+    * Deliberately module constants rather than per-call parameters: the
+    * oracle generation, the fused-expression slicing, and the stored
+    * layout must agree on ONE geometry, and the honest production
+    * lift is to store (dims, m, ksub) in the model sidecar and have
+    * loadModel return them — a shape change, not a knob change, noted
+    * in ROADMAP; until then a different embedding width means editing
+    * these four lines, and every dependent constant derives from them
+    * (nothing else hardcodes 64/8/16). */
   private val dims = 64
   /** subspaces × dims-per-subspace = 64; 16 codes = 4 bits/subspace. */
   private val M = 8
