@@ -40,20 +40,21 @@ object PqOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Geometry constants, matched to the fixtures' 64-dim embeddings.
-    * Deliberately module constants rather than per-call parameters: the
-    * oracle generation, the fused-expression slicing, and the stored
-    * layout must agree on ONE geometry, and the honest production
-    * lift is to store (dims, m, ksub) in the model sidecar and have
-    * loadModel return them — a shape change, not a knob change, noted
-    * in ROADMAP; until then a different embedding width means editing
-    * these four lines, and every dependent constant derives from them
-    * (nothing else hardcodes 64/8/16). */
-  private val dims = 64
-  /** subspaces × dims-per-subspace = 64; 16 codes = 4 bits/subspace. */
-  private val M = 8
-  private val Sub = dims / M
-  private val Ksub = 16
+  /** Default geometry, matched to the fixtures' 64-dim embeddings:
+    * 8 subspaces × 8 dims each; 16 codes = 4 bits/subspace. These are
+    * ONLY the build-time defaults — everything downstream (encode,
+    * probe, the kNN join, oracle generation) derives the geometry from
+    * the STORED model itself: the books table's shape IS (m, ksub,
+    * sub), and dims = m·sub, so an index built at any width probes
+    * correctly with no sidecar and no knob to keep in sync. */
+  private val DefaultDims = 64
+  private val DefaultM = 8
+  private val DefaultKsub = 16
+
+  /** (m, ksub, sub) read off a codebook array — the stored model is
+    * the single source of geometry truth. */
+  private def geomOf(books: Array[Array[Array[Double]]]): (Int, Int, Int) =
+    (books.length, books(0).length, books(0)(0).length)
 
   // ONE copy of the tie-sensitive driver-side vector math: q42's probe
   // cell ranking and q94's must never drift apart bit-for-bit
@@ -67,8 +68,8 @@ object PqOps {
     * dropped rather than indexed or rejected (a streaming ingest that
     * THREW on one bad row would wedge its stream permanently — the
     * quality-gate cold-start lesson). */
-  private def wellFormed(vecs: DataFrame): DataFrame =
-    vecs.filter(SimilarityOps.wellFormedVec(col("v"), dims))
+  private def wellFormed(vecs: DataFrame, d: Int): DataFrame =
+    vecs.filter(SimilarityOps.wellFormedVec(col("v"), d))
 
   /** Residual array column: r_i = v_i − centroid[cell]_i. One zip_with
     * node (an unrolled 64-term form makes the Lloyd-update tree large
@@ -88,36 +89,41 @@ object PqOps {
     * term sum; array_position takes the FIRST minimal code exactly as
     * the oracle's list_position-of-list_min. Interpreted (HOFs are
     * CodegenFallback) but build-time only. */
-  private def codesCol(books: Array[Array[Array[Double]]]): Column =
-    array((0 until M).map { j =>
+  private def codesCol(books: Array[Array[Array[Double]]]): Column = {
+    val (m, _, sb) = geomOf(books)
+    array((0 until m).map { j =>
       val cbLit = typedlit(books(j).map(_.toSeq).toSeq)
-      val sub = slice(col("r"), lit(j * Sub + 1), lit(Sub))
+      val sub = slice(col("r"), lit(j * sb + 1), lit(sb))
       val dists = transform(cbLit, cb =>
         aggregate(zip_with(sub, cb, (x, y) => (x - y) * (x - y)),
           lit(0.0), (a, tt) => a + tt))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
+  }
 
   /** Deterministic-init PQ training on residuals: codebook j seeded with
-    * the residual subvectors of the Ksub lowest vec_ids, then `iters`
+    * the residual subvectors of the ksub lowest vec_ids, then `iters`
     * Lloyd steps (assign = codesCol, update = per-(j, code, dim) mean).
     * The model is tiny (m·ksub·sub = 1024 doubles); like kmeansLite the
     * distributed avg makes it deterministic only per run — the oracle is
     * generated from the STORED model, so correctness never depends on
     * bit-stable training. */
   def trainPq(assigned: DataFrame, cents: Array[Array[Double]],
-      iters: Int = 1): Array[Array[Array[Double]]] = {
-    val seedRows = assigned.orderBy(col("vec_id")).limit(Ksub)
+      iters: Int = 1, m: Int = DefaultM, ksub: Int = DefaultKsub): Array[Array[Array[Double]]] = {
+    val d = cents(0).length
+    require(d % m == 0, s"dims=$d not divisible by m=$m subspaces")
+    val sb = d / m
+    val seedRows = assigned.orderBy(col("vec_id")).limit(ksub)
       .select(col("v"), col("cell")).collect()
       .map { row =>
         val v = row.getSeq[Double](0).toArray
         val cent = cents(row.getInt(1))
-        Array.tabulate(dims)(i => v(i) - cent(i))
+        Array.tabulate(d)(i => v(i) - cent(i))
       }
-    require(seedRows.length == Ksub,
-      s"PQ training needs ≥ $Ksub vectors, got ${seedRows.length}")
-    var books = Array.tabulate(M, Ksub) { (j, c) =>
-      seedRows(c).slice(j * Sub, (j + 1) * Sub)
+    require(seedRows.length == ksub,
+      s"PQ training needs ≥ $ksub vectors, got ${seedRows.length}")
+    var books = Array.tabulate(m, ksub) { (j, c) =>
+      seedRows(c).slice(j * sb, (j + 1) * sb)
     }
     val based = assigned.withColumn("r", residualCol(cents))
     var it = 0
@@ -125,13 +131,13 @@ object PqOps {
       val means = based.withColumn("codes", codesCol(books))
         .select(col("r"), posexplode(col("codes")).as(Seq("j", "code")))
         .select(col("j"), col("code"),
-          posexplode(expr(s"slice(r, j * $Sub + 1, $Sub)")).as(Seq("d", "x")))
+          posexplode(expr(s"slice(r, j * $sb + 1, $sb)")).as(Seq("d", "x")))
         .groupBy(col("j"), col("code"), col("d")).agg(avg(col("x")).as("mu"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
         .toMap
-      books = Array.tabulate(M, Ksub) { (j, c) =>
-        Array.tabulate(Sub)(dd => means.getOrElse((j, c, dd), books(j)(c)(dd)))
+      books = Array.tabulate(m, ksub) { (j, c) =>
+        Array.tabulate(sb)(dd => means.getOrElse((j, c, dd), books(j)(c)(dd)))
       }
       it += 1
     }
@@ -164,19 +170,20 @@ object PqOps {
     * the same admission rule every sign-LSH banding applies
     * (SimilarityOps.wellFormedVec): they can never be a neighbor (ADC
     * against them is null, which sorts below every real score), a short
-    * one among the Ksub lowest vec_ids would crash codebook seeding on
+    * one among the ksub lowest vec_ids would crash codebook seeding on
     * the driver, and indexing them would only pad every future probe's
     * pruned scan with dead rows. */
   def buildPqIndex(emb: DataFrame, path: String, kCells: Int = 8,
-      coarseIters: Int = 1, pqIters: Int = 1, ingestId: Long = -1L): Unit = {
+      coarseIters: Int = 1, pqIters: Int = 1, ingestId: Long = -1L,
+      dims: Int = DefaultDims, m: Int = DefaultM, ksub: Int = DefaultKsub): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     graft.sinks.IngestSegments.guardBuild(spark, s"$path/codes", ingestId)
-    val cents = SimilarityOps.kmeansLite(wellFormed(emb), kCells, coarseIters)
+    val cents = SimilarityOps.kmeansLite(wellFormed(emb, dims), kCells, coarseIters)
     // the assignment feeds BOTH training and the final encode — one
     // checkpointed frame (see encodeAgainst's barrier note)
-    val assigned = SimilarityOps.assignCells(wellFormed(emb), cents).localCheckpoint()
-    val books = trainPq(assigned, cents, pqIters)
+    val assigned = SimilarityOps.assignCells(wellFormed(emb, dims), cents).localCheckpoint()
+    val books = trainPq(assigned, cents, pqIters, m, ksub)
     assigned.withColumn("r", residualCol(cents))
       .select(col("vec_id"), col("cell"), codesCol(books).as("codes"))
       .write.mode("overwrite").partitionBy("cell")
@@ -184,7 +191,7 @@ object PqOps {
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cents")
-    (for { j <- 0 until M; c <- 0 until Ksub } yield (j, c, books(j)(c).toSeq))
+    (for { j <- books.indices; c <- books(j).indices } yield (j, c, books(j)(c).toSeq))
       .toDF("j", "code", "cb")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
   }
@@ -220,7 +227,9 @@ object PqOps {
       s"no PQ model under $path — bootstrap with buildPqIndex first " +
         "(ingest encodes against a frozen model, never trains one)")
     val (cents, books) = loadModel(spark, path)
-    encodeAgainst(wellFormed(newVecs), cents, books)
+    // admission width comes from the STORED model, so an index built at
+    // any dims gates its ingests consistently
+    encodeAgainst(wellFormed(newVecs, cents(0).length), cents, books)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes/ingest=$ingestId")
   }
@@ -278,7 +287,10 @@ object PqOps {
           .select(col("j"), col("code"), col("cb")).collect()
           .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
           .toMap
-        val books = Array.tabulate(M, Ksub)((j, c) => flat((j, c)))
+        // the stored rows define the geometry — no constant consulted
+        val bm = flat.keys.map(_._1).max + 1
+        val bk = flat.keys.map(_._2).max + 1
+        val books = Array.tabulate(bm, bk)((j, c) => flat((j, c)))
         val m = (cents, books)
         modelCache.synchronized {
           // stale-fingerprint entries for this path die with the insert
@@ -320,12 +332,13 @@ object PqOps {
       excludeVecId: Long): DataFrame = {
     val probeCells = cents.indices.sortBy(i => -cosLocal(qVec, cents(i)))
       .take(nprobe)
+    val (m, ksub, sb) = geomOf(books)
     val cellDots = cents.map(c => dotLocal(qVec, c))
-    val adc = Array.tabulate(M, Ksub) { (j, c) =>
-      dotLocal(qVec.slice(j * Sub, (j + 1) * Sub), books(j)(c))
+    val adc = Array.tabulate(m, ksub) { (j, c) =>
+      dotLocal(qVec.slice(j * sb, (j + 1) * sb), books(j)(c))
     }
     val score = element_at(typedlit(cellDots.toSeq), col("cell") + 1) +
-      (0 until M).map { j =>
+      (0 until m).map { j =>
         element_at(typedlit(adc(j).toSeq), element_at(col("codes"), j + 1) + 1)
       }.reduce(_ + _)
     val (live, segIds) = graft.sinks.IngestSegments
@@ -381,15 +394,16 @@ object PqOps {
         .cosine_sim(col("qv"), typedlit(c.toSeq)).as("cos"),
         lit(-i).as("negcell"))
     }: _*), asc = false)
-    val adcCol = array((0 until M).map { j =>
-      val sub = slice(col("qv"), lit(j * Sub + 1), lit(Sub))
-      array((0 until Ksub).map(c => dotLit(sub, books(j)(c))): _*)
+    val (m, ksub, sb) = geomOf(books)
+    val adcCol = array((0 until m).map { j =>
+      val sub = slice(col("qv"), lit(j * sb + 1), lit(sb))
+      array((0 until ksub).map(c => dotLit(sub, books(j)(c))): _*)
     }: _*)
     val cdCol = array(cents.map(c => dotLit(col("qv"), c)).toIndexedSeq: _*)
     // same query-side admission rule as ivfKnnJoin: malformed queries
     // can only produce null-score junk rows
     val probed = queries
-      .filter(SimilarityOps.wellFormedVec(col("qv"), dims))
+      .filter(SimilarityOps.wellFormedVec(col("qv"), cents(0).length))
       .select(col("query_id"), col("qv"),
         adcCol.as("adc"), cdCol.as("cd"))
       .select(col("query_id"), col("adc"), col("cd"),
@@ -415,7 +429,7 @@ object PqOps {
           .filter(col("__rn") === 1).drop("__rn")
       }
     val score = element_at(col("cd"), col("cell") + 1) +
-      (0 until M).map { j =>
+      (0 until m).map { j =>
         element_at(element_at(col("adc"), j + 1),
           element_at(col("codes"), j + 1) + 1)
       }.reduce(_ + _)
@@ -433,7 +447,7 @@ object PqOps {
 
   def pqIndexPath(s: SparkSession, d: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-ivfpq/" +
-      s"${SimilarityOps.sourceTag(s, d, "embeddings")}-c8-m$M-k$Ksub"
+      s"${SimilarityOps.sourceTag(s, d, "embeddings")}-c8-m$DefaultM-k$DefaultKsub"
 
   private def ensurePqIndex(s: SparkSession, d: String): String = synchronized {
     val path = pqIndexPath(s, d)
@@ -466,9 +480,10 @@ object PqOps {
     val qVec = t(s, d, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
       .collect()(0).getSeq[Double](0).toArray
+    val (m, ksub, sb) = geomOf(books)
     val cellDots = cents.map(c => dotLocal(qVec, c))
-    val adc = Array.tabulate(M, Ksub) { (j, c) =>
-      dotLocal(qVec.slice(j * Sub, (j + 1) * Sub), books(j)(c))
+    val adc = Array.tabulate(m, ksub) { (j, c) =>
+      dotLocal(qVec.slice(j * sb, (j + 1) * sb), books(j)(c))
     }
     pqOracleState = Some(PqOracleModel(nprobe, topk, cents, books, cellDots, adc))
     probeWithModel(s, path, cents, books, qVec, nprobe, topk, excludeVecId = 0L)
@@ -507,21 +522,22 @@ object PqOps {
     * the FIRST minimal code (list_position of list_min ≡ array_min on
     * struct(dist, code)). */
   private def pqOracle(mo: PqOracleModel): String = {
+    val (m, ksub, sb) = geomOf(mo.books)
     val centRows = mo.cents.zipWithIndex
       .map { case (c, i) => s"  ($i, ${dArr(c)})" }.mkString(",\n")
     def dist(j: Int, c: Int): String =
-      (0 until Sub).map { dd =>
-        val idx = j * Sub + dd + 1
+      (0 until sb).map { dd =>
+        val idx = j * sb + dd + 1
         val cb = mo.books(j)(c)(dd).toString
         s"(v[$idx] - cv[$idx] - ($cb::DOUBLE)) * (v[$idx] - cv[$idx] - ($cb::DOUBLE))"
       }.mkString(" + ")
-    val distLists = (0 until M).map { j =>
-      (0 until Ksub).map(c => dist(j, c)).mkString(s"    [", ",\n     ", s"] AS l$j")
+    val distLists = (0 until m).map { j =>
+      (0 until ksub).map(c => dist(j, c)).mkString(s"    [", ",\n     ", s"] AS l$j")
     }.mkString(",\n")
-    val codeCols = (0 until M)
+    val codeCols = (0 until m)
       .map(j => s"    list_position(l$j, list_min(l$j)) - 1 AS c$j")
       .mkString(",\n")
-    val adcSum = (0 until M)
+    val adcSum = (0 until m)
       .map(j => s"list_extract(${dArr(mo.adc(j))}, c$j + 1)")
       .mkString(" + ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -567,26 +583,27 @@ object PqOps {
     * order, so raw doubles agree before the shared round. */
   private def pqKnnOracle(nQueries: Int, nprobe: Int, topk: Int,
       cents: Array[Array[Double]], books: Array[Array[Array[Double]]]): String = {
+    val (m, ksub, sb) = geomOf(books)
     val centRows = cents.zipWithIndex
       .map { case (c, i) => s"  ($i, ${dArr(c)})" }.mkString(",\n")
     def dist(j: Int, c: Int): String =
-      (0 until Sub).map { dd =>
-        val idx = j * Sub + dd + 1
+      (0 until sb).map { dd =>
+        val idx = j * sb + dd + 1
         val cb = books(j)(c)(dd).toString
         s"(v[$idx] - cv[$idx] - ($cb::DOUBLE)) * (v[$idx] - cv[$idx] - ($cb::DOUBLE))"
       }.mkString(" + ")
-    val distLists = (0 until M).map { j =>
-      (0 until Ksub).map(c => dist(j, c)).mkString(s"    [", ",\n     ", s"] AS l$j")
+    val distLists = (0 until m).map { j =>
+      (0 until ksub).map(c => dist(j, c)).mkString(s"    [", ",\n     ", s"] AS l$j")
     }.mkString(",\n")
-    val codeCols = (0 until M)
+    val codeCols = (0 until m)
       .map(j => s"    list_position(l$j, list_min(l$j)) - 1 AS c$j")
       .mkString(",\n")
     def cbLit(j: Int): String =
       books(j).map(_.mkString("[", ",", "]")).mkString("[", ",\n      ", "]") +
         "::DOUBLE[][]"
-    val adcSum = (0 until M).map { j =>
-      val lo = j * Sub + 1
-      val hi = j * Sub + Sub
+    val adcSum = (0 until m).map { j =>
+      val lo = j * sb + 1
+      val hi = j * sb + sb
       s"list_dot_product(q.qv[$lo:$hi], list_extract(${cbLit(j)}, c$j + 1))"
     }.mkString("\n    + ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -231,15 +231,17 @@ object SimilarityOps {
     * scan. At 100 TB the build is its own job; IvfSpec asserts the
     * probe plan's PartitionFilters and files-read subset. */
   def buildIvfIndex(emb: DataFrame, path: String, k: Int = 8,
-      iters: Int = 1): Unit = {
+      iters: Int = 1, dims: Int = 64): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     // same admission rule as every sign-LSH banding (wellFormedVec): a
     // malformed vector can never be a neighbor (fcos against it is
     // null, sorting below every real score), a short one among the k
     // lowest vec_ids would seed a junk centroid, and indexing it only
-    // pads every future probe's pruned scan with dead rows
-    val clean = emb.filter(wellFormedVec(col("v"), 64))
+    // pads every future probe's pruned scan with dead rows. Probes
+    // derive the width from the stored centroids, so `dims` is a
+    // build-time-only knob.
+    val clean = emb.filter(wellFormedVec(col("v"), dims))
     val centroids = kmeansLite(clean, k, iters)
     assignCells(clean, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
@@ -382,7 +384,7 @@ object SimilarityOps {
     // malformed queries score null against everything — the same
     // admission rule the index side applies; without it they emit
     // null-score junk rows ranked only by neighbor_id
-    val probed = queries.filter(wellFormedVec(col("qv"), 64))
+    val probed = queries.filter(wellFormedVec(col("qv"), cents(0).length))
       .select(col("query_id"), col("qv"),
         explode(slice(ranked, 1, nprobe)).as("pc"))
       .select(col("query_id"), col("qv"), (-col("pc.negcell")).as("cell"))

@@ -135,6 +135,30 @@ class IvfSpec extends SparkSpec {
     assert(out.length == 3 && out.forall(r => !r._3.isNaN))
   }
 
+  test("IVF width is a build knob only: a 32-dim index probes and joins correctly") {
+    val rnd = new java.util.Random(61)
+    def rv() = Array.fill(32)(rnd.nextGaussian()).toSeq
+    val base = rv()
+    val rows = (0L, base) +:
+      ((1 to 3).map(i => (i.toLong, base.map(x => x + 0.05 * rnd.nextGaussian()))) ++
+        (4 to 50).map(i => (i.toLong, rv())))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf32").toString
+    SimilarityOps.buildIvfIndex(rows.toDF("vec_id", "v"), dir, k = 4, dims = 32)
+    val top = SimilarityOps.probeIvfIndex(spark, dir, base.toArray,
+        nprobe = 4, topk = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top == Set(1L, 2L, 3L), s"32-dim near-dups lost: $top")
+    // the kNN join derives its admission width from the stored
+    // centroids: a 64-dim query is malformed FOR THIS INDEX
+    val joined = SimilarityOps.ivfKnnJoin(spark, dir,
+        Seq((0L, base), (999L, Seq.fill(64)(0.1)))
+          .toDF("query_id", "qv"), nprobe = 4, topk = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(joined.map(_._1).toSet == Set(0L),
+      "only the width-matched query may return rows")
+    assert(joined.map(_._2).toSet == Set(1L, 2L, 3L))
+  }
+
   test("malformed vectors are excluded from the stored IVF corpus") {
     // a SHORT vector with the lowest vec_id would otherwise seed a junk
     // centroid (kmeansLite seeds from the k lowest ids), and a

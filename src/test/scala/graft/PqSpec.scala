@@ -179,6 +179,45 @@ class PqSpec extends SparkSpec {
         df.queryExecution.executedPlan)
   }
 
+  test("geometry derives from the stored model: a 32-dim m=4 index round-trips") {
+    // the books table's shape IS (m, ksub, sub) — encode, probe, the
+    // kNN join and compaction must all work at a non-default width
+    // with no knob passed anywhere but the build
+    val rnd = new java.util.Random(59)
+    def rv() = Array.fill(32)(rnd.nextGaussian()).toSeq
+    val base = rv()
+    def noisy() = base.map(x => x + 0.05 * rnd.nextGaussian())
+    val rows = (0L, base) +: ((1 to 4).map(i => (i.toLong, noisy())) ++
+      (5 to 60).map(i => (i.toLong, rv())))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq32").toString
+    PqOps.buildPqIndex(rows.toDF("vec_id", "v"), dir, kCells = 4,
+      dims = 32, m = 4, ksub = 16)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.filter(size(col("codes")) =!= 4 ||
+      exists(col("codes"), c => c < 0 || c >= 16)).count() == 0,
+      "stored codes must be 4 subspaces of 4-bit codes")
+    // near-dups of the base vector top the ADC ranking at this width
+    val top = PqOps.probePqIndex(spark, dir, base.toArray, nprobe = 1, topk = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top == Set(1L, 2L, 3L, 4L), s"32-dim near-dups lost: $top")
+    // incremental ingest gates admission at the MODEL's width: a 64-dim
+    // vector is malformed FOR THIS INDEX and must be dropped
+    PqOps.ingestPqSegment(
+      Seq((100L, rv()), (101L, Seq.fill(64)(0.1))).toDF("vec_id", "v"), dir, 0L)
+    val ids = spark.read.parquet(s"$dir/codes").select("vec_id")
+      .as[Long].collect().toSet
+    assert(ids.contains(100L) && !ids.contains(101L),
+      "ingest admission must use the stored model's width")
+    // the batched join agrees with the single probe at this geometry
+    val joined = PqOps.pqKnnJoin(spark, dir,
+        Seq((0L, base)).toDF("query_id", "qv"), nprobe = 4, topk = 8)
+      .as[(Long, Long, Double)].collect().map(t => (t._2, t._3)).sortBy(_._1).toSeq
+    val single = PqOps.probePqIndex(spark, dir, base.toArray, nprobe = 4,
+        topk = 8, excludeVecId = 0L)
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(joined == single, "32-dim kNN join drifted from the single probe")
+  }
+
   test("frozen model is cached per fingerprint; a rebuild invalidates it") {
     val rnd = new java.util.Random(41)
     def rv() = Array.fill(64)(rnd.nextGaussian()).toSeq
