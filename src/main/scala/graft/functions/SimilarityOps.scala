@@ -134,8 +134,9 @@ object SimilarityOps {
     * probe=2) and the scan prunes to exactly those partitions — same
     * results as the full-scan filter form (the hamming predicate is
     * identical), so q38's generated SQL oracle still applies. */
-  def buildAnnLshIndex(emb: DataFrame, path: String, bits: Int = 8): Unit = {
-    val planes = hyperplanes(64, bits)
+  def buildAnnLshIndex(emb: DataFrame, path: String, bits: Int = 8,
+      dims: Int = 64): Unit = {
+    val planes = hyperplanes(dims, bits)
     emb.withColumn("bucket", bucketOf(col("v"), planes))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
   }
@@ -143,7 +144,10 @@ object SimilarityOps {
   def probeAnnLshIndex(s: SparkSession, path: String, qVec: Array[Double],
       bits: Int = 8, probe: Int = 2, k: Int = 10,
       excludeVecId: Long = 0L): DataFrame = {
-    val planes = hyperplanes(64, bits)
+    // the plane family regenerates at the QUERY's width — identical to
+    // the build's family whenever the query matches the indexed corpus
+    // (the caller contract); no stored sidecar needed
+    val planes = hyperplanes(qVec.length, bits)
     // driver-side sign bucket of the query: same left-to-right dot as the
     // columnar aggregate(), so the bits agree bit-for-bit
     val qb = planes.zipWithIndex

@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 /** Random-hyperplane LSH: engineered near-neighbors of the query land in
   * nearby buckets (recall), and the candidate filter genuinely prunes. */
 class AnnLshSpec extends SparkSpec {
+
+  test("stored LSH layout at a non-default width: 32-dim build, probe from query length") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new java.util.Random(67)
+    def rv() = Array.fill(32)(rnd.nextGaussian()).toSeq
+    val base = rv()
+    val rows = (0L, base) +:
+      ((1 to 3).map(i => (i.toLong, base.map(x => x + 0.03 * rnd.nextGaussian()))) ++
+        (4 to 60).map(i => (i.toLong, rv())))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh32").toString
+    functions.SimilarityOps.buildAnnLshIndex(
+      rows.toDF("vec_id", "v"), dir, bits = 8, dims = 32)
+    // probe regenerates the 32-dim plane family from the query's length
+    val top = functions.SimilarityOps.probeAnnLshIndex(
+        spark, dir, base.toArray, bits = 8, probe = 2, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top == Set(1L, 2L, 3L), s"32-dim near-dups lost: $top")
+  }
   import spark.implicits._
 
   private val rnd = new java.util.Random(7)
