@@ -640,9 +640,9 @@ object SimilarityOps {
     * directory hash. Malformed vectors are excluded here, the single
     * choke point the bands/vecs writes, the probe banding, and the
     * in-batch self-join all derive from (see [[wellFormedVec]]). */
-  private def embIndexRows(vecs: DataFrame): DataFrame = {
-    val planes = hyperplanes(64, embIndexPlanes).toSeq.map(_.toSeq)
-    vecs.filter(wellFormedVec(col("v"), 64))
+  private def embIndexRows(vecs: DataFrame, dims: Int): DataFrame = {
+    val planes = hyperplanes(dims, embIndexPlanes).toSeq.map(_.toSeq)
+    vecs.filter(wellFormedVec(col("v"), dims))
       .select(col("vec_id"), col("v"),
         posexplode(graft.expressions.VectorHashes.sign_band_vals(
           col("v"), planes, embIndexBandBits)).as(Seq("band", "bv")))
@@ -653,17 +653,18 @@ object SimilarityOps {
   /** Bulk bootstrap: ingestId must be NEGATIVE (default -1) and not a
     * compaction fold (IngestSegments.guardBuild — the
     * DedupOps.buildLshIndex contract). */
-  def buildEmbLshIndex(vecs: DataFrame, path: String, ingestId: Long = -1L): Unit = {
+  def buildEmbLshIndex(vecs: DataFrame, path: String, ingestId: Long = -1L,
+      dims: Int = 64): Unit = {
     graft.sinks.IngestSegments.guardBuild(vecs.sparkSession, s"$path/bands", ingestId)
-    ingestEmbSegment(vecs, path, ingestId)
+    ingestEmbSegment(vecs, path, ingestId, dims)
   }
 
   /** The unguarded segment write (overwrite-by-ingestId, so foreachBatch
     * retries replace their own output — same replay contract as the
     * text index). */
   private[graft] def ingestEmbSegment(vecs: DataFrame, path: String,
-      ingestId: Long): Unit = {
-    val rows = embIndexRows(vecs).localCheckpoint()
+      ingestId: Long, dims: Int = 64): Unit = {
+    val rows = embIndexRows(vecs, dims).localCheckpoint()
     rows.select(col("vec_id"), col("band"), col("bv"),
         pmod(col("bkey"), lit(embIndexBuckets.toLong)).as("bmod"))
       .write.mode("overwrite").partitionBy("bmod")
@@ -694,9 +695,9 @@ object SimilarityOps {
   /** Candidate (new_vec, dup_of, v_n) rows: bmod-pruned scan, broadcast
     * probe — public for EmbIndexSpec's plan assertions. */
   def embProbeCandidates(newVecs: DataFrame, path: String,
-      maxPerBucket: Option[Int] = None): DataFrame = {
+      maxPerBucket: Option[Int] = None, dims: Int = 64): DataFrame = {
     val spark = newVecs.sparkSession
-    val probe = embIndexRows(newVecs).localCheckpoint()
+    val probe = embIndexRows(newVecs, dims).localCheckpoint()
     val live = graft.sinks.IngestSegments.readLive(spark, s"$path/bands")
     if (live.isEmpty) // no index yet (or only footerless empty segments)
       return probe.limit(0).select(col("vec_id").as("new_vec"),
@@ -731,7 +732,8 @@ object SimilarityOps {
     * ≥ threshold. New vectors are NOT indexed here — callers
     * buildEmbLshIndex after admission (dedup-then-ingest). */
   def probeEmbLshIndex(newVecs: DataFrame, path: String,
-      threshold: Double = 0.9, maxPerBucket: Option[Int] = None): DataFrame = {
+      threshold: Double = 0.9, maxPerBucket: Option[Int] = None,
+      dims: Int = 64): DataFrame = {
     val spark = newVecs.sparkSession
     val live = graft.sinks.IngestSegments.readLive(spark, s"$path/vecs")
     if (live.isEmpty) // no index yet — nothing can be a dup
@@ -741,7 +743,7 @@ object SimilarityOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("new_vec"), col("dup_of"))
       .orderBy(col("ingest").desc)
-    embProbeCandidates(newVecs, path, maxPerBucket)
+    embProbeCandidates(newVecs, path, maxPerBucket, dims)
       .dropDuplicates("new_vec", "dup_of") // shrink before fetching vectors
       .join(vecsIdx.select(col("vec_id").as("dup_of"), col("v").as("v_e"),
         col("ingest")), Seq("dup_of"))
@@ -758,8 +760,9 @@ object SimilarityOps {
 
   /** In-batch near-dup resolution (greedy keep-lowest-vec_id), same
     * policy as DedupOps.dedupWithinBatch. */
-  private def embDedupWithinBatch(batch: DataFrame, threshold: Double): DataFrame = {
-    val rows = embIndexRows(batch)
+  private def embDedupWithinBatch(batch: DataFrame, threshold: Double,
+      dims: Int): DataFrame = {
+    val rows = embIndexRows(batch, dims)
     val losers = rows.as("a").join(rows.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -776,16 +779,17 @@ object SimilarityOps {
     * segment keyed by batchId in overwrite mode (at-least-once retries
     * replace their own output). Mirrors DedupOps.streamingDedupWriter. */
   def streamingEmbDedupWriter(indexPath: String, outDir: String,
-      threshold: Double = 0.9, maxPerBucket: Option[Int] = None)(
+      threshold: Double = 0.9, maxPerBucket: Option[Int] = None,
+      dims: Int = 64)(
       batch: DataFrame, batchId: Long): Unit = {
     // a missing or footerless-empty index probes as empty (readLive)
-    val dups = probeEmbLshIndex(batch, indexPath, threshold, maxPerBucket)
+    val dups = probeEmbLshIndex(batch, indexPath, threshold, maxPerBucket, dims)
       .select(col("new_vec")).distinct()
     val novel = batch.join(dups,
       batch("vec_id") === dups("new_vec"), "left_anti")
-    val admitted = embDedupWithinBatch(novel, threshold).localCheckpoint()
+    val admitted = embDedupWithinBatch(novel, threshold, dims).localCheckpoint()
     admitted.write.mode("overwrite").parquet(s"$outDir/admitted/ingest=$batchId")
-    ingestEmbSegment(admitted, indexPath, batchId)
+    ingestEmbSegment(admitted, indexPath, batchId, dims)
   }
 
   /** Int8 scalar quantization of the embedding column — the storage

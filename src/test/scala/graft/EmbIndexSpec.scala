@@ -9,6 +9,30 @@ import org.apache.spark.sql.functions._
   * dedup family: build once, probe batches against it, streaming
   * dedup-then-ingest admits only novel vectors. Mirrors LshIndexSpec. */
 class EmbIndexSpec extends SparkSpec {
+
+  test("32-dim index: build, probe, and streaming admission at a non-default width") {
+    import spark.implicits._
+    val rnd = new java.util.Random(71)
+    def rv() = Array.fill(32)(rnd.nextGaussian()).toSeq
+    val base = rv()
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb32").toString
+    functions.SimilarityOps.buildEmbLshIndex(
+      ((0 to 30).map(i => (i.toLong, rv())) :+ (99L, base))
+        .toDF("vec_id", "v"), dir, dims = 32)
+    // a near-duplicate of an indexed 32-dim vector is caught at width 32
+    val probeBatch = Seq(
+      (200L, base.map(x => x + 1e-4 * rnd.nextGaussian())),
+      (201L, Seq.fill(64)(0.1))) // 64-dim: malformed FOR THIS index
+      .toDF("vec_id", "v")
+    val dups = functions.SimilarityOps.probeEmbLshIndex(
+      probeBatch, dir, threshold = 0.9, dims = 32)
+    val hit = dups.select("new_vec", "dup_of")
+      .as[(Long, Long)].collect().toSet
+    assert(hit.contains((200L, 99L)),
+      s"32-dim near-dup not caught through the 32-dim banding: $hit")
+    assert(!hit.exists(_._1 == 201L),
+      "a width-mismatched vector can never be a candidate")
+  }
   import spark.implicits._
 
   // deterministic unit-ish vectors: base family + a cos≈0.98 perturbed
