@@ -88,6 +88,11 @@ object Bench {
       try functions.PqOps.annIvfPq(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+    // q97 joins the stored bucketed pair — build it up front so the
+    // timed runs measure the exchange-free join, not the one-off layout
+    if (timed.exists(_.startsWith("q97")))
+      try { operators.Bucketing.ensureBucketedPair(spark, sfDir): Unit }
+      catch { case _: Throwable => () }
     // the builds' leftovers are not the first timed query's bill either
     dropLeakedBlocks(spark)
     // Median of N in-process runs per query (fixtures are hot after the

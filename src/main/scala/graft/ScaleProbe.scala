@@ -27,7 +27,8 @@ object ScaleProbe {
       "sign_band_scan", "cosine_verify_pairs", "phrase_index_build",
       "pack_greedy", "chunk_dedup", "vocab_build", "lm_score",
       "training_order", "pq_build", "pq_probe",
-      "knn_join", "pq_knn_join", "knn_query_scaling", "skew")
+      "knn_join", "pq_knn_join", "knn_query_scaling", "bucketed_join",
+      "skew")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -422,6 +423,45 @@ object ScaleProbe {
       }
       graft.sinks.Hfs.deleteRecursive(spark, dir)
       vecs.unpersist()
+    }
+    // bucketed co-located join (q97's mechanism) vs the plain shuffle
+    // SMJ on the same data: fact pair (n orders, 4n lineitems), both
+    // joins end in the same tiny aggregate, broadcast disabled so the
+    // un-bucketed baseline pays its two real exchanges. The one-off
+    // bucketed WRITE is timed separately — it is the ingest cost the
+    // co-location amortizes across every later join on the key.
+    if (on("bucketed_join")) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (n <- Seq(1000000L, 4000000L, 16000000L)) {
+        val o = spark.range(n).select(col("id").as("o_orderkey"),
+          pmod(xxhash64(col("id")), lit(5)).as("pri"))
+        val l = spark.range(4 * n).select(
+          pmod(col("id"), lit(n)).as("l_orderkey"),
+          (pmod(xxhash64(col("id"), lit(3)), lit(10000)) / 100.0).as("price"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-bktp").toString
+        o.write.parquet(s"$dir/o")
+        l.write.parquet(s"$dir/l")
+        val po = spark.read.parquet(s"$dir/o")
+        val pl = spark.read.parquet(s"$dir/l")
+        def agg(j: org.apache.spark.sql.DataFrame) =
+          j.groupBy(col("pri")).agg(sum(col("price")))
+            .write.format("noop").mode("overwrite").save()
+        var t0 = System.nanoTime()
+        agg(po.join(pl, po("o_orderkey") === pl("l_orderkey")))
+        println(f"SCALE n=$n%9d bucketed_join_baseline ${(System.nanoTime() - t0) / 1e9}%6.2f s (shuffle SMJ)")
+        t0 = System.nanoTime()
+        graft.operators.Bucketing.writeBucketed(po, "probe_o", "o_orderkey", 32, Some(s"$dir/bo"))
+        graft.operators.Bucketing.writeBucketed(pl, "probe_l", "l_orderkey", 32, Some(s"$dir/bl"))
+        println(f"SCALE n=$n%9d bucketed_join_write    ${(System.nanoTime() - t0) / 1e9}%6.2f s (one-off ingest)")
+        t0 = System.nanoTime()
+        agg(spark.table("probe_o").hint("merge")
+          .join(spark.table("probe_l"), col("o_orderkey") === col("l_orderkey")))
+        println(f"SCALE n=$n%9d bucketed_join          ${(System.nanoTime() - t0) / 1e9}%6.2f s (co-located)")
+        spark.sql("DROP TABLE probe_o")
+        spark.sql("DROP TABLE probe_l")
+        graft.sinks.Hfs.deleteRecursive(spark, dir)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
     // skew: 16M rows, 90% on one key — plain shuffle join vs salted vs AQE
     if (on("skew")) {

@@ -19,6 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      operators.Bucketing.queries ++
       operators.Publisher.queries ++
       operators.Analytics.queries ++
       functions.TextOps.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
+      operators.Bucketing.oracles ++
       operators.Publisher.oracles ++
       operators.Analytics.oracles ++
       functions.TextOps.oracles ++
