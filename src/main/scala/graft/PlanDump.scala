@@ -51,6 +51,19 @@ object PlanDump {
         |(codegen'd), on 8-int code rows instead of 64-double vectors: the
         |32× I/O reduction of q94 retained in batch form. Same two
         |prunings as q95, same single window exchange.""".stripMargin),
+    ("q97_bucketed_join", "stored bucketed fact pair: exchange-free SortMergeJoin",
+      """Both scans read the bucketed layout (`Bucketed: true`, 8 buckets
+        |each side), so the SMJ subtree holds NO exchange — the join's
+        |shuffle happened once, at layout build time, and every subsequent
+        |orderkey join rides it. The only exchange in the plan is the
+        |5-row priority aggregate's. The in-partition Sorts under the SMJ
+        |are elidable too (the layout writes one file per bucket; enabling
+        |spark.sql.legacy.bucketedTableScan.outputOrdering uses the SORTED
+        |BY metadata) — kept in the default plan because the conf is
+        |session-global and the sorts are narrow. At 100 TB this is the
+        |fact⋈fact answer where broadcast can't apply and a per-query
+        |shuffle of either side is the dominant cost: co-location turns
+        |the recurring exchange into a one-off ingest.""".stripMargin),
     ("q50_asof_join", "merge-form as-of (union + window, no join)", ""),
     ("q51_embedding_dups", "bounded pairwise cosine (verification tier)", ""),
     ("q54_embedding_dups_lsh", "banded hyperplane LSH + fused-cosine verify",
