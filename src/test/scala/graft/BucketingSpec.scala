@@ -117,6 +117,23 @@ class BucketingSpec extends SparkSpec {
     assertColocatedJoin(Bucketing.bucketedRevenue(spark, sf0001))
   }
 
+  test("writeBucketed lands exactly one file per bucket (the sorted-scan precondition)") {
+    val (oName, lName) = Bucketing.ensureBucketedPair(spark, sf0001)
+    for (tbl <- Seq(oName, lName)) {
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+        .filter(col("col_name") === "Location")
+        .collect()(0).getString(1)
+      // bucket id is the _NNNNN suffix parquet bucketed writes encode in
+      // the file name; >1 file for one id would silently re-enable the
+      // under-join Sort that the ordering conf elides
+      val byBucket = graft.sinks.Hfs.childFiles(spark, loc)
+        .filter(_.endsWith(".parquet"))
+        .groupBy(f => f.split("_").last.takeWhile(_ != '.'))
+      assert(byBucket.nonEmpty && byBucket.values.forall(_.size == 1),
+        s"multi-file bucket in $tbl: $byBucket")
+    }
+  }
+
   test("q97 layout: an orderkey point read prunes to one bucket") {
     val (oName, _) = Bucketing.ensureBucketedPair(spark, sf0001)
     // the planner AUTO-DISABLES bucketed scans it sees no join/agg
