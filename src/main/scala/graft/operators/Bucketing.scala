@@ -144,6 +144,200 @@ object Bucketing {
           .as("revenue"))
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental lifecycle: a LIVE bucketed fact table. Streaming appends
+  // land as plain delta segments (overwrite-by-ingestId, the replay
+  // contract every index family here uses); a periodic fold rebuilds the
+  // bucketed main from main ∪ deltas and commits by atomically flipping
+  // a version pointer — the horizon protocol of sinks.MergeParquetSink,
+  // not sinks.IngestSegments' rename-before-delete: that one is sound
+  // only for duplicate-tolerant readers, and a fact join must never see
+  // a row twice. Readers join the bucketed main exchange-free and the
+  // (small, recent) delta tail however the planner likes; after a fold
+  // the tail is empty and the whole table is co-located again.
+  //
+  // Layout under `loc`:
+  //   __meta               "version,horizon,key,buckets" (atomic
+  //                        writeString; horizon = highest delta ingest
+  //                        id folded into the current main)
+  //   main_v<K>/           bucketed+sorted files of version K (external
+  //                        catalog table <base>_v<K>)
+  //   delta/ingest=<N>/    plain parquet micro-batch appends, N >= 0
+  //
+  // Crash windows (fold): before the __meta flip, the new main_v(K+1)
+  // is unreferenced garbage — the next fold deletes every main_v* that
+  // is not the current version before writing. After the flip but
+  // before cleanup, folded deltas (ids <= horizon) and the old main
+  // still exist but readers EXCLUDE them by horizon/version — the next
+  // fold completes the deletes. Nothing is ever deleted before the
+  // pointer stops referencing it.
+  //
+  // Caller contracts: one maintenance process per table (the Hfs.rename
+  // rule); rows are append-only facts whose uniqueness is the upstream
+  // admission's job (the vec_id-immutability stance of the ANN ingests).
+  // ---------------------------------------------------------------------
+
+  private def metaPath(loc: String) = s"$loc/__meta"
+
+  private def readMeta(s: SparkSession, loc: String): (Long, Long, String, Int) =
+    graft.sinks.Hfs.readString(s, metaPath(loc)) match {
+      case Some(m) => m.split(",") match {
+        case Array(v, h, key, b) => (v.toLong, h.toLong, key, b.toInt)
+        case _ => sys.error(s"corrupt bucketed-table meta at ${metaPath(loc)}: " +
+          s"'$m' — expected 'version,horizon,key,buckets'")
+      }
+      case None => sys.error(s"no bucketed table under $loc — bootstrap first")
+    }
+
+  private def versionTable(base: String, v: Long) = s"${base}_v$v"
+
+  /** Re-register version `v`'s catalog entry if a fresh JVM lost it
+    * (the ensureBucketedPair DDL path, generalized). */
+  private def ensureRegistered(s: SparkSession, loc: String, base: String,
+      v: Long, key: String, buckets: Int): String = {
+    val name = versionTable(base, v)
+    if (!s.catalog.tableExists(name)) {
+      val dir = s"$loc/main_v$v"
+      val ddl = s.read.parquet(dir).schema.toDDL
+      s.sql(s"CREATE TABLE $name ($ddl) USING PARQUET " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"LOCATION '$dir'")
+    }
+    name
+  }
+
+  /** Create version 0 from a bulk frame. Fails loudly if the table
+    * already exists — a bootstrap must never silently reset a live
+    * table's horizon (re-bootstrap = delete the directory first). */
+  def bootstrapBucketed(df: DataFrame, loc: String, base: String,
+      key: String, buckets: Int): Unit = {
+    val s = df.sparkSession
+    require(graft.sinks.Hfs.readString(s, metaPath(loc)).isEmpty,
+      s"bucketed table already exists under $loc — deltas may be live; " +
+        "delete the directory to rebuild from scratch")
+    writeBucketed(df, versionTable(base, 0L), key, buckets, Some(s"$loc/main_v0"))
+    graft.sinks.Hfs.writeString(s, metaPath(loc), s"0,-1,$key,$buckets")
+  }
+
+  /** Append a micro-batch as delta segment `ingestId` (>= 0, the
+    * streaming batch-id space) — overwrite mode, so an at-least-once
+    * replay replaces its own output. */
+  def ingestBucketedDelta(df: DataFrame, loc: String, ingestId: Long): Unit = {
+    require(ingestId >= 0,
+      s"delta ingest ids are streaming batch ids (>= 0), got $ingestId")
+    df.write.mode(SaveMode.Overwrite).parquet(s"$loc/delta/ingest=$ingestId")
+  }
+
+  /** Current readable state: (bucketed main, unfolded delta tail).
+    * The delta tail is None when every segment is folded — then every
+    * join on the key is fully co-located. Main and tail share the main's
+    * column order; the tail may double as the "recent" side of a
+    * broadcast join (it is micro-batch-sized by construction). */
+  def bucketedSnapshot(s: SparkSession, loc: String,
+      base: String): (DataFrame, Option[DataFrame]) = {
+    val (main, tail) = snapshotWithIds(s, loc, base)
+    (main, tail.map(_._1))
+  }
+
+  /** bucketedSnapshot plus the EXACT delta-id listing the tail frame
+    * was planned over — the fold must delete precisely those segments,
+    * not a second listing's (the readLiveWithIds TOCTOU rule: a segment
+    * written between two listings would be deleted without ever being
+    * folded). */
+  private def snapshotWithIds(s: SparkSession, loc: String,
+      base: String): (DataFrame, Option[(DataFrame, Seq[Long])]) = {
+    val (v, h, key, buckets) = readMeta(s, loc)
+    val main = s.table(ensureRegistered(s, loc, base, v, key, buckets))
+    val liveIds = graft.sinks.IngestSegments
+      .liveSegments(s, s"$loc/delta").filter(_ > h)
+    val tail =
+      if (liveIds.isEmpty) None
+      else Some((s.read.option("basePath", s"$loc/delta")
+        .parquet(liveIds.map(id => s"$loc/delta/ingest=$id"): _*)
+        .drop("ingest").select(main.columns.map(col).toIndexedSeq: _*),
+        liveIds))
+    (main, tail)
+  }
+
+  /** Fold the delta tail into a new bucketed main (version+1) and flip
+    * the pointer. Cleans up everything a previous crashed fold left:
+    * non-current main_v* dirs (pre-flip garbage) and already-folded
+    * delta segments (post-flip stragglers). No-op when the tail is
+    * empty.
+    *
+    * `coldStart = Some((key, buckets))` lets a table that has only ever
+    * seen delta ingests fold without a bulk bootstrap: main_v0 is built
+    * FROM the deltas under the same commit order (main written → meta
+    * flipped → deltas deleted), so a crash anywhere leaves either the
+    * pre-fold state or the committed one — never duplicated rows. A
+    * stream that starts cold and first folds at batch `foldEvery-1`
+    * would otherwise wedge on readMeta's loud failure forever (the
+    * quality-gate cold-start lesson). */
+  def foldBucketedDeltas(s: SparkSession, loc: String, base: String,
+      coldStart: Option[(String, Int)] = None): Unit = {
+    val (v, h, key, buckets) =
+      (graft.sinks.Hfs.readString(s, metaPath(loc)), coldStart) match {
+        case (None, Some((k, b))) =>
+          // no committed version: every main_v* is a crashed cold
+          // start's garbage, and every delta is unfolded
+          graft.sinks.Hfs.childDirs(s, loc, "main_v")
+            .map(_.stripPrefix("main_v").toLong).foreach { kk =>
+              s.sql(s"DROP TABLE IF EXISTS ${versionTable(base, kk)}")
+              graft.sinks.Hfs.deleteRecursive(s, s"$loc/main_v$kk")
+            }
+          val ids = graft.sinks.IngestSegments.liveSegments(s, s"$loc/delta")
+          if (ids.isEmpty) return // nothing to bootstrap from yet
+          val df = s.read.option("basePath", s"$loc/delta")
+            .parquet(ids.map(id => s"$loc/delta/ingest=$id"): _*)
+            .drop("ingest")
+          s.sql(s"DROP TABLE IF EXISTS ${versionTable(base, 0L)}")
+          writeBucketed(df, versionTable(base, 0L), k, b, Some(s"$loc/main_v0"))
+          graft.sinks.Hfs.writeString(s, metaPath(loc), s"0,${ids.max},$k,$b")
+          ids.sorted.foreach(id =>
+            graft.sinks.Hfs.deleteRecursive(s, s"$loc/delta/ingest=$id"))
+          return
+        case _ => readMeta(s, loc)
+      }
+    // post-flip stragglers of an interrupted cleanup: already in main
+    graft.sinks.IngestSegments.liveSegments(s, s"$loc/delta")
+      .filter(_ <= h).sorted
+      .foreach(id => graft.sinks.Hfs.deleteRecursive(s, s"$loc/delta/ingest=$id"))
+    // pre-flip garbage: any main version the pointer does not reference
+    graft.sinks.Hfs.childDirs(s, loc, "main_v")
+      .map(_.stripPrefix("main_v").toLong).filter(_ != v)
+      .foreach { k =>
+        s.sql(s"DROP TABLE IF EXISTS ${versionTable(base, k)}")
+        graft.sinks.Hfs.deleteRecursive(s, s"$loc/main_v$k")
+      }
+    val (main, tail) = snapshotWithIds(s, loc, base)
+    tail.foreach { case (t, deltaIds) =>
+      val newV = v + 1
+      s.sql(s"DROP TABLE IF EXISTS ${versionTable(base, newV)}")
+      writeBucketed(main.unionByName(t), versionTable(base, newV), key,
+        buckets, Some(s"$loc/main_v$newV"))
+      // COMMIT: readers atomically move to (newV, newH)
+      graft.sinks.Hfs.writeString(s, metaPath(loc),
+        s"$newV,${deltaIds.max},$key,$buckets")
+      deltaIds.sorted.foreach(id =>
+        graft.sinks.Hfs.deleteRecursive(s, s"$loc/delta/ingest=$id"))
+      s.sql(s"DROP TABLE IF EXISTS ${versionTable(base, v)}")
+      graft.sinks.Hfs.deleteRecursive(s, s"$loc/main_v$v")
+    }
+  }
+
+  /** foreachBatch writer: delta-append each micro-batch, folding every
+    * `foldEvery` batches so the unfolded tail stays micro-batch-sized
+    * and the main table stays co-located (the compaction cadence every
+    * index family here uses). (key, buckets) are only consulted on a
+    * cold start — once version 0 is committed, geometry comes from the
+    * meta pointer. */
+  def streamingBucketedIngestWriter(loc: String, base: String, key: String,
+      buckets: Int, foldEvery: Long = 8L)(batch: DataFrame, batchId: Long): Unit = {
+    ingestBucketedDelta(batch, loc, batchId)
+    if (batchId % foldEvery == foldEvery - 1)
+      foldBucketedDeltas(batch.sparkSession, loc, base, Some((key, buckets)))
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_bucketed_join" -> bucketedRevenue)
 

@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.Bucketing
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The live bucketed fact table: delta-segment ingest + horizon-pointer
+  * fold. Content preservation, replay idempotence, both crash windows,
+  * cold-start fold, and the post-fold co-location claim. */
+class BucketedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(from: Long, until: Long): DataFrame =
+    (from until until).map(i => (i, s"p$i")).toDF("k", "payload")
+
+  private def content(loc: String, base: String): Set[(Long, String)] = {
+    val (main, tail) = Bucketing.bucketedSnapshot(spark, loc, base)
+    tail.fold(main)(main.unionByName(_))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+  }
+
+  private def expect(from: Long, until: Long): Set[(Long, String)] =
+    (from until until).map(i => (i, s"p$i")).toSet
+
+  private def tmpLoc(): String =
+    java.nio.file.Files.createTempDirectory("graft-btspec").toString
+
+  test("bootstrap + delta ingest + fold preserves content; replay is idempotent; fold empties the tail") {
+    val loc = tmpLoc(); val base = "btspec_a"
+    Bucketing.bootstrapBucketed(rows(0, 100), loc, base, "k", 4)
+    Bucketing.ingestBucketedDelta(rows(100, 110), loc, 0L)
+    Bucketing.ingestBucketedDelta(rows(110, 120), loc, 1L)
+    assert(content(loc, base) == expect(0, 120))
+    // at-least-once replay of batch 1 replaces its own segment
+    Bucketing.ingestBucketedDelta(rows(110, 120), loc, 1L)
+    assert(content(loc, base) == expect(0, 120))
+    Bucketing.foldBucketedDeltas(spark, loc, base)
+    val (main, tail) = Bucketing.bucketedSnapshot(spark, loc, base)
+    assert(tail.isEmpty, "fold must empty the delta tail")
+    assert(main.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      expect(0, 120))
+    // a second fold with nothing to do is a no-op (version unchanged)
+    val meta1 = graft.sinks.Hfs.readString(spark, s"$loc/__meta").get
+    Bucketing.foldBucketedDeltas(spark, loc, base)
+    assert(graft.sinks.Hfs.readString(spark, s"$loc/__meta").get == meta1)
+    // post-fold co-location: a self-join on the bucket key plans as a
+    // SortMergeJoin with no exchange under it
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val j = main.hint("merge").as("a")
+      .join(main.hint("merge").as("b"), col("a.k") === col("b.k"))
+    j.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      val next = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: next.flatMap(walk)
+    }
+    val all = walk(j.queryExecution.executedPlan)
+    val smj = all.collectFirst { case s: SortMergeJoinExec => s }
+    assert(smj.nonEmpty, j.queryExecution.executedPlan.toString)
+    assert(!walk(smj.get).exists(_.isInstanceOf[Exchange]),
+      s"exchange under post-fold join:\n${smj.get}")
+  }
+
+  test("crash windows: pre-flip garbage main and post-flip stale delta are cleaned, never read") {
+    val loc = tmpLoc(); val base = "btspec_b"
+    Bucketing.bootstrapBucketed(rows(0, 50), loc, base, "k", 4)
+    Bucketing.ingestBucketedDelta(rows(50, 60), loc, 0L)
+    Bucketing.foldBucketedDeltas(spark, loc, base) // now v1, horizon=0
+    // post-flip straggler: a folded segment resurfaces (crash between
+    // the meta flip and the delete) — horizon must exclude it
+    rows(900, 910).write.parquet(s"$loc/delta/ingest=0")
+    assert(content(loc, base) == expect(0, 60))
+    // pre-flip garbage: a crashed fold's orphan main version
+    rows(950, 960).write.parquet(s"$loc/main_v7")
+    assert(content(loc, base) == expect(0, 60))
+    // next fold cleans both and folds the real new delta
+    Bucketing.ingestBucketedDelta(rows(60, 70), loc, 1L)
+    Bucketing.foldBucketedDeltas(spark, loc, base)
+    assert(content(loc, base) == expect(0, 70))
+    assert(!graft.sinks.Hfs.exists(spark, s"$loc/main_v7"),
+      "orphan main version must be deleted")
+    assert(graft.sinks.IngestSegments.liveSegments(spark, s"$loc/delta").isEmpty,
+      "all delta segments folded or cleaned")
+  }
+
+  test("cold start: a delta-only table folds by bootstrapping from its deltas") {
+    val loc = tmpLoc(); val base = "btspec_c"
+    val w = Bucketing.streamingBucketedIngestWriter(loc, base, "k", 4,
+      foldEvery = 2L) _
+    w(rows(0, 10), 0L)
+    w(rows(10, 20), 1L) // fold fires here, cold (no bootstrap ever ran)
+    val (main, tail) = Bucketing.bucketedSnapshot(spark, loc, base)
+    assert(tail.isEmpty)
+    assert(main.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      expect(0, 20))
+    w(rows(20, 30), 2L)
+    assert(content(loc, base) == expect(0, 30))
+    w(rows(30, 40), 3L) // second fold, warm path
+    val (m2, t2) = Bucketing.bucketedSnapshot(spark, loc, base)
+    assert(t2.isEmpty)
+    assert(m2.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      expect(0, 40))
+  }
+
+  test("guards: re-bootstrap over a live table and negative delta ids are refused") {
+    val loc = tmpLoc(); val base = "btspec_d"
+    Bucketing.bootstrapBucketed(rows(0, 10), loc, base, "k", 2)
+    intercept[IllegalArgumentException] {
+      Bucketing.bootstrapBucketed(rows(0, 10), loc, base, "k", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Bucketing.ingestBucketedDelta(rows(10, 20), loc, -1L)
+    }
+  }
+}
