@@ -110,6 +110,31 @@ class BucketedTableSpec extends SparkSpec {
       expect(0, 40))
   }
 
+  test("real stream: checkpointed query drives the writer across a restart; snapshot is exactly-once") {
+    val in = java.nio.file.Files.createTempDirectory("bt_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bt_ckpt").toString
+    val loc = tmpLoc(); val base = "btspec_s"
+    def startQuery() = spark.readStream
+      .format("csv").schema("k LONG, payload STRING").load(in)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Bucketing.streamingBucketedIngestWriter(loc, base, "k", 4,
+          foldEvery = 2L)(b, id)
+      }
+      .start()
+    def csv(name: String, from: Long, until: Long): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$in/$name"),
+        (from until until).map(i => s"$i,p$i").mkString("", "\n", "\n"))
+    csv("a.csv", 0, 10)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // data lands while the query is down; the restart resumes batch ids
+    // from the checkpoint, so fold cadence and replay both carry over
+    csv("b.csv", 10, 20)
+    csv("c.csv", 20, 30)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    assert(content(loc, base) == expect(0, 30))
+  }
+
   test("guards: re-bootstrap over a live table and negative delta ids are refused") {
     val loc = tmpLoc(); val base = "btspec_d"
     Bucketing.bootstrapBucketed(rows(0, 10), loc, base, "k", 2)
