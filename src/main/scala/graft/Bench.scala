@@ -88,10 +88,14 @@ object Bench {
       try functions.PqOps.annIvfPq(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-    // q97 joins the stored bucketed pair — build it up front so the
-    // timed runs measure the exchange-free join, not the one-off layout
+    // q97/q98 read stored bucketed layouts — build them up front so the
+    // timed runs measure the joins/reads, not the one-off layout writes
     if (timed.exists(_.startsWith("q97")))
       try { operators.Bucketing.ensureBucketedPair(spark, sfDir): Unit }
+      catch { case _: Throwable => () }
+    if (timed.exists(_.startsWith("q98")))
+      try operators.Bucketing.liveSnapshotAgg(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     // the builds' leftovers are not the first timed query's bill either
     dropLeakedBlocks(spark)

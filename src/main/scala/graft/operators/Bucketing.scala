@@ -338,13 +338,58 @@ object Bucketing {
       foldBucketedDeltas(batch.sparkSession, loc, base, Some((key, buckets)))
   }
 
+  /** q98's stored LIVE table: orders split 90/5/5 into a bucketed main
+    * and two UNFOLDED delta segments — the worst readable state of the
+    * lifecycle (maximal tail), deliberately never folded, so the query
+    * exercises the main∪tail merged read, not the post-fold fast path.
+    * Idempotent ensure: deltas are overwrite-by-id, so a crashed first
+    * build redoes them without duplicating (the meta pointer commits
+    * the main exactly once). */
+  private def ensureLiveOrders(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      val tag = pairTag(s, d)
+      val loc = s"${sys.props("java.io.tmpdir")}/graft-bktlive/$tag"
+      val base = s"graft_live_orders_$tag"
+      val o = t(s, d, "orders")
+      val keyMod = pmod(col("o_orderkey"), lit(10))
+      val keyMod20 = pmod(col("o_orderkey"), lit(20))
+      if (graft.sinks.Hfs.readString(s, metaPath(loc)).isEmpty)
+        bootstrapBucketed(o.filter(keyMod =!= 0), loc, base, "o_orderkey", 8)
+      if (!Seq(0, 1).forall(i =>
+          graft.sinks.Hfs.exists(s, s"$loc/delta/ingest=$i/_SUCCESS"))) {
+        ingestBucketedDelta(o.filter(keyMod === 0 && keyMod20 =!= 0), loc, 0L)
+        ingestBucketedDelta(o.filter(keyMod20 === 0), loc, 1L)
+      }
+      (loc, base)
+    }
+
+  /** q98: order-status totals THROUGH the live lifecycle's snapshot —
+    * the bucketed main plus the unfolded delta tail must together be
+    * EXACTLY the orders table (no row lost to the split, none read
+    * twice), which the driver's hash gate checks against the plain
+    * full-table oracle. The merged read is the serving shape between
+    * folds: main scans bucketed, the tail is micro-batch-sized. */
+  val liveSnapshotAgg: Q = (s, d) => {
+    val (loc, base) = ensureLiveOrders(s, d)
+    val (main, tail) = bucketedSnapshot(s, loc, base)
+    tail.fold(main)(main.unionByName(_))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("amount"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q97_bucketed_join" -> bucketedRevenue)
+    "q97_bucketed_join" -> bucketedRevenue,
+    "q98_bucketed_snapshot" -> liveSnapshotAgg)
 
   val oracles: Map[String, String] = Map(
     "q97_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q98_bucketed_snapshot" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS amount
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)
 }
