@@ -135,6 +135,41 @@ class BucketedTableSpec extends SparkSpec {
     assert(content(loc, base) == expect(0, 30))
   }
 
+  test("randomized ingest/fold/replay sequence always snapshots to the exact row set") {
+    val rnd = new scala.util.Random(8)
+    val loc = tmpLoc(); val base = "btspec_r"
+    Bucketing.bootstrapBucketed(rows(0, 20), loc, base, "k", 4)
+    var next = 20L
+    var batch = 0L
+    val reference = scala.collection.mutable.Set[(Long, String)]()
+    reference ++= expect(0, 20)
+    for (_ <- 0 until 12) {
+      rnd.nextInt(3) match {
+        case 0 => // ingest a fresh batch
+          val sz = 1 + rnd.nextInt(15)
+          Bucketing.ingestBucketedDelta(rows(next, next + sz), loc, batch)
+          reference ++= expect(next, next + sz)
+          // remember the batch's rows in case of a replay below
+          replayable(batch) = (next, next + sz)
+          next += sz; batch += 1
+        case 1 if batch > 0 => // at-least-once replay of the LAST batch
+          // (only the newest batch can replay — older ids are
+          // checkpoint-committed, the IngestSegments contract)
+          val (f, u) = replayable(batch - 1)
+          Bucketing.ingestBucketedDelta(rows(f, u), loc, batch - 1)
+        case _ =>
+          Bucketing.foldBucketedDeltas(spark, loc, base)
+      }
+      assert(content(loc, base) == reference.toSet,
+        s"divergence after step (batch=$batch)")
+    }
+    Bucketing.foldBucketedDeltas(spark, loc, base)
+    val (_, tail) = Bucketing.bucketedSnapshot(spark, loc, base)
+    assert(tail.isEmpty)
+    assert(content(loc, base) == reference.toSet)
+  }
+  private val replayable = scala.collection.mutable.Map[Long, (Long, Long)]()
+
   test("guards: re-bootstrap over a live table and negative delta ids are refused") {
     val loc = tmpLoc(); val base = "btspec_d"
     Bucketing.bootstrapBucketed(rows(0, 10), loc, base, "k", 2)
