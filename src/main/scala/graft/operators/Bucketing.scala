@@ -28,6 +28,11 @@ object Bucketing {
       .sortBy(key)
       .format("parquet")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+    // completion marker the layout probes can trust on object-store
+    // configs where _SUCCESS is disabled (the Hfs.CommitMarker rule
+    // every segment sink here follows)
+    path.foreach(p =>
+      graft.sinks.Hfs.markSegmentCommitted(df.sparkSession, p))
   }
 
   /** Join two bucketed tables on their bucket key — planner elides both
@@ -103,7 +108,7 @@ object Bucketing {
       val name = s"graft_bkt_${src}_${tag}_b$buckets"
       if (!s.catalog.tableExists(name)) {
         val tableLoc = s"$loc/$src"
-        if (graft.sinks.Hfs.exists(s, s"$tableLoc/_SUCCESS")) {
+        if (graft.sinks.Hfs.segmentCommitted(s, tableLoc)) {
           val ddl = t(s, d, src).schema.toDDL
           s.sql(s"CREATE TABLE $name ($ddl) USING PARQUET " +
             s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
@@ -206,6 +211,12 @@ object Bucketing {
     name
   }
 
+  /** Pre-commit breadcrumb distinguishing a crashed BULK bootstrap's
+    * main_v0 (bulk rows that exist nowhere else — a cold-start fold
+    * must refuse to discard them) from a crashed cold-start FOLD's
+    * main_v0 (derived from deltas that still exist — safe to redo). */
+  private def bootstrapAttemptPath(loc: String) = s"$loc/__bootstrap_attempt"
+
   /** Create version 0 from a bulk frame. Fails loudly if the table
     * already exists — a bootstrap must never silently reset a live
     * table's horizon (re-bootstrap = delete the directory first). */
@@ -215,8 +226,10 @@ object Bucketing {
     require(graft.sinks.Hfs.readString(s, metaPath(loc)).isEmpty,
       s"bucketed table already exists under $loc — deltas may be live; " +
         "delete the directory to rebuild from scratch")
+    graft.sinks.Hfs.writeString(s, bootstrapAttemptPath(loc), "bulk")
     writeBucketed(df, versionTable(base, 0L), key, buckets, Some(s"$loc/main_v0"))
     graft.sinks.Hfs.writeString(s, metaPath(loc), s"0,-1,$key,$buckets")
+    graft.sinks.Hfs.deleteRecursive(s, bootstrapAttemptPath(loc))
   }
 
   /** Append a micro-batch as delta segment `ingestId` (>= 0, the
@@ -225,7 +238,17 @@ object Bucketing {
   def ingestBucketedDelta(df: DataFrame, loc: String, ingestId: Long): Unit = {
     require(ingestId >= 0,
       s"delta ingest ids are streaming batch ids (>= 0), got $ingestId")
-    df.write.mode(SaveMode.Overwrite).parquet(s"$loc/delta/ingest=$ingestId")
+    // an empty micro-batch writes nothing: a 0-row partitioned write
+    // leaves a footerless dir that every later read would have to
+    // special-case (the streaming writers' shared rule)
+    if (df.isEmpty) return
+    val seg = s"$loc/delta/ingest=$ingestId"
+    df.write.mode(SaveMode.Overwrite).parquet(seg)
+    // marker AFTER the data: a segment without it is torn (crash
+    // mid-ingest) and is EXCLUDED from snapshots and folds until the
+    // stream's replay overwrites it — folding a torn segment would
+    // delete it under a horizon that claims its rows were kept
+    graft.sinks.Hfs.markSegmentCommitted(df.sparkSession, seg)
   }
 
   /** Current readable state: (bucketed main, unfolded delta tail).
@@ -239,23 +262,43 @@ object Bucketing {
     (main, tail.map(_._1))
   }
 
-  /** bucketedSnapshot plus the EXACT delta-id listing the tail frame
-    * was planned over — the fold must delete precisely those segments,
-    * not a second listing's (the readLiveWithIds TOCTOU rule: a segment
-    * written between two listings would be deleted without ever being
-    * folded). */
+  /** The COMMITTED delta segments above `h`, with the EXACT id listing
+    * the frame was planned over (the readLiveWithIds TOCTOU rule: the
+    * fold must delete precisely the segments it folded, not a second
+    * listing's). Uncommitted (torn, crash-mid-ingest) segments are
+    * excluded from read AND fold — they heal when the stream replays
+    * their batch; folding one would delete rows the horizon then claims
+    * were kept. The read retries the fold-delete race (a reader in
+    * another process between this listing and its plan) and treats
+    * all-footerless as empty; the residual action-time window fails
+    * loudly and transiently, exactly as IngestSegments documents. */
+  private def committedDeltas(s: SparkSession, loc: String,
+      h: Long): Option[(DataFrame, Seq[Long])] =
+    graft.sinks.Hfs.withPathRaceRetry() {
+      val ids = graft.sinks.IngestSegments
+        .liveSegments(s, s"$loc/delta").filter(_ > h)
+        .filter(id =>
+          graft.sinks.Hfs.segmentCommitted(s, s"$loc/delta/ingest=$id"))
+      if (ids.isEmpty) None
+      else
+        try Some((s.read.option("basePath", s"$loc/delta")
+          .parquet(ids.map(id => s"$loc/delta/ingest=$id"): _*)
+          .drop("ingest"), ids))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+        }
+    }
+
+  /** bucketedSnapshot plus the folded-id listing (see
+    * [[committedDeltas]]). */
   private def snapshotWithIds(s: SparkSession, loc: String,
       base: String): (DataFrame, Option[(DataFrame, Seq[Long])]) = {
     val (v, h, key, buckets) = readMeta(s, loc)
     val main = s.table(ensureRegistered(s, loc, base, v, key, buckets))
-    val liveIds = graft.sinks.IngestSegments
-      .liveSegments(s, s"$loc/delta").filter(_ > h)
-    val tail =
-      if (liveIds.isEmpty) None
-      else Some((s.read.option("basePath", s"$loc/delta")
-        .parquet(liveIds.map(id => s"$loc/delta/ingest=$id"): _*)
-        .drop("ingest").select(main.columns.map(col).toIndexedSeq: _*),
-        liveIds))
+    val tail = committedDeltas(s, loc, h).map { case (df, ids) =>
+      (df.select(main.columns.map(col).toIndexedSeq: _*), ids)
+    }
     (main, tail)
   }
 
@@ -278,26 +321,34 @@ object Bucketing {
     val (v, h, key, buckets) =
       (graft.sinks.Hfs.readString(s, metaPath(loc)), coldStart) match {
         case (None, Some((k, b))) =>
-          // no committed version: every main_v* is a crashed cold
-          // start's garbage, and every delta is unfolded
+          // a crashed BULK bootstrap's main_v0 holds rows that exist
+          // nowhere else — discarding it here would commit a main that
+          // silently lost the whole bulk history. Its breadcrumb makes
+          // the refusal loud; without one, any main_v* is a crashed
+          // cold-start fold's garbage, derived from deltas still on
+          // disk, and safe to redo.
+          require(!graft.sinks.Hfs.exists(s, bootstrapAttemptPath(loc)),
+            s"a bulk bootstrap of $loc crashed before its commit — " +
+              "re-run bootstrapBucketed (or delete the directory) " +
+              "instead of cold-start folding, which would drop the bulk rows")
           graft.sinks.Hfs.childDirs(s, loc, "main_v")
             .map(_.stripPrefix("main_v").toLong).foreach { kk =>
               s.sql(s"DROP TABLE IF EXISTS ${versionTable(base, kk)}")
               graft.sinks.Hfs.deleteRecursive(s, s"$loc/main_v$kk")
             }
-          val ids = graft.sinks.IngestSegments.liveSegments(s, s"$loc/delta")
-          if (ids.isEmpty) return // nothing to bootstrap from yet
-          val df = s.read.option("basePath", s"$loc/delta")
-            .parquet(ids.map(id => s"$loc/delta/ingest=$id"): _*)
-            .drop("ingest")
-          s.sql(s"DROP TABLE IF EXISTS ${versionTable(base, 0L)}")
-          writeBucketed(df, versionTable(base, 0L), k, b, Some(s"$loc/main_v0"))
-          graft.sinks.Hfs.writeString(s, metaPath(loc), s"0,${ids.max},$k,$b")
-          ids.sorted.foreach(id =>
-            graft.sinks.Hfs.deleteRecursive(s, s"$loc/delta/ingest=$id"))
+          committedDeltas(s, loc, h = -1L).foreach { case (df, ids) =>
+            s.sql(s"DROP TABLE IF EXISTS ${versionTable(base, 0L)}")
+            writeBucketed(df, versionTable(base, 0L), k, b, Some(s"$loc/main_v0"))
+            graft.sinks.Hfs.writeString(s, metaPath(loc), s"0,${ids.max},$k,$b")
+            ids.sorted.foreach(id =>
+              graft.sinks.Hfs.deleteRecursive(s, s"$loc/delta/ingest=$id"))
+          }
           return
         case _ => readMeta(s, loc)
       }
+    // a stale breadcrumb from a bootstrap that committed but crashed
+    // before removing it — the meta pointer exists, so it is done
+    graft.sinks.Hfs.deleteRecursive(s, bootstrapAttemptPath(loc))
     // post-flip stragglers of an interrupted cleanup: already in main
     graft.sinks.IngestSegments.liveSegments(s, s"$loc/delta")
       .filter(_ <= h).sorted
@@ -356,7 +407,7 @@ object Bucketing {
       if (graft.sinks.Hfs.readString(s, metaPath(loc)).isEmpty)
         bootstrapBucketed(o.filter(keyMod =!= 0), loc, base, "o_orderkey", 8)
       if (!Seq(0, 1).forall(i =>
-          graft.sinks.Hfs.exists(s, s"$loc/delta/ingest=$i/_SUCCESS"))) {
+          graft.sinks.Hfs.segmentCommitted(s, s"$loc/delta/ingest=$i"))) {
         ingestBucketedDelta(o.filter(keyMod === 0 && keyMod20 =!= 0), loc, 0L)
         ingestBucketedDelta(o.filter(keyMod20 === 0), loc, 1L)
       }

@@ -50,22 +50,10 @@ class BucketedTableSpec extends SparkSpec {
     val j = main.hint("merge").as("a")
       .join(main.hint("merge").as("b"), col("a.k") === col("b.k"))
     j.collect()
-    def walk(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-      val next = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case r: ReusedExchangeExec => Seq(r.child)
-        case other => other.children
-      }
-      p +: next.flatMap(walk)
-    }
-    val all = walk(j.queryExecution.executedPlan)
+    val all = walkPlan(j.queryExecution.executedPlan)
     val smj = all.collectFirst { case s: SortMergeJoinExec => s }
     assert(smj.nonEmpty, j.queryExecution.executedPlan.toString)
-    assert(!walk(smj.get).exists(_.isInstanceOf[Exchange]),
+    assert(!walkPlan(smj.get).exists(_.isInstanceOf[Exchange]),
       s"exchange under post-fold join:\n${smj.get}")
   }
 
@@ -169,6 +157,53 @@ class BucketedTableSpec extends SparkSpec {
     assert(content(loc, base) == reference.toSet)
   }
   private val replayable = scala.collection.mutable.Map[Long, (Long, Long)]()
+
+  test("torn delta segment (no commit marker) is excluded from snapshot and fold until its replay heals it") {
+    val loc = tmpLoc(); val base = "btspec_t"
+    Bucketing.bootstrapBucketed(rows(0, 20), loc, base, "k", 4)
+    Bucketing.ingestBucketedDelta(rows(20, 30), loc, 0L)
+    // simulate a crash mid-ingest of batch 1: data on disk, no marker
+    rows(30, 40).write.parquet(s"$loc/delta/ingest=1")
+    for (m <- Seq("_SUCCESS", graft.sinks.Hfs.CommitMarker))
+      graft.sinks.Hfs.deleteRecursive(spark, s"$loc/delta/ingest=1/$m")
+    assert(content(loc, base) == expect(0, 30), "torn segment must not be read")
+    Bucketing.foldBucketedDeltas(spark, loc, base)
+    assert(content(loc, base) == expect(0, 30))
+    assert(graft.sinks.Hfs.exists(spark, s"$loc/delta/ingest=1"),
+      "fold must not delete a torn segment — its replay still has to land")
+    // the stream replays batch 1 (overwrite) — now committed and visible
+    Bucketing.ingestBucketedDelta(rows(30, 40), loc, 1L)
+    assert(content(loc, base) == expect(0, 40))
+    Bucketing.foldBucketedDeltas(spark, loc, base)
+    assert(content(loc, base) == expect(0, 40))
+  }
+
+  test("cold-start fold refuses to discard a crashed bulk bootstrap's main") {
+    val loc = tmpLoc(); val base = "btspec_u"
+    // a bulk bootstrap that crashed after writing main_v0 but before
+    // its meta commit: breadcrumb + main dir, no pointer
+    graft.sinks.Hfs.writeString(spark, s"$loc/__bootstrap_attempt", "bulk")
+    rows(0, 10).write.parquet(s"$loc/main_v0")
+    Bucketing.ingestBucketedDelta(rows(10, 20), loc, 0L)
+    val e = intercept[IllegalArgumentException] {
+      Bucketing.foldBucketedDeltas(spark, loc, base, Some(("k", 4)))
+    }
+    assert(e.getMessage.contains("bulk bootstrap"))
+    // the operator re-runs the bootstrap; everything proceeds normally
+    Bucketing.bootstrapBucketed(rows(0, 10), loc, base, "k", 4)
+    Bucketing.foldBucketedDeltas(spark, loc, base, Some(("k", 4)))
+    assert(content(loc, base) == expect(0, 20))
+  }
+
+  test("empty micro-batch ingest writes nothing and folds cleanly") {
+    val loc = tmpLoc(); val base = "btspec_e"
+    Bucketing.bootstrapBucketed(rows(0, 10), loc, base, "k", 2)
+    Bucketing.ingestBucketedDelta(rows(0, 0), loc, 0L)
+    assert(!graft.sinks.Hfs.exists(spark, s"$loc/delta/ingest=0"))
+    assert(content(loc, base) == expect(0, 10))
+    Bucketing.foldBucketedDeltas(spark, loc, base)
+    assert(content(loc, base) == expect(0, 10))
+  }
 
   test("guards: re-bootstrap over a live table and negative delta ids are refused") {
     val loc = tmpLoc(); val base = "btspec_d"

@@ -33,23 +33,8 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
-  /** SparkPlan traversal that descends AQE wrappers and query stages
-    * (PlanAuditSpec.walkPlan's rule — plain collect treats
-    * QueryStageExec as a leaf). */
-  private def walkPlan(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    val next = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case r: ReusedExchangeExec => Seq(r.child)
-      case other => other.children
-    }
-    p +: next.flatMap(walkPlan)
-  }
-
-  /** The q97 claim, tree-walked: the orderkey join is a SortMergeJoin
+  /** The q97 claim, tree-walked (walkPlan: the shared SparkSpec
+    * helper): the orderkey join is a SortMergeJoin
     * whose subtree holds NO exchange — both sides arrive bucketed
     * (co-location). With `requireSortFree` the subtree must hold no
     * Sort either: that needs spark.sql.legacy.bucketedTableScan.

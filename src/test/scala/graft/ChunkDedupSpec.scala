@@ -104,15 +104,7 @@ class ChunkDedupSpec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    def walk(p: SparkPlan): Seq[SparkPlan] = {
-      val next = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case r: ReusedExchangeExec => Seq(r.child)
-        case other => other.children
-      }
-      p +: next.flatMap(walk)
-    }
+    def walk(p: SparkPlan): Seq[SparkPlan] = walkPlan(p)
     val tmp = java.nio.file.Files.createTempDirectory("chunk_prune").toString
     // 40 docs of globally-unique spans spread hashes over most bmod dirs
     val corpus = (0 until 40).map(i =>

@@ -87,15 +87,7 @@ class IvfSpec extends SparkSpec {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
-    def walk(p: SparkPlan): Seq[SparkPlan] = {
-      val next = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case r: ReusedExchangeExec => Seq(r.child)
-        case other => other.children
-      }
-      p +: next.flatMap(walk)
-    }
+    def walk(p: SparkPlan): Seq[SparkPlan] = walkPlan(p)
     val df = SimilarityOps.annKnnJoin(spark, sf0001)
     df.collect()
     val all = walk(df.queryExecution.executedPlan)

@@ -13,23 +13,10 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
-  /** Full SparkPlan traversal that descends through AQE wrappers and
-    * query stages (plain SparkPlan.collect treats QueryStageExec as a
-    * leaf) — the anchor-free way to audit a specific join side;
-    * substring windows over the plan text anchor on the wrong subtree
-    * the moment a BuildLeft broadcast or SMJ fallback reorders it. */
-  private def walkPlan(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    val next = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case r: ReusedExchangeExec => Seq(r.child)
-      case other => other.children
-    }
-    p +: next.flatMap(walkPlan)
-  }
+  // walkPlan — the anchor-free way to audit a specific join side
+  // (substring windows over the plan text anchor on the wrong subtree
+  // the moment a BuildLeft broadcast or SMJ fallback reorders it) — is
+  // the shared SparkSpec helper.
 
   test("q15 single-pass pivot: exactly one events scan, no join") {
     val plan = executedPlan(operators.Relational.dauDayOverDay(spark, sf0001))
@@ -262,15 +249,7 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    def walk(p: SparkPlan): Seq[SparkPlan] = {
-      val next = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case r: ReusedExchangeExec => Seq(r.child)
-        case other => other.children
-      }
-      p +: next.flatMap(walk)
-    }
+    def walk(p: SparkPlan): Seq[SparkPlan] = walkPlan(p)
     val df = functions.DedupOps.contaminationReport(spark, sf0001)
     df.collect()
     val joins = walk(df.queryExecution.executedPlan)

@@ -157,15 +157,7 @@ class PqSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    def walk(p: SparkPlan): Seq[SparkPlan] = {
-      val next = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case r: ReusedExchangeExec => Seq(r.child)
-        case other => other.children
-      }
-      p +: next.flatMap(walk)
-    }
+    def walk(p: SparkPlan): Seq[SparkPlan] = walkPlan(p)
     val df = PqOps.annPqKnnJoin(spark, sf0001)
     df.collect()
     val all = walk(df.queryExecution.executedPlan)

@@ -23,4 +23,22 @@ abstract class SparkSpec extends AnyFunSuite {
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** Full SparkPlan traversal that descends AQE wrappers, query stages,
+    * and reused exchanges (plain SparkPlan.collect treats
+    * QueryStageExec as a leaf) — the ONE shared copy: a Spark upgrade
+    * that adds a wrapper node must be handled here, not in six
+    * per-suite clones that would silently walk truncated plans. */
+  protected def walkPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val next = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: next.flatMap(walkPlan)
+  }
 }
