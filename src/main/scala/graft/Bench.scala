@@ -97,6 +97,10 @@ object Bench {
       try operators.Bucketing.liveSnapshotAgg(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+    if (timed.exists(_.startsWith("q99")))
+      try operators.Bucketing.partitionedSnapshotAgg(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     // the builds' leftovers are not the first timed query's bill either
     dropLeakedBlocks(spark)
     // Median of N in-process runs per query (fixtures are hot after the

@@ -180,6 +180,18 @@ object Bucketing {
   // Caller contracts: one maintenance process per table (the Hfs.rename
   // rule); rows are append-only facts whose uniqueness is the upstream
   // admission's job (the vec_id-immutability stance of the ANN ingests).
+  //
+  // COST BOUND, stated plainly: a fold rewrites the ENTIRE main —
+  // O(table), not O(tail) — because hash-bucketing spreads every
+  // micro-batch across all buckets, so no bucket subset is untouched.
+  // The cadence knob trades that rewrite amplification against tail
+  // size (tail rows pay a shuffle at every read's join until folded).
+  // At 100 TB a single monolithic table would make folds prohibitive;
+  // the production shape is the one q90 already uses for training
+  // shards: RANGE-partition the fact (by date/tenant), run one of these
+  // lifecycles per partition, and fold only partitions with live deltas
+  // — each fold is then O(partition), and old partitions freeze. The
+  // lifecycle here is that per-partition unit.
   // ---------------------------------------------------------------------
 
   private def metaPath(loc: String) = s"$loc/__meta"
@@ -389,6 +401,136 @@ object Bucketing {
       foldBucketedDeltas(batch.sparkSession, loc, base, Some((key, buckets)))
   }
 
+  // ---------------------------------------------------------------------
+  // Range-partitioned composition — the 100 TB shape the cost-bound note
+  // above names: ONE lifecycle per partition value (date, tenant,
+  // status), so a fold rewrites only partitions with live deltas and
+  // frozen partitions are never touched. Each partition dir `p=<v>` is a
+  // complete independent lifecycle (meta pointer, versioned mains, delta
+  // segments); the snapshot is the union of per-partition snapshots, and
+  // rows keep their partition column so nothing is re-derived on read.
+  // ---------------------------------------------------------------------
+
+  /** Partition values become directory names AND catalog-table name
+    * fragments — restrict to chars safe for both rather than quoting
+    * everywhere. Dates, tenant slugs, and status codes all pass. */
+  private def sanitizePart(v: String): String = {
+    require(v.nonEmpty && v.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"partition value '$v' — only [A-Za-z0-9_-] values can name " +
+        "partition dirs and catalog tables")
+    v.replace('-', '_')
+  }
+
+  private def partValues(df: DataFrame, partCol: String): Seq[String] =
+    // bounded by partitions TOUCHED PER BATCH (a date-partitioned
+    // stream touches 1-2), never by the table's partition count
+    df.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+
+  /** Route a micro-batch into its partitions' delta lifecycles. Null
+    * partition values are refused loudly — a silently-dropped row is
+    * fact loss, and a "null partition" dir would be unreachable by the
+    * value-named layout. */
+  def ingestPartitionedDelta(df: DataFrame, loc: String, partCol: String,
+      ingestId: Long): Unit = {
+    val vals = partValues(df, partCol)
+    require(!vals.contains(null),
+      s"null $partCol in batch $ingestId — partition columns must be total")
+    vals.foreach { v =>
+      ingestBucketedDelta(df.filter(col(partCol).cast("string") === v),
+        s"$loc/p=${sanitizePart(v)}", ingestId)
+    }
+  }
+
+  /** Fold ONLY partitions with live delta segments (cold-starting new
+    * partitions); frozen partitions are never opened, let alone
+    * rewritten — the claim PartitionedTableSpec pins on file listings. */
+  def foldPartitionedDeltas(s: SparkSession, loc: String, base: String,
+      key: String, buckets: Int): Unit =
+    graft.sinks.Hfs.childDirs(s, loc, "p=").foreach { d =>
+      val pLoc = s"$loc/$d"
+      if (graft.sinks.IngestSegments.liveSegments(s, s"$pLoc/delta").nonEmpty)
+        foldBucketedDeltas(s, pLoc, s"${base}_${d.stripPrefix("p=")}",
+          Some((key, buckets)))
+    }
+
+  /** Union of per-partition snapshots (each = bucketed main ∪ unfolded
+    * tail). Partitions that have only uncommitted (torn) segments and
+    * no main yet are skipped — their rows land when the stream replays. */
+  def partitionedSnapshot(s: SparkSession, loc: String,
+      base: String): Option[DataFrame] = {
+    val parts = graft.sinks.Hfs.childDirs(s, loc, "p=").sorted.flatMap { d =>
+      val pLoc = s"$loc/$d"
+      val pBase = s"${base}_${d.stripPrefix("p=")}"
+      if (graft.sinks.Hfs.readString(s, metaPath(pLoc)).isDefined) {
+        val (main, tail) = bucketedSnapshot(s, pLoc, pBase)
+        Some(tail.fold(main)(main.unionByName(_)))
+      } else
+        // delta-only partition (no fold yet): committed segments are
+        // readable state too — a snapshot must not hide them
+        committedDeltas(s, pLoc, h = -1L).map(_._1)
+    }
+    parts.reduceOption(_.unionByName(_))
+  }
+
+  /** foreachBatch writer for the partitioned form — the same cadence
+    * contract as streamingBucketedIngestWriter, fold scoped to touched
+    * partitions. */
+  def streamingPartitionedIngestWriter(loc: String, base: String,
+      partCol: String, key: String, buckets: Int, foldEvery: Long = 8L)(
+      batch: DataFrame, batchId: Long): Unit = {
+    ingestPartitionedDelta(batch, loc, partCol, batchId)
+    if (batchId % foldEvery == foldEvery - 1)
+      foldPartitionedDeltas(batch.sparkSession, loc, base, key, buckets)
+  }
+
+  /** q99's stored layout: orders as a PARTITIONED (by o_orderstatus)
+    * bucketed-lifecycle table — partition P folded (frozen main),
+    * partition O folded with a live delta tail on top, partition F
+    * delta-only (cold, never folded): all three readable states at
+    * once. Idempotent ensure: delta segments overwrite by id, folds
+    * no-op when their tail is already folded. */
+  private def ensurePartitionedOrders(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      val tag = pairTag(s, d)
+      val loc = s"${sys.props("java.io.tmpdir")}/graft-bktpart/$tag"
+      val base = s"graft_part_orders_$tag"
+      val o = t(s, d, "orders")
+      val keyMod = pmod(col("o_orderkey"), lit(10))
+      if (!graft.sinks.Hfs.exists(s, s"$loc/__ensured")) {
+        // batch 0: ALL of P plus most of O → fold freezes P complete
+        // and gives O a main; F stays untouched (cold)
+        ingestPartitionedDelta(o.filter(col("o_orderstatus") === "P" ||
+          (col("o_orderstatus") === "O" && keyMod =!= 0)),
+          loc, "o_orderstatus", 0L)
+        foldPartitionedDeltas(s, loc, base, "o_orderkey", 8)
+        // O's unfolded tail + F's cold delta-only state
+        ingestPartitionedDelta(o.filter(col("o_orderstatus") === "O" &&
+          keyMod === 0), loc, "o_orderstatus", 1L)
+        ingestPartitionedDelta(o.filter(col("o_orderstatus") === "F"),
+          loc, "o_orderstatus", 2L)
+        // the marker commits only after every state is in place
+        // (crash → full redo; every step above is idempotent)
+        graft.sinks.Hfs.writeString(s, s"$loc/__ensured", "ok")
+      }
+      (loc, base)
+    }
+
+  /** q99: the partitioned lifecycle's full snapshot must be EXACTLY the
+    * orders table across all three partition states at once — P a
+    * frozen folded main, O a main plus unfolded tail, F cold
+    * delta-only — which the driver's hash gate checks against the
+    * plain full-table oracle: no row lost to the partition routing or
+    * any lifecycle state, none read twice. */
+  val partitionedSnapshotAgg: Q = (s, d) => {
+    val (loc, base) = ensurePartitionedOrders(s, d)
+    partitionedSnapshot(s, loc, base)
+      .getOrElse(sys.error(s"no partitions under $loc"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("amount"))
+  }
+
   /** q98's stored LIVE table: orders split 90/5/5 into a bucketed main
     * and two UNFOLDED delta segments — the worst readable state of the
     * lifecycle (maximal tail), deliberately never folded, so the query
@@ -431,7 +573,8 @@ object Bucketing {
 
   val queries: Map[String, Q] = Map(
     "q97_bucketed_join" -> bucketedRevenue,
-    "q98_bucketed_snapshot" -> liveSnapshotAgg)
+    "q98_bucketed_snapshot" -> liveSnapshotAgg,
+    "q99_partitioned_table" -> partitionedSnapshotAgg)
 
   val oracles: Map[String, String] = Map(
     "q97_bucketed_join" ->
@@ -440,6 +583,12 @@ object Bucketing {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
     "q98_bucketed_snapshot" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS amount
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // same oracle shape as q98 ON PURPOSE: the two queries must agree
+    // with the full table through entirely different storage states
+    "q99_partitioned_table" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS amount
         |FROM orders GROUP BY o_orderstatus""".stripMargin)
