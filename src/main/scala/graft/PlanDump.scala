@@ -64,6 +64,23 @@ object PlanDump {
         |fact⋈fact answer where broadcast can't apply and a per-query
         |shuffle of either side is the dominant cost: co-location turns
         |the recurring exchange into a one-off ingest.""".stripMargin),
+    ("q98_bucketed_snapshot", "live bucketed table: bucketed main ∪ micro-batch delta tail",
+      """The between-folds serving shape of the incremental lifecycle: the
+        |main scan reads the bucketed layout, the tail is the unfolded
+        |delta segments (micro-batch-sized by construction), and the union
+        |feeds one aggregate. The oracle is the PLAIN full table — the
+        |hash gate proves the main/tail split loses no row and reads none
+        |twice in the worst readable state. After a fold the tail branch
+        |disappears and every key join on the main is co-located
+        |(q97's plan).""".stripMargin),
+    ("q99_partitioned_table", "range-partitioned lifecycles: frozen main + main∪tail + cold delta in one read",
+      """One bucketed lifecycle per partition value — the 100 TB answer to
+        |the fold's O(table) rewrite bound: a fold rewrites only
+        |partitions with live deltas, and PartitionedTableSpec pins frozen
+        |partitions' files byte-identical across folds. This plan reads
+        |all three lifecycle states at once (P: frozen folded main, O:
+        |main plus unfolded tail, F: cold delta-only) and the oracle is
+        |again the plain full table.""".stripMargin),
     ("q50_asof_join", "merge-form as-of (union + window, no join)", ""),
     ("q51_embedding_dups", "bounded pairwise cosine (verification tier)", ""),
     ("q54_embedding_dups_lsh", "banded hyperplane LSH + fused-cosine verify",
