@@ -28,7 +28,7 @@ object ScaleProbe {
       "pack_greedy", "chunk_dedup", "vocab_build", "lm_score",
       "training_order", "pq_build", "pq_probe",
       "knn_join", "pq_knn_join", "knn_query_scaling", "bucketed_join",
-      "skew")
+      "partitioned_fold", "skew")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -462,6 +462,30 @@ object ScaleProbe {
         graft.sinks.Hfs.deleteRecursive(spark, dir)
       }
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+    // partitioned fold cost is O(touched partitions), not O(table):
+    // 8 partitions of n/8 rows each; a delta touching ONE partition
+    // folds in ~1/8th the time of a delta touching all 8. The frozen-7/8
+    // measurement is the q99 scale claim as a number.
+    if (on("partitioned_fold")) {
+      for (n <- Seq(2000000L, 8000000L)) {
+        val loc = java.nio.file.Files.createTempDirectory("graft-pfold").toString
+        val bulk = spark.range(n).select(col("id").as("k"),
+          concat(lit("part"), pmod(col("id"), lit(8))).as("pt"),
+          xxhash64(col("id")).as("payload"))
+        graft.operators.Bucketing.ingestPartitionedDelta(bulk, loc, "pt", 0L)
+        var t0 = System.nanoTime()
+        graft.operators.Bucketing.foldPartitionedDeltas(spark, loc, s"pf$n", "k", 8)
+        println(f"SCALE n=$n%9d partitioned_fold_all   ${(System.nanoTime() - t0) / 1e9}%6.2f s (8/8 partitions cold-folded)")
+        // a micro-batch landing in ONE partition
+        val delta = spark.range(10000).select((col("id") + n).as("k"),
+          lit("part3").as("pt"), xxhash64(col("id")).as("payload"))
+        graft.operators.Bucketing.ingestPartitionedDelta(delta, loc, "pt", 1L)
+        t0 = System.nanoTime()
+        graft.operators.Bucketing.foldPartitionedDeltas(spark, loc, s"pf$n", "k", 8)
+        println(f"SCALE n=$n%9d partitioned_fold_one   ${(System.nanoTime() - t0) / 1e9}%6.2f s (1/8 partitions touched)")
+        graft.sinks.Hfs.deleteRecursive(spark, loc)
+      }
     }
     // skew: 16M rows, 90% on one key — plain shuffle join vs salted vs AQE
     if (on("skew")) {
