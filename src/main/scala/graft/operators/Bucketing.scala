@@ -414,11 +414,33 @@ object Bucketing {
   /** Partition values become directory names AND catalog-table name
     * fragments — restrict to chars safe for both rather than quoting
     * everywhere. Dates, tenant slugs, and status codes all pass. */
-  private def sanitizePart(v: String): String = {
+  /** Partition values name directories VERBATIM (the [A-Za-z0-9_-]
+    * charset is dir-safe on every filesystem here), so distinct values
+    * can never collide on a dir. */
+  private def checkPartValue(v: String): String = {
     require(v.nonEmpty && v.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"partition value '$v' — only [A-Za-z0-9_-] values can name " +
         "partition dirs and catalog tables")
-    v.replace('-', '_')
+    v
+  }
+
+  /** Catalog-table name fragment for a partition value — COLLISION-FREE
+    * across distinct values, which verbatim use is not: '-' is illegal
+    * in unquoted identifiers, and the session catalog is
+    * case-INsensitive by default, so 'acme-corp'/'acme_corp' or
+    * 'Acme'/'acme' would alias one catalog entry and a fold would
+    * silently re-point it across partitions (duplication + loss).
+    * Values that survive lowercasing + '-'→'_' unchanged keep their
+    * readable name; any transformed value carries an md5 suffix of the
+    * RAW value, so no two distinct raws can share a fragment. */
+  private def partFragment(v: String): String = {
+    val plain = v.toLowerCase.replace('-', '_')
+    if (plain == v) plain
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s"${plain}_${md.take(10)}"
+    }
   }
 
   private def partValues(df: DataFrame, partCol: String): Seq[String] =
@@ -427,41 +449,67 @@ object Bucketing {
     df.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0))
 
+  /** The touched-partition breadcrumbs: ingest drops one tiny file per
+    * partition it writes (BEFORE the delta — a crash between the two
+    * leaves a spurious breadcrumb, which a fold simply no-ops and
+    * clears; the reverse order could leave a delta no fold ever
+    * discovers), and the fold reads THIS directory instead of listing
+    * every partition — O(touched) discovery, not O(all partitions)
+    * listStatus calls per cadence at a thousand-partition table. File
+    * name = fragment, content = the raw value. */
+  private def dirtyPath(loc: String, v: String) =
+    s"$loc/__dirty/${partFragment(v)}"
+
   /** Route a micro-batch into its partitions' delta lifecycles. Null
     * partition values are refused loudly — a silently-dropped row is
     * fact loss, and a "null partition" dir would be unreachable by the
-    * value-named layout. */
+    * value-named layout. The batch is checkpointed once: the value
+    * enumeration and the per-value filtered writes must not recompute
+    * an expensive upstream once per touched partition. */
   def ingestPartitionedDelta(df: DataFrame, loc: String, partCol: String,
       ingestId: Long): Unit = {
-    val vals = partValues(df, partCol)
+    val b = df.localCheckpoint()
+    val vals = partValues(b, partCol)
     require(!vals.contains(null),
       s"null $partCol in batch $ingestId — partition columns must be total")
+    vals.foreach(checkPartValue)
+    val s = df.sparkSession
     vals.foreach { v =>
-      ingestBucketedDelta(df.filter(col(partCol).cast("string") === v),
-        s"$loc/p=${sanitizePart(v)}", ingestId)
+      graft.sinks.Hfs.writeString(s, dirtyPath(loc, v), v)
+      ingestBucketedDelta(b.filter(col(partCol).cast("string") === v),
+        s"$loc/p=$v", ingestId)
     }
   }
 
-  /** Fold ONLY partitions with live delta segments (cold-starting new
-    * partitions); frozen partitions are never opened, let alone
-    * rewritten — the claim PartitionedTableSpec pins on file listings. */
+  /** Fold ONLY partitions with live delta segments, discovered through
+    * the dirty breadcrumbs (one listing, O(touched)); frozen partitions
+    * are never opened, let alone rewritten — the claim
+    * PartitionedTableSpec pins on file listings. Each breadcrumb is
+    * cleared only after its partition's fold commits, so a crash
+    * mid-sweep re-examines exactly the unswept partitions. */
   def foldPartitionedDeltas(s: SparkSession, loc: String, base: String,
       key: String, buckets: Int): Unit =
-    graft.sinks.Hfs.childDirs(s, loc, "p=").foreach { d =>
-      val pLoc = s"$loc/$d"
-      if (graft.sinks.IngestSegments.liveSegments(s, s"$pLoc/delta").nonEmpty)
-        foldBucketedDeltas(s, pLoc, s"${base}_${d.stripPrefix("p=")}",
-          Some((key, buckets)))
+    graft.sinks.Hfs.childFiles(s, s"$loc/__dirty").foreach { frag =>
+      val bc = s"$loc/__dirty/$frag"
+      graft.sinks.Hfs.readString(s, bc).foreach { v =>
+        val pLoc = s"$loc/p=$v"
+        if (graft.sinks.IngestSegments.liveSegments(s, s"$pLoc/delta").nonEmpty)
+          foldBucketedDeltas(s, pLoc, s"${base}_${partFragment(v)}",
+            Some((key, buckets)))
+      }
+      graft.sinks.Hfs.deleteRecursive(s, bc)
     }
 
   /** Union of per-partition snapshots (each = bucketed main ∪ unfolded
-    * tail). Partitions that have only uncommitted (torn) segments and
-    * no main yet are skipped — their rows land when the stream replays. */
+    * tail). A snapshot legitimately enumerates every partition (it IS
+    * the full-table read); only the fold's discovery is touched-scoped.
+    * Partitions that have only uncommitted (torn) segments and no main
+    * yet are skipped — their rows land when the stream replays. */
   def partitionedSnapshot(s: SparkSession, loc: String,
       base: String): Option[DataFrame] = {
     val parts = graft.sinks.Hfs.childDirs(s, loc, "p=").sorted.flatMap { d =>
       val pLoc = s"$loc/$d"
-      val pBase = s"${base}_${d.stripPrefix("p=")}"
+      val pBase = s"${base}_${partFragment(d.stripPrefix("p="))}"
       if (graft.sinks.Hfs.readString(s, metaPath(pLoc)).isDefined) {
         val (main, tail) = bucketedSnapshot(s, pLoc, pBase)
         Some(tail.fold(main)(main.unionByName(_)))

@@ -13,13 +13,19 @@ class PartitionedTableSpec extends SparkSpec {
   private def rows(part: String, from: Long, until: Long): DataFrame =
     (from until until).map(i => (i, part, s"p$i")).toDF("k", "pt", "payload")
 
-  private def content(loc: String, base: String): Set[(Long, String, String)] =
+  /** MULTISET of the snapshot (sorted seq, not a set): the lifecycle
+    * contract is "no row lost, none read TWICE" — a set compare would
+    * silently absorb a double-read regression. */
+  private def content(loc: String, base: String): Seq[(Long, String, String)] =
     Bucketing.partitionedSnapshot(spark, loc, base)
-      .map(_.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet)
-      .getOrElse(Set.empty)
+      .map(_.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted)
+      .getOrElse(Seq.empty)
 
-  private def expect(part: String, from: Long, until: Long): Set[(Long, String, String)] =
-    (from until until).map(i => (i, part, s"p$i")).toSet
+  private def expect(part: String, from: Long, until: Long): Seq[(Long, String, String)] =
+    (from until until).map(i => (i, part, s"p$i"))
+
+  private def union(parts: Seq[(Long, String, String)]*): Seq[(Long, String, String)] =
+    parts.flatten.sorted
 
   private def tmpLoc(): String =
     java.nio.file.Files.createTempDirectory("graft-ptspec").toString
@@ -31,7 +37,7 @@ class PartitionedTableSpec extends SparkSpec {
       rows("day1", 0, 20).unionByName(rows("day2", 100, 120)), loc, "pt", 0L)
     Bucketing.foldPartitionedDeltas(spark, loc, base, "k", 4)
     assert(content(loc, base) ==
-      (expect("day1", 0, 20) ++ expect("day2", 100, 120)))
+      union(expect("day1", 0, 20), expect("day2", 100, 120)))
     def day1Files(): Seq[String] =
       graft.sinks.Hfs.childFiles(spark, s"$loc/p=day1/main_v0").sorted
     val frozen = day1Files()
@@ -42,7 +48,7 @@ class PartitionedTableSpec extends SparkSpec {
     assert(day1Files() == frozen,
       "frozen partition's main files changed — the fold opened an untouched partition")
     assert(content(loc, base) ==
-      (expect("day1", 0, 20) ++ expect("day2", 100, 130)))
+      union(expect("day1", 0, 20), expect("day2", 100, 130)))
   }
 
   test("snapshot reads all three partition states at once: frozen main, main+tail, cold delta-only") {
@@ -54,11 +60,11 @@ class PartitionedTableSpec extends SparkSpec {
     Bucketing.ingestPartitionedDelta(
       rows("b", 110, 115).unionByName(rows("c", 200, 205)), loc, "pt", 1L)
     assert(content(loc, base) ==
-      (expect("a", 0, 10) ++ expect("b", 100, 115) ++ expect("c", 200, 205)))
+      union(expect("a", 0, 10), expect("b", 100, 115), expect("c", 200, 205)))
     // fold resolves every state; content unchanged
     Bucketing.foldPartitionedDeltas(spark, loc, base, "k", 4)
     assert(content(loc, base) ==
-      (expect("a", 0, 10) ++ expect("b", 100, 115) ++ expect("c", 200, 205)))
+      union(expect("a", 0, 10), expect("b", 100, 115), expect("c", 200, 205)))
   }
 
   test("streaming writer routes partitions and folds on cadence across a checkpointed restart") {
@@ -82,7 +88,30 @@ class PartitionedTableSpec extends SparkSpec {
     csv("c.csv", "d2", 100, 110)
     val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
     assert(content(loc, base) ==
-      (expect("d1", 0, 20) ++ expect("d2", 100, 110)))
+      union(expect("d1", 0, 20), expect("d2", 100, 110)))
+  }
+
+  test("partition values differing only by case or dash coexist — no dir or catalog-table aliasing") {
+    val loc = tmpLoc(); val base = "ptspec_c2"
+    // all four would collide under naive '-'→'_' + the case-insensitive
+    // catalog; distinct key ranges make any loss/duplication visible
+    val batch = rows("acme-corp", 0, 5)
+      .unionByName(rows("acme_corp", 10, 15))
+      .unionByName(rows("Acme", 20, 25))
+      .unionByName(rows("acme", 30, 35))
+    Bucketing.ingestPartitionedDelta(batch, loc, "pt", 0L)
+    val all = union(expect("acme-corp", 0, 5), expect("acme_corp", 10, 15),
+      expect("Acme", 20, 25), expect("acme", 30, 35))
+    assert(content(loc, base) == all)
+    Bucketing.foldPartitionedDeltas(spark, loc, base, "k", 2)
+    assert(content(loc, base) == all,
+      "fold must not alias near-colliding partitions' catalog tables")
+    // and a second round into ONE of the colliding pair stays isolated
+    Bucketing.ingestPartitionedDelta(rows("acme-corp", 5, 8), loc, "pt", 1L)
+    Bucketing.foldPartitionedDeltas(spark, loc, base, "k", 2)
+    assert(content(loc, base) ==
+      union(expect("acme-corp", 0, 8), expect("acme_corp", 10, 15),
+        expect("Acme", 20, 25), expect("acme", 30, 35)))
   }
 
   test("guards: null and unsafe partition values are refused loudly") {
