@@ -25,18 +25,25 @@ object Graft {
   }
 
   /** The ONE local-session recipe every main (Bench / Verify / PlanDump /
-    * ScaleProbe) builds from — `parallelism` sets master threads AND
-    * shuffle partitions. The four copies this replaces had to be edited
-    * in lockstep (Tables.nanosConf's docstring enumerated them all). */
-  def localSession(parallelism: Int, logLevel: String = "ERROR"): SparkSession = {
-    val spark = SparkSession.builder()
+    * ScaleProbe / Http) builds from — `parallelism` sets master threads
+    * AND shuffle partitions. The four copies this replaces had to be
+    * edited in lockstep (Tables.nanosConf's docstring enumerated them
+    * all). `fairScheduler` turns on spark.scheduler.mode=FAIR for
+    * serving entry points (concurrent requests' jobs interleave via
+    * per-request pools instead of FIFO head-of-line blocking); it is a
+    * SparkContext-creation-time conf, so it only takes effect when this
+    * call actually creates the context — a batch main never sets it. */
+  def localSession(parallelism: Int, logLevel: String = "ERROR",
+      fairScheduler: Boolean = false): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$parallelism]")
       .config("spark.sql.shuffle.partitions", parallelism.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosConf, "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (fairScheduler) b.config("spark.scheduler.mode", "FAIR")
+      else b).getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
     spark
   }

@@ -191,17 +191,6 @@ object Analytics {
           (col("p90_ap") >= col("lo90") && col("p90_ap") <= col("hi90")))
           .as("p90_within"))
 
-  /** As-of join: each event paired with the user's most recent order at
-    * or before the event time — an operator Spark lacks natively.
-    * Implemented as the merge form: union both sides tagged by kind,
-    * ONE shuffle + sort on (user, time, kind), then a running
-    * last(ignoreNulls) carries the latest order forward to each event.
-    * Unlike the join-then-rank composition, this never fans an event out
-    * to the user's whole order history — per-row state is O(1), so a
-    * power user with 10^6 orders costs 10^6 rows, not 10^6 × events.
-    * Orders pre-aggregated to one row per (custkey, date) so the pick is
-    * deterministic; kind sorts orders before events at the same instant
-    * (ASOF is ≤). DuckDB's native ASOF JOIN is the oracle. */
   /** Binned range join (q87) — the Spark-first answer to an interval
     * join with NO equi key, which Catalyst would otherwise execute as a
     * BroadcastNestedLoopJoin (per-pair predicate evaluation — a
@@ -250,6 +239,17 @@ object Analytics {
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
 
+  /** As-of join: each event paired with the user's most recent order at
+    * or before the event time — an operator Spark lacks natively.
+    * Implemented as the merge form: union both sides tagged by kind,
+    * ONE shuffle + sort on (user, time, kind), then a running
+    * last(ignoreNulls) carries the latest order forward to each event.
+    * Unlike the join-then-rank composition, this never fans an event out
+    * to the user's whole order history — per-row state is O(1), so a
+    * power user with 10^6 orders costs 10^6 rows, not 10^6 × events.
+    * Orders pre-aggregated to one row per (custkey, date) so the pick is
+    * deterministic; kind sorts orders before events at the same instant
+    * (ASOF is ≤). DuckDB's native ASOF JOIN is the oracle. */
   val asofJoin: Q = (s, d) => {
     val o = t(s, d, "orders")
       .groupBy(col("o_custkey"), col("o_orderdate"))
@@ -302,21 +302,6 @@ object Analytics {
   case class PackBin(shard: Long, bin: Long, n_docs: Long, tok_filled: Long,
       first_doc: Long, last_doc: Long)
 
-  /** Greedy NO-SPLIT packing — the other canonical pretraining packing
-    * strategy next to q57's concat-and-chunk: documents stay whole; a
-    * bin accepts docs in doc_id order until the next one would overflow
-    * the budget, then a fresh bin opens (an oversize doc gets a bin to
-    * itself). The running "fill" resets on overflow, which no built-in
-    * window can express (cum-sum-with-reset is inherently sequential),
-    * so this is the repo's one designed use of the typed-Dataset escape
-    * hatch: groupByKey(shard) + flatMapSortedGroups walks each shard's
-    * docs in order through a constant-state lazy iterator — O(1) memory
-    * per shard, bins stream out as they close, nothing buffers. Sharding
-    * makes it scale exactly like q57: one exchange on the shard key,
-    * shards pack independently (production would key shards ≈ corpus /
-    * executor-target rather than the fixture's % 8). Oracle = a DuckDB
-    * recursive CTE walking the same order — an independent sequential
-    * formulation of the same recurrence. */
   /** The first-fit recurrence as a constant-state lazy iterator over
     * one shard's doc_id-sorted rows (shared by q68 and ScaleProbe). */
   def packShard(shard: Long, it: Iterator[PackIn],
@@ -339,6 +324,22 @@ object Analytics {
       }
     }
 
+  /** Greedy NO-SPLIT packing (q68) — the other canonical pretraining
+    * packing strategy next to q57's concat-and-chunk: documents stay
+    * whole; a bin accepts docs in doc_id order until the next one would
+    * overflow the budget, then a fresh bin opens (an oversize doc gets a
+    * bin to itself). The running "fill" resets on overflow, which no
+    * built-in window can express (cum-sum-with-reset is inherently
+    * sequential), so this is the repo's one designed use of the
+    * typed-Dataset escape hatch: groupByKey(shard) +
+    * flatMapSortedGroups walks each shard's docs in order through
+    * [[packShard]]'s constant-state lazy iterator — O(1) memory per
+    * shard, bins stream out as they close, nothing buffers. Sharding
+    * makes it scale exactly like q57: one exchange on the shard key,
+    * shards pack independently (production would key shards ≈ corpus /
+    * executor-target rather than the fixture's % 8). Oracle = a DuckDB
+    * recursive CTE walking the same order — an independent sequential
+    * formulation of the same recurrence. */
   val packGreedy: Q = (s, d) => {
     import s.implicits._
     t(s, d, "documents")

@@ -11,10 +11,12 @@ import org.apache.spark.sql.expressions.Window
   *
   * GET /dauRealtime?td=…  → {dauTotal, dauTd: {hr→n}, dauYd: {hr→n}}
   *   (ref publishController.java:42-47 → PublishDaoImpl.java:104-176)
-  * GET /statsByItem?itemName=…&t=gender|age →
-  *   [{name, value}, …] with age re-bucketed <20/20-29/≥30 and gender
-  *   relabeled (ref PublisherServiceImpl.java:39-86 — neutral labels
-  *   here, SURVEY §2.3 F7)
+  * GET /statsByItem?itemName=…&t=segment|band →
+  *   [{name, value}, …] — the reference's t=gender|age dimensions
+  *   mapped onto the fixture schema: segment = relabeled c_mktsegment
+  *   (the gender-decode analog, SURVEY §2.3 F7), band = re-bucketed
+  *   c_acctbal (the age-band analog, A5); ref
+  *   PublisherServiceImpl.java:39-86
   *
   * The aggregation runs distributed; only the final ≤24/3-row result is
   * collected for assembly — same split as the reference (ES aggregates,
@@ -27,25 +29,28 @@ object Publisher {
 
   case class StatItem(name: String, value: Double)
 
-  private def hourly(spark: SparkSession, dir: String, day: String): Map[String, Long] = {
-    val e = t(spark, dir, "events")
-      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
-      .filter(col("dt") === day)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(date_format(col("ts"), "HH").as("hr"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-  }
-
-  /** The /dauRealtime payload for day `td` (yyyy-MM-dd). */
+  /** The /dauRealtime payload for day `td` (yyyy-MM-dd) — ONE events
+    * scan for both days (per-(day, user) first event → hour histogram),
+    * with dauTotal derived as the td histogram's sum (exactly one row
+    * per user per day, so the separate count_distinct scan the earlier
+    * form ran was pure redundant I/O). This is the same plan as the SQL
+    * twin [[dauRealtimeSqlDf]], so the two forms cannot drift in cost
+    * or content. */
   def dauRealtime(spark: SparkSession, dir: String, td: String): DauRealtime = {
     val yd = java.time.LocalDate.parse(td).minusDays(1).toString
-    val total = t(spark, dir, "events")
-      .filter(date_format(col("ts"), "yyyy-MM-dd") === td)
-      .agg(count_distinct(col("user_id")))
-      .collect()(0).getLong(0)
-    DauRealtime(total, hourly(spark, dir, td), hourly(spark, dir, yd))
+    val e = t(spark, dir, "events")
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .filter(col("dt").isin(td, yd))
+    val w = Window.partitionBy(col("dt"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val rows = e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("dt"), date_format(col("ts"), "HH").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def hist(day: String) =
+      rows.collect { case (`day`, hr, n) => hr -> n }.toMap
+    val dauTd = hist(td)
+    DauRealtime(dauTd.values.sum, dauTd, hist(yd))
   }
 
   /** The /statsByItem payload: conjunctive token match on p_name, grouped
@@ -53,6 +58,10 @@ object Publisher {
     * re-bucketed), summing revenue. */
   def statsByItem(spark: SparkSession, dir: String, itemTokens: Seq[String],
       t0: String): Seq[StatItem] = {
+    // guard at the OPERATOR, not just the HTTP router: an empty token
+    // list would silently match the whole corpus here while the SQL
+    // twin parse-errors on its WHERE-less text — divergent twins
+    require(itemTokens.nonEmpty, "itemName has no searchable tokens")
     val l = t(spark, dir, "lineitem")
     val p = t(spark, dir, "part")
     val o = t(spark, dir, "orders")
@@ -128,6 +137,9 @@ object Publisher {
     * collects it (≤ 4 rows). Exposed un-collected for q78. */
   def statsByItemSqlDf(spark: SparkSession, itemTokens: Seq[String],
       t0: String): DataFrame = {
+    // empty list = WHERE-less SQL = parser error; say so as the bad
+    // PARAMETER it is (and identically to the programmatic twin)
+    require(itemTokens.nonEmpty, "itemName has no searchable tokens")
     // alphanumerics ONLY: \w admits '_', a LIKE single-char wildcard,
     // which would make this SQL twin match MORE than the programmatic
     // endpoint's literal contains() — 'foo_bar' would match 'fooXbar'

@@ -23,10 +23,13 @@ import graft.operators.Publisher
   *
   * Query execution is Spark-distributed; only the assembled ≤24-row
   * payload crosses the HTTP boundary. Bad parameters → 400 with a
-  * plain-text reason (the reference leaves Spring's defaults; we make
-  * the contract explicit). Serving shares the session's FAIR scheduler
-  * with any running streams, same as the reference's ES reads beside
-  * the streaming writes. */
+  * plain-text reason; non-GET methods → 405 before any Spark work (the
+  * reference leaves Spring's defaults; we make the contract explicit).
+  * [[main]] starts the session with spark.scheduler.mode=FAIR and each
+  * request runs in its own scheduler pool, so concurrent requests'
+  * jobs interleave instead of FIFO head-of-line blocking — callers
+  * passing their own session to [[start]] get the same behavior iff
+  * their session enabled FAIR (Graft.localSession's knob). */
 object Http {
 
   /** Minimal JSON writer — the payloads are flat maps/arrays of strings,
@@ -72,9 +75,27 @@ object Http {
     try os.write(bytes) finally os.close()
   }
 
-  private def handle(ex: HttpExchange)(f: Map[String, String] => String): Unit =
-    try respond(ex, 200, f(params(ex)))
-    catch {
+  private val reqSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def handle(ex: HttpExchange, spark: SparkSession)(
+      f: Map[String, String] => String): Unit =
+    try {
+      // read-only contract, enforced: a non-GET must not burn a
+      // multi-second Spark job before being told no
+      if (ex.getRequestMethod != "GET")
+        respond(ex, 405, "method not allowed (read-only endpoint)", "text/plain")
+      else {
+        // per-request scheduler pool: under FAIR mode (Http.main turns
+        // it on) concurrent requests' jobs interleave instead of
+        // head-of-line blocking behind the slowest query — the pool
+        // property is per-thread, cleared in finally because the HTTP
+        // executor reuses threads across requests
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          s"req-${reqSeq.incrementAndGet()}")
+        try respond(ex, 200, f(params(ex)))
+        finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      }
+    } catch {
       // DateTimeException: a well-FORMED but invalid date (2024-13-40)
       // passes the shape regex and fails only in LocalDate.parse — still
       // a bad PARAMETER, not a server error
@@ -92,15 +113,13 @@ object Http {
     * the views the SQL-first payload queries read. */
   def start(spark: SparkSession, port: Int): HttpServer = {
     val srv = HttpServer.create(new InetSocketAddress(port), 0)
-    srv.createContext("/dauRealtime", (ex: HttpExchange) => handle(ex) { p =>
+    srv.createContext("/dauRealtime", (ex: HttpExchange) => handle(ex, spark) { p =>
       dauJson(Publisher.dauRealtimeSql(spark, need(p, "td")))
     })
-    srv.createContext("/statsByItem", (ex: HttpExchange) => handle(ex) { p =>
+    srv.createContext("/statsByItem", (ex: HttpExchange) => handle(ex, spark) { p =>
+      // Publisher's own nonEmpty require covers every caller; splitting
+      // here just turns the router's view of it into the same 400
       val toks = need(p, "itemName").split("[+ ]").filter(_.nonEmpty).toSeq
-      // an itemName of only separators would build WHERE-less SQL → a
-      // parser 500; it is a bad parameter, say so
-      if (toks.isEmpty)
-        throw new IllegalArgumentException("itemName has no searchable tokens")
       statsJson(Publisher.statsByItemSql(spark, toks, need(p, "t")))
     })
     // small pool, not the serial default: the payload is tiny but each
@@ -119,7 +138,7 @@ object Http {
     // missed spark.sql.session.timeZone=UTC, so /dauRealtime's
     // day/hour bucketing depended on the host timezone (every other
     // main already goes through localSession for exactly this reason)
-    val spark = graft.Graft.localSession(4)
+    val spark = graft.Graft.localSession(4, fairScheduler = true)
     graft.Graft.init(spark, dir)
     val srv = start(spark, port)
     println(s"[serve] listening on ${srv.getAddress}")

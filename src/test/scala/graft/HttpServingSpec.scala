@@ -53,6 +53,12 @@ class HttpServingSpec extends SparkSpec {
       // itemName decoding to only separators would otherwise build
       // WHERE-less SQL and surface as a parser 500
       assert(get(s"$base/statsByItem?itemName=%2B%2B&t=segment")._1 == 400)
+      // read-only contract: a non-GET is refused BEFORE any Spark work
+      val conn = URI.create(s"$base/dauRealtime?td=2024-01-15").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("DELETE")
+      assert(conn.getResponseCode == 405)
+      conn.disconnect()
     } finally srv.stop(0)
   }
 
