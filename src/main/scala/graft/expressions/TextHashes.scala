@@ -234,6 +234,13 @@ object TextHashRuntime {
     var k = 0
     var i = 0
     while (i < n) {
+      // null elements loudly, like sortedIntersectCount's require: the
+      // contract is a sorted distinct source SET (collect_set output —
+      // never null-bearing), and passing a null through would emit
+      // (NULL, b) pairs that aggregate as real source pairs downstream
+      require(!a.isNullAt(i),
+        s"ordered_pairs: null element at $i — input must be a distinct " +
+          "non-null source set (collect_set can never produce one)")
       val x = a.getUTF8String(i)
       var j = i + 1
       while (j < n) {

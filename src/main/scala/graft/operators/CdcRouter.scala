@@ -53,10 +53,14 @@ object CdcRouter {
   /** Dim route: keyed upserts for the dimension store — key
     * `DIM:<TABLE>:<id>` exactly as the reference writes Redis
     * (app/OdsBaseDbApp.scala:121-139); deletes become tombstones
-    * (null value) instead of being lost. */
+    * (null value) instead of being lost. A dim row whose data payload
+    * has no extractable `id` is UNKEYABLE (concat would emit key=NULL,
+    * which every keyed consumer drops or collapses) — excluded here and
+    * quarantined via [[unkeyedDims]], keeping the module's contract
+    * that no routed row silently vanishes. */
   def dims(decoded: DataFrame, dimTables: Seq[String]): DataFrame =
     decoded
-      .filter(col("table").isin(dimTables: _*))
+      .filter(col("table").isin(dimTables: _*) && col("id").isNotNull)
       .select(
         concat(lit("DIM:"), upper(col("table")), lit(":"), col("id")).as("key"),
         when(col("op") === "D", lit(null).cast("string"))
@@ -76,10 +80,26 @@ object CdcRouter {
         !col("type").isin(KnownOps.keys.toSeq: _*))
       .select(col("value"))
 
-  /** Full router over raw CDC JSON. */
+  /** Decoded dim-destined rows [[dims]] cannot key (no `$.data.id`) —
+    * the other half of the dim route's quarantine. Same one-column
+    * shape as [[undecodable]] so error sinks union them. */
+  def unkeyedDims(decoded: DataFrame, dimTables: Seq[String]): DataFrame =
+    decoded
+      .filter(col("table").isin(dimTables: _*) && col("id").isNull)
+      .select(col("value"))
+
+  /** Full router over raw CDC JSON — INCLUDING the error route: a
+    * caller composing the path from this map alone must not silently
+    * lose corrupt envelopes, unknown op types, or unkeyable dim rows
+    * (the trap the previous fact/dim-only map left open — the error
+    * side had to be remembered by hand). */
   def route(raw: DataFrame, factTables: Seq[String], dimTables: Seq[String])
       : Map[String, DataFrame] = {
-    val decoded = decode(Envelopes.parseCdc(raw))
-    Map("fact" -> facts(decoded, factTables), "dim" -> dims(decoded, dimTables))
+    val parsed = Envelopes.parseCdc(raw)
+    val decoded = decode(parsed)
+    Map("fact" -> facts(decoded, factTables),
+      "dim" -> dims(decoded, dimTables),
+      "error" -> undecodable(parsed)
+        .unionByName(unkeyedDims(decoded, dimTables)))
   }
 }

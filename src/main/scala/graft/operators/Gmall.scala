@@ -33,16 +33,54 @@ object Gmall {
     * join against the dim. The window is keyed per dim id over a
     * dim-sized frame — no corpus-scaled cost. */
   def dimTable(dims: DataFrame, schema: String): DataFrame = {
+    // the order must be TOTAL: Maxwell's ts is second-granular, so two
+    // upserts of one key routinely tie on (cdc_ts, tombstone-flag) and
+    // row_number would pick whichever row the shuffle surfaced first —
+    // the served dim value could flip between a run and its replay. The
+    // value tiebreak is arbitrary but DETERMINISTIC; a Kafka-sourced
+    // deployment that needs true arrival order threads the offset
+    // through dims()'s select and orders on it here instead.
     val newest = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key"))
       .orderBy(col("cdc_ts").desc_nulls_last,
-        when(col("op") === "D", 1).otherwise(0).desc)
+        when(col("op") === "D", 1).otherwise(0).desc,
+        col("value").desc_nulls_last)
     dims.withColumn("__rn", row_number().over(newest))
       .filter(col("__rn") === 1 && col("value").isNotNull)
       .select(from_json(col("value"),
         org.apache.spark.sql.types.StructType.fromDDL(schema)).as("d"))
+      // a corrupt/truncated dim VALUE parses to an id-less struct (the
+      // envelope was fine, so CdcRouter's quarantine never saw it):
+      // unkeyable here too — dropping it beats serving an all-null
+      // noise row that no join can ever hit
+      .filter(col("d.id").isNotNull)
       .select(col("d.*"))
   }
+
+  /** The two dim projections, ONE copy each (dauPipeline joins on the
+    * dim's native string key; the order-wide beans carry long keys —
+    * try_cast, because a non-numeric id from external CDC JSON under
+    * ANSI mode would otherwise throw inside the broadcast build and
+    * kill the pipeline; an uncastable id becomes a null key, which a
+    * left join simply never matches). */
+  private def userDim(users: DataFrame, longKey: Boolean): DataFrame =
+    users.select(
+      (if (longKey) expr("try_cast(id AS BIGINT)") else col("id")).as("user_id"),
+      col("gender"), col("birthday"))
+
+  private def provinceDim(provinces: DataFrame, longKey: Boolean): DataFrame =
+    provinces.select(
+      (if (longKey) expr("try_cast(id AS BIGINT)") else col("id")).as("province_id"),
+      col("name"), col("iso_code"), col("iso_3166_2"), col("area_code"))
+
+  /** Age with the dim-miss/dim-junk degrade: try_cast, NOT cast — under
+    * ANSI (Spark 4's default) a malformed birthday string from the CDC
+    * payload would throw mid-batch, the exact crash the -1 sentinel
+    * exists to prevent; try_cast folds "unparseable" into the same
+    * degrade path as "missing". */
+  private def ageOrSentinel(asOf: String) =
+    coalesce(Scalars.ageAt(expr("try_cast(birthday AS DATE)"),
+      lit(asOf).cast("date")), lit(-1L)).as("user_age")
 
   /** DwdDauApp twin: session-entry filter (P11) → first-visit-per-day
     * dedup (A6 batch twin) → user/province broadcast enrichment (J1) →
@@ -58,10 +96,8 @@ object Gmall {
       .withColumn("dt", Scalars.millisToDate(col("ts")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .join(broadcast(users.select(col("id").as("user_id"), col("gender"), col("birthday"))),
-        Seq("user_id"), "left")
-      .join(broadcast(provinces.select(col("id").as("province_id"), col("name"),
-        col("iso_code"), col("iso_3166_2"), col("area_code"))),
+      .join(broadcast(userDim(users, longKey = false)), Seq("user_id"), "left")
+      .join(broadcast(provinceDim(provinces, longKey = false)),
         Seq("province_id"), "left")
       .select(
         col("mid"), col("user_id"), col("province_id"), col("channel"),
@@ -72,8 +108,7 @@ object Gmall {
         // -1 sentinel on dim miss: the reference NPEs here (SURVEY J1
         // "inner-join semantics with NPE on miss"); we degrade instead of
         // crashing the non-nullable bean encoder
-        coalesce(Scalars.ageAt(col("birthday").cast("date"), lit(asOf).cast("date")),
-          lit(-1L)).as("user_age"),
+        ageOrSentinel(asOf),
         col("name").as("province_name"),
         col("iso_code").as("province_iso_code"),
         col("iso_3166_2").as("province_3166_2"),
@@ -91,10 +126,8 @@ object Gmall {
       provinces: DataFrame, asOf: String): Dataset[OrderWide] = {
     import joined.sparkSession.implicits._
     joined
-      .join(broadcast(users.select(col("id").cast("long").as("user_id"),
-        col("gender"), col("birthday"))), Seq("user_id"), "left")
-      .join(broadcast(provinces.select(col("id").cast("long").as("province_id"),
-        col("name"), col("iso_code"), col("iso_3166_2"), col("area_code"))),
+      .join(broadcast(userDim(users, longKey = true)), Seq("user_id"), "left")
+      .join(broadcast(provinceDim(provinces, longKey = true)),
         Seq("province_id"), "left")
       .select(
         col("detail_id"), col("order_id"), col("sku_id"), col("order_price"),
@@ -108,8 +141,7 @@ object Gmall {
         col("iso_3166_2").as("province_3166_2"),
         col("area_code").as("province_area_code"),
         col("gender").as("user_gender"),
-        coalesce(Scalars.ageAt(col("birthday").cast("date"), lit(asOf).cast("date")),
-          lit(-1L)).as("user_age")) // -1 on dim miss, see dauPipeline
+        ageOrSentinel(asOf)) // -1 on dim miss/junk, see dauPipeline
       .as[OrderWide]
   }
 

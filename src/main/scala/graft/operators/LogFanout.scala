@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object LogFanout {
 
-  /** Flat PageLog projection with the reference's short→long column map
-    * (ar→province_id etc., ref app/OdsBaseLogApp.scala:105-128). */
-  private def pageLogCols(j: String = "j") = Seq(
+  /** The common.* short→long map, ONE copy shared by the page family
+    * and [[starts]] — a field added or renamed in two places silently
+    * desynchronizes the start output from the page outputs. */
+  private def commonCols(j: String = "j") = Seq(
     col(s"$j.common.mid").as("mid"),
     col(s"$j.common.uid").as("user_id"),
     col(s"$j.common.ar").as("province_id"),
@@ -31,7 +32,11 @@ object LogFanout {
     col(s"$j.common.md").as("model"),
     col(s"$j.common.os").as("operate_system"),
     col(s"$j.common.vc").as("version_code"),
-    col(s"$j.common.ba").as("brand"),
+    col(s"$j.common.ba").as("brand"))
+
+  /** Flat PageLog projection with the reference's short→long column map
+    * (ar→province_id etc., ref app/OdsBaseLogApp.scala:105-128). */
+  private def pageLogCols(j: String = "j") = commonCols(j) ++ Seq(
     col(s"$j.page.page_id").as("page_id"),
     col(s"$j.page.last_page_id").as("last_page_id"),
     col(s"$j.page.item").as("page_item"),
@@ -83,22 +88,13 @@ object LogFanout {
 
   /** start != null → StartLog rows (ref app/OdsBaseLogApp.scala:170-184). */
   def starts(parsed: DataFrame): DataFrame =
-    clean(parsed).filter(col("j.start").isNotNull).select(
-      col("j.common.mid").as("mid"),
-      col("j.common.uid").as("user_id"),
-      col("j.common.ar").as("province_id"),
-      col("j.common.ch").as("channel"),
-      col("j.common.is_new").as("is_new"),
-      col("j.common.md").as("model"),
-      col("j.common.os").as("operate_system"),
-      col("j.common.vc").as("version_code"),
-      col("j.common.ba").as("brand"),
+    clean(parsed).filter(col("j.start").isNotNull).select(commonCols() ++ Seq(
       col("j.start.entry").as("entry"),
       col("j.start.open_ad_id").as("open_ad_id"),
       col("j.start.loading_time").as("loading_time_ms"),
       col("j.start.open_ad_ms").as("open_ad_ms"),
       col("j.start.open_ad_skip_ms").as("open_ad_skip_ms"),
-      col("j.ts").as("ts"))
+      col("j.ts").as("ts")): _*)
 
   /** All five outputs from one parsed frame. Callers persist `parsed`
     * before materializing more than one output. */

@@ -275,9 +275,11 @@ object Streams {
         s"$outDir/fact", batchId)
       publishBatch(graft.operators.CdcRouter.dims(decoded, dims),
         s"$outDir/dim", batchId)
-      // P4 for the CDC path: corrupt envelopes and unknown CDC types
-      // reach an error sink instead of vanishing in decode's filter
-      publishBatch(graft.operators.CdcRouter.undecodable(parsed),
+      // P4 for the CDC path: corrupt envelopes, unknown CDC types, AND
+      // unkeyable dim rows (no $.data.id — dims() excludes them) reach
+      // an error sink instead of vanishing in the route's filters
+      publishBatch(graft.operators.CdcRouter.undecodable(parsed)
+          .unionByName(graft.operators.CdcRouter.unkeyedDims(decoded, dims)),
         s"$outDir/error", batchId)
     } finally { parsed.unpersist(); () }
   }

@@ -98,6 +98,20 @@ class CdcRouterSpec extends SparkSpec {
     assert(decoded.count() + errs.size == 2)
   }
 
+  test("dim row without an extractable id is quarantined to the error route, not silently dropped") {
+    val noId = """{"database":"gmall","table":"user_info","type":"insert",""" +
+      """"ts":1645434731,"data":{"name":"composite-key row"}}"""
+    val raw = Seq(cdc("user_info", "insert", 7), noId).toDF("value")
+    val r = CdcRouter.route(raw, facts, dims)
+    // the keyed dim route carries only the keyable row
+    val dimKeys = r("dim").select("key").as[String].collect()
+    assert(dimKeys.toSeq == Seq("DIM:USER_INFO:7"))
+    // the unkeyable one reaches the error output whole — nothing vanishes
+    val errs = r("error").as[String].collect()
+    assert(errs.contains(noId))
+    assert(r("dim").count() + r("error").count() == 2)
+  }
+
   test("cdc writer pins its batch's config: replay ignores a hot config change") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("cdc_pin").toString

@@ -308,4 +308,44 @@ class GmallEndToEndSpec extends SparkSpec {
     assert(users == Map("1" -> "M", "3" -> "M"),
       s"latest-per-key with tombstone-drops-key expected, got $users")
   }
+
+  test("dimTable same-second ties pick a deterministic winner; corrupt dim values drop instead of serving null rows") {
+    val rawCdc = Seq(
+      // two upserts in the SAME second (Maxwell ts is second-granular):
+      // the winner must be stable across runs and replays, not
+      // shuffle-order luck — the value tiebreak picks gender M here
+      // ('{"birthday":"1990-06-15","gender":"M",...}' > the F twin
+      // lexicographically at the gender byte)
+      cdc("user_info", "insert", """{"id":1,"gender":"F","birthday":"1990-06-15"}""", ts = 5),
+      cdc("user_info", "update", """{"id":1,"gender":"M","birthday":"1990-06-15"}""", ts = 5),
+      // valid envelope, truncated JSON value: parses to an id-less
+      // struct — must vanish from the dim table, not serve nulls
+      cdc("user_info", "insert", """{"id":9,"gender":"F"""", ts = 1))
+      .toDF("value")
+    val routed = CdcRouter.route(rawCdc, facts, dims)("dim")
+    val again = Gmall.parseUsers(routed)
+      .select("id", "gender").as[(String, String)].collect().toMap
+    assert(again == Map("1" -> "M"), s"got $again")
+    // a second evaluation of the same input picks the SAME winner
+    assert(Gmall.parseUsers(routed)
+      .select("id", "gender").as[(String, String)].collect().toMap == again)
+  }
+
+  test("malformed birthday or non-numeric dim id degrade enrichment instead of crashing the job") {
+    import graft.model._
+    val pages = Seq(
+      PageLog("mid1", "7", "P1", "ch", "1", "md", "os", "vc", "br",
+        "home", null, null, null, Some(10L), null, 1705312200000L)).toDS()
+    // birthday unparseable under ANSI cast; id non-numeric for the
+    // order-wide long-key path — both from external CDC payloads
+    val users = Seq(("7", "F", "15/06/1990"), ("xyz", "M", "1990-06-15"))
+      .toDF("id", "gender", "birthday")
+    val provinces = Seq(("P1", "prov", "ISO", "3166", "area"))
+      .toDF("id", "name", "iso_code", "iso_3166_2", "area_code")
+    val dau = Gmall.dauPipeline(pages, users, provinces, asOf = "2024-01-15")
+      .collect()
+    assert(dau.length == 1)
+    assert(dau(0).user_age == -1L, "unparseable birthday must degrade to the sentinel")
+    assert(dau(0).user_gender == "F")
+  }
 }
