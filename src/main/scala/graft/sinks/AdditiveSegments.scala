@@ -40,15 +40,8 @@ private[sinks] object AdditiveSegments {
     * FOOTERLESS committed segment that wedged every subsequent read on
     * UNABLE_TO_INFER_SCHEMA (an empty micro-batch is routine; a
     * permanently crashed read loop is not). */
-  def write(partial: DataFrame, path: String, batchId: Long): Unit = {
-    val seg = s"$path/seq=$batchId"
-    val spark = partial.sparkSession
-    if (committed(spark, seg)) return
-    Hfs.deleteRecursive(spark, seg)
-    if (partial.isEmpty) return
-    partial.write.mode(SaveMode.ErrorIfExists).parquet(seg)
-    markCommitted(spark, seg)
-  }
+  def write(partial: DataFrame, path: String, batchId: Long): Unit =
+    Hfs.writeCommittedSegment(partial, s"$path/seq=$batchId")
 
   /** Merge-on-read over the LIVE segment set. If a COMPLETE compaction
     * staging exists (compact crashed mid-swap), the fold stands in for

@@ -49,6 +49,31 @@ object Hfs {
   def markSegmentCommitted(spark: SparkSession, dir: String): Unit =
     writeString(spark, s"$dir/$CommitMarker", "ok")
 
+  /** Exactly-once segment publish — the ONE copy of the
+    * replay-idempotence protocol (AdditiveSegments.write and
+    * Streams.publishBatch previously each restated it, and a fix to
+    * either silently missed the other): already-committed → no-op;
+    * uncommitted leftover → cleared and rewritten; EMPTY frame →
+    * nothing at all, not even a marker (a replay re-probes isEmpty and
+    * skips again, and a 0-row partitioned write would leave a
+    * footerless committed segment that wedges readers). The frame is
+    * persisted across the isEmpty probe and the write so an aggregate
+    * input (the additive sinks' per-batch partials) computes its
+    * shuffle once, not twice. */
+  def writeCommittedSegment(df: org.apache.spark.sql.DataFrame,
+      seg: String): Unit = {
+    val spark = df.sparkSession
+    if (segmentCommitted(spark, seg)) return
+    deleteRecursive(spark, seg)
+    val p = df.persist()
+    try {
+      if (!p.isEmpty) {
+        p.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(seg)
+        markSegmentCommitted(spark, seg)
+      }
+    } finally { p.unpersist(false); () }
+  }
+
   /** The "nothing readable here" classifier shared by every sink's
     * optional-side read (KeyedParquetSink bootstrap, MergeParquetSink
     * base/delta sides, IngestSegments live reads). PATH_NOT_FOUND: the
@@ -174,8 +199,7 @@ object Hfs {
     }
     def strip(s: String): String =
       if (s.endsWith(EofMark)) s.dropRight(EofMark.length) else s
-    if (f.exists(p)) Some(strip(readFully(p)))
-    else {
+    def fromTmp(): Option[String] = {
       // writeString crashed between delete and rename: the tmp IS the
       // committed content (it is written and closed before the old
       // file is removed) — but ONLY a terminator-complete tmp counts.
@@ -188,5 +212,20 @@ object Hfs {
         if (s.endsWith(EofMark)) Some(s.dropRight(EofMark.length)) else None
       } else None
     }
+    if (f.exists(p))
+      // exists→open is not atomic against a concurrent writeString's
+      // delete+rename (the documented cadence-compact-beside-stream
+      // shape): the main file can vanish between the two calls. That
+      // moment is the tmp-is-committed window — fall through to the tmp
+      // probe, and if the rename ALSO completed in between (tmp gone
+      // too), re-probe the new main — instead of surfacing
+      // FileNotFoundException into the caller's foreachBatch
+      try Some(strip(readFully(p)))
+      catch {
+        case _: java.io.FileNotFoundException =>
+          fromTmp().orElse(
+            if (f.exists(p)) Some(strip(readFully(p))) else None)
+      }
+    else fromTmp()
   }
 }

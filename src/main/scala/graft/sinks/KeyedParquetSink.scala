@@ -45,7 +45,7 @@ object KeyedParquetSink {
     val cols = batch.columns
     val incoming = batch.withColumn("__is_new", lit(1))
 
-    val existing =
+    val existing0 =
       try {
         val cur = spark.read.parquet(path)
         // only partitions touched by this batch participate in the merge
@@ -65,6 +65,18 @@ object KeyedParquetSink {
         case e: org.apache.spark.sql.AnalysisException if isFreshPath(e) =>
           None
       }
+    // deleteWhere's full-wipe marker state: a readable-but-empty table
+    // kept as ONE unpartitioned footer at the root. The partitioned
+    // write below must not land beside it (mixed root-file/partition-dir
+    // layouts break partition discovery) — this sink never writes root
+    // files otherwise, so no-dt-dirs + readable means exactly that
+    // marker: clear it and write as a first write.
+    val existing =
+      if (existing0.isDefined &&
+          Hfs.childDirs(spark, path, s"$dtCol=").isEmpty) {
+        Hfs.deleteRecursive(spark, path)
+        None
+      } else existing0
 
     val unioned = existing.fold(incoming)(e => incoming.unionByName(e))
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -139,6 +151,15 @@ object KeyedParquetSink {
     }
     touchedDts.filterNot(remainingDts)
       .foreach(v => Hfs.deleteRecursive(spark, s"$path/$dtCol=${dirName(v)}"))
+    // a delete that emptied the WHOLE table (no dt dir survives
+    // anywhere, not merely in the touched set) left only _SUCCESS
+    // behind — a footerless dir that wedges every later
+    // read/delete/update with UNABLE_TO_INFER_SCHEMA. Keep the table
+    // readable as empty with one unpartitioned schema-bearing footer
+    // (MergeParquetSink.compact's fully-tombstoned rule). The static
+    // overwrite is safe precisely because nothing is left to truncate.
+    if (Hfs.childDirs(spark, path, s"$dtCol=").isEmpty)
+      remaining.limit(0).write.mode(SaveMode.Overwrite).parquet(path)
     deleted
   }
 
@@ -156,6 +177,14 @@ object KeyedParquetSink {
     val cur = spark.read.parquet(path)
     val unknown = set.keySet -- cur.columns.toSet
     require(unknown.isEmpty, s"updateWhere: unknown columns $unknown")
+    // the PARTITION column may not be a set target: rows changing dt
+    // would land in a partition the dynamic overwrite then REPLACES
+    // with just the moved rows (destroying its residents) while their
+    // source partition keeps the originals — duplication plus loss in
+    // one statement. A partition move is a delete + upsert workflow.
+    require(!set.contains(dtCol),
+      s"updateWhere: '$dtCol' is the partition column — moving rows " +
+        "across partitions is a deleteWhere + upsert, not an update")
     val touched = cur.filter(cond).select(col(dtCol)).distinct()
     if (touched.isEmpty) return 0L
     val scoped = cur.join(broadcast(touched), Seq(dtCol), "left_semi")

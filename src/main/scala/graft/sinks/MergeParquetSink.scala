@@ -60,26 +60,39 @@ object MergeParquetSink {
     math.max(listSeqs(spark, path).lastOption.fold(0L)(_ + 1L),
       seqHorizon(spark, path))
 
+  /** Delta seq dirs whose write COMMITTED (marker or _SUCCESS): a torn
+    * delta (crash mid-upsert) must not serve a half-applied batch to
+    * readers — it stays invisible until compact clears it, and the
+    * stream's replay of the uncommitted batch lands as a NEW seq (this
+    * sink appends; replay idempotence is content-level). */
+  private def committedSeqs(spark: SparkSession, path: String): Seq[Long] =
+    listSeqs(spark, path)
+      .filter(s => Hfs.segmentCommitted(spark, s"${deltaRoot(path)}/seq=$s"))
+
   /** Append the batch as a new delta; NO existing file is read or
-    * rewritten. */
+    * rewritten. The commit marker lands after the data — readers gate
+    * on it (see [[committedSeqs]]). */
   def upsert(batch: DataFrame, path: String, dtCol: String): Unit = {
     val seq = nextSeq(batch.sparkSession, path)
+    val dir = s"${deltaRoot(path)}/seq=$seq"
     batch.withColumn(DeletedCol, lit(false))
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy(dtCol)
-      .parquet(s"${deltaRoot(path)}/seq=$seq")
+      .parquet(dir)
+    Hfs.markSegmentCommitted(batch.sparkSession, dir)
   }
 
   /** Append tombstones for the given keys. `keys` needs the key columns,
     * the dt column, and the version column (tombstone wins from that
-    * version on); remaining data columns are nulled. Pass `versionCol`
-    * to ENFORCE the version requirement — a keys frame missing it would
-    * otherwise get a null version filled in below, and a null-version
-    * tombstone sorts below every data row in the read-side merge
-    * (desc_nulls_last): the delete would be a silent no-op forever. */
+    * version on); remaining data columns are nulled. `versionCol` is
+    * REQUIRED, not defaulted: a keys frame missing it would get a null
+    * version filled in below, and a null-version tombstone sorts below
+    * every data row in the read-side merge (desc_nulls_last) — the
+    * delete would be a silent no-op forever, which the previous
+    * optional-parameter form compiled out of the guard. */
   def delete(keys: DataFrame, path: String, dtCol: String,
-      schemaFrom: DataFrame, versionCol: String = ""): Unit = {
-    require(versionCol.isEmpty || keys.columns.contains(versionCol),
+      schemaFrom: DataFrame, versionCol: String): Unit = {
+    require(versionCol.nonEmpty && keys.columns.contains(versionCol),
       s"delete keys frame lacks version column '$versionCol' — the " +
         "tombstones would never win the merge")
     val seq = nextSeq(keys.sparkSession, path)
@@ -87,11 +100,13 @@ object MergeParquetSink {
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(schemaFrom.schema(c).dataType))
     }
+    val dir = s"${deltaRoot(path)}/seq=$seq"
     full.select(schemaFrom.columns.toIndexedSeq.map(col): _*)
       .withColumn(DeletedCol, lit(true))
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy(dtCol)
-      .parquet(s"${deltaRoot(path)}/seq=$seq")
+      .parquet(dir)
+    Hfs.markSegmentCommitted(keys.sparkSession, dir)
   }
 
   /** Merge-on-read view: newest row per key across base + all deltas;
@@ -132,10 +147,15 @@ object MergeParquetSink {
       .orElse(readSide(spark.read.parquet(stagingPath(path))))
       .orElse(readSide(spark.read.parquet(basePath(path))))
       .map(_.withColumn(DeletedCol, lit(false)).withColumn(SeqCol, lit(-1L)))
+    // COMMITTED deltas only (torn dirs are invisible until compact
+    // clears them and the replay re-lands their batch), read by
+    // explicit dir list so an uncommitted sibling can't leak in
+    val seqs = committedSeqs(spark, path)
     val deltas =
-      if (listSeqs(spark, path).isEmpty) None
+      if (seqs.isEmpty) None
       else readSide(spark.read
-        .option("basePath", deltaRoot(path)).parquet(deltaRoot(path))
+        .option("basePath", deltaRoot(path))
+        .parquet(seqs.map(s => s"${deltaRoot(path)}/seq=$s"): _*)
         .withColumnRenamed("seq", SeqCol))
         .map(d => asOfSeq.fold(d)(n => d.filter(col(SeqCol) <= n)))
     val all = (base, deltas) match {
@@ -204,14 +224,22 @@ object MergeParquetSink {
     // readable as empty
     if (snapshot.isEmpty) writer.parquet(staging)
     else writer.partitionBy(dtCol).parquet(staging)
-    Hfs.deleteRecursive(spark, basePath(path))
-    Hfs.rename(spark, staging, basePath(path))
-    // horizon BEFORE clearing deltas: a crash in between leaves folded
-    // deltas on disk (harmless — re-reading base ∪ them picks the same
-    // winners) but never an un-bumped horizon with cleared deltas (which
-    // would let seq numbering restart and alias old asOfSeq values)
+    // horizon BEFORE the swap, not after: the delete-to-rename window
+    // (which a crash can leave open indefinitely) serves the staging —
+    // already folded through `asOf` — AS the base; with the old
+    // post-swap horizon write, an asOfSeq ≤ asOf read in that window
+    // passed its horizon check and silently returned post-fold data.
+    // Bumping first turns that into a LOUD refusal of history the fold
+    // is about to destroy anyway. A crash right after this write leaves
+    // base + deltas fully intact (only some as-of reads refuse early);
+    // the next compact re-folds the same deltas under the same horizon.
+    // It also still precedes the delta clearing, preserving the
+    // monotonic-seq property (an un-bumped horizon with cleared deltas
+    // would let seq numbering restart and alias old asOfSeq values).
     folded.lastOption.foreach(m =>
       Hfs.writeString(spark, horizonPath(path), (m + 1L).toString))
+    Hfs.deleteRecursive(spark, basePath(path))
+    Hfs.rename(spark, staging, basePath(path))
     folded.foreach(s =>
       Hfs.deleteRecursive(spark, s"${deltaRoot(path)}/seq=$s"))
   }

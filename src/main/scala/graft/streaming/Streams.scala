@@ -188,16 +188,8 @@ object Streams {
     * they may ignore. Empty sides are skipped without a marker — a
     * replay re-probes isEmpty and skips again, so there is nothing to
     * duplicate. */
-  private def publishBatch(df: DataFrame, dir: String, batchId: Long): Unit = {
-    val seg = s"$dir/batch=$batchId"
-    val spark = df.sparkSession
-    if (graft.sinks.Hfs.segmentCommitted(spark, seg)) return
-    graft.sinks.Hfs.deleteRecursive(spark, seg)
-    if (!df.isEmpty) {
-      df.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(seg)
-      graft.sinks.Hfs.markSegmentCommitted(spark, seg)
-    }
-  }
+  private def publishBatch(df: DataFrame, dir: String, batchId: Long): Unit =
+    graft.sinks.Hfs.writeCommittedSegment(df, s"$dir/batch=$batchId")
 
   /** ST10/P10: CDC routing with per-batch config refresh — the fact/dim
     * table lists are re-read from `configPath` on EVERY micro-batch (the
@@ -263,6 +255,14 @@ object Streams {
             fresh.map { case (n, k) => s"$k,$n" }.mkString("\n"))
           fresh
       }
+    // both kinds for one table (a stale edit leaving two lines) would
+    // silently double-publish every row of that table into BOTH sinks —
+    // config errors here fail loudly or not at all (the kind-typo rule)
+    val dup = conf.map(_._1).groupBy(identity)
+      .collect { case (n, xs) if xs.size > 1 => n }
+    require(dup.isEmpty,
+      s"table(s) listed more than once in the routing config: " +
+        s"${dup.mkString(", ")} — a fact+dim double listing double-processes")
     val facts = conf.collect { case (n, "fact") => n }
     val dims = conf.collect { case (n, "dim") => n }
     // parse ONCE: persist the shared parsed prefix, not the two routed
@@ -282,6 +282,22 @@ object Streams {
           .unionByName(graft.operators.CdcRouter.unkeyedDims(decoded, dims)),
         s"$outDir/error", batchId)
     } finally { parsed.unpersist(); () }
+    // pin retention: replay can only ever target batches the checkpoint
+    // has not committed — pins far older than the current batch are
+    // dead weight accreting one tiny file per batch forever (the
+    // small-files problem the segment lifecycles bound, here at the
+    // config layer). Prune on a cadence so the listing itself stays
+    // cheap; 64 batches of slack is far beyond any replay horizon.
+    if (batchId % 64L == 0L && batchId > 0L)
+      graft.sinks.Hfs.childFiles(spark, s"$outDir/__config")
+        .flatMap { f =>
+          val core = f.stripSuffix(".__tmp")
+          if (core.startsWith("batch=")) core.stripPrefix("batch=").toLongOption
+            .filter(_ <= batchId - 64L).map(_ => f)
+          else None
+        }
+        .foreach(f =>
+          graft.sinks.Hfs.deleteRecursive(spark, s"$outDir/__config/$f"))
   }
 
   /** P6/S3: the 5-way fan-out as a single foreachBatch — one parse, one

@@ -35,7 +35,7 @@ class CdcMergeDimSpec extends SparkSpec {
       if (!upserts.isEmpty) MergeParquetSink.upsert(upserts, path, "dt")
       if (!deletes.isEmpty)
         MergeParquetSink.delete(deletes, path, "dt",
-          upserts.drop(Nil: _*)) // schema template: key, value, dt, ver
+          upserts.drop(Nil: _*), "ver") // schema template: key, value, dt, ver
     }
 
     val q = in.toDF().toDF("value").writeStream

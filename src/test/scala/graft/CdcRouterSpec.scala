@@ -154,6 +154,19 @@ class CdcRouterSpec extends SparkSpec {
       "a typo'd kind silently unrouting a table would be CDC data loss")
   }
 
+  test("cdc writer fails loudly on a table listed with BOTH kinds (double-publish)") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_dup").toString
+    val batch = Seq(cdc("order_info", "insert", 9)).toDF("value")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/conf.csv"),
+      "order_info,fact\norder_info,dim\n")
+    val e = intercept[IllegalArgumentException] {
+      streaming.Streams.cdcRouteBatchWriter(s"$dir/conf.csv", s"$dir/out")(batch, 0L)
+    }
+    assert(e.getMessage.contains("order_info"),
+      "a fact+dim double listing silently double-processed every row")
+  }
+
   test("config pin round-trips a table name containing a comma") {
     // name,kind pin encoding truncated `a,b` at the first comma and the
     // mangled kind matched neither route — the exact data-loss mode the

@@ -149,4 +149,32 @@ class KeyedSinkSpec extends SparkSpec {
     val got = spark.read.parquet(path).select("mid").as[String].collect().sorted.toSeq
     assert(got == Seq("m1", "m2", "m3"))
   }
+
+  test("updateWhere refuses to set the partition column (cross-partition moves destroy data)") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("sink_up").toString + "/t"
+    KeyedParquetSink.upsert(table(("m1", "2024-01-01", 1L, 10.0)),
+      path, Seq("mid", "dt"), "dt", "ver")
+    intercept[IllegalArgumentException] {
+      KeyedParquetSink.updateWhere(spark, path, "dt",
+        col("mid") === "m1", Map("dt" -> lit("2024-01-02")))
+    }
+  }
+
+  test("deleteWhere that empties the WHOLE table leaves it readable as empty") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("sink_de").toString + "/t"
+    KeyedParquetSink.upsert(
+      table(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-02", 1L, 20.0)),
+      path, Seq("mid", "dt"), "dt", "ver")
+    assert(KeyedParquetSink.deleteWhere(spark, path, "dt", lit(true)) == 2L)
+    // a footerless dir here wedged every later read/delete/update
+    assert(spark.read.parquet(path).count() == 0L)
+    assert(KeyedParquetSink.deleteWhere(spark, path, "dt", lit(true)) == 0L)
+    // and the table accepts new data afterwards
+    KeyedParquetSink.upsert(table(("m3", "2024-01-03", 1L, 30.0)),
+      path, Seq("mid", "dt"), "dt", "ver")
+    assert(spark.read.parquet(path).select("mid").as[String].collect().toSeq
+      == Seq("m3"))
+  }
 }

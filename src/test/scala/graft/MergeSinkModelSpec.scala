@@ -42,7 +42,7 @@ class MergeSinkModelSpec extends SparkSpec {
           val mid = model.keys.toSeq.sorted.apply(rnd.nextInt(model.size))
           val dt = model(mid)._1
           MergeParquetSink.delete(
-            Seq((mid, dt, ver)).toDF("mid", "dt", "ver"), path, "dt", schemaFrom)
+            Seq((mid, dt, ver)).toDF("mid", "dt", "ver"), path, "dt", schemaFrom, "ver")
           model.remove(mid)
         case _ => // compact (no-op on content)
           if (new java.io.File(s"$path/delta").isDirectory ||

@@ -96,7 +96,7 @@ class MergeSinkSpec extends SparkSpec {
       MergeParquetSink.upsert(b, path, "dt")
       MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver") // base has both days
       MergeParquetSink.delete(
-        Seq(("m1", "2024-01-01", 2L)).toDF("mid", "dt", "ver"), path, "dt", b)
+        Seq(("m1", "2024-01-01", 2L)).toDF("mid", "dt", "ver"), path, "dt", b, "ver")
       // second compaction: snapshot has no 2024-01-01 rows; under dynamic
       // overwrite the old base partition would survive and, with the
       // tombstone delta now cleared, m1 would resurrect
@@ -114,7 +114,7 @@ class MergeSinkSpec extends SparkSpec {
     MergeParquetSink.upsert(table(("m1", "2024-01-01", 2L, 20.0)), path, "dt") // seq 1
     MergeParquetSink.delete( // seq 2
       Seq(("m1", "2024-01-01", 3L)).toDF("mid", "dt", "ver"), path, "dt",
-      table())
+      table(), "ver")
     def asOf(n: Long) =
       MergeParquetSink.read(spark, path, Seq("mid"), "ver", asOfSeq = Some(n))
         .select("mid", "ver", "amount").as[(String, Long, Double)].collect().toSet
@@ -132,12 +132,35 @@ class MergeSinkSpec extends SparkSpec {
       s"as-of must reach the delta scan as a partition filter:\n$plan")
   }
 
+  test("torn delta (no commit marker) is invisible to readers; compact clears it") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("merge_torn").toString + "/t"
+    MergeParquetSink.upsert(table(("m1", "2024-01-01", 1L, 10.0)), path, "dt")
+    // crash mid-upsert of the next batch: data files landed, marker
+    // (and on object stores, _SUCCESS) did not
+    table(("m2", "2024-01-01", 1L, 20.0))
+      .withColumn("__deleted", lit(false))
+      .write.partitionBy("dt").parquet(s"$path/delta/seq=1")
+    for (m <- Seq("_SUCCESS", graft.sinks.Hfs.CommitMarker))
+      graft.sinks.Hfs.deleteRecursive(spark, s"$path/delta/seq=1/$m")
+    // the half-applied batch must not serve
+    assert(readAll(path) == Set(("m1", "2024-01-01", 1L, 10.0)))
+    MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
+    assert(readAll(path) == Set(("m1", "2024-01-01", 1L, 10.0)))
+    assert(!new java.io.File(s"$path/delta/seq=1").exists,
+      "compact clears the torn dir; the stream's replay lands as a NEW seq")
+    // the replay (as the stream would re-run the uncommitted batch)
+    MergeParquetSink.upsert(table(("m2", "2024-01-01", 1L, 20.0)), path, "dt")
+    assert(readAll(path) ==
+      Set(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-01", 1L, 20.0)))
+  }
+
   test("fully-tombstoned table compacts to a READABLE empty table") {
     val path = Files.createTempDirectory("merge7").toString + "/t"
     val b = table(("m1", "2024-01-01", 1L, 10.0))
     MergeParquetSink.upsert(b, path, "dt")
     MergeParquetSink.delete(
-      Seq(("m1", "2024-01-01", 2L)).toDF("mid", "dt", "ver"), path, "dt", b)
+      Seq(("m1", "2024-01-01", 2L)).toDF("mid", "dt", "ver"), path, "dt", b, "ver")
     MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
     // the base must keep a schema-bearing footer: read returns empty, not
     // UNABLE_TO_INFER_SCHEMA
@@ -164,7 +187,7 @@ class MergeSinkSpec extends SparkSpec {
     val b = table(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-01", 1L, 20.0))
     MergeParquetSink.upsert(b, path, "dt")
     MergeParquetSink.delete(
-      Seq(("m2", "2024-01-01", 2L)).toDF("mid", "dt", "ver"), path, "dt", b)
+      Seq(("m2", "2024-01-01", 2L)).toDF("mid", "dt", "ver"), path, "dt", b, "ver")
     assert(readAll(path) == Set(("m1", "2024-01-01", 1L, 10.0)))
 
     MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
