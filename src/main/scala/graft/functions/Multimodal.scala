@@ -29,14 +29,23 @@ object Multimodal {
   case class Decoded(doc_id: Long, width: Int, height: Int, checksum: String)
 
   /** STUB decoder — deterministic fake for the absent codec. Width/height
-    * derive from the bytes; checksum is md5 hex (oracle-friendly). */
+    * derive from the bytes; checksum is md5 hex (oracle-friendly). Total
+    * on null (treated as empty bytes) so library callers outside the
+    * routed pipelines can't NPE on a null media column. */
   def decodeStub(payload: Array[Byte]): MediaMeta = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(payload).map("%02x".format(_)).mkString
-    val w = if (payload.isEmpty) 0 else (payload(0) & 0xff) % 64 + 1
-    val h = payload.length % 48 + 1
-    MediaMeta(w, h, hex)
+    val p = if (payload == null) Array.emptyByteArray else payload
+    val w = if (p.isEmpty) 0 else (p(0) & 0xff) % 64 + 1
+    MediaMeta(w, p.length % 48 + 1, Scalars.md5Hex(p))
   }
+
+  /** ImageIO's default read path caches every stream through a TEMP FILE
+    * (one create+delete per row in the hot decode loop — and in a
+    * container with a read-only/full tmpdir, an IOException per row that
+    * the undecodable-payload catch would silently fold into "drop every
+    * row"). Memory caching removes both the churn and that environment
+    * failure mode. JVM-global, set once on first use. */
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
 
   /** REAL image decoder — javax.imageio ships with the JDK, so PNG/BMP/
     * GIF/JPEG payloads decode to their true pixel dimensions with no
@@ -44,17 +53,15 @@ object Multimodal {
     * accepts (callers split those to an error side, P4-style). Checksum
     * is md5 of the payload, same contract as the stub. */
   def decodeImage(payload: Array[Byte]): Option[MediaMeta] = {
+    imageIoMemCache
     // ImageIO returns null for unrecognized bytes but THROWS for
     // recognized-yet-corrupt payloads (valid magic, truncated body) —
     // both are "not decodable" for the caller, so both map to None.
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: java.io.IOException | _: RuntimeException => null }
-    Option(img).map { i =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      MediaMeta(i.getWidth, i.getHeight,
-        md.digest(payload).map("%02x".format(_)).mkString)
-    }
+    Option(img).map(i =>
+      MediaMeta(i.getWidth, i.getHeight, Scalars.md5Hex(payload)))
   }
 
   /** The media table: binary payload + metadata struct columns. */
@@ -68,20 +75,27 @@ object Multimodal {
 
   /** Production decode shape: mapPartitions so the (expensive) decoder is
     * constructed once per partition and rows stream through in batches —
-    * the Scala analog of mapInPandas batch decode. Rows the decoder
-    * rejects are dropped here (the error-split variant routes them
-    * separately). Default decoder is the stub (fixtures carry text
-    * payloads); pass `decodeImage` for real image bytes —
-    * MediaDecodeSpec drives real PNGs/BMPs through this exact path. */
+    * the Scala analog of mapInPandas batch decode. `decoder` is a
+    * FACTORY invoked inside each partition: a real codec/ONNX session
+    * holds non-serializable native state, so only the factory closure
+    * ships to executors and the handle itself is opened per partition —
+    * a bare `Array[Byte] => ...` parameter could never deliver that
+    * lifecycle (the handle it closed over would fail task
+    * serialization). Rows the decoder rejects — including null payloads,
+    * which no codec can open — are dropped here (the error-split
+    * variant routes them separately). Default factory yields the stub;
+    * pass `() => decodeImage` for real image bytes — MediaDecodeSpec
+    * drives real PNGs/BMPs through this exact path. */
   def decodeBatchPartitions(media: Dataset[MediaRow],
-      decoder: Array[Byte] => Option[MediaMeta] =
-        p => Some(decodeStub(p))): Dataset[Decoded] = {
+      decoder: () => Array[Byte] => Option[MediaMeta] =
+        () => p => Some(decodeStub(p))): Dataset[Decoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // one decoder handle per partition (codec/ONNX session in prod)
-      val decode = decoder
+      val decode = decoder()
       rows.flatMap { r =>
-        decode(r.payload).map(m => Decoded(r.doc_id, m.width, m.height, m.checksum))
+        Option(r.payload).flatMap(decode)
+          .map(m => Decoded(r.doc_id, m.width, m.height, m.checksum))
       }
     }
   }
@@ -99,12 +113,14 @@ object Multimodal {
     * their flatMapped plans never match the cache entry), otherwise LRU
     * eviction reclaims the pinned payload bytes eventually. */
   def decodeSplit(media: Dataset[MediaRow],
-      decoder: Array[Byte] => Option[MediaMeta] = p => Some(decodeStub(p)))
+      decoder: () => Array[Byte] => Option[MediaMeta] =
+        () => p => Some(decodeStub(p)))
       : (Dataset[Decoded], Dataset[MediaRow], Dataset[_]) = {
     import media.sparkSession.implicits._
     val tagged = media.mapPartitions { rows =>
-      val decode = decoder // one handle per partition
-      rows.map(r => (r.doc_id, r.payload, decode(r.payload)))
+      val decode = decoder() // one handle per partition (see factory note above)
+      rows.map(r => (r.doc_id, r.payload,
+        Option(r.payload).flatMap(decode))) // null payload → rejected side
     }.persist()
     val ok = tagged.flatMap { case (id, _, m) =>
       m.map(x => Decoded(id, x.width, x.height, x.checksum))
@@ -119,7 +135,7 @@ object Multimodal {
     * fixed-size byte windows ("frames"). Real codec variant decodes
     * keyframes; plumbing (binary→array<binary>) is identical. */
   def frameSample(payload: Array[Byte], n: Int, frameLen: Int): Array[Array[Byte]] = {
-    if (payload.isEmpty || n <= 0) return Array.empty
+    if (payload == null || payload.isEmpty || n <= 0) return Array.empty
     val step = math.max(1, payload.length / n)
     (0 until n).map { i =>
       val start = math.min(i * step, math.max(0, payload.length - 1))
@@ -139,7 +155,7 @@ object Multimodal {
     * lifecycle). */
   def featuresFromPayload(payload: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
-    if (payload.isEmpty) return out
+    if (payload == null || payload.isEmpty) return out
     val chunk = math.max(1, payload.length / dims)
     var d = 0
     while (d < dims) {

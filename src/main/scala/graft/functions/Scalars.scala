@@ -33,16 +33,30 @@ object Scalars {
   def splitDate(dtStr: Column): Column = substring(dtStr, 1, 10)
   def splitHour(dtStr: Column): Column = substring(dtStr, 12, 2)
 
-  /** F4: calendar age at `asOf` (deterministic; see header). */
+  /** F4: calendar age at `asOf` (deterministic; see header). A birth
+    * date AFTER asOf has no calendar age — NULL, not a negative count:
+    * the raw subtraction yields values like -1 that collide with
+    * callers' dim-miss sentinels (Gmall.ageOrSentinel folds exactly
+    * this NULL into its -1 degrade path), and arbitrary negatives would
+    * leak junk CDC birthdays past that contract. */
   def ageAt(birth: Column, asOf: Column): Column =
-    (year(asOf) - year(birth) -
-      when(month(birth) > month(asOf) ||
-        (month(birth) === month(asOf) && dayofmonth(birth) > dayofmonth(asOf)), 1)
-        .otherwise(0)).cast("long") // long: DuckDB year() arithmetic is BIGINT
+    when(birth > asOf, lit(null).cast("long"))
+      .otherwise((year(asOf) - year(birth) -
+        when(month(birth) > month(asOf) ||
+          (month(birth) === month(asOf) && dayofmonth(birth) > dayofmonth(asOf)), 1)
+          .otherwise(0)).cast("long")) // long: DuckDB year() arithmetic is BIGINT
 
   /** F7: gender code decode with neutral default. */
   def genderLabel(g: Column): Column =
     when(g === "F", "female").when(g === "M", "male").otherwise("other")
+
+  /** md5 hex of raw bytes — the ONE copy (the media stub and the real
+    * image decoder must stay checksum-compatible by contract, and the
+    * bucketed-table partition fragments hash with it too; three inline
+    * restatements were the drift risk). */
+  private[graft] def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
 
   /** F8: row → JSON string payload (fastjson toJSONString twin). */
   def toJsonPayload(cols: Column*): Column = to_json(struct(cols: _*))
@@ -74,19 +88,29 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    // the future-date NULL branch mirrors ageAt structurally; no
+    // fixture order post-dates 2024, so content is unchanged
     "q32_order_age" ->
-      """SELECT year(DATE '2024-06-01') - year(o_orderdate)
+      """SELECT CASE WHEN o_orderdate > DATE '2024-06-01' THEN NULL
+        | ELSE year(DATE '2024-06-01') - year(o_orderdate)
         |  - CASE WHEN month(o_orderdate) > month(DATE '2024-06-01')
         |          OR (month(o_orderdate) = month(DATE '2024-06-01')
         |              AND day(o_orderdate) > day(DATE '2024-06-01'))
-        |         THEN 1 ELSE 0 END AS age_years,
+        |         THEN 1 ELSE 0 END END AS age_years,
         | count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price
         |FROM orders GROUP BY 1""".stripMargin,
+    // payload via to_json, not raw concatenation: a quote/backslash in
+    // event_type must escape exactly as Spark's to_json does, and a
+    // NULL event_type is OMITTED from the object (to_json's rule),
+    // not turned into a NULL payload by || propagation
     "q33_epoch_roundtrip" ->
       """SELECT event_id,
         | strftime(epoch_ms(CAST(epoch_ms(ts) AS BIGINT)), '%Y-%m-%d') AS dt,
         | strftime(epoch_ms(CAST(epoch_ms(ts) AS BIGINT)), '%H') AS hr,
-        | '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS payload
+        | CASE WHEN event_type IS NULL
+        |   THEN '{"event_id":' || event_id || '}'
+        |   ELSE '{"event_id":' || event_id || ',"event_type":'
+        |     || to_json(event_type) || '}' END AS payload
         |FROM events WHERE event_id < 100""".stripMargin,
   )
 }

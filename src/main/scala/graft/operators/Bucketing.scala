@@ -436,11 +436,7 @@ object Bucketing {
   private def partFragment(v: String): String = {
     val plain = v.toLowerCase.replace('-', '_')
     if (plain == v) plain
-    else {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      s"${plain}_${md.take(10)}"
-    }
+    else s"${plain}_${graft.functions.Scalars.md5Hex(v.getBytes("UTF-8")).take(10)}"
   }
 
   private def partValues(df: DataFrame, partCol: String): Seq[String] =

@@ -45,6 +45,22 @@ class FixtureContractSpec extends SparkSpec {
         s"expressions bind to FloatType), got ${e("embedding")}")
   }
 
+  test("documents.text stays non-null pure ASCII — the media-oracle byte/char equivalence") {
+    import org.apache.spark.sql.functions._
+    // q31/q49's DuckDB oracles read CHARACTERS (ascii(substring)) where
+    // the Spark side reads BYTES (payload(i) & 0xff): the two agree iff
+    // every text is single-byte ASCII — and the media pipeline's stub
+    // digests assume non-null. A regeneration that breaks either must
+    // fail HERE by name, not deep inside a hash compare.
+    val bad = Tables.t(spark, sf0001, "documents")
+      .filter(col("text").isNull ||
+        octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(bad == 0L,
+      s"$bad documents rows are null or non-ASCII — the q31/q49 " +
+        "byte-vs-char oracle equivalence no longer holds")
+  }
+
   test("star schema: join keys keep their integral types; money stays double") {
     val l = schemaOf("lineitem"); val o = schemaOf("orders")
     val c = schemaOf("customer"); val p = schemaOf("part")

@@ -31,7 +31,7 @@ class MediaDecodeSpec extends SparkSpec {
       MediaRow(1L, imageBytes(17, 9, "png")),
       MediaRow(2L, imageBytes(5, 23, "bmp")),
       MediaRow(3L, imageBytes(64, 64, "png")))
-    val out = Multimodal.decodeBatchPartitions(rows.toDS(), Multimodal.decodeImage)
+    val out = Multimodal.decodeBatchPartitions(rows.toDS(), () => Multimodal.decodeImage)
       .collect().map(d => d.doc_id -> ((d.width, d.height))).toMap
     assert(out == Map(1L -> ((17, 9)), 2L -> ((5, 23)), 3L -> ((64, 64))))
   }
@@ -41,7 +41,7 @@ class MediaDecodeSpec extends SparkSpec {
       MediaRow(1L, imageBytes(8, 8, "png")),
       MediaRow(2L, "this is not an image".getBytes("UTF-8")),
       MediaRow(3L, Array.empty[Byte]))
-    val out = Multimodal.decodeBatchPartitions(rows.toDS(), Multimodal.decodeImage)
+    val out = Multimodal.decodeBatchPartitions(rows.toDS(), () => Multimodal.decodeImage)
       .collect()
     assert(out.map(_.doc_id).toSet == Set(1L))
     assert(out.head.checksum.length == 32) // md5 hex of the payload
@@ -51,7 +51,7 @@ class MediaDecodeSpec extends SparkSpec {
     val good = imageBytes(6, 7, "png")
     val bad = "not an image".getBytes("UTF-8")
     val (ok, rejected, tagged) = Multimodal.decodeSplit(
-      Seq(MediaRow(1L, good), MediaRow(2L, bad)).toDS(), Multimodal.decodeImage)
+      Seq(MediaRow(1L, good), MediaRow(2L, bad)).toDS(), () => Multimodal.decodeImage)
     assert(ok.collect().map(d => d.doc_id -> ((d.width, d.height))).toMap ==
       Map(1L -> ((6, 7))))
     val rej = rejected.collect()
