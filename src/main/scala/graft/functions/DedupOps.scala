@@ -801,8 +801,13 @@ object DedupOps {
       ingestId: Long): Unit = {
     // one hashing pass, materialized, feeds both tables
     val rows = indexRows(docs).localCheckpoint()
+    // modulus pinned with the layout on first write (ensureBuckets):
+    // retuning the module default against an existing index would
+    // otherwise mix two bmod layouts in one table
+    val nb = graft.sinks.IngestSegments.ensureBuckets(
+      docs.sparkSession, s"$path/bands", lshIndexBuckets)
     rows.select(col("doc_id"), col("band"), col("bhash"),
-        pmod(col("bhash"), lit(lshIndexBuckets)).as("bmod"))
+        pmod(col("bhash"), lit(nb.toLong)).as("bmod"))
       .write.mode("overwrite").partitionBy("bmod")
       .parquet(s"$path/bands/ingest=$ingestId")
     rows.select(col("doc_id"), col("hs")).dropDuplicates("doc_id")
@@ -856,8 +861,10 @@ object DedupOps {
     if (live.isEmpty) // no index yet (or only footerless empty segments)
       return probe.limit(0).select(col("doc_id").as("new_doc"),
         col("doc_id").as("dup_of"), col("hs").as("hs_n"))
+    val nb = graft.sinks.IngestSegments.readBuckets(
+      spark, s"$path/bands", lshIndexBuckets) // the STORED layout's modulus
     val bmods = probe
-      .select(pmod(col("bhash"), lit(lshIndexBuckets)).as("bmod"))
+      .select(pmod(col("bhash"), lit(nb.toLong)).as("bmod"))
       .distinct().collect().map(_.getLong(0)).toSeq
     val pruned = live.get
       .filter(col("bmod").isin(bmods: _*))

@@ -665,8 +665,12 @@ object SimilarityOps {
   private[graft] def ingestEmbSegment(vecs: DataFrame, path: String,
       ingestId: Long, dims: Int = 64): Unit = {
     val rows = embIndexRows(vecs, dims).localCheckpoint()
+    // modulus pinned with the layout (ensureBuckets) — see the chunk/LSH
+    // indexes: a drifted default must not mix bmod layouts
+    val nb = graft.sinks.IngestSegments.ensureBuckets(
+      vecs.sparkSession, s"$path/bands", embIndexBuckets)
     rows.select(col("vec_id"), col("band"), col("bv"),
-        pmod(col("bkey"), lit(embIndexBuckets.toLong)).as("bmod"))
+        pmod(col("bkey"), lit(nb.toLong)).as("bmod"))
       .write.mode("overwrite").partitionBy("bmod")
       .parquet(s"$path/bands/ingest=$ingestId")
     rows.select(col("vec_id"), col("v")).dropDuplicates("vec_id")
@@ -703,7 +707,9 @@ object SimilarityOps {
       return probe.limit(0).select(col("vec_id").as("new_vec"),
         col("vec_id").as("dup_of"), col("v").as("v_n"))
     val bmods = probe
-      .select(pmod(col("bkey"), lit(embIndexBuckets.toLong)).as("bmod"))
+      .select(pmod(col("bkey"),
+        lit(graft.sinks.IngestSegments.readBuckets(
+          spark, s"$path/bands", embIndexBuckets).toLong)).as("bmod"))
       .distinct().collect().map(_.getLong(0)).toSeq
     val pruned = live.get
       .filter(col("bmod").isin(bmods: _*))

@@ -42,7 +42,13 @@ object TextOps {
       .select(col("doc_id"),
         col("st")(0).as("n_chars"),
         col("st")(1).as("n_tokens"),
-        round(col("st")(2).cast("double") / col("st")(0), 4).as("punct_ratio"),
+        // n_chars == 0 guard: Spark's /0 yields NULL but DuckDB's
+        // float division yields NaN — define the empty-doc ratio as 0.0
+        // in BOTH engines instead (stopword_ratio needs none: split('')
+        // gives [''] so n_tokens >= 1 on both sides)
+        round(when(col("st")(0) === 0, lit(0.0))
+          .otherwise(col("st")(2).cast("double") / col("st")(0)), 4)
+          .as("punct_ratio"),
         round(col("st")(3).cast("double") / col("st")(1), 4).as("stopword_ratio"))
 
   /** Composable-HOF twin of qualityScore (TextStatsSpec proves bitwise
@@ -55,7 +61,9 @@ object TextOps {
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         size(tk).cast("long").as("n_tokens"),
-        round(punct.cast("double") / length(col("text")), 4).as("punct_ratio"),
+        round(when(length(col("text")) === 0, lit(0.0))
+          .otherwise(punct.cast("double") / length(col("text"))), 4)
+          .as("punct_ratio"), // empty-doc guard, as the fused form
         round(stopHits.cast("double") / size(tk), 4).as("stopword_ratio"))
   }
 
@@ -625,11 +633,18 @@ object TextOps {
   }
 
   private def writeChunkSegment(hashes: DataFrame, path: String,
-      ingestId: Long): Unit =
+      ingestId: Long): Unit = {
+    // geometry from the STORED layout (pinned on first write): retuning
+    // the module default against an existing index must change nothing
+    // until a rebuild — a drifted modulus silently mixes two layouts
+    // and the probe misses indexed hashes (IngestSegments.ensureBuckets)
+    val nb = graft.sinks.IngestSegments.ensureBuckets(
+      hashes.sparkSession, s"$path/chunks", chunkIndexBuckets)
     hashes.dropDuplicates("h")
-      .select(col("h"), pmod(xxhash64(col("h")), lit(chunkIndexBuckets.toLong)).as("bmod"))
+      .select(col("h"), pmod(xxhash64(col("h")), lit(nb.toLong)).as("bmod"))
       .write.mode("overwrite").partitionBy("bmod")
       .parquet(s"$path/chunks/ingest=$ingestId")
+  }
 
   /** Streaming chunk-dedup admission: per micro-batch, drop every chunk
     * whose hash is already indexed (earlier ingests only), self-dedup
@@ -659,8 +674,11 @@ object TextOps {
       case None =>
         spark.emptyDataFrame.withColumn("h", lit("")).limit(0).select(col("h"))
       case Some(idx) =>
+        // the stored layout's modulus, never the module default
+        val nb = graft.sinks.IngestSegments.readBuckets(
+          spark, s"$indexPath/chunks", chunkIndexBuckets)
         val bmods = batchH
-          .select(pmod(xxhash64(col("h")), lit(chunkIndexBuckets.toLong)).as("bmod"))
+          .select(pmod(xxhash64(col("h")), lit(nb.toLong)).as("bmod"))
           .distinct().collect().map(_.getLong(0)).toSeq
         idx.filter(col("ingest") =!= lit(excludeIngest)) // replay safety
           .filter(col("bmod").isin(bmods: _*))
@@ -944,12 +962,22 @@ object TextOps {
 
   /** α=0.5 tempered mixture plan over an already-aggregated
     * (source, …, n_tokens) frame — q84's math, shared with the sink's
-    * planning view. The normalization window runs over the
-    * sources-sized frame only. */
+    * planning view. The Σ√ denominator is a LEFT FOLD over the
+    * source-SORTED sqrt list, not an unordered window sum: window
+    * accumulation order is engine-dependent, and floor(w·budget)
+    * consumes the raw ulps (the one ratio in this tier that isn't
+    * exact-integer — a last-ulp difference at an integer boundary would
+    * flip target_tokens between engines). The sorted 0.0-seeded fold is
+    * bit-identical on both sides (the repo's left-associative rule);
+    * the folded frame is ≤ #sources rows. */
   private[graft] def temperedPlan(agg: DataFrame, budget: Long): DataFrame = {
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    agg.select(col("source"), col("n_tokens").as("avail_tokens"))
-      .withColumn("w", sqrt(col("avail_tokens")) / sum(sqrt(col("avail_tokens"))).over(all))
+    val a2 = agg.select(col("source"), col("n_tokens").as("avail_tokens"))
+    val denom = a2.agg(aggregate(
+      sort_array(collect_list(struct(col("source"),
+        sqrt(col("avail_tokens")).as("sq")))),
+      lit(0.0), (acc, x) => acc + x.getField("sq")).as("den"))
+    a2.crossJoin(broadcast(denom))
+      .withColumn("w", sqrt(col("avail_tokens")) / col("den"))
       .select(col("source"), col("avail_tokens"),
         round(col("w"), 6).as("mix_weight"),
         floor(col("w") * budget).cast("long").as("target_tokens"),
@@ -1047,16 +1075,23 @@ object TextOps {
         |    PARTITION BY substr(shuffle_key, 1, 2)
         |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
         |FROM k""".stripMargin,
-    // same α=0.5 tempering; BIGINT/BIGINT divides as double in both
-    // engines, and both rounds run at matched precision
+    // same α=0.5 tempering; the Σ√ denominator is the SAME
+    // source-sorted 0.0-seeded left fold as the Spark side (an
+    // unordered window sum accumulates in engine-dependent order and
+    // floor(w·budget) consumes the raw ulps)
     "q84_token_budget_plan" ->
       """WITH m AS (
         |  SELECT source,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
         |  FROM documents GROUP BY source),
+        |den AS (
+        |  SELECT list_reduce(
+        |    list_prepend(0.0::DOUBLE, list(sqrt(avail_tokens) ORDER BY source)),
+        |    (a, b) -> a + b) AS den
+        |  FROM m),
         |w AS (
         |  SELECT source, avail_tokens,
-        |    sqrt(avail_tokens) / sum(sqrt(avail_tokens)) OVER () AS w
+        |    sqrt(avail_tokens) / (SELECT den FROM den) AS w
         |  FROM m)
         |SELECT source, avail_tokens, round(w, 6) AS mix_weight,
         |  CAST(floor(w * 1000000) AS BIGINT) AS target_tokens,
@@ -1372,8 +1407,9 @@ object TextOps {
     "q21_quality_score" ->
       """SELECT doc_id, length(text) AS n_chars,
         | len(string_split(text,' ')) AS n_tokens,
-        | round(length(regexp_replace(text,'[a-z0-9 ]','','g')) / length(text), 4)
-        |   AS punct_ratio,
+        | round(CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE length(regexp_replace(text,'[a-z0-9 ]','','g')) / length(text)
+        |       END, 4) AS punct_ratio,
         | round(len(list_filter(string_split(text,' '),
         |         tok -> tok IN ('the','a','of','and','to','in')))
         |       / len(string_split(text,' ')), 4) AS stopword_ratio

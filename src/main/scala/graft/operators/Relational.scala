@@ -25,6 +25,17 @@ object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The A2/A6 session-entry rule, ONE definition (q03/q04/q15 are
+    * documented as the same rule; three inline copies could drift on a
+    * tiebreaker or dt-derivation tweak): first event per (user, day),
+    * ties broken by event_id. Input must already carry `dt`. */
+  private def sessionEntries(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("dt"))
+      .orderBy(col("ts"), col("event_id"))
+    e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  }
+
   /** A2+A6 analog of the reference DAU pipeline: session-entry dedup
     * (first event per user per day, ref app/DwdDauApp.scala:83-100) then
     * hourly histogram (ref publish-realtime PublishDaoImpl.java:122-154).
@@ -33,9 +44,7 @@ object Relational {
     */
   val dauHourly: Q = (s, d) => {
     val e = t(s, d, "events").withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
-    val w = Window.partitionBy(col("user_id"), col("dt")).orderBy(col("ts"), col("event_id"))
-    e.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    sessionEntries(e)
       .groupBy(col("dt"), date_format(col("ts"), "HH").as("hr"))
       .agg(count(lit(1)).as("dau"))
   }
@@ -51,9 +60,7 @@ object Relational {
     * app/DwdDauApp.scala:69-71 — here: first event per user per day). */
   val sessionEntry: Q = (s, d) => {
     val e = t(s, d, "events").withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
-    val w = Window.partitionBy(col("user_id"), col("dt")).orderBy(col("ts"), col("event_id"))
-    e.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    sessionEntries(e)
       .select(col("user_id"), col("dt"), col("event_id").as("entry_event_id"),
         col("event_type").as("entry_type"))
   }
@@ -241,9 +248,7 @@ object Relational {
       .filter(col("ts") >= lit("2024-01-14 00:00:00").cast("timestamp") &&
         col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
-    val w = Window.partitionBy(col("user_id"), col("dt")).orderBy(col("ts"), col("event_id"))
-    val byHr = e.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val byHr = sessionEntries(e)
       .groupBy(col("dt"), date_format(col("ts"), "HH").as("hr"))
       .agg(count(lit(1)).as("dau"))
     byHr.groupBy(col("hr"))

@@ -97,6 +97,29 @@ object IngestSegments {
     throw lastRace
   }
 
+  /** The bmod bucket count is LAYOUT GEOMETRY, not a free parameter: a
+    * probe computing bucket ids with a different modulus than the one
+    * the directories were written with silently misses indexed rows
+    * (re-admitting duplicates), and new segments would mix two layouts
+    * in one table. Writers call this — it pins the count beside the
+    * table on first use and returns the pinned value ever after, so
+    * retuning the module default against an existing index changes
+    * nothing until a rebuild. */
+  def ensureBuckets(spark: SparkSession, tablePath: String, default: Int): Int =
+    Hfs.readString(spark, s"$tablePath/__buckets") match {
+      case Some(s) => s.trim.toInt
+      case None =>
+        Hfs.writeString(spark, s"$tablePath/__buckets", default.toString)
+        default
+    }
+
+  /** Probe-side twin of [[ensureBuckets]]: read-only (a probe against a
+    * missing index must not create metadata), defaulting for layouts
+    * that predate the pin. */
+  def readBuckets(spark: SparkSession, tablePath: String, default: Int): Int =
+    Hfs.readString(spark, s"$tablePath/__buckets")
+      .map(_.trim.toInt).getOrElse(default)
+
   /** Refuse a bulk-bootstrap ingest id that is non-negative (streaming
     * batch space — batch N's overwrite would clobber the bootstrap) or
     * already taken by a compaction fold (the overwrite would silently

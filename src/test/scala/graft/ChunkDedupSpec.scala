@@ -247,6 +247,29 @@ class ChunkDedupSpec extends SparkSpec {
     }
   }
 
+  test("bucket modulus is layout geometry: build and probe derive it from the STORED pin, not the module default") {
+    val tmp = java.nio.file.Files.createTempDirectory("chunk_bkt").toString
+    // pin a NON-default modulus before the build (the operator-retunes-
+    // the-constant scenario, inverted so the default can't mask drift)
+    graft.sinks.Hfs.writeString(spark, s"$tmp/index/chunks/__buckets", "8")
+    val corpus = (0 until 20).map(i =>
+      (i.toLong, (1 to 48).map(j => s"b${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    TextOps.buildChunkIndex(corpus, s"$tmp/index")
+    // every written partition obeys the pinned modulus
+    val dirs = graft.sinks.Hfs.childDirs(spark, s"$tmp/index/chunks/ingest=-1", "bmod=")
+      .map(_.stripPrefix("bmod=").toLong)
+    assert(dirs.nonEmpty && dirs.forall(_ < 8L),
+      s"segment dirs must use the stored modulus 8, got $dirs")
+    // and the probe (computing bmods with the SAME stored value) still
+    // finds every indexed hash — a drifted probe would miss most and
+    // re-admit duplicates
+    TextOps.streamingChunkDedupWriter(s"$tmp/index", s"$tmp/out")(corpus, 0L)
+    val readmitted = spark.read.parquet(s"$tmp/out/admitted/ingest=0")
+      .filter(col("n_kept") > 0).count()
+    assert(readmitted == 0L,
+      "an already-indexed corpus must re-admit nothing — bucket drift between build and probe")
+  }
+
   test("a boilerplate span shared by distinct docs survives only in the first doc") {
     val boiler = (1 to 24).map(i => s"b$i").mkString(" ")
     val docs = Seq(
