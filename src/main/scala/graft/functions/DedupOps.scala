@@ -101,7 +101,12 @@ object DedupOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("b")).orderBy(col("id"))
     val ranked = keyed.select(col(idCol).as("id"), col("b"))
-      .withColumn("__occ", row_number().over(w))
+      // dense_rank, NOT row_number: duplicate (id, b) input rows (the
+      // 64-bit band-key collision / non-deduped-caller case documented
+      // below) would consume cap slots and displace DISTINCT docs —
+      // the same hazard the probe flavor fixed; duplicate-emitted pairs
+      // dedup downstream exactly as multi-band pair emissions do
+      .withColumn("__occ", dense_rank().over(w))
     val kept = ranked.filter(col("__occ") <= maxBucket)
     val full = kept.as("x").join(kept.as("y"),
         col("x.b") === col("y.b") && col("x.id") < col("y.id"))
@@ -279,6 +284,13 @@ object DedupOps {
     * q29's tier 0 (simhashTieredKeys) runs THIS scheme, hashed to a
     * long key. SimhashRecallSpec proves coverage/agreement. */
   def simhashBlockPairs(f: Column, nBlocks: Int): Column = {
+    // the same [2, 64] guard as simhashBlocks: nBlocks = 1 yields an
+    // EMPTY pair array (zero candidates — every near-dup silently
+    // missed, the all-miss twin of the sibling's all-pairs hazard) and
+    // > 64 yields zero-width always-0 block values that degenerate the
+    // equality join toward all-pairs
+    require(nBlocks >= 2 && nBlocks <= 64,
+      s"nBlocks must be in [2, 64], got $nBlocks")
     val base = 64 / nBlocks
     val extra = 64 % nBlocks
     val bounds = (0 until nBlocks)
@@ -726,10 +738,11 @@ object DedupOps {
         .localCheckpoint(eager = true)
       changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
         .filter(col("lbl") < col("prev")).count()
-      // `next` is materialized (eager checkpoint) and `changed` computed:
-      // the superseded round's blocks serve nothing — without this the
-      // loop pins up to 30 label-frame copies in executor storage
-      labels.unpersist(false)
+      // the superseded round's blocks serve nothing; unpersist() here
+      // would be a CacheManager no-op (localCheckpoint persists the
+      // RDD outside it) — the blocks free when this frame's reference
+      // drops on the next line and the ContextCleaner collects it,
+      // bounding live copies to the GC lag, not the 30-round loop
       labels = next
       iter += 1
     }

@@ -179,6 +179,17 @@ object PqOps {
     val spark = emb.sparkSession
     import spark.implicits._
     graft.sinks.IngestSegments.guardBuild(spark, s"$path/codes", ingestId)
+    // a REBUILD retrains the model, but streaming segments were argmin-
+    // encoded against the OLD codebooks: probing them with the new ADC
+    // tables is well-typed and numerically meaningless. Refuse while
+    // incremental segments are live — re-encoding them is a migration
+    // job, not something to silently skip.
+    val stranded = graft.sinks.IngestSegments
+      .liveSegments(spark, s"$path/codes").filterNot(_ == ingestId)
+    require(stranded.isEmpty,
+      s"PQ index at $path has live ingest segments $stranded encoded " +
+        "against the previous model — a rebuild would silently mis-score " +
+        "them; delete the index (or build at a fresh path) instead")
     val cents = SimilarityOps.kmeansLite(wellFormed(emb, dims), kCells, coarseIters)
     // the assignment feeds BOTH training and the final encode — one
     // checkpointed frame (see encodeAgainst's barrier note)
@@ -640,7 +651,7 @@ object PqOps {
        |sc AS (
        |  SELECT q.qid AS query_id, cd.vec_id AS neighbor_id,
        |    round(list_dot_product(q.qv, cent.cv)
-       |    + $adcSum, 6) AS adc_score
+       |    + ($adcSum), 6) AS adc_score
        |  FROM probe p
        |  JOIN q ON q.qid = p.qid
        |  JOIN cd ON cd.cell = p.cell

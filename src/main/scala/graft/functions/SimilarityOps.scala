@@ -277,7 +277,11 @@ object SimilarityOps {
     * name). */
   private[functions] def sourceTag(s: SparkSession, d: String, table: String): String = {
     val (len, mtime) = graft.sinks.Hfs.stat(s, s"$d/$table.parquet")
-    val id = Integer.toHexString(d.hashCode)
+    // full-width digest of the path, not String.hashCode: a 32-bit
+    // collision between two data dirs whose fixtures share (len, mtime)
+    // would silently serve one dir's stored index for the other's
+    // queries
+    val id = Scalars.md5Hex(d.getBytes("UTF-8")).take(12)
     s"$id-$len-$mtime"
   }
 
@@ -586,13 +590,20 @@ object SimilarityOps {
         .persist()
       try {
         pairs
+          // LEFT, not inner: the oracle keeps a pair whose vec_id has
+          // no documents row (jaccard 0) — an inner join silently
+          // dropped it, diverging from the generated SQL the moment
+          // the id spaces misalign
           .join(sh.select(col("doc_id").as("vec_a"), col("sh").as("sha"),
-            col("sz").as("sza")), "vec_a")
+            col("sz").as("sza")), Seq("vec_a"), "left")
           .join(sh.select(col("doc_id").as("vec_b"), col("sh").as("shb"),
-            col("sz").as("szb")), "vec_b")
+            col("sz").as("szb")), Seq("vec_b"), "left")
+          .withColumn("sza", coalesce(col("sza"), lit(0L)))
+          .withColumn("szb", coalesce(col("szb"), lit(0L)))
           .withColumn("i",
-            graft.expressions.VectorHashes.sorted_intersect_count(
-              col("sha"), col("shb")).cast("long"))
+            when(col("sha").isNull || col("shb").isNull, lit(0L))
+              .otherwise(graft.expressions.VectorHashes.sorted_intersect_count(
+                col("sha"), col("shb")).cast("long")))
           // two shingle-less docs (under 3 tokens) have 0/0 — define that
           // as jaccard 0, mirrored by the oracle's CASE (NaN would diverge)
           .select(col("vec_a"), col("vec_b"), col("cosine"),

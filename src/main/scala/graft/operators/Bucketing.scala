@@ -75,7 +75,7 @@ object Bucketing {
       val (len, mtime) = graft.sinks.Hfs.stat(s, s"$d/$n.parquet")
       s"${len}_$mtime"
     }
-    s"${Integer.toHexString(d.hashCode)}_${stats.mkString("_")}"
+    s"${graft.functions.Scalars.md5Hex(d.getBytes("UTF-8")).take(12)}_${stats.mkString("_")}"
   }
 
   /** Bucket count is a build-time knob (8 matches the fixture scale; a
