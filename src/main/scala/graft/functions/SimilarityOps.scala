@@ -139,15 +139,26 @@ object SimilarityOps {
     val planes = hyperplanes(dims, bits)
     emb.withColumn("bucket", bucketOf(col("v"), planes))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
+    // the plane family's width is LAYOUT GEOMETRY — pin it so a probe
+    // can reject a mismatched query instead of silently regenerating a
+    // DIFFERENT family from the query's own length (wrong buckets, null
+    // cosines, k rows of noise with no error)
+    graft.sinks.Hfs.writeString(emb.sparkSession, s"$path/__dims", dims.toString)
   }
 
   def probeAnnLshIndex(s: SparkSession, path: String, qVec: Array[Double],
       bits: Int = 8, probe: Int = 2, k: Int = 10,
       excludeVecId: Long = 0L): DataFrame = {
-    // the plane family regenerates at the QUERY's width — identical to
-    // the build's family whenever the query matches the indexed corpus
-    // (the caller contract); no stored sidecar needed
-    val planes = hyperplanes(qVec.length, bits)
+    // the plane family regenerates at the STORED width (pinned at
+    // build; pre-pin layouts fall back to the query's) — and a query of
+    // any other width is refused loudly: regenerating the family from
+    // the query's own length probed semantically wrong buckets and
+    // returned null-scored noise with no error
+    val dims = graft.sinks.Hfs.readString(s, s"$path/__dims")
+      .map(_.trim.toInt).getOrElse(qVec.length)
+    require(qVec.length == dims,
+      s"query width ${qVec.length} != indexed width $dims at $path")
+    val planes = hyperplanes(dims, bits)
     // driver-side sign bucket of the query: same left-to-right dot as the
     // columnar aggregate(), so the bits agree bit-for-bit
     val qb = planes.zipWithIndex
