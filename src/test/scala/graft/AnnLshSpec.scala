@@ -19,11 +19,18 @@ class AnnLshSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh32").toString
     functions.SimilarityOps.buildAnnLshIndex(
       rows.toDF("vec_id", "v"), dir, bits = 8, dims = 32)
-    // probe regenerates the 32-dim plane family from the query's length
+    // probe regenerates the 32-dim plane family from the STORED pin
     val top = functions.SimilarityOps.probeAnnLshIndex(
         spark, dir, base.toArray, bits = 8, probe = 2, k = 3)
       .select("neighbor_id").as[Long].collect().toSet
     assert(top == Set(1L, 2L, 3L), s"32-dim near-dups lost: $top")
+    // a width-mismatched query is refused loudly — regenerating the
+    // family from the query's own length probed wrong buckets and
+    // returned null-scored noise with no error
+    intercept[IllegalArgumentException] {
+      functions.SimilarityOps.probeAnnLshIndex(
+        spark, dir, Array.fill(64)(0.1), bits = 8, probe = 2, k = 3)
+    }
   }
   import spark.implicits._
 

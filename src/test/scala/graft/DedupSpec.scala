@@ -186,6 +186,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((5L, 7L)), s"real pair must survive: $pairs")
   }
 
+  test("cappedBandCandidates: duplicate rows must not consume cap slots (dense_rank, not row_number)") {
+    // bucket [(7,b),(7,b),(9,b),(11,b)] at cap 2: row_number ranked the
+    // duplicate copy of 7 at occ 2, so the kept set was {7} alone and
+    // the distinct full pair (7,9) fell to a star edge; dense_rank
+    // keeps {7,9}
+    val keyed = Seq((7L, 1L), (7L, 1L), (9L, 1L), (11L, 1L)).toDF("doc_id", "b")
+    val pairs = DedupOps.cappedBandCandidates(keyed, maxBucket = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, 9L)),
+      s"distinct docs displaced from cap slots by a duplicate row: $pairs")
+    assert(pairs.contains((7L, 11L)) || pairs.contains((9L, 11L)),
+      s"overflow doc must stay star-connected: $pairs")
+  }
+
+  test("simhashBlockPairs guards degenerate nBlocks like its sibling") {
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashBlockPairs(org.apache.spark.sql.functions.lit(0L), 1)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashBlockPairs(org.apache.spark.sql.functions.lit(0L), 65)
+    }
+  }
+
   test("cappedBandCandidates bounds a 1k-identical-doc hot bucket and keeps star connectivity") {
     // 1000 identical docs: every band bucket is one hot bucket of
     // occupancy 1000, so uncapped enumeration is 8 × C(1000,2) raw

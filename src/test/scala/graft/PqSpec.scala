@@ -76,6 +76,26 @@ class PqSpec extends SparkSpec {
     assert("::DOUBLE\\[\\]".r.findAllIn(sql).size >= 17)
   }
 
+  test("rebuild with live ingest segments is refused — old-model codes must not be silently mis-scored") {
+    val rnd = new java.util.Random(91)
+    def rv() = Array.fill(64)(rnd.nextGaussian()).toSeq
+    val boot = (0 to 30).map(i => (i.toLong, rv()))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqrb").toString
+    PqOps.buildPqIndex(boot.toDF("vec_id", "v"), dir, kCells = 4)
+    PqOps.ingestPqSegment(
+      (31 to 40).map(i => (i.toLong, rv())).toDF("vec_id", "v"), dir, 0L)
+    // segment 0 is argmin-encoded against THIS model; a retrain would
+    // leave it live and score it with the new ADC tables — refuse
+    val e = intercept[IllegalArgumentException] {
+      PqOps.buildPqIndex(boot.toDF("vec_id", "v"), dir, kCells = 4)
+    }
+    assert(e.getMessage.contains("previous model"))
+    // a bootstrap-only layout (no incremental segments) still rebuilds
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pqrb2").toString
+    PqOps.buildPqIndex(boot.toDF("vec_id", "v"), dir2, kCells = 4)
+    PqOps.buildPqIndex(boot.toDF("vec_id", "v"), dir2, kCells = 4)
+  }
+
   test("incremental ingest: frozen-model encode, replay idempotence, latest-wins, compaction") {
     val rnd = new java.util.Random(31)
     def rv() = Array.fill(64)(rnd.nextGaussian()).toSeq
