@@ -88,11 +88,22 @@ object CdcRouter {
       .filter(col("table").isin(dimTables: _*) && col("id").isNull)
       .select(col("value"))
 
+  /** Decodable rows of tables in NEITHER routing list — a new or
+    * renamed table emitting before the config catches up. Quarantined,
+    * not dropped: once the batch commits, a dropped row is
+    * unrecoverable, and every other loss mode here already routes to
+    * the error sink. */
+  def unrouted(decoded: DataFrame, routedTables: Seq[String]): DataFrame =
+    decoded
+      .filter(!col("table").isin(routedTables: _*) || col("table").isNull)
+      .select(col("value"))
+
   /** Full router over raw CDC JSON — INCLUDING the error route: a
     * caller composing the path from this map alone must not silently
-    * lose corrupt envelopes, unknown op types, or unkeyable dim rows
-    * (the trap the previous fact/dim-only map left open — the error
-    * side had to be remembered by hand). */
+    * lose corrupt envelopes, unknown op types, unkeyable dim rows, or
+    * rows of tables in neither list (the traps the previous
+    * fact/dim-only map left open — the error side had to be remembered
+    * by hand). */
   def route(raw: DataFrame, factTables: Seq[String], dimTables: Seq[String])
       : Map[String, DataFrame] = {
     val parsed = Envelopes.parseCdc(raw)
@@ -100,6 +111,7 @@ object CdcRouter {
     Map("fact" -> facts(decoded, factTables),
       "dim" -> dims(decoded, dimTables),
       "error" -> undecodable(parsed)
-        .unionByName(unkeyedDims(decoded, dimTables)))
+        .unionByName(unkeyedDims(decoded, dimTables))
+        .unionByName(unrouted(decoded, factTables ++ dimTables)))
   }
 }

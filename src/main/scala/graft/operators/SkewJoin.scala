@@ -26,8 +26,12 @@ object SkewJoin {
     // rows — semantically wrong; only these types preserve semantics
     require(Set("inner", "left", "left_outer", "left_semi").contains(joinType),
       s"saltedJoin supports inner/left/left_semi, got $joinType")
+    // withColumn would silently OVERWRITE a caller's real __salt column
+    // (and the trailing drop would then destroy it) — collide loudly
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin: input already has a __salt column — rename it first")
     val saltedBig = big.withColumn("__salt",
-      (xxhash64(monotonically_increasing_id()) % salt + salt) % salt)
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0L), lit((salt - 1).toLong))))
     saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType).drop("__salt")

@@ -148,6 +148,10 @@ object Streams {
   def packStream(docs: org.apache.spark.sql.Dataset[(Long, Long, Long)],
       budget: Long = 2048L)
       : org.apache.spark.sql.Dataset[PackedBin] = {
+    // fail at the call site, not as an ArithmeticException inside
+    // executor tasks mid-stream (cum / budget below); negative budgets
+    // would silently emit negative bin ids
+    require(budget >= 1L, s"budget must be >= 1 token, got $budget")
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     docs // (shard, doc_id, n_tokens)
@@ -230,7 +234,11 @@ object Streams {
           // other kind means foreign bytes (a legacy name-first pin, a
           // corrupt file) and silently unrouting under it is CDC data
           // loss, the exact hazard the pin exists to prevent
-          val foreign = pinned.filterNot { case (_, k) => k == "fact" || k == "dim" }
+          // empty names are foreign too: a hand-repaired line of just
+          // 'fact' (or 'fact,') decodes to kind=fact, name='' — passing
+          // it would silently unroute the table the repair intended
+          val foreign = pinned.filterNot { case (n, k) =>
+            (k == "fact" || k == "dim") && n.nonEmpty }
           require(foreign.isEmpty,
             s"unreadable routing pin $pinPath (lines decode to non-fact/dim " +
               s"kinds: $foreign) — delete the pin only if the batch's " +
@@ -251,18 +259,29 @@ object Streams {
           val badNames = fresh.collect { case (n, _) if n.contains("\n") || n.contains("\r") => n }
           require(badNames.isEmpty,
             s"table name(s) with newline in $configPath cannot be pinned: $badNames")
+          // duplicate check BEFORE the pin write, like every other
+          // config validation: a pinned fact+dim double listing would
+          // wedge the batch's replay even after the config file is
+          // fixed (the pin, not the file, drives replays)
+          val dupFresh = fresh.map(_._1).groupBy(identity)
+            .collect { case (n, xs) if xs.size > 1 => n }
+          require(dupFresh.isEmpty,
+            s"table(s) listed more than once in $configPath: " +
+              s"${dupFresh.mkString(", ")} — a fact+dim double listing double-processes")
           graft.sinks.Hfs.writeString(spark, pinPath,
             fresh.map { case (n, k) => s"$k,$n" }.mkString("\n"))
           fresh
       }
-    // both kinds for one table (a stale edit leaving two lines) would
-    // silently double-publish every row of that table into BOTH sinks —
-    // config errors here fail loudly or not at all (the kind-typo rule)
+    // the fresh path never pins a duplicate (checked above), so a dup
+    // here is a LEGACY pin: fail with the pin path + remediation, like
+    // the foreign-pin message
     val dup = conf.map(_._1).groupBy(identity)
       .collect { case (n, xs) if xs.size > 1 => n }
     require(dup.isEmpty,
-      s"table(s) listed more than once in the routing config: " +
-        s"${dup.mkString(", ")} — a fact+dim double listing double-processes")
+      s"routing pin $pinPath lists table(s) more than once: " +
+        s"${dup.mkString(", ")} — a fact+dim double listing " +
+        "double-processes; delete the pin only if the batch's outputs " +
+        "are known-absent, else re-pin by hand")
     val facts = conf.collect { case (n, "fact") => n }
     val dims = conf.collect { case (n, "dim") => n }
     // parse ONCE: persist the shared parsed prefix, not the two routed
@@ -275,11 +294,15 @@ object Streams {
         s"$outDir/fact", batchId)
       publishBatch(graft.operators.CdcRouter.dims(decoded, dims),
         s"$outDir/dim", batchId)
-      // P4 for the CDC path: corrupt envelopes, unknown CDC types, AND
-      // unkeyable dim rows (no $.data.id — dims() excludes them) reach
-      // an error sink instead of vanishing in the route's filters
+      // P4 for the CDC path: corrupt envelopes, unknown CDC types,
+      // unkeyable dim rows (no $.data.id — dims() excludes them), AND
+      // rows of tables in NEITHER config list (a new table emitting
+      // before the config catches up) reach an error sink instead of
+      // vanishing in the route's filters — after the batch commits,
+      // dropped rows are unrecoverable
       publishBatch(graft.operators.CdcRouter.undecodable(parsed)
-          .unionByName(graft.operators.CdcRouter.unkeyedDims(decoded, dims)),
+          .unionByName(graft.operators.CdcRouter.unkeyedDims(decoded, dims))
+          .unionByName(graft.operators.CdcRouter.unrouted(decoded, facts ++ dims)),
         s"$outDir/error", batchId)
     } finally { parsed.unpersist(); () }
     // pin retention: replay can only ever target batches the checkpoint

@@ -60,10 +60,14 @@ class CdcRouterSpec extends SparkSpec {
     assert(r("fact").count() == 1) // only the well-formed insert routes
   }
 
-  test("tables in neither list are dropped") {
-    val raw = Seq(cdc("spu_info", "insert", 9)).toDF("value")
+  test("tables in neither list are quarantined to the error route, never dropped") {
+    val row = cdc("spu_info", "insert", 9)
+    val raw = Seq(row).toDF("value")
     val r = CdcRouter.route(raw, facts, dims)
     assert(r("fact").count() == 0 && r("dim").count() == 0)
+    // a new table emitting before the config catches up must be
+    // recoverable — once the batch commits, a dropped row is gone
+    assert(r("error").as[String].collect().toSeq == Seq(row))
   }
 
   test("corrupt and unknown-type envelopes reach the error sink, not the void") {
