@@ -77,6 +77,10 @@ object Http {
 
   private val reqSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** HTTP executor thread count — also bounds the scheduler-pool name
+    * set (at most this many requests run concurrently). */
+  private val poolThreads = 4
+
   private def handle(ex: HttpExchange, spark: SparkSession)(
       f: Map[String, String] => String): Unit =
     try {
@@ -89,9 +93,15 @@ object Http {
         // it on) concurrent requests' jobs interleave instead of
         // head-of-line blocking behind the slowest query — the pool
         // property is per-thread, cleared in finally because the HTTP
-        // executor reuses threads across requests
+        // executor reuses threads across requests. Pool names come from
+        // a BOUNDED set (modulo the executor pool size): Spark's
+        // FairSchedulableBuilder creates a Pool per unseen name and
+        // never removes it, so unique per-request names would leak one
+        // rootPool entry per request on a long-lived server. Distinct
+        // names per CONCURRENT request is all fairness needs, and the
+        // HTTP executor caps concurrency at poolThreads.
         spark.sparkContext.setLocalProperty("spark.scheduler.pool",
-          s"req-${reqSeq.incrementAndGet()}")
+          s"req-${reqSeq.incrementAndGet() % poolThreads}")
         try respond(ex, 200, f(params(ex)))
         finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
       }
@@ -125,7 +135,7 @@ object Http {
     // small pool, not the serial default: the payload is tiny but each
     // request runs a multi-second Spark job — serial dispatch would
     // head-of-line-block every client behind the slowest query
-    srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(poolThreads))
     srv.start()
     srv
   }

@@ -69,11 +69,20 @@ object KeyedParquetSink {
     // kept as ONE unpartitioned footer at the root. The partitioned
     // write below must not land beside it (mixed root-file/partition-dir
     // layouts break partition discovery) — this sink never writes root
-    // files otherwise, so no-dt-dirs + readable means exactly that
-    // marker: clear it and write as a first write.
+    // files otherwise, so no-dt-dirs + readable SHOULD mean exactly that
+    // marker. But "should" is not a license to delete: pointed at a
+    // parquet directory this sink does not own (data files at the root),
+    // the old unconditional heal silently destroyed that data. Verify
+    // the marker shape — a 0-row read — before clearing; anything else
+    // fails loudly instead of wiping.
     val existing =
       if (existing0.isDefined &&
           Hfs.childDirs(spark, path, s"$dtCol=").isEmpty) {
+        require(spark.read.parquet(path).isEmpty,
+          s"$path has root-level parquet data but no $dtCol= partition " +
+            "dirs — not this sink's layout (expected the deleteWhere " +
+            "empty-marker: a single 0-row footer). Refusing to heal by " +
+            "deletion; move or convert the existing data first.")
         Hfs.deleteRecursive(spark, path)
         None
       } else existing0

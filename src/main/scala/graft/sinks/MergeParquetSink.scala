@@ -122,18 +122,31 @@ object MergeParquetSink {
     * seq-partitioned, so the filter prunes directories, not rows. */
   def read(spark: SparkSession, path: String, keyCols: Seq[String],
       versionCol: String, asOfSeq: Option[Long] = None): DataFrame = {
-    def readSide(doRead: => DataFrame): Option[DataFrame] =
-      try Some(doRead)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if Hfs.isEmptyPathError(e) => None
-      }
     asOfSeq.foreach { n =>
       val h = seqHorizon(spark, path)
       require(n >= h - 1, s"asOfSeq=$n predates the compaction horizon " +
         s"$h — that history was folded into the base and is no longer " +
         "reconstructible (same truncation as a vacuumed Delta table)")
     }
+    merged(spark, path, keyCols, versionCol,
+      committedSeqs(spark, path).filter(s => asOfSeq.forall(s <= _)))
+  }
+
+  /** Merge-on-read over the base plus EXACTLY the given delta seqs.
+    * `read` passes the committed list (optionally asOf-bounded);
+    * `compact` passes its own snapshot so the set it folds and the set
+    * it later deletes are the same list — re-listing inside the read
+    * could pick up a delta that commits mid-compaction, folding a batch
+    * the cleanup doesn't know about (or, in the old form, deleting a
+    * batch the fold never saw). */
+  private def merged(spark: SparkSession, path: String, keyCols: Seq[String],
+      versionCol: String, seqs: Seq[Long]): DataFrame = {
+    def readSide(doRead: => DataFrame): Option[DataFrame] =
+      try Some(doRead)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Hfs.isEmptyPathError(e) => None
+      }
     // crash window of compact (old base deleted, completed staging not
     // yet renamed): the staging dir IS the base — by protocol it is only
     // ever complete once the old base has been fully replaced-able. A
@@ -150,14 +163,12 @@ object MergeParquetSink {
     // COMMITTED deltas only (torn dirs are invisible until compact
     // clears them and the replay re-lands their batch), read by
     // explicit dir list so an uncommitted sibling can't leak in
-    val seqs = committedSeqs(spark, path)
     val deltas =
       if (seqs.isEmpty) None
       else readSide(spark.read
         .option("basePath", deltaRoot(path))
         .parquet(seqs.map(s => s"${deltaRoot(path)}/seq=$s"): _*)
         .withColumnRenamed("seq", SeqCol))
-        .map(d => asOfSeq.fold(d)(n => d.filter(col(SeqCol) <= n)))
     val all = (base, deltas) match {
       case (Some(b), Some(d)) => b.unionByName(d, allowMissingColumns = true)
       case (Some(b), None) => b
@@ -200,17 +211,21 @@ object MergeParquetSink {
     if (!Hfs.exists(spark, basePath(path)) && Hfs.exists(spark, staging))
       Hfs.rename(spark, staging, basePath(path))
     else Hfs.deleteRecursive(spark, staging)
-    // Snapshot the delta list FIRST and fold EXACTLY it: the read is
-    // bounded to asOfSeq = folded.last (or horizon−1 when no deltas),
-    // and the clear below removes only these dirs — a delta appended
+    // Snapshot the COMMITTED delta list FIRST and fold EXACTLY it (via
+    // the private merged(), not read() — read re-lists committed seqs
+    // internally, so a delta committing mid-compaction could slip into
+    // the fold without appearing in this snapshot). The clear below
+    // removes only these dirs — a delta appended or committed
     // concurrently (the documented cadence-job-next-to-live-stream
     // shape) is neither folded with a too-low horizon (asOfSeq aliasing)
-    // nor deleted unfolded (silent data loss, the old
-    // deleteRecursive(deltaRoot) behavior).
-    val folded = listSeqs(spark, path)
-    val asOf = folded.lastOption.getOrElse(seqHorizon(spark, path) - 1L)
+    // nor deleted unfolded. In particular an upsert whose seq dir exists
+    // now but whose commit marker lands during the long base rewrite is
+    // NOT in this snapshot: it survives as a delta (merge-on-read keeps
+    // serving it) and folds next compact — the old listSeqs snapshot
+    // deleted it unfolded, silently losing a checkpoint-committed batch.
+    val folded = committedSeqs(spark, path)
     val snapshot =
-      read(spark, path, keyCols, versionCol, asOfSeq = Some(asOf))
+      merged(spark, path, keyCols, versionCol, folded)
         .localCheckpoint()
     // partitionOverwriteMode MUST be static here regardless of session
     // conf: the snapshot replaces the whole base. Under dynamic mode a
@@ -242,6 +257,27 @@ object MergeParquetSink {
     Hfs.rename(spark, staging, basePath(path))
     folded.foreach(s =>
       Hfs.deleteRecursive(spark, s"${deltaRoot(path)}/seq=$s"))
+    // Torn-dir cleanup, gated on being PROVABLY superseded. Under the
+    // single-live-writer protocol (one stream + this cadence compactor),
+    // seq allocation is monotonic and the writer's in-flight dir is
+    // always the HIGHEST-numbered dir — so an uncommitted dir with any
+    // later allocation above it (a higher listed dir, or a horizon
+    // already past it) belongs to a crashed writer whose batch replayed
+    // as a new seq: garbage, safe to clear. The two dirs this must NOT
+    // touch: (a) a dir whose commit marker landed during the long base
+    // rewrite — it fails the uncommitted re-check here and keeps serving
+    // as a live delta until the next compact folds it (the old listSeqs
+    // snapshot deleted it unfolded: silent loss of a checkpoint-committed
+    // batch); (b) the highest-numbered torn dir, which may be the live
+    // writer's in-flight batch — it lingers invisibly (committedSeqs
+    // gates all readers) until a later allocation supersedes it.
+    val h = seqHorizon(spark, path)
+    val remaining = listSeqs(spark, path)
+    val top = remaining.lastOption
+    remaining
+      .filter(s => (s < h || top.exists(_ > s)) &&
+        !Hfs.segmentCommitted(spark, s"${deltaRoot(path)}/seq=$s"))
+      .foreach(s => Hfs.deleteRecursive(spark, s"${deltaRoot(path)}/seq=$s"))
   }
 
   /** foreachBatch adapter (streaming upsert). */

@@ -177,4 +177,20 @@ class KeyedSinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).select("mid").as[String].collect().toSeq
       == Seq("m3"))
   }
+
+  test("upsert into a foreign unpartitioned parquet dir fails loudly, not by wiping it") {
+    // a directory this sink does NOT own: real data files at the root,
+    // no dt= subdirs — superficially shaped like the deleteWhere
+    // empty-marker the wipe-heal clears, except it has rows
+    val path = Files.createTempDirectory("sink_foreign").toString + "/t"
+    table(("keep1", "2024-01-01", 1L, 1.0), ("keep2", "2024-01-02", 1L, 2.0))
+      .write.parquet(path)
+    intercept[IllegalArgumentException] {
+      KeyedParquetSink.upsert(table(("m1", "2024-01-01", 1L, 10.0)),
+        path, Seq("mid", "dt"), "dt", "ver")
+    }
+    // the foreign data must be intact — the old heal deleted it silently
+    assert(spark.read.parquet(path).count() == 2L,
+      "refusal must leave the foreign directory untouched")
+  }
 }

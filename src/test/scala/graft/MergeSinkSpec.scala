@@ -122,14 +122,16 @@ class MergeSinkSpec extends SparkSpec {
     assert(asOf(1) == Set(("m1", 2L, 20.0)))
     assert(asOf(2).isEmpty) // the tombstone is visible at its own seq
     assert(readAll(path).isEmpty) // and the present equals the last as-of
-    // the as-of filter prunes seq DIRECTORIES, not rows
+    // the as-of bound prunes seq DIRECTORIES before the scan even forms:
+    // read() selects the ≤ n dir list explicitly, so later seqs never
+    // enter the file index (stronger than a partition filter — no
+    // listing, no footer reads)
     val df = MergeParquetSink.read(spark, path, Seq("mid"), "ver", asOfSeq = Some(0))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    // the rename to __seq happens above the scan; the physical partition
-    // column is still `seq`, and the as-of predicate must reach it
-    assert("PartitionFilters: \\[[^\\]]*\\(seq#\\d+ <= 0\\)".r.findFirstIn(plan).isDefined,
-      s"as-of must reach the delta scan as a partition filter:\n$plan")
+    assert(plan.contains("seq=0"), s"delta scan must read seq=0:\n$plan")
+    assert(!plan.contains("seq=1") && !plan.contains("seq=2"),
+      s"as-of 0 must exclude later seq dirs from the scan entirely:\n$plan")
   }
 
   test("torn delta (no commit marker) is invisible to readers; compact clears it") {
@@ -147,10 +149,46 @@ class MergeSinkSpec extends SparkSpec {
     assert(readAll(path) == Set(("m1", "2024-01-01", 1L, 10.0)))
     MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
     assert(readAll(path) == Set(("m1", "2024-01-01", 1L, 10.0)))
-    assert(!new java.io.File(s"$path/delta/seq=1").exists,
-      "compact clears the torn dir; the stream's replay lands as a NEW seq")
+    // the torn dir is the HIGHEST seq — it could be a live writer's
+    // in-flight batch whose commit marker lands mid-compaction, so
+    // compact must NOT delete it yet (it stays invisible to readers)
+    assert(new java.io.File(s"$path/delta/seq=1").exists,
+      "compact must not clear the top torn dir — it may be an in-flight " +
+        "batch about to commit")
     // the replay (as the stream would re-run the uncommitted batch)
+    // supersedes it: the writer that owned seq=1 is provably dead once a
+    // later allocation exists, so the NEXT compact clears the garbage
     MergeParquetSink.upsert(table(("m2", "2024-01-01", 1L, 20.0)), path, "dt")
+    assert(readAll(path) ==
+      Set(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-01", 1L, 20.0)))
+    MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
+    assert(!new java.io.File(s"$path/delta/seq=1").exists,
+      "superseded torn dir must be cleared once a later seq exists")
+    assert(readAll(path) ==
+      Set(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-01", 1L, 20.0)))
+  }
+
+  test("delta committing during/after a long compaction is not deleted unfolded") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("merge_race").toString + "/t"
+    MergeParquetSink.upsert(table(("m1", "2024-01-01", 1L, 10.0)), path, "dt")
+    // a concurrent upsert's dir exists but is UNCOMMITTED for the whole
+    // compaction (the live writer's in-flight batch — always the top
+    // seq under the single-live-writer protocol)
+    table(("m2", "2024-01-01", 1L, 20.0))
+      .withColumn("__deleted", lit(false))
+      .write.partitionBy("dt").parquet(s"$path/delta/seq=1")
+    for (m <- Seq("_SUCCESS", graft.sinks.Hfs.CommitMarker))
+      graft.sinks.Hfs.deleteRecursive(spark, s"$path/delta/seq=1/$m")
+    MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
+    // the in-flight writer's commit marker lands — compact must not have
+    // deleted the data out from under it (the old listSeqs snapshot did)
+    graft.sinks.Hfs.markSegmentCommitted(spark, s"$path/delta/seq=1")
+    assert(readAll(path) ==
+      Set(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-01", 1L, 20.0)),
+      "a batch committing across the compaction window was lost")
+    // and the next compact folds it normally
+    MergeParquetSink.compact(spark, path, Seq("mid"), "dt", "ver")
     assert(readAll(path) ==
       Set(("m1", "2024-01-01", 1L, 10.0), ("m2", "2024-01-01", 1L, 20.0)))
   }
