@@ -107,6 +107,23 @@ object Bench {
     // first): the box swings ±20% run-to-run, which single-run numbers
     // kept masquerading as regressions across rounds.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // Contention canary: a FIXED pure-CPU job (no I/O, no shuffle — one
+    // hash-sum over a range) timed between measured queries. Its only
+    // variable is how much of the box this JVM actually got, so a spike
+    // in it marks the neighboring measurements as contended — mechanism
+    // for the "is it a regression or a neighbor?" question that round-8's
+    // honest-but-unverifiable host-contention caveat left open.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      // double sum: a long sum of xxhash64 values overflows under ANSI
+      spark.range(20000000L).select(sum(xxhash64(col("id")).cast("double")))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // JIT/codegen warm for the canary itself
+    // quiet-box reference: min of 5 — the canary's floor on this box
+    val calibBase = (1 to 5).map(_ => calibrate()).min
+    val calibs = scala.collection.mutable.ArrayBuffer[Double](calibrate())
     val raw = sorted.map { case (name, fn) =>
       val times = (1 to iters).iterator.map { _ =>
         val t0 = System.nanoTime()
@@ -123,13 +140,27 @@ object Bench {
         // a failed run poisons the query: stop iterating, report -1 so a
         // crash can never masquerade as a fast run
       }.takeWhile(_ >= 0).toSeq
+      calibs += calibrate()
       // per-iteration times to stderr: a one-iteration spike (GC pause,
       // box hiccup) is diagnosable only if the medians' inputs are
       // visible somewhere
       System.err.println(s"[bench] $name iters=" +
-        times.map(t => f"$t%.2f").mkString(","))
+        times.map(t => f"$t%.2f").mkString(",") +
+        f" calib=${calibs.last}%.2f")
       name -> times
     }
+    // a query is CONTENDED if the canary on either side of it ran over
+    // bound × the quiet floor — its median is then neighbor-load, not
+    // plan cost, and the round comparison should quote its min instead
+    val calibBound = calibBase *
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_BOUND", "3.0").toDouble
+    val contended = sorted.indices.collect {
+      case i if math.max(calibs(i), calibs(i + 1)) > calibBound =>
+        sorted(i)._1
+    }
+    if (contended.nonEmpty)
+      System.err.println(s"[bench] contended (calib > " +
+        f"$calibBound%.2f s): ${contended.mkString(", ")}")
     val results = raw.map { case (name, times) =>
       name -> (if (times.size < iters) -1.0 else median(times))
     }
@@ -193,15 +224,20 @@ object Bench {
     // only, like the extras block: a prefix-filtered profiling run
     // (`runMain graft.Bench q69`) must not clobber the round artifact
     // with a one-query file.
-    val detail = raw.map { case (name, times) =>
+    val detail = raw.zipWithIndex.map { case ((name, times), i) =>
       val md = if (times.size < iters) -1.0 else median(times)
       val mn = if (times.isEmpty) -1.0 else times.min
+      val cal = math.max(calibs(i), calibs(i + 1))
       s""""$name":{"min":${f"$mn%.3f"},"median":${f"$md%.3f"},""" +
+        s""""calib":${f"$cal%.3f"},"contended":${cal > calibBound},""" +
         s""""times":[${times.map(t => f"$t%.3f").mkString(",")}]}"""
     }.mkString("{", ",", "}")
     try if (args.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"total":${f"$total%.3f"},"iters":$iters,"cpus":$cpus,""" +
+        s""""calib_base":${f"$calibBase%.3f"},""" +
+        s""""calib_bound":${f"$calibBound%.3f"},""" +
+        s""""contended":[${contended.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""sf":"$sfDir","queries":$detail,"extras":$extras}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")

@@ -23,7 +23,8 @@ object ScaleProbe {
     val guardNames = Seq("dau_dedup_hourly", "windowed_agg", "simhash_scan",
       "minhash_lsh_candidates", "simhash_tiered_candidates",
       "simhash_join_occupancy",
-      "simhash_tiered_capped", "cluster_collapse", "winnow_fingerprints",
+      "simhash_tiered_capped", "cluster_collapse", "cluster_collapse_chain",
+      "winnow_fingerprints",
       "sign_band_scan", "cosine_verify_pairs", "phrase_index_build",
       "pack_greedy", "chunk_dedup", "vocab_build", "lm_score",
       "training_order", "pq_build", "pq_probe",
@@ -192,6 +193,30 @@ object ScaleProbe {
       println(f"SCALE n=$n%9d cluster_collapse ${(System.nanoTime() - t0) / 1e9}%6.2f s ($comps%,d components)")
       edges.unpersist()
     }
+    // adversarial long chains: components of 25 nodes (path graphs,
+    // diameter 24 — just under the 30-round cap), so the loop pays its
+    // worst-case round count. The claim under test: PER-ROUND cost is
+    // ~linear in edges (total time / rounds scales ~1× per 4× edges ÷
+    // fixed rounds), i.e. deep components cost rounds, not superlinear
+    // blowup per round.
+    if (on("cluster_collapse_chain"))
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      val chain = 24L // edges per component
+      val ofs = pmod(col("id"), lit(chain))
+      val base = ((col("id") - ofs) / chain) * (chain + 1)
+      val edges = spark.range(n)
+        .select((base + ofs).as("doc_a"), (base + ofs + 1).as("doc_b"))
+        .persist()
+      edges.count()
+      val t0 = System.nanoTime()
+      val (labels, rounds) =
+        functions.DedupOps.collapseClustersWithStats(edges)
+      val comps = labels.filter(col("doc_id") === col("cluster_rep")).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE n=$n%9d cluster_collapse_chain $secs%6.2f s " +
+        f"($comps%,d components, $rounds rounds, ${secs / rounds}%5.3f s/round)")
+      edges.unpersist()
+    }
     // winnowing fingerprint scan (q56, fused expression): map-only, so
     // time must be ~linear in corpus size on a fixed-core box. (The
     // interpreted-HOF twin measured 411 s at n=100k — 4 ms/doc of lambda
@@ -336,6 +361,29 @@ object ScaleProbe {
         functions.TextOps.orderAssign(docs, "probe")
           .write.format("noop").mode("overwrite").save()
         println(f"SCALE n=$n%9d training_order ${(System.nanoTime() - t0o) / 1e9}%6.2f s")
+      }
+      docs.unpersist()
+    }
+    // q55/q79/q100/q101 scoring family: two linear scans (one-row corpus
+    // stats broadcast into a single scoring scan + TakeOrdered top-k),
+    // so time must be ~linear in corpus tokens. synthDocs tokens are
+    // w0..w4999, so each query term matches ~60/5000 of docs — a
+    // realistic selective df.
+    if (Seq("scored_match", "bm25_match").exists(on))
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      val docs = synthDocs(n).persist(); docs.count()
+      val terms = Seq("w17", "w42")
+      if (on("scored_match")) {
+        val t0s = System.nanoTime()
+        operators.Relational.tfIdfMatch(docs, terms, anyTerm = false)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALE n=$n%9d scored_match ${(System.nanoTime() - t0s) / 1e9}%6.2f s")
+      }
+      if (on("bm25_match")) {
+        val t0b = System.nanoTime()
+        operators.Relational.bm25MatchOver(docs, terms, lnIdf = false)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALE n=$n%9d bm25_match ${(System.nanoTime() - t0b) / 1e9}%6.2f s")
       }
       docs.unpersist()
     }

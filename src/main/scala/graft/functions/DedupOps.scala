@@ -718,9 +718,36 @@ object DedupOps {
   /** The label-propagation loop itself, over ANY (doc_a, doc_b) pair
     * set — q62 feeds it the fixture pairs; ScaleProbe feeds it
     * synthetic pair graphs at 1×/4×/16× to measure the per-round cost
-    * exponent (each round is one join + one groupBy-min over the pair
+    * exponent (each round is ONE join + groupBy-min over the pair
     * graph, so rounds must scale ~linearly in edges). */
-  def collapseClusters(pairs: DataFrame): DataFrame = {
+  def collapseClusters(pairs: DataFrame,
+      maxComponent: Long = 10000000L): DataFrame =
+    collapseClustersWithStats(pairs, maxComponent)._1
+
+  /** As [[collapseClusters]], also returning the round count (ScaleProbe
+    * divides time by it to pin per-round cost; DedupSpec pins
+    * diameter+1 rounds on a synthetic chain).
+    *
+    * Change detection is FOLDED into each round's aggregation: every
+    * doc's previous label rides the union as the min over its own row
+    * (`own` flag), so `chg = lbl < prev` materializes with the round's
+    * single join+groupBy job. The convergence read is then a sum over
+    * the freshly checkpointed node-count blocks — no second join over
+    * the edge set per round (the old shape re-joined next⋈labels and
+    * counted, doubling the per-round join bill).
+    *
+    * Out-of-envelope inputs fail LOUDLY, never slowly-silently:
+    * - diameter > 30 (adversarial long chains) hits the round cap;
+    * - a converged component larger than `maxComponent` trips the guard
+    *   below. Near-dup graphs have bounded components by construction;
+    *   a violation means the input is not a near-dup graph and wants
+    *   the star-contraction algorithm (Kiveris et al., "Connected
+    *   Components in MapReduce and Beyond", SoCC'14: alternate
+    *   large-star/small-star contractions, O(log²) rounds independent
+    *   of diameter), which this engine intentionally does not pay for
+    *   on its designed inputs. */
+  def collapseClustersWithStats(pairs: DataFrame,
+      maxComponent: Long = 10000000L): (DataFrame, Int) = {
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -732,22 +759,44 @@ object DedupOps {
     var iter = 0
     while (changed > 0 && iter < 30) {
       val msgs = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), col("lbl"))
-      val next = msgs.union(labels)
-        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("doc_id"), col("lbl"), lit(false).as("own"))
+      val next = msgs
+        .union(labels.withColumn("own", lit(true)))
+        .groupBy(col("doc_id"))
+        .agg(min(col("lbl")).as("lbl"),
+          // exactly one own row per doc (labels is grouped by doc_id),
+          // so this is the doc's previous label; every edge endpoint is
+          // in labels (initialized from the symmetric edge set), so it
+          // is never null
+          min(when(col("own"), col("lbl"))).as("prev"))
+        .withColumn("chg", (col("lbl") < col("prev")).cast("long"))
         .localCheckpoint(eager = true)
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
-        .filter(col("lbl") < col("prev")).count()
+      // scans the checkpointed blocks just materialized — node-count
+      // rows, no shuffle beyond the final one-row reduce
+      changed = Option(next.agg(sum(col("chg"))).first().get(0))
+        .fold(0L)(_.asInstanceOf[Long])
       // the superseded round's blocks serve nothing; unpersist() here
       // would be a CacheManager no-op (localCheckpoint persists the
       // RDD outside it) — the blocks free when this frame's reference
       // drops on the next line and the ContextCleaner collects it,
       // bounding live copies to the GC lag, not the 30-round loop
-      labels = next
+      labels = next.select(col("doc_id"), col("lbl"))
       iter += 1
     }
-    require(changed == 0, s"label propagation did not converge in $iter rounds")
-    labels.select(col("doc_id"), col("lbl").as("cluster_rep"))
+    require(changed == 0, s"label propagation did not converge in $iter " +
+      "rounds — the pair graph has a component of diameter > 30, outside " +
+      "the near-dup design envelope; use star contraction (Kiveris et " +
+      "al.) for arbitrary graphs")
+    val biggest = labels.groupBy(col("lbl")).count()
+      .agg(max(col("count"))).first()
+    val biggestSize = if (biggest.isNullAt(0)) 0L else biggest.getLong(0)
+    require(biggestSize <= maxComponent,
+      s"largest component has $biggestSize docs > maxComponent=" +
+        s"$maxComponent — not a near-dup graph shape (per-round message " +
+        "volume tracks degree sums; a boilerplate mega-cluster belongs " +
+        "to the capped-candidate path or star contraction). Raise " +
+        "maxComponent explicitly to accept.")
+    (labels.select(col("doc_id"), col("lbl").as("cluster_rep")), iter)
   }
 
   /** ---- Incremental LSH index (the 100 TB ingestion shape) ----

@@ -793,6 +793,43 @@ object TextOps {
   val vocabBuild: Q = (s, d) =>
     vocabTopK(vocabAggregate(t(s, d, "documents")), 200)
 
+  /** q102: the LIVE vocabulary snapshot ≡ the q82 batch build, with the
+    * streaming sink's whole lifecycle under the driver's hash gate (the
+    * q98 pattern: a stored lifecycle state proved equal to the plain
+    * batch oracle). The corpus is cut into three micro-batches (one doc
+    * in exactly one batch — the sink's df-additivity admission
+    * contract), written through VocabSink's foreachBatch hook, the
+    * first two cuts FOLDED by compaction, the third left as a live
+    * tail — so the read exercises the fold + tail merged path, not the
+    * post-fold fast case — and the top-k over that merged state must
+    * hash-equal q82's single-pass batch answer exactly. */
+  val vocabStream: Q = (s, d) =>
+    vocabTopK(graft.sinks.VocabSink.read(s, ensureVocabStream(s, d)), 200)
+
+  /** Build (once per fixture generation) the q102 lifecycle state.
+    * Tagged by the documents fixture's (len, mtime) so a regenerated
+    * fixture rebuilds instead of serving stale counts; a crashed prior
+    * attempt (no __done marker) is cleared and redone — every write is
+    * marker-gated, so a torn state never serves. */
+  private def ensureVocabStream(s: SparkSession, d: String): String =
+    synchronized {
+      val (len, mtime) = graft.sinks.Hfs.stat(s, s"$d/documents.parquet")
+      val tag =
+        s"${graft.functions.Scalars.md5Hex(d.getBytes("UTF-8")).take(12)}_${len}_$mtime"
+      val loc = s"${sys.props("java.io.tmpdir")}/graft-vocabstream/$tag"
+      if (graft.sinks.Hfs.readString(s, s"$loc/__done").isEmpty) {
+        graft.sinks.Hfs.deleteRecursive(s, loc)
+        val docs = t(s, d, "documents")
+        def cut(b: Long) = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        graft.sinks.VocabSink.writer(loc)(cut(0), 0L)
+        graft.sinks.VocabSink.writer(loc)(cut(1), 1L)
+        graft.sinks.VocabSink.compact(s, loc)
+        graft.sinks.VocabSink.writer(loc)(cut(2), 2L)
+        graft.sinks.Hfs.writeString(s, s"$loc/__done", "ok")
+      }
+      loc
+    }
+
   /** Unigram-LM quality score (q88) — the cheap statistical tier of the
     * CCNet/Gopher-style quality cascade: score every document by its
     * MEAN add-one-smoothed token probability under a unigram model
@@ -1014,6 +1051,7 @@ object TextOps {
     "q73_chunk_split" -> chunkSplit,
     "q86_stratified_sample" -> stratifiedSample,
     "q82_vocab_build" -> vocabBuild,
+    "q102_vocab_stream" -> vocabStream,
     "q88_lm_quality" -> lmQuality,
     "q90_training_order" -> trainingOrder,
     "q84_token_budget_plan" -> tokenBudgetPlan,
@@ -1040,6 +1078,19 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q82_vocab_build" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |agg AS (
+        |  SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS df
+        |  FROM tok GROUP BY token)
+        |SELECT token, freq, df,
+        |  row_number() OVER (ORDER BY freq DESC, token) AS rank
+        |FROM agg ORDER BY freq DESC, token LIMIT 200""".stripMargin,
+    // q102 must equal the PLAIN batch build through the sink lifecycle
+    // (fold + live tail) — same oracle as q82 on purpose, exactly as
+    // q98/q99 share the plain orders oracle across storage states
+    "q102_vocab_stream" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |  FROM documents),

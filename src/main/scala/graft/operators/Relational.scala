@@ -342,28 +342,35 @@ object Relational {
     * the raw score hash-compares without rounding. BM25's saturation and
     * length normalization drop into the same two-scan shape (tiny
     * corpus-stats row broadcast into a single scoring scan). */
-  val scoredMatch: Q = (s, d) => {
-    val terms = Seq("spark", "merge")
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+  /** The shared two-scan tf×idf shape (q55 conjunctive / q100
+    * disjunctive; ScaleProbe drives it over synthetic corpora): one
+    * corpus-stats aggregate (a single one-row broadcastable frame),
+    * one scoring scan. tf as size − size(array_remove): ArrayRemove is
+    * a codegen'd collection expression, while the filter() HOF is
+    * interpreted CodegenFallback (the repo's measured hot-path hazard)
+    * — same exact integer either way. */
+  private[graft] def tfIdfMatch(docs0: DataFrame, terms: Seq[String],
+      anyTerm: Boolean): DataFrame = {
+    val docs = docs0.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n"),
       terms.map(tm => sum(when(array_contains(col("toks"), tm), 1).otherwise(0))
         .cast("double").as(s"df_$tm")): _*)
-    // tf as size − size(array_remove): ArrayRemove is a codegen'd
-    // collection expression, while the filter() HOF is interpreted
-    // CodegenFallback (the repo's measured hot-path hazard) — same
-    // exact integer either way
     val score = terms.map { tm =>
       (size(col("toks")) - size(array_remove(col("toks"), tm))).cast("double") *
         (col("n") / col(s"df_$tm"))
     }.reduce(_ + _)
+    val hit = terms.map(tm => array_contains(col("toks"), tm))
+      .reduce((a, b) => if (anyTerm) a || b else a && b)
     docs.crossJoin(broadcast(stats))
-      .filter(terms.map(tm => array_contains(col("toks"), tm)).reduce(_ && _))
+      .filter(hit)
       .select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
   }
+
+  val scoredMatch: Q = (s, d) =>
+    tfIdfMatch(t(s, d, "documents"), Seq("spark", "merge"), anyTerm = false)
 
   /** Q3 scored, BM25 form — the saturation + length normalization q55's
     * plain tf×idf lacks (ref PublishDaoImpl.java:58-61's matchQuery is
@@ -378,9 +385,13 @@ object Relational {
     * text. Monotone per term; documented, not hidden. Same two-scan
     * scale shape as q55: a one-row corpus-stats aggregate broadcast
     * into a single scoring scan — no shuffle touches the corpus. */
-  val bm25Match: Q = (s, d) => {
-    val terms = Seq("spark", "merge")
-    val docs = t(s, d, "documents")
+  /** The shared BM25 two-scan shape (q79 rational idf / q101 Lucene ln
+    * idf; ScaleProbe drives it over synthetic corpora). tf via
+    * codegen'd array_remove, not the interpreted filter() HOF (see
+    * tfIdfMatch) — identical exact integer. */
+  private[graft] def bm25MatchOver(docs0: DataFrame, terms: Seq[String],
+      lnIdf: Boolean): DataFrame = {
+    val docs = docs0
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
     val aggs = Seq(count(lit(1)).cast("double").as("n"),
@@ -388,11 +399,10 @@ object Relational {
       terms.map(tm => sum(when(array_contains(col("toks"), tm), 1).otherwise(0))
         .cast("double").as(s"df_$tm"))
     val stats = docs.agg(aggs.head, aggs.tail: _*)
-    // tf via codegen'd array_remove, not the interpreted filter() HOF
-    // (see scoredMatch) — identical exact integer
     val score = terms.map { tm =>
       val tf = (size(col("toks")) - size(array_remove(col("toks"), tm))).cast("double")
-      val idf = (col("n") - col(s"df_$tm") + lit(0.5)) / (col(s"df_$tm") + lit(0.5))
+      val idfCore = (col("n") - col(s"df_$tm") + lit(0.5)) / (col(s"df_$tm") + lit(0.5))
+      val idf = if (lnIdf) log(lit(1.0) + idfCore) else idfCore
       idf * ((tf * lit(2.2)) /
         (tf + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / (col("sum_dl") / col("n")))))
     }.reduce(_ + _)
@@ -402,6 +412,35 @@ object Relational {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
   }
+
+  val bm25Match: Q = (s, d) =>
+    bm25MatchOver(t(s, d, "documents"), Seq("spark", "merge"), lnIdf = false)
+
+  /** Q3 scored, DISJUNCTIVE (any-term) form — the ES `match` DEFAULT:
+    * `matchQuery("name", "red sea")` with `Operator.OR` scores docs
+    * containing ANY query term (ref EsTest.scala:78-92 runs exactly
+    * this; the conjunctive q06/q19/q55 forms model the explicit
+    * Operator.AND variant of EsTest.scala:82). Same two-scan shape as
+    * q55 — one-row corpus stats broadcast into a single scoring scan —
+    * with the filter relaxed to ANY-of and each absent term contributing
+    * exactly 0 (tf = 0 zeroes its tf×idf addend, matching Lucene's
+    * only-matching-terms sum). Same transcendental-free rational idf as
+    * q55 so raw doubles hash-compare. */
+  val orMatch: Q = (s, d) =>
+    tfIdfMatch(t(s, d, "documents"), Seq("spark", "merge"), anyTerm = true)
+
+  /** q79's documented deviation closed: TRUE Lucene BM25 idf,
+    * ln(1 + (N − df + 0.5)/(df + 0.5)), per Lucene's
+    * BM25Similarity.idfExplain. ln is why this runs under the driver's
+    * ROWS-ONLY check (oracle key omitted): Java Math.log and DuckDB's
+    * libm log are each ≤1-ulp but not guaranteed bit-identical, so a
+    * hash compare of raw doubles would be flaky by construction — q79
+    * keeps the rational idf core precisely so its doubles hash-compare,
+    * and this twin exists for callers who want Lucene-parity scores.
+    * Identical two-scan scale shape; ranking differs from q79 only
+    * through the monotone ln. */
+  val bm25LnMatch: Q = (s, d) =>
+    bm25MatchOver(t(s, d, "documents"), Seq("spark", "merge"), lnIdf = true)
 
   /** S9: point get by key (ref EsTest.scala:54-60 getById) — the plan
     * should be a pushed-down single-key scan, not an index the engine
@@ -441,6 +480,8 @@ object Relational {
     "q45_point_get" -> pointGet,
     "q55_scored_match" -> scoredMatch,
     "q79_bm25_match" -> bm25Match,
+    "q100_or_match" -> orMatch,
+    "q101_bm25_ln_match" -> bm25LnMatch,
     "q15_dau_day_over_day" -> dauDayOverDay,
     "q16_segment_decode" -> segmentDecode,
     "q17_semi_anti" -> semiAntiJoin,
@@ -545,6 +586,28 @@ object Relational {
         |    AS score
         |FROM tk, stats
         |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'merge')
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // q100: q55's oracle with the WHERE relaxed to OR — an absent term's
+    // len(list_filter(...)) is exactly 0, zeroing its addend, so the
+    // operand order (and the raw-double hash) still matches the Spark
+    // plan term-for-term. NOTE q101_bm25_ln_match has NO oracle entry on
+    // purpose: its ln(1+·) idf is ≤1-ulp per engine but not guaranteed
+    // bit-identical across Java Math.log and DuckDB libm, so it runs
+    // under the driver's rows-only check (see bm25LnMatch Scaladoc).
+    "q100_or_match" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |stats AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |    sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df_spark,
+        |    sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df_merge
+        |  FROM tk)
+        |SELECT doc_id,
+        |  len(list_filter(toks, x -> x = 'spark'))::DOUBLE * (n / df_spark)
+        |  + len(list_filter(toks, x -> x = 'merge'))::DOUBLE * (n / df_merge)
+        |    AS score
+        |FROM tk, stats
+        |WHERE list_contains(toks, 'spark') OR list_contains(toks, 'merge')
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // mirrors bm25Match operand-for-operand: every arithmetic op below
     // is exactly rounded IEEE, so matching the operand order makes the

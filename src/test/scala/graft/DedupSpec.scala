@@ -158,6 +158,65 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(10L), "isolated docs don't appear in the pair graph")
   }
 
+  test("collapseClusters: diameter+1 rounds, single join job per round") {
+    // path graph 0-1-2-3: hash-min needs diameter (3) changing rounds
+    // plus one confirming round
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE submits one job per materialized query stage, which triples
+    // the count with scheduling-dependent variance; off, one action ≈
+    // one job (+1 per broadcast build) and the budget below is sharp
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (labels, rounds) = DedupOps.collapseClustersWithStats(pairs)
+      assert(rounds == 4, s"path of diameter 3 must take 4 rounds, took $rounds")
+      assert(labels.as[(Long, Long)].collect().toMap ==
+        Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+      // listener events are posted asynchronously; onJobStart fires at
+      // submit time, so by the time the actions above returned their
+      // results every job's start event has been posted — a short drain
+      // wait covers bus dispatch lag
+      Thread.sleep(300)
+      // job budget: setup (edge checkpoint + label init) + per round ONE
+      // join+groupBy checkpoint job, its broadcast-build job, and the
+      // cached-block convergence sum + the final guard & collect. The
+      // old shape re-joined next⋈labels per round for the changed count
+      // (2 extra jobs/round incl. its broadcast build) and blew this
+      // budget; the margin below stays tight enough to catch that
+      // regression while tolerating AQE's broadcast-job variance.
+      val n = jobs.get()
+      assert(n <= 4 + rounds * 3 + 4,
+        s"collapseClusters ran $n jobs for $rounds rounds — a second " +
+          "per-round join (the old convergence count) would look like this")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("collapseClusters fails loudly on a component above maxComponent") {
+    // star of 1 hub + 11 leaves: converges in 2 rounds but the single
+    // component has 12 docs — outside a maxComponent=10 envelope the
+    // caller declared; the answer must be a loud refusal, not a silent
+    // success that normalizes boilerplate mega-clusters
+    val pairs = (1L to 11L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.collapseClusters(pairs, maxComponent = 10L)
+    }
+    assert(e.getMessage.contains("star contraction"),
+      "the refusal must name the escape hatch")
+    // and the same graph passes with the guard raised
+    val ok = DedupOps.collapseClusters(pairs, maxComponent = 12L)
+    assert(ok.filter(col("doc_id") === col("cluster_rep")).count() == 1L)
+  }
+
   test("SortedIntersectCount ≡ size(array_intersect) on every fixture doc pair sample") {
     // all pairs among 40 fixture docs: the merge count over sorted hash
     // sets must equal array_intersect's hash-set count exactly
