@@ -27,6 +27,7 @@ object ScaleProbe {
       "winnow_fingerprints",
       "sign_band_scan", "cosine_verify_pairs", "phrase_index_build",
       "pack_greedy", "chunk_dedup", "vocab_build", "lm_score",
+      "scored_match", "bm25_match",
       "training_order", "pq_build", "pq_probe",
       "knn_join", "pq_knn_join", "knn_query_scaling", "bucketed_join",
       "partitioned_fold", "skew")
