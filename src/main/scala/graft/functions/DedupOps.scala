@@ -817,6 +817,160 @@ object DedupOps {
     (labels.toDF("doc_id", "cluster_rep"), iter)
   }
 
+  /** Routes a (u, v) composite key by u alone — so
+    * repartitionAndSortWithinPartitions co-locates each node's
+    * neighbor run while the lexicographic sort puts the run's smallest
+    * neighbor first (the streaming-group trick in
+    * [[collapseClustersStarWithStats]]). */
+  private final class FirstOfPairPartitioner(np: Int)
+      extends org.apache.spark.Partitioner {
+    private val h = new org.apache.spark.HashPartitioner(np)
+    override def numPartitions: Int = np
+    override def getPartition(key: Any): Int = key match {
+      case (u, _) => h.getPartition(u)
+    }
+  }
+
+  /** Star-contraction connected components — the escape hatch
+    * [[collapseClustersWithStats]]'s guard names, now implemented:
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"
+    * (SoCC'14). Alternating large-star / small-star contractions
+    * converge in O(log² n) rounds INDEPENDENT of diameter or component
+    * size — the algorithm for graphs outside the near-dup envelope
+    * (boilerplate mega-clusters, adversarial chains past the 30-round
+    * hash-min cap). Same contract as [[collapseClusters]]: in (doc_a,
+    * doc_b) pairs, out (doc_id, cluster_rep = component min); DedupSpec
+    * pins exact equivalence on the fixture pair graph, on a
+    * 100k-leaf star the hash-min guard refuses, and on a long chain
+    * past the hash-min round cap.
+    *
+    *  - large-star(u): over the SYMMETRIC neighborhood Γ(u), connect
+    *    every strictly-larger neighbor to m = min(Γ(u) ∪ u);
+    *  - small-star(u): over the larger→smaller directed neighborhood,
+    *    connect every neighbor and u itself to the group min.
+    *
+    * Both steps are one sort-shuffle over the current edge set with
+    * STREAMING run processing (O(1) state per node — a mega-hub's
+    * neighborhood never materializes) + a distinct; shuffle volume is
+    * bounded by the LIVE edge count, which star-contracts toward one
+    * edge per non-root node. Convergence =
+    * edge-set fixpoint, detected by (count, order-independent
+    * hash-sum) equality — one tiny aggregate action per round over
+    * the freshly persisted set; a hash collision masking a real
+    * change needs two multisets agreeing on count AND a 64-bit mixed
+    * sum, vanishingly unlikely and bounded by maxRounds anyway. */
+  def collapseClustersStarWithStats(pairs: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val sc = spark.sparkContext
+    val np = math.max(sc.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val part = new org.apache.spark.HashPartitioner(np)
+
+    def mix(a: Long, b: Long): Long = {
+      // splitmix64-style avalanche over the canonical (min,max) pair so
+      // the per-edge terms of the hash-SUM are individually scrambled
+      var x = a * 0x9e3779b97f4a7c15L + b
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+
+    // Both steps need, per node u, the min over its (sorted-ascending)
+    // neighbor run plus a pass over the run — done STREAMING over a
+    // sort-shuffled partition: keys are (u, v) pairs partitioned by u
+    // alone and sorted lexicographically, so a run's smallest v arrives
+    // first and per-group state is O(1). No groupByKey: a boilerplate
+    // mega-hub's neighborhood streams through instead of materializing
+    // an O(degree) buffer.
+    val keyPart = new FirstOfPairPartitioner(np)
+
+    def largeStar(edges: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      edges.flatMap { case (u, v) => Iterator(((u, v), ()), ((v, u), ())) }
+        .repartitionAndSortWithinPartitions(keyPart)
+        .mapPartitions { it =>
+          // connect every strictly-larger neighbor to m = min(Γ(u) ∪ u)
+          var cu = 0L; var m = 0L; var prev = Long.MinValue
+          var started = false
+          it.flatMap { case ((u, v), _) =>
+            if (!started || u != cu) {
+              started = true; cu = u; m = math.min(u, v); prev = Long.MinValue
+            }
+            val emit = v > u && v != prev
+            prev = v
+            if (emit) Iterator((v, m)) else Iterator.empty
+          }
+        }
+        .distinct(np)
+
+    def smallStar(edges: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      edges.map { case (u, v) => (if (u >= v) (u, v) else (v, u), ()) }
+        .repartitionAndSortWithinPartitions(keyPart)
+        .mapPartitions { it =>
+          // all neighbors ≤ u here; connect them and u to the run min
+          var cu = 0L; var m = 0L; var prev = Long.MinValue
+          var started = false
+          it.flatMap { case ((u, v), _) =>
+            val runStart = !started || u != cu
+            if (runStart) {
+              started = true; cu = u; m = v; prev = Long.MinValue
+            }
+            val dup = v == prev
+            prev = v
+            if (runStart) Iterator((u, m)) // v == m at run start
+            else if (!dup && v != m) Iterator((v, m))
+            else Iterator.empty
+          }
+        }
+        .distinct(np)
+
+    def stats(edges: RDD[(Long, Long)]): (Long, Long) =
+      edges.mapPartitions { it =>
+        var n = 0L; var h = 0L
+        it.foreach { case (a, b) =>
+          n += 1; h += mix(math.min(a, b), math.max(a, b))
+        }
+        Iterator((n, h))
+      }.fold((0L, 0L)) { case ((n1, h1), (n2, h2)) => (n1 + n2, h1 + h2) }
+
+    var cur = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].rdd
+      .filter { case (a, b) => a != b }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var curStats = stats(cur)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxRounds) {
+      val next = smallStar(largeStar(cur)).persist(StorageLevel.MEMORY_AND_DISK)
+      val nextStats = stats(next) // the round's one materializing action
+      converged = nextStats == curStats
+      cur.unpersist(blocking = false)
+      cur = next
+      curStats = nextStats
+      iter += 1
+    }
+    require(converged, s"star contraction did not converge in $iter rounds " +
+      "— not expected for any graph (O(log² n) bound); please report")
+    // fixpoint = a forest of depth-1 stars, every non-root pointing at
+    // its component min; roots point at themselves
+    val labels = cur
+      .flatMap { case (w, m) => Iterator((w, m), (m, m)) }
+      .reduceByKey(part, math.min(_: Long, _: Long))
+    val out = labels.toDF("doc_id", "cluster_rep")
+    (out, iter)
+  }
+
+  /** q104: q62's transitive closure through the OTHER algorithm — the
+    * same recursive-CTE oracle must hash-match star contraction's
+    * output exactly, proving the escape hatch is a drop-in. */
+  val dedupClustersStar: Q = (s, d) =>
+    collapseClustersStarWithStats(
+      shingleJaccardPairs(s, d).select(col("doc_a"), col("doc_b")))._1
+
   /** ---- Incremental LSH index (the 100 TB ingestion shape) ----
     *
     * Instead of re-self-joining the whole corpus per run (minhashLsh,
@@ -1098,10 +1252,41 @@ object DedupOps {
     "q75_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "q83_contamination_report" -> contaminationReport,
     "q62_dedup_clusters" -> dedupClusters,
+    "q104_dedup_clusters_star" -> dedupClustersStar,
   )
 
   val oracles: Map[String, String] = Map(
     "q62_dedup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+        |      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |  FROM tk),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |             JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(n, m) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+        |SELECT n AS doc_id, min(m) AS cluster_rep
+        |FROM reach GROUP BY n""".stripMargin,
+    // q104 ≡ q62 through star contraction — same recursive-CTE oracle
+    // on purpose: two algorithms, one answer, both hash-gated
+    "q104_dedup_clusters_star" ->
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id, string_split(text,' ') AS toks
         |  FROM documents WHERE doc_id < 500),

@@ -804,27 +804,48 @@ object TextOps {
     * post-fold fast case — and the top-k over that merged state must
     * hash-equal q82's single-pass batch answer exactly. */
   val vocabStream: Q = (s, d) =>
-    vocabTopK(graft.sinks.VocabSink.read(s, ensureVocabStream(s, d)), 200)
+    vocabTopK(graft.sinks.VocabSink.read(s,
+      ensureCutLifecycle(s, d, "vocabstream",
+        graft.sinks.VocabSink.writer,
+        loc => graft.sinks.VocabSink.compact(s, loc))), 200)
 
-  /** Build (once per fixture generation) the q102 lifecycle state.
-    * Tagged by the documents fixture's (len, mtime) so a regenerated
-    * fixture rebuilds instead of serving stale counts; a crashed prior
-    * attempt (no __done marker) is cleared and redone — every write is
-    * marker-gated, so a torn state never serves. */
-  private def ensureVocabStream(s: SparkSession, d: String): String =
+  /** q103: the live PHRASE INVERTED INDEX ≡ the q65 batch build through
+    * the same three-cut lifecycle as q102 (fold of the first two
+    * batches + a live tail). All five per-phrase aggregates (df, occ,
+    * min/max doc, id_sum) must reconcile exactly across the fold
+    * boundary under the one-doc-one-batch admission contract — the
+    * df-additivity claim the sink's Scaladoc makes, here proved by the
+    * driver's hash gate against the batch oracle. */
+  val phraseStream: Q = (s, d) =>
+    graft.sinks.PhraseIndexSink.read(s,
+      ensureCutLifecycle(s, d, "phrasestream",
+        graft.sinks.PhraseIndexSink.writer,
+        loc => graft.sinks.PhraseIndexSink.compact(s, loc)), minDf = 3L)
+
+  /** Build (once per fixture generation) a three-cut streaming-sink
+    * lifecycle state over the documents table: batches 0/1 written,
+    * compacted into one fold, batch 2 appended as a live tail — the
+    * worst readable state (fold + tail merged read), shared by
+    * q102/q103. Tagged by the documents fixture's (len, mtime) so a
+    * regenerated fixture rebuilds instead of serving stale counts; a
+    * crashed prior attempt (no __done marker) is cleared and redone —
+    * every write is marker-gated, so a torn state never serves. */
+  private def ensureCutLifecycle(s: SparkSession, d: String, kind: String,
+      writer: String => (DataFrame, Long) => Unit,
+      compact: String => Unit): String =
     synchronized {
       val (len, mtime) = graft.sinks.Hfs.stat(s, s"$d/documents.parquet")
       val tag =
         s"${graft.functions.Scalars.md5Hex(d.getBytes("UTF-8")).take(12)}_${len}_$mtime"
-      val loc = s"${sys.props("java.io.tmpdir")}/graft-vocabstream/$tag"
+      val loc = s"${sys.props("java.io.tmpdir")}/graft-$kind/$tag"
       if (graft.sinks.Hfs.readString(s, s"$loc/__done").isEmpty) {
         graft.sinks.Hfs.deleteRecursive(s, loc)
         val docs = t(s, d, "documents")
         def cut(b: Long) = docs.filter(pmod(col("doc_id"), lit(3)) === b)
-        graft.sinks.VocabSink.writer(loc)(cut(0), 0L)
-        graft.sinks.VocabSink.writer(loc)(cut(1), 1L)
-        graft.sinks.VocabSink.compact(s, loc)
-        graft.sinks.VocabSink.writer(loc)(cut(2), 2L)
+        writer(loc)(cut(0), 0L)
+        writer(loc)(cut(1), 1L)
+        compact(loc)
+        writer(loc)(cut(2), 2L)
         graft.sinks.Hfs.writeString(s, s"$loc/__done", "ok")
       }
       loc
@@ -1059,6 +1080,7 @@ object TextOps {
     "q74_length_buckets" -> lengthBuckets,
     "q69_source_overlap" -> sourceOverlap,
     "q65_phrase_index" -> phraseIndex,
+    "q103_phrase_stream" -> phraseStream,
     "q66_phrase_search" -> phraseSearch,
     "q67_decile_filter" -> decileFilter,
     "q63_source_mix" -> sourceMix,
@@ -1288,6 +1310,23 @@ object TextOps {
     // mirrors phraseIndex's trigram construct; DuckDB sum/sum(DISTINCT)
     // over BIGINT returns HUGEINT → CAST (the q57 lesson)
     "q65_phrase_index" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(3, len(toks) + 1),
+        |        i -> toks[(i - 2)::INTEGER] || ' ' || toks[(i - 1)::INTEGER]
+        |             || ' ' || toks[i::INTEGER])
+        |    ELSE []::VARCHAR[] END) AS phrase
+        |  FROM tk)
+        |SELECT phrase, count(DISTINCT doc_id) AS df, count(*) AS occ,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  CAST(sum(DISTINCT doc_id) AS BIGINT) AS id_sum
+        |FROM e GROUP BY phrase HAVING count(DISTINCT doc_id) >= 3""".stripMargin,
+    // q103 ≡ q65 through the sink lifecycle — same oracle on purpose
+    // (the q98/q102 promote-the-lifecycle-to-the-oracle pattern)
+    "q103_phrase_stream" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |e AS (

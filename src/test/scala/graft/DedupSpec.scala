@@ -201,6 +201,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("star contraction ≡ hash-min propagation on the fixture pair graph") {
+    val pairs = DedupOps.shingleJaccardPairs(spark, sf0001)
+      .select("doc_a", "doc_b")
+    val viaMin = DedupOps.collapseClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val (viaStar, rounds) = DedupOps.collapseClustersStarWithStats(pairs)
+    assert(viaStar.as[(Long, Long)].collect().toMap == viaMin)
+    assert(rounds <= 8, s"fixture graph should star-converge fast, took $rounds")
+  }
+
+  test("star contraction handles the graphs the hash-min envelope refuses") {
+    // (a) a 100k-leaf star: one component of 100,001 docs — hash-min's
+    // maxComponent guard refuses it below that size; star contraction
+    // collapses it in O(1) rounds
+    val mega = spark.range(1, 100001)
+      .select(lit(0L).as("doc_a"), col("id").as("doc_b"))
+    intercept[IllegalArgumentException] {
+      DedupOps.collapseClusters(mega, maxComponent = 50000L)
+    }
+    val (starLabels, starRounds) =
+      DedupOps.collapseClustersStarWithStats(mega)
+    assert(starLabels.filter(col("cluster_rep") =!= 0L).count() == 0L)
+    assert(starLabels.count() == 100001L)
+    assert(starRounds <= 5, s"a star graph is already near-converged, took $starRounds")
+    // (b) a path of diameter 60 — past hash-min's 30-round cap, loud
+    // refusal there, O(log² n) rounds here
+    val chain = spark.range(60)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    intercept[IllegalArgumentException] {
+      DedupOps.collapseClusters(chain)
+    }
+    val (chainLabels, chainRounds) =
+      DedupOps.collapseClustersStarWithStats(chain)
+    assert(chainLabels.as[(Long, Long)].collect().toMap ==
+      (0L to 60L).map(_ -> 0L).toMap)
+    assert(chainRounds <= 12,
+      s"star contraction must beat the diameter on a 60-chain, took $chainRounds")
+  }
+
   test("collapseClusters fails loudly on a component above maxComponent") {
     // star of 1 hub + 11 leaves: converges in 2 rounds but the single
     // component has 12 docs — outside a maxComponent=10 envelope the
