@@ -835,14 +835,21 @@ object DedupOps {
     * [[collapseClustersWithStats]]'s guard names, now implemented:
     * Kiveris et al., "Connected Components in MapReduce and Beyond"
     * (SoCC'14). Alternating large-star / small-star contractions
-    * converge in O(log² n) rounds INDEPENDENT of diameter or component
+    * converge in O(log² n) rounds — LOGARITHMIC in diameter (each
+    * large/small-star pair roughly halves it; measured 7 rounds on a
+    * 60-chain, 11 on a 600-chain), where hash-min is linear — whatever
+    * the component
     * size — the algorithm for graphs outside the near-dup envelope
     * (boilerplate mega-clusters, adversarial chains past the 30-round
     * hash-min cap). Same contract as [[collapseClusters]]: in (doc_a,
-    * doc_b) pairs, out (doc_id, cluster_rep = component min); DedupSpec
-    * pins exact equivalence on the fixture pair graph, on a
-    * 100k-leaf star the hash-min guard refuses, and on a long chain
-    * past the hash-min round cap.
+    * doc_b) pairs, out (doc_id, cluster_rep = component min) — INCLUDING
+    * a node whose only appearance is a self-pair (a, a), which hash-min
+    * labels as a singleton and this variant therefore must too (the
+    * contraction drops self-loops, so those ids are unioned back as
+    * singleton labels at the end); DedupSpec
+    * pins exact equivalence on the fixture pair graph AND on a
+    * self-pair-bearing graph, on a 100k-leaf star the hash-min guard
+    * refuses, and on a long chain past the hash-min round cap.
     *
     *  - large-star(u): over the SYMMETRIC neighborhood Γ(u), connect
     *    every strictly-larger neighbor to m = min(Γ(u) ∪ u);
@@ -936,9 +943,20 @@ object DedupOps {
         Iterator((n, h))
       }.fold((0L, 0L)) { case ((n1, h1), (n2, h2)) => (n1 + n2, h1 + h2) }
 
-    var cur = pairs
+    // Self-pairs (a, a) carry no connectivity but DO assert membership:
+    // hash-min labels a node that appears only as a self-pair (it is a
+    // node of the edge RDD, labeled (a, a)), so the drop-in-equivalence
+    // contract requires the star output to keep it too. The contraction
+    // itself must not see self-loops (large-star would erase them and
+    // the node would vanish) — split them out here and union the ids
+    // back as singleton labels at the end (reduceByKey min keeps the
+    // real component label when the node also has proper edges).
+    val raw = pairs
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .as[(Long, Long)].rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val selfNodes = raw.filter { case (a, b) => a == b }.keys
+    var cur = raw
       .filter { case (a, b) => a != b }
       .persist(StorageLevel.MEMORY_AND_DISK)
     var curStats = stats(cur)
@@ -956,12 +974,20 @@ object DedupOps {
     require(converged, s"star contraction did not converge in $iter rounds " +
       "— not expected for any graph (O(log² n) bound); please report")
     // fixpoint = a forest of depth-1 stars, every non-root pointing at
-    // its component min; roots point at themselves
-    val labels = cur
-      .flatMap { case (w, m) => Iterator((w, m), (m, m)) }
+    // its component min; roots point at themselves. Self-pair-only
+    // nodes re-enter as singletons here (see the split above).
+    val labels = (cur
+      .flatMap { case (w, m) => Iterator((w, m), (m, m)) } ++
+      selfNodes.map(id => (id, id)))
       .reduceByKey(part, math.min(_: Long, _: Long))
-    val out = labels.toDF("doc_id", "cluster_rep")
-    (out, iter)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize before dropping the inputs: selfNodes reads `raw`,
+    // whose recompute would otherwise re-run the caller's whole pair
+    // plan the first time the returned frame is acted on
+    labels.count()
+    raw.unpersist(blocking = false)
+    cur.unpersist(blocking = false)
+    (labels.toDF("doc_id", "cluster_rep"), iter)
   }
 
   /** q104: q62's transitive closure through the OTHER algorithm — the

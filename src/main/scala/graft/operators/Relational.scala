@@ -356,9 +356,19 @@ object Relational {
       count(lit(1)).cast("double").as("n"),
       terms.map(tm => sum(when(array_contains(col("toks"), tm), 1).otherwise(0))
         .cast("double").as(s"df_$tm")): _*)
+    // df=0 guard: a term in NO document has tf 0 everywhere, but its
+    // idf n/df is Infinity and 0 × Inf = NaN — unreachable under the
+    // conjunctive filter (no row survives), REACHABLE under anyTerm
+    // (q100: a row matching the other term would score NaN, and Spark
+    // and DuckDB order NaN differently). The guard makes an absent
+    // term contribute exactly 0, as the Scaladoc claims; the oracle SQL
+    // carries the same CASE WHEN so the expression trees stay
+    // operand-for-operand parallel.
     val score = terms.map { tm =>
-      (size(col("toks")) - size(array_remove(col("toks"), tm))).cast("double") *
-        (col("n") / col(s"df_$tm"))
+      when(col(s"df_$tm") > 0,
+        (size(col("toks")) - size(array_remove(col("toks"), tm))).cast("double") *
+          (col("n") / col(s"df_$tm")))
+        .otherwise(lit(0.0))
     }.reduce(_ + _)
     val hit = terms.map(tm => array_contains(col("toks"), tm))
       .reduce((a, b) => if (anyTerm) a || b else a && b)
@@ -399,13 +409,23 @@ object Relational {
       terms.map(tm => sum(when(array_contains(col("toks"), tm), 1).otherwise(0))
         .cast("double").as(s"df_$tm"))
     val stats = docs.agg(aggs.head, aggs.tail: _*)
-    val score = terms.map { tm =>
+    val rawScore = terms.map { tm =>
       val tf = (size(col("toks")) - size(array_remove(col("toks"), tm))).cast("double")
       val idfCore = (col("n") - col(s"df_$tm") + lit(0.5)) / (col(s"df_$tm") + lit(0.5))
       val idf = if (lnIdf) log(lit(1.0) + idfCore) else idfCore
       idf * ((tf * lit(2.2)) /
         (tf + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / (col("sum_dl") / col("n")))))
     }.reduce(_ + _)
+    // The ln form EMITS (and sorts by) round(score, 6): Java Math.log
+    // and DuckDB libm log are each ≤1-ulp (~1e-16 relative) but not
+    // bit-identical, so raw ln doubles would hash-mismatch by
+    // construction; rounding to 1e-6 leaves ~10 orders of magnitude of
+    // margin and makes the ordering (and the hash) engine-independent
+    // (both engines round doubles half-away-from-zero, identical for
+    // these positive scores). The rational form stays RAW — its
+    // +,−,×,÷-only tree is exactly rounded in both engines, which is a
+    // stronger equivalence worth keeping un-rounded.
+    val score = if (lnIdf) round(rawScore, 6) else rawScore
     docs.crossJoin(broadcast(stats))
       .filter(terms.map(tm => array_contains(col("toks"), tm)).reduce(_ && _))
       .select(col("doc_id"), score.as("score"))
@@ -431,12 +451,15 @@ object Relational {
 
   /** q79's documented deviation closed: TRUE Lucene BM25 idf,
     * ln(1 + (N − df + 0.5)/(df + 0.5)), per Lucene's
-    * BM25Similarity.idfExplain. ln is why this runs under the driver's
-    * ROWS-ONLY check (oracle key omitted): Java Math.log and DuckDB's
-    * libm log are each ≤1-ulp but not guaranteed bit-identical, so a
-    * hash compare of raw doubles would be flaky by construction — q79
-    * keeps the rational idf core precisely so its doubles hash-compare,
-    * and this twin exists for callers who want Lucene-parity scores.
+    * BM25Similarity.idfExplain — matching ES's default `match` scoring
+    * (ref PublishDaoImpl.java:58-61). Java Math.log and DuckDB's libm
+    * log are each ≤1-ulp but not guaranteed bit-identical, so the raw
+    * ln doubles can't hash-compare; instead BOTH sides emit and sort by
+    * round(score, 6) — 1-ulp is ~1e-16 relative, ten orders of
+    * magnitude inside the rounding grain — giving this twin a full
+    * rows/schema/hash oracle (it ran rows-only through round 9). q79
+    * keeps the rational idf core RAW precisely because its
+    * transcendental-free doubles hash-compare without rounding.
     * Identical two-scan scale shape; ranking differs from q79 only
     * through the monotone ln. */
   val bm25LnMatch: Q = (s, d) =>
@@ -581,19 +604,27 @@ object Relational {
         |    sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df_merge
         |  FROM tk)
         |SELECT doc_id,
-        |  len(list_filter(toks, x -> x = 'spark'))::DOUBLE * (n / df_spark)
-        |  + len(list_filter(toks, x -> x = 'merge'))::DOUBLE * (n / df_merge)
+        |  CASE WHEN df_spark > 0 THEN
+        |    len(list_filter(toks, x -> x = 'spark'))::DOUBLE * (n / df_spark)
+        |  ELSE 0.0 END
+        |  + CASE WHEN df_merge > 0 THEN
+        |    len(list_filter(toks, x -> x = 'merge'))::DOUBLE * (n / df_merge)
+        |  ELSE 0.0 END
         |    AS score
         |FROM tk, stats
         |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'merge')
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
-    // q100: q55's oracle with the WHERE relaxed to OR — an absent term's
-    // len(list_filter(...)) is exactly 0, zeroing its addend, so the
-    // operand order (and the raw-double hash) still matches the Spark
-    // plan term-for-term. NOTE q101_bm25_ln_match has NO oracle entry on
-    // purpose: its ln(1+·) idf is ≤1-ulp per engine but not guaranteed
-    // bit-identical across Java Math.log and DuckDB libm, so it runs
-    // under the driver's rows-only check (see bm25LnMatch Scaladoc).
+    // q100: q55's oracle with the WHERE relaxed to OR. A term present
+    // SOMEWHERE but absent from THIS doc zeroes its addend via tf = 0;
+    // a term absent from the whole corpus (df = 0) needs the CASE WHEN
+    // guard both here and in the Spark plan — tf×idf would be
+    // 0 × Infinity = NaN, and NaN ordering differs across engines (the
+    // conjunctive q55 can never emit such a row; the OR filter can).
+    // The guards keep the expression trees operand-for-operand
+    // parallel, so the raw-double hash still matches. NOTE
+    // q101_bm25_ln_match's oracle rounds to 1e-6 instead (see
+    // bm25LnMatch Scaladoc: ln is ≤1-ulp per engine but not guaranteed
+    // bit-identical across Java Math.log and DuckDB libm).
     "q100_or_match" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -603,8 +634,12 @@ object Relational {
         |    sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df_merge
         |  FROM tk)
         |SELECT doc_id,
-        |  len(list_filter(toks, x -> x = 'spark'))::DOUBLE * (n / df_spark)
-        |  + len(list_filter(toks, x -> x = 'merge'))::DOUBLE * (n / df_merge)
+        |  CASE WHEN df_spark > 0 THEN
+        |    len(list_filter(toks, x -> x = 'spark'))::DOUBLE * (n / df_spark)
+        |  ELSE 0.0 END
+        |  + CASE WHEN df_merge > 0 THEN
+        |    len(list_filter(toks, x -> x = 'merge'))::DOUBLE * (n / df_merge)
+        |  ELSE 0.0 END
         |    AS score
         |FROM tk, stats
         |WHERE list_contains(toks, 'spark') OR list_contains(toks, 'merge')
@@ -632,6 +667,35 @@ object Relational {
         |       / (len(list_filter(toks, x -> x = 'merge'))::DOUBLE
         |          + 1.2 * (0.25 + (0.75 * dl) / (sum_dl / n))))
         |  AS score
+        |FROM tk, stats
+        |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'merge')
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // q101 = q79 with Lucene's ln(1 + idfCore) — and therefore with
+    // round(·, 6) on BOTH sides: ln doubles are ≤1-ulp per engine but
+    // not bit-identical across Java Math.log and DuckDB libm, so the
+    // rounded score (sorted on, emitted, hashed) is what makes this
+    // oracle deterministic. See bm25MatchOver's lnIdf branch.
+    "q101_bm25_ln_match" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' '))::DOUBLE AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(dl) AS sum_dl,
+        |    sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df_spark,
+        |    sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df_merge
+        |  FROM tk)
+        |SELECT doc_id,
+        |  round(
+        |    ln(1.0 + (n - df_spark + 0.5) / (df_spark + 0.5))
+        |      * ((len(list_filter(toks, x -> x = 'spark'))::DOUBLE * 2.2)
+        |         / (len(list_filter(toks, x -> x = 'spark'))::DOUBLE
+        |            + 1.2 * (0.25 + (0.75 * dl) / (sum_dl / n))))
+        |    + ln(1.0 + (n - df_merge + 0.5) / (df_merge + 0.5))
+        |      * ((len(list_filter(toks, x -> x = 'merge'))::DOUBLE * 2.2)
+        |         / (len(list_filter(toks, x -> x = 'merge'))::DOUBLE
+        |            + 1.2 * (0.25 + (0.75 * dl) / (sum_dl / n))))
+        |  , 6) AS score
         |FROM tk, stats
         |WHERE list_contains(toks, 'spark') AND list_contains(toks, 'merge')
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,

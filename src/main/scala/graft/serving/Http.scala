@@ -75,11 +75,23 @@ object Http {
     try os.write(bytes) finally os.close()
   }
 
-  private val reqSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
   /** HTTP executor thread count — also bounds the scheduler-pool name
     * set (at most this many requests run concurrently). */
-  private val poolThreads = 4
+  private[graft] val poolThreads = 4
+
+  /** Scheduler-pool name for the CURRENT handler thread. Keyed off the
+    * thread id, not an arrival-sequence counter: the pool property is
+    * per-thread anyway, the fixed executor has exactly [[poolThreads]]
+    * threads for the server's lifetime (handle() catches every
+    * exception, so no thread ever dies and gets replaced), and two
+    * CONCURRENT requests by definition run on distinct threads — so
+    * the name set stays bounded by poolThreads AND concurrent requests
+    * never share a pool. The previous `seq % poolThreads` scheme kept
+    * the set bounded but could alias two concurrent requests into one
+    * FIFO pool (arrival order ≠ thread occupancy); HttpServingSpec's
+    * soak test pins both properties via job-start properties. */
+  private[graft] def poolName(): String =
+    s"req-${Thread.currentThread().getId}"
 
   private def handle(ex: HttpExchange, spark: SparkSession)(
       f: Map[String, String] => String): Unit =
@@ -94,14 +106,13 @@ object Http {
         // head-of-line blocking behind the slowest query — the pool
         // property is per-thread, cleared in finally because the HTTP
         // executor reuses threads across requests. Pool names come from
-        // a BOUNDED set (modulo the executor pool size): Spark's
+        // a BOUNDED set (one per executor thread): Spark's
         // FairSchedulableBuilder creates a Pool per unseen name and
         // never removes it, so unique per-request names would leak one
         // rootPool entry per request on a long-lived server. Distinct
-        // names per CONCURRENT request is all fairness needs, and the
-        // HTTP executor caps concurrency at poolThreads.
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
-          s"req-${reqSeq.incrementAndGet() % poolThreads}")
+        // names per CONCURRENT request is all fairness needs — see
+        // poolName() for why thread-id keying gives exactly that.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", poolName())
         try respond(ex, 200, f(params(ex)))
         finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
       }

@@ -181,9 +181,10 @@ class DedupSpec extends SparkSpec {
         Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
       // listener events are posted asynchronously; onJobStart fires at
       // submit time, so by the time the actions above returned their
-      // results every job's start event has been posted — a short drain
-      // wait covers bus dispatch lag
-      Thread.sleep(300)
+      // results every job's start event has been posted — drain the bus
+      // (blocking until empty, not a fixed sleep a loaded box can
+      // out-wait) before reading the counter
+      org.apache.spark.graft.ListenerBusHook.drain(spark.sparkContext)
       // job budget: setup (edge checkpoint + label init) + per round ONE
       // join+groupBy checkpoint job, its broadcast-build job, and the
       // cached-block convergence sum + the final guard & collect. The
@@ -238,6 +239,42 @@ class DedupSpec extends SparkSpec {
       (0L to 60L).map(_ -> 0L).toMap)
     assert(chainRounds <= 12,
       s"star contraction must beat the diameter on a 60-chain, took $chainRounds")
+  }
+
+  test("star ≡ hash-min on self-pair-bearing input (singletons survive both)") {
+    // a doc appearing ONLY as a self-pair is still a member of the pair
+    // set: hash-min labels it (5,5); the star variant must not silently
+    // drop it just because the contraction erases self-loops. Mixed
+    // case: node 0 has both a self-pair and real edges — the self-pair
+    // must not override its component label.
+    val pairs = Seq((5L, 5L), (0L, 1L), (0L, 0L), (1L, 2L), (9L, 9L))
+      .toDF("doc_a", "doc_b")
+    val expect = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 9L -> 9L)
+    assert(DedupOps.collapseClusters(pairs)
+      .as[(Long, Long)].collect().toMap == expect)
+    assert(DedupOps.collapseClustersStarWithStats(pairs)._1
+      .as[(Long, Long)].collect().toMap == expect)
+  }
+
+  test("star round count grows log-, not linearly, in diameter (the O(log²) pin)") {
+    // hash-min needs diameter+1 rounds — 10× the diameter means 10× the
+    // rounds (60-chain: 61). Star contraction roughly halves the
+    // diameter per large/small-star pair, so the same 10× stretch costs
+    // ~log₂(10) ≈ 3-4 extra rounds (measured here: 7 → 11). This is the
+    // measured basis for the crossover guidance next to hash-min's
+    // maxComponent guard (PLANS.md): flip to star once the expected
+    // diameter exceeds a couple dozen.
+    def chain(n: Long) = spark.range(n)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val (l60, r60) = DedupOps.collapseClustersStarWithStats(chain(60))
+    val (l600, r600) = DedupOps.collapseClustersStarWithStats(chain(600))
+    assert(l60.filter(col("cluster_rep") =!= 0L).count() == 0L)
+    assert(l600.filter(col("cluster_rep") =!= 0L).count() == 0L)
+    assert(l600.count() == 601L)
+    // logarithmic budget: +⌈log₂ 10⌉+1 slack rounds; a diameter-LINEAR
+    // algorithm would need ~10× the rounds and blow this by 50+
+    assert(r600 <= r60 + 5,
+      s"10× the diameter must cost ~log₂(10) extra star rounds: $r60 -> $r600")
   }
 
   test("collapseClusters fails loudly on a component above maxComponent") {

@@ -65,4 +65,53 @@ class HttpServingSpec extends SparkSpec {
   test("json writer escapes quotes, backslashes and control chars") {
     assert(Http.jstr("a\"b\\c\nd") == "\"a\\\"b\\\\c\\u000ad\"")
   }
+
+  /** Scheduler-pool soak: Spark's FairSchedulableBuilder creates a Pool
+    * per unseen `spark.scheduler.pool` name and never removes it, so an
+    * unbounded name scheme leaks one rootPool entry per request on a
+    * long-lived server. Drive 10× poolThreads requests (concurrently,
+    * so multiple executor threads actually serve) and assert the name
+    * set Spark SAW stays bounded by the executor thread count. The
+    * shared test session runs FIFO (scheduler.mode is a context-startup
+    * config), so the observation point is the job-start properties —
+    * the exact value FairSchedulableBuilder keys pools on — rather
+    * than FAIR rootPool children. */
+  test("pool-name soak: 10× poolThreads requests create ≤ poolThreads pool names") {
+    Graft.init(spark, sf0001)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val p = js.properties.getProperty("spark.scheduler.pool")
+        if (p != null && p.startsWith("req-")) seen.add(p): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val srv = Http.start(spark, 0)
+    try {
+      val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      get(s"$base/dauRealtime?td=2024-01-15") // warm plans/caches once
+      val nReq = 10 * Http.poolThreads
+      val clients = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futs = (1 to nReq).map { _ =>
+          clients.submit(new java.util.concurrent.Callable[Int] {
+            override def call(): Int = get(s"$base/dauRealtime?td=2024-01-15")._1
+          })
+        }
+        assert(futs.map(_.get()).forall(_ == 200))
+      } finally clients.shutdown()
+      org.apache.spark.graft.ListenerBusHook.drain(spark.sparkContext)
+      assert(seen.size > 0, "soak must observe req- pool names on real jobs")
+      assert(seen.size <= Http.poolThreads,
+        s"pool-name set ${seen} exceeds the executor thread count " +
+          s"${Http.poolThreads} — FAIR-mode rootPool would leak one Pool " +
+          "per extra name for the server's lifetime")
+      import scala.jdk.CollectionConverters._
+      seen.asScala.foreach(n => assert(n.matches("req-\\d+"), s"odd pool name $n"))
+    } finally {
+      srv.stop(0)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }

@@ -26,4 +26,20 @@ class QueriesSpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("anyTerm scoring: a corpus-absent term contributes exactly 0, never NaN") {
+    // df = 0 makes the unguarded addend tf × (n/df) = 0 × Inf = NaN —
+    // unreachable under the conjunctive filter (no row survives a
+    // never-matching term) but REACHABLE under q100's OR filter, where
+    // Spark and DuckDB would then disagree on NaN ordering. The guard
+    // must zero the absent term's addend.
+    import spark.implicits._
+    val docs = Seq((1L, "spark rocks"), (2L, "plain text")).toDF("doc_id", "text")
+    val got = operators.Relational
+      .tfIdfMatch(docs, Seq("spark", "zzz_absent"), anyTerm = true)
+      .as[(Long, Double)].collect().toMap
+    assert(!got.values.exists(_.isNaN), s"NaN leaked into scores: $got")
+    // n=2, df_spark=1, tf=1 → 1 × (2/1) = 2.0; the absent term adds 0
+    assert(got == Map(1L -> 2.0), s"got $got")
+  }
 }
