@@ -24,6 +24,8 @@ object ScaleProbe {
       "minhash_lsh_candidates", "simhash_tiered_candidates",
       "simhash_join_occupancy",
       "simhash_tiered_capped", "cluster_collapse", "cluster_collapse_chain",
+      "cluster_collapse_star_chain", "cluster_collapse_star_hub",
+      "cluster_collapse_star_mixed",
       "winnow_fingerprints",
       "sign_band_scan", "cosine_verify_pairs", "phrase_index_build",
       "pack_greedy", "chunk_dedup", "vocab_build", "lm_score",
@@ -215,6 +217,70 @@ object ScaleProbe {
       val comps = labels.filter(col("doc_id") === col("cluster_rep")).count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"SCALE n=$n%9d cluster_collapse_chain $secs%6.2f s " +
+        f"($comps%,d components, $rounds rounds, ${secs / rounds}%5.3f s/round)")
+      edges.unpersist()
+    }
+    // Star contraction (q104) on the SAME diameter-24 chain shape the
+    // hash-min probe above measures — the apples-to-apples pair PLANS.md
+    // records for the crossover guidance: hash-min pays diameter+1
+    // cheap rounds (1 narrow join + 1 reduce), star pays ~log₂(diam)+C
+    // heavier rounds (2 sort-shuffles each), so shallow graphs favor
+    // hash-min and deep/huge ones star.
+    if (on("cluster_collapse_star_chain"))
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      val chain = 24L
+      val ofs = pmod(col("id"), lit(chain))
+      val base = ((col("id") - ofs) / chain) * (chain + 1)
+      val edges = spark.range(n)
+        .select((base + ofs).as("doc_a"), (base + ofs + 1).as("doc_b"))
+        .persist()
+      edges.count()
+      val t0 = System.nanoTime()
+      val (labels, rounds) =
+        functions.DedupOps.collapseClustersStarWithStats(edges)
+      val comps = labels.filter(col("doc_id") === col("cluster_rep")).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE n=$n%9d cluster_collapse_star_chain $secs%6.2f s " +
+        f"($comps%,d components, $rounds rounds, ${secs / rounds}%5.3f s/round)")
+      edges.unpersist()
+    }
+    // the mega-hub shape hash-min's maxComponent guard refuses: one
+    // star of n leaves. Streaming run processing means the hub's
+    // neighborhood never materializes — O(1) state per node — and the
+    // edge set contracts to n spokes immediately, so rounds stay O(1)
+    // whatever n is.
+    if (on("cluster_collapse_star_hub"))
+    for (n <- Seq(250000L, 1000000L)) {
+      val edges = spark.range(1, n + 1)
+        .select(lit(0L).as("doc_a"), col("id").as("doc_b"))
+        .persist()
+      edges.count()
+      val t0 = System.nanoTime()
+      val (labels, rounds) =
+        functions.DedupOps.collapseClustersStarWithStats(edges)
+      val sz = labels.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE n=$n%9d cluster_collapse_star_hub $secs%6.2f s " +
+        f"($sz%,d labeled, $rounds rounds, ${secs / rounds}%5.3f s/round)")
+      edges.unpersist()
+    }
+    // the DESIGNED input (3-node near-dup components, diameter 2) via
+    // star — what flipping the default would cost on in-envelope
+    // graphs, the other half of the crossover table.
+    if (on("cluster_collapse_star_mixed"))
+    for (n <- Seq(100000L, 400000L, 1600000L)) {
+      val ofs = pmod(col("id"), lit(2))
+      val base = (col("id") - ofs) * 5
+      val edges = spark.range(n)
+        .select((base + ofs).as("doc_a"), (base + ofs + 1).as("doc_b"))
+        .persist()
+      edges.count()
+      val t0 = System.nanoTime()
+      val (labels, rounds) =
+        functions.DedupOps.collapseClustersStarWithStats(edges)
+      val comps = labels.filter(col("doc_id") === col("cluster_rep")).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE n=$n%9d cluster_collapse_star_mixed $secs%6.2f s " +
         f"($comps%,d components, $rounds rounds, ${secs / rounds}%5.3f s/round)")
       edges.unpersist()
     }

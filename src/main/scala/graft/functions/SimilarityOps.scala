@@ -196,6 +196,130 @@ object SimilarityOps {
     probeAnnLshIndex(s, path, qVec, bits = 8, probe = 2, k = 10)
   }
 
+  /** ---- ANN-LSH corpus through the ingest-segment lifecycle ----
+    *
+    * q38 proves the stored bucket layout built in ONE shot; q105 proves
+    * the same layout reached the way a 100 TB corpus actually arrives —
+    * in micro-batches. Each ingest writes `corpus/ingest=N/bucket=B`
+    * (bucket partitioning INSIDE each segment, so partition pruning
+    * works per segment exactly as in the one-shot layout), compaction
+    * folds old segments through [[graft.sinks.IngestSegments]]'s
+    * rename-before-delete protocol, and a probe reads the fold+tail
+    * merged state. The driver's gate then pins the lifecycle: a probe
+    * over a three-cut folded+tail index must hash-equal the batch q38
+    * answer (same generated oracle). */
+  def ingestAnnSegment(emb: DataFrame, path: String, ingestId: Long,
+      bits: Int = 8, dims: Int = 64): Unit = {
+    val spark = emb.sparkSession
+    val planes = hyperplanes(dims, bits)
+    emb.select(col("vec_id"), col("v"))
+      .withColumn("bucket", bucketOf(col("v"), planes))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/corpus/ingest=$ingestId")
+    // plane-family width is layout geometry (see buildAnnLshIndex) —
+    // pin on first ingest, never drift after
+    if (graft.sinks.Hfs.readString(spark, s"$path/__dims").isEmpty)
+      graft.sinks.Hfs.writeString(spark, s"$path/__dims", dims.toString)
+  }
+
+  /** Fold old ANN segments: latest version per vec_id wins (the fold
+    * input carries `ingest` for exactly this), bucket layout preserved
+    * so pruning keeps working on the fold. */
+  def compactAnnLshIndex(spark: SparkSession, path: String): Unit =
+    graft.sinks.IngestSegments.compact(spark, s"$path/corpus",
+      fold = df => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("vec_id"), col("v"), col("bucket"))
+      },
+      partitionCols = Seq("bucket"))
+
+  /** [[probeAnnLshIndex]] against the LIVE fold+tail state: same probed
+    * bucket enumeration on the driver, same pruned scan per segment,
+    * plus latest-version-per-vec_id resolution over the pruned slice
+    * (skipped on a single-segment index — nothing to resolve). A
+    * re-ingested vector whose NEW position left the probed buckets can
+    * still surface its stale pre-move score until compaction folds the
+    * old segment — the same recency window every segment index here
+    * accepts (DedupOps/PqOps twins); compaction bounds it. */
+  def probeAnnLshIndexLive(s: SparkSession, path: String,
+      qVec: Array[Double], bits: Int = 8, probe: Int = 2, k: Int = 10,
+      excludeVecId: Long = 0L): DataFrame = {
+    val dims = graft.sinks.Hfs.readString(s, s"$path/__dims")
+      .map(_.trim.toInt).getOrElse(qVec.length)
+    require(qVec.length == dims,
+      s"query width ${qVec.length} != indexed width $dims at $path")
+    val planes = hyperplanes(dims, bits)
+    val qb = planes.zipWithIndex
+      .map { case (h, i) => if (dotLocal(qVec, h) > 0) 1L << i else 0L }
+      .reduce(_ | _)
+    val probed = (0L until (1L << bits))
+      .filter(b => java.lang.Long.bitCount(b ^ qb) <= probe)
+    graft.sinks.IngestSegments.readLiveWithIds(s, s"$path/corpus") match {
+      case None =>
+        import s.implicits._
+        Seq.empty[(Long, Double)].toDF("neighbor_id", "cosine")
+      case Some((live, ids)) =>
+        val pruned = live
+          .filter(col("bucket").isin(probed: _*) &&
+            col("vec_id") =!= excludeVecId)
+        val resolved =
+          if (ids.size <= 1) pruned
+          else {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
+            pruned.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1)
+          }
+        resolved
+          .select(col("vec_id").as("neighbor_id"),
+            round(fcos(col("v"), typedlit(qVec.toSeq)), 6).as("cosine"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+          .limit(k)
+    }
+  }
+
+  /** The three-cut fold+tail lifecycle state for q105, built once per
+    * fixture generation (the ensureCutLifecycle pattern of q102/q103:
+    * tag = fixture (len, mtime) so regeneration rebuilds; __done-gated
+    * so a torn build never serves). Cuts by pmod(vec_id, 3) — each
+    * vector in exactly one ingest. All three segments are written
+    * FIRST, then compacted: IngestSegments' contract keeps the newest
+    * batch id replayable and folds the rest, so the post-compact state
+    * is fold(cuts 0+1) + live tail(cut 2) — the worst readable state,
+    * which the q105 probe must read correctly. */
+  private def ensureAnnLshLifecycle(s: SparkSession, d: String,
+      bits: Int): String = synchronized {
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft-annlsh-stream/${sourceTag(s, d, "embeddings")}-b$bits"
+    if (graft.sinks.Hfs.readString(s, s"$path/__done").isEmpty) {
+      graft.sinks.Hfs.deleteRecursive(s, path)
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      def cut(b: Long) = emb.filter(pmod(col("vec_id"), lit(3)) === b)
+      ingestAnnSegment(cut(0), path, 0L, bits)
+      ingestAnnSegment(cut(1), path, 1L, bits)
+      ingestAnnSegment(cut(2), path, 2L, bits)
+      compactAnnLshIndex(s, path) // folds ingests 0+1; 2 stays the tail
+      graft.sinks.Hfs.writeString(s, s"$path/__done", "ok")
+    }
+    path
+  }
+
+  /** q105: q38's answer through the ingest lifecycle — the probe over
+    * the folded+tail segment state must hash-equal the one-shot batch
+    * layout's probe (same generated SQL oracle, on purpose: the
+    * lifecycle is the thing under test, not a new query semantics). */
+  val annLshTopKStream: Q = (s, d) => {
+    val path = ensureAnnLshLifecycle(s, d, 8)
+    val qVec = t(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    probeAnnLshIndexLive(s, path, qVec, bits = 8, probe = 2, k = 10)
+  }
+
   /** Deterministic k-means-lite: init = the k lowest vec_ids, `iters`
     * Lloyd steps. The tiny centroid model (k × dims doubles) is
     * collected to the driver each step — at 100 TB the build is its own
@@ -848,6 +972,7 @@ object SimilarityOps {
     "q25_ann_cosine_topk" -> annCosineTopK,
     "q26_label_centroids" -> labelCentroidStats,
     "q38_ann_lsh_topk" -> annLshTopK,
+    "q105_ann_lsh_stream" -> annLshTopKStream,
     "q42_ann_ivf_topk" -> annIvfTopK,
     "q51_embedding_dups" -> embeddingDupPairs,
     "q54_embedding_dups_lsh" -> ((s, d) => embeddingDupsBucketed(s, d)),
@@ -1064,6 +1189,9 @@ object SimilarityOps {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35""".stripMargin,
     "q38_ann_lsh_topk" -> lshOracle(8, 2),
+    // q105 ≡ q38 through the ingest lifecycle — same oracle on purpose
+    // (the q98/q102 promote-the-lifecycle-to-the-oracle pattern)
+    "q105_ann_lsh_stream" -> lshOracle(8, 2),
     "q25_ann_cosine_topk" ->
       """SELECT e.vec_id AS neighbor_id,
         | round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),6) AS cosine

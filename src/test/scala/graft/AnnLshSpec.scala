@@ -97,4 +97,54 @@ class AnnLshSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
       s"probe should prune on the bucket partition column:\n$plan")
   }
+
+  test("q105 ingest lifecycle: fold+tail probe ≡ one-shot batch probe, pruned per segment") {
+    // the lifecycle build runs on first use (q105's ensure); the result
+    // must equal q38's batch answer row-for-row — same oracle by design
+    val live = SimilarityOps.annLshTopKStream(spark, sf0001)
+    val liveRows = live.select("neighbor_id", "cosine")
+      .as[(Long, Double)].collect().toSeq
+    val batch = SimilarityOps.annLshTopK(spark, sf0001)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(liveRows == batch,
+      s"lifecycle probe diverged from batch layout:\n$liveRows\nvs\n$batch")
+    // the state under the probe is genuinely fold + tail: compaction
+    // folded ingests 0+1 into a negative-id segment, ingest 2 survives
+    // as the replayable live tail
+    val tag = live.inputFiles.headOption.map(f =>
+      f.substring(0, f.indexOf("/corpus/"))).getOrElse(fail("no input files"))
+    val segs = graft.sinks.IngestSegments
+      .liveSegments(spark, s"$tag/corpus").sorted
+    assert(segs.size == 2 && segs.head < 0 && segs.last == 2L,
+      s"expected fold + tail segments, got $segs")
+    // and every file the probe reads sits in a probed bucket directory
+    // of one of those segments — the pruned-scan property per segment
+    assert(live.inputFiles.nonEmpty &&
+      live.inputFiles.forall(_.contains("/bucket=")),
+      s"probe read outside bucket partitions: ${live.inputFiles.take(3).toSeq}")
+  }
+
+  test("lifecycle probe resolves the LATEST version of a re-ingested vector") {
+    import spark.implicits._
+    val rnd = new java.util.Random(11)
+    def rv() = Array.fill(16)(rnd.nextGaussian()).toSeq
+    val q = rv()
+    def noisy(eps: Double) = q.map(x => x + eps * rnd.nextGaussian())
+    val dir = java.nio.file.Files.createTempDirectory("graft-annstream").toString
+    // ingest 0: vec 7 is FAR from the query; ingest 1 re-ingests vec 7
+    // NEAR it (plus filler so buckets are populated)
+    val far = (1 to 16).map(_ => rnd.nextGaussian() * 2).toSeq
+    SimilarityOps.ingestAnnSegment(
+      (Seq((0L, q), (7L, far)) ++ (20L to 40L).map(i => (i, rv())))
+        .toDF("vec_id", "v"), dir, 0L, bits = 4, dims = 16)
+    SimilarityOps.ingestAnnSegment(
+      Seq((7L, noisy(0.01))).toDF("vec_id", "v"), dir, 1L, bits = 4, dims = 16)
+    val got = SimilarityOps.probeAnnLshIndexLive(
+        spark, dir, q.toArray, bits = 4, probe = 2, k = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(got.contains(7L), s"re-ingested near-dup missing: $got")
+    assert(got(7L) > 0.99,
+      s"probe scored a STALE version of vec 7 (cos ${got(7L)}); " +
+        "latest-wins resolution must pick ingest 1's vector")
+  }
 }

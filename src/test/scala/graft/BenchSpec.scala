@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's contention decision, pinned at the unit level: the
+  * canary clause catches neighbor load sampled at the query's edges;
+  * the floor clause closes the round-9 blind spot where a query's
+  * iterations were squeezed while both canary slots landed in quiet
+  * gaps (q41: min 1.69 s vs quiet floor 0.59 s, zero canary flags). */
+class BenchSpec extends AnyFunSuite {
+
+  private val iters = 3
+  private def m(times: Seq[Double], cb: Double, ca: Double) =
+    Bench.Meas(times, cb, ca)
+
+  private def flags(meas: Map[String, Bench.Meas],
+      floors: Map[String, Double] = Map.empty): Set[String] =
+    Bench.flagContended(meas.keys.toSeq.sorted, meas, iters,
+      calibBound = 0.5, floors, floorFactor = 2.0, floorSlack = 0.3)
+
+  test("canary spike on either side flags the query") {
+    val base = Map(
+      "q1" -> m(Seq(1.0, 1.0, 1.0), 0.1, 0.1),
+      "q2" -> m(Seq(1.0, 1.0, 1.0), 0.1, 0.9), // after-slot spike
+      "q3" -> m(Seq(1.0, 1.0, 1.0), 0.9, 0.1)) // before-slot spike
+    assert(flags(base) == Set("q2", "q3"))
+  }
+
+  test("floor breach flags even when both canary slots were quiet (the q41 blind spot)") {
+    val meas = Map("q41" -> m(Seq(1.69, 1.80, 1.75), 0.1, 0.1))
+    assert(flags(meas, floors = Map("q41" -> 0.59)) == Set("q41"))
+    // same measurement with no stored floor: nothing to compare, no flag
+    assert(flags(meas) == Set.empty)
+  }
+
+  test("floor slack keeps millisecond queries from flagging on jitter") {
+    // 0.02 -> 0.05 is 2.5x the floor but only 30 ms of excess — noise
+    val meas = Map("q9" -> m(Seq(0.05, 0.05, 0.05), 0.1, 0.1))
+    assert(flags(meas, floors = Map("q9" -> 0.02)) == Set.empty)
+    // a real breach clears both the factor and the slack
+    val big = Map("q9" -> m(Seq(1.5, 1.5, 1.5), 0.1, 0.1))
+    assert(flags(big, floors = Map("q9" -> 0.5)) == Set("q9"))
+  }
+
+  test("failed queries are never flagged as contended (crash ≠ contention)") {
+    val meas = Map("qX" -> m(Seq(9.0), 0.9, 0.9)) // 1 of 3 iters → failed
+    assert(flags(meas, floors = Map("qX" -> 0.1)) == Set.empty)
+  }
+
+  test("readFloors parses per-query mins, only for a same-sf artifact") {
+    val text =
+      """{"total":5.0,"iters":3,"contended":[],"sf":"/root/testdata/sf0.1",""" +
+        """"queries":{"q1_agg":{"min":0.123,"median":0.2,"calib":0.1,""" +
+        """"contended":false,"times":[0.2]},"q41_x":{"min":0.590,""" +
+        """"median":0.6,"calib":0.1,"contended":false,"times":[0.6]}}}"""
+    assert(Bench.readFloors(text, "/root/testdata/sf0.1") ==
+      Map("q1_agg" -> 0.123, "q41_x" -> 0.590))
+    assert(Bench.readFloors(text, "/root/testdata/sf0.01") == Map.empty)
+  }
+
+  test("readFloors drops failed (-1) entries") {
+    val text = """"sf":"/d","queries":{"q1":{"min":-1.000,"median":-1.0},""" +
+      """"q2":{"min":0.5,"median":0.5}}"""
+    assert(Bench.readFloors(text, "/d") == Map("q2" -> 0.5))
+  }
+}
