@@ -25,7 +25,7 @@ object ScaleProbe {
       "simhash_join_occupancy",
       "simhash_tiered_capped", "cluster_collapse", "cluster_collapse_chain",
       "cluster_collapse_star_chain", "cluster_collapse_star_hub",
-      "cluster_collapse_star_mixed",
+      "cluster_collapse_star_mixed", "simhash_tier_split",
       "winnow_fingerprints",
       "sign_band_scan", "cosine_verify_pairs", "phrase_index_build",
       "pack_greedy", "chunk_dedup", "vocab_build", "lm_score",
@@ -219,6 +219,51 @@ object ScaleProbe {
       println(f"SCALE n=$n%9d cluster_collapse_chain $secs%6.2f s " +
         f"($comps%,d components, $rounds rounds, ${secs / rounds}%5.3f s/round)")
       edges.unpersist()
+    }
+    // q29 tier-cost attribution: the suite's slowest query split into
+    // its three serial stages — (A) tiered-key candidate enumeration
+    // (blocking keys + equality self-join + hamming/size prefilters +
+    // distinct), (B) verify PREP (shingle-hash only the candidate doc
+    // set), (C) verify PROPER (pair join + sorted-merge intersect +
+    // Jaccard filter). Each stage's input is persisted and counted
+    // before the next starts, so the timings attribute, not overlap —
+    // this is where the next 2× on q29 would have to come from.
+    if (on("simhash_tier_split"))
+    for (n <- Seq(100000L, 400000L)) {
+      val docs = synthDocs(n).persist(); docs.count()
+      val tA0 = System.nanoTime()
+      val keys = functions.DedupOps.simhashTieredKeys(docs).repartition(col("b"))
+      val cand = keys.as("a").join(keys.as("b"),
+          col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
+        .filter(expr("bit_count(a.f ^ b.f) <= 12"))
+        .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(0.5) * greatest(col("a.sz"), col("b.sz")))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().persist()
+      val nCand = cand.count()
+      val tA = (System.nanoTime() - tA0) / 1e9
+      val tB0 = System.nanoTime()
+      val candIds = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      val candDocs = docs.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), sort_array(
+          graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("hs"))
+        .filter(size(col("hs")) > 0).persist()
+      val nDocs = candDocs.count()
+      val tB = (System.nanoTime() - tB0) / 1e9
+      val tC0 = System.nanoTime()
+      val nPairs = cand
+        .join(candDocs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+        .join(candDocs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+        .withColumn("inter", graft.expressions.VectorHashes
+          .sorted_intersect_count(col("hs_a"), col("hs_b")))
+        .filter(col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")) >= 0.5)
+        .count()
+      val tC = (System.nanoTime() - tC0) / 1e9
+      println(f"SCALE n=$n%9d simhash_tier_split enum=$tA%6.2f s " +
+        f"prep=$tB%6.2f s verify=$tC%6.2f s " +
+        f"($nCand%,d cands, $nDocs%,d cand docs, $nPairs%,d true pairs)")
+      cand.unpersist(); candDocs.unpersist(); docs.unpersist()
     }
     // Star contraction (q104) on the SAME diameter-24 chain shape the
     // hash-min probe above measures — the apples-to-apples pair PLANS.md

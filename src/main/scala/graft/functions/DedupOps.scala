@@ -755,11 +755,18 @@ object DedupOps {
     * - a converged component larger than `maxComponent` trips the guard
     *   below. Near-dup graphs have bounded components by construction;
     *   a violation means the input is not a near-dup graph and wants
-    *   the star-contraction algorithm (Kiveris et al., "Connected
-    *   Components in MapReduce and Beyond", SoCC'14: alternate
-    *   large-star/small-star contractions, O(log²) rounds independent
-    *   of diameter), which this engine intentionally does not pay for
-    *   on its designed inputs. */
+    *   [[collapseClustersStarWithStats]] (Kiveris et al. star
+    *   contraction), which this engine intentionally does not pay for
+    *   on its designed inputs.
+    *
+    * CROSSOVER (measured, PLANS.md round-10 table): flip to the star
+    * variant when expected diameter > ~25, when any component may
+    * exceed maxComponent (mega-hubs: star handles a 1M-leaf hub in one
+    * round), or when the pair graph exceeds ~100k edges and wall-clock
+    * matters (diameter-24 chains: star 6 rounds/28.6 s vs 25
+    * rounds/40 s at 1.6M edges). Below all three thresholds hash-min
+    * wins — its narrow-join+reduce rounds are ~2× cheaper than star's
+    * two sort-shuffles+distinct (sf0.01 fixture: 0.91 s vs 1.14 s). */
   def collapseClustersWithStats(pairs: DataFrame,
       maxComponent: Long = 10000000L): (DataFrame, Int) = {
     val spark = pairs.sparkSession
