@@ -36,6 +36,9 @@ object TextHashes {
   def shingle_hashes(c: Column, width: Int = 3): Column =
     column(ShingleHashes(expression(c), width))
 
+  def dedup_fingerprint(c: Column, perms: Int = 32, width: Int = 3): Column =
+    column(DedupFingerprint(expression(c), perms, width))
+
   def text_stats(c: Column, sets: Seq[Seq[String]]): Column =
     column(TextStats(expression(c), sets))
 
@@ -273,6 +276,61 @@ object TextHashRuntime {
     new GenericArrayData(out)
   }
 
+  /** The q29 fingerprint trio — simhash64 + distinct-shingle count +
+    * MinHash signature — in ONE pass: one token split, one shingle-hash
+    * sweep feeding BOTH the distinct set and the perm minima, one
+    * token-hash sweep for the simhash votes. The separate expressions
+    * split the text three times and hash the shingles twice; and
+    * because simhashTieredKeys evaluates its fingerprint projection
+    * once per tier branch of a union, the waste doubled — measured as
+    * ~80% of q29's cost sitting in candidate enumeration (PLANS.md
+    * round-10 tier split). Layout: [f, sz, min_0..min_{perms-1}]
+    * (length 2 for sub-width docs — sz 0, no signature), decoded by
+    * element_at/slice; bit-equivalence to the three separate fused
+    * expressions is DedupSpec-pinned. */
+  def dedupFingerprint(text: UTF8String, perms: Int, width: Int): ArrayData = {
+    val toks = text.split(SPACE, -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = XxHash64Function.hash(toks(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var f = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) f |= (1L << b)
+      b += 1
+    }
+    val n = toks.length - width + 1
+    if (n <= 0) return new GenericArrayData(Array(f, 0L))
+    val consts = Array.tabulate(perms)(permConst)
+    val mins = Array.fill(perms)(Long.MaxValue)
+    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    i = 0
+    while (i < n) {
+      val h = shingleHash(toks, i, width)
+      seen.add(h)
+      var p = 0
+      while (p < perms) {
+        val v = java.lang.Long.rotateLeft(h, p + 1) ^ consts(p)
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](2 + perms)
+    out(0) = f
+    out(1) = seen.size.toLong
+    System.arraycopy(mins, 0, out, 2, perms)
+    new GenericArrayData(out)
+  }
+
   private def shingleHash(toks: Array[UTF8String], i: Int, width: Int): Long = {
     val parts = new Array[UTF8String](width)
     var k = 0
@@ -302,6 +360,30 @@ case class MinHashSignature(child: Expression, perms: Int, width: Int)
       s"${ev.value} = graft.expressions.TextHashRuntime.minhash($c, $perms, $width);")
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** [[TextHashRuntime.dedupFingerprint]] as an expression: the q29
+  * fingerprint trio in one tokenization pass, array<bigint> layout
+  * [simhash, n_distinct_shingles, minhash_0..minhash_{perms-1}]. */
+case class DedupFingerprint(child: Expression, perms: Int, width: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  require(perms >= 1 && perms <= 63 && width >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dedup_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashRuntime.dedupFingerprint(input.asInstanceOf[UTF8String], perms, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextHashRuntime.dedupFingerprint($c, $perms, $width);")
+
+  override protected def withNewChildInternal(c: Expression): DedupFingerprint =
     copy(child = c)
 }
 

@@ -347,10 +347,21 @@ object DedupOps {
     * (round-5) → 0.32 M rows (tier 0 ≈ 318 k + tier 1 ≈ 1.8 k) — a
     * 100× drop with identical q29 output. */
   def simhashTieredKeys(docs: DataFrame): DataFrame = {
+    // ONE fused fingerprint pass (simhash + distinct-shingle count +
+    // MinHash signature in a single tokenization — see
+    // TextHashRuntime.dedupFingerprint): the previous three separate
+    // expressions split the text three times and hashed the shingles
+    // twice, and the per-tier union branches below each re-evaluate
+    // their projection, doubling that again — measured as the dominant
+    // (~80%) share of q29's cost in the round-10 tier split. Layout:
+    // [f, sz, min_0..min_31], decoded here; bit-equivalence to the
+    // separate expressions is DedupSpec-pinned.
     val fp = docs.select(col("doc_id"),
-      graft.expressions.TextHashes.simhash64(col("text")).as("f"),
-      graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"),
-      size(graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("sz"))
+      graft.expressions.TextHashes.dedup_fingerprint(col("text"), 32, 3).as("fpa"))
+      .select(col("doc_id"),
+        element_at(col("fpa"), 1).as("f"),
+        element_at(col("fpa"), 2).as("sz"),
+        slice(col("fpa"), 3, 32).as("sig"))
     // sz > 0 on BOTH tiers: docs with no shingle (under 3 tokens, incl.
     // empty text) all hash to the same degenerate fingerprint, share
     // every tier-0 key, and pass both prefilters (0 <= hamming, 0 >=

@@ -95,6 +95,30 @@ class DedupSpec extends SparkSpec {
     assert(fused == hof)
   }
 
+  test("fused DedupFingerprint ≡ the three separate expressions (bit-identical)") {
+    // q29's enumeration reads [f, sz, sig...] from ONE pass; a drift
+    // against the single-purpose expressions would silently change the
+    // candidate set. Includes the edge shapes: empty text, 1-2 tokens
+    // (sz 0, no signature, but a real simhash), exact 3 tokens.
+    val docs = (Seq((0L, base), (1L, near), (2L, other)) ++
+      Seq((3L, ""), (4L, "a"), (5L, "a b"), (6L, "a b c")))
+      .toDF("doc_id", "text")
+    val sep = docs.select(col("doc_id"),
+        graft.expressions.TextHashes.simhash64(col("text")).as("f"),
+        size(graft.expressions.TextHashes.shingle_hashes(col("text"), 3))
+          .cast("long").as("sz"),
+        graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"))
+      .as[(Long, Long, Long, Seq[Long])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val fused = docs.select(col("doc_id"),
+        graft.expressions.TextHashes.dedup_fingerprint(col("text"), 32, 3).as("a"))
+      .select(col("doc_id"), element_at(col("a"), 1).as("f"),
+        element_at(col("a"), 2).as("sz"), slice(col("a"), 3, 32).as("sig"))
+      .as[(Long, Long, Long, Seq[Long])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(fused == sep)
+  }
+
   test("minhash/LSH recovers exactly the exact shingle-Jaccard pairs on the fixtures") {
     val lsh = DedupOps.minhashLsh(spark, sf0001)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
