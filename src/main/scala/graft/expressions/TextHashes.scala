@@ -39,6 +39,9 @@ object TextHashes {
   def dedup_fingerprint(c: Column, perms: Int = 32, width: Int = 3): Column =
     column(DedupFingerprint(expression(c), perms, width))
 
+  def sig_sorted_shingles(c: Column, perms: Int = 32, width: Int = 3): Column =
+    column(SigSortedShingles(expression(c), perms, width))
+
   def text_stats(c: Column, sets: Seq[Seq[String]]): Column =
     column(TextStats(expression(c), sets))
 
@@ -331,6 +334,44 @@ object TextHashRuntime {
     new GenericArrayData(out)
   }
 
+  /** The ingest-path pair — MinHash signature + SORTED distinct shingle
+    * hashes — in one pass: one split, one shingle sweep feeding both
+    * the perm minima and the distinct set, plus the sort the consumers
+    * (linear-merge SortedIntersectCount) need exactly once per doc.
+    * Struct{sig: array<bigint>, hs: array<bigint>}; bit-identical to
+    * minhash_signature ⊕ sort_array(shingle_hashes) (DedupSpec). */
+  def sigSortedShingles(text: UTF8String, perms: Int, width: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.split(SPACE, -1)
+    val n = toks.length - width + 1
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](new GenericArrayData(Array.emptyLongArray),
+          new GenericArrayData(Array.emptyLongArray)))
+    val consts = Array.tabulate(perms)(permConst)
+    val mins = Array.fill(perms)(Long.MaxValue)
+    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val h = shingleHash(toks, i, width)
+      seen.add(h)
+      var p = 0
+      while (p < perms) {
+        val v = java.lang.Long.rotateLeft(h, p + 1) ^ consts(p)
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    val hs = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { hs(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(hs) // = sort_array asc over non-null longs
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(mins), new GenericArrayData(hs)))
+  }
+
   private def shingleHash(toks: Array[UTF8String], i: Int, width: Int): Long = {
     val parts = new Array[UTF8String](width)
     var k = 0
@@ -384,6 +425,33 @@ case class DedupFingerprint(child: Expression, perms: Int, width: Int)
       s"${ev.value} = graft.expressions.TextHashRuntime.dedupFingerprint($c, $perms, $width);")
 
   override protected def withNewChildInternal(c: Expression): DedupFingerprint =
+    copy(child = c)
+}
+
+/** [[TextHashRuntime.sigSortedShingles]] as an expression —
+  * struct{sig, hs} for the persistent-index ingest path, one
+  * tokenization instead of minhash_signature ⊕
+  * sort_array(shingle_hashes)'s two. */
+case class SigSortedShingles(child: Expression, perms: Int, width: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  require(perms >= 1 && perms <= 63 && width >= 1)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("hs", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sig_sorted_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashRuntime.sigSortedShingles(input.asInstanceOf[UTF8String], perms, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextHashRuntime.sigSortedShingles($c, $perms, $width);")
+
+  override protected def withNewChildInternal(c: Expression): SigSortedShingles =
     copy(child = c)
 }
 

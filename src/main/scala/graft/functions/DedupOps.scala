@@ -1037,10 +1037,12 @@ object DedupOps {
     * SortedIntersectCount instead of array_intersect's per-pair hash
     * set. */
   private def indexRows(docs: DataFrame): DataFrame = {
+    // one fused tokenization for BOTH ingest artifacts (signature +
+    // sorted hash set) — was two expressions = two splits + two shingle
+    // sweeps per doc; bit-equivalence DedupSpec-pinned
     val sig = docs.select(col("doc_id"),
-      graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"),
-      sort_array(
-        graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("hs"))
+      graft.expressions.TextHashes.sig_sorted_shingles(col("text"), 32, 3).as("sh"))
+      .select(col("doc_id"), col("sh.sig").as("sig"), col("sh.hs").as("hs"))
       .filter(size(col("sig")) > 0)
     sig.select(col("doc_id"), col("hs"),
         explode(lshBands(col("sig"), 32, 4)).as("b"))

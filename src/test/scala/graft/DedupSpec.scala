@@ -119,6 +119,26 @@ class DedupSpec extends SparkSpec {
     assert(fused == sep)
   }
 
+  test("fused SigSortedShingles ≡ minhash_signature ⊕ sort_array(shingle_hashes)") {
+    // the ingest path (indexRows) reads struct{sig, hs} from one pass;
+    // drift against the single-purpose expressions would corrupt every
+    // persisted index segment written after it
+    val docs = (Seq((0L, base), (1L, near), (2L, other)) ++
+      Seq((3L, ""), (4L, "a b"), (5L, "a b c")))
+      .toDF("doc_id", "text")
+    val sep = docs.select(col("doc_id"),
+        graft.expressions.TextHashes.minhash_signature(col("text"), 32, 3).as("sig"),
+        sort_array(graft.expressions.TextHashes.shingle_hashes(col("text"), 3)).as("hs"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val fused = docs.select(col("doc_id"),
+        graft.expressions.TextHashes.sig_sorted_shingles(col("text"), 32, 3).as("sh"))
+      .select(col("doc_id"), col("sh.sig"), col("sh.hs"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(fused == sep)
+  }
+
   test("minhash/LSH recovers exactly the exact shingle-Jaccard pairs on the fixtures") {
     val lsh = DedupOps.minhashLsh(spark, sf0001)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
