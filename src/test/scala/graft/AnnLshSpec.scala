@@ -117,11 +117,39 @@ class AnnLshSpec extends SparkSpec {
       .liveSegments(spark, s"$tag/corpus").sorted
     assert(segs.size == 2 && segs.head < 0 && segs.last == 2L,
       s"expected fold + tail segments, got $segs")
-    // and every file the probe reads sits in a probed bucket directory
-    // of one of those segments — the pruned-scan property per segment
-    assert(live.inputFiles.nonEmpty &&
-      live.inputFiles.forall(_.contains("/bucket=")),
-      s"probe read outside bucket partitions: ${live.inputFiles.take(3).toSeq}")
+    // and the scan PRUNES on the bucket partition column (inputFiles
+    // lists the whole relation regardless of pruning, so the pin is on
+    // the executed plan's PartitionFilters + the actually-read files):
+    // every FileSourceScanExec partition the probe touched must lie in
+    // the ≤37-of-256 probed set, recomputed here exactly as the probe
+    // does (stored planes, query = vec 0, hamming ≤ 2)
+    val planStr = live.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(planStr).isDefined,
+      s"probe should prune on the bucket partition column:\n$planStr")
+    val qv = graft.Tables.t(spark, sf0001, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    val planes = SimilarityOps.hyperplanes(64, 8)
+    val qb = planes.zipWithIndex.map { case (h, i) =>
+      if (qv.zip(h).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
+    }.reduce(_ | _)
+    val probed = (0L until 256L)
+      .filter(b => java.lang.Long.bitCount(b ^ qb) <= 2).toSet
+    val scans = walkPlan(live.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val readBuckets = scans.flatMap(_.selectedPartitions.toPartitionArray)
+      .map(_.urlEncodedPath)
+      .map { f =>
+        val m = "/bucket=(\\d+)/".r.findFirstMatchIn(f)
+        assert(m.isDefined, s"probe read outside bucket partitions: $f")
+        m.get.group(1).toLong
+      }.toSet
+    assert(readBuckets.nonEmpty && readBuckets.subsetOf(probed),
+      s"probe read unprobed buckets: ${readBuckets -- probed}")
   }
 
   test("lifecycle probe resolves the LATEST version of a re-ingested vector") {
