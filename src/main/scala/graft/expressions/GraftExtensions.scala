@@ -60,6 +60,22 @@ object GraftExtensions {
       case Seq(text, w) => ShingleHashes(text, intArg(w, "width"))
       case _ => throw new IllegalArgumentException("shingle_hashes(text[, width])")
     }),
+    ("dedup_fingerprint", classOf[DedupFingerprint], {
+      case Seq(text) => DedupFingerprint(text, 32, 3)
+      case Seq(text, p) => DedupFingerprint(text, intArg(p, "perms"), 3)
+      case Seq(text, p, w) =>
+        DedupFingerprint(text, intArg(p, "perms"), intArg(w, "width"))
+      case _ => throw new IllegalArgumentException(
+        "dedup_fingerprint(text[, perms[, width]])")
+    }),
+    ("sig_sorted_shingles", classOf[SigSortedShingles], {
+      case Seq(text) => SigSortedShingles(text, 32, 3)
+      case Seq(text, p) => SigSortedShingles(text, intArg(p, "perms"), 3)
+      case Seq(text, p, w) =>
+        SigSortedShingles(text, intArg(p, "perms"), intArg(w, "width"))
+      case _ => throw new IllegalArgumentException(
+        "sig_sorted_shingles(text[, perms[, width]])")
+    }),
     ("repetition_stats", classOf[RepetitionStats], {
       case Seq(text) => RepetitionStats(text)
       case _ => throw new IllegalArgumentException("repetition_stats(text)")

@@ -23,6 +23,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == viaColumn)
   }
 
+  test("dedup_fingerprint and sig_sorted_shingles callable from SQL") {
+    GraftExtensions.register(spark)
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text").createOrReplaceTempView("docs_ext_fp")
+    val viaSql = spark.sql(
+      """SELECT dedup_fingerprint(text, 8, 3) AS fp,
+        |       sig_sorted_shingles(text, 8, 3).sig AS sig,
+        |       sig_sorted_shingles(text, 8, 3).hs AS hs
+        |FROM docs_ext_fp""".stripMargin)
+      .as[(Seq[Long], Seq[Long], Seq[Long])].collect()(0)
+    val viaColumn = spark.table("docs_ext_fp").select(
+      graft.expressions.TextHashes.dedup_fingerprint(col("text"), 8, 3),
+      graft.expressions.TextHashes.sig_sorted_shingles(col("text"), 8, 3)
+        .getField("sig"),
+      graft.expressions.TextHashes.sig_sorted_shingles(col("text"), 8, 3)
+        .getField("hs"))
+      .as[(Seq[Long], Seq[Long], Seq[Long])].collect()(0)
+    assert(viaSql == viaColumn)
+    assert(viaSql._1.size == 10 && viaSql._2.size == 8) // [f, sz, 8 mins]
+  }
+
   test("shingle_hashes, repetition_stats and sorted_intersect_count callable from SQL") {
     GraftExtensions.register(spark)
     Seq((1L, "a b c d e a b c"), (2L, "c d e f g h i j"))

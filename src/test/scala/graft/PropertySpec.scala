@@ -111,6 +111,36 @@ class PropertySpec extends SparkSpec {
     assert(sess == total)
   }
 
+  test("fused fingerprint runtimes ≡ single-purpose runtimes over arbitrary text (pure, no Spark)") {
+    // DedupSpec pins the expression wiring (codegen path) on fixed
+    // docs; this drives the shared static runtimes over arbitrary
+    // token streams — unicode, empty tokens from doubled spaces,
+    // leading/trailing separators — where a fusion bug in the
+    // edge handling (run starts, sub-width docs) would hide.
+    import graft.expressions.TextHashRuntime._
+    import org.apache.spark.unsafe.types.UTF8String
+    val genTok: Gen[String] = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(5)),
+      2 -> Gen.const(""),                       // doubled-space empties
+      1 -> Gen.const("日本語テキスト"),
+      1 -> Gen.const("émo🦊ji"))
+    val genText: Gen[String] =
+      Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, genTok)).map(_.mkString(" "))
+    check(Prop.forAllNoShrink(genText, Gen.choose(1, 40), Gen.choose(1, 4)) {
+      (s, perms, width) =>
+        val t = UTF8String.fromString(s)
+        val fp = dedupFingerprint(t, perms, width).toLongArray()
+        val sig = minhash(t, perms, width).toLongArray().toSeq
+        val hs = shingleHashes(t, width).toLongArray().toSeq
+        val fpOk = fp(0) == simhash(t) && fp(1) == hs.size.toLong &&
+          fp.drop(2).toSeq == sig
+        val row = sigSortedShingles(t, perms, width)
+        val ssOk = row.getArray(0).toLongArray().toSeq == sig &&
+          row.getArray(1).toLongArray().toSeq == hs.sorted
+        fpOk && ssOk
+    }, minTests = 300)
+  }
+
   test("packShard invariants over arbitrary token sequences (pure, no Spark)") {
     import graft.operators.Analytics.{packShard, PackIn}
     val genDocs: Gen[List[Long]] =
