@@ -152,6 +152,29 @@ class AnnLshSpec extends SparkSpec {
       s"probe read unprobed buckets: ${readBuckets -- probed}")
   }
 
+  test("a torn lifecycle build (missing __done) is cleared and rebuilt, not served") {
+    // first use built the state (previous test or this one); simulate a
+    // crash mid-build by removing the marker AND corrupting the corpus
+    // — the ensure must rebuild from scratch and the answer must still
+    // equal the batch probe
+    val before = SimilarityOps.annLshTopKStream(spark, sf0001)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toSeq
+    val tag = SimilarityOps.annLshTopKStream(spark, sf0001).inputFiles.headOption
+      .map(f => f.substring("file:".length, f.indexOf("/corpus/")))
+      .getOrElse(fail("no input files"))
+    val done = java.nio.file.Paths.get(s"$tag/__done")
+    assert(java.nio.file.Files.deleteIfExists(done))
+    // corrupt a segment so serving the torn state would be WRONG, not
+    // just lucky: drop the tail segment entirely
+    val tail = java.nio.file.Paths.get(s"$tag/corpus/ingest=2")
+    assert(java.nio.file.Files.exists(tail))
+    org.apache.commons.io.FileUtils.deleteDirectory(tail.toFile)
+    val rebuilt = SimilarityOps.annLshTopKStream(spark, sf0001)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(rebuilt == before, "torn state must be rebuilt, not served")
+    assert(java.nio.file.Files.exists(done), "rebuild must re-mark __done")
+  }
+
   test("lifecycle probe resolves the LATEST version of a re-ingested vector") {
     import spark.implicits._
     val rnd = new java.util.Random(11)
