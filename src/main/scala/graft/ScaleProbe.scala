@@ -25,7 +25,7 @@ object ScaleProbe {
       "simhash_join_occupancy",
       "simhash_tiered_capped", "cluster_collapse", "cluster_collapse_chain",
       "cluster_collapse_star_chain", "cluster_collapse_star_hub",
-      "cluster_collapse_star_mixed", "simhash_tier_split",
+      "cluster_collapse_star_mixed", "simhash_tier_split", "lsh_ingest_scan",
       "winnow_fingerprints",
       "sign_band_scan", "cosine_verify_pairs", "phrase_index_build",
       "pack_greedy", "chunk_dedup", "vocab_build", "lm_score",
@@ -452,6 +452,21 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
         println(f"SCALE n=$n%9d vocab_build ${(System.nanoTime() - t0v) / 1e9}%6.2f s")
       }
+      docs.unpersist()
+    }
+    // Persistent-index bulk ingest (q46's bootstrap path): the fused
+    // SigSortedShingles fingerprint scan + the two segment writes
+    // (narrow bands table partitioned by bmod + per-doc hs table).
+    // Must be ~linear in docs — the 100 TB ingest coefficient the
+    // round-10 fusion halved (one tokenization instead of two).
+    if (on("lsh_ingest_scan"))
+    for (n <- Seq(100000L, 400000L)) {
+      val docs = synthDocs(n).persist(); docs.count()
+      val dir = java.nio.file.Files.createTempDirectory("graft-ingest-probe").toString
+      val t0i = System.nanoTime()
+      functions.DedupOps.buildLshIndex(docs, dir)
+      println(f"SCALE n=$n%9d lsh_ingest_scan ${(System.nanoTime() - t0i) / 1e9}%6.2f s")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       docs.unpersist()
     }
     // q88 LM scoring (train pass + broadcast-model scoring pass — both
