@@ -33,6 +33,22 @@ class BenchSpec extends AnyFunSuite {
     assert(flags(meas) == Set.empty)
   }
 
+  test("replaying round 9's noisy artifact against its quiet floors flags q41, q40 AND q29") {
+    // the verdict's done-criterion for the blind-spot fix: these three
+    // ran visibly squeezed in the committed r9 snapshot (times below are
+    // its actual per-iteration values) with ZERO canary flags — q41's
+    // min breaches, q40's and q29's medians breach while their mins
+    // stay under the factor
+    val meas = Map(
+      "q41" -> m(Seq(6.526, 1.69, 2.108), 0.119, 0.119),
+      "q40" -> m(Seq(0.648, 1.391, 2.723), 0.119, 0.119),
+      "q29" -> m(Seq(4.042, 1.898, 4.709), 0.07, 0.07))
+    // quiet floors from the r9 quiet-host run (BASELINE.md round-9
+    // addendum; q40's from the round-10 quiet artifact)
+    val floors = Map("q41" -> 0.59, "q40" -> 0.35, "q29" -> 1.61)
+    assert(flags(meas, floors) == Set("q41", "q40", "q29"))
+  }
+
   test("floor slack keeps millisecond queries from flagging on jitter") {
     // 0.02 -> 0.05 is 2.5x the floor but only 30 ms of excess — noise
     val meas = Map("q9" -> m(Seq(0.05, 0.05, 0.05), 0.1, 0.1))
