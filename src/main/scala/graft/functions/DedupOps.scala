@@ -777,7 +777,7 @@ object DedupOps {
     * matters (diameter-24 chains: star 6 rounds/28.6 s vs 25
     * rounds/40 s at 1.6M edges). Below all three thresholds hash-min
     * wins — its narrow-join+reduce rounds are ~2× cheaper than star's
-    * two sort-shuffles+distinct (sf0.01 fixture: 0.91 s vs 1.14 s). */
+    * two sort-shuffles+distinct (sf0.1 fixture, quiet run: 0.73 s vs 0.82 s). */
   def collapseClustersWithStats(pairs: DataFrame,
       maxComponent: Long = 10000000L): (DataFrame, Int) = {
     val spark = pairs.sparkSession
