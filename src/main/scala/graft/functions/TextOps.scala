@@ -424,19 +424,35 @@ object TextOps {
     * engines agree only if index build + posting lookup is semantically
     * a full-text presence scan. Single-space tokenization makes
     * token-aligned trigram presence ⟺ ' phrase ' substring of
-    * ' text ' (PhraseIndexSpec pins the equivalence). The top-3 frame is
-    * tiny and broadcast; at scale the posting lookup is a partition-
-    * pruned point read of the term shard, not a corpus scan. */
+    * ' text ' (PhraseIndexSpec pins the equivalence). The top-3 terms
+    * are enumerated on the driver and pushed as literals; at scale the
+    * posting lookup is a partition-pruned point read of the term shard,
+    * not a corpus scan. */
   val phraseSearch: Q = (s, d) => {
     val inv = t(s, d, "documents")
       .withColumn("tgs", trigramPhrases)
       .select(col("doc_id"), explode(col("tgs")).as("phrase"))
-      .distinct()
-    val top = inv.groupBy(col("phrase"))
+    // The top-3 terms are ENUMERATED on the driver (3 strings — the
+    // probeAnnLshIndex pattern: tiny driver-side model, literal
+    // pruning), then pushed as an isin filter BEFORE the posting
+    // distinct. The earlier join shape (inv.distinct ⋈ broadcast(top))
+    // re-shuffled the ENTIRE inverted list a second time: the two
+    // branches' distinct exchanges canonicalize differently once the
+    // optimizer merges distinct+groupBy on the aggregation side, so
+    // ReusedExchange never fires (measured: 2 full corpus scans, 2
+    // corpus-sized exchanges, reuse 0). With the literal filter the
+    // second pass's exchange carries only the 3 matched phrases'
+    // postings — at 100 TB the difference between shuffling the whole
+    // inverted list twice and once. Semantics identical: filter-then-
+    // distinct ≡ distinct-then-join on the same key set, and the top-3
+    // selection (df desc, phrase asc) is unchanged.
+    val top = inv.distinct().groupBy(col("phrase"))
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("phrase").asc)
       .limit(3)
-    inv.join(broadcast(top.select(col("phrase"))), Seq("phrase"))
+      .select(col("phrase")).collect().map(_.getString(0)).toSeq
+    inv.filter(col("phrase").isin(top: _*))
+      .distinct()
       .select(col("phrase"), col("doc_id"))
   }
 

@@ -25,18 +25,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"pivot form must not join:\n$plan")
   }
 
-  test("q66 phrase search: one documents scan; the posting distinct's exchange is reused") {
-    // inv (explode → distinct) feeds BOTH the top-3 aggregate and the
-    // broadcast-join probe side; if exchange reuse ever breaks, the
-    // inverted list computes twice and q66 silently doubles
+  test("q66 phrase search: probe pass is scan → literal filter → 3-key distinct, no join") {
+    // the top-3 phrases are driver-enumerated literals (the
+    // probeAnnLshIndex pattern), so the probe plan must be ONE
+    // documents scan whose isin filter runs BEFORE the posting
+    // distinct — the distinct's exchange then carries only the 3
+    // matched phrases' postings, never the full inverted list. The
+    // old broadcast-join shape shuffled the whole corpus-sized list a
+    // second time because the two branches' distinct exchanges never
+    // canonicalized equal (reuse 0, measured).
     val df = functions.TextOps.phraseSearch(spark, sf0001)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     val scans = "FileScan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected ONE documents scan, got $scans:\n$plan")
-    assert(plan.contains("ReusedExchange"),
-      s"posting-list exchange must be reused by the top-3 side:\n$plan")
+    assert(!plan.contains("Join"), s"literal pruning must not join:\n$plan")
+    assert(plan.contains("INSET") || plan.contains(" IN ("),
+      s"expected the top-3 isin filter in the probe plan:\n$plan")
+    // the filter must sit below the distinct's exchange (pre-shuffle
+    // pruning): the Exchange subtree itself contains the IN filter
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0, s"expected the posting distinct's exchange:\n$plan")
+    val below = plan.substring(exchangeIdx)
+    assert(below.contains("INSET") || below.contains(" IN ("),
+      s"isin filter must run below the distinct exchange:\n$below")
   }
 
   test("q50 as-of merge form: one window, no join, both scans read once") {
