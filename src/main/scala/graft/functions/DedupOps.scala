@@ -819,14 +819,24 @@ object DedupOps {
       labels = next
       iter += 1
     }
-    require(changed == 0, s"label propagation did not converge in $iter " +
-      "rounds — the pair graph has a component of diameter > 30, outside " +
-      "the near-dup design envelope; use star contraction (Kiveris et " +
-      "al.) for arbitrary graphs")
+    // guard trips release the loop's persisted blocks first: the refusal
+    // is the normal control path for [[collapseClustersAutoWithStats]]'s
+    // fallback, which goes on to run star contraction in the same JVM —
+    // a leaked edge+label copy per refused attempt would be billed to it
+    def refuse(msg: String): Nothing = {
+      edges.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+      throw new IllegalArgumentException(msg)
+    }
+    if (changed != 0)
+      refuse(s"label propagation did not converge in $iter " +
+        "rounds — the pair graph has a component of diameter > 30, outside " +
+        "the near-dup design envelope; use star contraction (Kiveris et " +
+        "al.) for arbitrary graphs")
     val biggestSize = labels.map(kv => (kv._2, 1L))
       .reduceByKey(part, _ + _).map(_._2).fold(0L)(math.max)
-    require(biggestSize <= maxComponent,
-      s"largest component has $biggestSize docs > maxComponent=" +
+    if (biggestSize > maxComponent)
+      refuse(s"largest component has $biggestSize docs > maxComponent=" +
         s"$maxComponent — not a near-dup graph shape (per-round message " +
         "volume tracks degree sums; a boilerplate mega-cluster belongs " +
         "to the capped-candidate path or star contraction). Raise " +
@@ -989,8 +999,13 @@ object DedupOps {
       curStats = nextStats
       iter += 1
     }
-    require(converged, s"star contraction did not converge in $iter rounds " +
-      "— not expected for any graph (O(log² n) bound); please report")
+    if (!converged) {
+      raw.unpersist(blocking = false)
+      cur.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"star contraction did not converge in $iter rounds " +
+          "— not expected for any graph (O(log² n) bound); please report")
+    }
     // fixpoint = a forest of depth-1 stars, every non-root pointing at
     // its component min; roots point at themselves. Self-pair-only
     // nodes re-enter as singletons here (see the split above).
@@ -1007,6 +1022,71 @@ object DedupOps {
     cur.unpersist(blocking = false)
     (labels.toDF("doc_id", "cluster_rep"), iter)
   }
+
+  /** The q62/q104 crossover guidance as CODE, not a Scaladoc the caller
+    * must remember: routes a pair graph to hash-min propagation
+    * ([[collapseClustersWithStats]] — cheaper rounds, bounded-diameter
+    * envelope) or star contraction ([[collapseClustersStarWithStats]] —
+    * O(log²) rounds, any shape), so the router's contract is an ANSWER
+    * where the engines' is an envelope. Decision inputs come from ONE
+    * shuffle over the pair graph (degree rows; max degree + degree sum):
+    *  - live edges ≥ `starEdgeThreshold` (default the measured ~100k
+    *    crossover, PLANS.md round-10 table) → star: past that size its
+    *    fewer rounds beat hash-min's cheaper ones on every synthetic
+    *    shape measured;
+    *  - max degree ≥ `maxComponent` → star: the degree probe has PROVED
+    *    the component hash-min's guard would only reject after fully
+    *    converging (a mega-hub converges fast, then trips);
+    *  - otherwise hash-min — and if its envelope guard still trips
+    *    (a long-diameter chain the degree probe cannot see, or an
+    *    oversized component assembled from small degrees), the refusal
+    *    is caught and the star pass paid as the fallback.
+    * Returns (labels, route ∈ {hash-min, star, star-fallback}, rounds).
+    * The input plan is persisted across probe + engine (+ possible
+    * fallback) so the caller's upstream pair query runs once, and
+    * released before returning — both engines materialize their label
+    * RDD before handing back the frame. */
+  def collapseClustersAutoWithStats(pairs: DataFrame,
+      maxComponent: Long = 10000000L,
+      starEdgeThreshold: Long = 100000L): (DataFrame, String, Int) = {
+    import org.apache.spark.storage.StorageLevel
+    val p = pairs
+      .select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one shuffle buys both router inputs; self-pairs are excluded so
+      // a node's probed degree counts proper neighbors only (sum of
+      // degrees = 2 × live edge count). Duplicate pairs inflate the edge
+      // estimate — acceptable for a threshold, and the engines dedup.
+      val row = p.filter(col("doc_a") =!= col("doc_b"))
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .agg(coalesce(max(col("deg")), lit(0L)).as("max_deg"),
+          coalesce(sum(col("deg")), lit(0L)).as("deg_sum"))
+        .head()
+      val maxDeg = row.getLong(0)
+      val edgeEst = row.getLong(1) / 2
+      if (edgeEst >= starEdgeThreshold || maxDeg >= maxComponent) {
+        val (l, r) = collapseClustersStarWithStats(p)
+        (l, "star", r)
+      } else
+        try {
+          val (l, r) = collapseClustersWithStats(p, maxComponent)
+          (l, "hash-min", r)
+        } catch {
+          case _: IllegalArgumentException =>
+            val (l, r) = collapseClustersStarWithStats(p)
+            (l, "star-fallback", r)
+        }
+    } finally p.unpersist(blocking = false)
+  }
+
+  /** [[collapseClustersAutoWithStats]] without the routing telemetry —
+    * the drop-in for callers that just want components collapsed. */
+  def collapseClustersAuto(pairs: DataFrame,
+      maxComponent: Long = 10000000L): DataFrame =
+    collapseClustersAutoWithStats(pairs, maxComponent)._1
 
   /** q104: q62's transitive closure through the OTHER algorithm — the
     * same recursive-CTE oracle must hash-match star contraction's
@@ -1288,6 +1368,13 @@ object DedupOps {
     def release(): Unit = gate.release()
   }
 
+  /** q106: the q62 closure through the AUTO router — on the fixture
+    * graph the degree probe routes hash-min; whichever engine answers,
+    * the same recursive-CTE oracle must hash-match it. */
+  val dedupClustersAuto: Q = (s, d) =>
+    collapseClustersAuto(
+      shingleJaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
+
   val queries: Map[String, Q] = Map(
     "q41_shingle_jaccard" -> shingleJaccardPairs,
     "q72_split_leakage" -> splitLeakage,
@@ -1299,67 +1386,48 @@ object DedupOps {
     "q83_contamination_report" -> contaminationReport,
     "q62_dedup_clusters" -> dedupClusters,
     "q104_dedup_clusters_star" -> dedupClustersStar,
+    "q106_dedup_clusters_auto" -> dedupClustersAuto,
   )
 
+  /** The transitive-closure oracle shared by q62/q104/q106 — three
+    * engine paths (hash-min, star contraction, the auto router), ONE
+    * answer, each hash-gated against the same recursive CTE. */
+  private val closureOracleSql: String =
+    """WITH RECURSIVE tk AS (
+      |  SELECT doc_id, string_split(text,' ') AS toks
+      |  FROM documents WHERE doc_id < 500),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+      |      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      |  FROM tk),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+      |             JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(n, m) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+      |SELECT n AS doc_id, min(m) AS cluster_rep
+      |FROM reach GROUP BY n""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q62_dedup_clusters" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, string_split(text,' ') AS toks
-        |  FROM documents WHERE doc_id < 500),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(generate_series(1, greatest(len(toks)-2, 0)),
-        |      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
-        |  FROM tk),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b
-        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-        |             JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(n, m) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
-        |SELECT n AS doc_id, min(m) AS cluster_rep
-        |FROM reach GROUP BY n""".stripMargin,
+    "q62_dedup_clusters" -> closureOracleSql,
     // q104 ≡ q62 through star contraction — same recursive-CTE oracle
     // on purpose: two algorithms, one answer, both hash-gated
-    "q104_dedup_clusters_star" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, string_split(text,' ') AS toks
-        |  FROM documents WHERE doc_id < 500),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(generate_series(1, greatest(len(toks)-2, 0)),
-        |      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
-        |  FROM tk),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b
-        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-        |             JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(n, m) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
-        |SELECT n AS doc_id, min(m) AS cluster_rep
-        |FROM reach GROUP BY n""".stripMargin,
+    "q104_dedup_clusters_star" -> closureOracleSql,
+    // q106 ≡ q62 through the auto router
+    "q106_dedup_clusters_auto" -> closureOracleSql,
     // q61's shingle construction, rolled up per source; BIGINT/BIGINT
     // divides as double in both engines
     "q83_contamination_report" ->

@@ -211,15 +211,22 @@ object SimilarityOps {
   def ingestAnnSegment(emb: DataFrame, path: String, ingestId: Long,
       bits: Int = 8, dims: Int = 64): Unit = {
     val spark = emb.sparkSession
+    // plane-family width is layout geometry (see buildAnnLshIndex) —
+    // pin on first ingest, REFUSE drift BEFORE writing: a segment
+    // bucketed under a different plane family would probe wrong forever
+    graft.sinks.Hfs.readString(spark, s"$path/__dims")
+      .map(_.trim.toInt) match {
+      case Some(w) => require(w == dims,
+        s"ingest width $dims != indexed width $w at $path — the bucket " +
+          "layout is plane-family geometry; rebuild the index to change it")
+      case None =>
+        graft.sinks.Hfs.writeString(spark, s"$path/__dims", dims.toString)
+    }
     val planes = hyperplanes(dims, bits)
     emb.select(col("vec_id"), col("v"))
       .withColumn("bucket", bucketOf(col("v"), planes))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/corpus/ingest=$ingestId")
-    // plane-family width is layout geometry (see buildAnnLshIndex) —
-    // pin on first ingest, never drift after
-    if (graft.sinks.Hfs.readString(spark, s"$path/__dims").isEmpty)
-      graft.sinks.Hfs.writeString(spark, s"$path/__dims", dims.toString)
   }
 
   /** Fold old ANN segments: latest version per vec_id wins (the fold

@@ -198,4 +198,29 @@ class AnnLshSpec extends SparkSpec {
       s"probe scored a STALE version of vec 7 (cos ${got(7L)}); " +
         "latest-wins resolution must pick ingest 1's vector")
   }
+
+  test("an ingest declaring a different vector width is refused BEFORE writing") {
+    import spark.implicits._
+    val rnd = new java.util.Random(13)
+    def rv(d: Int) = Array.fill(d)(rnd.nextGaussian()).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-anndrift").toString
+    SimilarityOps.ingestAnnSegment(
+      (0L to 5L).map(i => (i, rv(16))).toDF("vec_id", "v"),
+      dir, 0L, bits = 4, dims = 16)
+    // width drift = a different hyperplane family = buckets that lie to
+    // every future probe; must refuse, and must not leave the segment
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.ingestAnnSegment(
+        (10L to 15L).map(i => (i, rv(32))).toDF("vec_id", "v"),
+        dir, 1L, bits = 4, dims = 32)
+    }
+    assert(e.getMessage.contains("indexed width 16"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/corpus/ingest=1")),
+      "the refused ingest must not have written its segment")
+    // the index still serves: probe resolves over ingest 0 only
+    val got = SimilarityOps.probeAnnLshIndexLive(
+      spark, dir, rv(16).toArray, bits = 4, probe = 4, k = 3)
+    assert(got.count() > 0)
+  }
 }

@@ -337,6 +337,71 @@ class DedupSpec extends SparkSpec {
     assert(ok.filter(col("doc_id") === col("cluster_rep")).count() == 1L)
   }
 
+  test("auto router: small near-dup graph takes hash-min and matches it exactly") {
+    val pairs = DedupOps.shingleJaccardPairs(spark, sf0001)
+      .select("doc_a", "doc_b")
+    val expect = DedupOps.collapseClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val (labels, route, rounds) =
+      DedupOps.collapseClustersAutoWithStats(pairs)
+    assert(route == "hash-min",
+      s"a small bounded-diameter graph must take the cheap path, took $route")
+    assert(labels.as[(Long, Long)].collect().toMap == expect)
+    assert(rounds >= 1)
+  }
+
+  test("auto router: probed mega-hub degree routes straight to star, no wasted hash-min pass") {
+    // hub 0 with 20 leaves: maxDeg 20 ≥ maxComponent 10 — the degree
+    // probe already knows hash-min's guard would only refuse AFTER
+    // converging, so the router must not pay that pass
+    val mega = (1L to 20L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    val (labels, route, _) =
+      DedupOps.collapseClustersAutoWithStats(mega, maxComponent = 10L)
+    assert(route == "star", s"a probed mega-hub must route to star, took $route")
+    assert(labels.filter(col("cluster_rep") =!= 0L).count() == 0L)
+    assert(labels.count() == 21L)
+  }
+
+  test("auto router: edge count past the crossover routes to star") {
+    // 32 edges with starEdgeThreshold=16: past the (test-scaled)
+    // measured crossover, star's fewer rounds win — route on size alone
+    val pairs = spark.range(32)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val (labels, route, _) = DedupOps.collapseClustersAutoWithStats(
+      pairs, starEdgeThreshold = 16L)
+    assert(route == "star", s"edge count ≥ threshold must route to star, took $route")
+    assert(labels.filter(col("cluster_rep") =!= 0L).count() == 0L)
+  }
+
+  test("auto router: a long chain the degree probe cannot see falls back to star") {
+    // diameter 60, max degree 2, 60 edges — the probe sees nothing
+    // alarming, hash-min runs and trips its 30-round envelope, and the
+    // router must convert that refusal into the star answer
+    val chain = spark.range(60)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val (labels, route, _) = DedupOps.collapseClustersAutoWithStats(chain)
+    assert(route == "star-fallback",
+      s"an envelope trip must be caught and paid as star, took $route")
+    assert(labels.as[(Long, Long)].collect().toMap ==
+      (0L to 60L).map(_ -> 0L).toMap)
+  }
+
+  test("auto router: self-pair singletons survive every route") {
+    val base = Seq((5L, 5L), (0L, 1L), (9L, 9L))
+    val expect = Map(0L -> 0L, 1L -> 0L, 5L -> 5L, 9L -> 9L)
+    // hash-min route
+    val (a, ra, _) = DedupOps.collapseClustersAutoWithStats(
+      base.toDF("doc_a", "doc_b"))
+    assert(ra == "hash-min")
+    assert(a.as[(Long, Long)].collect().toMap == expect)
+    // star route (forced by threshold): self-pairs must not count as
+    // degree in the probe, and must still come back as singletons
+    val (b, rb, _) = DedupOps.collapseClustersAutoWithStats(
+      base.toDF("doc_a", "doc_b"), starEdgeThreshold = 1L)
+    assert(rb == "star")
+    assert(b.as[(Long, Long)].collect().toMap == expect)
+  }
+
   test("SortedIntersectCount ≡ size(array_intersect) on every fixture doc pair sample") {
     // all pairs among 40 fixture docs: the merge count over sorted hash
     // sets must equal array_intersect's hash-set count exactly
