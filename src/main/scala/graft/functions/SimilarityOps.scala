@@ -134,38 +134,73 @@ object SimilarityOps {
     * probe=2) and the scan prunes to exactly those partitions — same
     * results as the full-scan filter form (the hamming predicate is
     * identical), so q38's generated SQL oracle still applies. */
+  /** The stored layout's geometry pin: the plane family is fully
+    * determined by (dims, bits, fixed seed), and BOTH numbers are layout
+    * geometry — a probe or a later ingest under a different width OR a
+    * different plane count assigns buckets from a different family, so
+    * vectors land in unprobed directories and silently vanish from
+    * top-k. Format `"dims:bits"`; a legacy pre-bits pin (`"dims"`) reads
+    * as (dims, None) and skips the bits check. */
+  private def readGeom(s: SparkSession, path: String): Option[(Int, Option[Int])] =
+    graft.sinks.Hfs.readString(s, s"$path/__dims").map { raw =>
+      raw.trim.split(":") match {
+        case Array(d, b) => (d.toInt, Some(b.toInt))
+        case Array(d) => (d.toInt, None)
+        case _ => throw new IllegalArgumentException(
+          s"unreadable geometry pin at $path/__dims: '$raw'")
+      }
+    }
+
+  private def pinGeom(s: SparkSession, path: String, dims: Int, bits: Int): Unit =
+    graft.sinks.Hfs.writeString(s, s"$path/__dims", s"$dims:$bits")
+
+  /** Bucket assignment that REFUSES a row whose vector width disagrees
+    * with the declared family width: every plane dot against a
+    * shorter/longer vector degenerates (zero-padded or truncated sign
+    * bits), so the row would silently file under a wrong bucket —
+    * fail the ingest job instead. */
+  private def bucketChecked(v: Column, planes: Array[Array[Double]],
+      dims: Int): Column =
+    when(size(v) === dims, bucketOf(v, planes))
+      .otherwise(raise_error(concat(
+        lit("vector width "), size(v).cast("string"),
+        lit(s" != declared dims $dims — refusing a mis-bucketed row"))))
+
   def buildAnnLshIndex(emb: DataFrame, path: String, bits: Int = 8,
       dims: Int = 64): Unit = {
     val planes = hyperplanes(dims, bits)
-    emb.withColumn("bucket", bucketOf(col("v"), planes))
+    emb.withColumn("bucket", bucketChecked(col("v"), planes, dims))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
-    // the plane family's width is LAYOUT GEOMETRY — pin it so a probe
-    // can reject a mismatched query instead of silently regenerating a
-    // DIFFERENT family from the query's own length (wrong buckets, null
-    // cosines, k rows of noise with no error)
-    graft.sinks.Hfs.writeString(emb.sparkSession, s"$path/__dims", dims.toString)
+    // one-shot build replaces the whole corpus, so the pin follows it
+    pinGeom(emb.sparkSession, s"$path", dims, bits)
+  }
+
+  /** Driver-side probe plan shared by the one-shot and live probes:
+    * verify the stored geometry against the query width AND the caller's
+    * bits, regenerate the plane family, take the query's sign bucket
+    * (same left-to-right dot as the columnar aggregate(), so the bits
+    * agree bit-for-bit), and enumerate the bucket ids within hamming
+    * `probe` of it. Pre-pin layouts fall back to the query's width. */
+  private def probedBucketSet(s: SparkSession, path: String,
+      qVec: Array[Double], bits: Int, probe: Int): Seq[Long] = {
+    val (dims, storedBits) = readGeom(s, path).getOrElse((qVec.length, None))
+    require(qVec.length == dims,
+      s"query width ${qVec.length} != indexed width $dims at $path")
+    storedBits.foreach(b => require(b == bits,
+      s"probe bits $bits != indexed bits $b at $path — stored bucket ids " +
+        "were assigned under the pinned plane family"))
+    val planes = hyperplanes(dims, bits)
+    val qb = planes.zipWithIndex
+      .map { case (h, i) => if (dotLocal(qVec, h) > 0) 1L << i else 0L }
+      .reduce(_ | _)
+    (0L until (1L << bits))
+      .filter(b => java.lang.Long.bitCount(b ^ qb) <= probe)
   }
 
   def probeAnnLshIndex(s: SparkSession, path: String, qVec: Array[Double],
       bits: Int = 8, probe: Int = 2, k: Int = 10,
       excludeVecId: Long = 0L): DataFrame = {
-    // the plane family regenerates at the STORED width (pinned at
-    // build; pre-pin layouts fall back to the query's) — and a query of
-    // any other width is refused loudly: regenerating the family from
-    // the query's own length probed semantically wrong buckets and
-    // returned null-scored noise with no error
-    val dims = graft.sinks.Hfs.readString(s, s"$path/__dims")
-      .map(_.trim.toInt).getOrElse(qVec.length)
-    require(qVec.length == dims,
-      s"query width ${qVec.length} != indexed width $dims at $path")
-    val planes = hyperplanes(dims, bits)
-    // driver-side sign bucket of the query: same left-to-right dot as the
-    // columnar aggregate(), so the bits agree bit-for-bit
-    val qb = planes.zipWithIndex
-      .map { case (h, i) => if (dotLocal(qVec, h) > 0) 1L << i else 0L }
-      .reduce(_ | _)
-    val probed = (0L until (1L << bits))
-      .filter(b => java.lang.Long.bitCount(b ^ qb) <= probe)
+    val probed = probedBucketSet(s, path, qVec, bits, probe)
     s.read.parquet(s"$path/corpus")
       .filter(col("bucket").isin(probed: _*) && col("vec_id") =!= excludeVecId)
       .select(col("vec_id").as("neighbor_id"),
@@ -211,20 +246,22 @@ object SimilarityOps {
   def ingestAnnSegment(emb: DataFrame, path: String, ingestId: Long,
       bits: Int = 8, dims: Int = 64): Unit = {
     val spark = emb.sparkSession
-    // plane-family width is layout geometry (see buildAnnLshIndex) —
-    // pin on first ingest, REFUSE drift BEFORE writing: a segment
-    // bucketed under a different plane family would probe wrong forever
-    graft.sinks.Hfs.readString(spark, s"$path/__dims")
-      .map(_.trim.toInt) match {
-      case Some(w) => require(w == dims,
-        s"ingest width $dims != indexed width $w at $path — the bucket " +
-          "layout is plane-family geometry; rebuild the index to change it")
-      case None =>
-        graft.sinks.Hfs.writeString(spark, s"$path/__dims", dims.toString)
+    // plane-family geometry (see readGeom) — pin BOTH numbers on first
+    // ingest, REFUSE drift on either BEFORE writing: a segment bucketed
+    // under a different plane family would probe wrong forever
+    readGeom(spark, path) match {
+      case Some((w, storedBits)) =>
+        require(w == dims,
+          s"ingest width $dims != indexed width $w at $path — the bucket " +
+            "layout is plane-family geometry; rebuild the index to change it")
+        storedBits.foreach(b => require(b == bits,
+          s"ingest bits $bits != indexed bits $b at $path — the bucket " +
+            "layout is plane-family geometry; rebuild the index to change it"))
+      case None => pinGeom(spark, path, dims, bits)
     }
     val planes = hyperplanes(dims, bits)
     emb.select(col("vec_id"), col("v"))
-      .withColumn("bucket", bucketOf(col("v"), planes))
+      .withColumn("bucket", bucketChecked(col("v"), planes, dims))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/corpus/ingest=$ingestId")
   }

@@ -83,7 +83,8 @@ object Http {
     * thread id, not an arrival-sequence counter: the pool property is
     * per-thread anyway, the fixed executor has exactly [[poolThreads]]
     * threads for the server's lifetime (handle() catches every
-    * exception, so no thread ever dies and gets replaced), and two
+    * Throwable — Errors included — so no thread ever dies and gets
+    * replaced), and two
     * CONCURRENT requests by definition run on distinct threads — so
     * the name set stays bounded by poolThreads AND concurrent requests
     * never share a pool. The previous `seq % poolThreads` scheme kept
@@ -121,10 +122,28 @@ object Http {
       // passes the shape regex and fails only in LocalDate.parse — still
       // a bad PARAMETER, not a server error
       case e @ (_: IllegalArgumentException | _: java.time.DateTimeException) =>
-        respond(ex, 400, Option(e.getMessage).getOrElse("bad request"), "text/plain")
-      case e: Exception =>
-        respond(ex, 500, Option(e.getMessage).getOrElse("error"), "text/plain")
+        safeRespond(ex, 400, Option(e.getMessage).getOrElse("bad request"))
+      // Throwable, not Exception: an escaping Error (a StackOverflowError
+      // from a deep expression tree, say) would kill this handler thread,
+      // the fixed pool would mint a replacement with a FRESH thread id,
+      // and poolName()'s bounded-set invariant breaks — the
+      // FAIR-scheduler builder never removes pools, so every thread
+      // death would leak a rootPool entry. A StackOverflowError is fully
+      // unwound by the time we are here; a VirtualMachineError beyond
+      // that means the server is lost regardless, and a best-effort 500
+      // beats a silent dead connection either way.
+      case e: Throwable =>
+        safeRespond(ex, 500, Option(e.getMessage).getOrElse("error"))
     }
+
+  /** respond() for the error paths: a client that hung up mid-error
+    * makes respond itself throw (broken pipe, or headers already sent by
+    * the aborted 200) — from a catch clause that would escape handle()
+    * and kill the handler thread, the exact leak the Throwable catch
+    * above exists to prevent. Error responses are best-effort. */
+  private def safeRespond(ex: HttpExchange, code: Int, body: String): Unit =
+    try respond(ex, code, body, "text/plain")
+    catch { case _: Throwable => () }
 
   private def need(p: Map[String, String], k: String): String =
     p.getOrElse(k, throw new IllegalArgumentException(s"missing param $k"))
