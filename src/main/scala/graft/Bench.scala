@@ -101,6 +101,21 @@ object Bench {
       .filter(_._2 > 0).toMap
   }
 
+  /** Which file (if any) this run's detail artifact goes to. Provenance
+    * ladder, worst first: a run with a CRASHED query (times=[], median
+    * -1.0) must never replace ANY existing artifact — its total is
+    * poisoned and its medians incomplete (the round-10 q105 crash
+    * clobbered a quiet 33.98 s record with total=-1.0). A merely
+    * CONTENDED run may replace a contended artifact but not a quiet
+    * one. A prefix-filtered profiling run writes nothing. */
+  private[graft] def detailTarget(prefixRun: Boolean, anyFailed: Boolean,
+      anyContended: Boolean, prevExists: Boolean,
+      prevQuiet: Boolean): Option[String] =
+    if (prefixRun) None
+    else if (anyFailed && prevExists) Some("bench_detail.failed.json")
+    else if (anyContended && prevQuiet) Some("bench_detail.noisy.json")
+    else Some("bench_detail.json")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -364,14 +379,19 @@ object Bench {
     // diagnosis and keep the quiet artifact as the round record.
     val prevQuiet = prevDetail.exists(t =>
       readFloors(t, sfDir).nonEmpty && t.contains(""""contended":[]"""))
-    val target =
-      if (args.nonEmpty) None // prefix-filtered profiling run: no artifact
-      else if (contended.nonEmpty && prevQuiet) {
+    val anyFailed = results.exists(_._2 < 0)
+    val target = detailTarget(args.nonEmpty, anyFailed,
+      contended.nonEmpty, prevDetail.nonEmpty, prevQuiet)
+    target match {
+      case Some("bench_detail.failed.json") =>
+        System.err.println("[bench] run has FAILED queries; refusing to " +
+          "overwrite bench_detail.json — writing bench_detail.failed.json")
+      case Some("bench_detail.noisy.json") =>
         System.err.println("[bench] refusing to overwrite quiet " +
           "bench_detail.json with a contended run; writing " +
           "bench_detail.noisy.json instead")
-        Some("bench_detail.noisy.json")
-      } else Some("bench_detail.json")
+      case _ => ()
+    }
     try target.foreach(f => java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f), body): Unit)
     catch { case e: Throwable =>

@@ -20,6 +20,16 @@ object DedupOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Thrown by the hash-min engine's envelope guards (diameter cap,
+    * component-size cap) — the ONE exception the auto router treats as
+    * "this graph is outside the near-dup envelope, run star instead".
+    * Extends IllegalArgumentException so external callers that already
+    * handle IAE keep working; the router catches only this subtype so a
+    * genuine programming-error IAE propagates instead of silently
+    * paying a second engine pass. */
+  final class EnvelopeRefused(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** Word 3-gram shingles of a token array: shingle i = tokens[i..i+2].
     * Guarded: <3 tokens → empty array (sequence(1,0) would count DOWN). */
   def shingles3(tk: Column): Column =
@@ -826,7 +836,7 @@ object DedupOps {
     def refuse(msg: String): Nothing = {
       edges.unpersist(blocking = false)
       labels.unpersist(blocking = false)
-      throw new IllegalArgumentException(msg)
+      throw new DedupOps.EnvelopeRefused(msg)
     }
     if (changed != 0)
       refuse(s"label propagation did not converge in $iter " +
@@ -1075,7 +1085,11 @@ object DedupOps {
           val (l, r) = collapseClustersWithStats(p, maxComponent)
           (l, "hash-min", r)
         } catch {
-          case _: IllegalArgumentException =>
+          // ONLY the typed envelope refusal routes to the fallback — a
+          // bare IllegalArgumentException from inside the engine (bad
+          // column, lazily-surfaced upstream plan error) is a real
+          // defect and must propagate, not be silently re-run as star
+          case _: DedupOps.EnvelopeRefused =>
             val (l, r) = collapseClustersStarWithStats(p)
             (l, "star-fallback", r)
         }

@@ -145,7 +145,15 @@ object SimilarityOps {
     graft.sinks.Hfs.readString(s, s"$path/__dims").map { raw =>
       raw.trim.split(":") match {
         case Array(d, b) => (d.toInt, Some(b.toInt))
-        case Array(d) => (d.toInt, None)
+        case Array(d) =>
+          // legacy pre-bits pin: tolerated read-only (skips the bits
+          // consistency check — exactly the blind spot that let a
+          // mis-bitted probe through once), never written since the
+          // dims:bits format landed. Loud so stragglers get rebuilt.
+          System.err.println(s"[graft] DEPRECATED bare-int geometry pin " +
+            s"at $path/__dims ('$raw') — rebuild the index to pin " +
+            "dims:bits and restore the stored-bits consistency check")
+          (d.toInt, None)
         case _ => throw new IllegalArgumentException(
           s"unreadable geometry pin at $path/__dims: '$raw'")
       }
@@ -291,16 +299,7 @@ object SimilarityOps {
   def probeAnnLshIndexLive(s: SparkSession, path: String,
       qVec: Array[Double], bits: Int = 8, probe: Int = 2, k: Int = 10,
       excludeVecId: Long = 0L): DataFrame = {
-    val dims = graft.sinks.Hfs.readString(s, s"$path/__dims")
-      .map(_.trim.toInt).getOrElse(qVec.length)
-    require(qVec.length == dims,
-      s"query width ${qVec.length} != indexed width $dims at $path")
-    val planes = hyperplanes(dims, bits)
-    val qb = planes.zipWithIndex
-      .map { case (h, i) => if (dotLocal(qVec, h) > 0) 1L << i else 0L }
-      .reduce(_ | _)
-    val probed = (0L until (1L << bits))
-      .filter(b => java.lang.Long.bitCount(b ^ qb) <= probe)
+    val probed = probedBucketSet(s, path, qVec, bits, probe)
     graft.sinks.IngestSegments.readLiveWithIds(s, s"$path/corpus") match {
       case None =>
         import s.implicits._

@@ -123,16 +123,23 @@ object Http {
       // a bad PARAMETER, not a server error
       case e @ (_: IllegalArgumentException | _: java.time.DateTimeException) =>
         safeRespond(ex, 400, Option(e.getMessage).getOrElse("bad request"))
-      // Throwable, not Exception: an escaping Error (a StackOverflowError
-      // from a deep expression tree, say) would kill this handler thread,
-      // the fixed pool would mint a replacement with a FRESH thread id,
-      // and poolName()'s bounded-set invariant breaks — the
-      // FAIR-scheduler builder never removes pools, so every thread
-      // death would leak a rootPool entry. A StackOverflowError is fully
-      // unwound by the time we are here; a VirtualMachineError beyond
-      // that means the server is lost regardless, and a best-effort 500
-      // beats a silent dead connection either way.
-      case e: Throwable =>
+      // StackOverflowError explicitly (NOT all Errors): an escaping SOE
+      // from a deep expression tree would kill this handler thread, the
+      // fixed pool would mint a replacement with a FRESH thread id, and
+      // poolName()'s bounded-set invariant breaks — the FAIR-scheduler
+      // builder never removes pools, so every thread death would leak a
+      // rootPool entry. An SOE is fully unwound by the time we are here.
+      // Other VirtualMachineErrors (OOM, InternalError) mean the JVM may
+      // be corrupted — let them propagate rather than keep a broken
+      // server answering 500s.
+      case e: StackOverflowError =>
+        safeRespond(ex, 500, Option(e.getMessage).getOrElse("error"))
+      case e: InterruptedException =>
+        // someone is shutting this thread down — restore the flag so the
+        // pool sees it, and best-effort close the exchange via the 500
+        Thread.currentThread().interrupt()
+        safeRespond(ex, 500, "server shutting down")
+      case scala.util.control.NonFatal(e) =>
         safeRespond(ex, 500, Option(e.getMessage).getOrElse("error"))
     }
 
@@ -142,8 +149,12 @@ object Http {
     * and kill the handler thread, the exact leak the Throwable catch
     * above exists to prevent. Error responses are best-effort. */
   private def safeRespond(ex: HttpExchange, code: Int, body: String): Unit =
+    // finally close(): if sendResponseHeaders itself throws (headers
+    // already sent by an aborted 200), respond()'s own close never runs
+    // and the connection would hang open until the client times out
     try respond(ex, code, body, "text/plain")
     catch { case _: Throwable => () }
+    finally { try ex.close() catch { case _: Throwable => () } }
 
   private def need(p: Map[String, String], k: String): String =
     p.getOrElse(k, throw new IllegalArgumentException(s"missing param $k"))

@@ -79,4 +79,34 @@ class BenchSpec extends AnyFunSuite {
       """"q2":{"min":0.5,"median":0.5}}"""
     assert(Bench.readFloors(text, "/d") == Map("q2" -> 0.5))
   }
+
+  test("a run with a crashed query can never clobber an existing artifact (round-10 q105 clobber)") {
+    // failed + any previous artifact (quiet or not) → .failed sidecar
+    assert(Bench.detailTarget(prefixRun = false, anyFailed = true,
+      anyContended = false, prevExists = true, prevQuiet = true)
+      .contains("bench_detail.failed.json"))
+    assert(Bench.detailTarget(prefixRun = false, anyFailed = true,
+      anyContended = true, prevExists = true, prevQuiet = false)
+      .contains("bench_detail.failed.json"))
+    // no previous artifact at all: a failed record beats no record
+    assert(Bench.detailTarget(prefixRun = false, anyFailed = true,
+      anyContended = false, prevExists = false, prevQuiet = false)
+      .contains("bench_detail.json"))
+  }
+
+  test("contended run parks in .noisy only against a QUIET artifact; clean runs write the record") {
+    assert(Bench.detailTarget(prefixRun = false, anyFailed = false,
+      anyContended = true, prevExists = true, prevQuiet = true)
+      .contains("bench_detail.noisy.json"))
+    // previous artifact was itself contended → replacing it is fine
+    assert(Bench.detailTarget(prefixRun = false, anyFailed = false,
+      anyContended = true, prevExists = true, prevQuiet = false)
+      .contains("bench_detail.json"))
+    assert(Bench.detailTarget(prefixRun = false, anyFailed = false,
+      anyContended = false, prevExists = true, prevQuiet = true)
+      .contains("bench_detail.json"))
+    // prefix-filtered profiling run: never writes, regardless of state
+    assert(Bench.detailTarget(prefixRun = true, anyFailed = false,
+      anyContended = false, prevExists = false, prevQuiet = false).isEmpty)
+  }
 }

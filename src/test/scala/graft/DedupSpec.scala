@@ -373,6 +373,26 @@ class DedupSpec extends SparkSpec {
     assert(labels.filter(col("cluster_rep") =!= 0L).count() == 0L)
   }
 
+  test("envelope refusals are TYPED — a bare IAE from inside the engine would propagate") {
+    // both guard sites (diameter cap, component-size cap) must throw
+    // the EnvelopeRefused subtype: the auto router catches ONLY that,
+    // so a genuine programming-error IllegalArgumentException can no
+    // longer be silently reclassified as a star fallback
+    val chain = spark.range(60)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val diam = intercept[IllegalArgumentException] {
+      DedupOps.collapseClusters(chain)
+    }
+    assert(diam.isInstanceOf[DedupOps.EnvelopeRefused],
+      s"diameter refusal must be EnvelopeRefused, was ${diam.getClass}")
+    val mega = (1L to 20L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    val size = intercept[IllegalArgumentException] {
+      DedupOps.collapseClusters(mega, maxComponent = 10L)
+    }
+    assert(size.isInstanceOf[DedupOps.EnvelopeRefused],
+      s"size refusal must be EnvelopeRefused, was ${size.getClass}")
+  }
+
   test("auto router: a long chain the degree probe cannot see falls back to star") {
     // diameter 60, max degree 2, 60 edges — the probe sees nothing
     // alarming, hash-min runs and trips its 30-round envelope, and the
