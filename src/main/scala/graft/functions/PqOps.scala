@@ -175,7 +175,8 @@ object PqOps {
     * pruned scan with dead rows. */
   def buildPqIndex(emb: DataFrame, path: String, kCells: Int = 8,
       coarseIters: Int = 1, pqIters: Int = 1, ingestId: Long = -1L,
-      dims: Int = DefaultDims, m: Int = DefaultM, ksub: Int = DefaultKsub): Unit = {
+      dims: Int = DefaultDims, m: Int = DefaultM, ksub: Int = DefaultKsub,
+      trainOn: Option[DataFrame] = None): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     graft.sinks.IngestSegments.guardBuild(spark, s"$path/codes", ingestId)
@@ -190,12 +191,20 @@ object PqOps {
       s"PQ index at $path has live ingest segments $stranded encoded " +
         "against the previous model — a rebuild would silently mis-score " +
         "them; delete the index (or build at a fresh path) instead")
-    val cents = SimilarityOps.kmeansLite(wellFormed(emb, dims), kCells, coarseIters)
-    // the assignment feeds BOTH training and the final encode — one
-    // checkpointed frame (see encodeAgainst's barrier note)
-    val assigned = SimilarityOps.assignCells(wellFormed(emb, dims), cents).localCheckpoint()
+    // `trainOn`: the 100 TB bootstrap shape — train the frozen model on
+    // a (sample) training set while the bootstrap segment encodes only
+    // `emb` (the rest of the corpus arrives through ingestPqSegment
+    // against the same model). Default (None) trains on `emb` itself,
+    // and then the one checkpointed assignment feeds BOTH training and
+    // the final encode (see encodeAgainst's barrier note).
+    val trainSet = wellFormed(trainOn.getOrElse(emb), dims)
+    val cents = SimilarityOps.kmeansLite(trainSet, kCells, coarseIters)
+    val assigned = SimilarityOps.assignCells(trainSet, cents).localCheckpoint()
     val books = trainPq(assigned, cents, pqIters, m, ksub)
-    assigned.withColumn("r", residualCol(cents))
+    val bootstrap =
+      if (trainOn.isEmpty) assigned // reuse the checkpointed assignment
+      else SimilarityOps.assignCells(wellFormed(emb, dims), cents)
+    bootstrap.withColumn("r", residualCol(cents))
       .select(col("vec_id"), col("cell"), codesCol(books).as("codes"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes/ingest=$ingestId")
@@ -518,9 +527,63 @@ object PqOps {
     pqKnnJoin(s, path, queries, nprobe, topk)
   }
 
+  /** The three-cut PQ ingest lifecycle for q107 — the q105 fold+tail
+    * pattern applied to the one index family whose ingest path was
+    * build-once. Realistic 100 TB shape: the frozen model is trained on
+    * the full corpus ONCE (in production, a sample — `trainOn`), the
+    * bootstrap segment carries only cut 0, cuts 1 and 2 arrive as
+    * streaming segments encoded against the frozen model, and
+    * compaction folds bootstrap+cut1 while cut 2 stays the replayable
+    * tail — the worst readable state, which the probe must read
+    * correctly. Same fixture-tag + __done gating as
+    * [[graft.functions.SimilarityOps.ensureAnnLshLifecycle]] (torn
+    * builds are cleared and rebuilt, never served). */
+  private def ensurePqLifecycle(s: SparkSession, d: String): String =
+    synchronized {
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-stream/" +
+        s"${SimilarityOps.sourceTag(s, d, "embeddings")}-c8-m$DefaultM-k$DefaultKsub"
+      if (graft.sinks.Hfs.readString(s, s"$path/__done").isEmpty) {
+        graft.sinks.Hfs.deleteRecursive(s, path)
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        def cut(b: Long) = emb.filter(pmod(col("vec_id"), lit(3)) === b)
+        buildPqIndex(cut(0), path, trainOn = Some(emb))
+        ingestPqSegment(cut(1), path, 0L)
+        ingestPqSegment(cut(2), path, 1L)
+        compactPqIndex(s, path) // folds bootstrap + cut 1; 2 stays the tail
+        graft.sinks.Hfs.writeString(s, s"$path/__done", "ok")
+      }
+      path
+    }
+
+  @volatile private var pqStreamOracleState: Option[PqOracleModel] = None
+
+  /** q107: q94's ADC top-k through the ingest lifecycle — the probe over
+    * the folded+tail code segments must match the same generated oracle
+    * shape as q94 (the model literals come from THIS index's model, so
+    * the check is self-consistent; the lifecycle is the thing under
+    * test, not a new query semantics). */
+  def annIvfPqStream(s: SparkSession, d: String, nprobe: Int = 2,
+      topk: Int = 10): DataFrame = {
+    val path = ensurePqLifecycle(s, d)
+    val (cents, books) = loadModel(s, path)
+    val qVec = t(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    val (m, ksub, sb) = geomOf(books)
+    val cellDots = cents.map(c => dotLocal(qVec, c))
+    val adc = Array.tabulate(m, ksub) { (j, c) =>
+      dotLocal(qVec.slice(j * sb, (j + 1) * sb), books(j)(c))
+    }
+    pqStreamOracleState =
+      Some(PqOracleModel(nprobe, topk, cents, books, cellDots, adc))
+    probeWithModel(s, path, cents, books, qVec, nprobe, topk, excludeVecId = 0L)
+  }
+
   val queries: Map[String, Q] = Map(
     "q94_ann_ivfpq_topk" -> ((s, d) => annIvfPq(s, d)),
-    "q96_ann_pq_knn_join" -> ((s, d) => annPqKnnJoin(s, d)))
+    "q96_ann_pq_knn_join" -> ((s, d) => annPqKnnJoin(s, d)),
+    "q107_ann_pq_stream" -> ((s, d) => annIvfPqStream(s, d)))
 
   private def dArr(xs: Array[Double]): String =
     xs.mkString("[", ",", "]") + "::DOUBLE[]"
@@ -669,5 +732,6 @@ object PqOps {
   def oracles: Map[String, String] =
     pqOracleState.map(mo => "q94_ann_ivfpq_topk" -> pqOracle(mo)).toMap ++
       knnOracleState.map { case (nq, np, tk, cs, bs) =>
-        "q96_ann_pq_knn_join" -> pqKnnOracle(nq, np, tk, cs, bs) }
+        "q96_ann_pq_knn_join" -> pqKnnOracle(nq, np, tk, cs, bs) } ++
+      pqStreamOracleState.map(mo => "q107_ann_pq_stream" -> pqOracle(mo))
 }
