@@ -377,8 +377,12 @@ object Bench {
     // run — even after its retry budget — does not, the new numbers are
     // worse-provenance than the old; park them in a .noisy sidecar for
     // diagnosis and keep the quiet artifact as the round record.
+    // a poisoned artifact (total -1: some query crashed) is never
+    // "quiet" — a contended-but-complete run is still better provenance
+    // and may replace it
     val prevQuiet = prevDetail.exists(t =>
-      readFloors(t, sfDir).nonEmpty && t.contains(""""contended":[]"""))
+      readFloors(t, sfDir).nonEmpty && t.contains(""""contended":[]""") &&
+        !t.contains(""""total":-1"""))
     val anyFailed = results.exists(_._2 < 0)
     val target = detailTarget(args.nonEmpty, anyFailed,
       contended.nonEmpty, prevDetail.nonEmpty, prevQuiet)

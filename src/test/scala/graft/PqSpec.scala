@@ -279,6 +279,38 @@ class PqSpec extends SparkSpec {
     assert(!probed.contains(0L) && !probed.contains(90L))
   }
 
+  test("q107 lifecycle probe equals q94's one-shot probe (fold+tail ≡ batch)") {
+    // both indexes train the frozen model on the SAME full corpus with
+    // the same deterministic code — the lifecycle differs only in HOW
+    // the codes arrived (bootstrap cut 0 + two ingests + compaction vs
+    // one bulk build), so the ADC answers must match exactly
+    val oneShot = PqOps.annIvfPq(spark, sf0001)
+      .select("neighbor_id", "adc_score").as[(Long, Double)].collect().toSeq
+    val stream = PqOps.annIvfPqStream(spark, sf0001)
+      .select("neighbor_id", "adc_score").as[(Long, Double)].collect().toSeq
+    assert(stream == oneShot,
+      s"lifecycle probe drifted from the one-shot probe: $stream vs $oneShot")
+  }
+
+  test("q107 torn lifecycle build (missing __done) is cleared and rebuilt, not served") {
+    val before = PqOps.annIvfPqStream(spark, sf0001)
+      .select("neighbor_id", "adc_score").as[(Long, Double)].collect().toSeq
+    val tag = PqOps.annIvfPqStream(spark, sf0001).inputFiles.headOption
+      .map(f => f.substring("file:".length, f.indexOf("/codes/")))
+      .getOrElse(fail("no input files"))
+    val done = java.nio.file.Paths.get(s"$tag/__done")
+    assert(java.nio.file.Files.deleteIfExists(done))
+    // corrupt the state so serving it would be WRONG, not just lucky:
+    // drop the replayable tail segment entirely
+    val tail = java.nio.file.Paths.get(s"$tag/codes/ingest=1")
+    assert(java.nio.file.Files.exists(tail))
+    org.apache.commons.io.FileUtils.deleteDirectory(tail.toFile)
+    val rebuilt = PqOps.annIvfPqStream(spark, sf0001)
+      .select("neighbor_id", "adc_score").as[(Long, Double)].collect().toSeq
+    assert(rebuilt == before, "torn state must be rebuilt, not served")
+    assert(java.nio.file.Files.exists(done), "rebuild must re-mark __done")
+  }
+
   test("engineered near-duplicates of the query survive PQ and top the ADC ranking") {
     val rnd = new java.util.Random(23)
     val base = Array.fill(64)(rnd.nextGaussian())

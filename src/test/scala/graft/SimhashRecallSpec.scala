@@ -99,7 +99,7 @@ class SimhashRecallSpec extends SparkSpec {
         .select(xxhash64(lit(0), col("bk.bi"), col("bk.bj"),
           col("bk.vi"), col("bk.vj")).as("b")).distinct()
       val t1k = fp.filter(size(col("sig")) > 0)
-        .select(explode(DedupOps.lshBands(col("sig"), 32, 4)).as("bk"))
+        .select(explode(DedupOps.lshBands(col("sig"), 32, 5)).as("bk"))
         .select(xxhash64(lit(1), col("bk.band"), col("bk.bhash")).as("b")).distinct()
       assert(t0k.join(t1k, "b").count() == 0, s"$dir: tier key sets overlap")
       assert(t0k.union(t1k).distinct().count() == nKeys,
