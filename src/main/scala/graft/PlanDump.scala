@@ -22,8 +22,8 @@ object PlanDump {
     ("q94_ann_ivfpq_topk", "stored IVF-PQ codes, ADC lookup scan over probed cells",
       """The probed scan reads (vec_id, codes) only — m=8 int codes per
         |vector instead of the 64-double embedding (the 32× I/O reduction
-        |is the point of PQ) — with PartitionFilters pruning to the nprobe
-        |cells. Scoring is literal-array lookups + adds per row; no vector
+        |is the point of PQ) — pruned at LISTING time to the nprobe cells
+        |(only the probed cell dirs are handed to the reader). Scoring is literal-array lookups + adds per row; no vector
         |math, no shuffle, no join: the plan is Scan → Project → TakeOrdered.
         |The codebooks/centroids stay driver-side (model-sized). At 100 TB
         |the codes table is the only thing that grows, and per-query cost
@@ -32,8 +32,8 @@ object PlanDump {
     ("q95_ann_knn_join", "batched kNN join: broadcast probe set, pruned corpus scan, one window shuffle",
       """The batch form of the IVF probe: per-query probe cells are ranked
         |map-side with the fused cosine (no exchange), the (query, cell)
-        |probe set broadcasts, and the corpus scan carries BOTH prunings —
-        |PartitionFilters from the driver-enumerated probed-cell union
+        |probe set broadcasts, and the corpus read carries BOTH prunings —
+        |listing-time pruning from the driver-enumerated probed-cell union
         |(bounded by the index's k, never by the query count) and the
         |broadcast join. A shuffle join on ~8 cell keys would collapse
         |parallelism to the cell count; broadcast keeps the corpus at scan

@@ -1237,17 +1237,24 @@ object DedupOps {
       maxPerBucket: Option[Int] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val probe = indexRows(newDocs).localCheckpoint()
-    val live = graft.sinks.IngestSegments.readLive(spark, s"$path/bands")
-    if (live.isEmpty) // no index yet (or only footerless empty segments)
-      return probe.limit(0).select(col("doc_id").as("new_doc"),
-        col("doc_id").as("dup_of"), col("hs").as("hs_n"))
     val nb = graft.sinks.IngestSegments.readBuckets(
       spark, s"$path/bands", lshIndexBuckets) // the STORED layout's modulus
     val bmods = probe
       .select(pmod(col("bhash"), lit(nb.toLong)).as("bmod"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val pruned = live.get
-      .filter(col("bmod").isin(bmods: _*))
+    // pruned at LISTING time (readLivePrunedWithIds): only the probe's
+    // bmod dirs of each live segment are file-listed — a micro-batch
+    // probing a wide index must not pay a full-directory listing. None
+    // = no index yet, or nothing indexed under the probe's bmods —
+    // either way no candidate can exist.
+    val keep = bmods.map(b => s"bmod=$b").toSet
+    val pruned = graft.sinks.IngestSegments
+      .readLivePrunedWithIds(spark, s"$path/bands", keep) match {
+      case None =>
+        return probe.limit(0).select(col("doc_id").as("new_doc"),
+          col("doc_id").as("dup_of"), col("hs").as("hs_n"))
+      case Some((live, _)) => live
+    }
     // Hot-bucket cap, probe flavor: a boilerplate cluster indexed
     // earlier puts occupancy rows into ONE (band, bhash) bucket, and a
     // probe doc landing there joins against ALL of them — O(batch ×

@@ -361,23 +361,44 @@ object PqOps {
       (0 until m).map { j =>
         element_at(typedlit(adc(j).toSeq), element_at(col("codes"), j + 1) + 1)
       }.reduce(_ + _)
-    val (live, segIds) = graft.sinks.IngestSegments
-      .readLiveWithIds(s, s"$path/codes")
-      .getOrElse(sys.error(s"no PQ code segments under $path"))
-    val pruned = live
-      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= excludeVecId)
-    val resolved =
-      if (segIds.size <= 1) pruned
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
-        pruned.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-      }
-    resolved
-      .select(col("vec_id").as("neighbor_id"), round(score, 6).as("adc_score"))
-      .orderBy(col("adc_score").desc, col("neighbor_id"))
-      .limit(topk)
+    readPrunedCodes(s, path, probeCells) match {
+      case None =>
+        import s.implicits._
+        Seq.empty[(Long, Double)].toDF("neighbor_id", "adc_score")
+      case Some((live, segIds)) =>
+        val pruned = live.filter(col("vec_id") =!= excludeVecId)
+        val resolved =
+          if (segIds.size <= 1) pruned
+          else {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
+            pruned.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1)
+          }
+        resolved
+          .select(col("vec_id").as("neighbor_id"),
+            round(score, 6).as("adc_score"))
+          .orderBy(col("adc_score").desc, col("neighbor_id"))
+          .limit(topk)
+    }
+  }
+
+  /** Codes-table read pruned at LISTING time to the probed cells (the
+    * SimilarityOps.readPrunedCells rationale, lifecycle flavor): only
+    * the probed cell dirs of each live segment are file-listed. None =
+    * nothing indexed under the probed cells — but a missing/empty
+    * codes TABLE is still a caller error (a probe against no index at
+    * all), kept as loud as the old readLiveWithIds sys.error. */
+  private def readPrunedCodes(s: SparkSession, path: String,
+      cells: Seq[Int]): Option[(DataFrame, Seq[Long])] = {
+    val keep = cells.map(c => s"cell=$c").toSet
+    val out = graft.sinks.IngestSegments
+      .readLivePrunedWithIds(s, s"$path/codes", keep)
+    if (out.isEmpty)
+      require(graft.sinks.IngestSegments
+          .liveSegments(s, s"$path/codes").nonEmpty,
+        s"no PQ code segments under $path")
+    out
   }
 
   /** Batched ADC kNN — the PQ twin of SimilarityOps.ivfKnnJoin: top-k
@@ -436,18 +457,21 @@ object PqOps {
       .localCheckpoint()
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val (live, segIds) = graft.sinks.IngestSegments
-      .readLiveWithIds(s, s"$path/codes")
-      .getOrElse(sys.error(s"no PQ code segments under $path"))
-    val pruned = live.filter(col("cell").isin(cells: _*))
-    val resolved =
-      if (segIds.size <= 1) pruned
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
-        pruned.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-      }
+    val resolved = readPrunedCodes(s, path, cells) match {
+      case None => // index exists (readPrunedCodes requires it) but the
+        // probed cells hold nothing — no query can have a neighbor
+        return probed.limit(0)
+          .select(col("query_id"), col("query_id").as("neighbor_id"),
+            lit(0.0).as("adc_score"))
+      case Some((live, segIds)) =>
+        if (segIds.size <= 1) live
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
+          live.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        }
+    }
     val score = element_at(col("cd"), col("cell") + 1) +
       (0 until m).map { j =>
         element_at(element_at(col("adc"), j + 1),
@@ -580,10 +604,65 @@ object PqOps {
     probeWithModel(s, path, cents, books, qVec, nprobe, topk, excludeVecId = 0L)
   }
 
+  @volatile private var rerankOracleState: Option[(PqOracleModel, Int)] = None
+
+  /** q108: two-stage retrieval — the ADC shortlist re-ranked by EXACT
+    * cosine, the standard recall-repair step every production PQ
+    * deployment runs (compression error reorders close neighbors; a
+    * shortlist 5× the final k followed by a full-precision re-rank
+    * restores near-exact top-k at a bounded extra cost). Stage 1 is
+    * q94's ADC probe widened to `shortlist` rows; its ids are
+    * driver-bounded (≤ shortlist, the q66 top-literals pattern) and
+    * pushed as an In filter on the full-precision table, so stage 2 at
+    * 100 TB is a row-group-stats point fetch of ≤ shortlist vectors —
+    * never a scan — plus `shortlist` exact cosines. The oracle replays
+    * the stored-model shortlist in SQL (pqOracle with topk=shortlist)
+    * and re-ranks it with DuckDB's own exact cosine. */
+  def annPqRerank(s: SparkSession, d: String, nprobe: Int = 2,
+      shortlist: Int = 50, topk: Int = 10): DataFrame = {
+    val path = ensurePqIndex(s, d)
+    val (cents, books) = loadModel(s, path)
+    val qVec = t(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    val (m, ksub, sb) = geomOf(books)
+    val cellDots = cents.map(c => dotLocal(qVec, c))
+    val adc = Array.tabulate(m, ksub) { (j, c) =>
+      dotLocal(qVec.slice(j * sb, (j + 1) * sb), books(j)(c))
+    }
+    rerankOracleState = Some((PqOracleModel(nprobe, shortlist, cents, books,
+      cellDots, adc), topk))
+    val ids = probeWithModel(s, path, cents, books, qVec, nprobe, shortlist,
+        excludeVecId = 0L)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSeq
+    t(s, d, "embeddings")
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        round(graft.expressions.VectorHashes.cosine_sim(
+          col("embedding").cast("array<double>"),
+          typedlit(qVec.toSeq)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .limit(topk)
+  }
+
+  /** q108's oracle: the generated ADC shortlist (pqOracle at
+    * topk=shortlist) re-ranked by DuckDB's exact cosine — same round(6)
+    * and (cosine desc, id) tie order as the Spark side. */
+  private def rerankOracle(mo: PqOracleModel, topk: Int): String =
+    s"""SELECT sl.neighbor_id,
+       | round(list_cosine_similarity(e2.v, q2.qv), 6) AS cosine
+       |FROM (${pqOracle(mo)}) sl
+       |JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e2
+       |  ON e2.vec_id = sl.neighbor_id
+       |CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       |            WHERE vec_id = 0) q2
+       |ORDER BY cosine DESC, neighbor_id LIMIT $topk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q94_ann_ivfpq_topk" -> ((s, d) => annIvfPq(s, d)),
     "q96_ann_pq_knn_join" -> ((s, d) => annPqKnnJoin(s, d)),
-    "q107_ann_pq_stream" -> ((s, d) => annIvfPqStream(s, d)))
+    "q107_ann_pq_stream" -> ((s, d) => annIvfPqStream(s, d)),
+    "q108_ann_pq_rerank" -> ((s, d) => annPqRerank(s, d)))
 
   private def dArr(xs: Array[Double]): String =
     xs.mkString("[", ",", "]") + "::DOUBLE[]"
@@ -733,5 +812,7 @@ object PqOps {
     pqOracleState.map(mo => "q94_ann_ivfpq_topk" -> pqOracle(mo)).toMap ++
       knnOracleState.map { case (nq, np, tk, cs, bs) =>
         "q96_ann_pq_knn_join" -> pqKnnOracle(nq, np, tk, cs, bs) } ++
-      pqStreamOracleState.map(mo => "q107_ann_pq_stream" -> pqOracle(mo))
+      pqStreamOracleState.map(mo => "q107_ann_pq_stream" -> pqOracle(mo)) ++
+      rerankOracleState.map { case (mo, tk) =>
+        "q108_ann_pq_rerank" -> rerankOracle(mo, tk) }
 }

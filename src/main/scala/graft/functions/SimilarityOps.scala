@@ -209,8 +209,20 @@ object SimilarityOps {
       bits: Int = 8, probe: Int = 2, k: Int = 10,
       excludeVecId: Long = 0L): DataFrame = {
     val probed = probedBucketSet(s, path, qVec, bits, probe)
-    s.read.parquet(s"$path/corpus")
-      .filter(col("bucket").isin(probed: _*) && col("vec_id") =!= excludeVecId)
+    // the probed set IS the partition filter, applied at LISTING time:
+    // one listStatus of the corpus root, then only the probed bucket
+    // dirs are file-listed and planned. Handing Spark the root and
+    // filtering on the partition column prunes the SCAN but still
+    // file-lists every bucket dir — at 4096 buckets the listing, not
+    // the read, dominates probe latency.
+    val keep = probed.map(b => s"bucket=$b").toSet
+    val dirs = graft.sinks.Hfs.childDirs(s, s"$path/corpus", "bucket=")
+      .filter(keep).map(n => s"$path/corpus/$n")
+    if (dirs.isEmpty) {
+      import s.implicits._
+      Seq.empty[(Long, Double)].toDF("neighbor_id", "cosine")
+    } else s.read.option("basePath", s"$path/corpus").parquet(dirs: _*)
+      .filter(col("vec_id") =!= excludeVecId)
       .select(col("vec_id").as("neighbor_id"),
         round(fcos(col("v"), typedlit(qVec.toSeq)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -300,14 +312,17 @@ object SimilarityOps {
       qVec: Array[Double], bits: Int = 8, probe: Int = 2, k: Int = 10,
       excludeVecId: Long = 0L): DataFrame = {
     val probed = probedBucketSet(s, path, qVec, bits, probe)
-    graft.sinks.IngestSegments.readLiveWithIds(s, s"$path/corpus") match {
+    // listing-time pruning (see probeAnnLshIndex): only the probed
+    // bucket dirs of each live segment are file-listed — None covers
+    // both "no index" and "nothing indexed under the probed buckets"
+    val keep = probed.map(b => s"bucket=$b").toSet
+    graft.sinks.IngestSegments
+      .readLivePrunedWithIds(s, s"$path/corpus", keep) match {
       case None =>
         import s.implicits._
         Seq.empty[(Long, Double)].toDF("neighbor_id", "cosine")
       case Some((live, ids)) =>
-        val pruned = live
-          .filter(col("bucket").isin(probed: _*) &&
-            col("vec_id") =!= excludeVecId)
+        val pruned = live.filter(col("vec_id") =!= excludeVecId)
         val resolved =
           if (ids.size <= 1) pruned
           else {
@@ -411,7 +426,7 @@ object SimilarityOps {
     * cell partitions — parquet partition pruning does the work, so a
     * query touches nprobe/k of the corpus files instead of the full
     * scan. At 100 TB the build is its own job; IvfSpec asserts the
-    * probe plan's PartitionFilters and files-read subset. */
+    * probe's selected-partition and files-read subset. */
   def buildIvfIndex(emb: DataFrame, path: String, k: Int = 8,
       iters: Int = 1, dims: Int = 64): Unit = {
     val spark = emb.sparkSession
@@ -440,12 +455,29 @@ object SimilarityOps {
     val cents = loadCentroids(s, path)
     val probeCells = cents.indices
       .sortBy(i => -cosLocal(qVec, cents(i))).take(nprobe)
-    s.read.parquet(s"$path/corpus")
-      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= excludeVecId)
+    readPrunedCells(s, s"$path/corpus", probeCells)
+      .filter(col("vec_id") =!= excludeVecId)
       .select(col("vec_id").as("neighbor_id"),
         round(fcos(col("v"), typedlit(qVec.toSeq)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
       .limit(topk)
+  }
+
+  /** One-shot cell/bucket layout read pruned at LISTING time: one
+    * listStatus of the table root, then only the kept partition dirs
+    * are file-listed and planned (basePath keeps the partition column).
+    * Handing Spark the root and filtering the partition column prunes
+    * the SCAN but still file-lists every dir — with thousands of cells
+    * the listing, not the read, dominates probe latency. Empty-kept
+    * probes read the root (cheap only when nothing matched — yields
+    * the schema for a well-typed empty result). */
+  private[functions] def readPrunedCells(s: SparkSession, root: String,
+      cells: Seq[Int]): DataFrame = {
+    val keep = cells.map(c => s"cell=$c").toSet
+    val dirs = graft.sinks.Hfs.childDirs(s, root, "cell=")
+      .filter(keep).map(n => s"$root/$n")
+    if (dirs.isEmpty) s.read.parquet(root).limit(0)
+    else s.read.option("basePath", root).parquet(dirs: _*)
   }
 
   /** Cache tag for a stored layout: the dir path hash PLUS the source
@@ -583,15 +615,14 @@ object SimilarityOps {
       // accumulate pinned memory (unlike the round-5 BloomGate, which
       // the CacheManager held strongly).
       .localCheckpoint()
-    // driver-enumerated probed-cell union, pushed as a LITERAL partition
-    // filter: a data-dependent join key cannot prune the corpus scan, so
-    // without this the batch form reads every cell even for one query.
-    // Bounded by the index's cell count k (the lshIndexBuckets pattern),
-    // never by the query count.
+    // driver-enumerated probed-cell union, pruned at LISTING time
+    // (readPrunedCells): a data-dependent join key cannot prune the
+    // corpus scan, so without this the batch form lists and reads every
+    // cell even for one query. Bounded by the index's cell count k (the
+    // lshIndexBuckets pattern), never by the query count.
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val corpus = s.read.parquet(s"$path/corpus")
-      .filter(col("cell").isin(cells: _*))
+    val corpus = readPrunedCells(s, s"$path/corpus", cells)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -891,17 +922,22 @@ object SimilarityOps {
       maxPerBucket: Option[Int] = None, dims: Int = 64): DataFrame = {
     val spark = newVecs.sparkSession
     val probe = embIndexRows(newVecs, dims).localCheckpoint()
-    val live = graft.sinks.IngestSegments.readLive(spark, s"$path/bands")
-    if (live.isEmpty) // no index yet (or only footerless empty segments)
-      return probe.limit(0).select(col("vec_id").as("new_vec"),
-        col("vec_id").as("dup_of"), col("v").as("v_n"))
     val bmods = probe
       .select(pmod(col("bkey"),
         lit(graft.sinks.IngestSegments.readBuckets(
           spark, s"$path/bands", embIndexBuckets).toLong)).as("bmod"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val pruned = live.get
-      .filter(col("bmod").isin(bmods: _*))
+    // listing-time pruning to the probe's bmod dirs — the
+    // DedupOps.lshProbeCandidates rationale; None = no index, or
+    // nothing indexed under the probe's bmods
+    val keep = bmods.map(b => s"bmod=$b").toSet
+    val pruned = graft.sinks.IngestSegments
+      .readLivePrunedWithIds(spark, s"$path/bands", keep) match {
+      case None =>
+        return probe.limit(0).select(col("vec_id").as("new_vec"),
+          col("vec_id").as("dup_of"), col("v").as("v_n"))
+      case Some((live, _)) => live
+    }
     // hot-bucket cap, probe flavor — semantics and plan notes at
     // DedupOps.lshProbeCandidates (each index (band, bv) bucket
     // contributes its `c` lowest DISTINCT vec_ids — dense_rank so

@@ -685,22 +685,27 @@ object TextOps {
     * LIVE segment set (IngestSegments), so a probe racing a crashed
     * compaction still sees every indexed hash exactly once. */
   private[graft] def probeChunkIndex(spark: SparkSession, indexPath: String,
-      batchH: DataFrame, excludeIngest: Long): DataFrame =
-    graft.sinks.IngestSegments.readLive(spark, s"$indexPath/chunks") match {
+      batchH: DataFrame, excludeIngest: Long): DataFrame = {
+    // the stored layout's modulus, never the module default
+    val nb = graft.sinks.IngestSegments.readBuckets(
+      spark, s"$indexPath/chunks", chunkIndexBuckets)
+    val bmods = batchH
+      .select(pmod(xxhash64(col("h")), lit(nb.toLong)).as("bmod"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    // listing-time pruning to the batch's bmod dirs (the
+    // DedupOps.lshProbeCandidates rationale); None = no index yet, or
+    // nothing indexed under the batch's bmods — no hash can be seen
+    val keep = bmods.map(b => s"bmod=$b").toSet
+    graft.sinks.IngestSegments
+      .readLivePrunedWithIds(spark, s"$indexPath/chunks", keep) match {
       case None =>
         spark.emptyDataFrame.withColumn("h", lit("")).limit(0).select(col("h"))
-      case Some(idx) =>
-        // the stored layout's modulus, never the module default
-        val nb = graft.sinks.IngestSegments.readBuckets(
-          spark, s"$indexPath/chunks", chunkIndexBuckets)
-        val bmods = batchH
-          .select(pmod(xxhash64(col("h")), lit(nb.toLong)).as("bmod"))
-          .distinct().collect().map(_.getLong(0)).toSeq
+      case Some((idx, _)) =>
         idx.filter(col("ingest") =!= lit(excludeIngest)) // replay safety
-          .filter(col("bmod").isin(bmods: _*))
           .join(broadcast(batchH), "h")
           .select(col("h")).distinct()
     }
+  }
 
   /** Compact the chunk index (the [[graft.sinks.IngestSegments]]
     * contract: fold all but the newest replayable batch segment into

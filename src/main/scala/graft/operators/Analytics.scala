@@ -148,10 +148,15 @@ object Analytics {
   val quantiles: Q = (s, d) =>
     t(s, d, "events")
       .groupBy(col("event_type"))
-      .agg(
-        round(percentile(col("value"), lit(0.25)), 4).as("p25"),
-        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("value"), lit(0.75)), 4).as("p75"))
+      .agg(percentile(col("value"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("ps"))
+      // ONE percentile buffer serves all three cut points — N scalar
+      // percentile aggs each collect and sort the group's values
+      // independently (N× the memory and N sorts per group)
+      .select(col("event_type"),
+        round(col("ps").getItem(0), 4).as("p25"),
+        round(col("ps").getItem(1), 4).as("p50"),
+        round(col("ps").getItem(2), 4).as("p75"))
 
   /** q93: the mergeable-sketch quantile path. q44/q48's exact
     * percentile buffers every group value — fine for bounded groups, a
@@ -175,20 +180,23 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(percentile(col("value"), lit(0.5)), 4).as("p50_exact"),
-        round(percentile(col("value"), lit(0.9)), 4).as("p90_exact"),
-        approx_percentile(col("value"), lit(0.5), lit(10000)).as("m_ap"),
-        approx_percentile(col("value"), lit(0.9), lit(10000)).as("p90_ap"),
-        percentile(col("value"), lit(0.49)).as("lo50"),
-        percentile(col("value"), lit(0.51)).as("hi50"),
-        percentile(col("value"), lit(0.89)).as("lo90"),
-        percentile(col("value"), lit(0.91)).as("hi90"))
-      .select(col("event_type"), col("n"), col("p50_exact"), col("p90_exact"),
+        // ONE buffer for all six exact cut points and one sketch for
+        // both approx points (see quantiles) — this was six
+        // independent collect-and-sort buffers per group before
+        percentile(col("value"), array(lit(0.49), lit(0.5), lit(0.51),
+          lit(0.89), lit(0.9), lit(0.91))).as("ex"),
+        approx_percentile(col("value"), array(lit(0.5), lit(0.9)),
+          lit(10000)).as("ap"))
+      .select(col("event_type"), col("n"),
+        round(col("ex").getItem(1), 4).as("p50_exact"),
+        round(col("ex").getItem(4), 4).as("p90_exact"),
         (col("n") < 100 ||
-          (col("m_ap") >= col("lo50") && col("m_ap") <= col("hi50")))
+          (col("ap").getItem(0) >= col("ex").getItem(0) &&
+            col("ap").getItem(0) <= col("ex").getItem(2)))
           .as("p50_within"),
         (col("n") < 100 ||
-          (col("p90_ap") >= col("lo90") && col("p90_ap") <= col("hi90")))
+          (col("ap").getItem(1) >= col("ex").getItem(3) &&
+            col("ap").getItem(1) <= col("ex").getItem(5)))
           .as("p90_within"))
 
   /** Binned range join (q87) — the Spark-first answer to an interval

@@ -97,6 +97,49 @@ object IngestSegments {
     throw lastRace
   }
 
+  /** [[readLiveWithIds]] restricted to the partition directories the
+    * caller will actually read: lists each live segment's child dirs
+    * once (one listStatus per segment), keeps those `keepDir` accepts
+    * (names like `bucket=37`), and plans the scan over ONLY those leaf
+    * dirs — basePath-rooted, so the partition columns survive. Listing
+    * cost then scales with segments + kept dirs, not total dirs: a
+    * probe of 37 of 4096 buckets must not pay a 4096-dir file listing
+    * per segment, which is exactly what handing Spark the segment
+    * roots does. Returns the FULL live id listing (not just segments
+    * that contributed dirs) so recency-window branching stays correct
+    * when a key's versions straddle segments. None when the table is
+    * absent, empty, or no segment has a kept dir — callers that probe
+    * treat all three as "nothing indexed under these buckets". Same
+    * delete-race retry contract as [[readLiveWithIds]]. */
+  def readLivePrunedWithIds(spark: SparkSession, tablePath: String,
+      keepDir: String => Boolean): Option[(DataFrame, Seq[Long])] = {
+    var lastRace: org.apache.spark.sql.AnalysisException = null
+    for (_ <- 0 until 3) {
+      val ids = liveSegments(spark, tablePath)
+      if (ids.isEmpty) return None
+      // a segment deleted between the id listing and this childDirs
+      // (compact's delete phase) lists empty — its rows are serving
+      // from the fold, which renamed live before any delete started
+      val dirs = ids.flatMap(id =>
+        Hfs.childDirs(spark, s"$tablePath/ingest=$id", "")
+          .filter(keepDir).map(d => s"$tablePath/ingest=$id/$d"))
+      if (dirs.isEmpty) return None
+      try {
+        return Some((spark.read.option("basePath", tablePath)
+          .parquet(dirs: _*)
+          .withColumn("ingest", col("ingest").cast("long")), ids))
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          return None // kept dirs exist but are all footerless-empty
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          lastRace = e // concurrent compact delete — re-list and retry
+      }
+    }
+    throw lastRace
+  }
+
   /** The bmod bucket count is LAYOUT GEOMETRY, not a free parameter: a
     * probe computing bucket ids with a different modulus than the one
     * the directories were written with silently misses indexed rows

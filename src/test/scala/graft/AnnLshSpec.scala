@@ -34,6 +34,35 @@ class AnnLshSpec extends SparkSpec {
   }
   import spark.implicits._
 
+  /** Bucket ids of every partition an executed probe actually READ.
+    * Pruning moved from a PartitionFilters predicate to LISTING time
+    * (only the probed dirs are handed to the reader), so the honest
+    * pin is the selected-partition set — it covers both mechanisms. */
+  private def readBucketSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    walkPlan(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.flatMap(_.selectedPartitions.toPartitionArray)
+      .map(_.urlEncodedPath)
+      .map { f =>
+        val m = "/bucket=(\\d+)/".r.findFirstMatchIn(f)
+        assert(m.isDefined, s"probe read outside bucket partitions: $f")
+        m.get.group(1).toLong
+      }.toSet
+
+  /** The ≤37-of-256 bucket set a probe of fixture vec 0 at hamming ≤ 2
+    * may read, recomputed exactly as the probe does (stored planes). */
+  private def probedSetOfVec0: Set[Long] = {
+    val qv = graft.Tables.t(spark, sf0001, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    val planes = SimilarityOps.hyperplanes(64, 8)
+    val qb = planes.zipWithIndex.map { case (h, i) =>
+      if (qv.zip(h).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
+    }.reduce(_ | _)
+    (0L until 256L).filter(b => java.lang.Long.bitCount(b ^ qb) <= 2).toSet
+  }
+
   private val rnd = new java.util.Random(7)
   private def noisy(base: Array[Double], eps: Double) =
     base.map(x => x + eps * rnd.nextGaussian())
@@ -90,12 +119,9 @@ class AnnLshSpec extends SparkSpec {
     val got = stored.select("neighbor_id", "cosine")
       .as[(Long, Double)].collect().toSeq
     assert(got == full)
-    val plan = stored.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    // a NON-EMPTY partition filter mentioning bucket — the bare strings
-    // appear in any partitioned scan even when nothing prunes
-    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
-      s"probe should prune on the bucket partition column:\n$plan")
+    val read = readBucketSet(stored)
+    assert(read.nonEmpty && read.subsetOf(probedSetOfVec0),
+      s"probe read unprobed buckets: ${read -- probedSetOfVec0}")
   }
 
   test("q105 ingest lifecycle: fold+tail probe ≡ one-shot batch probe, pruned per segment") {
@@ -117,39 +143,13 @@ class AnnLshSpec extends SparkSpec {
       .liveSegments(spark, s"$tag/corpus").sorted
     assert(segs.size == 2 && segs.head < 0 && segs.last == 2L,
       s"expected fold + tail segments, got $segs")
-    // and the scan PRUNES on the bucket partition column (inputFiles
-    // lists the whole relation regardless of pruning, so the pin is on
-    // the executed plan's PartitionFilters + the actually-read files):
-    // every FileSourceScanExec partition the probe touched must lie in
-    // the ≤37-of-256 probed set, recomputed here exactly as the probe
-    // does (stored planes, query = vec 0, hamming ≤ 2)
-    val planStr = live.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(planStr).isDefined,
-      s"probe should prune on the bucket partition column:\n$planStr")
-    val qv = graft.Tables.t(spark, sf0001, "embeddings")
-      .filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .collect()(0).getSeq[Double](0).toArray
-    val planes = SimilarityOps.hyperplanes(64, 8)
-    val qb = planes.zipWithIndex.map { case (h, i) =>
-      if (qv.zip(h).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
-    }.reduce(_ | _)
-    val probed = (0L until 256L)
-      .filter(b => java.lang.Long.bitCount(b ^ qb) <= 2).toSet
-    val scans = walkPlan(live.queryExecution.executedPlan).collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-    }
-    assert(scans.nonEmpty)
-    val readBuckets = scans.flatMap(_.selectedPartitions.toPartitionArray)
-      .map(_.urlEncodedPath)
-      .map { f =>
-        val m = "/bucket=(\\d+)/".r.findFirstMatchIn(f)
-        assert(m.isDefined, s"probe read outside bucket partitions: $f")
-        m.get.group(1).toLong
-      }.toSet
-    assert(readBuckets.nonEmpty && readBuckets.subsetOf(probed),
-      s"probe read unprobed buckets: ${readBuckets -- probed}")
+    // and the probe genuinely pruned: every partition it actually read
+    // must lie in the ≤37-of-256 probed set (query = vec 0, hamming
+    // ≤ 2), across BOTH live segments — the pruning happens at listing
+    // time now, so this files-read pin is the whole check
+    val readBuckets = readBucketSet(live)
+    assert(readBuckets.nonEmpty && readBuckets.subsetOf(probedSetOfVec0),
+      s"probe read unprobed buckets: ${readBuckets -- probedSetOfVec0}")
   }
 
   test("a torn lifecycle build (missing __done) is cleared and rebuilt, not served") {

@@ -124,10 +124,24 @@ class ChunkDedupSpec extends SparkSpec {
       case f: FileSourceScanExec if f.relation.location.rootPaths
         .exists(_.toString.contains("chunk_prune")) => f
     }.getOrElse(fail("no parquet scan of the index in the plan"))
-    assert(scan.partitionFilters.exists(_.references.exists(_.name == "bmod")),
-      s"index scan must partition-prune on bmod: ${scan.partitionFilters}")
-    assert(scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
-      .length < dirs,
+    // pruning happens at LISTING time now (readLivePrunedWithIds hands
+    // the reader only the batch's bmod dirs), so the pin is on the
+    // partitions the scan actually selected: all inside the batch's
+    // bmod set, and a strict subset of the index's bucket directories
+    val batchBmods = batchH
+      .select(pmod(xxhash64(col("h")),
+        lit(TextOps.chunkIndexBuckets.toLong)).as("bmod"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val readBmods = scan.selectedPartitions.toPartitionArray
+      .map(_.urlEncodedPath)
+      .map { f =>
+        val m = "/bmod=(\\d+)/".r.findFirstMatchIn(f)
+        assert(m.isDefined, s"probe read outside bmod partitions: $f")
+        m.get.group(1).toLong
+      }.toSet
+    assert(readBmods.nonEmpty && readBmods.subsetOf(batchBmods),
+      s"index scan read beyond the batch's bmods: ${readBmods -- batchBmods}")
+    assert(readBmods.size < dirs,
       "probe must read a strict subset of the index's bucket directories")
     // the join is batch-broadcast, and the index side reaches the join
     // without any exchange (the only shuffle sits above, in the distinct)

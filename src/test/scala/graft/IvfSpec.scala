@@ -19,10 +19,23 @@ class IvfSpec extends SparkSpec {
   test("nprobe = 2 probe is partition-pruned to a strict subset of cell partitions") {
     val df = SimilarityOps.annIvf(spark, sf0001, k = 8, nprobe = 2)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
-      s"probe scan is not partition-pruned:\n$plan")
     val path = SimilarityOps.ivfIndexPath(spark, sf0001, 8, 1)
+    // pruning happens at LISTING time (readPrunedCells) — pin the
+    // partitions the corpus scan actually selected: exactly the 2
+    // probed cells, no more
+    val scan = walkPlan(df.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(path)) => f
+    }.getOrElse(fail("no corpus scan in the probe plan"))
+    val readCells = scan.selectedPartitions.toPartitionArray
+      .map(_.urlEncodedPath)
+      .map { f =>
+        val m = "/cell=(\\d+)/".r.findFirstMatchIn(f)
+        assert(m.isDefined, s"probe read outside cell partitions: $f")
+        m.get.group(1).toInt
+      }.toSet
+    assert(readCells.nonEmpty && readCells.size <= 2,
+      s"nprobe=2 probe read cells $readCells")
     val corpus = spark.read.parquet(s"$path/corpus")
     val allFiles = corpus.select(input_file_name()).distinct().count()
     val twoCells = corpus.filter(col("cell").isin(0, 1))
@@ -100,11 +113,15 @@ class IvfSpec extends SparkSpec {
       !streamed.exists(_.isInstanceOf[Exchange]),
       s"the corpus must reach the join as an unshuffled scan:\n${bhj.get}")
     // the driver-enumerated probed-cell union must prune the corpus
-    // scan's partitions — a data-dependent join key alone cannot
+    // read — a data-dependent join key alone cannot. Pruning happens at
+    // LISTING time (readPrunedCells), so the pin is that the scan only
+    // selected cell partitions (strict subset shown by the nprobe=2
+    // test; here every query probes, so assert the shape, not a count)
     val scan = streamed.collectFirst { case f: FileSourceScanExec => f }.get
-    assert(scan.partitionFilters.nonEmpty &&
-      scan.partitionFilters.mkString.contains("cell"),
-      s"probed-cell union not pushed as a partition filter:\n$scan")
+    val cellDirs = scan.selectedPartitions.toPartitionArray
+      .map(_.urlEncodedPath)
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.contains("/cell=")),
+      s"corpus scan read outside cell partitions:\n${cellDirs.toSeq}")
   }
 
   test("kNN joins drop malformed query vectors instead of emitting null-score rows") {

@@ -129,12 +129,28 @@ class LshIndexSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"index side of the probe join shuffled:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"probe was not broadcast:\n$plan")
-    assert("PartitionFilters: \\[[^\\]]*bmod".r.findFirstIn(plan).isDefined,
-      s"no bmod partition pruning on the index scan:\n$plan")
+    // pruning happens at LISTING time (readLivePrunedWithIds hands the
+    // reader only the probe's bmod dirs) — the pin is on the partitions
+    // the index scan actually selected: a strict subset of the index's
+    // bmod dirs, bounded by the 1-doc probe's 8 bands
+    val scan = walkPlan(cand.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths
+          .exists(_.toString.contains("lsh_prune")) => f
+    }.getOrElse(fail("no index scan in the plan"))
+    val readBmods = scan.selectedPartitions.toPartitionArray
+      .map(_.urlEncodedPath)
+      .map { f =>
+        val m = "/bmod=(\\d+)/".r.findFirstMatchIn(f)
+        assert(m.isDefined, s"probe read outside bmod partitions: $f")
+        m.get.group(1).toLong
+      }.toSet
     // the probe's bucket set must be a strict subset of the index dirs:
     // 3 indexed docs x 8 bands spread over more bmod dirs than 1 doc's 8
     val dirs = new java.io.File(s"$idx/bands/ingest=-1").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("bmod="))
     assert(dirs > 8, s"fixture too small to show pruning ($dirs dirs)")
+    assert(readBmods.nonEmpty && readBmods.size <= 8 && readBmods.size < dirs,
+      s"index scan read ${readBmods.size} of $dirs bmod dirs: $readBmods")
   }
 }

@@ -43,10 +43,22 @@ class PqSpec extends SparkSpec {
   test("nprobe = 2 probe is partition-pruned to a strict subset of cell partitions") {
     val df = PqOps.annIvfPq(spark, sf0001, nprobe = 2)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
-      s"probe scan is not partition-pruned:\n$plan")
     val path = PqOps.pqIndexPath(spark, sf0001)
+    // pruning happens at LISTING time (readPrunedCodes) — pin the
+    // partitions the codes scan actually selected: ≤ 2 probed cells
+    val scan0 = walkPlan(df.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(path)) => f
+    }.getOrElse(fail("no codes scan in the probe plan"))
+    val readCells = scan0.selectedPartitions.toPartitionArray
+      .map(_.urlEncodedPath)
+      .map { f =>
+        val m = "/cell=(\\d+)/".r.findFirstMatchIn(f)
+        assert(m.isDefined, s"probe read outside cell partitions: $f")
+        m.get.group(1).toInt
+      }.toSet
+    assert(readCells.nonEmpty && readCells.size <= 2,
+      s"nprobe=2 probe read cells $readCells")
     val codes = spark.read.parquet(s"$path/codes")
     val allFiles = codes.select(input_file_name()).distinct().count()
     val twoCells = codes.filter(col("cell").isin(0, 1))
@@ -183,12 +195,17 @@ class PqSpec extends SparkSpec {
     val all = walk(df.queryExecution.executedPlan)
     assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
       s"probe set must broadcast:\n${df.queryExecution.executedPlan}")
+    // probed-cell union prunes the codes read at LISTING time
+    // (readPrunedCodes) — the scan may only select cell partitions
+    val path = PqOps.pqIndexPath(spark, sf0001)
     val scan = all.collectFirst {
-      case f: FileSourceScanExec if f.partitionFilters.mkString.contains("cell") => f
-    }
-    assert(scan.nonEmpty && scan.get.partitionFilters.nonEmpty,
-      s"probed-cell union not pushed as a partition filter:\n" +
-        df.queryExecution.executedPlan)
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains(path)) => f
+    }.getOrElse(fail("no codes scan in the join plan"))
+    val cellDirs = scan.selectedPartitions.toPartitionArray
+      .map(_.urlEncodedPath)
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.contains("/cell=")),
+      s"codes scan read outside cell partitions:\n${cellDirs.toSeq}")
   }
 
   test("geometry derives from the stored model: a 32-dim m=4 index round-trips") {
@@ -309,6 +326,30 @@ class PqSpec extends SparkSpec {
       .select("neighbor_id", "adc_score").as[(Long, Double)].collect().toSeq
     assert(rebuilt == before, "torn state must be rebuilt, not served")
     assert(java.nio.file.Files.exists(done), "rebuild must re-mark __done")
+  }
+
+  test("q108 re-rank ≡ exact cosine over the ADC shortlist (driver recompute)") {
+    // the shortlist is q94's ADC ranking widened to 50; the re-rank must
+    // equal an independent exact-cosine recompute over exactly those ids
+    val shortlist = PqOps.annIvfPq(spark, sf0001, nprobe = 2, topk = 50)
+      .select("neighbor_id").as[Long].collect().toSet
+    val emb = graft.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val qv = emb(0L)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = shortlist.toSeq.map(id => (id,
+        BigDecimal(cos(emb(id), qv))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    val got = PqOps.annPqRerank(spark, sf0001)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(got == want, s"re-rank drifted from exact recompute:\n$got\nvs\n$want")
+    assert(got.map(_._1).toSet.subsetOf(shortlist),
+      "re-rank must only surface shortlist members")
   }
 
   test("engineered near-duplicates of the query survive PQ and top the ADC ranking") {
