@@ -1089,7 +1089,60 @@ object TextOps {
       .select(col("source"), col("doc_id"), col("rk"))
   }
 
+  /** q109: per-source distribution drift from the corpus mixture —
+    * total-variation distance between each source's unigram token
+    * distribution and the corpus-wide one, the standard monitor for
+    * off-distribution scrape batches and mixture rebalancing. The
+    * whole statistic is computed in EXACT integer arithmetic (decimal
+    * 38,0 — the q88 rational pattern) down to ONE final double
+    * division, because a per-token sum of `p·ln(p/q)`-style DOUBLES is
+    * summation-order-dependent under shuffle and can never hash-match
+    * an oracle. TV over the full vocab needs the absent-token mass
+    * too: Σ_{t∉Vs} c(t)·n_s = n_s·(n − cov_s) in closed form (cov_s =
+    * corpus count mass of the source's own vocab), so the scan only
+    * ever touches (source, token) pairs that EXIST.
+    *
+    * Scale shape: one token-level shuffle builds c_st with map-side
+    * combine; everything after runs on vocab-sized or source-sized
+    * frames — c_t is a vocab-sized reduce, n_s/n are source-sized and
+    * broadcast back, and the diff-sum is a second vocab-sized reduce.
+    * No corpus-sized join, no global window. At 100 TB counts can
+    * exceed 2^63 when multiplied (c·n ~ 1e25), hence decimal(38,0)
+    * products, exact to 1e38. */
+  val sourceDrift: Q = (s, d) => sourceDriftOf(t(s, d, "documents"))
+
+  /** The q109 statistic over any (source, text) frame — public for
+    * CorpusStatsSpec's hand-computed fixture. */
+  def sourceDriftOf(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cst = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).cast(dec).as("c_st"))
+    val ct = cst.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val ns = cst.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_s"), count(lit(1)).as("vocab_seen"))
+    val nt = ns.agg(sum(col("n_s")).as("n"))
+    cst.join(ct, "token")
+      .join(broadcast(ns.select(col("source"), col("n_s"))), "source")
+      .crossJoin(broadcast(nt))
+      .groupBy(col("source"))
+      .agg(sum(abs(col("c_st") * col("n") - col("c_t") * col("n_s")))
+          .as("diffsum"),
+        sum(col("c_t")).as("cov"))
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nt))
+      .select(col("source"),
+        col("n_s").cast("long").as("n_tokens"),
+        col("vocab_seen"),
+        round((col("diffsum") + col("n_s") * (col("n") - col("cov")))
+            .cast("double") /
+          (lit(2).cast(dec) * col("n_s") * col("n")).cast("double"), 6)
+          .as("tv_drift"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q109_source_drift" -> sourceDrift,
     "q73_chunk_split" -> chunkSplit,
     "q86_stratified_sample" -> stratifiedSample,
     "q82_vocab_build" -> vocabBuild,
@@ -1120,6 +1173,32 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact integer TV distance, one final double division (see
+    // sourceDrift) — HUGEINT is DuckDB's exact-to-1e38 twin of
+    // Spark's decimal(38,0)
+    "q109_source_drift" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cst AS (
+        |  SELECT source, token, count(*)::HUGEINT AS c_st
+        |  FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT token, sum(c_st) AS c_t FROM cst GROUP BY 1),
+        |ns AS (SELECT source, sum(c_st) AS n_s, count(*) AS vocab_seen
+        |       FROM cst GROUP BY 1),
+        |nt AS (SELECT sum(c_st) AS n FROM cst),
+        |ag AS (
+        |  SELECT cst.source,
+        |    sum(abs(c_st * n - c_t * n_s)) AS diffsum,
+        |    sum(c_t) AS cov
+        |  FROM cst JOIN ct USING (token) JOIN ns USING (source)
+        |    CROSS JOIN nt
+        |  GROUP BY 1)
+        |SELECT ag.source, n_s::BIGINT AS n_tokens,
+        |  vocab_seen::BIGINT AS vocab_seen,
+        |  round((diffsum + n_s * (n - cov))::DOUBLE
+        |    / (2 * n_s * n)::DOUBLE, 6) AS tv_drift
+        |FROM ag JOIN ns USING (source) CROSS JOIN nt""".stripMargin,
     "q82_vocab_build" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -34,6 +34,31 @@ class CorpusStatsSpec extends SparkSpec {
       s"everywhere-phrase must be excluded from the report, got $out")
   }
 
+  test("q109 drift: TV distance matches the hand-computed exact fractions") {
+    // s1 = {a:2, b:1} (n=3), s2 = {a:1, c:3} (n=4); corpus = {a:3, b:1,
+    // c:3} (n=7). TV(s1‖corpus) = ½(|2/3−3/7| + |1/3−1/7| + 3/7) = 3/7;
+    // TV(s2‖corpus) = ½(|1/4−3/7| + 1/7 + |3/4−3/7|) = 9/28. The absent
+    // tokens (c for s1, b for s2) are covered by the closed-form
+    // n_s·(n−cov) term — this fixture exercises it on both sides.
+    val docs = Seq((1L, "s1", "a a b"), (2L, "s2", "a c c c"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.sourceDriftOf(docs)
+      .select("source", "n_tokens", "vocab_seen", "tv_drift")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val want = Set(
+      ("s1", 3L, 2L, BigDecimal(3.0 / 7.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("s2", 4L, 2L, BigDecimal(9.0 / 28.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out == want, s"drift drifted: $out vs $want")
+    // a source identical to the whole corpus has zero drift
+    val uni = Seq((1L, "s1", "x y"), (2L, "s2", "x y"))
+      .toDF("doc_id", "source", "text")
+    val zeros = TextOps.sourceDriftOf(uni)
+      .select("tv_drift").as[Double].collect().toSeq
+    assert(zeros == Seq(0.0, 0.0), s"uniform mixture must have 0 drift: $zeros")
+  }
+
   test("q82 vocab: frequency mass conserved, df bounded by freq, rank dense by (freq, token)") {
     val vocab = TextOps.vocabBuild(spark, sf0001)
       .select("token", "freq", "df", "rank")
