@@ -1141,7 +1141,46 @@ object TextOps {
           .as("tv_drift"))
   }
 
+  /** q110: novelty rate per ingest cut — how much genuinely NEW
+    * content each crawl increment brings, the freshness metric a
+    * continuously-fed corpus is steered by (a cut whose token types
+    * are largely already known is recrawl, not growth). A token type
+    * belongs to the cut that saw it FIRST (min cut id); each cut then
+    * reports its instance count, type count, the types it introduced,
+    * and the share of its instances covered by its own novel types.
+    * All counts are integers; the one ratio divides two exact longs.
+    *
+    * Scale shape: one token-level shuffle to (cut, token) counts with
+    * map-side combine, a vocab-sized min-reduce for first-cut, and a
+    * cut-sized rollup. The cut here is pmod(doc_id, 3) — the same
+    * deterministic three-cut the lifecycle queries (q102/q103/q105/
+    * q107) stream through, so the batch answer doubles as the oracle
+    * for any streaming twin. */
+  val noveltyRate: Q = (s, d) => noveltyRateOf(t(s, d, "documents"))
+
+  def noveltyRateOf(docs: DataFrame): DataFrame = {
+    val ctk = docs
+      .select(pmod(col("doc_id"), lit(3)).as("cut"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy(col("cut"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val first = ctk.groupBy(col("token")).agg(min(col("cut")).as("first_cut"))
+    ctk.join(first, "token")
+      .groupBy(col("cut"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("first_cut") === col("cut"), lit(1))
+          .otherwise(lit(0))).as("novel_types"),
+        sum(when(col("first_cut") === col("cut"), col("c"))
+          .otherwise(lit(0))).as("novel_mass"))
+      .select(col("cut"), col("n_tokens"), col("n_types"),
+        col("novel_types"),
+        round(col("novel_mass").cast("double") /
+          col("n_tokens").cast("double"), 6).as("novel_share"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q110_novelty_rate" -> noveltyRate,
     "q109_source_drift" -> sourceDrift,
     "q73_chunk_split" -> chunkSplit,
     "q86_stratified_sample" -> stratifiedSample,
@@ -1173,6 +1212,19 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q110_novelty_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id % 3 AS cut,
+        |    unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |ctk AS (SELECT cut, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |first AS (SELECT token, min(cut) AS first_cut FROM ctk GROUP BY 1)
+        |SELECT cut, sum(c)::BIGINT AS n_tokens, count(*) AS n_types,
+        |  sum(CASE WHEN first_cut = cut THEN 1 ELSE 0 END)::BIGINT
+        |    AS novel_types,
+        |  round(sum(CASE WHEN first_cut = cut THEN c ELSE 0 END)::DOUBLE
+        |    / sum(c)::DOUBLE, 6) AS novel_share
+        |FROM ctk JOIN first USING (token) GROUP BY cut""".stripMargin,
     // exact integer TV distance, one final double division (see
     // sourceDrift) — HUGEINT is DuckDB's exact-to-1e38 twin of
     // Spark's decimal(38,0)

@@ -59,6 +59,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(zeros == Seq(0.0, 0.0), s"uniform mixture must have 0 drift: $zeros")
   }
 
+  test("q110 novelty: first-cut attribution and per-cut shares match hand counts") {
+    // cut = doc_id % 3. cut0 "a b a": all 2 types novel, share 1.
+    // cut1 "a c": c is new (share 1/2); cut2 "c d": d is new (share 1/2).
+    val docs = Seq((0L, "s", "a b a"), (1L, "s", "a c"), (2L, "s", "c d"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.noveltyRateOf(docs)
+      .select("cut", "n_tokens", "n_types", "novel_types", "novel_share")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val want = Set((0L, 3L, 2L, 2L, 1.0), (1L, 2L, 2L, 1L, 0.5),
+      (2L, 2L, 2L, 1L, 0.5))
+    assert(out == want, s"novelty drifted: $out vs $want")
+  }
+
   test("q82 vocab: frequency mass conserved, df bounded by freq, rank dense by (freq, token)") {
     val vocab = TextOps.vocabBuild(spark, sf0001)
       .select("token", "freq", "df", "rank")
