@@ -30,7 +30,7 @@ object ScaleProbe {
       "sign_band_scan", "cosine_verify_pairs", "phrase_index_build",
       "pack_greedy", "chunk_dedup", "vocab_build", "lm_score",
       "scored_match", "bm25_match",
-      "training_order", "pq_build", "pq_probe",
+      "training_order", "pq_build", "pq_probe", "probe_listing",
       "knn_join", "pq_knn_join", "knn_query_scaling", "bucketed_join",
       "partitioned_fold", "skew")
     val only = args.toSet
@@ -537,6 +537,53 @@ object ScaleProbe {
         println(f"SCALE n=$n%9d pq_probe ${(System.nanoTime() - t0p) / 1e9}%6.2f s")
       }
       vecs.unpersist()
+      graft.sinks.Hfs.deleteRecursive(spark, dir)
+    }
+    // Listing-time pruning (round 11): at a FIXED corpus size, probe
+    // latency must be ~flat in TOTAL bucket count — the probe
+    // file-lists only its ≤ Σ C(bits,≤2) probed dirs — while the
+    // pre-round-11 root-scan form (read the corpus root, filter the
+    // partition column) pays partition discovery over EVERY bucket dir
+    // and grows with index width. bits 8→12 = 256→4096 dirs; the
+    // probed set stays 37→79.
+    if (on("probe_listing"))
+    for (bits <- Seq(8, 10, 12)) {
+      val n = 200000L
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> " +
+          "pmod(xxhash64(id, i), 2000) / 1000.0D - 1.0D)").as("v"))
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-listing-b$bits").toString
+      functions.SimilarityOps.buildAnnLshIndex(vecs, dir, bits = bits)
+      val q = Array.tabulate(64)(i => (i * 2654435761L % 2000) / 1000.0 - 1.0)
+      def tmMin(name: String)(f: => Unit): Unit = {
+        val best = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"SCALE n=$n%9d $name $best%6.2f s")
+      }
+      tmMin(s"probe_pruned_b$bits") {
+        functions.SimilarityOps
+          .probeAnnLshIndex(spark, dir, q, bits = bits, probe = 2, k = 10)
+          .write.format("noop").mode("overwrite").save()
+      }
+      tmMin(s"probe_rootscan_b$bits") {
+        // the retired form, reproduced inline as the baseline
+        val planes = functions.SimilarityOps.hyperplanes(64, bits)
+        val qb = planes.zipWithIndex.map { case (h, i) =>
+          if (q.zip(h).map(p => p._1 * p._2).sum > 0) 1L << i else 0L
+        }.reduce(_ | _)
+        val probed = (0L until (1L << bits))
+          .filter(b => java.lang.Long.bitCount(b ^ qb) <= 2)
+        spark.read.parquet(s"$dir/corpus")
+          .filter(col("bucket").isin(probed: _*) && col("vec_id") =!= 0L)
+          .select(col("vec_id").as("neighbor_id"),
+            round(graft.expressions.VectorHashes.cosine_sim(col("v"),
+              typedlit(q.toSeq)), 6).as("cosine"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+          .limit(10)
+          .write.format("noop").mode("overwrite").save()
+      }
       graft.sinks.Hfs.deleteRecursive(spark, dir)
     }
     // q95/q96 batched kNN joins: 1 024 queries against corpora at

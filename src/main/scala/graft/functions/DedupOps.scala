@@ -1186,8 +1186,9 @@ object DedupOps {
     // otherwise mix two bmod layouts in one table
     val nb = graft.sinks.IngestSegments.ensureBuckets(
       docs.sparkSession, s"$path/bands", lshIndexBuckets)
-    rows.select(col("doc_id"), col("band"), col("bhash"),
-        pmod(col("bhash"), lit(nb.toLong)).as("bmod"))
+    graft.sinks.IngestSegments.alignToLayout(
+        rows.select(col("doc_id"), col("band"), col("bhash"),
+          pmod(col("bhash"), lit(nb.toLong)).as("bmod")), "bmod")
       .write.mode("overwrite").partitionBy("bmod")
       .parquet(s"$path/bands/ingest=$ingestId")
     rows.select(col("doc_id"), col("hs")).dropDuplicates("doc_id")

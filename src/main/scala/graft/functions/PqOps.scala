@@ -204,8 +204,10 @@ object PqOps {
     val bootstrap =
       if (trainOn.isEmpty) assigned // reuse the checkpointed assignment
       else SimilarityOps.assignCells(wellFormed(emb, dims), cents)
-    bootstrap.withColumn("r", residualCol(cents))
-      .select(col("vec_id"), col("cell"), codesCol(books).as("codes"))
+    graft.sinks.IngestSegments.alignToLayout(
+        bootstrap.withColumn("r", residualCol(cents))
+          .select(col("vec_id"), col("cell"), codesCol(books).as("codes")),
+        "cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes/ingest=$ingestId")
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -249,7 +251,9 @@ object PqOps {
     val (cents, books) = loadModel(spark, path)
     // admission width comes from the STORED model, so an index built at
     // any dims gates its ingests consistently
-    encodeAgainst(wellFormed(newVecs, cents(0).length), cents, books)
+    graft.sinks.IngestSegments.alignToLayout(
+        encodeAgainst(wellFormed(newVecs, cents(0).length), cents, books),
+        "cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes/ingest=$ingestId")
   }

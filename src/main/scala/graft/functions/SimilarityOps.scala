@@ -177,7 +177,9 @@ object SimilarityOps {
   def buildAnnLshIndex(emb: DataFrame, path: String, bits: Int = 8,
       dims: Int = 64): Unit = {
     val planes = hyperplanes(dims, bits)
-    emb.withColumn("bucket", bucketChecked(col("v"), planes, dims))
+    graft.sinks.IngestSegments.alignToLayout(
+        emb.withColumn("bucket", bucketChecked(col("v"), planes, dims)),
+        "bucket")
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/corpus")
     // one-shot build replaces the whole corpus, so the pin follows it
     pinGeom(emb.sparkSession, s"$path", dims, bits)
@@ -280,8 +282,10 @@ object SimilarityOps {
       case None => pinGeom(spark, path, dims, bits)
     }
     val planes = hyperplanes(dims, bits)
-    emb.select(col("vec_id"), col("v"))
-      .withColumn("bucket", bucketChecked(col("v"), planes, dims))
+    graft.sinks.IngestSegments.alignToLayout(
+        emb.select(col("vec_id"), col("v"))
+          .withColumn("bucket", bucketChecked(col("v"), planes, dims)),
+        "bucket")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/corpus/ingest=$ingestId")
   }
@@ -440,7 +444,8 @@ object SimilarityOps {
     // build-time-only knob.
     val clean = emb.filter(wellFormedVec(col("v"), dims))
     val centroids = kmeansLite(clean, k, iters)
-    assignCells(clean, centroids)
+    graft.sinks.IngestSegments
+      .alignToLayout(assignCells(clean, centroids), "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -889,8 +894,9 @@ object SimilarityOps {
     // indexes: a drifted default must not mix bmod layouts
     val nb = graft.sinks.IngestSegments.ensureBuckets(
       vecs.sparkSession, s"$path/bands", embIndexBuckets)
-    rows.select(col("vec_id"), col("band"), col("bv"),
-        pmod(col("bkey"), lit(nb.toLong)).as("bmod"))
+    graft.sinks.IngestSegments.alignToLayout(
+        rows.select(col("vec_id"), col("band"), col("bv"),
+          pmod(col("bkey"), lit(nb.toLong)).as("bmod")), "bmod")
       .write.mode("overwrite").partitionBy("bmod")
       .parquet(s"$path/bands/ingest=$ingestId")
     rows.select(col("vec_id"), col("v")).dropDuplicates("vec_id")

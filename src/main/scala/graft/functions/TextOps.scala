@@ -656,8 +656,10 @@ object TextOps {
     // and the probe misses indexed hashes (IngestSegments.ensureBuckets)
     val nb = graft.sinks.IngestSegments.ensureBuckets(
       hashes.sparkSession, s"$path/chunks", chunkIndexBuckets)
-    hashes.dropDuplicates("h")
-      .select(col("h"), pmod(xxhash64(col("h")), lit(nb.toLong)).as("bmod"))
+    graft.sinks.IngestSegments.alignToLayout(
+        hashes.dropDuplicates("h")
+          .select(col("h"),
+            pmod(xxhash64(col("h")), lit(nb.toLong)).as("bmod")), "bmod")
       .write.mode("overwrite").partitionBy("bmod")
       .parquet(s"$path/chunks/ingest=$ingestId")
   }

@@ -97,6 +97,20 @@ object IngestSegments {
     throw lastRace
   }
 
+  /** Align write tasks with the directory layout before a partitionBy
+    * write: without it every write task can open a file in EVERY value
+    * dir it sees rows for — tasks × dirs files per segment, the
+    * small-files debt every later probe's file listing pays
+    * ([[readLivePrunedWithIds]] bounds WHICH dirs are listed; this
+    * bounds how many files each dir holds). One hash shuffle on the
+    * layout key caps the segment at one file per dir. A pathological
+    * hot value serializes into one write task — acceptable for these
+    * hash/sign layouts whose values are engineered near-uniform; a
+    * general-purpose writer would split with a REBALANCE-style
+    * partitioning instead. */
+  def alignToLayout(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(cols.map(col): _*)
+
   /** [[readLiveWithIds]] restricted to the partition directories the
     * caller will actually read: lists each live segment's child dirs
     * once (one listStatus per segment), keeps those `keepDir` accepts
@@ -200,7 +214,11 @@ object IngestSegments {
             if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => return
       }
     val staging = s"$tablePath/$StagingPrefix$foldId"
-    val w = fold(src).write.mode("errorifexists")
+    // the fold rewrites the bulk of the table — align it with the
+    // layout too, or the fold segment re-accrues tasks x dirs files
+    val folded0 = fold(src)
+    val w = (if (partitionCols.nonEmpty) alignToLayout(folded0, partitionCols: _*)
+             else folded0).write.mode("errorifexists")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(staging)
     Hfs.writeString(spark, s"$staging/$FoldMarker", "")
