@@ -742,6 +742,40 @@ object DedupOps {
   val dedupClusters: Q = (s, d) =>
     collapseClusters(shingleJaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
 
+  /** q111: dedup survivorship — the resolution step that follows
+    * clustering: every near-dup cluster keeps ONE canonical document
+    * (longest text, ties to the lowest doc_id — the C4/CCNet-style
+    * keep-longest policy) and the report shows what survives:
+    * members, canonical, kept vs total chars. Singletons are clusters
+    * of one — the corpus after dedup IS this table's canonical set,
+    * so row count = post-dedup corpus size by construction.
+    *
+    * Scale shape: clustering is q62's Pregel loop (edge-count-bounded
+    * rounds); the survivorship itself is one left join of the corpus
+    * against the label table (both hash-partitioned on doc_id) and
+    * one cluster-keyed reduce. The canonical argmax is an
+    * order-independent max(struct(len, -id)) — no window, no sort.
+    * Oracle: q62's recursive-CTE closure + the same rollup. */
+  val dedupCanonical: Q = (s, d) => {
+    val labels = collapseClusters(
+      shingleJaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
+    t(s, d, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("n_chars"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"),
+        col("n_chars"))
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("total_chars"),
+        max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("negid")))
+          .as("best"))
+      .select(col("cluster_rep"), col("n_members"),
+        (-col("best.negid")).as("canonical_doc"),
+        col("best.nc").as("kept_chars"),
+        col("total_chars"))
+  }
+
   /** The label-propagation loop itself, over ANY (doc_a, doc_b) pair
     * set — q62 feeds it the fixture pairs; ScaleProbe feeds it
     * synthetic pair graphs at 1×/4×/16× to measure the per-round cost
@@ -1415,6 +1449,7 @@ object DedupOps {
     "q62_dedup_clusters" -> dedupClusters,
     "q104_dedup_clusters_star" -> dedupClustersStar,
     "q106_dedup_clusters_auto" -> dedupClustersAuto,
+    "q111_dedup_canonical" -> dedupCanonical,
   )
 
   /** The transitive-closure oracle shared by q62/q104/q106 — three
@@ -1451,6 +1486,25 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "q62_dedup_clusters" -> closureOracleSql,
+    // q111 = the closure + survivorship rollup: singleton clusters via
+    // the left join's coalesce; canonical = longest text, lowest id
+    "q111_dedup_canonical" ->
+      (closureOracleSql.replace("SELECT n AS doc_id, min(m) AS cluster_rep\nFROM reach GROUP BY n",
+        """, lab0 AS (
+          |  SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n),
+          |lab AS (
+          |  SELECT d.doc_id, coalesce(l.cluster_rep, d.doc_id) AS cluster_rep,
+          |    d.n_chars
+          |  FROM documents d LEFT JOIN lab0 l ON d.doc_id = l.doc_id
+          |  WHERE d.doc_id < 500),
+          |rk AS (
+          |  SELECT *, row_number() OVER (PARTITION BY cluster_rep
+          |    ORDER BY n_chars DESC, doc_id) AS rn FROM lab)
+          |SELECT l.cluster_rep, count(*)::BIGINT AS n_members,
+          |  max(k.doc_id) AS canonical_doc, max(k.n_chars) AS kept_chars,
+          |  sum(l.n_chars)::BIGINT AS total_chars
+          |FROM lab l JOIN rk k ON l.cluster_rep = k.cluster_rep AND k.rn = 1
+          |GROUP BY l.cluster_rep""".stripMargin)),
     // q104 ≡ q62 through star contraction — same recursive-CTE oracle
     // on purpose: two algorithms, one answer, both hash-gated
     "q104_dedup_clusters_star" -> closureOracleSql,

@@ -15,6 +15,27 @@ class DedupSpec extends SparkSpec {
   // unrelated
   private val other = ("completely different content about spark engines " * 9).trim
 
+  test("q111 canonical: survivorship rollup ≡ driver recompute from q62 labels; mass conserved") {
+    val labels = DedupOps.dedupClusters(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].collect()
+    val want = docs.groupBy { case (id, _) => labels.getOrElse(id, id) }
+      .map { case (rep, ms) =>
+        val canon = ms.minBy { case (id, nc) => (-nc, id) }
+        (rep, ms.length.toLong, canon._1, canon._2, ms.map(_._2).sum)
+      }.toSet
+    val got = DedupOps.dedupCanonical(spark, sf0001)
+      .select("cluster_rep", "n_members", "canonical_doc", "kept_chars",
+        "total_chars")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"survivorship drifted from label recompute")
+    // membership mass conserved: every doc lands in exactly one cluster
+    assert(got.toSeq.map(_._2).sum == docs.length.toLong)
+  }
+
   test("minhash/LSH finds the engineered near-dup pair and not the unrelated one") {
     val docs = Seq((0L, base), (1L, near), (2L, other)).toDF("doc_id", "text")
     val sh = DedupOps.shingles3(split(col("text"), " "))
