@@ -1160,12 +1160,17 @@ object TextOps {
     * for any streaming twin. */
   val noveltyRate: Q = (s, d) => noveltyRateOf(t(s, d, "documents"))
 
-  def noveltyRateOf(docs: DataFrame): DataFrame = {
-    val ctk = docs
+  def noveltyRateOf(docs: DataFrame): DataFrame =
+    noveltyFromCutCounts(docs
       .select(pmod(col("doc_id"), lit(3)).as("cut"),
         explode(tokens(col("text"))).as("token"))
       .groupBy(col("cut"), col("token"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The per-cut novelty rollup over ANY (cut, token, c) counts —
+    * shared by the q110 batch form and the live merged state of
+    * [[graft.sinks.NoveltySink]] (q112). */
+  private[graft] def noveltyFromCutCounts(ctk: DataFrame): DataFrame = {
     val first = ctk.groupBy(col("token")).agg(min(col("cut")).as("first_cut"))
     ctk.join(first, "token")
       .groupBy(col("cut"))
@@ -1181,7 +1186,21 @@ object TextOps {
           col("n_tokens").cast("double"), 6).as("novel_share"))
   }
 
+  /** q112: the LIVE novelty report ≡ the q110 batch answer through the
+    * three-cut additive lifecycle (cuts 0+1 folded by compaction,
+    * cut 2 the replayable live tail) — same oracle as q110 on purpose,
+    * exactly as q102/q103 share their batch twins' oracles: the
+    * lifecycle is the thing under test, not new query semantics. The
+    * fold must preserve first-cut attribution across the compaction
+    * boundary; that is the property this query gates. */
+  val noveltyStream: Q = (s, d) =>
+    graft.sinks.NoveltySink.report(s,
+      ensureCutLifecycle(s, d, "noveltystream",
+        graft.sinks.NoveltySink.writer,
+        loc => graft.sinks.NoveltySink.compact(s, loc)))
+
   val queries: Map[String, Q] = Map(
+    "q112_novelty_stream" -> noveltyStream,
     "q110_novelty_rate" -> noveltyRate,
     "q109_source_drift" -> sourceDrift,
     "q73_chunk_split" -> chunkSplit,
@@ -1213,20 +1232,26 @@ object TextOps {
     "q81_chunk_dedup" -> chunkDedup,
   )
 
+  private val noveltyOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id % 3 AS cut,
+      |    unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |ctk AS (SELECT cut, token, count(*) AS c FROM tok GROUP BY 1, 2),
+      |first AS (SELECT token, min(cut) AS first_cut FROM ctk GROUP BY 1)
+      |SELECT cut, sum(c)::BIGINT AS n_tokens, count(*) AS n_types,
+      |  sum(CASE WHEN first_cut = cut THEN 1 ELSE 0 END)::BIGINT
+      |    AS novel_types,
+      |  round(sum(CASE WHEN first_cut = cut THEN c ELSE 0 END)::DOUBLE
+      |    / sum(c)::DOUBLE, 6) AS novel_share
+      |FROM ctk JOIN first USING (token) GROUP BY cut""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q110_novelty_rate" ->
-      """WITH tok AS (
-        |  SELECT doc_id % 3 AS cut,
-        |    unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |ctk AS (SELECT cut, token, count(*) AS c FROM tok GROUP BY 1, 2),
-        |first AS (SELECT token, min(cut) AS first_cut FROM ctk GROUP BY 1)
-        |SELECT cut, sum(c)::BIGINT AS n_tokens, count(*) AS n_types,
-        |  sum(CASE WHEN first_cut = cut THEN 1 ELSE 0 END)::BIGINT
-        |    AS novel_types,
-        |  round(sum(CASE WHEN first_cut = cut THEN c ELSE 0 END)::DOUBLE
-        |    / sum(c)::DOUBLE, 6) AS novel_share
-        |FROM ctk JOIN first USING (token) GROUP BY cut""".stripMargin,
+    "q110_novelty_rate" -> noveltyOracleSql,
+    // q112 = the live additive-lifecycle state (fold + tail); same
+    // oracle as q110 on purpose — the q102/q103 pattern: the lifecycle
+    // is the thing under test, not new query semantics
+    "q112_novelty_stream" -> noveltyOracleSql,
     // exact integer TV distance, one final double division (see
     // sourceDrift) — HUGEINT is DuckDB's exact-to-1e38 twin of
     // Spark's decimal(38,0)

@@ -131,6 +131,31 @@ class CorpusStatsSpec extends SparkSpec {
       "compaction must preserve the vocabulary exactly")
   }
 
+  test("streaming novelty: cuts + replay + compact reconcile to q110; fold keeps first-cut attribution") {
+    val tmp = java.nio.file.Files.createTempDirectory("novelty_sink").toString
+    val docs = Tables.t(spark, sf0001, "documents").select("doc_id", "text")
+    val w = sinks.NoveltySink.writer(s"$tmp/nov") _
+    def cut(b: Long) = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+    w(cut(0), 0L); w(cut(1), 1L); w(cut(1), 1L) // replay must no-op
+    w(cut(2), 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("cut", "n_tokens", "n_types", "novel_types", "novel_share")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val expected = rows(TextOps.noveltyRate(spark, sf0001))
+    assert(rows(sinks.NoveltySink.report(spark, s"$tmp/nov")) == expected,
+      "merged segments must equal the q110 batch report")
+    // the load-bearing fold property: compaction merges cut 0 and 1
+    // rows into ONE segment, and min(cut) attribution must survive it —
+    // a fold that dropped or renumbered cut would hand cut 1 the types
+    // cut 0 introduced
+    sinks.NoveltySink.compact(spark, s"$tmp/nov")
+    val segs = new java.io.File(s"$tmp/nov").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("seq="))
+    assert(segs == 1, s"compact must fold to one segment, got $segs")
+    assert(rows(sinks.NoveltySink.report(spark, s"$tmp/nov")) == expected,
+      "compaction must preserve first-cut attribution exactly")
+  }
+
   test("q86 stratified sample: at most k per source, dense ranks, reproducible") {
     def run() = TextOps.stratifiedSample(spark, sf0001)
       .select("source", "doc_id", "rk").as[(String, Long, Long)].collect().toSet
