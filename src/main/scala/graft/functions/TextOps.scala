@@ -1115,12 +1115,19 @@ object TextOps {
 
   /** The q109 statistic over any (source, text) frame — public for
     * CorpusStatsSpec's hand-computed fixture. */
-  def sourceDriftOf(docs: DataFrame): DataFrame = {
-    val dec = "decimal(38,0)"
-    val cst = docs
+  def sourceDriftOf(docs: DataFrame): DataFrame =
+    driftFromSourceTokenCounts(docs
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("source"), col("token"))
-      .agg(count(lit(1)).cast(dec).as("c_st"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c_st")))
+
+  /** The q109 statistic over ANY (source, token, c_st) counts — shared
+    * by the batch form and the live merged state of
+    * [[graft.sinks.DriftSink]] (q113). */
+  private[graft] def driftFromSourceTokenCounts(cst0: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cst = cst0.select(col("source"), col("token"),
+      col("c_st").cast(dec).as("c_st"))
     val ct = cst.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
     val ns = cst.groupBy(col("source"))
       .agg(sum(col("c_st")).as("n_s"), count(lit(1)).as("vocab_seen"))
@@ -1199,7 +1206,18 @@ object TextOps {
         graft.sinks.NoveltySink.writer,
         loc => graft.sinks.NoveltySink.compact(s, loc)))
 
+  /** q113: the LIVE drift report ≡ the q109 batch answer through the
+    * three-cut additive lifecycle (cuts 0+1 folded, cut 2 the
+    * replayable tail) — same oracle as q109 on purpose (the
+    * q112/q102/q103 pattern). */
+  val sourceDriftStream: Q = (s, d) =>
+    graft.sinks.DriftSink.report(s,
+      ensureCutLifecycle(s, d, "driftstream",
+        graft.sinks.DriftSink.writer,
+        loc => graft.sinks.DriftSink.compact(s, loc)))
+
   val queries: Map[String, Q] = Map(
+    "q113_drift_stream" -> sourceDriftStream,
     "q112_novelty_stream" -> noveltyStream,
     "q110_novelty_rate" -> noveltyRate,
     "q109_source_drift" -> sourceDrift,
@@ -1232,6 +1250,30 @@ object TextOps {
     "q81_chunk_dedup" -> chunkDedup,
   )
 
+  private val driftOracleSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |cst AS (
+      |  SELECT source, token, count(*)::HUGEINT AS c_st
+      |  FROM tok GROUP BY 1, 2),
+      |ct AS (SELECT token, sum(c_st) AS c_t FROM cst GROUP BY 1),
+      |ns AS (SELECT source, sum(c_st) AS n_s, count(*) AS vocab_seen
+      |       FROM cst GROUP BY 1),
+      |nt AS (SELECT sum(c_st) AS n FROM cst),
+      |ag AS (
+      |  SELECT cst.source,
+      |    sum(abs(c_st * n - c_t * n_s)) AS diffsum,
+      |    sum(c_t) AS cov
+      |  FROM cst JOIN ct USING (token) JOIN ns USING (source)
+      |    CROSS JOIN nt
+      |  GROUP BY 1)
+      |SELECT ag.source, n_s::BIGINT AS n_tokens,
+      |  vocab_seen::BIGINT AS vocab_seen,
+      |  round((diffsum + n_s * (n - cov))::DOUBLE
+      |    / (2 * n_s * n)::DOUBLE, 6) AS tv_drift
+      |FROM ag JOIN ns USING (source) CROSS JOIN nt""".stripMargin
+
   private val noveltyOracleSql: String =
     """WITH tok AS (
       |  SELECT doc_id % 3 AS cut,
@@ -1255,29 +1297,10 @@ object TextOps {
     // exact integer TV distance, one final double division (see
     // sourceDrift) — HUGEINT is DuckDB's exact-to-1e38 twin of
     // Spark's decimal(38,0)
-    "q109_source_drift" ->
-      """WITH tok AS (
-        |  SELECT source, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |cst AS (
-        |  SELECT source, token, count(*)::HUGEINT AS c_st
-        |  FROM tok GROUP BY 1, 2),
-        |ct AS (SELECT token, sum(c_st) AS c_t FROM cst GROUP BY 1),
-        |ns AS (SELECT source, sum(c_st) AS n_s, count(*) AS vocab_seen
-        |       FROM cst GROUP BY 1),
-        |nt AS (SELECT sum(c_st) AS n FROM cst),
-        |ag AS (
-        |  SELECT cst.source,
-        |    sum(abs(c_st * n - c_t * n_s)) AS diffsum,
-        |    sum(c_t) AS cov
-        |  FROM cst JOIN ct USING (token) JOIN ns USING (source)
-        |    CROSS JOIN nt
-        |  GROUP BY 1)
-        |SELECT ag.source, n_s::BIGINT AS n_tokens,
-        |  vocab_seen::BIGINT AS vocab_seen,
-        |  round((diffsum + n_s * (n - cov))::DOUBLE
-        |    / (2 * n_s * n)::DOUBLE, 6) AS tv_drift
-        |FROM ag JOIN ns USING (source) CROSS JOIN nt""".stripMargin,
+    "q109_source_drift" -> driftOracleSql,
+    // q113 = the live additive-lifecycle state; same oracle as q109 on
+    // purpose — the q112 pattern
+    "q113_drift_stream" -> driftOracleSql,
     "q82_vocab_build" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

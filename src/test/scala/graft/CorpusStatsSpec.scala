@@ -156,6 +156,25 @@ class CorpusStatsSpec extends SparkSpec {
       "compaction must preserve first-cut attribution exactly")
   }
 
+  test("streaming drift: cuts + replay + compact reconcile to q109") {
+    val tmp = java.nio.file.Files.createTempDirectory("drift_sink").toString
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select("doc_id", "source", "text")
+    val w = sinks.DriftSink.writer(s"$tmp/drift") _
+    def cut(b: Long) = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+    w(cut(0), 0L); w(cut(1), 1L); w(cut(1), 1L) // replay must no-op
+    w(cut(2), 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "n_tokens", "vocab_seen", "tv_drift")
+        .as[(String, Long, Long, Double)].collect().toSet
+    val expected = rows(TextOps.sourceDrift(spark, sf0001))
+    assert(rows(sinks.DriftSink.report(spark, s"$tmp/drift")) == expected,
+      "merged segments must equal the q109 batch report")
+    sinks.DriftSink.compact(spark, s"$tmp/drift")
+    assert(rows(sinks.DriftSink.report(spark, s"$tmp/drift")) == expected,
+      "compaction must preserve the drift report exactly")
+  }
+
   test("q86 stratified sample: at most k per source, dense ranks, reproducible") {
     def run() = TextOps.stratifiedSample(spark, sf0001)
       .select("source", "doc_id", "rk").as[(String, Long, Long)].collect().toSet
