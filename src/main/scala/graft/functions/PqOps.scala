@@ -203,7 +203,11 @@ object PqOps {
     val books = trainPq(assigned, cents, pqIters, m, ksub)
     val bootstrap =
       if (trainOn.isEmpty) assigned // reuse the checkpointed assignment
-      else SimilarityOps.assignCells(wellFormed(emb, dims), cents)
+      // checkpoint like the sibling paths: residualCol/codesCol layer 8
+      // fused-cosine terms over 512-double literals per code column on
+      // this lineage, re-analyzed through every term without a barrier
+      // (see encodeAgainst's note)
+      else SimilarityOps.assignCells(wellFormed(emb, dims), cents).localCheckpoint()
     graft.sinks.IngestSegments.alignToLayout(
         bootstrap.withColumn("r", residualCol(cents))
           .select(col("vec_id"), col("cell"), codesCol(books).as("codes")),
@@ -517,13 +521,13 @@ object PqOps {
     cellDots: Array[Double], adc: Array[Array[Double]])
   @volatile private var pqOracleState: Option[PqOracleModel] = None
 
-  /** q94: IVF-PQ ADC top-k against the stored index (built on first use
-    * per sf dir). Query = vec_id 0, as the rest of the ANN tier. The
-    * model is loaded ONCE and shared between the oracle cache and the
-    * probe (probeWithModel). */
-  def annIvfPq(s: SparkSession, d: String, nprobe: Int = 2,
-      topk: Int = 10): DataFrame = {
-    val path = ensurePqIndex(s, d)
+  /** Shared prologue of the three vec_id-0 PQ probes (q94/q107/q108):
+    * load the stored model, fetch the query vector, derive the
+    * ADC/cell-dot tables the probe and its generated oracle both use —
+    * ONE definition, so the query derivation cannot silently drift
+    * between the three probes' oracles. */
+  private def queryModel(s: SparkSession, d: String, path: String,
+      nprobe: Int, topk: Int): (Array[Double], PqOracleModel) = {
     val (cents, books) = loadModel(s, path)
     val qVec = t(s, d, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
@@ -533,8 +537,20 @@ object PqOps {
     val adc = Array.tabulate(m, ksub) { (j, c) =>
       dotLocal(qVec.slice(j * sb, (j + 1) * sb), books(j)(c))
     }
-    pqOracleState = Some(PqOracleModel(nprobe, topk, cents, books, cellDots, adc))
-    probeWithModel(s, path, cents, books, qVec, nprobe, topk, excludeVecId = 0L)
+    (qVec, PqOracleModel(nprobe, topk, cents, books, cellDots, adc))
+  }
+
+  /** q94: IVF-PQ ADC top-k against the stored index (built on first use
+    * per sf dir). Query = vec_id 0, as the rest of the ANN tier. The
+    * model is loaded ONCE and shared between the oracle cache and the
+    * probe (probeWithModel). */
+  def annIvfPq(s: SparkSession, d: String, nprobe: Int = 2,
+      topk: Int = 10): DataFrame = {
+    val path = ensurePqIndex(s, d)
+    val (qVec, model) = queryModel(s, d, path, nprobe, topk)
+    pqOracleState = Some(model)
+    probeWithModel(s, path, model.cents, model.books, qVec, nprobe, topk,
+      excludeVecId = 0L)
   }
 
   /** Model state for q96's generated oracle. */
@@ -594,18 +610,10 @@ object PqOps {
   def annIvfPqStream(s: SparkSession, d: String, nprobe: Int = 2,
       topk: Int = 10): DataFrame = {
     val path = ensurePqLifecycle(s, d)
-    val (cents, books) = loadModel(s, path)
-    val qVec = t(s, d, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .collect()(0).getSeq[Double](0).toArray
-    val (m, ksub, sb) = geomOf(books)
-    val cellDots = cents.map(c => dotLocal(qVec, c))
-    val adc = Array.tabulate(m, ksub) { (j, c) =>
-      dotLocal(qVec.slice(j * sb, (j + 1) * sb), books(j)(c))
-    }
-    pqStreamOracleState =
-      Some(PqOracleModel(nprobe, topk, cents, books, cellDots, adc))
-    probeWithModel(s, path, cents, books, qVec, nprobe, topk, excludeVecId = 0L)
+    val (qVec, model) = queryModel(s, d, path, nprobe, topk)
+    pqStreamOracleState = Some(model)
+    probeWithModel(s, path, model.cents, model.books, qVec, nprobe, topk,
+      excludeVecId = 0L)
   }
 
   @volatile private var rerankOracleState: Option[(PqOracleModel, Int)] = None
@@ -625,19 +633,10 @@ object PqOps {
   def annPqRerank(s: SparkSession, d: String, nprobe: Int = 2,
       shortlist: Int = 50, topk: Int = 10): DataFrame = {
     val path = ensurePqIndex(s, d)
-    val (cents, books) = loadModel(s, path)
-    val qVec = t(s, d, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .collect()(0).getSeq[Double](0).toArray
-    val (m, ksub, sb) = geomOf(books)
-    val cellDots = cents.map(c => dotLocal(qVec, c))
-    val adc = Array.tabulate(m, ksub) { (j, c) =>
-      dotLocal(qVec.slice(j * sb, (j + 1) * sb), books(j)(c))
-    }
-    rerankOracleState = Some((PqOracleModel(nprobe, shortlist, cents, books,
-      cellDots, adc), topk))
-    val ids = probeWithModel(s, path, cents, books, qVec, nprobe, shortlist,
-        excludeVecId = 0L)
+    val (qVec, model) = queryModel(s, d, path, nprobe, shortlist)
+    rerankOracleState = Some((model, topk))
+    val ids = probeWithModel(s, path, model.cents, model.books, qVec, nprobe,
+        shortlist, excludeVecId = 0L)
       .select(col("neighbor_id")).collect().map(_.getLong(0)).toSeq
     t(s, d, "embeddings")
       .filter(col("vec_id").isin(ids: _*))

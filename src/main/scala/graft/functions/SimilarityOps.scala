@@ -211,19 +211,10 @@ object SimilarityOps {
       bits: Int = 8, probe: Int = 2, k: Int = 10,
       excludeVecId: Long = 0L): DataFrame = {
     val probed = probedBucketSet(s, path, qVec, bits, probe)
-    // the probed set IS the partition filter, applied at LISTING time:
-    // one listStatus of the corpus root, then only the probed bucket
-    // dirs are file-listed and planned. Handing Spark the root and
-    // filtering on the partition column prunes the SCAN but still
-    // file-lists every bucket dir — at 4096 buckets the listing, not
-    // the read, dominates probe latency.
-    val keep = probed.map(b => s"bucket=$b").toSet
-    val dirs = graft.sinks.Hfs.childDirs(s, s"$path/corpus", "bucket=")
-      .filter(keep).map(n => s"$path/corpus/$n")
-    if (dirs.isEmpty) {
-      import s.implicits._
-      Seq.empty[(Long, Double)].toDF("neighbor_id", "cosine")
-    } else s.read.option("basePath", s"$path/corpus").parquet(dirs: _*)
+    // the probed set IS the partition filter, applied at LISTING time
+    // (see readPrunedParts); an absent index stays LOUD (PATH_NOT_FOUND)
+    // rather than answering "0 neighbors", matching the sibling probes
+    readPrunedParts(s, s"$path/corpus", "bucket=", probed)
       .filter(col("vec_id") =!= excludeVecId)
       .select(col("vec_id").as("neighbor_id"),
         round(fcos(col("v"), typedlit(qVec.toSeq)), 6).as("cosine"))
@@ -475,15 +466,21 @@ object SimilarityOps {
     * the SCAN but still file-lists every dir — with thousands of cells
     * the listing, not the read, dominates probe latency. Empty-kept
     * probes read the root (cheap only when nothing matched — yields
-    * the schema for a well-typed empty result). */
-  private[functions] def readPrunedCells(s: SparkSession, root: String,
-      cells: Seq[Int]): DataFrame = {
-    val keep = cells.map(c => s"cell=$c").toSet
-    val dirs = graft.sinks.Hfs.childDirs(s, root, "cell=")
+    * the schema for a well-typed empty result, and keeps a MISSING
+    * index loud: a typo'd or never-built root fails with
+    * PATH_NOT_FOUND instead of answering "0 neighbors"). */
+  private[functions] def readPrunedParts(s: SparkSession, root: String,
+      prefix: String, keys: Seq[Long]): DataFrame = {
+    val keep = keys.map(k => s"$prefix$k").toSet
+    val dirs = graft.sinks.Hfs.childDirs(s, root, prefix)
       .filter(keep).map(n => s"$root/$n")
     if (dirs.isEmpty) s.read.parquet(root).limit(0)
     else s.read.option("basePath", root).parquet(dirs: _*)
   }
+
+  private[functions] def readPrunedCells(s: SparkSession, root: String,
+      cells: Seq[Int]): DataFrame =
+    readPrunedParts(s, root, "cell=", cells.map(_.toLong))
 
   /** Cache tag for a stored layout: the dir path hash PLUS the source
     * parquet's (length, mtime) fingerprint, so regenerated fixture data

@@ -82,8 +82,9 @@ object Http {
   /** Scheduler-pool name for the CURRENT handler thread. Keyed off the
     * thread id, not an arrival-sequence counter: the pool property is
     * per-thread anyway, the fixed executor has exactly [[poolThreads]]
-    * threads for the server's lifetime (handle() catches every
-    * Throwable — Errors included — so no thread ever dies and gets
+    * threads for the server's lifetime (handle() lets ONLY non-SOE
+    * VirtualMachineErrors escape — on those the JVM is dying anyway —
+    * so no thread of a healthy server ever dies and gets
     * replaced), and two
     * CONCURRENT requests by definition run on distinct threads — so
     * the name set stays bounded by poolThreads AND concurrent requests
@@ -123,23 +124,31 @@ object Http {
       // a bad PARAMETER, not a server error
       case e @ (_: IllegalArgumentException | _: java.time.DateTimeException) =>
         safeRespond(ex, 400, Option(e.getMessage).getOrElse("bad request"))
-      // StackOverflowError explicitly (NOT all Errors): an escaping SOE
-      // from a deep expression tree would kill this handler thread, the
-      // fixed pool would mint a replacement with a FRESH thread id, and
-      // poolName()'s bounded-set invariant breaks — the FAIR-scheduler
-      // builder never removes pools, so every thread death would leak a
-      // rootPool entry. An SOE is fully unwound by the time we are here.
-      // Other VirtualMachineErrors (OOM, InternalError) mean the JVM may
-      // be corrupted — let them propagate rather than keep a broken
-      // server answering 500s.
-      case e: StackOverflowError =>
-        safeRespond(ex, 500, Option(e.getMessage).getOrElse("error"))
       case e: InterruptedException =>
         // someone is shutting this thread down — restore the flag so the
         // pool sees it, and best-effort close the exchange via the 500
         Thread.currentThread().interrupt()
         safeRespond(ex, 500, "server shutting down")
-      case scala.util.control.NonFatal(e) =>
+      // VirtualMachineErrors OTHER than SOE (OOM, InternalError) mean
+      // the JVM may be corrupted — propagate rather than keep a broken
+      // server answering 500s. (The thread death does leak one
+      // FAIR-scheduler rootPool entry via poolName()'s replacement
+      // thread id, but the JVM is going down anyway.)
+      case e: StackOverflowError =>
+        // fully unwound by the time we are here — a per-request failure
+        // (deep expression tree), not JVM corruption
+        safeRespond(ex, 500, Option(e.getMessage).getOrElse("error"))
+      case e: VirtualMachineError => throw e
+      // Everything else — NonFatal AND the non-VM Errors (LinkageError,
+      // ExceptionInInitializerError from a class whose static init
+      // failed once) — is a per-request failure on an intact JVM.
+      // Letting any of them kill the handler thread would mint a
+      // replacement with a FRESH thread id, and every later request on
+      // it registers a new FAIR-scheduler pool that
+      // FairSchedulableBuilder never removes: one leaked rootPool entry
+      // per death, unbounded if the error recurs per request — the
+      // bounded-set invariant poolName() documents.
+      case e: Throwable =>
         safeRespond(ex, 500, Option(e.getMessage).getOrElse("error"))
     }
 

@@ -124,21 +124,39 @@ object IngestSegments {
     * when a key's versions straddle segments. None when the table is
     * absent, empty, or no segment has a kept dir — callers that probe
     * treat all three as "nothing indexed under these buckets". Same
-    * delete-race retry contract as [[readLiveWithIds]]. */
+    * delete-race retry contract as [[readLiveWithIds]] — but the race
+    * needs its OWN detector here: a folded segment deleted between the
+    * id listing and its childDirs lists EMPTY (childDirs of a missing
+    * path returns empty, not an error), so unlike the root-planned
+    * read there is no PATH_NOT_FOUND to catch, and planning over the
+    * survivors would silently drop the folded rows — the
+    * admit-every-duplicate failure the retry contract exists to
+    * prevent. Detector: [[compact]] renames its fold LIVE before any
+    * delete starts, so whenever a delete could have corrupted the
+    * per-segment listings, a SECOND id listing taken after them must
+    * contain the fold — an id absent from the first. Any new id →
+    * stale listing → re-list. (A fold already present in the first
+    * listing makes corrupted folded-segment listings harmless: their
+    * rows are serving from the fold, and consumers are
+    * duplicate-tolerant by the object contract.) */
   def readLivePrunedWithIds(spark: SparkSession, tablePath: String,
       keepDir: String => Boolean): Option[(DataFrame, Seq[Long])] = {
-    var lastRace: org.apache.spark.sql.AnalysisException = null
+    var lastRace: Exception = null
     for (_ <- 0 until 3) {
       val ids = liveSegments(spark, tablePath)
       if (ids.isEmpty) return None
-      // a segment deleted between the id listing and this childDirs
-      // (compact's delete phase) lists empty — its rows are serving
-      // from the fold, which renamed live before any delete started
+      compactRaceHookForTests()
       val dirs = ids.flatMap(id =>
         Hfs.childDirs(spark, s"$tablePath/ingest=$id", "")
           .filter(keepDir).map(d => s"$tablePath/ingest=$id/$d"))
-      if (dirs.isEmpty) return None
-      try {
+      val recheck = liveSegments(spark, tablePath)
+      if (!recheck.toSet.subsetOf(ids.toSet)) {
+        lastRace = new IllegalStateException(
+          s"segment listing of $tablePath kept going stale under " +
+            s"concurrent compaction (last: ${ids.sorted.mkString(",")} -> " +
+            s"${recheck.sorted.mkString(",")})")
+      } else if (dirs.isEmpty) return None
+      else try {
         return Some((spark.read.option("basePath", tablePath)
           .parquet(dirs: _*)
           .withColumn("ingest", col("ingest").cast("long")), ids))
@@ -153,6 +171,12 @@ object IngestSegments {
     }
     throw lastRace
   }
+
+  /** Test seam for the compaction race above: invoked between the id
+    * listing and the per-segment child listings, where a concurrent
+    * [[compact]] is otherwise impossible to interleave
+    * deterministically. Production no-op. */
+  private[graft] var compactRaceHookForTests: () => Unit = () => ()
 
   /** The bmod bucket count is LAYOUT GEOMETRY, not a free parameter: a
     * probe computing bucket ids with a different modulus than the one

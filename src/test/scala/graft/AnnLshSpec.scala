@@ -39,15 +39,7 @@ class AnnLshSpec extends SparkSpec {
     * (only the probed dirs are handed to the reader), so the honest
     * pin is the selected-partition set — it covers both mechanisms. */
   private def readBucketSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
-    walkPlan(df.queryExecution.executedPlan).collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-    }.flatMap(_.selectedPartitions.toPartitionArray)
-      .map(_.urlEncodedPath)
-      .map { f =>
-        val m = "/bucket=(\\d+)/".r.findFirstMatchIn(f)
-        assert(m.isDefined, s"probe read outside bucket partitions: $f")
-        m.get.group(1).toLong
-      }.toSet
+    readPartitionValues(df, "bucket")
 
   /** The ≤37-of-256 bucket set a probe of fixture vec 0 at hamming ≤ 2
     * may read, recomputed exactly as the probe does (stored planes). */
@@ -66,6 +58,19 @@ class AnnLshSpec extends SparkSpec {
   private val rnd = new java.util.Random(7)
   private def noisy(base: Array[Double], eps: Double) =
     base.map(x => x + eps * rnd.nextGaussian())
+
+  test("probing a missing index fails loudly instead of answering 0 neighbors") {
+    // a typo'd or never-built path has no geometry pin, so
+    // probedBucketSet falls back to the query width without error — the
+    // read itself must stay LOUD (the empty-kept branch reads the root),
+    // or a misconfigured caller gets a plausible empty result forever
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      functions.SimilarityOps.probeAnnLshIndex(
+        spark, "/tmp/graft-no-such-index", Array.fill(16)(1.0),
+        bits = 4, probe = 1, k = 3).collect()
+    }
+    assert(e.getCondition == "PATH_NOT_FOUND", e.toString)
+  }
 
   test("engineered cluster: all near-duplicates of the query share its probe range") {
     val base = Array.fill(64)(rnd.nextGaussian())

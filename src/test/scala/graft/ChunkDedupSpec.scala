@@ -120,10 +120,7 @@ class ChunkDedupSpec extends SparkSpec {
     val seen = TextOps.probeChunkIndex(spark, s"$tmp/index", batchH, excludeIngest = 99L)
     assert(seen.count() == 1L, "the shared span must be reported as indexed")
     val all = walk(seen.queryExecution.executedPlan)
-    val scan = all.collectFirst {
-      case f: FileSourceScanExec if f.relation.location.rootPaths
-        .exists(_.toString.contains("chunk_prune")) => f
-    }.getOrElse(fail("no parquet scan of the index in the plan"))
+    val scan = scanOf(seen, "chunk_prune")
     // pruning happens at LISTING time now (readLivePrunedWithIds hands
     // the reader only the batch's bmod dirs), so the pin is on the
     // partitions the scan actually selected: all inside the batch's
@@ -132,13 +129,7 @@ class ChunkDedupSpec extends SparkSpec {
       .select(pmod(xxhash64(col("h")),
         lit(TextOps.chunkIndexBuckets.toLong)).as("bmod"))
       .distinct().collect().map(_.getLong(0)).toSet
-    val readBmods = scan.selectedPartitions.toPartitionArray
-      .map(_.urlEncodedPath)
-      .map { f =>
-        val m = "/bmod=(\\d+)/".r.findFirstMatchIn(f)
-        assert(m.isDefined, s"probe read outside bmod partitions: $f")
-        m.get.group(1).toLong
-      }.toSet
+    val readBmods = partitionValuesOf(Seq(scan), "bmod")
     assert(readBmods.nonEmpty && readBmods.subsetOf(batchBmods),
       s"index scan read beyond the batch's bmods: ${readBmods -- batchBmods}")
     assert(readBmods.size < dirs,

@@ -95,18 +95,7 @@ class EmbIndexSpec extends SparkSpec {
     // partitions the index scan actually selected: all bmod dirs, and a
     // strict subset of the index's dirs (1 probe vec's bands vs 3
     // indexed vecs' spread)
-    val scan = walkPlan(cand.queryExecution.executedPlan).collectFirst {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-        if f.relation.location.rootPaths
-          .exists(_.toString.contains("emb_prune")) => f
-    }.getOrElse(fail("no index scan in the plan"))
-    val readBmods = scan.selectedPartitions.toPartitionArray
-      .map(_.urlEncodedPath)
-      .map { f =>
-        val m = "/bmod=(\\d+)/".r.findFirstMatchIn(f)
-        assert(m.isDefined, s"probe read outside bmod partitions: $f")
-        m.get.group(1).toLong
-      }.toSet
+    val readBmods = partitionValuesOf(Seq(scanOf(cand, "emb_prune")), "bmod")
     val dirs = new java.io.File(s"$idx/bands/ingest=-1").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("bmod="))
     assert(readBmods.nonEmpty && readBmods.size < dirs,

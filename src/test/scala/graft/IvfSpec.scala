@@ -23,17 +23,7 @@ class IvfSpec extends SparkSpec {
     // pruning happens at LISTING time (readPrunedCells) — pin the
     // partitions the corpus scan actually selected: exactly the 2
     // probed cells, no more
-    val scan = walkPlan(df.queryExecution.executedPlan).collectFirst {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-        if f.relation.location.rootPaths.exists(_.toString.contains(path)) => f
-    }.getOrElse(fail("no corpus scan in the probe plan"))
-    val readCells = scan.selectedPartitions.toPartitionArray
-      .map(_.urlEncodedPath)
-      .map { f =>
-        val m = "/cell=(\\d+)/".r.findFirstMatchIn(f)
-        assert(m.isDefined, s"probe read outside cell partitions: $f")
-        m.get.group(1).toInt
-      }.toSet
+    val readCells = partitionValuesOf(Seq(scanOf(df, path)), "cell")
     assert(readCells.nonEmpty && readCells.size <= 2,
       s"nprobe=2 probe read cells $readCells")
     val corpus = spark.read.parquet(s"$path/corpus")
@@ -118,10 +108,8 @@ class IvfSpec extends SparkSpec {
     // selected cell partitions (strict subset shown by the nprobe=2
     // test; here every query probes, so assert the shape, not a count)
     val scan = streamed.collectFirst { case f: FileSourceScanExec => f }.get
-    val cellDirs = scan.selectedPartitions.toPartitionArray
-      .map(_.urlEncodedPath)
-    assert(cellDirs.nonEmpty && cellDirs.forall(_.contains("/cell=")),
-      s"corpus scan read outside cell partitions:\n${cellDirs.toSeq}")
+    assert(partitionValuesOf(Seq(scan), "cell").nonEmpty,
+      "corpus scan must select cell partitions")
   }
 
   test("kNN joins drop malformed query vectors instead of emitting null-score rows") {

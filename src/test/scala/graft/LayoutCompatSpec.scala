@@ -336,4 +336,48 @@ class LayoutCompatSpec extends SparkSpec {
       .select(col("k")).as[Long].collect().toSet
     assert(all3 == all2, "fold must not change snapshot content")
   }
+
+  test("pruned live read racing compaction's delete phase re-lists instead of silently dropping the folded rows") {
+    // The hazard: a probe lists segment ids, a concurrent compact
+    // renames its fold live and DELETES the folded segments, and only
+    // then does the probe list each segment's child dirs — the deleted
+    // segments list empty (childDirs of a missing path returns empty,
+    // not PATH_NOT_FOUND), the fold is absent from the probe's id
+    // listing, and pre-fix the probe planned over the sole survivor:
+    // the folded rows (the bulk of the index) silently vanished from
+    // that read, so a dedup probe would admit every duplicate in the
+    // racing batch. The seam interleaves the compact deterministically
+    // at the widest point of the window.
+    val tbl = tmp("lc_compact_race") + "/t"
+    def seg(id: Long, ks: Seq[Long]): Unit =
+      graft.sinks.IngestSegments.alignToLayout(
+        ks.map(k => (k, (k % 2).toInt)).toDF("k", "bucket"), "bucket")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$tbl/ingest=$id")
+    seg(-1L, 0L until 8L)
+    seg(0L, 8L until 16L)
+    seg(1L, 16L until 24L) // newest batch — compact must leave it live
+    def runCompact(): Unit = graft.sinks.IngestSegments.compact(
+      spark, tbl, _.select("k", "bucket").distinct(), Seq("bucket"))
+    var fired = 0
+    graft.sinks.IngestSegments.compactRaceHookForTests = () => {
+      if (fired == 0) runCompact() // folds -1 and 0 into -2, deletes them
+      fired += 1
+    }
+    try {
+      val (df, ids) = graft.sinks.IngestSegments
+        .readLivePrunedWithIds(spark, tbl, _ == "bucket=0").get
+      assert(fired >= 2, "stale listing must trigger a re-list")
+      val got = df.select(col("k")).as[Long].collect().toSet
+      assert(got == (0L until 24L).filter(_ % 2 == 0).toSet,
+        s"folded rows must survive the racing read, got $got")
+      assert(ids.toSet == Set(-2L, 1L),
+        s"retry must serve the post-compact listing, got $ids")
+    } finally graft.sinks.IngestSegments.compactRaceHookForTests = () => ()
+    // quiescent probes over the compacted table stay correct and cheap
+    val again = graft.sinks.IngestSegments
+      .readLivePrunedWithIds(spark, tbl, _ == "bucket=1").get._1
+      .select(col("k")).as[Long].collect().toSet
+    assert(again == (0L until 24L).filter(_ % 2 == 1).toSet)
+  }
 }

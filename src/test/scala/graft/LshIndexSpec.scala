@@ -133,18 +133,7 @@ class LshIndexSpec extends SparkSpec {
     // reader only the probe's bmod dirs) — the pin is on the partitions
     // the index scan actually selected: a strict subset of the index's
     // bmod dirs, bounded by the 1-doc probe's 8 bands
-    val scan = walkPlan(cand.queryExecution.executedPlan).collectFirst {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-        if f.relation.location.rootPaths
-          .exists(_.toString.contains("lsh_prune")) => f
-    }.getOrElse(fail("no index scan in the plan"))
-    val readBmods = scan.selectedPartitions.toPartitionArray
-      .map(_.urlEncodedPath)
-      .map { f =>
-        val m = "/bmod=(\\d+)/".r.findFirstMatchIn(f)
-        assert(m.isDefined, s"probe read outside bmod partitions: $f")
-        m.get.group(1).toLong
-      }.toSet
+    val readBmods = partitionValuesOf(Seq(scanOf(cand, "lsh_prune")), "bmod")
     // the probe's bucket set must be a strict subset of the index dirs:
     // 3 indexed docs x 8 bands spread over more bmod dirs than 1 doc's 8
     val dirs = new java.io.File(s"$idx/bands/ingest=-1").listFiles()

@@ -46,17 +46,7 @@ class PqSpec extends SparkSpec {
     val path = PqOps.pqIndexPath(spark, sf0001)
     // pruning happens at LISTING time (readPrunedCodes) — pin the
     // partitions the codes scan actually selected: ≤ 2 probed cells
-    val scan0 = walkPlan(df.queryExecution.executedPlan).collectFirst {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-        if f.relation.location.rootPaths.exists(_.toString.contains(path)) => f
-    }.getOrElse(fail("no codes scan in the probe plan"))
-    val readCells = scan0.selectedPartitions.toPartitionArray
-      .map(_.urlEncodedPath)
-      .map { f =>
-        val m = "/cell=(\\d+)/".r.findFirstMatchIn(f)
-        assert(m.isDefined, s"probe read outside cell partitions: $f")
-        m.get.group(1).toInt
-      }.toSet
+    val readCells = partitionValuesOf(Seq(scanOf(df, path)), "cell")
     assert(readCells.nonEmpty && readCells.size <= 2,
       s"nprobe=2 probe read cells $readCells")
     val codes = spark.read.parquet(s"$path/codes")
@@ -198,14 +188,8 @@ class PqSpec extends SparkSpec {
     // probed-cell union prunes the codes read at LISTING time
     // (readPrunedCodes) — the scan may only select cell partitions
     val path = PqOps.pqIndexPath(spark, sf0001)
-    val scan = all.collectFirst {
-      case f: FileSourceScanExec if f.relation.location.rootPaths
-        .exists(_.toString.contains(path)) => f
-    }.getOrElse(fail("no codes scan in the join plan"))
-    val cellDirs = scan.selectedPartitions.toPartitionArray
-      .map(_.urlEncodedPath)
-    assert(cellDirs.nonEmpty && cellDirs.forall(_.contains("/cell=")),
-      s"codes scan read outside cell partitions:\n${cellDirs.toSeq}")
+    assert(partitionValuesOf(Seq(scanOf(df, path)), "cell").nonEmpty,
+      "codes scan must select cell partitions")
   }
 
   test("geometry derives from the stored model: a 32-dim m=4 index round-trips") {
