@@ -1049,7 +1049,55 @@ object SimilarityOps {
             |  0D, (a, y) -> a + y)""".stripMargin) / size(col("v"))), 6)
           .as("recon_rmse"))
 
+  /** q114: embedding-space drift per ingest cut — each cut's centroid
+    * norm and its cosine against the corpus centroid, the
+    * embedding-side twin of q109's token drift (an off-distribution
+    * crawl increment tilts the centroid before any token statistic
+    * moves; retrieval teams watch exactly this to decide when an IVF/PQ
+    * coarse quantizer has gone stale). Cut = pmod(vec_id, 3), the same
+    * deterministic three-cut the lifecycle queries stream through.
+    *
+    * Scale shape: one posexplode scan → (cut, dim) partial sums with
+    * map-side combine, so the exchange carries cuts × dims rows — never
+    * the corpus; the corpus centroid derives from the SAME tiny frame
+    * (sum of cut sums), no second scan; everything after runs on a
+    * cuts × dims frame. Double sums under round(6) follow the q26
+    * precedent — the monitoring tier's exact-integer trick has no
+    * analog for float payloads, which is also why this monitor gets no
+    * fold-reordered streaming twin: an additive lifecycle would
+    * re-associate the double sums and the ≡-batch oracle contract the
+    * streaming twins rely on (q112/q113) would hold only by rounding
+    * luck. */
+  val embeddingDrift: Q = (s, d) =>
+    embeddingDriftOf(t(s, d, "embeddings")
+      .select(pmod(col("vec_id"), lit(3)).as("cut"),
+        col("embedding").cast("array<double>").as("v")))
+
+  /** The q114 statistic over any (cut, v) frame — public for
+    * CorpusStatsSpec's hand-computed fixture. */
+  def embeddingDriftOf(emb: DataFrame): DataFrame = {
+    val cutDim = emb
+      .select(col("cut"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cut"), col("dim"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val corpus = cutDim.groupBy(col("dim"))
+      .agg(sum(col("sx")).as("gx"), sum(col("n")).as("gn"))
+    cutDim.join(broadcast(corpus), "dim")
+      .withColumn("c", col("sx") / col("n"))
+      .withColumn("g", col("gx") / col("gn"))
+      .groupBy(col("cut"))
+      .agg(max(col("n")).as("n_vecs"), // every dim counts each vec once
+        sum(col("c") * col("c")).as("cc"),
+        sum(col("g") * col("g")).as("gg"),
+        sum(col("c") * col("g")).as("cg"))
+      .select(col("cut"), col("n_vecs"),
+        round(sqrt(col("cc")), 6).as("centroid_norm"),
+        round(col("cg") / (sqrt(col("cc")) * sqrt(col("gg"))), 6)
+          .as("cos_to_corpus"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q114_embedding_drift" -> embeddingDrift,
     "q58_embedding_quant" -> embeddingQuant,
     "q25_ann_cosine_topk" -> annCosineTopK,
     "q26_label_centroids" -> labelCentroidStats,
@@ -1281,6 +1329,23 @@ object SimilarityOps {
         |     (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, neighbor_id LIMIT 10""".stripMargin,
+    "q114_embedding_drift" ->
+      """WITH dims AS (
+        |  SELECT vec_id % 3 AS cut, u.dim - 1 AS dim, u.x FROM embeddings,
+        |    LATERAL (SELECT generate_subscripts(embedding,1) AS dim,
+        |                    unnest(embedding::DOUBLE[]) AS x) u),
+        |cutdim AS (
+        |  SELECT cut, dim, sum(x) AS sx, count(*) AS n
+        |  FROM dims GROUP BY cut, dim),
+        |corpus AS (
+        |  SELECT dim, sum(sx) AS gx, sum(n) AS gn FROM cutdim GROUP BY dim),
+        |j AS (
+        |  SELECT cut, n, sx/n AS c, gx/gn AS g
+        |  FROM cutdim JOIN corpus USING (dim))
+        |SELECT cut, max(n) AS n_vecs,
+        |  round(sqrt(sum(c*c)),6) AS centroid_norm,
+        |  round(sum(c*g)/(sqrt(sum(c*c))*sqrt(sum(g*g))),6) AS cos_to_corpus
+        |FROM j GROUP BY cut""".stripMargin,
     "q26_label_centroids" ->
       """WITH dims AS (
         |  SELECT label, u.dim - 1 AS dim, u.x FROM embeddings,

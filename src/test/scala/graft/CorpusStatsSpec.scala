@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DedupOps, TextOps}
+import graft.functions.{DedupOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Invariants behind the corpus-statistics trio the DuckDB hash compare
@@ -32,6 +32,30 @@ class CorpusStatsSpec extends SparkSpec {
     // s1∩s2 = {"xx yy zz"}, sized over informative phrases (s1 has 2)
     assert(out == Set(("s1", "s2", 1L, 2L, 1L, 0.5)),
       s"everywhere-phrase must be excluded from the report, got $out")
+  }
+
+  test("q114 embedding drift: centroid norms and cosines match the hand computation") {
+    // cut 0 centroid = (1,0), cut 1 centroid = (0,1) (the zero vector
+    // pulls the (0,2) member down), corpus centroid = (0.5,0.5) —
+    // both cuts sit at 45°: cos = 1/√2, norms exactly 1
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)), (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.0, 2.0)), (1L, Seq(0.0, 0.0))).toDF("cut", "v")
+    val out = SimilarityOps.embeddingDriftOf(emb)
+      .select("cut", "n_vecs", "centroid_norm", "cos_to_corpus")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val c = BigDecimal(1.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Set((0L, 2L, 1.0, c), (1L, 2L, 1.0, c)),
+      s"drift stats off: $out")
+    // cuts collinear with the corpus centroid read cosine exactly 1 —
+    // scale differences are invisible to the drift statistic by design
+    // (norm growth is reported separately via centroid_norm)
+    val coll = Seq((0L, Seq(1.0, 1.0)), (1L, Seq(3.0, 3.0)))
+      .toDF("cut", "v")
+    val cos = SimilarityOps.embeddingDriftOf(coll)
+      .select("cos_to_corpus").as[Double].collect().toSeq
+    assert(cos == Seq(1.0, 1.0), s"collinear cuts must read 1.0: $cos")
   }
 
   test("q109 drift: TV distance matches the hand-computed exact fractions") {
