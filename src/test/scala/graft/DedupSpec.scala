@@ -575,4 +575,36 @@ class DedupSpec extends SparkSpec {
     assert(bloomTiny == exact,
       "an overloaded (high-FP) Bloom filter must still verify exactly")
   }
+
+  test("incremental clusters equal the batch answer at EVERY lifecycle step, through merges and relabels") {
+    import spark.implicits._
+    // step 0: chain {10,20,30} (rep 10) and pair {40,50} (rep 40)
+    // step 1: 50-60 extends {40,...}; 70-80 is a brand-new cluster
+    // step 2: 5-70 — a SMALLER first-seen id joins an old cluster, so
+    //         70 and 80 must RELABEL to 5; 20-40 merges the two step-0
+    //         clusters (40/50/60 relabel to 10); 10-30 contracts to a
+    //         self-loop (late intra-cluster edge, structural no-op)
+    val edges = Seq(
+      (10L, 20L, 0L), (20L, 30L, 0L), (40L, 50L, 0L),
+      (50L, 60L, 1L), (70L, 80L, 1L),
+      (5L, 70L, 2L), (20L, 40L, 2L), (10L, 30L, 2L))
+      .toDF("doc_a", "doc_b", "step")
+    def lab(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_id", "cluster_rep").as[(Long, Long)].collect().toSet
+    val want = Set((10L, 10L), (20L, 10L), (30L, 10L), (40L, 10L),
+      (50L, 10L), (60L, 10L), (5L, 5L), (70L, 5L), (80L, 5L))
+    val inc = lab(DedupOps.incrementalClusters(edges))
+    assert(inc == want, s"final labels: $inc")
+    assert(inc == lab(DedupOps.collapseClusters(
+      edges.select(col("doc_a"), col("doc_b")))),
+      "incremental must equal the batch loop on the full edge set")
+    // the invariant holds MID-lifecycle too: any step prefix equals the
+    // batch answer over the edges seen so far
+    for (cut <- Seq(0L, 1L)) {
+      val seen = edges.filter(col("step") <= cut)
+      assert(lab(DedupOps.incrementalClusters(seen)) ==
+        lab(DedupOps.collapseClusters(seen.select(col("doc_a"), col("doc_b")))),
+        s"prefix through step $cut diverged from batch")
+    }
+  }
 }
