@@ -1462,9 +1462,15 @@ object DedupOps {
     * cluster_rep in a production deployment and the relabel join is
     * co-partitioned). The batch alternative re-pays the FULL
     * accumulated pair graph every ingest. */
-  def incrementalClusters(steppedPairs: DataFrame): DataFrame = {
-    val spark = steppedPairs.sparkSession
+  def incrementalClusters(steppedPairs0: DataFrame): DataFrame = {
+    val spark = steppedPairs0.sparkSession
     import spark.implicits._
+    // the step loop reads the pair frame once per step plus once for
+    // the step listing — without a persist that re-runs the (expensive)
+    // pair GENERATION each time; in production each step's edges arrive
+    // materialized from the index probes anyway
+    val steppedPairs = steppedPairs0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val steps = steppedPairs.select(col("step").cast("long")).distinct()
       .as[Long].collect().sorted
     var labels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_rep")
@@ -1493,6 +1499,9 @@ object DedupOps {
       // flat lineage across steps (the loop variable re-enters a join)
       labels = relabeled.unionByName(fresh).localCheckpoint()
     }
+    // every step's labels were materialized by the checkpoint above, so
+    // the input blocks are reclaimable before the caller consumes us
+    steppedPairs.unpersist(false)
     labels
   }
 
