@@ -1469,40 +1469,69 @@ object DedupOps {
     // the step listing — without a persist that re-runs the (expensive)
     // pair GENERATION each time; in production each step's edges arrive
     // materialized from the index probes anyway
-    val steppedPairs = steppedPairs0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val steps = steppedPairs.select(col("step").cast("long")).distinct()
-      .as[Long].collect().sorted
-    var labels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_rep")
-    for (k <- steps) {
-      val e = steppedPairs.filter(col("step") === k)
-        .select(col("doc_a"), col("doc_b"))
-      val la = labels.select(col("doc_id").as("doc_a"), col("cluster_rep").as("ra"))
-      val lb = labels.select(col("doc_id").as("doc_b"), col("cluster_rep").as("rb"))
-      val contracted = e
-        .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
-        .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
-          coalesce(col("rb"), col("doc_b")).as("doc_b"))
-        // an edge inside one existing cluster contracts to a self-loop —
-        // no structural information, drop before the loop
-        .filter(col("doc_a") =!= col("doc_b"))
-      // delta's nodes are current labels and first-seen doc ids
-      val delta = collapseClusters(contracted)
-      val relabeled = labels
-        .join(delta.select(col("doc_id").as("cluster_rep"),
-          col("cluster_rep").as("new_rep")), Seq("cluster_rep"), "left")
-        .select(col("doc_id"),
-          coalesce(col("new_rep"), col("cluster_rep")).as("cluster_rep"))
-      // nodes not yet in the table are this step's first-seen docs
-      val fresh = delta.join(labels.select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
-      // flat lineage across steps (the loop variable re-enters a join)
-      labels = relabeled.unionByName(fresh).localCheckpoint()
-    }
-    // every step's labels were materialized by the checkpoint above, so
-    // the input blocks are reclaimable before the caller consumes us
-    steppedPairs.unpersist(false)
-    labels
+    import org.apache.spark.storage.StorageLevel
+    val steppedPairs = steppedPairs0.persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: Option[DataFrame] = None
+    try {
+      // the listing and the per-step filter use the SAME raw column —
+      // a cast('long') listing would silently exclude any edge whose
+      // step is non-integral (100.25 collapses to k=100, which the raw
+      // filter never matches), losing clusters with no error
+      val steps = steppedPairs.select(col("step")).distinct()
+        .orderBy(col("step")).collect().map(_.get(0))
+      require(!steps.contains(null), "step column must be non-null")
+      var labels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_rep")
+      for (k <- steps) {
+        val e = steppedPairs.filter(col("step") === lit(k))
+          .select(col("doc_a"), col("doc_b"))
+        val la = labels.select(col("doc_id").as("doc_a"), col("cluster_rep").as("ra"))
+        val lb = labels.select(col("doc_id").as("doc_b"), col("cluster_rep").as("rb"))
+        val contracted0 = e
+          .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
+          .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
+            coalesce(col("rb"), col("doc_b")).as("doc_b"))
+        // an edge that CONTRACTS to a self-loop carries no structure for
+        // the loop — but a first-seen node whose only edge is reflexive
+        // is a singleton the batch answer emits, so keep its node
+        val contracted = contracted0.filter(col("doc_a") =!= col("doc_b"))
+        // delta's nodes are current labels and first-seen doc ids
+        val delta = collapseClusters(contracted)
+        val loopSingletons = contracted0
+          .filter(col("doc_a") === col("doc_b"))
+          .select(col("doc_a").as("doc_id")).distinct()
+          .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .withColumn("cluster_rep", col("doc_id"))
+        val relabeled = labels
+          .join(delta.select(col("doc_id").as("cluster_rep"),
+            col("cluster_rep").as("new_rep")), Seq("cluster_rep"), "left")
+          .select(col("doc_id"),
+            coalesce(col("new_rep"), col("cluster_rep")).as("cluster_rep"))
+        // nodes not yet in the table are this step's first-seen docs
+        val fresh = delta.unionByName(loopSingletons)
+          .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        // materialize the new table, then free the superseded one — live
+        // label copies stay at 2 whatever the step count (the same
+        // discipline collapseClustersWithStats' loop documents; a
+        // checkpoint-per-step would pin O(steps) copies until GC)
+        val next = relabeled.unionByName(fresh)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count(): Unit
+        prev.foreach(_.unpersist(false))
+        prev = Some(next)
+        labels = next
+      }
+      labels
+    } catch {
+      case t: Throwable =>
+        // refusal mid-loop must not pin the in-flight label table either
+        prev.foreach(_.unpersist(false))
+        throw t
+    } finally
+      // refusal mid-loop (collapseClusters' envelope guards) must not
+      // pin the quadratic pair frame for the JVM lifetime
+      steppedPairs.unpersist(false): Unit
+    // on success the RETURNED table stays persisted (it is the result);
+    // superseded steps were freed inside the loop
   }
 
   /** q115: the dedup-cluster table through a three-cut ingest

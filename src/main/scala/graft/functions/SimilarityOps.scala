@@ -1092,7 +1092,12 @@ object SimilarityOps {
         sum(col("c") * col("g")).as("cg"))
       .select(col("cut"), col("n_vecs"),
         round(sqrt(col("cc")), 6).as("centroid_norm"),
-        round(col("cg") / (sqrt(col("cc")) * sqrt(col("gg"))), 6)
+        // a degenerate (all-zero) cut or corpus centroid has no
+        // direction: NULL in BOTH engines — an unguarded 0/0 is NULL in
+        // Spark but inf/NaN under DuckDB's IEEE division, failing the
+        // hash gate on exactly the input a drift monitor must flag
+        when(col("cc") > 0 && col("gg") > 0,
+          round(col("cg") / (sqrt(col("cc")) * sqrt(col("gg"))), 6))
           .as("cos_to_corpus"))
   }
 
@@ -1344,7 +1349,9 @@ object SimilarityOps {
         |  FROM cutdim JOIN corpus USING (dim))
         |SELECT cut, max(n) AS n_vecs,
         |  round(sqrt(sum(c*c)),6) AS centroid_norm,
-        |  round(sum(c*g)/(sqrt(sum(c*c))*sqrt(sum(g*g))),6) AS cos_to_corpus
+        |  CASE WHEN sum(c*c) > 0 AND sum(g*g) > 0 THEN
+        |    round(sum(c*g)/(sqrt(sum(c*c))*sqrt(sum(g*g))),6)
+        |  END AS cos_to_corpus
         |FROM j GROUP BY cut""".stripMargin,
     "q26_label_centroids" ->
       """WITH dims AS (

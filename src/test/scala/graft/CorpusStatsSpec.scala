@@ -56,6 +56,16 @@ class CorpusStatsSpec extends SparkSpec {
     val cos = SimilarityOps.embeddingDriftOf(coll)
       .select("cos_to_corpus").as[Double].collect().toSeq
     assert(cos == Seq(1.0, 1.0), s"collinear cuts must read 1.0: $cos")
+    // an all-zero cut centroid has no direction: cosine is NULL in both
+    // engines, never 0/0 (Spark NULL vs DuckDB IEEE inf would split the
+    // hash gate on exactly the degenerate input a monitor must flag)
+    val degen = Seq((0L, Seq(1.0, 1.0)), (1L, Seq(0.0, 0.0)))
+      .toDF("cut", "v")
+    val byCut = SimilarityOps.embeddingDriftOf(degen)
+      .select("cut", "cos_to_corpus").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(byCut(1L).isEmpty, s"zero cut must read NULL: $byCut")
+    assert(byCut(0L).contains(1.0)) // the only mass IS the corpus mean
   }
 
   test("q109 drift: TV distance matches the hand-computed exact fractions") {

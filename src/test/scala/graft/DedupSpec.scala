@@ -607,4 +607,32 @@ class DedupSpec extends SparkSpec {
         s"prefix through step $cut diverged from batch")
     }
   }
+
+  test("incremental clusters: reflexive edges yield singletons (like batch) and non-integral steps are not dropped") {
+    import spark.implicits._
+    // (90,90) is a first-seen node whose ONLY edge is reflexive — the
+    // batch loop emits the (90,90) singleton, so the incremental path
+    // must too (a self-loop dropped before its node is seen loses it);
+    // steps are DOUBLES — a cast-to-long step listing would collapse
+    // 0.5 and 1.5 to distinct-less values the raw filter never matches,
+    // silently excluding the 1.5-step merge edge
+    val edges = Seq(
+      (90L, 90L, 0.5), (10L, 20L, 0.5),
+      (20L, 30L, 1.5), (10L, 20L, 1.5) // late duplicate of an old edge
+    ).toDF("doc_a", "doc_b", "step")
+    val got = DedupOps.incrementalClusters(edges)
+      .select("doc_id", "cluster_rep").as[(Long, Long)].collect().toSet
+    assert(got == Set((90L, 90L), (10L, 10L), (20L, 10L), (30L, 10L)),
+      s"got $got")
+    assert(got == DedupOps.collapseClusters(
+      edges.select(col("doc_a"), col("doc_b")))
+      .select("doc_id", "cluster_rep").as[(Long, Long)].collect().toSet,
+      "must equal the batch loop on the same edges")
+    // a null step is refused loudly, not silently skipped
+    intercept[IllegalArgumentException] {
+      DedupOps.incrementalClusters(
+        Seq((1L, 2L)).toDF("doc_a", "doc_b")
+          .withColumn("step", lit(null).cast("long")))
+    }
+  }
 }
