@@ -1486,29 +1486,40 @@ object DedupOps {
           .select(col("doc_a"), col("doc_b"))
         val la = labels.select(col("doc_id").as("doc_a"), col("cluster_rep").as("ra"))
         val lb = labels.select(col("doc_id").as("doc_b"), col("cluster_rep").as("rb"))
-        val contracted0 = e
+        // keep the pre-coalesce nullness: an endpoint with a NULL label
+        // is FIRST-SEEN this step — that step-sized set replaces what
+        // was a label-table-sized anti-join below
+        val tagged = e
           .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
-          .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
-            coalesce(col("rb"), col("doc_b")).as("doc_b"))
+          .select(coalesce(col("ra"), col("doc_a")).as("a"),
+            coalesce(col("rb"), col("doc_b")).as("b"),
+            col("ra").isNull.as("na"), col("rb").isNull.as("nb"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val newNodes = tagged.filter(col("na")).select(col("a").as("doc_id"))
+          .unionByName(tagged.filter(col("nb")).select(col("b").as("doc_id")))
+          .distinct()
         // an edge that CONTRACTS to a self-loop carries no structure for
-        // the loop — but a first-seen node whose only edge is reflexive
-        // is a singleton the batch answer emits, so keep its node
-        val contracted = contracted0.filter(col("doc_a") =!= col("doc_b"))
+        // the loop; a first-seen node whose only edge was reflexive is
+        // still in newNodes, so the singleton the batch answer emits
+        // survives via the coalesce in `fresh`
+        val contracted = tagged.filter(col("a") =!= col("b"))
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
         // delta's nodes are current labels and first-seen doc ids
         val delta = collapseClusters(contracted)
-        val loopSingletons = contracted0
-          .filter(col("doc_a") === col("doc_b"))
-          .select(col("doc_a").as("doc_id")).distinct()
-          .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          .withColumn("cluster_rep", col("doc_id"))
-        val relabeled = labels
-          .join(delta.select(col("doc_id").as("cluster_rep"),
-            col("cluster_rep").as("new_rep")), Seq("cluster_rep"), "left")
+        val fresh = newNodes.join(delta, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+        // only rep CHANGES rewrite old rows — in steady state a
+        // touched-clusters-sized map (AQE broadcasts it over the label
+        // table), not a rep-map carrying every referenced cluster;
+        // new-doc delta rows can never match an old row's rep (reps are
+        // old min ids) so they ride along harmlessly
+        val changes = delta.filter(col("cluster_rep") =!= col("doc_id"))
+          .select(col("doc_id").as("cluster_rep"),
+            col("cluster_rep").as("new_rep"))
+        val relabeled = labels.join(changes, Seq("cluster_rep"), "left")
           .select(col("doc_id"),
             coalesce(col("new_rep"), col("cluster_rep")).as("cluster_rep"))
-        // nodes not yet in the table are this step's first-seen docs
-        val fresh = delta.unionByName(loopSingletons)
-          .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
         // materialize the new table, then free the superseded one — live
         // label copies stay at 2 whatever the step count (the same
         // discipline collapseClustersWithStats' loop documents; a
@@ -1516,6 +1527,7 @@ object DedupOps {
         val next = relabeled.unionByName(fresh)
           .persist(StorageLevel.MEMORY_AND_DISK)
         next.count(): Unit
+        tagged.unpersist(false)
         prev.foreach(_.unpersist(false))
         prev = Some(next)
         labels = next
