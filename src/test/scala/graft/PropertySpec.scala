@@ -164,4 +164,32 @@ class PropertySpec extends SparkSpec {
       lossless && dense && noSplit && maximal && contiguous
     }, minTests = 200)
   }
+
+  test("incremental clustering ≡ batch over arbitrary stepped edge graphs") {
+    // random multigraphs over a small id space (forcing shared nodes,
+    // chains, merges, reflexive edges, duplicate edges) sliced into 1-4
+    // arbitrary steps: the maintained label table must equal one batch
+    // hash-min over the union — the q115 invariant, free of any fixture
+    // structure
+    val genEdges: Gen[List[(Long, Long, Long)]] = for {
+      nSteps <- Gen.choose(1, 4)
+      n <- Gen.choose(1, 25)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 14L)
+        b <- Gen.choose(0L, 14L)
+        s <- Gen.choose(0L, nSteps - 1L)
+      } yield (a, b, s))
+    } yield edges
+    check(Prop.forAllNoShrink(genEdges) { edges =>
+      val df = edges.toDF("doc_a", "doc_b", "step")
+      val inc = functions.DedupOps.incrementalClusters(df)
+        .as[(Long, Long)].collect().toSet
+      val batch = functions.DedupOps.collapseClusters(
+        df.select(col("doc_a"), col("doc_b")))
+        .as[(Long, Long)].collect().toSet
+      inc == batch
+    }, minTests = 15) // each trial runs several full RDD loops — 15
+                      // random graphs already cover merge/reflexive/
+                      // duplicate shapes without doubling the suite
+  }
 }
