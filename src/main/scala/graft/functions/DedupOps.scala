@@ -1480,54 +1480,18 @@ object DedupOps {
       val steps = steppedPairs.select(col("step")).distinct()
         .orderBy(col("step")).collect().map(_.get(0))
       require(!steps.contains(null), "step column must be non-null")
-      var labels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_rep")
+      var labels = emptyLabels(spark)
       for (k <- steps) {
         val e = steppedPairs.filter(col("step") === lit(k))
           .select(col("doc_a"), col("doc_b"))
-        val la = labels.select(col("doc_id").as("doc_a"), col("cluster_rep").as("ra"))
-        val lb = labels.select(col("doc_id").as("doc_b"), col("cluster_rep").as("rb"))
-        // keep the pre-coalesce nullness: an endpoint with a NULL label
-        // is FIRST-SEEN this step — that step-sized set replaces what
-        // was a label-table-sized anti-join below
-        val tagged = e
-          .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
-          .select(coalesce(col("ra"), col("doc_a")).as("a"),
-            coalesce(col("rb"), col("doc_b")).as("b"),
-            col("ra").isNull.as("na"), col("rb").isNull.as("nb"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val newNodes = tagged.filter(col("na")).select(col("a").as("doc_id"))
-          .unionByName(tagged.filter(col("nb")).select(col("b").as("doc_id")))
-          .distinct()
-        // an edge that CONTRACTS to a self-loop carries no structure for
-        // the loop; a first-seen node whose only edge was reflexive is
-        // still in newNodes, so the singleton the batch answer emits
-        // survives via the coalesce in `fresh`
-        val contracted = tagged.filter(col("a") =!= col("b"))
-          .select(col("a").as("doc_a"), col("b").as("doc_b"))
-        // delta's nodes are current labels and first-seen doc ids
-        val delta = collapseClusters(contracted)
-        val fresh = newNodes.join(delta, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
-        // only rep CHANGES rewrite old rows — in steady state a
-        // touched-clusters-sized map (AQE broadcasts it over the label
-        // table), not a rep-map carrying every referenced cluster;
-        // new-doc delta rows can never match an old row's rep (reps are
-        // old min ids) so they ride along harmlessly
-        val changes = delta.filter(col("cluster_rep") =!= col("doc_id"))
-          .select(col("doc_id").as("cluster_rep"),
-            col("cluster_rep").as("new_rep"))
-        val relabeled = labels.join(changes, Seq("cluster_rep"), "left")
-          .select(col("doc_id"),
-            coalesce(col("new_rep"), col("cluster_rep")).as("cluster_rep"))
+        val (plan, release) = contractionStep(labels, e)
         // materialize the new table, then free the superseded one — live
         // label copies stay at 2 whatever the step count (the same
         // discipline collapseClustersWithStats' loop documents; a
         // checkpoint-per-step would pin O(steps) copies until GC)
-        val next = relabeled.unionByName(fresh)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val next = plan.persist(StorageLevel.MEMORY_AND_DISK)
         next.count(): Unit
-        tagged.unpersist(false)
+        release()
         prev.foreach(_.unpersist(false))
         prev = Some(next)
         labels = next
@@ -1546,6 +1510,65 @@ object DedupOps {
     // superseded steps were freed inside the loop
   }
 
+  private[graft] def emptyLabels(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("doc_id", "cluster_rep")
+  }
+
+  /** ONE contraction update: `labels` advanced by the edge batch `e` —
+    * the step body shared by [[incrementalClusters]] and the live
+    * [[graft.sinks.LabelSink]]. Returns the (lazy) next-table plan and
+    * a release callback the caller MUST invoke after materializing it
+    * (the internal candidate frame is persisted because the plan reads
+    * it three times). */
+  private[graft] def contractionStep(labels: DataFrame,
+      e: DataFrame): (DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel
+    val la = labels.select(col("doc_id").as("doc_a"), col("cluster_rep").as("ra"))
+    val lb = labels.select(col("doc_id").as("doc_b"), col("cluster_rep").as("rb"))
+    // keep the pre-coalesce nullness: an endpoint with a NULL label is
+    // FIRST-SEEN this batch — that batch-sized set replaces what would
+    // be a label-table-sized anti-join below
+    val tagged = e
+      .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
+      .select(coalesce(col("ra"), col("doc_a")).as("a"),
+        coalesce(col("rb"), col("doc_b")).as("b"),
+        col("ra").isNull.as("na"), col("rb").isNull.as("nb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newNodes = tagged.filter(col("na")).select(col("a").as("doc_id"))
+        .unionByName(tagged.filter(col("nb")).select(col("b").as("doc_id")))
+        .distinct()
+      // an edge that CONTRACTS to a self-loop carries no structure for
+      // the loop; a first-seen node whose only edge was reflexive is
+      // still in newNodes, so the singleton the batch answer emits
+      // survives via the coalesce in `fresh`
+      val contracted = tagged.filter(col("a") =!= col("b"))
+        .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      // delta's nodes are current labels and first-seen doc ids; NOTE
+      // collapseClusters runs EAGERLY here — the catch below keeps a
+      // refused envelope from pinning `tagged`
+      val delta = collapseClusters(contracted)
+      val fresh = newNodes.join(delta, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+      // only rep CHANGES rewrite old rows — in steady state a
+      // touched-clusters-sized map (AQE broadcasts it over the label
+      // table), not a rep-map carrying every referenced cluster; new-doc
+      // delta rows can never match an old row's rep (reps are old min
+      // ids) so they ride along harmlessly
+      val changes = delta.filter(col("cluster_rep") =!= col("doc_id"))
+        .select(col("doc_id").as("cluster_rep"),
+          col("cluster_rep").as("new_rep"))
+      val relabeled = labels.join(changes, Seq("cluster_rep"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_rep"), col("cluster_rep")).as("cluster_rep"))
+      (relabeled.unionByName(fresh), () => tagged.unpersist(false): Unit)
+    } catch {
+      case t: Throwable => tagged.unpersist(false); throw t
+    }
+  }
+
   /** q115: the dedup-cluster table through a three-cut ingest
     * lifecycle — edges arrive when their LATER endpoint does
     * (step = max over the endpoints of pmod(doc_id, 3), the lifecycle
@@ -1561,7 +1584,45 @@ object DedupOps {
         greatest(pmod(col("doc_a"), lit(3)), pmod(col("doc_b"), lit(3)))
           .as("step")))
 
+  /** q116: the LIVE label table ≡ q115 through the version-chain sink
+    * ([[graft.sinks.LabelSink]]) over the standard three-cut lifecycle —
+    * compaction between cuts 1 and 2, and the tail batch REPLAYED so
+    * the driver gate also certifies the at-least-once idempotence
+    * (same oracle as q62/q115 on purpose: the lifecycle is the thing
+    * under test, not new semantics — the q105/q112/q113 pattern). */
+  private def ensureLabelLifecycle(s: SparkSession, d: String): String =
+    synchronized {
+      val (len, mtime) = graft.sinks.Hfs.stat(s, s"$d/documents.parquet")
+      val tag = s"${Scalars.md5Hex(d.getBytes("UTF-8")).take(12)}_${len}_$mtime"
+      val loc = s"${sys.props("java.io.tmpdir")}/graft-labelstream/$tag"
+      if (graft.sinks.Hfs.readString(s, s"$loc/__done").isEmpty) {
+        graft.sinks.Hfs.deleteRecursive(s, loc)
+        val pairs = shingleJaccardPairs(s, d)
+          .select(col("doc_a"), col("doc_b"),
+            greatest(pmod(col("doc_a"), lit(3)), pmod(col("doc_b"), lit(3)))
+              .as("step"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          def cut(k: Long) = pairs.filter(col("step") === k)
+            .select(col("doc_a"), col("doc_b"))
+          graft.sinks.LabelSink.writer(loc)(cut(0), 0L)
+          graft.sinks.LabelSink.writer(loc)(cut(1), 1L)
+          graft.sinks.LabelSink.compact(s, loc)
+          graft.sinks.LabelSink.writer(loc)(cut(2), 2L)
+          // at-least-once: replay the tail batch; the head must stay
+          // identical (it recomputes from the same predecessor)
+          graft.sinks.LabelSink.writer(loc)(cut(2), 2L)
+          graft.sinks.Hfs.writeString(s, s"$loc/__done", "ok")
+        } finally pairs.unpersist(false): Unit
+      }
+      loc
+    }
+
+  val dedupLabelsStream: Q = (s, d) =>
+    graft.sinks.LabelSink.read(s, ensureLabelLifecycle(s, d))
+
   val queries: Map[String, Q] = Map(
+    "q116_dedup_labels_stream" -> dedupLabelsStream,
     "q115_dedup_incremental" -> dedupIncremental,
     "q41_shingle_jaccard" -> shingleJaccardPairs,
     "q72_split_leakage" -> splitLeakage,
@@ -1613,6 +1674,8 @@ object DedupOps {
     "q62_dedup_clusters" -> closureOracleSql,
     // q115 must converge to the batch closure whatever the arrival order
     "q115_dedup_incremental" -> closureOracleSql,
+    // q116 = q115 through the live version-chain sink (replayed tail)
+    "q116_dedup_labels_stream" -> closureOracleSql,
     // q111 = the closure + survivorship rollup: singleton clusters via
     // the left join's coalesce; canonical = longest text, lowest id
     "q111_dedup_canonical" ->
