@@ -523,6 +523,12 @@ object SimilarityOps {
     * q38's printed hyperplanes. None until a q42 run caches it. */
   @volatile private var ivfOracleState: Option[(Int, Array[Array[Double]])] = None
 
+  /** Centroid model of the last q117 run — same q42 print-the-model
+    * pattern: the oracle must partition the pair space with the SAME
+    * cells the Spark run used, so the generated SQL carries them as
+    * literals. None until a q117 run caches it. */
+  @volatile private var semdedupOracleState: Option[(Int, Double, Array[Array[Double]])] = None
+
   /** The stored centroid model of an index, ordered by cell id.
     *
     * Cached per (path, _SUCCESS fingerprint): the centroid model is
@@ -1101,7 +1107,58 @@ object SimilarityOps {
           .as("cos_to_corpus"))
   }
 
+  /** q117: SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540) — near-duplicate MEANING, not near-duplicate
+    * text: k-means cells over the embedding space, exact cosine pairs
+    * computed WITHIN each cell only, transitive closure over the pair
+    * graph, keep the lowest vec_id per cluster. Text-level MinHash
+    * (q28) misses paraphrases; all-pairs cosine (q51) is quadratic in
+    * the corpus — the cell partition is the standard middle: pair
+    * enumeration is Σ|cell|², so at 100 TB k scales with the corpus to
+    * hold the per-cell occupancy (and thus the candidate volume per
+    * partition) constant, the one shuffle keys rows by cell, and each
+    * cell's pairs never leave their partition. Cross-cell near-dups are
+    * the accepted recall trade of the method (the paper's clusters are
+    * its dedup boundary by construction — same here, and the oracle
+    * replays the SAME cell assignment so the gate is exact).
+    *
+    * Output: the dedup decision table for clustered vectors —
+    * (vec_id, cluster_rep, keep) with keep=1 on the cluster's canonical
+    * (min-id) member. Singletons are implicitly kept (absent here, the
+    * q62 label-table convention). */
+  val semanticDedup: Q = (s, d) => {
+    val k = 8; val threshold = 0.35
+    val emb = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (cents, out) = semanticDedupOver(emb, k, threshold, dims = 64)
+    semdedupOracleState = Some((k, threshold, cents))
+    out
+  }
+
+  /** The q117 engine over any (vec_id, v) frame — returns the trained
+    * cell model alongside the decision table (the spec pins the cell
+    * boundary with it; the query prints it into the oracle). */
+  private[graft] def semanticDedupOver(emb: DataFrame, k: Int,
+      threshold: Double, dims: Int): (Array[Array[Double]], DataFrame) = {
+    val clean = emb.filter(wellFormedVec(col("v"), dims))
+    val cents = kmeansLite(clean, k, iters = 1)
+    val cells = assignCells(clean, cents)
+      .select(col("vec_id"), col("v"), col("cell"))
+    // intra-cell exact pairs: the self-join shuffles BOTH sides by cell
+    // (one exchange, reused), pair rows stay partition-local
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(fcos(col("a.v"), col("b.v")), 6) >= threshold)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    val labels = DedupOps.collapseClusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"),
+        when(col("doc_id") === col("cluster_rep"), lit(1))
+          .otherwise(lit(0)).as("keep"))
+    (cents, labels)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q117_semantic_dedup" -> semanticDedup,
     "q114_embedding_drift" -> embeddingDrift,
     "q58_embedding_quant" -> embeddingQuant,
     "q25_ann_cosine_topk" -> annCosineTopK,
@@ -1216,10 +1273,48 @@ object SimilarityOps {
        |WHERE rn <= $topk""".stripMargin
   }
 
+  /** q117's oracle — the q42 cell-assignment CTE (ties take the HIGHER
+    * cell, mirroring array_max-on-struct) + intra-cell rounded-cosine
+    * pairs + the q62 recursive-CTE closure, over the centroid literals
+    * cached by the run itself. */
+  private def semdedupOracle(threshold: Double,
+      cents: Array[Array[Double]]): String = {
+    def arr(c: Array[Double]) = c.mkString("[", ",", "]") + "::DOUBLE[]"
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"  ($i, ${arr(c)})" }.mkString(",\n")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent(cell, cv) AS (VALUES
+       |$rows),
+       |a AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC)
+       |        AS rn
+       |    FROM e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |pairs AS (
+       |  SELECT x.vec_id AS pa, y.vec_id AS pb
+       |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= $threshold),
+       |edges AS (
+       |  SELECT pa AS ea, pb AS eb FROM pairs
+       |  UNION SELECT pb, pa FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT ea, ea FROM edges
+       |  UNION
+       |  SELECT r.n, e2.eb FROM reach r JOIN edges e2 ON r.m = e2.ea)
+       |SELECT n AS vec_id, min(m) AS cluster_rep,
+       |  (CASE WHEN n = min(m) THEN 1 ELSE 0 END) AS keep
+       |FROM reach GROUP BY n""".stripMargin
+  }
+
   def oracles: Map[String, String] = staticOracles ++
     ivfOracleState.map { case (np, cs) => "q42_ann_ivf_topk" -> ivfOracle(np, cs) } ++
     knnOracleState.map { case (nq, np, tk, cs) =>
-      "q95_ann_knn_join" -> knnOracle(nq, np, tk, cs) }
+      "q95_ann_knn_join" -> knnOracle(nq, np, tk, cs) } ++
+    semdedupOracleState.map { case (_, th, cs) =>
+      "q117_semantic_dedup" -> semdedupOracle(th, cs) }
 
   /** q54's oracle is GENERATED like q38's: literal plane coordinates,
     * band values as CASE-sum bit packs, candidates from a DISTINCT

@@ -942,6 +942,59 @@ object TextOps {
 
   val lmQuality: Q = (s, d) => lmScore(t(s, d, "documents"))
 
+  /** q120: DSIR-style importance weights (Xie et al. 2023,
+    * arXiv:2302.03169 — Data Selection via Importance Resampling):
+    * score every document by its mean per-token log-likelihood RATIO
+    * between a target-domain unigram model (here: the lang='en' slice)
+    * and the raw-corpus model, both add-one smoothed over the shared
+    * vocabulary. High weight ⇒ the doc looks like the target domain;
+    * resampling by these weights tilts a raw crawl toward it. DSIR
+    * hashes n-grams into buckets to BOUND the model; this corpus'
+    * vocabulary is already model-sized, so features are the tokens
+    * themselves (same add-hashing-at-scale note as q28's shingles).
+    *
+    * weight(d) = [Σ_t ln(c_T(t)+1) − ln(c_R(t)+1)
+    *              + n_d·(ln(N_R+V) − ln(N_T+V))] / n_d
+    * — the two models share vocabulary V (trained on the same corpus),
+    * so the smoothing denominators collapse into the one global
+    * length-normalized term.
+    *
+    * Determinism: counts stay exact integers through both engines; the
+    * ln/Σ double tail is engine-dependent only below ~1e-10 (1-ulp libm
+    * on O(1) addends, q101's argument; the q26/q114 round-after-
+    * double-sum precedent), so round(·, 6) makes the emitted weight
+    * hash-exact.
+    *
+    * Scale shape: q88's exactly — ONE token agg carries both models
+    * (c_R = count, c_T = conditional count — the target slice never
+    * gets its own scan), the joint model broadcasts at vocabulary
+    * size, explode preserves doc locality so the per-doc partial agg
+    * collapses before the exchange, and the corpus stats ride a
+    * one-row broadcast. */
+  val dsirWeights: Q = (s, d) => dsirWeightsOver(t(s, d, "documents"))
+
+  /** The q120 engine over any (doc_id, lang, text) frame; target domain
+    * = the lang='en' slice. */
+  private[graft] def dsirWeightsOver(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+    val model = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+    val stats = model.agg(sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"),
+      count(lit(1)).as("v"))
+    toks.join(broadcast(model), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(log(col("c_t") + lit(1.0)) - log(col("c_r") + lit(1.0))).as("lsum"),
+        count(lit(1)).as("n"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round((col("lsum") + col("n") *
+            (log((col("n_r") + col("v")).cast("double")) -
+              log((col("n_t") + col("v")).cast("double")))) / col("n"), 6)
+          .as("dsir_weight"))
+  }
+
   /** Streaming quality-gate admission — the stream twin of q88 and the
     * statistical sibling of the dedup/decontamination admission
     * writers: each micro-batch (1) folds its token counts into the
@@ -1237,6 +1290,7 @@ object TextOps {
     "q67_decile_filter" -> decileFilter,
     "q63_source_mix" -> sourceMix,
     "q40_pipeline_filter" -> pipelineFilter,
+    "q120_dsir_weights" -> dsirWeights,
     "q20_token_count" -> tokenCount,
     "q21_quality_score" -> qualityScore,
     "q22_fingerprint" -> fingerprint,
@@ -1327,6 +1381,25 @@ object TextOps {
     // integer numerator/denominator, ONE double division — the
     // order-independence that makes the doubles hash-compare (see
     // lmQuality's docstring)
+    // q120: counts stay integers until the ln; operand order mirrors
+    // dsirWeights exactly (see its Scaladoc for the rounding argument)
+    "q120_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |model AS (
+        |  SELECT token, count(*) AS c_r,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+        |  FROM tok GROUP BY 1),
+        |stats AS (
+        |  SELECT sum(c_r) AS n_r, sum(c_t) AS n_t, count(*) AS v
+        |  FROM model)
+        |SELECT t.doc_id,
+        |  round((sum(ln(m.c_t + 1.0) - ln(m.c_r + 1.0))
+        |    + count(*) * (ln((s.n_r + s.v)::DOUBLE) - ln((s.n_t + s.v)::DOUBLE)))
+        |    / count(*), 6) AS dsir_weight
+        |FROM tok t JOIN model m USING (token), stats s
+        |GROUP BY t.doc_id, s.n_r, s.n_t, s.v""".stripMargin,
     "q88_lm_quality" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

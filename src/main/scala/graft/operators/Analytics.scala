@@ -398,7 +398,38 @@ object Analytics {
         sum(col("n_tokens")).as("tok_total"))
   }
 
+  /** q118: retention cohorts over the event stream — the classic
+    * product-analytics matrix (cohort = a user's first active day;
+    * cell (cohort_day, day_offset) counts users active offset days
+    * later). Shape chosen for ONE user-keyed shuffle: per-user
+    * `min(day)` and the distinct active-day set come out of the same
+    * groupBy (collect_set is bounded by the observation window — a
+    * user has ≤ window-length distinct days, ≤366 for a year, so the
+    * row is small by construction); exploding that set back yields
+    * exactly one row per (user, active day), which makes the final
+    * cell count a plain count(*) — no second exact-distinct state.
+    * At 100 TB: shuffle #1 carries event rows combiner-compressed to
+    * one row per user; shuffle #2 carries cohort×offset cells. */
+  val retentionCohorts: Q = (s, d) =>
+    retentionCohortsOver(t(s, d, "events"))
+
+  /** The q118 engine over any frame with (user_id, ts). */
+  private[graft] def retentionCohortsOver(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"),
+        collect_set(col("day")).as("days"))
+    perUser
+      .select(col("user_id"), col("cohort_day"),
+        explode(col("days")).as("day"))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q118_retention_cohorts" -> retentionCohorts,
     "q71_e2e_pipeline" -> e2ePipeline,
     "q68_pack_greedy" -> packGreedy,
     "q57_sequence_pack" -> sequencePack,
@@ -420,6 +451,14 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q118_retention_cohorts" ->
+      """WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  (ev.day - c.cohort_day)::INTEGER AS day_offset,
+        |  count(*)::BIGINT AS n_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q71_e2e_pipeline" ->
       """WITH scored AS (
         |  SELECT doc_id, lang, md5(text) AS h,

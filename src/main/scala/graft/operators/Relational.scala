@@ -465,6 +465,53 @@ object Relational {
   val bm25LnMatch: Q = (s, d) =>
     bm25MatchOver(t(s, d, "documents"), Seq("spark", "merge"), lnIdf = true)
 
+  /** q119: hybrid search — the BM25 text tier (q79) fused with a
+    * vector tier (brute cosine vs query vec 0, the q25 ranking) by
+    * reciprocal-rank fusion, RRF (Cormack/Clarke/Büttcher 2009; the
+    * score Elasticsearch/Vespa/OpenSearch expose for exactly this
+    * text+vector hybrid): score(d) = Σ_lists 1/(60 + rank_d). Rank
+    * fusion beats score fusion here because BM25 and cosine live on
+    * incomparable scales — ranks need no calibration.
+    *
+    * Determinism: ranks are INTEGERS from orderings that are already
+    * engine-independent (q79's raw rational BM25 scores; q25's
+    * round-then-rank cosine), and 1.0/(60+rank) + its two-term sum is
+    * exactly the same IEEE arithmetic in both engines — so the raw
+    * fused doubles hash-compare, the q79 no-rounding standard.
+    *
+    * Scale shape: each tier is its own corpus scan ending in a
+    * TakeOrdered(20) — top-k never materializes the corpus — and the
+    * fusion joins two 20-row frames (driver-scale; the single-partition
+    * window ranks 20 rows, not the corpus). doc_id ≡ vec_id per
+    * FIXTURES.md (embeddings are the documents' vectors). */
+  val hybridRrf: Q = (s, d) =>
+    hybridRrfOver(t(s, d, "documents"),
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+
+  /** The q119 engine over any (doc_id, text) docs frame and (vec_id, v)
+    * embedding frame (vec_id ≡ doc_id). */
+  private[graft] def hybridRrfOver(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    val text = bm25MatchOver(docs, Seq("spark", "merge"), lnIdf = false)
+      .select(col("doc_id"), row_number().over(w).as("rank_t"))
+    val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val wv = Window.orderBy(col("cosine").desc, col("doc_id"))
+    val vec = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.expressions.VectorHashes.cosine_sim(col("v"), col("qv")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), row_number().over(wv).as("rank_v"))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rank_t")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(15)
+  }
+
   /** S9: point get by key (ref EsTest.scala:54-60 getById) — the plan
     * should be a pushed-down single-key scan, not an index the engine
     * lacks; at scale the dt/bucket layout bounds the touched files. */
@@ -503,6 +550,7 @@ object Relational {
     "q45_point_get" -> pointGet,
     "q55_scored_match" -> scoredMatch,
     "q79_bm25_match" -> bm25Match,
+    "q119_hybrid_rrf" -> hybridRrf,
     "q100_or_match" -> orMatch,
     "q101_bm25_ln_match" -> bm25LnMatch,
     "q15_dau_day_over_day" -> dauDayOverDay,
@@ -644,6 +692,53 @@ object Relational {
         |FROM tk, stats
         |WHERE list_contains(toks, 'spark') OR list_contains(toks, 'merge')
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // q119: q79's raw-score CTE ranks the text tier, q25's
+    // round-then-rank cosine ranks the vector tier; integer ranks make
+    // the fused 1/(60+r) doubles bit-identical across engines
+    "q119_hybrid_rrf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' '))::DOUBLE AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(dl) AS sum_dl,
+        |    sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df_spark,
+        |    sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df_merge
+        |  FROM tk),
+        |t20 AS (
+        |  SELECT doc_id,
+        |    ((n - df_spark + 0.5) / (df_spark + 0.5))
+        |      * ((len(list_filter(toks, x -> x = 'spark'))::DOUBLE * 2.2)
+        |         / (len(list_filter(toks, x -> x = 'spark'))::DOUBLE
+        |            + 1.2 * (0.25 + (0.75 * dl) / (sum_dl / n))))
+        |    + ((n - df_merge + 0.5) / (df_merge + 0.5))
+        |      * ((len(list_filter(toks, x -> x = 'merge'))::DOUBLE * 2.2)
+        |         / (len(list_filter(toks, x -> x = 'merge'))::DOUBLE
+        |            + 1.2 * (0.25 + (0.75 * dl) / (sum_dl / n))))
+        |    AS score
+        |  FROM tk, stats
+        |  WHERE list_contains(toks, 'spark') AND list_contains(toks, 'merge')
+        |  ORDER BY score DESC, doc_id LIMIT 20),
+        |tr AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank_t
+        |  FROM t20),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qv AS (SELECT v FROM e WHERE vec_id = 0),
+        |v20 AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    round(list_cosine_similarity(e.v, qv.v), 6) AS cosine
+        |  FROM e, qv WHERE e.vec_id <> 0
+        |  ORDER BY cosine DESC, doc_id LIMIT 20),
+        |vr AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank_v
+        |  FROM v20)
+        |SELECT doc_id,
+        |  coalesce(1.0 / (60 + rank_t), 0.0)
+        |    + coalesce(1.0 / (60 + rank_v), 0.0) AS rrf
+        |FROM tr FULL OUTER JOIN vr USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
     // mirrors bm25Match operand-for-operand: every arithmetic op below
     // is exactly rounded IEEE, so matching the operand order makes the
     // raw doubles bit-identical across engines (see the Scaladoc)

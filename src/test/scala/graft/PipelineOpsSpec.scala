@@ -1,0 +1,159 @@
+package graft
+
+import graft.functions.{SimilarityOps, TextOps}
+import graft.operators.{Analytics, Relational}
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the round-11 additions q117-q120 — each on a
+  * synthetic fixture whose expected answer is derived independently
+  * (hand-placed geometry, hand-counted cohorts, a re-fused ranking, a
+  * plain-Scala reimplementation of the weight formula), so a silent
+  * change in the engine's shape shows up as a value diff here before
+  * the driver's oracle gate sees it. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- q117 semantic dedup ----
+
+  private def vecs(rows: (Long, Seq[Double])*) =
+    rows.toSeq.toDF("vec_id", "v")
+
+  test("q117: two tight groups cluster to min-id reps; a straddler joins ONE cell only (the SemDeDup boundary)") {
+    // ids 0/1 seed the two k-means cells (init = k lowest ids): e1-ish
+    // and e2-ish groups, plus vector 4 between them but nearer e2.
+    // threshold 0.6: cos(4, e1-group) ≈ 0.69 ≥ 0.6 — a cross-cell
+    // near-dup ON PURPOSE. SemDeDup never compares across cells, so 4
+    // must merge with the e2 group only; a one-giant-cluster result
+    // means the cell partition leaked.
+    val e = vecs(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1L -> Seq(0.0, 1.0, 0.0, 0.0),
+      2L -> Seq(0.995, 0.1, 0.0, 0.0),
+      3L -> Seq(0.1, 0.995, 0.0, 0.0),
+      4L -> Seq(1.0, 1.05, 0.0, 0.0))
+    val (cents, out) = SimilarityOps.semanticDedupOver(e, k = 2,
+      threshold = 0.6, dims = 4)
+    assert(cents.length == 2)
+    val got = out.select("vec_id", "cluster_rep", "keep")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((0L, 0L, 1), (2L, 0L, 0), (1L, 1L, 1), (3L, 1L, 0),
+      (4L, 1L, 0)), s"got $got")
+  }
+
+  test("q117: k=1 degenerates to exact all-pairs clustering (closure of the full cosine graph)") {
+    val e = vecs(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1L -> Seq(0.9, 0.1, 0.0, 0.0),
+      2L -> Seq(0.0, 0.0, 1.0, 0.0),
+      3L -> Seq(0.0, 0.0, 0.9, 0.3))
+    val (_, out) = SimilarityOps.semanticDedupOver(e, k = 1,
+      threshold = 0.9, dims = 4)
+    val got = out.select("vec_id", "cluster_rep", "keep")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((0L, 0L, 1), (1L, 0L, 0), (2L, 2L, 1), (3L, 2L, 0)),
+      s"got $got")
+  }
+
+  test("q117: malformed vectors are dropped before cells, never clustered") {
+    val e = vecs(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1L -> Seq(1.0, 0.0, 0.0, 0.0),
+      2L -> Seq(1.0, 0.0)) // short — must not appear anywhere
+    val (_, out) = SimilarityOps.semanticDedupOver(e, k = 1,
+      threshold = 0.9, dims = 4)
+    val got = out.select("vec_id", "cluster_rep").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L), (1L, 0L)), s"got $got")
+  }
+
+  // ---- q118 retention cohorts ----
+
+  test("q118: hand-counted cohort matrix; duplicate same-day events collapse") {
+    val ev = Seq(
+      // user 10: first 2024-01-01, active again on the 3rd (twice)
+      (10L, "2024-01-01 08:00:00"), (10L, "2024-01-03 09:00:00"),
+      (10L, "2024-01-03 23:59:59"),
+      // user 20: only 2024-01-01
+      (20L, "2024-01-01 12:00:00"),
+      // user 30: first 2024-01-02, active the 3rd
+      (30L, "2024-01-02 01:00:00"), (30L, "2024-01-03 02:00:00"))
+      .toDF("user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Analytics.retentionCohortsOver(ev)
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
+      ("2024-01-02", 0, 1L), ("2024-01-02", 1, 1L)), s"got $got")
+  }
+
+  // ---- q119 hybrid RRF ----
+
+  test("q119: fusion equals an independently re-fused (rank_t, rank_v) pair; both-list docs outrank single-list peers at equal rank") {
+    val docs = Tables.t(spark, sf0001, "documents")
+    val emb = Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // re-derive the two rankings with collect-side fusion
+    val text = Relational.bm25MatchOver(docs, Seq("spark", "merge"), lnIdf = false)
+      .as[(Long, Double)].collect()
+      .sortBy { case (id, sc) => (-sc, id) }.map(_._1).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("v")).as[Seq[Double]].head.toArray
+    val cos = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+      .map { case (id, v) =>
+        val a = v.toArray
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i) * q(i); na += a(i) * a(i); nb += q(i) * q(i); i += 1
+        }
+        id -> BigDecimal(dot / math.sqrt(na * nb))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    val vecRank = cos.sortBy { case (id, c) => (-c, id) }.take(20)
+      .map(_._1).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val expected = (text.keySet ++ vecRank.keySet).toSeq
+      .map { id =>
+        val r = text.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          vecRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (id, r)
+      }
+      .sortBy { case (id, r) => (-r, id) }.take(15)
+    val got = Relational.hybridRrfOver(docs, emb)
+      .as[(Long, Double)].collect().toSeq
+      .sortBy { case (id, r) => (-r, id) }
+    assert(got == expected, s"got $got\nexpected $expected")
+    // structural sanity on the fused list: some doc from each tier
+    assert(expected.exists { case (id, _) => text.contains(id) })
+    assert(expected.exists { case (id, _) => vecRank.contains(id) })
+  }
+
+  // ---- q120 DSIR weights ----
+
+  test("q120: plain-Scala reimplementation matches; pure-target doc outweighs pure-other doc") {
+    val docs = Seq(
+      (1L, "en", "alpha alpha beta"),
+      (2L, "de", "gamma gamma beta"),
+      (3L, "en", "alpha beta gamma"))
+      .toDF("doc_id", "lang", "text")
+    // independent model: token -> (c_r, c_t) over the same corpus
+    val corpus = Seq(
+      (1L, true, Seq("alpha", "alpha", "beta")),
+      (2L, false, Seq("gamma", "gamma", "beta")),
+      (3L, true, Seq("alpha", "beta", "gamma")))
+    val cr = corpus.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = corpus.filter(_._2).flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nR, nT, v) = (cr.values.sum, ct.values.sum, cr.size.toLong)
+    def weight(toks: Seq[String]): Double = {
+      val lsum = toks.map(t => math.log(ct.getOrElse(t, 0L) + 1.0) -
+        math.log(cr(t) + 1.0)).sum
+      val w = (lsum + toks.size *
+        (math.log((nR + v).toDouble) - math.log((nT + v).toDouble))) / toks.size
+      BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = corpus.map { case (id, _, toks) => id -> weight(toks) }.toMap
+    val got = TextOps.dsirWeightsOver(docs)
+      .as[(Long, Double)].collect().toMap
+    assert(got == expected, s"got $got expected $expected")
+    // the en-vocab doc must outweigh the de-vocab doc under target=en
+    assert(got(1L) > got(2L), s"target-domain doc should score higher: $got")
+  }
+}
