@@ -1073,6 +1073,60 @@ object DedupOps {
     (labels.toDF("doc_id", "cluster_rep"), iter)
   }
 
+  /** Adaptive collapse for operators whose pair graph is usually SMALL
+    * relative to the corpus (semantic dedup: pairs ≈ dup docs, not
+    * docs²): one count of the persisted 2-long-column pair frame routes
+    * to
+    *  - a DRIVER union-find when edges ≤ `localEdgeThreshold` — the
+    *    collect is bounded by the threshold (16 bytes/edge ⇒ ≤ ~16 MB
+    *    at the 1M default), labels are exact component min-ids in one
+    *    pass, and ZERO distributed rounds run. Any distributed engine
+    *    pays 10-50 scheduling-bound micro-stages on a driver-scale
+    *    graph (measured: 25 hash-min rounds / 2.5 s, 6+6 star
+    *    shuffles / 2 s, for 1169 edges at sf0.1) — latency the size of
+    *    the data can never justify;
+    *  - star contraction above the threshold: for WEAK-threshold pair
+    *    graphs (sprawling chains) diameter is unbounded, which is
+    *    star's envelope, not hash-min's.
+    * Same (doc_id, cluster_rep) contract as every other collapse:
+    * min-id reps, self-pairs label their node, nodes absent from pairs
+    * are absent from labels. PipelineOpsSpec pins local ≡ star ≡
+    * hash-min on random multigraphs and the routing boundary itself. */
+  def collapseClustersAdaptive(pairs: DataFrame,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    val p = pairs
+      .select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (p.count() <= localEdgeThreshold) {
+        import spark.implicits._
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.get(x) != x) {
+            val g = parent.get(parent.get(x))
+            parent.put(x, g); x = g
+          }
+          x
+        }
+        p.as[(Long, Long)].collect().foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by MIN id — the rep contract every engine shares
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        parent.forEach((n, _) => labels += ((n, find(n))))
+        labels.toSeq.toDF("doc_id", "cluster_rep")
+      } else collapseClustersStarWithStats(p)._1
+    } finally p.unpersist(blocking = false)
+  }
+
   /** The q62/q104 crossover guidance as CODE, not a Scaladoc the caller
     * must remember: routes a pair graph to hash-min propagation
     * ([[collapseClustersWithStats]] — cheaper rounds, bounded-diameter

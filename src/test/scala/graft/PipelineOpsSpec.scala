@@ -65,6 +65,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Set((0L, 0L), (1L, 0L)), s"got $got")
   }
 
+  test("collapseClustersAdaptive: local ≡ star ≡ hash-min on random multigraphs; both routes honor the contract") {
+    import graft.functions.DedupOps
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 8) {
+      val n = 30 + rnd.nextInt(60)
+      val edges = (1 to (n * 2)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      } ++ Seq((n.toLong + 5, n.toLong + 5)) // a self-pair singleton
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val expect = DedupOps.collapseClusters(pairs)
+        .as[(Long, Long)].collect().toSet
+      val local = DedupOps.collapseClustersAdaptive(pairs)
+        .as[(Long, Long)].collect().toSet
+      assert(local == expect, s"trial $trial: local route diverged")
+      val star = DedupOps.collapseClustersAdaptive(pairs, localEdgeThreshold = 0L)
+        .as[(Long, Long)].collect().toSet
+      assert(star == expect, s"trial $trial: star route diverged")
+    }
+  }
+
   // ---- q118 retention cohorts ----
 
   test("q118: hand-counted cohort matrix; duplicate same-day events collapse") {
