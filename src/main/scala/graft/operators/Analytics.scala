@@ -414,21 +414,108 @@ object Analytics {
     retentionCohortsOver(t(s, d, "events"))
 
   /** The q118 engine over any frame with (user_id, ts). */
-  private[graft] def retentionCohortsOver(events: DataFrame): DataFrame = {
-    val perUser = events
-      .select(col("user_id"), to_date(col("ts")).as("day"))
+  private[graft] def retentionCohortsOver(events: DataFrame): DataFrame =
+    cohortMatrixOf(events.select(col("user_id"), to_date(col("ts")).as("day")))
+
+  /** The cohort matrix from an activity frame (user_id, day) — shared
+    * by the batch query and the q122 sink read (whose stored set is
+    * already distinct; the groupBy's collect_set absorbs either way). */
+  private[graft] def cohortMatrixOf(activity: DataFrame): DataFrame =
+    activity
       .groupBy(col("user_id"))
       .agg(min(col("day")).as("cohort_day"),
         collect_set(col("day")).as("days"))
-    perUser
       .select(col("user_id"), col("cohort_day"),
         explode(col("days")).as("day"))
       .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         datediff(col("day"), col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
+
+  /** q122: the LIVE cohort matrix ≡ the q118 batch answer, with the
+    * activity-set sink's whole lifecycle under the driver's hash gate
+    * (the q102 pattern — fold of the first two cuts + live tail). The
+    * events are cut by event_id, NOT by user: a user's activity
+    * straddles every batch boundary, and the same (user, day) pair
+    * lands in multiple segments — legal ONLY because this sink's
+    * reconcile is an idempotent set union (see RetentionSink; the
+    * counting sinks' one-doc-one-batch admission contract is exactly
+    * what this lifecycle does not need). The tail cut is REPLAYED, so
+    * the gate also certifies at-least-once idempotence, the q116
+    * convention. */
+  val retentionStream: Q = (s, d) =>
+    cohortMatrixOf(graft.sinks.RetentionSink.read(s,
+      ensureEventCutLifecycle(s, d, "retentionstream")))
+
+  /** Three-cut lifecycle state over the EVENTS table (the q102/q103
+    * builder keyed to documents; this one cuts events by event_id):
+    * batches 0/1 written, compacted into one fold, batch 2 appended
+    * live and then REPLAYED (idempotence under the same gate). Tagged
+    * by the events fixture's (len, mtime); a crashed prior attempt
+    * (no __done marker) is cleared and redone. */
+  private def ensureEventCutLifecycle(s: SparkSession, d: String,
+      kind: String): String = synchronized {
+    val (len, mtime) = graft.sinks.Hfs.stat(s, s"$d/events.parquet")
+    val tag =
+      s"${graft.functions.Scalars.md5Hex(d.getBytes("UTF-8")).take(12)}_${len}_$mtime"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft-$kind/$tag"
+    if (graft.sinks.Hfs.readString(s, s"$loc/__done").isEmpty) {
+      graft.sinks.Hfs.deleteRecursive(s, loc)
+      val ev = t(s, d, "events")
+      def cut(b: Long) = ev.filter(pmod(col("event_id"), lit(3)) === b)
+      val w = graft.sinks.RetentionSink.writer(loc)(_, _)
+      w(cut(0), 0L)
+      w(cut(1), 1L)
+      graft.sinks.RetentionSink.compact(s, loc)
+      w(cut(2), 2L)
+      w(cut(2), 2L) // at-least-once replay of the live tail
+      graft.sinks.Hfs.writeString(s, s"$loc/__done", "ok")
+    }
+    loc
+  }
+
+  /** q121: ordered funnel over the event stream — per user, a click
+    * counts only AFTER a view, a purchase only after such a click (the
+    * product-analytics staple next to q118's cohort matrix). The
+    * cascade is windowed, not joined: one (user, ts, event_id) sort
+    * carries min-so-far marks for each step — `va` = earliest view
+    * strictly before this row, `vb` = earliest view-qualified click
+    * before it — so step membership is a filter on the same scan, and
+    * the strict `1 PRECEDING` frame with the event_id tiebreak makes
+    * same-timestamp sequences deterministic in both engines.
+    *
+    * Scale shape: ONE hash shuffle by user + one in-partition sort
+    * feeds both window passes (same spec ⇒ no second exchange), then a
+    * 3-way conditional distinct over users — shuffle rows bounded by
+    * |users| × 3 after partial aggregation. No self-join: the join
+    * formulation of funnels explodes on power users (events² per
+    * user); the window form is linear in events. */
+  val funnelSteps: Q = (s, d) =>
+    funnelStepsOver(t(s, d, "events"))
+
+  private[graft] def funnelStepsOver(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withColumn("va",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("click_ts",
+        when(col("event_type") === "click" && col("va").isNotNull, col("ts")))
+      .withColumn("vb", min(col("click_ts")).over(w))
+      .agg(
+        countDistinct(when(col("event_type") === "view", col("user_id")))
+          .as("n_view"),
+        countDistinct(when(col("click_ts").isNotNull, col("user_id")))
+          .as("n_view_click"),
+        countDistinct(when(col("event_type") === "purchase" &&
+            col("vb").isNotNull, col("user_id")))
+          .as("n_view_click_purchase"))
   }
 
   val queries: Map[String, Q] = Map(
+    "q122_retention_stream" -> retentionStream,
+    "q121_funnel_steps" -> funnelSteps,
     "q118_retention_cohorts" -> retentionCohorts,
     "q71_e2e_pipeline" -> e2ePipeline,
     "q68_pack_greedy" -> packGreedy,
@@ -451,6 +538,41 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // q122 = q118 through the activity-set lifecycle (fold + live tail
+    // + replayed tail) — same oracle on purpose, the q102/q105 pattern
+    "q122_retention_stream" ->
+      """WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  (ev.day - c.cohort_day)::INTEGER AS day_offset,
+        |  count(*)::BIGINT AS n_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "q121_funnel_steps" ->
+      """WITH c1 AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS va
+        |  FROM events),
+        |c2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND va IS NOT NULL
+        |                 THEN ts END AS click_ts
+        |  FROM c1),
+        |c3 AS (
+        |  SELECT *,
+        |    min(click_ts)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vb
+        |  FROM c2)
+        |SELECT
+        |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)::BIGINT
+        |    AS n_view,
+        |  count(DISTINCT CASE WHEN click_ts IS NOT NULL THEN user_id END)::BIGINT
+        |    AS n_view_click,
+        |  count(DISTINCT CASE WHEN event_type = 'purchase' AND vb IS NOT NULL
+        |                 THEN user_id END)::BIGINT AS n_view_click_purchase
+        |FROM c3""".stripMargin,
     "q118_retention_cohorts" ->
       """WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)

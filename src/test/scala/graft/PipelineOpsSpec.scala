@@ -105,6 +105,71 @@ class PipelineOpsSpec extends SparkSpec {
       ("2024-01-02", 0, 1L), ("2024-01-02", 1, 1L)), s"got $got")
   }
 
+  test("q121: out-of-order steps never count; same-timestamp order resolves by event_id; each user counts once") {
+    val ev = Seq(
+      // user 1: full ordered funnel (and a duplicate purchase — distinct)
+      (1L, 1L, "2024-01-01 00:00:01", "view"),
+      (2L, 1L, "2024-01-01 00:00:02", "click"),
+      (3L, 1L, "2024-01-01 00:00:03", "purchase"),
+      (4L, 1L, "2024-01-01 00:00:04", "purchase"),
+      // user 2: click BEFORE its view — click/purchase must not count
+      (5L, 2L, "2024-01-01 00:00:01", "click"),
+      (6L, 2L, "2024-01-01 00:00:02", "view"),
+      (7L, 2L, "2024-01-01 00:00:03", "purchase"),
+      // user 3: view and click share a timestamp; event_id orders the
+      // view FIRST, so the click qualifies — but purchase precedes both
+      (8L, 3L, "2024-01-01 00:00:00", "purchase"),
+      (9L, 3L, "2024-01-01 00:00:05", "view"),
+      (10L, 3L, "2024-01-01 00:00:05", "click"),
+      // user 4: purchase at the SAME ts as the qualified click — the
+      // ROW frame sees the lower-event_id click as strictly before, so
+      // the purchase qualifies (sequence = row order, ties by id)
+      (11L, 4L, "2024-01-01 00:00:01", "view"),
+      (12L, 4L, "2024-01-01 00:00:02", "click"),
+      (13L, 4L, "2024-01-01 00:00:02", "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Analytics.funnelStepsOver(ev)
+      .as[(Long, Long, Long)].collect().head
+    // views: users 1,2,3,4 — click-after-view: 1,3,4 — purchase after
+    // that: users 1 and 4 (user 3's purchase precedes its view)
+    assert(got == ((4L, 3L, 2L)), s"got $got")
+  }
+
+  test("q122 sink: cross-batch duplicate (user, day) pairs collapse; replay and compact preserve the set; matrix == batch") {
+    import graft.sinks.RetentionSink
+    val loc = java.nio.file.Files
+      .createTempDirectory("retention-sink-spec").toString
+    def ev(rows: (Long, Long, String)*) = rows.toSeq
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // user 1 active on day1 in BOTH batch 0 and batch 1 (straddles the
+    // cut); user 2 in batch 1 only; batch 1 then replayed (at-least-once)
+    val b0 = ev((1L, 1L, "2024-03-01 10:00:00"), (2L, 1L, "2024-03-02 10:00:00"))
+    val b1 = ev((3L, 1L, "2024-03-01 23:00:00"), (4L, 2L, "2024-03-02 05:00:00"))
+    RetentionSink.writer(loc)(b0, 0L)
+    RetentionSink.writer(loc)(b1, 1L)
+    RetentionSink.writer(loc)(b1, 1L) // replay
+    val set1 = RetentionSink.read(spark, loc)
+      .select(col("user_id"), col("day").cast("string"))
+      .as[(Long, String)].collect().toSet
+    assert(set1 == Set((1L, "2024-03-01"), (1L, "2024-03-02"),
+      (2L, "2024-03-02")), s"got $set1")
+    RetentionSink.compact(spark, loc)
+    val set2 = RetentionSink.read(spark, loc)
+      .select(col("user_id"), col("day").cast("string"))
+      .as[(Long, String)].collect().toSet
+    assert(set2 == set1, "compaction changed the activity set")
+    // the matrix over the lifecycle state == the batch q118 answer
+    val viaSink = Analytics.cohortMatrixOf(RetentionSink.read(spark, loc))
+      .as[(String, Int, Long)].collect().toSet
+    val batch = Analytics.retentionCohortsOver(b0.union(b1))
+      .as[(String, Int, Long)].collect().toSet
+    assert(viaSink == batch, s"sink $viaSink != batch $batch")
+    assert(viaSink == Set(("2024-03-01", 0, 1L), ("2024-03-01", 1, 1L),
+      ("2024-03-02", 0, 1L)), s"got $viaSink")
+  }
+
   // ---- q119 hybrid RRF ----
 
   test("q119: fusion equals an independently re-fused (rank_t, rank_v) pair; both-list docs outrank single-list peers at equal rank") {
