@@ -18,6 +18,65 @@ class PlanAuditSpec extends SparkSpec {
   // the moment a BuildLeft broadcast or SMJ fallback reorders it) — is
   // the shared SparkSpec helper.
 
+  test("q118 cohorts: one events scan, no join, user agg + cell agg exchanges only") {
+    val plan = executedPlan(operators.Analytics.retentionCohorts(spark, sf0001))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one events scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the collect_set shape must not join first-day back:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"expected user-agg + cell-agg exchanges only, got $exchanges:\n$plan")
+  }
+
+  test("q121 funnel: one events scan, no join, both window passes share one user sort") {
+    val plan = executedPlan(operators.Analytics.funnelSteps(spark, sf0001))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one events scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the window cascade must never become the events² self-join:\n$plan")
+    // the two cascaded Window passes must reuse ONE (user, ts, id)
+    // sort: a second Sort means the specs diverged and the cascade
+    // pays the ordering twice
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    val sorts = "\\bSort\\b".r.findAllIn(plan).length
+    assert(windows >= 2, s"expected the two cascade passes:\n$plan")
+    assert(sorts == 1,
+      s"expected one shared window sort, got $sorts:\n$plan")
+  }
+
+  test("q120 DSIR: the vocab model joins by BROADCAST — the token stream never sort-merges") {
+    val plan = executedPlan(functions.TextOps.dsirWeights(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sort-merge here shuffles the whole token stream:\n$plan")
+  }
+
+  test("q119 RRF: both tiers end in TakeOrdered; the fusion join's inputs ARE the top-k frames") {
+    val df = operators.Relational.hybridRrf(spark, sf0001)
+    df.collect()
+    val nodes = walkPlan(df.queryExecution.executedPlan)
+    val topk = nodes.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }
+    assert(topk.size >= 3, // two tier top-20s + the fused top-15
+      s"expected both tiers' top-k + the fused limit, got ${topk.size}")
+    // FULL OUTER can't broadcast, so the fusion is a merge join — fine
+    // ONLY because each side is a 20-row TakeOrdered output; a corpus
+    // subtree on either side means a tier's top-k stopped fusing
+    val joins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(joins.size == 1, s"expected exactly the fusion join, got ${joins.size}")
+    joins.head.children.foreach { side =>
+      assert(walkPlan(side).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+        s"a fusion input is not a top-k frame:\n$side")
+    }
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "no cartesian anywhere in the fused plan")
+  }
+
   test("q15 single-pass pivot: exactly one events scan, no join") {
     val plan = executedPlan(operators.Relational.dauDayOverDay(spark, sf0001))
     val scans = "FileScan parquet".r.findAllIn(plan).length
