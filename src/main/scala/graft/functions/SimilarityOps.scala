@@ -529,6 +529,10 @@ object SimilarityOps {
     * literals. None until a q117 run caches it. */
   @volatile private var semdedupOracleState: Option[(Int, Double, Array[Array[Double]])] = None
 
+  /** (nBench, threshold, centroids) of the last q123 run — same
+    * print-the-model contract as q117's. */
+  @volatile private var semdecontamOracleState: Option[(Int, Double, Array[Array[Double]])] = None
+
   /** The stored centroid model of an index, ordered by cell id.
     *
     * Cached per (path, _SUCCESS fingerprint): the centroid model is
@@ -1128,12 +1132,26 @@ object SimilarityOps {
     * q62 label-table convention). */
   val semanticDedup: Q = (s, d) => {
     val k = 8; val threshold = 0.35
-    val emb = t(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val (cents, out) = semanticDedupOver(emb, k, threshold, dims = 64)
+    val emb = embFrame(s, d)
+    val cents = cachedCellModel(emb, d, k)
     semdedupOracleState = Some((k, threshold, cents))
-    out
+    semanticDedupWith(emb, cents, threshold)
   }
+
+  private def embFrame(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** One k-means cell model per (sf dir, k) per JVM — q117 and q123
+    * partition the SAME space, and at 100 TB the coarse quantizer is
+    * trained once and reused by every consumer (the IVF build's frozen
+    * -model contract); re-training per query would also hand each
+    * query's oracle a different (if converged-identical) literal set. */
+  private val cellModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Double]]]()
+  private def cachedCellModel(emb: DataFrame, d: String, k: Int): Array[Array[Double]] =
+    cellModelCache.computeIfAbsent((d, k),
+      _ => kmeansLite(emb.filter(wellFormedVec(col("v"), 64)), k, iters = 1))
 
   /** The q117 engine over any (vec_id, v) frame — returns the trained
     * cell model alongside the decision table (the spec pins the cell
@@ -1142,6 +1160,12 @@ object SimilarityOps {
       threshold: Double, dims: Int): (Array[Array[Double]], DataFrame) = {
     val clean = emb.filter(wellFormedVec(col("v"), dims))
     val cents = kmeansLite(clean, k, iters = 1)
+    (cents, semanticDedupWith(clean, cents, threshold))
+  }
+
+  private[graft] def semanticDedupWith(emb: DataFrame,
+      cents: Array[Array[Double]], threshold: Double): DataFrame = {
+    val clean = emb.filter(wellFormedVec(col("v"), cents(0).length))
     val cells = assignCells(clean, cents)
       .select(col("vec_id"), col("v"), col("cell"))
     // intra-cell exact pairs: the self-join shuffles BOTH sides by cell
@@ -1158,14 +1182,54 @@ object SimilarityOps {
     // hash-min too). Below the bounded collect threshold a driver
     // union-find labels it in one pass; above it, star contraction —
     // the diameter-safe engine for sprawling chain components.
-    val labels = DedupOps.collapseClustersAdaptive(pairs)
+    DedupOps.collapseClustersAdaptive(pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_rep"),
         when(col("doc_id") === col("cluster_rep"), lit(1))
           .otherwise(lit(0)).as("keep"))
-    (cents, labels)
+  }
+
+  /** q123: semantic decontamination — the embedding-space twin of the
+    * token-overlap tiers (q61/q75): a paraphrased benchmark item shares
+    * no 3-gram with its source, but its embedding stays close, which is
+    * the contamination today's decontam pipelines actually miss. Vecs
+    * 0-49 play the benchmark (the q95 query-set convention), the rest
+    * the training corpus; a corpus vector is flagged when its cosine to
+    * ANY benchmark vector in the SAME cell clears the threshold.
+    *
+    * Same scale shape as q117 (one cell-keyed shuffle, Σ|cell_c × cell_t|
+    * candidate work, k grows with the corpus) with one extra drop: the
+    * benchmark side is benchmark-sized per cell, so at a production
+    * k the per-cell probe set is tiny and could equally broadcast —
+    * the cell join covers both regimes. Output is the contamination
+    * report: flagged vec, how many benchmark hits, the best (rounded)
+    * cosine — deterministic because max-of-rounded ties don't affect
+    * the max value itself. */
+  val semanticDecontam: Q = (s, d) => {
+    val k = 8; val threshold = 0.35; val nBench = 50
+    val emb = embFrame(s, d)
+    val cents = cachedCellModel(emb, d, k)
+    semdecontamOracleState = Some((nBench, threshold, cents))
+    semanticDecontamWith(emb, cents, nBench, threshold)
+  }
+
+  private[graft] def semanticDecontamWith(emb: DataFrame,
+      cents: Array[Array[Double]], nBench: Int,
+      threshold: Double): DataFrame = {
+    val cells = assignCells(
+        emb.filter(wellFormedVec(col("v"), cents(0).length)), cents)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val bench = cells.filter(col("vec_id") < nBench)
+    val corpus = cells.filter(col("vec_id") >= nBench)
+    corpus.as("c").join(bench.as("t"), col("c.cell") === col("t.cell"))
+      .select(col("c.vec_id").as("vec_id"),
+        round(fcos(col("c.v"), col("t.v")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("cos")).as("max_cosine"))
   }
 
   val queries: Map[String, Q] = Map(
+    "q123_semantic_decontam" -> semanticDecontam,
     "q117_semantic_dedup" -> semanticDedup,
     "q114_embedding_drift" -> embeddingDrift,
     "q58_embedding_quant" -> embeddingQuant,
@@ -1317,12 +1381,42 @@ object SimilarityOps {
        |FROM reach GROUP BY n""".stripMargin
   }
 
+  /** q123's oracle — q117's cell-assignment CTE + the bench/corpus
+    * split + the rounded-cosine contamination rollup. */
+  private def semdecontamOracle(nBench: Int, threshold: Double,
+      cents: Array[Array[Double]]): String = {
+    def arr(c: Array[Double]) = c.mkString("[", ",", "]") + "::DOUBLE[]"
+    val rows = cents.zipWithIndex
+      .map { case (c, i) => s"  ($i, ${arr(c)})" }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent(cell, cv) AS (VALUES
+       |$rows),
+       |a AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC)
+       |        AS rn
+       |    FROM e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |hits AS (
+       |  SELECT c.vec_id, round(list_cosine_similarity(c.v, t.v), 6) AS cos
+       |  FROM a c JOIN a t ON c.cell = t.cell
+       |  WHERE c.vec_id >= $nBench AND t.vec_id < $nBench)
+       |SELECT vec_id, count(*)::BIGINT AS n_bench_hits,
+       |  max(cos) AS max_cosine
+       |FROM hits WHERE cos >= $threshold
+       |GROUP BY vec_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = staticOracles ++
     ivfOracleState.map { case (np, cs) => "q42_ann_ivf_topk" -> ivfOracle(np, cs) } ++
     knnOracleState.map { case (nq, np, tk, cs) =>
       "q95_ann_knn_join" -> knnOracle(nq, np, tk, cs) } ++
     semdedupOracleState.map { case (_, th, cs) =>
-      "q117_semantic_dedup" -> semdedupOracle(th, cs) }
+      "q117_semantic_dedup" -> semdedupOracle(th, cs) } ++
+    semdecontamOracleState.map { case (nb, th, cs) =>
+      "q123_semantic_decontam" -> semdecontamOracle(nb, th, cs) }
 
   /** q54's oracle is GENERATED like q38's: literal plane coordinates,
     * band values as CASE-sum bit packs, candidates from a DISTINCT

@@ -942,6 +942,57 @@ object TextOps {
 
   val lmQuality: Q = (s, d) => lmScore(t(s, d, "documents"))
 
+  /** q125: EXACT heavy hitters (tokens with freq > N/k) through a
+    * Misra-Gries candidate pass — the shuffle-shape alternative to
+    * q82's full vocabulary aggregate: q82's exchange carries |V| rows
+    * however selective the question; here pass 1 runs k-counter
+    * Misra-Gries per partition (mapPartitions — the genuine
+    * per-partition imperative case) and ships k×P candidate tokens to
+    * the driver, and pass 2 re-counts ONLY candidates exactly (the
+    * isin literal prunes before the exchange, so the shuffle carries
+    * candidate rows, not the vocabulary). Exactness: a token with
+    * global freq > N/k must have local freq > N_p/k in ≥1 partition
+    * (pigeonhole over Σ), and per-partition MG with k counters
+    * retains every token with local freq > N_p/k — so the candidate
+    * union is a SUPERSET of the true heavy hitters and the exact
+    * re-count's filter makes the final answer precise, not
+    * approximate. The at-100-TB case is heavy hitters over an
+    * UNBOUNDED key domain (URLs, hosts, n-grams) where |V|-sized
+    * exchanges are the bottleneck and k×P is driver-trivial. */
+  val heavyTokens: Q = (s, d) => heavyTokensOver(t(s, d, "documents"), 50)
+
+  private[graft] def heavyTokensOver(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val candidates: Seq[String] = toks.rdd
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, Long]()
+        it.foreach { row =>
+          val t = row.getString(0)
+          if (m.containsKey(t)) m.put(t, m.get(t) + 1)
+          else if (m.size < k) m.put(t, 1L)
+          else {
+            // decrement-all step; drop zeroed counters
+            val dead = new java.util.ArrayList[String]()
+            m.forEach { (kk, vv) =>
+              if (vv == 1L) dead.add(kk) else m.put(kk, vv - 1)
+            }
+            dead.forEach(kk => m.remove(kk))
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        Iterator.single(m.keySet().asScala.toSet)
+      }
+      .fold(Set.empty[String])(_ union _)
+      .toSeq.sorted
+    val stats = docs.agg(
+      sum(size(tokens(col("text"))).cast("long")).as("total"))
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(stats))
+      .filter(col("freq") > col("total") / lit(k.toDouble))
+      .select(col("token"), col("freq"))
+  }
+
   /** q120: DSIR-style importance weights (Xie et al. 2023,
     * arXiv:2302.03169 — Data Selection via Importance Resampling):
     * score every document by its mean per-token log-likelihood RATIO
@@ -1291,6 +1342,7 @@ object TextOps {
     "q63_source_mix" -> sourceMix,
     "q40_pipeline_filter" -> pipelineFilter,
     "q120_dsir_weights" -> dsirWeights,
+    "q125_heavy_tokens" -> heavyTokens,
     "q20_token_count" -> tokenCount,
     "q21_quality_score" -> qualityScore,
     "q22_fingerprint" -> fingerprint,
@@ -1381,6 +1433,16 @@ object TextOps {
     // integer numerator/denominator, ONE double division — the
     // order-independence that makes the doubles hash-compare (see
     // lmQuality's docstring)
+    // q125: plain HAVING over the full token agg — DuckDB pays the
+    // |V|-sized group-by the Spark side's MG candidate pass avoids
+    "q125_heavy_tokens" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT count(*) AS total FROM tok)
+        |SELECT token, count(*)::BIGINT AS freq
+        |FROM tok, n
+        |GROUP BY token, n.total
+        |HAVING count(*) > total / 50.0""".stripMargin,
     // q120: counts stay integers until the ln; operand order mirrors
     // dsirWeights exactly (see its Scaladoc for the rounding argument)
     "q120_dsir_weights" ->

@@ -513,7 +513,33 @@ object Analytics {
           .as("n_view_click_purchase"))
   }
 
+  /** q124: last-touch attribution — every purchase credits its value to
+    * the most recent PRIOR click of the same user (the q121 cascade's
+    * sibling: max-so-far instead of min-so-far, value rollup instead of
+    * step counts). Same one-sort window shape, linear in events; the
+    * rollup keys on the credited click's day, so the report reads "the
+    * clicks of day X drove $Y of purchases". */
+  val lastTouchAttribution: Q = (s, d) =>
+    lastTouchAttributionOver(t(s, d, "events"))
+
+  private[graft] def lastTouchAttributionOver(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase" && col("last_click_ts").isNotNull)
+      .groupBy(date_format(col("last_click_ts"), "yyyy-MM-dd")
+        .as("attributed_day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("attributed_value"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q124_last_touch" -> lastTouchAttribution,
     "q122_retention_stream" -> retentionStream,
     "q121_funnel_steps" -> funnelSteps,
     "q118_retention_cohorts" -> retentionCohorts,
@@ -538,6 +564,20 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q124_last_touch" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    max(CASE WHEN event_type = 'click' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_click_ts
+        |  FROM events)
+        |SELECT strftime(last_click_ts, '%Y-%m-%d') AS attributed_day,
+        |  count(*)::BIGINT AS n_purchases,
+        |  round(sum(value), 2) AS attributed_value
+        |FROM c
+        |WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     // q122 = q118 through the activity-set lifecycle (fold + live tail
     // + replayed tail) — same oracle on purpose, the q102/q105 pattern
     "q122_retention_stream" ->

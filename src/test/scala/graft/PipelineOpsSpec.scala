@@ -85,6 +85,76 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q123: a same-cell benchmark near-dup flags; a cross-cell one escapes (the documented recall trade); bench never flags itself") {
+    // ids 0/1 = the benchmark (nBench = 2) AND the k-means seeds, so
+    // the cells split along e1 vs e2. Corpus: 2 near-dups of bench 0
+    // (same cell), 3 far from everything, and 4 = the straddler that
+    // is near bench 0 by cosine but lands in cell 1 — must escape.
+    val e = vecs(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1L -> Seq(0.0, 1.0, 0.0, 0.0),
+      2L -> Seq(0.995, 0.1, 0.0, 0.0),
+      3L -> Seq(0.0, 0.0, 1.0, 0.0),
+      4L -> Seq(1.0, 1.05, 0.0, 0.0))
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val got = SimilarityOps
+      .semanticDecontamWith(e, cents, nBench = 2, threshold = 0.6)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, c) => id -> ((n, c)) }.toMap
+    // vec 2: cos to bench0 ≈ .995 — flagged with 1 hit. vec 4: cos to
+    // bench0 ≈ .69 ≥ .6 BUT lives in cell 1 with bench1 (cos ≈ .724 ≥
+    // .6 — flagged via bench1, 1 hit). vec 3: orthogonal — clean.
+    assert(got.keySet == Set(2L, 4L), s"got $got")
+    assert(got(2L)._1 == 1L && got(2L)._2 > 0.99, s"got $got")
+    assert(got(4L)._1 == 1L && got(4L)._2 < 0.75, s"got $got")
+  }
+
+  test("q125: Misra-Gries candidates are a SUPERSET of true heavy hitters on adversarial streams; the exact pass equals brute force") {
+    import graft.functions.TextOps
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      // a skewed stream plus churn: lots of distinct near-threshold
+      // tokens forcing constant decrement-all churn in the sketch
+      val words = (1 to 3).map(i => s"hot$i") ++
+        (1 to 200).map(i => s"t$i")
+      val weights = Seq(40, 30, 25) ++ Seq.fill(200)(1 + rnd.nextInt(3))
+      val stream = rnd.shuffle(words.zip(weights).flatMap {
+        case (w, n) => Seq.fill(n)(w) })
+      val docs = stream.grouped(25).zipWithIndex
+        .map { case (g, i) => (i.toLong, "en", g.mkString(" ")) }.toSeq
+        .toDF("doc_id", "lang", "text")
+      val k = 10
+      val total = stream.size
+      val expected = stream.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, n) => n > total / k.toDouble }
+        .toMap
+      val got = TextOps.heavyTokensOver(docs, k)
+        .as[(String, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: got $got expected $expected")
+    }
+  }
+
+  test("q124: the latest prior click gets the credit; clickless or click-after purchases attribute nothing") {
+    val ev = Seq(
+      // user 1: click d1, click d2, purchase 10.0 → credited to d2
+      (1L, 1L, "2024-01-01 10:00:00", "click", 0.0),
+      (2L, 1L, "2024-01-02 10:00:00", "click", 0.0),
+      (3L, 1L, "2024-01-03 10:00:00", "purchase", 10.0),
+      // user 2: purchase BEFORE its only click → dropped
+      (4L, 2L, "2024-01-01 09:00:00", "purchase", 99.0),
+      (5L, 2L, "2024-01-01 10:00:00", "click", 0.0),
+      // user 3: click d2 then two purchases → both credited to d2
+      (6L, 3L, "2024-01-02 08:00:00", "click", 0.0),
+      (7L, 3L, "2024-01-02 09:00:00", "purchase", 1.5),
+      (8L, 3L, "2024-01-04 09:00:00", "purchase", 2.25))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Analytics.lastTouchAttributionOver(ev)
+      .as[(String, Long, Double)].collect()
+      .map { case (d, n, v) => d -> ((n, v)) }.toMap
+    assert(got == Map("2024-01-02" -> ((3L, 13.75))), s"got $got")
+  }
+
   // ---- q118 retention cohorts ----
 
   test("q118: hand-counted cohort matrix; duplicate same-day events collapse") {
