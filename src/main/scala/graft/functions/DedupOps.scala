@@ -1120,9 +1120,13 @@ object DedupOps {
           if (ra < rb) parent.put(rb, ra)
           else if (rb < ra) parent.put(ra, rb)
         }
-        val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
-        parent.forEach((n, _) => labels += ((n, find(n))))
-        labels.toSeq.toDF("doc_id", "cluster_rep")
+        // snapshot the key set before the final find() sweep: path
+        // compression puts EXISTING keys (value replacement, legal
+        // mid-forEach) but iterating a snapshot removes any reliance
+        // on that HashMap contract subtlety
+        val keys = parent.keySet().toArray(Array.empty[java.lang.Long])
+        val labels = keys.toSeq.map(n => (n.longValue, find(n.longValue)))
+        labels.toDF("doc_id", "cluster_rep")
       } else collapseClustersStarWithStats(p)._1
     } finally p.unpersist(blocking = false)
   }

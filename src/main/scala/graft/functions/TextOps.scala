@@ -962,12 +962,18 @@ object TextOps {
   val heavyTokens: Q = (s, d) => heavyTokensOver(t(s, d, "documents"), 50)
 
   private[graft] def heavyTokensOver(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val toks = docs.select(explode(tokens(col("text"))).as("token"))
-    val candidates: Seq[String] = toks.rdd
+    // one pass carries BOTH the MG sketch and the partition's token
+    // count, so N needs no second scan
+    val (candidates, total) = toks.rdd
       .mapPartitions { it =>
         val m = new java.util.HashMap[String, Long]()
+        var n = 0L
         it.foreach { row =>
           val t = row.getString(0)
+          n += 1
           if (m.containsKey(t)) m.put(t, m.get(t) + 1)
           else if (m.size < k) m.put(t, 1L)
           else {
@@ -980,16 +986,20 @@ object TextOps {
           }
         }
         import scala.jdk.CollectionConverters._
-        Iterator.single(m.keySet().asScala.toSet)
+        Iterator.single((m.keySet().asScala.toSet, n))
       }
-      .fold(Set.empty[String])(_ union _)
-      .toSeq.sorted
-    val stats = docs.agg(
-      sum(size(tokens(col("text"))).cast("long")).as("total"))
-    toks.filter(col("token").isin(candidates: _*))
+      .fold((Set.empty[String], 0L)) { case ((s1, n1), (s2, n2)) =>
+        (s1 union s2, n1 + n2)
+      }
+    // broadcast SEMI-join, not an isin literal list: k×P candidates is
+    // driver-trivial but can still be hundreds of thousands of strings
+    // at a production partition count — a join build side scales where
+    // a giant In expression does not; the prune still runs before the
+    // exact count's exchange either way
+    val candDf = candidates.toSeq.toDF("token")
+    toks.join(broadcast(candDf), Seq("token"), "left_semi")
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .crossJoin(broadcast(stats))
-      .filter(col("freq") > col("total") / lit(k.toDouble))
+      .filter(col("freq") > lit(total / k.toDouble))
       .select(col("token"), col("freq"))
   }
 

@@ -415,7 +415,11 @@ object Analytics {
 
   /** The q118 engine over any frame with (user_id, ts). */
   private[graft] def retentionCohortsOver(events: DataFrame): DataFrame =
-    cohortMatrixOf(events.select(col("user_id"), to_date(col("ts")).as("day")))
+    // a timestampless event is no evidence of activity — and the null
+    // must not reach the engines' DIVERGENT null semantics (Spark's
+    // collect_set drops nulls, SQL GROUP BY keeps a NULL cell)
+    cohortMatrixOf(events.filter(col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day")))
 
   /** The cohort matrix from an activity frame (user_id, day) — shared
     * by the batch query and the q122 sink read (whose stored set is
@@ -496,7 +500,10 @@ object Analytics {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    events
+    // null-ts events have no place in a SEQUENCE — and the engines
+    // disagree on where nulls sort (Spark NULLS FIRST, DuckDB NULLS
+    // LAST), so admitting one would silently reorder the cascade
+    events.filter(col("ts").isNotNull)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .withColumn("va",
         min(when(col("event_type") === "view", col("ts"))).over(w))
@@ -526,7 +533,8 @@ object Analytics {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    events
+    // same null-sequence refusal as the funnel (see funnelStepsOver)
+    events.filter(col("ts").isNotNull)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
       .withColumn("last_click_ts",
@@ -571,7 +579,7 @@ object Analytics {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |      AS last_click_ts
-        |  FROM events)
+        |  FROM events WHERE ts IS NOT NULL)
         |SELECT strftime(last_click_ts, '%Y-%m-%d') AS attributed_day,
         |  count(*)::BIGINT AS n_purchases,
         |  round(sum(value), 2) AS attributed_value
@@ -581,7 +589,8 @@ object Analytics {
     // q122 = q118 through the activity-set lifecycle (fold + live tail
     // + replayed tail) — same oracle on purpose, the q102/q105 pattern
     "q122_retention_stream" ->
-      """WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      """WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events
+        |           WHERE ts IS NOT NULL),
         |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
         |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
         |  (ev.day - c.cohort_day)::INTEGER AS day_offset,
@@ -594,7 +603,7 @@ object Analytics {
         |    min(CASE WHEN event_type = 'view' THEN ts END)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS va
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |c2 AS (
         |  SELECT *, CASE WHEN event_type = 'click' AND va IS NOT NULL
         |                 THEN ts END AS click_ts
@@ -614,7 +623,8 @@ object Analytics {
         |                 THEN user_id END)::BIGINT AS n_view_click_purchase
         |FROM c3""".stripMargin,
     "q118_retention_cohorts" ->
-      """WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      """WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events
+        |           WHERE ts IS NOT NULL),
         |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
         |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
         |  (ev.day - c.cohort_day)::INTEGER AS day_offset,

@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
 object RetentionSink {
 
   private[graft] def partial(batch: DataFrame): DataFrame =
-    batch.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    // a timestampless event is no evidence of activity (the q118
+    // batch side applies the same refusal, so stream ≡ batch holds)
+    batch.filter(col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
 
   private def reconcile(segs: DataFrame): DataFrame = segs.distinct()
 

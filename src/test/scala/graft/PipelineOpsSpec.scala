@@ -146,7 +146,9 @@ class PipelineOpsSpec extends SparkSpec {
       // user 3: click d2 then two purchases → both credited to d2
       (6L, 3L, "2024-01-02 08:00:00", "click", 0.0),
       (7L, 3L, "2024-01-02 09:00:00", "purchase", 1.5),
-      (8L, 3L, "2024-01-04 09:00:00", "purchase", 2.25))
+      (8L, 3L, "2024-01-04 09:00:00", "purchase", 2.25),
+      // null-ts events are outside every sequence — no credit moves
+      (9L, 3L, null, "purchase", 77.0))
       .toDF("event_id", "user_id", "ts", "event_type", "value")
       .withColumn("ts", col("ts").cast("timestamp"))
     val got = Analytics.lastTouchAttributionOver(ev)
@@ -196,7 +198,10 @@ class PipelineOpsSpec extends SparkSpec {
       // the purchase qualifies (sequence = row order, ties by id)
       (11L, 4L, "2024-01-01 00:00:01", "view"),
       (12L, 4L, "2024-01-01 00:00:02", "click"),
-      (13L, 4L, "2024-01-01 00:00:02", "purchase"))
+      (13L, 4L, "2024-01-01 00:00:02", "purchase"),
+      // a null-ts purchase has no position in any sequence — ignored
+      // (the engines also disagree on where nulls sort)
+      (14L, 2L, null, "purchase"))
       .toDF("event_id", "user_id", "ts", "event_type")
       .withColumn("ts", col("ts").cast("timestamp"))
     val got = Analytics.funnelStepsOver(ev)
