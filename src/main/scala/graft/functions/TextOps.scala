@@ -1056,6 +1056,79 @@ object TextOps {
           .as("dsir_weight"))
   }
 
+  /** q126: DSIR importance RESAMPLING — the selection step q120's
+    * weights exist for (arXiv:2302.03169 §2: sample ∝ importance weight,
+    * without replacement). Gumbel-top-k: key_i = w_i + g_i with
+    * g_i = −ln(−ln(u_i)) makes "top-m by key" an exact without-
+    * replacement sample ∝ exp(w_i) — and w IS the per-doc log
+    * importance weight, so exp(w) is the weight itself. u_i is the q60
+    * Knuth-multiplicative uniform, shifted to (h+0.5)/P so it lies
+    * strictly inside (0,1) and both ln's stay finite: pure integer
+    * arithmetic both engines compute identically, then ONE correctly-
+    * rounded IEEE division. The two libm ln's ride on the ALREADY-
+    * rounded weight, so the only cross-engine noise is ~1 ulp of g —
+    * absorbed by round(·,6) (q120's argument); the top-m boundary ties
+    * break on doc_id in both engines.
+    *
+    * Scale shape: exactly q120's aggregation plan plus one
+    * TakeOrdered(m) — the key is a map-side expression, no global sort,
+    * no new exchange. */
+  val dsirResample: Q = (s, d) => dsirResampleOver(t(s, d, "documents"))
+
+  private[graft] def dsirResampleOver(docs: DataFrame): DataFrame = {
+    val u = (pmod(col("doc_id") * lit(2654435761L), lit(mixturePrime))
+      .cast("double") + lit(0.5)) / lit(mixturePrime.toDouble)
+    dsirWeightsOver(docs)
+      .withColumn("sample_key",
+        round(col("dsir_weight") - log(-log(u)), 6))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** q132: bigram collocations by pointwise mutual information —
+    * PMI(x,y) = ln(c_xy·N / (c_x·c_y)) with a min-count floor, the
+    * classic collocation-mining statistic (Church & Hanks 1990) and the
+    * statistical sibling of the q65 phrase index (q65 ranks by raw df;
+    * PMI surfaces pairs that co-occur MORE than their unigram
+    * frequencies predict). Adjacent pairs come from the same in-row
+    * `transform` the shingle family uses — doc locality holds, so both
+    * the bigram and unigram aggs combiner-collapse map-side; the two
+    * unigram joins broadcast at vocabulary size (Heaps' law, the q120
+    * argument) and the min-count floor prunes the bigram frame BEFORE
+    * the joins. The ln argument is computed in double with one
+    * multiply/divide in a fixed operand order (c_xy·N can overflow
+    * int64 at corpus scale — 1e12·1e13 — so the cast happens FIRST,
+    * identically in both engines). Output is TakeOrdered(50) — no
+    * global sort. */
+  val pmiBigrams: Q = (s, d) => pmiBigramsOver(t(s, d, "documents"))
+
+  private[graft] def pmiBigramsOver(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bigrams = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(toks)), i -> concat(toks[i-2], ' ', toks[i-1]))"))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+      .withColumn("w1", split(col("bigram"), " ")(0))
+      .withColumn("w2", split(col("bigram"), " ")(1))
+    val uni = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("n_tok"))
+    bigrams
+      .join(broadcast(uni.select(col("token").as("w1"), col("c").as("c_x"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("token").as("w2"), col("c").as("c_y"))),
+        Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round(log((col("c_xy").cast("double") * col("n_tok").cast("double"))
+          / (col("c_x").cast("double") * col("c_y").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   /** Streaming quality-gate admission — the stream twin of q88 and the
     * statistical sibling of the dedup/decontamination admission
     * writers: each micro-batch (1) folds its token counts into the
@@ -1352,6 +1425,8 @@ object TextOps {
     "q63_source_mix" -> sourceMix,
     "q40_pipeline_filter" -> pipelineFilter,
     "q120_dsir_weights" -> dsirWeights,
+    "q126_dsir_resample" -> dsirResample,
+    "q132_pmi_bigrams" -> pmiBigrams,
     "q125_heavy_tokens" -> heavyTokens,
     "q20_token_count" -> tokenCount,
     "q21_quality_score" -> qualityScore,
@@ -1404,6 +1479,26 @@ object TextOps {
       |    / sum(c)::DOUBLE, 6) AS novel_share
       |FROM ctk JOIN first USING (token) GROUP BY cut""".stripMargin
 
+  /** The q120 oracle, shared verbatim with q126's CTE (see the q126
+    * oracle comment — string composition keeps the two in lockstep). */
+  private val dsirOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |model AS (
+      |  SELECT token, count(*) AS c_r,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+      |  FROM tok GROUP BY 1),
+      |stats AS (
+      |  SELECT sum(c_r) AS n_r, sum(c_t) AS n_t, count(*) AS v
+      |  FROM model)
+      |SELECT t.doc_id,
+      |  round((sum(ln(m.c_t + 1.0) - ln(m.c_r + 1.0))
+      |    + count(*) * (ln((s.n_r + s.v)::DOUBLE) - ln((s.n_t + s.v)::DOUBLE)))
+      |    / count(*), 6) AS dsir_weight
+      |FROM tok t JOIN model m USING (token), stats s
+      |GROUP BY t.doc_id, s.n_r, s.n_t, s.v""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q110_novelty_rate" -> noveltyOracleSql,
     // q112 = the live additive-lifecycle state (fold + tail); same
@@ -1455,23 +1550,50 @@ object TextOps {
         |HAVING count(*) > total / 50.0""".stripMargin,
     // q120: counts stay integers until the ln; operand order mirrors
     // dsirWeights exactly (see its Scaladoc for the rounding argument)
-    "q120_dsir_weights" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |model AS (
-        |  SELECT token, count(*) AS c_r,
-        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
-        |  FROM tok GROUP BY 1),
-        |stats AS (
-        |  SELECT sum(c_r) AS n_r, sum(c_t) AS n_t, count(*) AS v
-        |  FROM model)
-        |SELECT t.doc_id,
-        |  round((sum(ln(m.c_t + 1.0) - ln(m.c_r + 1.0))
-        |    + count(*) * (ln((s.n_r + s.v)::DOUBLE) - ln((s.n_t + s.v)::DOUBLE)))
-        |    / count(*), 6) AS dsir_weight
-        |FROM tok t JOIN model m USING (token), stats s
-        |GROUP BY t.doc_id, s.n_r, s.n_t, s.v""".stripMargin,
+    "q120_dsir_weights" -> dsirOracleSql,
+    // q126 = q120's oracle verbatim as a CTE (string-composed — the two
+    // CANNOT drift) + the Gumbel key over the already-rounded weight;
+    // the top-m cut ties break on doc_id in both engines
+    "q126_dsir_resample" ->
+      s"""WITH w AS (
+         |$dsirOracleSql
+         |),
+         |k AS (
+         |  SELECT doc_id, dsir_weight,
+         |    round(dsir_weight - ln(-ln(
+         |      (((doc_id * 2654435761) % 1000003) + 0.5) / 1000003.0)), 6)
+         |      AS sample_key
+         |  FROM w)
+         |SELECT doc_id, dsir_weight, sample_key FROM k
+         |ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin,
+    // q132: the q85 n-gram construction at width 2; ONE double division
+    // inside the ln with explicit casts in the SAME operand order as
+    // the Spark side, round(·,6) absorbs the libm ulp
+    "q132_pmi_bigrams" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(range(2, len(toks) + 1),
+        |      i -> toks[(i - 1)::INTEGER] || ' ' || toks[i::INTEGER]))
+        |    AS bigram
+        |  FROM tk WHERE len(toks) >= 2),
+        |bc AS (
+        |  SELECT bigram, count(*)::BIGINT AS c_xy FROM b
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |uni AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni)
+        |SELECT string_split(bc.bigram, ' ')[1] AS w1,
+        |  string_split(bc.bigram, ' ')[2] AS w2,
+        |  bc.c_xy AS c_xy,
+        |  round(ln((bc.c_xy::DOUBLE * t.n_tok::DOUBLE)
+        |    / (u1.c::DOUBLE * u2.c::DOUBLE)), 6) AS pmi
+        |FROM bc
+        |JOIN uni u1 ON u1.token = string_split(bc.bigram, ' ')[1]
+        |JOIN uni u2 ON u2.token = string_split(bc.bigram, ' ')[2]
+        |CROSS JOIN tot t
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     "q88_lm_quality" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -546,7 +546,228 @@ object Analytics {
         round(sum(col("value")), 2).as("attributed_value"))
   }
 
+  /** q127: next-event transition matrix (first-order Markov view of the
+    * user journey — the "where do users go after X" report behind every
+    * path-analysis UI). Same one-sort shape as the q121/q124 cascade:
+    * ONE hash shuffle by user + one in-partition (ts, event_id) sort
+    * feeds `lead`, the pair agg combiner-collapses to the |types|²
+    * grid map-side, and the transition probability is a window over
+    * that tiny grid — never a second pass over events. Linear in
+    * events; the self-join formulation of path analysis is events² on
+    * power users, same refusal as the funnel. */
+  val eventTransitions: Q = (s, d) =>
+    eventTransitionsOver(t(s, d, "events"))
+
+  private[graft] def eventTransitionsOver(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // same null-sequence refusal as the funnel (see funnelStepsOver)
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("src"))), 6))
+  }
+
+  /** q129: SCD type-2 history build from the CDC stream — each upsert
+    * (the q12 I/U op set) opens a version row; `lead(ts)` closes the
+    * previous one; the open row is the current version. The warehouse
+    * staple the reference's Maxwell pipeline feeds but never builds
+    * (ref app/OdsBaseDbApp.scala routes ops, stops at the sink). One
+    * user-keyed shuffle + one (ts, event_id) in-partition sort carries
+    * BOTH window passes (row_number and lead share the spec ⇒ one
+    * Sort); linear in change events. Null-ts refusal as in the funnel:
+    * a timestampless change cannot be versioned, and the engines'
+    * divergent null ordering would silently shift every valid_to after
+    * it. */
+  val scd2History: Q = (s, d) =>
+    scd2HistoryOver(t(s, d, "events"))
+
+  private[graft] def scd2HistoryOver(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("ts").isNotNull &&
+        col("event_type").isin("signup", "click", "view"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("k"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        when(col("valid_to_ts").isNull, 1).otherwise(0).as("is_current"))
+  }
+
+  /** Exact global rank WITHOUT SinglePartition: range-repartition on
+    * the sort key (partitions are ordered and disjoint), sort within,
+    * then RDD.zipWithIndex — whose internal size pass ships one LONG
+    * per partition, so no executor ever holds the whole frame (the
+    * q90 objection to `Window.orderBy` with no partition key, solved
+    * instead of avoided). The rank is exact regardless of where the
+    * sampled range boundaries fall: partition-offset + local index IS
+    * the global position. Caller MUST pass a total order (tiebreak to
+    * uniqueness) — ties would otherwise rank partitioning-dependent.
+    * The RDD hop is the genuine imperative case (Spark exposes no
+    * declarative distributed rank); everything before it stays
+    * codegen'd, everything after is a users-sized frame. */
+  private[graft] def withGlobalRank(df: DataFrame, rankName: String,
+      sortCols: Column*): DataFrame = {
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema
+      .add(rankName, org.apache.spark.sql.types.LongType, nullable = false)
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(ranked, schema)
+  }
+
+  /** SQL-standard NTILE(k) from an exact 1-based rank over n rows: the
+    * first n%k buckets take ceil(n/k) rows, the rest floor(n/k) —
+    * integer arithmetic only, so the bucket ids are bit-identical to
+    * the oracle's native ntile. (The q=0 division below is guarded by
+    * the branch: when n<k every rank satisfies the ceil-bucket arm.) */
+  private[graft] def ntileOfRank(rank: Column, n: Long, k: Int): Column = {
+    val q = n / k
+    val m = n % k
+    when(rank <= (q + 1) * m, floor((rank - 1) / (q + 1)) + 1)
+      .otherwise(lit(m) + floor((rank - 1 - m * (q + 1)) / lit(q)) + 1)
+      .cast("long")
+  }
+
+  /** q128: RFM segmentation — recency/frequency/monetary quintiles per
+    * purchasing user, the marketing-analytics staple. The interesting
+    * operator is the EXACT global quantile assignment: NTILE needs a
+    * total order over all users, which the naive window
+    * (`Window.orderBy` with no partition) computes on ONE partition —
+    * a scale-killer the q90 shuffle deliberately avoided. Here it is
+    * solved exactly: three range-partitioned global ranks (see
+    * withGlobalRank) + the integer NTILE formula reproduce the
+    * oracle's native ntile bit-for-bit with no single-partition stage.
+    * Scale shape: events collapse to one row per purchasing user in
+    * the first shuffle; the three rank passes and user-keyed joins all
+    * run on that users-sized frame (1000× below event volume); the
+    * final grid is ≤ k³ rows. The one driver-side scalar is a count.
+    * Ties (shared recency day / frequency / rounded monetary) are
+    * broken by user_id in BOTH engines, so bucket boundaries cannot
+    * drift. */
+  val rfmSegments: Q = (s, d) => rfmSegmentsOver(t(s, d, "events"))
+
+  private[graft] def rfmSegmentsOver(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("ts").isNotNull)
+    val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+    val per = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("value")), 2).as("monetary"))
+      .crossJoin(broadcast(ref))
+      .select(col("user_id"),
+        datediff(col("ref_day"), col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary"))
+      .persist()
+    val n = per.count() // bounded driver scalar: one long
+    def quintile(name: String, keep: Seq[Column], sort: Column*) =
+      withGlobalRank(per.select(col("user_id") +: keep: _*), "__r", sort: _*)
+        .select(col("user_id") +: keep :+
+          ntileOfRank(col("__r"), n, 5).as(name): _*)
+    val r = quintile("r_q", Seq(col("recency_days")),
+      col("recency_days"), col("user_id")).drop("recency_days")
+    val f = quintile("f_q", Seq(col("frequency")),
+      col("frequency").desc, col("user_id")).drop("frequency")
+    val m = quintile("m_q", Seq(col("monetary")),
+      col("monetary").desc, col("user_id"))
+    val grid = r.join(f, Seq("user_id")).join(m, Seq("user_id"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("monetary")), 2).as("total_monetary"))
+    // materialize the ≤k³-row grid so the per-user cache can be released
+    // NOW (the rank RDDs' lineage re-reads `per` at execution time — a
+    // lazily returned plan would either leak one cached copy per call
+    // or recompute the event scan three times). Bounded by construction:
+    // 125 rows, the serving-endpoint collect envelope.
+    val out = grid.collect()
+    per.unpersist()
+    events.sparkSession.createDataFrame(
+      events.sparkSession.sparkContext.parallelize(out.toIndexedSeq, 1),
+      grid.schema)
+  }
+
+  private val profileColumns = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** q130: column profiler — the Deequ/Glue-style data-quality summary
+    * (null count, distinct count, min/max per column) every pipeline
+    * runs before trusting a new drop. ONE scan: all the statistics
+    * ride a single aggregate (the multiple countDistincts plan as one
+    * Expand — scan rows × |columns| before partial aggregation, the
+    * q91 trade, chosen over |columns| separate scans), and the 1-row
+    * wide result reshapes to long form via an in-plan explode over a
+    * literal struct array — no driver hop. min/max compute in NATIVE
+    * type order and cast to string AFTER (a string-cast min would
+    * order "10" < "9"). */
+  val profileDocuments: Q = (s, d) => profileOver(t(s, d, "documents"))
+
+  private[graft] def profileOver(docs: DataFrame): DataFrame = {
+    val aggs = profileColumns.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    docs.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"), explode(array(profileColumns.map { c =>
+        struct(lit(c).as("col_name"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct"),
+          col(s"${c}__min").as("min_value"),
+          col(s"${c}__max").as("max_value"))
+      }: _*)).as("p"))
+      .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
+  }
+
+  /** q131: declarative constraint validation (the Deequ check pattern):
+    * each rule is a violation COUNT folded into one aggregate per
+    * table — one scan over documents, one over events, however many
+    * rules ride on them — and the report reshapes in-plan like q130.
+    * Null semantics are the SQL CASE's on purpose: a null comparison
+    * falls to the else-0 arm in both engines, so a null value violates
+    * only the rules that name nullness explicitly. */
+  val constraintReport: Q = (s, d) =>
+    constraintReportOver(t(s, d, "documents"), t(s, d, "events"))
+
+  private[graft] def constraintReportOver(docs: DataFrame,
+      events: DataFrame): DataFrame = {
+    val dAgg = docs.agg(
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("doc_id_unique"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("n_chars_matches_text"),
+      sum(when(!col("lang").isin("en", "zh", "es", "de", "fr"), 1L)
+        .otherwise(0L)).as("lang_known"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("text_nonempty"))
+    val eAgg = events.agg(
+      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("event_ts_nonnull"),
+      sum(when(col("value") < 0, 1L).otherwise(0L)).as("event_value_nonneg"))
+    val rules = Seq("doc_id_unique", "n_chars_matches_text", "lang_known",
+      "text_nonempty", "event_ts_nonnull", "event_value_nonneg")
+    dAgg.crossJoin(eAgg)
+      .select(explode(array(rules.map { r =>
+        struct(lit(r).as("rule"), col(r).cast("long").as("n_violations"))
+      }: _*)).as("p"))
+      .select(col("p.rule"), col("p.n_violations"),
+        when(col("p.n_violations") === 0, 1).otherwise(0).as("passed"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q130_profile" -> profileDocuments,
+    "q131_constraints" -> constraintReport,
+    "q127_event_transitions" -> eventTransitions,
+    "q128_rfm_segments" -> rfmSegments,
+    "q129_scd2_history" -> scd2History,
     "q124_last_touch" -> lastTouchAttribution,
     "q122_retention_stream" -> retentionStream,
     "q121_funnel_steps" -> funnelSteps,
@@ -572,6 +793,119 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // q130: the oracle pays |columns| scans (UNION ALL) where the Spark
+    // side folds everything into one Expand aggregate
+    "q130_profile" ->
+      """SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulls,
+        |  count(DISTINCT doc_id)::BIGINT AS n_distinct,
+        |  min(doc_id)::VARCHAR AS min_value, max(doc_id)::VARCHAR AS max_value
+        |FROM documents
+        |UNION ALL
+        |SELECT 'text', count(*)::BIGINT,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT text)::BIGINT, min(text), max(text)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*)::BIGINT,
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT lang)::BIGINT, min(lang), max(lang)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*)::BIGINT,
+        |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT source)::BIGINT, min(source), max(source)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*)::BIGINT,
+        |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT n_chars)::BIGINT,
+        |  min(n_chars)::VARCHAR, max(n_chars)::VARCHAR
+        |FROM documents""".stripMargin,
+    // q131: same CASE null semantics as the Spark side (a null
+    // comparison falls to else-0); each rule names its violation count
+    "q131_constraints" ->
+      """WITH d AS (
+        |  SELECT
+        |    (count(*) - count(DISTINCT doc_id))::BIGINT AS doc_id_unique,
+        |    CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_chars_matches_text,
+        |    CAST(sum(CASE WHEN lang NOT IN ('en','zh','es','de','fr')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS lang_known,
+        |    CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS text_nonempty
+        |  FROM documents),
+        |e AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS event_ts_nonnull,
+        |    CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS event_value_nonneg
+        |  FROM events),
+        |u AS (
+        |  SELECT 'doc_id_unique' AS rule, doc_id_unique AS n_violations FROM d
+        |  UNION ALL SELECT 'n_chars_matches_text', n_chars_matches_text FROM d
+        |  UNION ALL SELECT 'lang_known', lang_known FROM d
+        |  UNION ALL SELECT 'text_nonempty', text_nonempty FROM d
+        |  UNION ALL SELECT 'event_ts_nonnull', event_ts_nonnull FROM e
+        |  UNION ALL SELECT 'event_value_nonneg', event_value_nonneg FROM e)
+        |SELECT rule, n_violations,
+        |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+        |FROM u""".stripMargin,
+    // q127: same (ts, event_id) total order and null refusal as the
+    // funnel; p is an exact-integer division, round(·,6) by convention
+    "q127_event_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT event_type AS src, next_type AS dst,
+        |  count(*)::BIGINT AS n,
+        |  round(count(*)::DOUBLE /
+        |    (sum(count(*)) OVER (PARTITION BY event_type))::DOUBLE, 6) AS p
+        |FROM o WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    // q128: the oracle uses NATIVE ntile — the Spark side's
+    // range-partitioned rank + integer NTILE formula must reproduce it
+    // bit-for-bit, ties broken by user_id in both engines
+    "q128_rfm_segments" ->
+      """WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+        |ref AS (SELECT max(ts::DATE) AS ref_day FROM ev),
+        |per AS (
+        |  SELECT user_id,
+        |    (SELECT ref_day FROM ref) - max(ts::DATE) AS recency_days,
+        |    count(*) AS frequency, round(sum(value), 2) AS monetary
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+        |qs AS (
+        |  SELECT user_id, monetary,
+        |    ntile(5) OVER (ORDER BY recency_days, user_id) AS r_q,
+        |    ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+        |    ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_q
+        |  FROM per)
+        |SELECT r_q::BIGINT AS r_q, f_q::BIGINT AS f_q, m_q::BIGINT AS m_q,
+        |  count(*)::BIGINT AS n_users,
+        |  round(sum(monetary), 2) AS total_monetary
+        |FROM qs GROUP BY 1, 2, 3""".stripMargin,
+    // q129: one window spec carries row_number AND lead, the q12 I/U op
+    // set selects the change events, strftime(NULL) stays NULL
+    "q129_scd2_history" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS version,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |                   ORDER BY ts, event_id) AS valid_to_ts
+        |  FROM events
+        |  WHERE ts IS NOT NULL
+        |    AND event_type IN ('signup', 'click', 'view'))
+        |SELECT user_id, version::BIGINT AS version, k,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  CASE WHEN valid_to_ts IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM c""".stripMargin,
     "q124_last_touch" ->
       """WITH c AS (
         |  SELECT user_id, event_id, ts, event_type, value,

@@ -1,0 +1,264 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Semantics pins for the q127-q131 additions: hand-placed transition
+  * fixtures, SCD2 version chains, and — the load-bearing one — the
+  * distributed-rank NTILE engine pinned against Spark's own native
+  * ntile window, which is exactly what the DuckDB oracle runs. */
+class JourneyOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- q127 event transitions ----
+
+  test("q127: hand-placed transition matrix; same-ts order resolves by event_id; null-ts events refused") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 00:00:01", "view"),
+      (2L, 1L, "2024-01-01 00:00:02", "click"),
+      (3L, 1L, "2024-01-01 00:00:03", "purchase"),
+      // user 2: two views sharing a timestamp — event_id orders them,
+      // so the transition is view→view, then a null-ts event that must
+      // not create or break any pair
+      (4L, 2L, "2024-01-01 00:00:01", "view"),
+      (5L, 2L, "2024-01-01 00:00:01", "view"),
+      (6L, 2L, null, "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Analytics.eventTransitionsOver(ev)
+      .as[(String, String, Long, Double)].collect()
+      .map { case (s0, d0, n, p) => (s0, d0) -> ((n, p)) }.toMap
+    assert(got == Map(
+      ("view", "click") -> ((1L, 0.5)),
+      ("view", "view") -> ((1L, 0.5)),
+      ("click", "purchase") -> ((1L, 1.0))), s"got $got")
+  }
+
+  // ---- q129 SCD2 history ----
+
+  test("q129: version chain per key — lead closes each version, the open row is current, non-upsert ops and null-ts changes are excluded") {
+    def p(k: Int) = s"""{"k": $k}"""
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "signup", p(1)),
+      (2L, 1L, "2024-01-02 10:00:00", "click", p(2)),
+      (3L, 1L, "2024-01-03 10:00:00", "view", p(3)),
+      // a purchase is NOT an upsert op — must not open a version
+      (4L, 1L, "2024-01-02 12:00:00", "purchase", p(99)),
+      // user 2: same-ts changes order by event_id
+      (5L, 2L, "2024-02-01 00:00:00", "click", p(10)),
+      (6L, 2L, "2024-02-01 00:00:00", "click", p(11)),
+      // a timestampless change cannot be versioned
+      (7L, 2L, null, "click", p(12)))
+      .toDF("event_id", "user_id", "ts", "event_type", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Analytics.scd2HistoryOver(ev)
+      .as[(Long, Long, Long, String, Option[String], Int)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 1L, "2024-01-01 10:00:00", Some("2024-01-02 10:00:00"), 0),
+      (1L, 2L, 2L, "2024-01-02 10:00:00", Some("2024-01-03 10:00:00"), 0),
+      (1L, 3L, 3L, "2024-01-03 10:00:00", None, 1),
+      (2L, 1L, 10L, "2024-02-01 00:00:00", Some("2024-02-01 00:00:00"), 0),
+      (2L, 2L, 11L, "2024-02-01 00:00:00", None, 1)), s"got $got")
+  }
+
+  // ---- the q128 rank/NTILE engine ----
+
+  test("ntileOfRank reproduces Spark's native ntile for every (n, k) in a sweep — including n < k and uneven splits") {
+    for (n <- Seq(1L, 3L, 4L, 5L, 7L, 10L, 23L, 100L); k <- Seq(2, 5, 7)) {
+      val df = spark.range(1, n + 1).toDF("r")
+      val native = df.select(col("r"),
+        ntile(k).over(Window.orderBy(col("r"))).cast("long").as("b"))
+        .as[(Long, Long)].collect().toMap
+      val formula = df.select(col("r"),
+        Analytics.ntileOfRank(col("r"), n, k).as("b"))
+        .as[(Long, Long)].collect().toMap
+      assert(formula == native, s"n=$n k=$k: formula $formula != native $native")
+    }
+  }
+
+  test("withGlobalRank over a multi-partition frame equals single-partition row_number — asc, desc, and tie-broken orders") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(i => (i, rnd.nextInt(20), rnd.nextDouble()))
+    val df = rows.toDF("id", "grp", "x").repartition(8)
+    for ((sort, label) <- Seq(
+        Seq(col("x"), col("id")) -> "asc",
+        Seq(col("x").desc, col("id")) -> "desc",
+        // heavy ties on grp — tiebreak id must make the rank unique
+        Seq(col("grp"), col("id")) -> "ties")) {
+      val got = Analytics.withGlobalRank(df, "rk", sort: _*)
+        .select(col("id"), col("rk")).as[(Long, Long)].collect().toMap
+      val want = df.select(col("id"),
+        row_number().over(Window.orderBy(sort: _*)).cast("long").as("rk"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"order=$label diverged")
+    }
+  }
+
+  test("q128: hand-built seven-user RFM grid; a purchaseless user sets the recency reference but never ranks") {
+    def ev(id: Long, u: Long, day: String, t: String, v: Double) =
+      (id, u, s"$day 12:00:00", t, v)
+    val rows = Seq(
+      ev(1, 1, "2024-01-09", "purchase", 10.0),
+      ev(2, 2, "2024-01-08", "purchase", 5.0),
+      ev(3, 2, "2024-01-08", "purchase", 5.0),
+      ev(4, 3, "2024-01-07", "purchase", 30.0),
+      ev(5, 4, "2024-01-06", "purchase", 1.0),
+      ev(6, 4, "2024-01-06", "purchase", 1.0),
+      ev(7, 4, "2024-01-06", "purchase", 1.0),
+      ev(8, 5, "2024-01-05", "purchase", 20.0),
+      ev(9, 6, "2024-01-04", "purchase", 2.0),
+      ev(10, 7, "2024-01-03", "purchase", 7.0),
+      // user 99 never purchases — excluded from the ranking, but its
+      // view is the newest event and therefore the recency reference
+      ev(11, 99, "2024-01-10", "view", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Analytics.rfmSegmentsOver(rows)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // n=7, k=5 → quintile sizes 2,2,1,1,1 on each axis (hand-walked in
+    // the scaladoc order: recency asc / freq desc / monetary desc, all
+    // tie-broken by user_id)
+    assert(got == Set(
+      (1L, 2L, 2L, 1L, 10.0), // u1
+      (1L, 1L, 2L, 1L, 10.0), // u2
+      (2L, 2L, 1L, 1L, 30.0), // u3
+      (2L, 1L, 4L, 1L, 3.0), // u4
+      (3L, 3L, 1L, 1L, 20.0), // u5
+      (4L, 4L, 5L, 1L, 2.0), // u6
+      (5L, 5L, 3L, 1L, 7.0)), s"got $got") // u7
+  }
+
+  // ---- q130 profiler / q131 constraints ----
+
+  test("q130: planted nulls and duplicates are counted; min/max order natively before the string cast") {
+    val docs = Seq(
+      (1L, "beta text", "en", "web", 9L),
+      (2L, null.asInstanceOf[String], "en", "web", 0L),
+      (3L, "alpha", null.asInstanceOf[String], "book", 5L),
+      (10L, "alpha", "zh", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Analytics.profileOver(docs)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet ==
+      Set("doc_id", "text", "lang", "source", "n_chars"))
+    // native long order: min 1, max 10 (a string-order max would be "3")
+    assert(got("doc_id") == (("doc_id", 4L, 0L, 4L, "1", "10")))
+    assert(got("text") == (("text", 4L, 1L, 2L, "alpha", "beta text")))
+    assert(got("lang") == (("lang", 4L, 1L, 2L, "en", "zh")))
+    assert(got("source") == (("source", 4L, 0L, 2L, "book", "web")))
+    assert(got("n_chars") == (("n_chars", 4L, 0L, 3L, "0", "9")))
+  }
+
+  test("q131: each planted violation trips exactly its own rule; a clean table passes") {
+    val docs = Seq(
+      (1L, "good text", "en", "web", 9L),
+      (1L, "dup id", "en", "web", 6L), // duplicate doc_id
+      (2L, "short", "xx", "web", 5L), // unknown lang
+      (3L, "", "en", "web", 0L), // empty text (n_chars consistent)
+      (4L, "late", "en", "web", 99L)) // n_chars wrong
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", "view", 1.0),
+      (2L, null.asInstanceOf[String], "view", 1.0), // null ts
+      (3L, "2024-01-01 00:00:00", "purchase", -5.0)) // negative value
+      .toDF("event_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Analytics.constraintReportOver(docs, ev)
+      .as[(String, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "doc_id_unique" -> ((1L, 0)),
+      "n_chars_matches_text" -> ((1L, 0)),
+      "lang_known" -> ((1L, 0)),
+      "text_nonempty" -> ((1L, 0)),
+      "event_ts_nonnull" -> ((1L, 0)),
+      "event_value_nonneg" -> ((1L, 0))), s"got $got")
+    val clean = Analytics.constraintReportOver(
+      Seq((7L, "ok", "en", "web", 2L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      Seq((9L, "2024-01-01 00:00:00", "view", 3.0))
+        .toDF("event_id", "ts", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp")))
+      .as[(String, Long, Int)].collect()
+    assert(clean.forall(r => r._2 == 0L && r._3 == 1), s"got ${clean.toSeq}")
+  }
+
+  // ---- q126 DSIR resample ----
+
+  test("q126: the Gumbel key reorders selection by weight + hash noise — a plain-Scala re-derivation agrees row for row") {
+    // a tiny corpus where weights differ strongly (en-ish vs not);
+    // texts sized so every doc stays in the top-m window (m=100 > n)
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "der hund lief im park heute", "de"),
+      (3L, "the dog ran in the park", "en"),
+      (4L, "el gato grande come pescado fresco", "es"))
+      .toDF("doc_id", "text", "lang")
+    val got = functions.TextOps.dsirResampleOver(docs)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val weights = functions.TextOps.dsirWeightsOver(docs)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == weights.keySet) // m > n: nothing cut
+    got.foreach { case (id, (w, key)) =>
+      assert(w == weights(id))
+      val h = java.lang.Math.floorMod(id * 2654435761L, 1000003L)
+      val u = (h + 0.5) / 1000003.0
+      val expect = BigDecimal(w - math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(key - expect) < 1e-9, s"doc $id: $key vs $expect")
+    }
+  }
+
+  test("q126: the top-m cut keeps exactly the m largest keys with doc_id tie order") {
+    // 300 one-token docs -> identical weights, keys differ only by the
+    // hash uniform; m=100 must keep the 100 largest keys exactly
+    val docs = (1L to 300L).map(i => (i, "tok", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = functions.TextOps.dsirResampleOver(docs)
+      .as[(Long, Double, Double)].collect()
+    assert(got.length == 100)
+    // every doc's weight is exactly 0.0 here (identical one-token docs),
+    // so the key is just the rounded Gumbel term — mirror the ROUNDED
+    // ordering with the id tiebreak, exactly what both engines cut on
+    val all = (1L to 300L).map { id =>
+      val h = java.lang.Math.floorMod(id * 2654435761L, 1000003L)
+      val g = -math.log(-math.log((h + 0.5) / 1000003.0))
+      id -> BigDecimal(g).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val wantIds = all.sortBy { case (id, k) => (-k, id) }.take(100)
+      .map(_._1).toSet
+    assert(got.map(_._1).toSet == wantIds)
+  }
+
+  // ---- q132 PMI bigrams ----
+
+  test("q132: hand-counted PMI — an exclusive pair outranks a promiscuous one; the min-count floor prunes") {
+    // "aa bb" always together (5 times, exclusive); "cc" pairs with
+    // many partners; "dd ee" appears 4 times -> under the floor
+    val texts =
+      Seq.fill(5)("aa bb") ++
+        Seq("cc x1", "cc x2", "cc x3", "cc x4", "cc x5") ++
+        Seq.fill(5)("cc zz") ++
+        Seq.fill(4)("dd ee")
+    val docs = texts.zipWithIndex
+      .map { case (t0, i) => (i.toLong, t0, "en") }
+      .toDF("doc_id", "text", "lang")
+    val got = functions.TextOps.pmiBigramsOver(docs)
+      .as[(String, String, Long, Double)].collect()
+    val pairs = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.contains(("aa", "bb")) && pairs(("aa", "bb")) == 5L)
+    assert(pairs.contains(("cc", "zz")) && pairs(("cc", "zz")) == 5L)
+    assert(!pairs.contains(("dd", "ee")), "floor failed")
+    assert(!pairs.contains(("cc", "x1")), "floor failed")
+    // N = 38 tokens; PMI(aa,bb) = ln(5*38/(5*5)) > PMI(cc,zz) =
+    // ln(5*38/(10*5)) — exclusivity wins at equal pair count
+    val byPair = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(byPair(("aa", "bb")) > byPair(("cc", "zz")))
+    val n = texts.map(_.split(" ").length).sum
+    val expect = BigDecimal(math.log(5.0 * n / (5.0 * 5.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(byPair(("aa", "bb")) - expect) < 1e-9)
+  }
+}

@@ -404,4 +404,56 @@ class PlanAuditSpec extends SparkSpec {
     val sorts = "\\bSort \\[".r.findAllIn(plan).length
     assert(sorts <= 1, s"unexpected sorts ($sorts) — global corpus sort crept in:\n$plan")
   }
+
+  test("q127 transitions: one events scan, no join, one user sort; the probability window rides the tiny grid") {
+    val plan = executedPlan(operators.Analytics.eventTransitions(spark, sf0001))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one events scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"),
+      s"path analysis must never become the events² self-join:\n$plan")
+    // lead's user sort + the probability window's src sort — the
+    // latter sorts the ≤|types|² grid, never events
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(sorts <= 2, s"unexpected sorts ($sorts):\n$plan")
+  }
+
+  test("q129 SCD2: one events scan, no join, row_number and lead share ONE user sort") {
+    val plan = executedPlan(operators.Analytics.scd2History(spark, sf0001))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one events scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"), s"version chain must not join:\n$plan")
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(sorts == 1,
+      s"row_number and lead must share one window sort, got $sorts:\n$plan")
+  }
+
+  test("q126 resample: q120's plan + TakeOrdered — no global sort, no new exchange") {
+    val p120 = executedPlan(functions.TextOps.dsirWeights(spark, sf0001))
+    val p126 = executedPlan(functions.TextOps.dsirResample(spark, sf0001))
+    assert(p126.contains("TakeOrderedAndProject"),
+      s"the top-m cut must be TakeOrdered, not sort+limit:\n$p126")
+    def exchanges(p: String) = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges(p126) == exchanges(p120),
+      s"resampling must not add an exchange over q120 " +
+        s"(${exchanges(p120)} -> ${exchanges(p126)}):\n$p126")
+  }
+
+  test("q132 PMI: unigram model joins by BROADCAST twice; top-k is TakeOrdered; no sort-merge") {
+    val plan = executedPlan(functions.TextOps.pmiBigrams(spark, sf0001))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 2, s"both unigram joins must broadcast, got $bhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the bigram frame must never sort-merge with the vocab:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 must be TakeOrdered:\n$plan")
+  }
+
+  test("q130 profiler: ONE documents scan — the multi-countDistinct rides a single Expand aggregate") {
+    val plan = executedPlan(operators.Analytics.profileDocuments(spark, sf0001))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one documents scan, got $scans:\n$plan")
+    assert(plan.contains("Expand"),
+      s"expected the fused multi-distinct Expand plan:\n$plan")
+    assert(!plan.contains("Join"), s"profiling must not join:\n$plan")
+  }
 }
