@@ -1228,7 +1228,47 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_bench_hits"), max(col("cos")).as("max_cosine"))
   }
 
+  /** q134: contrastive triplet mining — for each anchor, its hardest
+    * positive (most-similar SAME-label vector) and hardest negative
+    * (most-similar OTHER-label vector) by exact cosine: the triplet-
+    * construction step of contrastive embedding finetuning, where hard
+    * negatives are the standard recipe. Anchors are a bounded query set
+    * (vec_id < 64, the q95 convention); the corpus scans ONCE against
+    * the broadcast anchor set (the `vec_id != anchor_id` pairing is a
+    * BroadcastNestedLoop over |corpus|×|anchors| rows with |anchors|
+    * bounded — the intended shape: every pair must be scored), and the
+    * per-anchor argmaxes are conditional max(struct(cos, -id))
+    * aggregates, combiner-collapsed map-side so the shuffle carries
+    * |anchors| rows. Cosine is rounded to 6 BEFORE the argmax in both
+    * engines, and the -id struct field breaks rounded ties toward the
+    * smallest vec_id — so the selection cannot drift. At production
+    * scale the exact pass runs over an ANN-shortlisted candidate set
+    * (q108's recall-repair pattern); anchors without a same-label peer
+    * emit null positives in both engines. */
+  val tripletMining: Q = (s, d) => tripletMiningOver(t(s, d, "embeddings"))
+
+  private[graft] def tripletMiningOver(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val anchors = e.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("v").as("av"))
+    e.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_label"), col("vec_id"), col("label"),
+        round(fcos(col("v"), col("av")), 6).as("cos"))
+      .groupBy(col("anchor_id"), col("a_label"))
+      .agg(
+        max(when(col("label") === col("a_label"),
+          struct(col("cos"), (-col("vec_id")).as("nid")))).as("p"),
+        max(when(col("label") =!= col("a_label"),
+          struct(col("cos"), (-col("vec_id")).as("nid")))).as("ng"))
+      .select(col("anchor_id"), col("a_label").as("label"),
+        (-col("p.nid")).as("pos_id"), col("p.cos").as("pos_cos"),
+        (-col("ng.nid")).as("neg_id"), col("ng.cos").as("neg_cos"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q134_triplet_mining" -> tripletMining,
     "q123_semantic_decontam" -> semanticDecontam,
     "q117_semantic_dedup" -> semanticDedup,
     "q114_embedding_drift" -> embeddingDrift,
@@ -1512,6 +1552,25 @@ object SimilarityOps {
         |FROM q""".stripMargin,
     "q54_embedding_dups_lsh" -> bucketedDupOracle(128, 8, 0.35),
     "q70_hybrid_dedup" -> hybridDedupOracle(128, 8, 0.35),
+    // q134: same list_cosine_similarity + round-before-argmax as the
+    // Spark side; row_number (cos DESC, vec_id) == max(struct(cos,-id))
+    "q134_triplet_mining" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |a AS (SELECT vec_id AS anchor_id, label AS a_label, v AS av
+        |      FROM e WHERE vec_id < 64),
+        |s AS (SELECT a.anchor_id, a.a_label, e.vec_id, e.label,
+        |        round(list_cosine_similarity(e.v, a.av), 6) AS cos
+        |      FROM e JOIN a ON e.vec_id <> a.anchor_id),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY anchor_id, (label = a_label)
+        |        ORDER BY cos DESC, vec_id) AS rn FROM s)
+        |SELECT anchor_id, a_label AS label,
+        |  max(CASE WHEN label = a_label AND rn = 1 THEN vec_id END) AS pos_id,
+        |  max(CASE WHEN label = a_label AND rn = 1 THEN cos END) AS pos_cos,
+        |  max(CASE WHEN label <> a_label AND rn = 1 THEN vec_id END) AS neg_id,
+        |  max(CASE WHEN label <> a_label AND rn = 1 THEN cos END) AS neg_cos
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q51_embedding_dups" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v

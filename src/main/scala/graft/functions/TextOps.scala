@@ -1102,12 +1102,18 @@ object TextOps {
     * global sort. */
   val pmiBigrams: Q = (s, d) => pmiBigramsOver(t(s, d, "documents"))
 
-  private[graft] def pmiBigramsOver(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val bigrams = toks.filter(size(col("toks")) >= 2)
-      .select(explode(expr(
+  /** (doc_id, bigram) via the in-row transform — shared by q132's PMI
+    * mining and q135's bigram LM, so the pair construction cannot
+    * drift between the two. */
+  private def bigramsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(2, size(toks)), i -> concat(toks[i-2], ' ', toks[i-1]))"))
         .as("bigram"))
+
+  private[graft] def pmiBigramsOver(docs: DataFrame): DataFrame = {
+    val bigrams = bigramsOf(docs)
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= 5)
       .withColumn("w1", split(col("bigram"), " ")(0))
@@ -1127,6 +1133,38 @@ object TextOps {
           .as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(50)
+  }
+
+  /** q135: bigram-LM document quality — the CCNet/KenLM filter shape,
+    * one Markov order above q88's unigram LM: score(d) = mean over the
+    * doc's bigrams of ln((c(w1,w2)+1)/(c(w1)+V)), the add-one-smoothed
+    * conditional log-likelihood. A doc of common words in UNCOMMON
+    * order now scores low, which the unigram model cannot see. Counts
+    * stay exact integers until the ln (one double division per term,
+    * fixed operand order both engines); the per-doc Σ of ln's
+    * associates engine-dependently at ~1e-15 → round(·,6), the q120
+    * argument. Shape: q132's bigram construction (shared — bigramsOf)
+    * feeds BOTH the model agg and the scoring pass; the model joins by
+    * broadcast (bigram vocabulary obeys Heaps' law one power up — at
+    * true corpus scale DSIR-style feature hashing bounds it, the
+    * q28/q120 note), and explode's doc locality collapses the per-doc
+    * sum map-side. Docs with <2 tokens have no bigram likelihood and
+    * are absent in both engines. */
+  val bigramLmQuality: Q = (s, d) => bigramLmQualityOver(t(s, d, "documents"))
+
+  private[graft] def bigramLmQualityOver(docs: DataFrame): DataFrame = {
+    val bi = bigramsOf(docs)
+    val model = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+    val uni = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c_x"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    bi.withColumn("w1", split(col("bigram"), " ")(0))
+      .join(broadcast(model), Seq("bigram"))
+      .join(broadcast(uni.withColumnRenamed("token", "w1")), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(log((col("c_xy") + lit(1.0)) /
+          (col("c_x") + col("v")))) / count(lit(1)), 6).as("lm2_score"))
   }
 
   /** Streaming quality-gate admission — the stream twin of q88 and the
@@ -1427,6 +1465,7 @@ object TextOps {
     "q120_dsir_weights" -> dsirWeights,
     "q126_dsir_resample" -> dsirResample,
     "q132_pmi_bigrams" -> pmiBigrams,
+    "q135_bigram_lm" -> bigramLmQuality,
     "q125_heavy_tokens" -> heavyTokens,
     "q20_token_count" -> tokenCount,
     "q21_quality_score" -> qualityScore,
@@ -1594,6 +1633,27 @@ object TextOps {
         |JOIN uni u2 ON u2.token = string_split(bc.bigram, ' ')[2]
         |CROSS JOIN tot t
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    // q135: q132's bigram CTE, add-one smoothing in the SAME operand
+    // order as the Spark side ((c_xy + 1.0) / (c_x + v), ONE division)
+    "q135_bigram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest(list_transform(range(2, len(toks) + 1),
+        |      i -> toks[(i - 1)::INTEGER] || ' ' || toks[i::INTEGER]))
+        |    AS bigram
+        |  FROM tk WHERE len(toks) >= 2),
+        |m AS (SELECT bigram, count(*) AS c_xy FROM b GROUP BY 1),
+        |tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |uni AS (SELECT token, count(*) AS c_x FROM tok GROUP BY 1),
+        |vv AS (SELECT count(*) AS v FROM uni)
+        |SELECT b.doc_id,
+        |  round(sum(ln((m.c_xy + 1.0) / (u.c_x + vv.v))) / count(*), 6)
+        |    AS lm2_score
+        |FROM b JOIN m USING (bigram)
+        |     JOIN uni u ON u.token = string_split(b.bigram, ' ')[1], vv
+        |GROUP BY b.doc_id, vv.v""".stripMargin,
     "q88_lm_quality" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -561,15 +561,123 @@ object Analytics {
   private[graft] def eventTransitionsOver(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     // same null-sequence refusal as the funnel (see funnelStepsOver)
-    events.filter(col("ts").isNotNull)
+    transitionMatrixOf(events.filter(col("ts").isNotNull)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .filter(col("next_type").isNotNull)
-      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
-      .agg(count(lit(1)).as("n"))
+      .select(col("event_type").as("src"), col("next_type").as("dst")))
+  }
+
+  /** The transition matrix from a (src, dst) pair frame — shared by the
+    * q127 batch query and the q133 sink read, so the two cannot drift
+    * (the cohortMatrixOf convention). */
+  private[graft] def transitionMatrixOf(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
       .withColumn("p", round(col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy(col("src"))), 6))
-  }
+
+  /** q133: the LIVE transition matrix ≡ the q127 batch answer, produced
+    * by the REAL stateful engine ([[graft.streaming.Streams
+    * .transitionPairs]]) running over a file-source stream — not a
+    * foreachBatch replay of the batch operator. The lifecycle (see
+    * [[ensureTransitionLifecycle]]) feeds the events table through
+    * three (ts, event_id)-ordered cuts so cross-cut sequences are
+    * genuinely split across micro-batches, duplicates one batch's sink
+    * write (at-least-once — the pair rows' (user_id, from_id) key makes
+    * the set-union reconcile collapse it), and compacts before the
+    * read. The matrix derives from the stored pair set at read time
+    * (grid-sized; the q122 derive-at-read argument). */
+  val transitionsStream: Q = (s, d) =>
+    transitionMatrixOf(graft.sinks.TransitionSink
+      .read(s, ensureTransitionLifecycle(s, d))
+      .select(col("src"), col("dst")))
+
+  /** Builds (once per fixture generation) the q133 streaming lifecycle
+    * state: the null-ts-filtered events table is written as three
+    * (ts, event_id)-ordered parquet cut files plus two far-future
+    * single-event sentinel files (distinct sentinel users, so they can
+    * never pair), each with a strictly increasing mtime — a file-source
+    * stream with maxFilesPerTrigger=1 then replays them as five
+    * deterministic micro-batches through the stateful engine into the
+    * pair sink. Why TWO sentinels: event-time timeouts fire when the
+    * watermark moves strictly PAST the flush timestamp, and the
+    * watermark available to batch N is computed from batch N-1 — the
+    * first sentinel advances it past every real event, the second
+    * delivers that watermark to the timed-out groups. Ordered cuts make
+    * arrival respect the (ts, event_id) total order ACROSS batches
+    * (within a batch the engine's buffer sorts), so delay=0 flushes
+    * exactly; same-ts groups cannot straddle cuts out of order because
+    * the cut key IS the total order. Batch 1's sink write is issued
+    * twice (at-least-once replay), and the store is compacted before
+    * __done. */
+  private def ensureTransitionLifecycle(s: SparkSession, d: String): String =
+    synchronized {
+      val (len, mtime) = graft.sinks.Hfs.stat(s, s"$d/events.parquet")
+      val tag =
+        s"${graft.functions.Scalars.md5Hex(d.getBytes("UTF-8")).take(12)}_${len}_$mtime"
+      val loc = s"${sys.props("java.io.tmpdir")}/graft-transstream/$tag"
+      if (graft.sinks.Hfs.readString(s, s"$loc/__done").isEmpty) {
+        graft.sinks.Hfs.deleteRecursive(s, loc)
+        val feed = s"$loc/__feed"
+        new java.io.File(feed).mkdirs()
+        val ev = t(s, d, "events").filter(col("ts").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+        val cutW = Window.orderBy(col("ts"), col("event_id"))
+        // ntile over the total order → three contiguous, ordered cuts.
+        // The single-partition window is lifecycle HARNESS cost, not
+        // operator cost (it stages the fixture into arrival order once
+        // per generation); production arrival order comes from the
+        // source.
+        val cut = ev.withColumn("__cut", ntile(3).over(cutW))
+        def sentinel(uid: Long, plusMs: Long) = {
+          import s.implicits._
+          Seq((uid, new java.sql.Timestamp(maxTs.getTime + plusMs),
+            -1L, "view")).toDF("user_id", "ts", "event_id", "event_type")
+        }
+        val chunks = (1 to 3).map(i =>
+          cut.filter(col("__cut") === i).drop("__cut")
+            .sortWithinPartitions(col("ts"), col("event_id"))) ++
+          Seq(sentinel(-1L, 86400000L), sentinel(-2L, 172800000L))
+        chunks.zipWithIndex.foreach { case (df, i) =>
+          val stage = s"$loc/__stage$i"
+          df.coalesce(1).write.parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).head
+          val target = new java.io.File(feed, f"c$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, target.toPath)
+          // the file source orders its backlog by mtime — pin it
+          assert(target.setLastModified(1000000000000L + i * 60000L))
+          graft.sinks.Hfs.deleteRecursive(s, stage)
+        }
+        val q = graft.streaming.Streams.transitionPairs(
+          s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .as[graft.streaming.Streams.TransEvent](
+              org.apache.spark.sql.Encoders.product),
+          // NOT zero: with delay=0 a same-ts group straddling a cut
+          // boundary would sit exactly ON the next batch's watermark,
+          // where the engine's late-row strictness (< vs <=) decides
+          // whether the tie survives — 1 hour of slack keeps every
+          // cut-N event strictly inside the admission line, and the
+          // sentinels' +1/+2 days still flush everything
+          delay = "1 hour")
+          .toDF()
+          .writeStream
+          .option("checkpointLocation", s"$loc/__ckpt")
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            graft.sinks.TransitionSink.writer(s"$loc/store")(batch, bid)
+            if (bid == 1L) // at-least-once: duplicate one delivery
+              graft.sinks.TransitionSink.writer(s"$loc/store")(batch, bid)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        graft.sinks.TransitionSink.compact(s, s"$loc/store")
+        graft.sinks.Hfs.writeString(s, s"$loc/__done", "ok")
+      }
+      s"$loc/store"
+    }
 
   /** q129: SCD type-2 history build from the CDC stream — each upsert
     * (the q12 I/U op set) opens a version row; `lead(ts)` closes the
@@ -765,6 +873,7 @@ object Analytics {
   val queries: Map[String, Q] = Map(
     "q130_profile" -> profileDocuments,
     "q131_constraints" -> constraintReport,
+    "q133_transitions_stream" -> transitionsStream,
     "q127_event_transitions" -> eventTransitions,
     "q128_rfm_segments" -> rfmSegments,
     "q129_scd2_history" -> scd2History,
@@ -791,6 +900,21 @@ object Analytics {
     "q36_sessionize" -> sessionize,
     "q37_topn_per_group" -> topnPerGroup,
   )
+
+  /** Shared by q127 (batch) and q133 (the streaming lifecycle) — the
+    * two must answer identically, so they share one oracle string. */
+  private val transitionsOracleSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS next_type
+      |  FROM events WHERE ts IS NOT NULL)
+      |SELECT event_type AS src, next_type AS dst,
+      |  count(*)::BIGINT AS n,
+      |  round(count(*)::DOUBLE /
+      |    (sum(count(*)) OVER (PARTITION BY event_type))::DOUBLE, 6) AS p
+      |FROM o WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // q130: the oracle pays |columns| scans (UNION ALL) where the Spark
@@ -855,18 +979,11 @@ object Analytics {
         |FROM u""".stripMargin,
     // q127: same (ts, event_id) total order and null refusal as the
     // funnel; p is an exact-integer division, round(·,6) by convention
-    "q127_event_transitions" ->
-      """WITH o AS (
-        |  SELECT user_id, event_type,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |                           ORDER BY ts, event_id) AS next_type
-        |  FROM events WHERE ts IS NOT NULL)
-        |SELECT event_type AS src, next_type AS dst,
-        |  count(*)::BIGINT AS n,
-        |  round(count(*)::DOUBLE /
-        |    (sum(count(*)) OVER (PARTITION BY event_type))::DOUBLE, 6) AS p
-        |FROM o WHERE next_type IS NOT NULL
-        |GROUP BY 1, 2""".stripMargin,
+    "q127_event_transitions" -> transitionsOracleSql,
+    // q133 = q127 through the stateful stream + pair-set lifecycle
+    // (three ordered cuts + replayed write + compaction) — same oracle
+    // on purpose, the q102/q122 pattern
+    "q133_transitions_stream" -> transitionsOracleSql,
     // q128: the oracle uses NATIVE ntile — the Spark side's
     // range-partitioned rank + integer NTILE formula must reproduce it
     // bit-for-bit, ties broken by user_id in both engines

@@ -181,6 +181,73 @@ object Streams {
       }
   }
 
+  /** One event of the transition stream; field names mirror the events
+    * table so `.as[TransEvent]` maps columns directly. */
+  case class TransEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+  /** One emitted transition — uniquely keyed by (user_id, from_id):
+    * each event is the `from` side of at most one pair, which is what
+    * makes the downstream set-union sink replay-idempotent. */
+  case class TransPair(user_id: Long, from_id: Long, to_id: Long,
+      src: String, dst: String)
+  /** Per-user sequence state: events not yet passed by the watermark
+    * (still reorderable) + the last emitted event awaiting a successor.
+    * Events are (tsMillis, event_id, event_type). */
+  case class TransState(buffer: Seq[(Long, Long, String)],
+      tail: Option[(Long, Long, String)])
+
+  /** Streaming twin of the q127 transition pairs: reconstructs each
+    * user's event SEQUENCE from out-of-order arrivals and emits every
+    * adjacent (src → dst) pair exactly once. The hard part of streaming
+    * path analysis is that "next event" is undefined until no earlier
+    * event can still arrive — so events BUFFER in state until the
+    * watermark passes them; each invocation flushes the ripe slice in
+    * (ts, event_id) order (the q121/q124/q127 total order), chains it
+    * onto the last previously-emitted event, emits the pairs, and
+    * retains (new tail + unripe buffer). Arbitrary arrival order within
+    * the watermark horizon yields EXACTLY the batch pairs; an event
+    * later than the watermark is dropped by the engine before the state
+    * sees it — the same admission line every watermarked operator
+    * draws.
+    *
+    * State per user = the open buffer (bounded by the user's events
+    * inside the watermark horizon) + ONE tail event. The tail persists
+    * with no timeout on purpose: a user's next event may legitimately
+    * arrive arbitrarily far in the future (that is event-time advance,
+    * not lateness) and must still pair — one small row per ever-seen
+    * user, the same footprint as any per-user streaming aggregate.
+    * Flush timeouts are event-time (the dauDedupWithState note:
+    * processing-time self-triggers forever) and re-armed to the
+    * earliest buffered timestamp whenever the buffer is non-empty. */
+  def transitionPairs(events: org.apache.spark.sql.Dataset[TransEvent],
+      delay: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[TransPair] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[TransEvent], state: GroupState[TransState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(TransState(Nil, None))
+          val buf = prev.buffer ++
+            rows.map(e => (e.ts.getTime, e.event_id, e.event_type))
+          val (ripe, wait) = buf.partition(_._1 <= wm)
+          val chain = prev.tail.toSeq ++ ripe.sortBy(e => (e._1, e._2))
+          val pairs = chain.sliding(2).collect {
+            case Seq(a, b) => TransPair(uid, a._2, b._2, a._3, b._3)
+          }.toSeq
+          state.update(TransState(wait, chain.lastOption))
+          // re-arm the flush: EventTimeTimeout clears on every
+          // invocation, so a buffered event would otherwise wait for
+          // the user's NEXT event instead of the watermark
+          if (wait.nonEmpty)
+            state.setTimeoutTimestamp(math.max(wait.map(_._1).min, wm + 1))
+          pairs.iterator
+      }
+  }
+
   /** Exactly-once per-batch publish into an append-style topic dir: each
     * (sink, batch) pair lands in its own `batch=<id>` segment, committed
     * by the shared commit-marker protocol (Hfs.CommitMarker — the same

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.functions.{DedupOps, PqOps, SimilarityOps, TextOps}
 import graft.operators.Bucketing
-import graft.sinks.{Hfs, MergeParquetSink, PhraseIndexSink, SourceStatsSink, VocabSink}
+import graft.sinks.{Hfs, MergeParquetSink, PhraseIndexSink, RetentionSink, SourceStatsSink, TransitionSink, VocabSink}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -292,6 +292,31 @@ class LayoutCompatSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet == sRead)
     assert(SourceStatsSink.mixturePlan(spark, stats, 1000L)
       .collect().map(_.toSeq).toSeq == plan)
+
+    // the SET-UNION sinks ride the same segment layout — writer
+    // segments must stay readable by read() across compaction too
+    val ret = tmp("lc_retention") + "/r"
+    val ev = Seq((1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-02 09:00:00"))
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    RetentionSink.writer(ret)(ev, 0L)
+    val rRead = RetentionSink.read(spark, ret)
+      .select(col("user_id"), col("day").cast("string"))
+      .as[(Long, String)].collect().toSet
+    RetentionSink.compact(spark, ret)
+    assert(RetentionSink.read(spark, ret)
+      .select(col("user_id"), col("day").cast("string"))
+      .as[(Long, String)].collect().toSet == rRead)
+
+    val trans = tmp("lc_transition") + "/t"
+    val pr = Seq((10L, 1L, 2L, "view", "click"))
+      .toDF("user_id", "from_id", "to_id", "src", "dst")
+    TransitionSink.writer(trans)(pr, 0L)
+    val tRead = TransitionSink.read(spark, trans)
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    TransitionSink.compact(spark, trans)
+    assert(TransitionSink.read(spark, trans)
+      .as[(Long, Long, Long, String, String)].collect().toSet == tRead)
   }
 
   // ---------------------------------------------------------------- merge sink

@@ -316,4 +316,68 @@ class PipelineOpsSpec extends SparkSpec {
     // the en-vocab doc must outweigh the de-vocab doc under target=en
     assert(got(1L) > got(2L), s"target-domain doc should score higher: $got")
   }
+
+  // ---- q134 triplet mining ----
+
+  test("q134: hardest positive and hardest negative per anchor; ties break to the smaller id; a peerless label yields null positive") {
+    def emb(id: Long, label: Int, v: Double*) = (id, label, v.toSeq)
+    val e = Seq(
+      emb(0L, 1, 1.0, 0.0, 0.0, 0.0), // anchor A
+      emb(1L, 3, 0.0, 0.0, 0.0, 1.0), // anchor B — label 3 is peerless
+      emb(100L, 1, 0.9, 0.1, 0.0, 0.0), // A's hardest positive
+      emb(101L, 1, 0.0, 1.0, 0.0, 0.0), // same label, orthogonal
+      emb(102L, 2, 0.8, 0.2, 0.0, 0.0), // A's hardest negative...
+      emb(103L, 2, 0.8, 0.2, 0.0, 0.0), // ...duplicated: id tie -> 102
+      emb(104L, 2, 0.0, 0.0, 1.0, 0.0))
+      .toDF("vec_id", "label", "embedding")
+    val got = functions.SimilarityOps.tripletMiningOver(e)
+      .as[(Long, Int, Option[Long], Option[Double], Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    assert(got(0L) == ((0L, 1, Some(100L), Some(cos(a, Seq(0.9, 0.1, 0.0, 0.0))),
+      Some(102L), Some(cos(a, Seq(0.8, 0.2, 0.0, 0.0))))), s"got ${got(0L)}")
+    // anchor B: label 3 has no peer -> null positive; negatives exist
+    val b = got(1L)
+    assert(b._3.isEmpty && b._4.isEmpty, s"expected null positive: $b")
+    assert(b._5.isDefined, s"expected a negative: $b")
+  }
+
+  // ---- q135 bigram LM ----
+
+  test("q135: plain-Scala reimplementation matches; common-words-in-rare-order scores lower than a common sequence") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat sat"),
+      (3L, "the cat sat"),
+      (4L, "sat the cat"), // same unigrams, RARE order
+      (5L, "x"))           // no bigram -> absent
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val corpus = Map(
+      1L -> Seq("the", "cat", "sat"), 2L -> Seq("the", "cat", "sat"),
+      3L -> Seq("the", "cat", "sat"), 4L -> Seq("sat", "the", "cat"),
+      5L -> Seq("x"))
+    val bi = corpus.toSeq.flatMap { case (_, t) => t.zip(t.drop(1)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val uni = corpus.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val v = uni.size.toLong
+    def score(toks: Seq[String]): Double = {
+      val pairs = toks.zip(toks.drop(1))
+      val s = pairs.map { case p@(w1, _) =>
+        math.log((bi(p) + 1.0) / (uni(w1) + v)) }.sum / pairs.size
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = functions.TextOps.bigramLmQualityOver(docs)
+      .as[(Long, Double)].collect().toMap
+    val expected = corpus.filter(_._2.size >= 2)
+      .map { case (id, t) => id -> score(t) }
+    assert(got == expected, s"got $got expected $expected")
+    assert(got(4L) < got(1L),
+      s"rare word ORDER must score lower at equal unigrams: $got")
+  }
 }

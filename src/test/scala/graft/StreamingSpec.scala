@@ -231,4 +231,101 @@ class StreamingSpec extends SparkSpec {
     val twice = Streams.dauDedup(once.drop("dt"))
     assert(once.count() == twice.count())
   }
+
+  test("transitionPairs: reversed arrivals inside the watermark reorder; pairs cross batches; the tail pairs a month later") {
+    import Streams.{TransEvent, TransPair}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TransEvent]
+    val q = Streams.transitionPairs(in.toDS(), "10 minutes").toDF()
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      // user 1's first two events arrive REVERSED within the horizon
+      in.addData(
+        TransEvent(1L, ts("2024-01-01 10:05:00"), 2L, "click"),
+        TransEvent(1L, ts("2024-01-01 10:00:00"), 1L, "view"))
+      q.processAllAvailable()
+      assert(spark.table("trans_out").isEmpty,
+        "nothing may emit before the watermark passes the buffer")
+      // advance the watermark well past user 1's events, then one more
+      // batch so the timed-out group sees it
+      in.addData(TransEvent(9L, ts("2024-01-01 11:00:00"), 99L, "view"))
+      q.processAllAvailable()
+      in.addData(TransEvent(8L, ts("2024-01-01 12:00:00"), 98L, "view"))
+      q.processAllAvailable()
+      val mid = spark.table("trans_out").as[TransPair].collect().toSet
+      assert(mid == Set(TransPair(1L, 1L, 2L, "view", "click")),
+        s"buffered events must flush in (ts, id) order: $mid")
+      // a month later the user returns — event-time ADVANCE, not
+      // lateness: the tail click must still pair
+      in.addData(TransEvent(1L, ts("2024-02-01 00:00:00"), 3L, "purchase"))
+      q.processAllAvailable()
+      in.addData(TransEvent(7L, ts("2024-02-02 00:00:00"), 97L, "view"))
+      q.processAllAvailable()
+      in.addData(TransEvent(6L, ts("2024-02-03 00:00:00"), 96L, "view"))
+      q.processAllAvailable()
+      val out = spark.table("trans_out").as[TransPair].collect().toSet
+      assert(out == Set(
+        TransPair(1L, 1L, 2L, "view", "click"),
+        TransPair(1L, 2L, 3L, "click", "purchase")), s"got $out")
+    } finally q.stop()
+  }
+
+  test("transitionPairs over shuffled in-horizon arrivals == the batch lead pairs, for random event streams") {
+    import Streams.{TransEvent, TransPair}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    // 5 users × 30 events over ~an hour, second-granularity ts with
+    // deliberate collisions (same user, same second)
+    val base = ts("2024-03-01 00:00:00").getTime
+    val events = (1 to 150).map { i =>
+      TransEvent(1L + rnd.nextInt(5),
+        new Timestamp(base + rnd.nextInt(3600) * 1000L), i.toLong,
+        Seq("view", "click", "purchase")(rnd.nextInt(3)))
+    }
+    // arrival: three (ts, id)-ordered cuts, SHUFFLED within each cut
+    // (inside the 2h horizon), then two flush sentinels
+    val cuts = events.sortBy(e => (e.ts.getTime, e.event_id))
+      .grouped(50).map(c => rnd.shuffle(c)).toSeq
+    val in = MemoryStream[TransEvent]
+    val q = Streams.transitionPairs(in.toDS(), "2 hours").toDF()
+      .writeStream.format("memory").queryName("trans_rand_out")
+      .outputMode("append").start()
+    try {
+      cuts.foreach { c => in.addData(c); q.processAllAvailable() }
+      in.addData(TransEvent(-1L, new Timestamp(base + 10L * 86400000L), -1L, "view"))
+      q.processAllAvailable()
+      in.addData(TransEvent(-2L, new Timestamp(base + 20L * 86400000L), -1L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("trans_rand_out").as[TransPair].collect().toSet
+      val want = events.groupBy(_.user_id).flatMap { case (u, es) =>
+        val s = es.sortBy(e => (e.ts.getTime, e.event_id))
+        s.zip(s.drop(1)).map { case (a, b) =>
+          TransPair(u, a.event_id, b.event_id, a.event_type, b.event_type) }
+      }.toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
+  test("TransitionSink: replayed batches and compaction preserve the pair set") {
+    import spark.implicits._
+    val loc = java.nio.file.Files
+      .createTempDirectory("transition-sink-spec").toString
+    def pairs(rows: (Long, Long, Long, String, String)*) =
+      rows.toSeq.toDF("user_id", "from_id", "to_id", "src", "dst")
+    val b0 = pairs((1L, 1L, 2L, "view", "click"))
+    val b1 = pairs((1L, 2L, 3L, "click", "purchase"),
+      (2L, 7L, 8L, "view", "view"))
+    graft.sinks.TransitionSink.writer(loc)(b0, 0L)
+    graft.sinks.TransitionSink.writer(loc)(b1, 1L)
+    graft.sinks.TransitionSink.writer(loc)(b1, 1L) // at-least-once replay
+    def readSet() = graft.sinks.TransitionSink.read(spark, loc)
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    val s1 = readSet()
+    assert(s1 == Set((1L, 1L, 2L, "view", "click"),
+      (1L, 2L, 3L, "click", "purchase"), (2L, 7L, 8L, "view", "view")))
+    graft.sinks.TransitionSink.compact(spark, loc)
+    assert(readSet() == s1, "compaction changed the pair set")
+  }
 }
