@@ -803,6 +803,190 @@ object Analytics {
       grid.schema)
   }
 
+  /** q136: point-in-time state join — every purchase sees the SCD2
+    * state (q129's version chain) valid AT its timestamp, never a later
+    * one. The feature-store staple: training rows joined to features
+    * "as of" the label event, the join whose naive formulation (fact ⋈
+    * history ON valid_from <= ts < valid_to) leaks future state the
+    * moment the range predicate is mistyped and pays a range join
+    * besides. Here there is NO join at all: purchases and state changes
+    * live in the same ordered stream, so one (user, ts, event_id) sort
+    * carries a struct-max window ("latest prior change row", the
+    * lexicographic max of (ts, id, k) — null k rides along, exactly
+    * q129's current row) and the version counter; both windows share
+    * the one sort. Visibility ties are decided by the (ts, event_id)
+    * total order in BOTH engines: a change at the purchase's own
+    * timestamp is visible iff its event_id is smaller. Linear in
+    * events, one user-keyed shuffle — the q121/q124/q127 cascade
+    * family. */
+  val pitStateJoin: Q = (s, d) => pitStateJoinOver(t(s, d, "events"))
+
+  private[graft] def pitStateJoinOver(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isChange = col("event_type").isin("signup", "click", "view")
+    // same null-sequence refusal as the funnel (see funnelStepsOver)
+    events.filter(col("ts").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("st", max(when(isChange,
+        struct(col("ts").as("ts"), col("event_id").as("id"),
+          col("k").as("k")))).over(w))
+      .withColumn("state_version",
+        count(when(isChange, lit(1))).over(w).cast("long"))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("state_version"), col("st").getField("k").as("state_k"))
+  }
+
+  /** q137: winsorization — per-type value clipping at the exact p05/p95
+    * quantiles, the outlier-taming pass a metrics pipeline runs before
+    * any mean is trusted. The operator of interest is GROUPED EXACT
+    * quantiles at scale: the textbook form (`percentile` per group, or
+    * a row_number window partitioned by type) concentrates each group's
+    * every value in one task — the hot-type partition IS the q128
+    * single-partition objection, per group. Solved the q128 way,
+    * generalized: range-repartition on (type, value, id) + zipWithIndex
+    * gives exact GLOBAL ranks with no single partition, and because
+    * range partitioning makes types contiguous, per-type rank is just
+    * `global_rank − min(global_rank of the type) + 1` — the per-type
+    * offsets fall out of the same tiny stats aggregate, no cumsum pass.
+    * Quantile positions use the standard interpolated definition
+    * (h = (n−1)p + 1, linear between floor/ceil ranks) written with the
+    * SAME operand order in both engines so the bounds are bit-identical
+    * before the round(·,6) pin. The bounds (|types| rows) are the one
+    * bounded driver-side model read (the kmeans-centroid convention);
+    * the clip pass broadcast-joins them back. Two scans of events total
+    * — the irreducible cost of clip-against-own-quantiles. */
+  val winsorize: Q = (s, d) => winsorizeOver(t(s, d, "events"))
+
+  private[graft] def winsorizeOver(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .persist()
+    val ranked = withGlobalRank(ev, "__r",
+      col("event_type"), col("value"), col("event_id"))
+    // types are contiguous in the range order ⇒ min(__r) is the offset
+    val stats = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("__r")).as("off"))
+      .withColumn("h05",
+        (col("n") - 1).cast("double") * lit(0.05) + lit(1.0))
+      .withColumn("h95",
+        (col("n") - 1).cast("double") * lit(0.95) + lit(1.0))
+    val rk = col("__r") - col("off") + 1
+    // h05/h95 are constant per type, so they may appear BOTH as plain
+    // per-row columns inside the conditional (no nested aggregate) and
+    // under max() for the frac term — same trick as the oracle SQL
+    def interp(h: Column): Column = {
+      val vLo = max(when(rk === floor(h), col("value")))
+      val vHi = max(when(rk === ceil(h), col("value")))
+      round(vLo + (max(h) - floor(max(h)).cast("double")) * (vHi - vLo), 6)
+    }
+    val bounds = ranked.join(broadcast(stats), Seq("event_type"))
+      .filter(rk === floor(col("h05")) || rk === ceil(col("h05")) ||
+        rk === floor(col("h95")) || rk === ceil(col("h95")))
+      .groupBy(col("event_type"))
+      .agg(interp(col("h05")).as("winsor_lo"),
+        interp(col("h95")).as("winsor_hi"))
+    // |types| rows — the bounded driver-side model read; materializing
+    // here lets the cached projection be released before the clip pass
+    val bRows = bounds.collect()
+    ev.unpersist()
+    val bDf = broadcast(events.sparkSession.createDataFrame(
+      events.sparkSession.sparkContext.parallelize(bRows.toIndexedSeq, 1),
+      bounds.schema))
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+      .join(bDf, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value") < col("winsor_lo"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("value") > col("winsor_hi"), 1L).otherwise(0L))
+          .as("n_clipped_high"),
+        round(sum(least(greatest(col("value"), col("winsor_lo")),
+          col("winsor_hi"))), 2).as("sum_winsorized"),
+        max(col("winsor_lo")).as("winsor_lo"),
+        max(col("winsor_hi")).as("winsor_hi"))
+  }
+
+  /** q138: dwell-time attribution — each event owns the gap to its
+    * user's NEXT event, capped at the 30-minute session timeout (the
+    * q36 gap), and the per-type rollup reads "users spend X seconds on
+    * screens of type T". Same one-sort cascade as q121/q124/q127:
+    * `lead` over (user, ts, event_id), then a map-side-combined agg to
+    * the |types| grid. All gap arithmetic stays in exact integer
+    * MICROseconds (the engines' double sums would be order-dependent);
+    * the only doubles are the final exact-integer divisions, identical
+    * single operations in both engines under round(·,6). A user's last
+    * event has no successor — counted in n_events, absent from dwell. */
+  val dwellTime: Q = (s, d) => dwellTimeOver(t(s, d, "events"))
+
+  private[graft] def dwellTimeOver(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // same null-sequence refusal as the funnel (see funnelStepsOver)
+    events.filter(col("ts").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      // least() IGNORES nulls in both engines (least(null, cap) = cap),
+      // so the cap must be guarded or every tail event would be awarded
+      // a phantom 30-minute dwell — caught by the hand fixture
+      .withColumn("gap_us", when(col("next_ts").isNotNull,
+        least(unix_micros(col("next_ts")) - unix_micros(col("ts")),
+          lit(1800000000L))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap_us")).as("n_with_next"),
+        round(sum(col("gap_us")) / lit(1000000.0), 6).as("total_dwell_sec"),
+        round((sum(col("gap_us")) / lit(1000000.0)) / count(col("gap_us")), 6)
+          .as("mean_dwell_sec"))
+  }
+
+  /** q139: deterministic negative sampling — for every customer with
+    * purchase history, K=5 parts they never bought, the contrastive
+    * negatives a recommender/retrieval trainer pairs with its
+    * positives (q134 mines them in embedding space; this is the
+    * interaction-table form). The refusal here is the |users|×|parts|
+    * cross join the naive "rank all non-interactions" formulation
+    * pays: candidates are GENERATED instead — 2K deterministic
+    * pseudo-random part ids per user from the q71 multiplicative hash
+    * (pure int64 arithmetic, bit-identical in both engines, no RNG) —
+    * so the anti-join against interactions carries 2K·|users| rows,
+    * and hash collisions / accidental positives just thin a user's
+    * list below K (deterministically, in both engines). Scale shape:
+    * one shuffle builds the distinct interaction set, one (c,p)-keyed
+    * anti join prunes, and the per-user rank windows over ≤2K rows per
+    * user. The part-catalog size is the one driver scalar
+    * (crossJoin(broadcast(count)) — the q128 ref-day convention). */
+  val negativeSample: Q = (s, d) =>
+    negativeSampleOver(t(s, d, "orders"), t(s, d, "lineitem"), t(s, d, "part"))
+
+  private[graft] def negativeSampleOver(orders: DataFrame,
+      lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val inter = orders
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val users = orders.select(col("o_custkey").as("c")).distinct()
+    val nParts = part.agg(count(lit(1)).as("n_parts"))
+    val cand = users.crossJoin(broadcast(nParts))
+      .select(col("c"), col("n_parts"),
+        explode(sequence(lit(0L), lit(9L))).as("j"))
+      .select(col("c"), col("j"),
+        (lit(1L) + ((col("c") * lit(2654435761L) + col("j") * lit(97003L))
+          % lit(1000003L)) % col("n_parts")).as("p"))
+    val ded = cand.groupBy(col("c"), col("p")).agg(min(col("j")).as("jj"))
+    ded.join(inter, Seq("c", "p"), "left_anti")
+      .withColumn("neg_rank",
+        row_number().over(Window.partitionBy(col("c")).orderBy(col("jj")))
+          .cast("long"))
+      .filter(col("neg_rank") <= 5)
+      .select(col("c").as("o_custkey"), col("neg_rank"),
+        col("p").as("p_partkey"))
+  }
+
   private val profileColumns = Seq("doc_id", "text", "lang", "source", "n_chars")
 
   /** q130: column profiler — the Deequ/Glue-style data-quality summary
@@ -871,6 +1055,10 @@ object Analytics {
   }
 
   val queries: Map[String, Q] = Map(
+    "q136_pit_state" -> pitStateJoin,
+    "q137_winsorize" -> winsorize,
+    "q138_dwell_time" -> dwellTime,
+    "q139_negative_sample" -> negativeSample,
     "q130_profile" -> profileDocuments,
     "q131_constraints" -> constraintReport,
     "q133_transitions_stream" -> transitionsStream,
@@ -917,6 +1105,110 @@ object Analytics {
       |GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q136: struct_pack's field order (ts, id, k) makes DuckDB's
+    // lexicographic struct max the same "latest prior change row" as the
+    // Spark side; null k rides inside the struct (q129's current row),
+    // and NULL-struct field access stays NULL in both engines
+    "q136_pit_state" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    (max(CASE WHEN event_type IN ('signup','click','view') THEN
+        |        struct_pack(ts := ts, id := event_id,
+        |          k := CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |        END) OVER w) AS st,
+        |    CAST(count(CASE WHEN event_type IN ('signup','click','view')
+        |        THEN 1 END) OVER w AS BIGINT) AS state_version
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  state_version, st.k AS state_k
+        |FROM c WHERE event_type = 'purchase'""".stripMargin,
+    // q137: the oracle ranks with a window PARTITION BY (fine at oracle
+    // scale; the Spark side exists precisely to avoid that shape) but
+    // the interpolation arithmetic is written operand-for-operand
+    // identical so the round(·,6) bounds match bit-for-bit
+    "q137_winsorize" ->
+      """WITH ev AS (SELECT event_type, value, event_id FROM events
+        |            WHERE value IS NOT NULL),
+        |rk AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value, event_id) AS r,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |pos AS (SELECT *,
+        |    CAST(n - 1 AS DOUBLE) * 0.05 + 1.0 AS h05,
+        |    CAST(n - 1 AS DOUBLE) * 0.95 + 1.0 AS h95
+        |  FROM rk),
+        |b AS (SELECT event_type,
+        |    round(max(CASE WHEN r = floor(h05) THEN value END)
+        |      + (max(h05) - floor(max(h05)))
+        |        * (max(CASE WHEN r = ceil(h05) THEN value END)
+        |           - max(CASE WHEN r = floor(h05) THEN value END)), 6)
+        |      AS winsor_lo,
+        |    round(max(CASE WHEN r = floor(h95) THEN value END)
+        |      + (max(h95) - floor(max(h95)))
+        |        * (max(CASE WHEN r = ceil(h95) THEN value END)
+        |           - max(CASE WHEN r = floor(h95) THEN value END)), 6)
+        |      AS winsor_hi
+        |  FROM pos
+        |  WHERE r = floor(h05) OR r = ceil(h05)
+        |     OR r = floor(h95) OR r = ceil(h95)
+        |  GROUP BY 1)
+        |SELECT ev.event_type, count(*)::BIGINT AS n_rows,
+        |  CAST(sum(CASE WHEN value < winsor_lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_low,
+        |  CAST(sum(CASE WHEN value > winsor_hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_high,
+        |  round(sum(least(greatest(value, winsor_lo), winsor_hi)), 2)
+        |    AS sum_winsorized,
+        |  max(winsor_lo) AS winsor_lo, max(winsor_hi) AS winsor_hi
+        |FROM ev JOIN b USING (event_type)
+        |GROUP BY 1""".stripMargin,
+    // q138: exact integer microseconds end-to-end; the two final
+    // divisions are single double ops in both engines under round(·,6)
+    "q138_dwell_time" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_ts, ts
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (
+        |  SELECT event_type,
+        |    CASE WHEN next_ts IS NULL THEN NULL
+        |         ELSE least(date_diff('microsecond', ts, next_ts),
+        |                    1800000000) END AS gap_us
+        |  FROM l)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  count(gap_us)::BIGINT AS n_with_next,
+        |  round(CAST(sum(gap_us) AS DOUBLE) / 1000000.0, 6)
+        |    AS total_dwell_sec,
+        |  round((CAST(sum(gap_us) AS DOUBLE) / 1000000.0) / count(gap_us), 6)
+        |    AS mean_dwell_sec
+        |FROM c GROUP BY 1""".stripMargin,
+    // q139: the q71 multiplicative hash in pure int64 — no RNG, no
+    // engine hash function, identical candidates in both engines
+    "q139_negative_sample" ->
+      """WITH inter AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |np AS (SELECT count(*) AS n_parts FROM part),
+        |cand AS (
+        |  SELECT u.c, g.j,
+        |    1 + ((u.c * 2654435761 + g.j * 97003) % 1000003)
+        |      % (SELECT n_parts FROM np) AS p
+        |  FROM (SELECT DISTINCT o_custkey AS c FROM orders) u
+        |  CROSS JOIN (SELECT unnest(range(0, 10)) AS j) g),
+        |ded AS (SELECT c, p, min(j) AS jj FROM cand GROUP BY 1, 2),
+        |neg AS (
+        |  SELECT d.c, d.p,
+        |    row_number() OVER (PARTITION BY d.c ORDER BY d.jj) AS neg_rank
+        |  FROM ded d
+        |  WHERE NOT EXISTS (SELECT 1 FROM inter i
+        |                    WHERE i.c = d.c AND i.p = d.p))
+        |SELECT c AS o_custkey, neg_rank::BIGINT AS neg_rank, p AS p_partkey
+        |FROM neg WHERE neg_rank <= 5""".stripMargin,
     // q130: the oracle pays |columns| scans (UNION ALL) where the Spark
     // side folds everything into one Expand aggregate
     "q130_profile" ->

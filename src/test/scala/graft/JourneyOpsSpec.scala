@@ -261,4 +261,122 @@ class JourneyOpsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(byPair(("aa", "bb")) - expect) < 1e-9)
   }
+
+  // ---- q136 point-in-time state join ----
+
+  test("q136: a purchase sees the LATEST prior change row — a null-k change IS a state, same-ts ties break by event_id, pre-state purchases get version 0") {
+    def p(k: Int) = s"""{"k": $k}"""
+    val ev = Seq(
+      // user 1: purchase BEFORE any change → version 0, null state
+      (1L, 1L, "2024-01-01 09:00:00", "purchase", p(99)),
+      (2L, 1L, "2024-01-01 10:00:00", "signup", p(1)),
+      // the LATEST change carries no k — q129's current row has k=null,
+      // and the PIT read must report THAT, not an earlier non-null k
+      // (the ignore-nulls formulation would silently say k=1 here)
+      (3L, 1L, "2024-01-02 10:00:00", "click", "{}"),
+      (4L, 1L, "2024-01-03 10:00:00", "purchase", p(99)),
+      // user 2: a change at the purchase's OWN ts — visible iff its
+      // event_id is smaller (the (ts, event_id) total order decides)
+      (5L, 2L, "2024-02-01 00:00:00", "view", p(7)),
+      (6L, 2L, "2024-02-01 00:00:00", "purchase", null),
+      (7L, 2L, "2024-02-01 00:00:00", "click", p(8)),
+      // null-ts rows are refused outright
+      (8L, 2L, null, "purchase", null))
+      .toDF("event_id", "user_id", "ts", "event_type", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Analytics.pitStateJoinOver(ev)
+      .as[(Long, Long, String, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, 1L, "2024-01-01 09:00:00", 0L, None),
+      (4L, 1L, "2024-01-03 10:00:00", 2L, None),
+      (6L, 2L, "2024-02-01 00:00:00", 1L, Some(7L))), s"got $got")
+  }
+
+  // ---- q137 winsorization ----
+
+  test("q137: bounds equal an independent interpolated-quantile derivation — integral h, fractional h, and the n=1 degenerate") {
+    // A: n=21 → h05 = 2.0 exactly (no interpolation), h95 = 20.0
+    // B: n=4  → h05 = 1.15, h95 = 3.85 (both interpolated)
+    // C: n=1  → both bounds ARE the value; nothing clips
+    val va = (1 to 21).map(_.toDouble * 10)
+    val vb = Seq(1.0, 2.0, 4.0, 8.0)
+    val ev = (va.map(("A", _)) ++ vb.map(("B", _)) ++ Seq(("C", 42.0)))
+      .zipWithIndex
+      .map { case ((t0, v), i) => (i.toLong, t0, v) }
+      .toDF("event_id", "event_type", "value")
+    def ref(vs: Seq[Double], p: Double): Double = {
+      val s0 = vs.sorted
+      val h = (s0.size - 1).toDouble * p + 1.0
+      val lo = s0(math.floor(h).toInt - 1)
+      val hi = s0(math.ceil(h).toInt - 1)
+      BigDecimal(lo + (h - math.floor(h)) * (hi - lo))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Analytics.winsorizeOver(ev)
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    for ((t0, vs) <- Seq("A" -> va, "B" -> vb, "C" -> Seq(42.0))) {
+      val (lo, hi) = (ref(vs, 0.05), ref(vs, 0.95))
+      val (_, n, nLo, nHi, sumW, gLo, gHi) = got(t0)
+      assert(gLo == lo && gHi == hi, s"$t0: bounds ($gLo,$gHi) != ($lo,$hi)")
+      assert(n == vs.size)
+      assert(nLo == vs.count(_ < lo) && nHi == vs.count(_ > hi),
+        s"$t0: clip counts ($nLo,$nHi)")
+      val expSum = BigDecimal(vs.map(v => math.min(math.max(v, lo), hi)).sum)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(sumW - expSum) < 1e-9, s"$t0: $sumW != $expSum")
+    }
+    // the hand-checked fractional bound: 4 + 0.85·(8−4) = 7.4
+    assert(got("B")._7 == 7.4 && got("B")._6 == 1.15)
+  }
+
+  // ---- q138 dwell time ----
+
+  test("q138: each event owns the gap to its user's next event, capped at 30 min; tails have no dwell; null-ts refused") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "view"),     // → click: 10 s
+      (2L, 1L, "2024-01-01 00:00:10", "click"),    // → purchase: 2 h → capped 1800 s
+      (3L, 1L, "2024-01-01 02:00:10", "purchase"), // tail: no dwell
+      (4L, 2L, "2024-01-01 00:00:00", "view"),     // same-ts pair orders by id: 0 s
+      (5L, 2L, "2024-01-01 00:00:00", "view"),     // tail
+      (6L, 2L, null, "click"))                     // refused
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Analytics.dwellTimeOver(ev)
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("view") == (("view", 3L, 2L, Some(10.0), Some(5.0))),
+      s"got ${got("view")}")
+    assert(got("click") == (("click", 1L, 1L, Some(1800.0), Some(1800.0))),
+      s"got ${got("click")}")
+    assert(got("purchase") == (("purchase", 1L, 0L, None, None)),
+      s"got ${got("purchase")}")
+  }
+
+  // ---- q139 negative sampling ----
+
+  test("q139: the candidate stream is the deterministic hash — interactions excluded, collisions keep min j, rank caps at 5") {
+    val orders = Seq((100L, 1L), (101L, 2L), (102L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val nParts = 7L
+    val part = (1L to nParts).toDF("p_partkey")
+    def hash(c: Long, j: Long): Long =
+      1L + ((c * 2654435761L + j * 97003L) % 1000003L) % nParts
+    // make customer 1 interact with its first two distinct candidates —
+    // the sampler must skip PAST them and still find 5 negatives
+    val c1 = (0L to 9L).map(j => hash(1L, j)).distinct.take(2)
+    val lineitem = (c1.map((100L, _)) :+ ((101L, hash(2L, 0L))))
+      .toDF("l_orderkey", "l_partkey")
+    val inter = Map(1L -> c1.toSet, 2L -> Set(hash(2L, 0L)))
+    val expect = (for (c <- Seq(1L, 2L)) yield {
+      val ded = (0L to 9L).map(j => (hash(c, j), j))
+        .groupBy(_._1).map { case (p0, js) => (p0, js.map(_._2).min) }
+      ded.toSeq.filterNot { case (p0, _) => inter(c)(p0) }
+        .sortBy(_._2).take(5).zipWithIndex
+        .map { case ((p0, _), i) => (c, (i + 1).toLong, p0) }
+    }).flatten.toSet
+    val got = Analytics.negativeSampleOver(orders, lineitem, part)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
 }

@@ -456,4 +456,43 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the fused multi-distinct Expand plan:\n$plan")
     assert(!plan.contains("Join"), s"profiling must not join:\n$plan")
   }
+
+  test("q136 PIT join: one events scan, NO join (the whole point), struct-max and version share ONE user sort") {
+    val plan = executedPlan(operators.Analytics.pitStateJoin(spark, sf0001))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one events scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"),
+      s"PIT-as-window must never become the fact⋈history range join:\n$plan")
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(sorts == 1,
+      s"struct-max and version count must share one sort, got $sorts:\n$plan")
+  }
+
+  test("q137 winsorize: the clip pass joins the |types|-row bounds by BROADCAST; no sort-merge, no cartesian") {
+    val plan = executedPlan(operators.Analytics.winsorize(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bounds must broadcast onto the clip scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
+      s"the clip pass must not shuffle events against the bounds:\n$plan")
+  }
+
+  test("q138 dwell: one events scan, no join, one user sort, grid-sized agg exchange") {
+    val plan = executedPlan(operators.Analytics.dwellTime(spark, sf0001))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one events scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"), s"dwell must not self-join:\n$plan")
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(sorts == 1, s"expected the one lead sort, got $sorts:\n$plan")
+  }
+
+  test("q139 negative sampling: no user×catalog blowup — the only nested-loop is the 1-row count broadcast") {
+    val df = operators.Analytics.negativeSample(spark, sf0001)
+    df.collect()
+    val nodes = walkPlan(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      "candidate generation must never cross-join users with the catalog")
+    val bnlj = nodes.filter(_.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.size <= 1,
+      s"only the 1-row part-count crossJoin may nested-loop, got ${bnlj.size}")
+  }
 }
