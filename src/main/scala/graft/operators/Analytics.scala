@@ -611,11 +611,46 @@ object Analytics {
     * twice (at-least-once replay), and the store is compacted before
     * __done. */
   private def ensureTransitionLifecycle(s: SparkSession, d: String): String =
+    ensureOrderedFeedLifecycle(s, d, "transstream") { (feed, loc, schema) =>
+      val q = graft.streaming.Streams.transitionPairs(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+          .as[graft.streaming.Streams.TransEvent](
+            org.apache.spark.sql.Encoders.product),
+        // NOT zero: with delay=0 a same-ts group straddling a cut
+        // boundary would sit exactly ON the next batch's watermark,
+        // where the engine's late-row strictness (< vs <=) decides
+        // whether the tie survives — 1 hour of slack keeps every
+        // cut-N event strictly inside the admission line, and the
+        // sentinels' +1/+2 days still flush everything
+        delay = "1 hour")
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", s"$loc/__ckpt")
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.sinks.TransitionSink.writer(s"$loc/store")(batch, bid)
+          if (bid == 1L) // at-least-once: duplicate one delivery
+            graft.sinks.TransitionSink.writer(s"$loc/store")(batch, bid)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.sinks.TransitionSink.compact(s, s"$loc/store")
+    }
+
+  /** Stages (once per fixture generation) the shared ordered-feed
+    * lifecycle state and hands the staged feed to the operator-specific
+    * `run` — which must stream it into `loc`/store (see
+    * [[ensureTransitionLifecycle]] / [[ensureFunnelLifecycle]]).
+    * Returns the store path. */
+  private def ensureOrderedFeedLifecycle(s: SparkSession, d: String,
+      kind: String)(
+      run: (String, String, org.apache.spark.sql.types.StructType) => Unit)
+      : String =
     synchronized {
       val (len, mtime) = graft.sinks.Hfs.stat(s, s"$d/events.parquet")
       val tag =
         s"${graft.functions.Scalars.md5Hex(d.getBytes("UTF-8")).take(12)}_${len}_$mtime"
-      val loc = s"${sys.props("java.io.tmpdir")}/graft-transstream/$tag"
+      val loc = s"${sys.props("java.io.tmpdir")}/graft-$kind/$tag"
       if (graft.sinks.Hfs.readString(s, s"$loc/__done").isEmpty) {
         graft.sinks.Hfs.deleteRecursive(s, loc)
         val feed = s"$loc/__feed"
@@ -633,7 +668,11 @@ object Analytics {
         def sentinel(uid: Long, plusMs: Long) = {
           import s.implicits._
           Seq((uid, new java.sql.Timestamp(maxTs.getTime + plusMs),
-            -1L, "view")).toDF("user_id", "ts", "event_id", "event_type")
+            // "heartbeat" is outside every sequence operator's alphabet:
+            // the funnel fold must no-op it (a "view" would open step 1
+            // for the synthetic user); the pair fold never cared (a
+            // single-event user emits no pair whatever its type)
+            -1L, "heartbeat")).toDF("user_id", "ts", "event_id", "event_type")
         }
         val chunks = (1 to 3).map(i =>
           cut.filter(col("__cut") === i).drop("__cut")
@@ -651,32 +690,54 @@ object Analytics {
           assert(target.setLastModified(1000000000000L + i * 60000L))
           graft.sinks.Hfs.deleteRecursive(s, stage)
         }
-        val q = graft.streaming.Streams.transitionPairs(
-          s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
-            .parquet(feed)
-            .as[graft.streaming.Streams.TransEvent](
-              org.apache.spark.sql.Encoders.product),
-          // NOT zero: with delay=0 a same-ts group straddling a cut
-          // boundary would sit exactly ON the next batch's watermark,
-          // where the engine's late-row strictness (< vs <=) decides
-          // whether the tie survives — 1 hour of slack keeps every
-          // cut-N event strictly inside the admission line, and the
-          // sentinels' +1/+2 days still flush everything
-          delay = "1 hour")
-          .toDF()
-          .writeStream
-          .option("checkpointLocation", s"$loc/__ckpt")
-          .foreachBatch { (batch: DataFrame, bid: Long) =>
-            graft.sinks.TransitionSink.writer(s"$loc/store")(batch, bid)
-            if (bid == 1L) // at-least-once: duplicate one delivery
-              graft.sinks.TransitionSink.writer(s"$loc/store")(batch, bid)
-          }
-          .start()
-        try q.processAllAvailable() finally q.stop()
-        graft.sinks.TransitionSink.compact(s, s"$loc/store")
+        run(feed, loc, ev.schema)
         graft.sinks.Hfs.writeString(s, s"$loc/__done", "ok")
       }
       s"$loc/store"
+    }
+
+  /** q140: the LIVE funnel ≡ the q121 batch answer, through the same
+    * stateful ordered-replay engine as q133 ([[graft.streaming.Streams
+    * .funnelAdvance]] rides the shared orderedFold scaffold) and its own
+    * set-union sink keyed (user_id, step). Same lifecycle recipe —
+    * ordered cuts split sequences across micro-batches for real, one
+    * duplicated write, compaction — and the three counts derive from
+    * the stored advance set at read time (1-row answer; the q133
+    * derive-at-read argument). */
+  val funnelStream: Q = (s, d) => {
+    val steps = graft.sinks.FunnelSink.read(s, ensureFunnelLifecycle(s, d))
+    steps.agg(
+      count(when(col("step") === 1, 1)).as("n_view"),
+      count(when(col("step") === 2, 1)).as("n_view_click"),
+      count(when(col("step") === 3, 1)).as("n_view_click_purchase"))
+  }
+
+  /** The q140 lifecycle: the SAME staged ordered feed recipe as q133
+    * (see [[ensureOrderedFeedLifecycle]]), streamed through
+    * funnelAdvance into the FunnelSink. The watermark sentinels are
+    * staged as type "heartbeat" — outside the funnel alphabet, so the
+    * fold no-ops them (a "view" sentinel would have opened step 1 for
+    * its synthetic user and shifted n_view by two; q133 never cared
+    * because a single-event user emits no pair either way). */
+  private def ensureFunnelLifecycle(s: SparkSession, d: String): String =
+    ensureOrderedFeedLifecycle(s, d, "funnelstream") { (feed, loc, schema) =>
+      val q = graft.streaming.Streams.funnelAdvance(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+          .as[graft.streaming.Streams.TransEvent](
+            org.apache.spark.sql.Encoders.product),
+        delay = "1 hour") // same slack argument as q133
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", s"$loc/__ckpt")
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.sinks.FunnelSink.writer(s"$loc/store")(batch, bid)
+          if (bid == 1L) // at-least-once: duplicate one delivery
+            graft.sinks.FunnelSink.writer(s"$loc/store")(batch, bid)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.sinks.FunnelSink.compact(s, s"$loc/store")
     }
 
   /** q129: SCD type-2 history build from the CDC stream — each upsert
@@ -1056,6 +1117,7 @@ object Analytics {
 
   val queries: Map[String, Q] = Map(
     "q136_pit_state" -> pitStateJoin,
+    "q140_funnel_stream" -> funnelStream,
     "q137_winsorize" -> winsorize,
     "q138_dwell_time" -> dwellTime,
     "q139_negative_sample" -> negativeSample,
@@ -1103,6 +1165,34 @@ object Analytics {
       |    (sum(count(*)) OVER (PARTITION BY event_type))::DOUBLE, 6) AS p
       |FROM o WHERE next_type IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
+
+  /** Shared by q121 (batch) and q140 (the streaming lifecycle) — the
+    * two must answer identically, so they share one oracle string. */
+  private val funnelOracleSql: String =
+    """WITH c1 AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    min(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS va
+      |  FROM events WHERE ts IS NOT NULL),
+      |c2 AS (
+      |  SELECT *, CASE WHEN event_type = 'click' AND va IS NOT NULL
+      |                 THEN ts END AS click_ts
+      |  FROM c1),
+      |c3 AS (
+      |  SELECT *,
+      |    min(click_ts)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vb
+      |  FROM c2)
+      |SELECT
+      |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)::BIGINT
+      |    AS n_view,
+      |  count(DISTINCT CASE WHEN click_ts IS NOT NULL THEN user_id END)::BIGINT
+      |    AS n_view_click,
+      |  count(DISTINCT CASE WHEN event_type = 'purchase' AND vb IS NOT NULL
+      |                 THEN user_id END)::BIGINT AS n_view_click_purchase
+      |FROM c3""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // q136: struct_pack's field order (ts, id, k) makes DuckDB's
@@ -1340,31 +1430,11 @@ object Analytics {
         |  count(*)::BIGINT AS n_users
         |FROM ev JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
-    "q121_funnel_steps" ->
-      """WITH c1 AS (
-        |  SELECT user_id, event_id, ts, event_type,
-        |    min(CASE WHEN event_type = 'view' THEN ts END)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS va
-        |  FROM events WHERE ts IS NOT NULL),
-        |c2 AS (
-        |  SELECT *, CASE WHEN event_type = 'click' AND va IS NOT NULL
-        |                 THEN ts END AS click_ts
-        |  FROM c1),
-        |c3 AS (
-        |  SELECT *,
-        |    min(click_ts)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vb
-        |  FROM c2)
-        |SELECT
-        |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)::BIGINT
-        |    AS n_view,
-        |  count(DISTINCT CASE WHEN click_ts IS NOT NULL THEN user_id END)::BIGINT
-        |    AS n_view_click,
-        |  count(DISTINCT CASE WHEN event_type = 'purchase' AND vb IS NOT NULL
-        |                 THEN user_id END)::BIGINT AS n_view_click_purchase
-        |FROM c3""".stripMargin,
+    "q121_funnel_steps" -> funnelOracleSql,
+    // q140 = q121 through the stateful ordered-replay engine + the
+    // (user, step) set-union lifecycle — same oracle on purpose, the
+    // q133 pattern
+    "q140_funnel_stream" -> funnelOracleSql,
     "q118_retention_cohorts" ->
       """WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events
         |           WHERE ts IS NOT NULL),

@@ -190,11 +190,59 @@ object Streams {
     * makes the downstream set-union sink replay-idempotent. */
   case class TransPair(user_id: Long, from_id: Long, to_id: Long,
       src: String, dst: String)
-  /** Per-user sequence state: events not yet passed by the watermark
-    * (still reorderable) + the last emitted event awaiting a successor.
-    * Events are (tsMillis, event_id, event_type). */
-  case class TransState(buffer: Seq[(Long, Long, String)],
-      tail: Option[(Long, Long, String)])
+  /** Per-user ordered-replay state shared by every streaming sequence
+    * operator: events not yet passed by the watermark (still
+    * reorderable, as (tsMillis, event_id, event_type)) + the operator's
+    * fold accumulator. */
+  case class SeqState[A](buffer: Seq[(Long, Long, String)], acc: A)
+
+  /** The buffer-until-watermark scaffold every streaming SEQUENCE
+    * operator shares: "next event" / "prior event" are undefined until
+    * no earlier event can still arrive, so events buffer in state until
+    * the watermark passes them; each invocation replays the ripe slice
+    * in (ts, event_id) order — the q121/q124/q127 total order — through
+    * the operator's per-user FOLD, retains (accumulator + unripe
+    * buffer), and re-arms the event-time timeout to the earliest
+    * buffered timestamp (EventTimeTimeout clears on every invocation —
+    * without the re-arm a buffered event would wait for the user's NEXT
+    * event instead of the watermark). Factored out of transitionPairs
+    * when the funnel arrived: the subtle parts (ripe partition line,
+    * re-arm max(min, wm+1), in-order replay) must not drift between
+    * sequence operators. */
+  private def orderedFold[A, O](
+      events: org.apache.spark.sql.Dataset[TransEvent], delay: String,
+      init: A)(fold: (Long, A, (Long, Long, String)) => (A, Seq[O]))(
+      implicit stateEnc: org.apache.spark.sql.Encoder[SeqState[A]],
+      outEnc: org.apache.spark.sql.Encoder[O])
+      : org.apache.spark.sql.Dataset[O] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState[A], O](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[TransEvent], state: GroupState[SeqState[A]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(SeqState(Nil, init))
+          val buf = prev.buffer ++
+            rows.map(e => (e.ts.getTime, e.event_id, e.event_type))
+          val (ripe, wait) = buf.partition(_._1 <= wm)
+          var acc = prev.acc
+          val out = Seq.newBuilder[O]
+          ripe.sortBy(e => (e._1, e._2)).foreach { e =>
+            val (a2, os) = fold(uid, acc, e)
+            acc = a2
+            out ++= os
+          }
+          state.update(SeqState(wait, acc))
+          // re-arm the flush: EventTimeTimeout clears on every
+          // invocation, so a buffered event would otherwise wait for
+          // the user's NEXT event instead of the watermark
+          if (wait.nonEmpty)
+            state.setTimeoutTimestamp(math.max(wait.map(_._1).min, wm + 1))
+          out.result().iterator
+      }
+  }
 
   /** Streaming twin of the q127 transition pairs: reconstructs each
     * user's event SEQUENCE from out-of-order arrivals and emits every
@@ -223,29 +271,54 @@ object Streams {
       delay: String = "10 minutes")
       : org.apache.spark.sql.Dataset[TransPair] = {
     import events.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    events.withWatermark("ts", delay)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[TransState, TransPair](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, rows: Iterator[TransEvent], state: GroupState[TransState]) =>
-          val wm = state.getCurrentWatermarkMs()
-          val prev = state.getOption.getOrElse(TransState(Nil, None))
-          val buf = prev.buffer ++
-            rows.map(e => (e.ts.getTime, e.event_id, e.event_type))
-          val (ripe, wait) = buf.partition(_._1 <= wm)
-          val chain = prev.tail.toSeq ++ ripe.sortBy(e => (e._1, e._2))
-          val pairs = chain.sliding(2).collect {
-            case Seq(a, b) => TransPair(uid, a._2, b._2, a._3, b._3)
-          }.toSeq
-          state.update(TransState(wait, chain.lastOption))
-          // re-arm the flush: EventTimeTimeout clears on every
-          // invocation, so a buffered event would otherwise wait for
-          // the user's NEXT event instead of the watermark
-          if (wait.nonEmpty)
-            state.setTimeoutTimestamp(math.max(wait.map(_._1).min, wm + 1))
-          pairs.iterator
-      }
+    // fold accumulator = the last emitted event awaiting a successor;
+    // the tail persists with no timeout on purpose (see scaladoc above)
+    orderedFold[Option[(Long, Long, String)], TransPair](
+      events, delay, None) { (uid, tail, e) =>
+      (Some(e), tail.map(t => TransPair(uid, t._2, e._2, t._3, e._3)).toSeq)
+    }
+  }
+
+  /** One emitted funnel advance — a user completing step `step` of the
+    * q121 view→click→purchase funnel for the FIRST time. Uniquely keyed
+    * by (user_id, step): the fold emits each step at most once per
+    * user, so the set-union sink collapses at-least-once replays. */
+  case class FunnelStep(user_id: Long, step: Int)
+  /** The funnel fold accumulator: which qualifications are established
+    * by STRICTLY-PRIOR events (va = a view exists, vb = a qualified
+    * click exists — exactly q121's min-so-far marks collapsed to
+    * booleans) and which steps already emitted. */
+  case class FunnelAcc(va: Boolean, vb: Boolean,
+      s1: Boolean, s2: Boolean, s3: Boolean)
+
+  /** Streaming twin of the q121 ordered funnel: events replay through
+    * the [[orderedFold]] scaffold in exact (ts, event_id) order, and
+    * the fold advances each user's funnel — a click qualifies iff a
+    * view sits strictly before it in the total order (the accumulator
+    * state BEFORE the event, which is precisely q121's
+    * `ROWS UNBOUNDED PRECEDING AND 1 PRECEDING` frame), a purchase iff
+    * a qualified click does. State per user = the watermark buffer +
+    * five booleans; emitted volume ≤ 3 rows per user ever. Events of
+    * types outside the funnel alphabet fold as no-ops (which is what
+    * makes heartbeat/sentinel rows safe). */
+  def funnelAdvance(events: org.apache.spark.sql.Dataset[TransEvent],
+      delay: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[FunnelStep] = {
+    import events.sparkSession.implicits._
+    orderedFold[FunnelAcc, FunnelStep](
+      events, delay, FunnelAcc(false, false, false, false, false)) {
+      (uid, a, e) =>
+        val typ = e._3
+        val isView = typ == "view"
+        val q2 = typ == "click" && a.va
+        val q3 = typ == "purchase" && a.vb
+        val emits = Seq(
+          if (isView && !a.s1) Some(FunnelStep(uid, 1)) else None,
+          if (q2 && !a.s2) Some(FunnelStep(uid, 2)) else None,
+          if (q3 && !a.s3) Some(FunnelStep(uid, 3)) else None).flatten
+        (FunnelAcc(a.va || isView, a.vb || q2,
+          a.s1 || isView, a.s2 || q2, a.s3 || q3), emits)
+    }
   }
 
   /** Exactly-once per-batch publish into an append-style topic dir: each

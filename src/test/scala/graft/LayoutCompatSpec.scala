@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.functions.{DedupOps, PqOps, SimilarityOps, TextOps}
 import graft.operators.Bucketing
-import graft.sinks.{Hfs, MergeParquetSink, PhraseIndexSink, RetentionSink, SourceStatsSink, TransitionSink, VocabSink}
+import graft.sinks.{FunnelSink, Hfs, MergeParquetSink, PhraseIndexSink, RetentionSink, SourceStatsSink, TransitionSink, VocabSink}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -317,6 +317,15 @@ class LayoutCompatSpec extends SparkSpec {
     TransitionSink.compact(spark, trans)
     assert(TransitionSink.read(spark, trans)
       .as[(Long, Long, Long, String, String)].collect().toSet == tRead)
+
+    val fun = tmp("lc_funnel") + "/f"
+    val st = Seq((10L, 1), (10L, 2)).toDF("user_id", "step")
+    FunnelSink.writer(fun)(st, 0L)
+    val fRead = FunnelSink.read(spark, fun)
+      .as[(Long, Int)].collect().toSet
+    FunnelSink.compact(spark, fun)
+    assert(FunnelSink.read(spark, fun)
+      .as[(Long, Int)].collect().toSet == fRead)
   }
 
   // ---------------------------------------------------------------- merge sink

@@ -328,4 +328,110 @@ class StreamingSpec extends SparkSpec {
     graft.sinks.TransitionSink.compact(spark, loc)
     assert(readSet() == s1, "compaction changed the pair set")
   }
+
+  test("funnelAdvance: strictly-prior qualification — a click before any view never advances, same-ts earlier-id views qualify, steps emit once, heartbeats no-op") {
+    import Streams.{TransEvent, FunnelStep}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TransEvent]
+    val q = Streams.funnelAdvance(in.toDS(), "10 minutes").toDF()
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        // user 1: click BEFORE any view — must never open step 2
+        TransEvent(1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+        TransEvent(1L, ts("2024-01-01 10:01:00"), 2L, "view"),
+        // a purchase with no qualified click — step 3 stays shut
+        TransEvent(1L, ts("2024-01-01 10:02:00"), 3L, "purchase"),
+        TransEvent(1L, ts("2024-01-01 10:03:00"), 4L, "click"),
+        TransEvent(1L, ts("2024-01-01 10:04:00"), 5L, "purchase"),
+        // second conversions must NOT re-emit any step
+        TransEvent(1L, ts("2024-01-01 10:05:00"), 6L, "view"),
+        TransEvent(1L, ts("2024-01-01 10:06:00"), 7L, "click"),
+        TransEvent(1L, ts("2024-01-01 10:07:00"), 8L, "purchase"),
+        // user 2: view and click SHARE a ts — the smaller event_id
+        // view sits strictly before in the row order, so it qualifies
+        TransEvent(2L, ts("2024-01-01 10:00:00"), 10L, "view"),
+        TransEvent(2L, ts("2024-01-01 10:00:00"), 11L, "click"))
+      q.processAllAvailable()
+      in.addData(TransEvent(-1L, ts("2024-01-02 10:00:00"), -1L, "heartbeat"))
+      q.processAllAvailable()
+      in.addData(TransEvent(-2L, ts("2024-01-03 10:00:00"), -1L, "heartbeat"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_out").as[FunnelStep].collect().toSet
+      assert(got == Set(FunnelStep(1L, 1), FunnelStep(1L, 2),
+        FunnelStep(1L, 3), FunnelStep(2L, 1), FunnelStep(2L, 2)),
+        s"got $got")
+    } finally q.stop()
+  }
+
+  test("funnelAdvance over shuffled in-horizon arrivals == the batch funnel, for random event streams") {
+    import Streams.{TransEvent, FunnelStep}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val base = ts("2024-03-01 00:00:00").getTime
+    val events = (1 to 150).map { i =>
+      TransEvent(1L + rnd.nextInt(5),
+        new Timestamp(base + rnd.nextInt(3600) * 1000L), i.toLong,
+        Seq("view", "click", "purchase")(rnd.nextInt(3)))
+    }
+    val cuts = events.sortBy(e => (e.ts.getTime, e.event_id))
+      .grouped(50).map(c => rnd.shuffle(c)).toSeq
+    val in = MemoryStream[TransEvent]
+    val q = Streams.funnelAdvance(in.toDS(), "2 hours").toDF()
+      .writeStream.format("memory").queryName("funnel_rand_out")
+      .outputMode("append").start()
+    try {
+      cuts.foreach { c => in.addData(c); q.processAllAvailable() }
+      in.addData(TransEvent(-1L,
+        new Timestamp(base + 10L * 86400000L), -1L, "heartbeat"))
+      q.processAllAvailable()
+      in.addData(TransEvent(-2L,
+        new Timestamp(base + 20L * 86400000L), -1L, "heartbeat"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_rand_out").as[FunnelStep].collect().toSet
+      // independent fold over the batch total order
+      val want = events.groupBy(_.user_id).flatMap { case (u, es) =>
+        val s = es.sortBy(e => (e.ts.getTime, e.event_id))
+        var (va, vb) = (false, false)
+        val steps = scala.collection.mutable.Set.empty[Int]
+        s.foreach { e =>
+          val q2 = e.event_type == "click" && va
+          val q3 = e.event_type == "purchase" && vb
+          if (e.event_type == "view") steps += 1
+          if (q2) { steps += 2; vb = true }
+          if (q3) steps += 3
+          if (e.event_type == "view") va = true
+        }
+        steps.map(FunnelStep(u, _))
+      }.toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      // and the derived counts equal the batch q121 operator on the
+      // same frame — the full streaming-vs-batch equivalence
+      val ev = events.toSeq
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val batch = operators.Analytics.funnelStepsOver(ev)
+        .as[(Long, Long, Long)].collect().head
+      val counts = (got.count(_.step == 1).toLong,
+        got.count(_.step == 2).toLong, got.count(_.step == 3).toLong)
+      assert(counts == batch, s"stream $counts != batch $batch")
+    } finally q.stop()
+  }
+
+  test("FunnelSink: replayed batches and compaction preserve the step set") {
+    import spark.implicits._
+    val loc = java.nio.file.Files
+      .createTempDirectory("funnel-sink-spec").toString
+    def steps(rows: (Long, Int)*) = rows.toSeq.toDF("user_id", "step")
+    graft.sinks.FunnelSink.writer(loc)(steps((1L, 1)), 0L)
+    graft.sinks.FunnelSink.writer(loc)(steps((1L, 2), (2L, 1)), 1L)
+    graft.sinks.FunnelSink.writer(loc)(steps((1L, 2), (2L, 1)), 1L) // replay
+    def readSet() = graft.sinks.FunnelSink.read(spark, loc)
+      .as[(Long, Int)].collect().toSet
+    val s1 = readSet()
+    assert(s1 == Set((1L, 1), (1L, 2), (2L, 1)))
+    graft.sinks.FunnelSink.compact(spark, loc)
+    assert(readSet() == s1, "compaction changed the step set")
+  }
 }
