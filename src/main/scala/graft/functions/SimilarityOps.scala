@@ -1267,7 +1267,43 @@ object SimilarityOps {
         (-col("ng.nid")).as("neg_id"), col("ng.cos").as("neg_cos"))
   }
 
+  /** q141: embedding Gram-matrix diagnostics — the upper triangle of
+    * Σ x xᵀ over the corpus, the anisotropy/collapse monitor an
+    * embedding pipeline runs per model drop (a representation collapsing
+    * toward a cone shows up as off-diagonal mass long before retrieval
+    * metrics move; the diagonal is per-dimension power). Exactness is
+    * the q109/q114 lesson applied to second moments: a double-sum Gram
+    * is shuffle-order-dependent and can never hash an oracle, so values
+    * QUANTIZE first (floor(x·10⁶) — one identical double op then exact
+    * integers forever) and the cell sums run in decimal(38,0) (HUGEINT
+    * in the oracle), converted to double once at the end — both engines
+    * round-to-nearest the same exact integer. Scale shape: ONE scan,
+    * the per-row d(d+1)/2 pair explode feeds a partial aggregate whose
+    * state is the ≤d² grid, so the exchange carries grid×partitions
+    * rows — no join, no dims-keyed shuffle of the corpus. Per-row cost
+    * is inherently O(d²); at 100 TB the quantized products overflow
+    * int64 in the sum, which is why the accumulator is decimal(38,0)
+    * (exact to 1e38), not long. */
+  val embeddingGram: Q = (s, d) => embeddingGramOver(t(s, d, "embeddings"))
+
+  private[graft] def embeddingGramOver(emb: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val qv = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000.0)))
+    val pairs = flatten(transform(sequence(lit(0), size(col("qv")) - 1), i =>
+      transform(sequence(i, size(col("qv")) - 1), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("qv"), i + 1).cast(dec) *
+            element_at(col("qv"), j + 1).cast(dec)).as("p")))))
+    emb.select(qv.as("qv"))
+      .select(explode(pairs).as("e"))
+      .groupBy(col("e.i").cast("long").as("i"),
+        col("e.j").cast("long").as("j"))
+      .agg(sum(col("e.p")).cast("double").as("gram"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q141_embedding_gram" -> embeddingGram,
     "q134_triplet_mining" -> tripletMining,
     "q123_semantic_decontam" -> semanticDecontam,
     "q117_semantic_dedup" -> semanticDedup,
@@ -1552,6 +1588,23 @@ object SimilarityOps {
         |FROM q""".stripMargin,
     "q54_embedding_dups_lsh" -> bucketedDupOracle(128, 8, 0.35),
     "q70_hybrid_dedup" -> hybridDedupOracle(128, 8, 0.35),
+    // q141: identical quantization (one double multiply, then floor)
+    // and exact integer cell sums (HUGEINT here, decimal(38,0) on the
+    // Spark side) — the double conversion happens once, after the sum
+    "q141_embedding_gram" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+        |    AS qv
+        |  FROM embeddings),
+        |d AS (SELECT max(len(qv)) AS dims FROM q),
+        |g AS (SELECT unnest(range(0, (SELECT dims FROM d))) AS i)
+        |SELECT gi.i AS i, gj.i AS j,
+        |  CAST(sum(qv[gi.i + 1]::HUGEINT * qv[gj.i + 1]::HUGEINT)
+        |    AS DOUBLE) AS gram
+        |FROM q, g gi, g gj
+        |WHERE gj.i >= gi.i AND gi.i < len(qv) AND gj.i < len(qv)
+        |GROUP BY 1, 2""".stripMargin,
     // q134: same list_cosine_similarity + round-before-argmax as the
     // Spark side; row_number (cos DESC, vec_id) == max(struct(cos,-id))
     "q134_triplet_mining" ->

@@ -1048,6 +1048,84 @@ object Analytics {
         col("p").as("p_partkey"))
   }
 
+  /** q142: co-purchase affinity — "orders containing X also contain Y",
+    * the top-50 part pairs by basket co-occurrence (the recsys staple
+    * behind every 'frequently bought together' shelf). The scale
+    * discipline is the q69 one: pairs are emitted PER BASKET as
+    * C(n,2) over the basket's distinct sorted parts, with an explicit
+    * basket-size cap — a single degenerate mega-order must widen to at
+    * most cap² pairs, never blow up the stage (TPC-H baskets are ≤7, so
+    * the cap (32) never binds on the fixtures; the spec plants an
+    * over-cap basket to pin the refusal). The part×part matrix is never
+    * materialized: only observed pairs reach the combiner-collapsed
+    * count, and the cut is TakeOrdered with a full (n desc, p1, p2)
+    * tiebreak so the 50-row answer is deterministic in both engines. */
+  val coPurchase: Q = (s, d) => coPurchaseOver(t(s, d, "lineitem"))
+
+  private[graft] def coPurchaseOver(lineitem: DataFrame,
+      cap: Int = 32): DataFrame = {
+    val baskets = lineitem
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")).between(2, cap))
+    val pairs = flatten(transform(sequence(lit(0), size(col("parts")) - 2),
+      i => transform(sequence(i + 1, size(col("parts")) - 1), j =>
+        struct(element_at(col("parts"), i + 1).as("p1"),
+          element_at(col("parts"), j + 1).as("p2")))))
+    baskets.select(explode(pairs).as("e"))
+      .groupBy(col("e.p1").as("p1"), col("e.p2").as("p2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p1"), col("p2"))
+      .limit(50)
+  }
+
+  /** q143: churn/LTV feature assembly — the per-user training matrix a
+    * feature store materializes (recency, tenure, activity breadth,
+    * inter-event cadence, 30-day purchase stats, last action). ONE
+    * user-keyed aggregate, NO window: mean inter-event gap collapses to
+    * the closed form (last−first)/(n−1) in exact integer microseconds,
+    * and "last event type" is the max(struct(ts, id, type)) argmax
+    * trick (q136's), so the whole row assembles map-side. The global
+    * reference day is the one driver-free scalar (crossJoin(broadcast),
+    * the q128 convention). Distinct-day and distinct-type counts ride
+    * the same aggregate via Expand — bounded state per user. */
+  val userFeatures: Q = (s, d) => userFeaturesOver(t(s, d, "events"))
+
+  private[graft] def userFeaturesOver(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+    ev.crossJoin(broadcast(ref))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("n_active_days"),
+        countDistinct(col("event_type")).as("n_types"),
+        datediff(max(col("ref_day")), max(to_date(col("ts"))))
+          .as("recency_days"),
+        datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .as("tenure_days"),
+        max(col("us")).as("last_us"), min(col("us")).as("first_us"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("last_type"),
+        count(when(col("event_type") === "purchase" &&
+          datediff(col("ref_day"), to_date(col("ts"))) < 30, 1))
+          .as("purchases_30d"),
+        round(sum(when(col("event_type") === "purchase" &&
+          datediff(col("ref_day"), to_date(col("ts"))) < 30, col("value"))), 2)
+          .as("value_30d"))
+      .select(col("user_id"), col("n_events"), col("n_active_days"),
+        col("n_types"), col("recency_days").cast("long").as("recency_days"),
+        col("tenure_days").cast("long").as("tenure_days"),
+        when(col("n_events") > 1,
+          round((col("last_us") - col("first_us")).cast("double") /
+            lit(1000000.0) / (col("n_events") - 1).cast("double"), 6))
+          .as("mean_gap_sec"),
+        col("last_type"), col("purchases_30d"), col("value_30d"))
+  }
+
   private val profileColumns = Seq("doc_id", "text", "lang", "source", "n_chars")
 
   /** q130: column profiler — the Deequ/Glue-style data-quality summary
@@ -1118,6 +1196,8 @@ object Analytics {
   val queries: Map[String, Q] = Map(
     "q136_pit_state" -> pitStateJoin,
     "q140_funnel_stream" -> funnelStream,
+    "q142_copurchase" -> coPurchase,
+    "q143_user_features" -> userFeatures,
     "q137_winsorize" -> winsorize,
     "q138_dwell_time" -> dwellTime,
     "q139_negative_sample" -> negativeSample,
@@ -1195,6 +1275,53 @@ object Analytics {
       |FROM c3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q142: per-basket distinct-sorted C(n,2) with the same cap; the
+    // deterministic cut orders (n desc, p1, p2) in both engines
+    "q142_copurchase" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ok AS (SELECT l_orderkey FROM pp GROUP BY 1
+        |       HAVING count(*) BETWEEN 2 AND 32),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM pp a JOIN pp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok))
+        |SELECT p1, p2, count(*)::BIGINT AS n
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY n DESC, p1, p2 LIMIT 50""".stripMargin,
+    // q143: one user aggregate, no window — mean gap is the closed form
+    // (last−first)/(n−1) in exact micros; last_type is the struct argmax
+    "q143_user_features" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us,
+        |    (SELECT max(ts::DATE) FROM events WHERE ts IS NOT NULL)
+        |      AS ref_day
+        |  FROM events WHERE ts IS NOT NULL),
+        |a AS (
+        |  SELECT user_id,
+        |    count(*)::BIGINT AS n_events,
+        |    count(DISTINCT ts::DATE)::BIGINT AS n_active_days,
+        |    count(DISTINCT event_type)::BIGINT AS n_types,
+        |    (max(ref_day) - max(ts::DATE))::BIGINT AS recency_days,
+        |    (max(ts::DATE) - min(ts::DATE))::BIGINT AS tenure_days,
+        |    max(us) AS last_us, min(us) AS first_us,
+        |    (max(struct_pack(ts := ts, id := event_id,
+        |       typ := event_type))).typ AS last_type,
+        |    count(CASE WHEN event_type = 'purchase'
+        |          AND ref_day - ts::DATE < 30 THEN 1 END)::BIGINT
+        |      AS purchases_30d,
+        |    round(sum(CASE WHEN event_type = 'purchase'
+        |          AND ref_day - ts::DATE < 30 THEN value END), 2)
+        |      AS value_30d
+        |  FROM ev GROUP BY 1)
+        |SELECT user_id, n_events, n_active_days, n_types, recency_days,
+        |  tenure_days,
+        |  CASE WHEN n_events > 1 THEN
+        |    round((CAST(last_us - first_us AS DOUBLE) / 1000000.0)
+        |      / CAST(n_events - 1 AS DOUBLE), 6) END AS mean_gap_sec,
+        |  last_type, purchases_30d, value_30d
+        |FROM a""".stripMargin,
     // q136: struct_pack's field order (ts, id, k) makes DuckDB's
     // lexicographic struct max the same "latest prior change row" as the
     // Spark side; null k rides inside the struct (q129's current row),

@@ -353,6 +353,77 @@ class JourneyOpsSpec extends SparkSpec {
       s"got ${got("purchase")}")
   }
 
+  // ---- q141 embedding Gram ----
+
+  test("q141: quantized Gram equals an independent integer computation — upper triangle only, floor quantization, exact sums") {
+    val vecs = Seq(
+      Seq(0.5f, -0.25f, 1.0f),
+      Seq(-0.1f, 0.7f, 0.33f),
+      Seq(0.0f, -1.0f, 0.999999f))
+    val emb = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val res = functions.SimilarityOps.embeddingGramOver(emb)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val q = vecs.map(_.map(x => math.floor(x.toDouble * 1000000.0).toLong))
+    val want = (for (i <- 0 to 2; j <- i to 2) yield
+      (i.toLong, j.toLong) ->
+        q.map(v => BigInt(v(i)) * BigInt(v(j))).sum.toDouble).toMap
+    assert(res == want, s"got $res\nwant $want")
+    assert(res.keys.forall { case (i, j) => j >= i }, "lower triangle leaked")
+  }
+
+  // ---- q142 co-purchase ----
+
+  test("q142: baskets pair as sorted distinct C(n,2); singleton and over-cap baskets are refused; duplicate parts collapse") {
+    val li = Seq(
+      // order 1: parts {3, 1, 3} → distinct sorted {1, 3} → one pair
+      (1L, 3L), (1L, 1L), (1L, 3L),
+      // order 2: {1, 3, 5} → (1,3) (1,5) (3,5)
+      (2L, 1L), (2L, 3L), (2L, 5L),
+      // order 3: singleton — refused
+      (3L, 9L)) ++
+      // order 4: 40 distinct parts — OVER the 32 cap, refused entirely
+      (100L to 139L).map((4L, _))
+    val got = operators.Analytics
+      .coPurchaseOver(li.toDF("l_orderkey", "l_partkey"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L), (1L, 5L, 1L), (3L, 5L, 1L)),
+      s"got $got")
+  }
+
+  // ---- q143 user features ----
+
+  test("q143: closed-form mean gap, argmax last_type, 30-day purchase window edge, n=1 null gap, null-ts refused") {
+    val ev = Seq(
+      // user 1: three events over 2 days; last event decides last_type
+      // by (ts, id) — two share the final ts, larger id wins
+      (1L, 1L, "2024-01-01 00:00:00", "view", 1.0),
+      (2L, 1L, "2024-01-02 00:00:00", "purchase", 10.0),
+      (3L, 1L, "2024-01-03 00:00:00", "click", 0.0),
+      (4L, 1L, "2024-01-03 00:00:00", "view", 0.0),
+      // user 2: single event — mean gap NULL, zero tenure
+      (5L, 2L, "2024-01-30 12:00:00", "purchase", 5.0),
+      // user 3: purchase EXACTLY 30 days before ref — outside (<30)
+      (6L, 3L, "2023-12-31 23:00:00", "purchase", 7.0),
+      (7L, 3L, null, "purchase", 99.0)) // refused
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // ref_day = 2024-01-30
+    val got = operators.Analytics.userFeaturesOver(ev)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double], String,
+        Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    // user 1: gap = 2 days / 3 = 57600 s; purchase on 01-02 is 28 d
+    // before ref → inside the window
+    assert(got(1L) == ((1L, 4L, 3L, 3L, 27L, 2L, Some(57600.0), "view",
+      1L, Some(10.0))), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 1L, 1L, 0L, 0L, None, "purchase",
+      1L, Some(5.0))), s"got ${got(2L)}")
+    // 2023-12-31 → ref 2024-01-30 is exactly 30 days: excluded
+    assert(got(3L) == ((3L, 1L, 1L, 1L, 30L, 0L, None, "purchase",
+      0L, None)), s"got ${got(3L)}")
+  }
+
   // ---- q139 negative sampling ----
 
   test("q139: the candidate stream is the deterministic hash — interactions excluded, collisions keep min j, rank caps at 5") {

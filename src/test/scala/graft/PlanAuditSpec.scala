@@ -485,6 +485,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(sorts == 1, s"expected the one lead sort, got $sorts:\n$plan")
   }
 
+  test("q141 Gram: one embeddings scan, no join — the pair explode feeds a partial aggregate") {
+    val plan = executedPlan(functions.SimilarityOps.embeddingGram(spark, sf0001))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one embeddings scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the Gram must never self-join on vec_id:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"expected the in-plan pair explode:\n$plan")
+  }
+
+  test("q142 co-purchase: one lineitem scan, basket agg + pair agg exchanges, TakeOrdered cut") {
+    val plan = executedPlan(operators.Analytics.coPurchase(spark, sf0001))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one lineitem scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"),
+      s"co-purchase must pair per basket, never self-join lineitem:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-50 cut must be TakeOrdered, not sort+limit:\n$plan")
+  }
+
+  test("q143 user features: one events scan, no join beyond the 1-row ref-day broadcast, NO window") {
+    val df = operators.Analytics.userFeatures(spark, sf0001)
+    df.collect()
+    val nodes = walkPlan(df.queryExecution.executedPlan)
+    val scans = nodes.count(_.nodeName.contains("Scan parquet"))
+    assert(scans == 2, // events + the 1-row ref-day aggregate's own read
+      s"expected the events scan + ref-day scan, got $scans")
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      "the feature row must assemble in ONE aggregate, not window passes")
+    val bnlj = nodes.filter(_.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.size <= 1, s"only the ref-day crossJoin may nested-loop")
+  }
+
   test("q139 negative sampling: no user×catalog blowup — the only nested-loop is the 1-row count broadcast") {
     val df = operators.Analytics.negativeSample(spark, sf0001)
     df.collect()
