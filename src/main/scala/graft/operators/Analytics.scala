@@ -611,30 +611,16 @@ object Analytics {
     * twice (at-least-once replay), and the store is compacted before
     * __done. */
   private def ensureTransitionLifecycle(s: SparkSession, d: String): String =
+    // delay is NOT zero: with delay=0 a same-ts group straddling a cut
+    // boundary would sit exactly ON the next batch's watermark, where
+    // the engine's late-row strictness (< vs <=) decides whether the
+    // tie survives — 1 hour of slack keeps every cut-N event strictly
+    // inside the admission line, and the sentinels' +1/+2 days still
+    // flush everything (shared by all four sequence lifecycles)
     ensureOrderedFeedLifecycle(s, d, "transstream") { (feed, loc, schema) =>
-      val q = graft.streaming.Streams.transitionPairs(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .parquet(feed)
-          .as[graft.streaming.Streams.TransEvent](
-            org.apache.spark.sql.Encoders.product),
-        // NOT zero: with delay=0 a same-ts group straddling a cut
-        // boundary would sit exactly ON the next batch's watermark,
-        // where the engine's late-row strictness (< vs <=) decides
-        // whether the tie survives — 1 hour of slack keeps every
-        // cut-N event strictly inside the admission line, and the
-        // sentinels' +1/+2 days still flush everything
-        delay = "1 hour")
-        .toDF()
-        .writeStream
-        .option("checkpointLocation", s"$loc/__ckpt")
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
-          graft.sinks.TransitionSink.writer(s"$loc/store")(batch, bid)
-          if (bid == 1L) // at-least-once: duplicate one delivery
-            graft.sinks.TransitionSink.writer(s"$loc/store")(batch, bid)
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      graft.sinks.TransitionSink.compact(s, s"$loc/store")
+      runSeqLifecycle(s, feed, loc, schema)(ds =>
+        graft.streaming.Streams.transitionPairs(ds, delay = "1 hour").toDF())(
+        graft.sinks.TransitionSink.writer, graft.sinks.TransitionSink.compact)
     }
 
   /** Stages (once per fixture generation) the shared ordered-feed
@@ -643,7 +629,7 @@ object Analytics {
     * [[ensureTransitionLifecycle]] / [[ensureFunnelLifecycle]]).
     * Returns the store path. */
   private def ensureOrderedFeedLifecycle(s: SparkSession, d: String,
-      kind: String)(
+      kind: String, project: DataFrame => DataFrame = identity)(
       run: (String, String, org.apache.spark.sql.types.StructType) => Unit)
       : String =
     synchronized {
@@ -655,7 +641,7 @@ object Analytics {
         graft.sinks.Hfs.deleteRecursive(s, loc)
         val feed = s"$loc/__feed"
         new java.io.File(feed).mkdirs()
-        val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        val ev = project(t(s, d, "events")).filter(col("ts").isNotNull)
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
         val cutW = Window.orderBy(col("ts"), col("event_id"))
@@ -721,24 +707,88 @@ object Analytics {
     * because a single-event user emits no pair either way). */
   private def ensureFunnelLifecycle(s: SparkSession, d: String): String =
     ensureOrderedFeedLifecycle(s, d, "funnelstream") { (feed, loc, schema) =>
-      val q = graft.streaming.Streams.funnelAdvance(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .parquet(feed)
-          .as[graft.streaming.Streams.TransEvent](
-            org.apache.spark.sql.Encoders.product),
-        delay = "1 hour") // same slack argument as q133
-        .toDF()
-        .writeStream
-        .option("checkpointLocation", s"$loc/__ckpt")
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
-          graft.sinks.FunnelSink.writer(s"$loc/store")(batch, bid)
-          if (bid == 1L) // at-least-once: duplicate one delivery
-            graft.sinks.FunnelSink.writer(s"$loc/store")(batch, bid)
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      graft.sinks.FunnelSink.compact(s, s"$loc/store")
+      runSeqLifecycle(s, feed, loc, schema)(ds =>
+        graft.streaming.Streams.funnelAdvance(ds, delay = "1 hour").toDF())(
+        graft.sinks.FunnelSink.writer, graft.sinks.FunnelSink.compact)
     }
+
+  /** q144: the LIVE dwell report — q138's gap set produced by the
+    * dwellPairs fold (transitionPairs carrying time: the buffer holds
+    * event-time MICROS, so each emitted gap is bit-identical to the
+    * batch unix_micros difference) through its own set-union sink keyed
+    * (user_id, from_id). The report derives at read time; tails never
+    * emit, exactly the batch null-gap rows, so the oracle drops q138's
+    * n_events column (the store intentionally holds only attributed
+    * dwell — an event count is the q02 scan, not dwell state). */
+  val dwellStream: Q = (s, d) => {
+    val pairs = graft.sinks.DwellSink.read(s,
+      ensureOrderedFeedLifecycle(s, d, "dwellstream") { (feed, loc, schema) =>
+        runSeqLifecycle(s, feed, loc, schema)(ds =>
+          graft.streaming.Streams.dwellPairs(ds, delay = "1 hour").toDF())(
+          graft.sinks.DwellSink.writer, graft.sinks.DwellSink.compact)
+      })
+    pairs.groupBy(col("from_type"))
+      .agg(count(lit(1)).as("n_with_next"),
+        round(sum(col("gap_us")) / lit(1000000.0), 6).as("total_dwell_sec"),
+        round((sum(col("gap_us")) / lit(1000000.0)) / count(lit(1)), 6)
+          .as("mean_dwell_sec"))
+  }
+
+  /** q145: the LIVE point-in-time join — q136's as-of reads produced by
+    * the pitReads fold: by the time a purchase replays, the accumulator
+    * holds exactly the change rows strictly before it in the total
+    * order, so "state valid at the purchase" is an accumulator read
+    * with no interval bookkeeping. The staging adapter folds the change
+    * payload into the event-type tag ("change:<k>" / "purchase" /
+    * "other") — a production stream carries a typed column; the tag is
+    * the TransEvent envelope's one string field. Hash-equals the q136
+    * batch oracle. */
+  val pitStream: Q = (s, d) => {
+    val isChange = col("event_type").isin("signup", "click", "view")
+    val tagged = (ev: DataFrame) => ev.withColumn("event_type",
+      when(isChange, concat(lit("change:"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long")
+          .cast("string"), lit(""))))
+        .when(col("event_type") === "purchase", lit("purchase"))
+        .otherwise(lit("other")))
+    val reads = graft.sinks.PitSink.read(s,
+      ensureOrderedFeedLifecycle(s, d, "pitstream", tagged) {
+        (feed, loc, schema) =>
+          runSeqLifecycle(s, feed, loc, schema)(ds =>
+            graft.streaming.Streams.pitReads(ds, delay = "1 hour").toDF())(
+            graft.sinks.PitSink.writer, graft.sinks.PitSink.compact)
+      })
+    reads.select(col("event_id"), col("user_id"),
+      date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss")
+        .as("purchase_ts"),
+      col("state_version"), col("state_k"))
+  }
+
+  /** The shared stream-run step of every ordered-feed lifecycle: start
+    * the operator over the staged feed, duplicate batch 1's write
+    * (at-least-once), compact before __done. */
+  private def runSeqLifecycle(s: SparkSession, feed: String, loc: String,
+      schema: org.apache.spark.sql.types.StructType)(
+      op: org.apache.spark.sql.Dataset[graft.streaming.Streams.TransEvent]
+        => DataFrame)(
+      writer: String => (DataFrame, Long) => Unit,
+      compact: (SparkSession, String) => Unit): Unit = {
+    val q = op(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .as[graft.streaming.Streams.TransEvent](
+          org.apache.spark.sql.Encoders.product))
+      .writeStream
+      .option("checkpointLocation", s"$loc/__ckpt")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        writer(s"$loc/store")(batch, bid)
+        if (bid == 1L) // at-least-once: duplicate one delivery
+          writer(s"$loc/store")(batch, bid)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    compact(s, s"$loc/store")
+  }
 
   /** q129: SCD type-2 history build from the CDC stream — each upsert
     * (the q12 I/U op set) opens a version row; `lead(ts)` closes the
@@ -1198,6 +1248,8 @@ object Analytics {
     "q140_funnel_stream" -> funnelStream,
     "q142_copurchase" -> coPurchase,
     "q143_user_features" -> userFeatures,
+    "q144_dwell_stream" -> dwellStream,
+    "q145_pit_stream" -> pitStream,
     "q137_winsorize" -> winsorize,
     "q138_dwell_time" -> dwellTime,
     "q139_negative_sample" -> negativeSample,
@@ -1245,6 +1297,25 @@ object Analytics {
       |    (sum(count(*)) OVER (PARTITION BY event_type))::DOUBLE, 6) AS p
       |FROM o WHERE next_type IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
+
+  /** Shared by q136 (batch) and q145 (the streaming lifecycle) — the
+    * two must answer identically, so they share one oracle string. */
+  private val pitOracleSql: String =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    (max(CASE WHEN event_type IN ('signup','click','view') THEN
+      |        struct_pack(ts := ts, id := event_id,
+      |          k := CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |        END) OVER w) AS st,
+      |    CAST(count(CASE WHEN event_type IN ('signup','click','view')
+      |        THEN 1 END) OVER w AS BIGINT) AS state_version
+      |  FROM events WHERE ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  state_version, st.k AS state_k
+      |FROM c WHERE event_type = 'purchase'""".stripMargin
 
   /** Shared by q121 (batch) and q140 (the streaming lifecycle) — the
     * two must answer identically, so they share one oracle string. */
@@ -1326,22 +1397,29 @@ object Analytics {
     // lexicographic struct max the same "latest prior change row" as the
     // Spark side; null k rides inside the struct (q129's current row),
     // and NULL-struct field access stays NULL in both engines
-    "q136_pit_state" ->
-      """WITH c AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |    (max(CASE WHEN event_type IN ('signup','click','view') THEN
-        |        struct_pack(ts := ts, id := event_id,
-        |          k := CAST(json_extract_string(props, '$.k') AS BIGINT))
-        |        END) OVER w) AS st,
-        |    CAST(count(CASE WHEN event_type IN ('signup','click','view')
-        |        THEN 1 END) OVER w AS BIGINT) AS state_version
-        |  FROM events WHERE ts IS NOT NULL
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-        |SELECT event_id, user_id,
-        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-        |  state_version, st.k AS state_k
-        |FROM c WHERE event_type = 'purchase'""".stripMargin,
+    "q136_pit_state" -> pitOracleSql,
+    // q145 = q136 through the ordered-replay fold + the (user, event)
+    // set-union lifecycle — same oracle on purpose, the q133 pattern
+    "q145_pit_stream" -> pitOracleSql,
+    // q144 = q138's gap set via the dwell fold; the store holds only
+    // attributed dwells, so the report drops q138's n_events column
+    "q144_dwell_stream" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_ts, ts
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (
+        |  SELECT event_type,
+        |    least(date_diff('microsecond', ts, next_ts),
+        |          1800000000) AS gap_us
+        |  FROM l WHERE next_ts IS NOT NULL)
+        |SELECT event_type AS from_type, count(*)::BIGINT AS n_with_next,
+        |  round(CAST(sum(gap_us) AS DOUBLE) / 1000000.0, 6)
+        |    AS total_dwell_sec,
+        |  round((CAST(sum(gap_us) AS DOUBLE) / 1000000.0) / count(*), 6)
+        |    AS mean_dwell_sec
+        |FROM c GROUP BY 1""".stripMargin,
     // q137: the oracle ranks with a window PARTITION BY (fine at oracle
     // scale; the Spark side exists precisely to avoid that shape) but
     // the interpolation arithmetic is written operand-for-operand

@@ -192,9 +192,18 @@ object Streams {
       src: String, dst: String)
   /** Per-user ordered-replay state shared by every streaming sequence
     * operator: events not yet passed by the watermark (still
-    * reorderable, as (tsMillis, event_id, event_type)) + the operator's
-    * fold accumulator. */
+    * reorderable, as (tsMICROS, event_id, event_type)) + the operator's
+    * fold accumulator. Micros, not millis: the events fixture carries
+    * sub-millisecond timestamps, and a millis buffer would order two
+    * same-milli events of one user differently from the batch
+    * (ts, event_id) total order — and hand the dwell fold a truncated
+    * gap besides. */
   case class SeqState[A](buffer: Seq[(Long, Long, String)], acc: A)
+
+  /** Exact event-time micros of a Timestamp (getTime alone floors to
+    * millis; the sub-milli part lives in getNanos). */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
   /** The buffer-until-watermark scaffold every streaming SEQUENCE
     * operator shares: "next event" / "prior event" are undefined until
@@ -222,11 +231,11 @@ object Streams {
       .flatMapGroupsWithState[SeqState[A], O](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[TransEvent], state: GroupState[SeqState[A]]) =>
-          val wm = state.getCurrentWatermarkMs()
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
           val prev = state.getOption.getOrElse(SeqState(Nil, init))
           val buf = prev.buffer ++
-            rows.map(e => (e.ts.getTime, e.event_id, e.event_type))
-          val (ripe, wait) = buf.partition(_._1 <= wm)
+            rows.map(e => (micros(e.ts), e.event_id, e.event_type))
+          val (ripe, wait) = buf.partition(_._1 <= wmUs)
           var acc = prev.acc
           val out = Seq.newBuilder[O]
           ripe.sortBy(e => (e._1, e._2)).foreach { e =>
@@ -237,9 +246,13 @@ object Streams {
           state.update(SeqState(wait, acc))
           // re-arm the flush: EventTimeTimeout clears on every
           // invocation, so a buffered event would otherwise wait for
-          // the user's NEXT event instead of the watermark
+          // the user's NEXT event instead of the watermark. The timeout
+          // API is millis: floor the earliest buffered micro — it fires
+          // once the watermark strictly passes that milli, which is ≥
+          // the event's own micro, so the ripe line then admits it.
           if (wait.nonEmpty)
-            state.setTimeoutTimestamp(math.max(wait.map(_._1).min, wm + 1))
+            state.setTimeoutTimestamp(
+              math.max(wait.map(_._1).min / 1000L, wmUs / 1000L + 1))
           out.result().iterator
       }
   }
@@ -276,6 +289,66 @@ object Streams {
     orderedFold[Option[(Long, Long, String)], TransPair](
       events, delay, None) { (uid, tail, e) =>
       (Some(e), tail.map(t => TransPair(uid, t._2, e._2, t._3, e._3)).toSeq)
+    }
+  }
+
+  /** One emitted dwell attribution — event `from_id` owned the capped
+    * gap to its user's next event. Uniquely keyed by (user_id, from_id)
+    * like TransPair: each event owns at most one dwell. */
+  case class DwellPair(user_id: Long, from_id: Long, from_type: String,
+      gap_us: Long)
+
+  /** Streaming twin of the q138 dwell attribution: the transitionPairs
+    * fold carrying TIME — when the ordered replay chains event e onto
+    * the tail t, t's dwell is min(e.ts − t.ts, 30 min) in exact integer
+    * microseconds (the buffer holds event-time micros, so the gap is
+    * bit-identical to the batch `unix_micros` difference). A user's
+    * LAST event never emits — exactly the batch null-gap row. */
+  def dwellPairs(events: org.apache.spark.sql.Dataset[TransEvent],
+      delay: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[DwellPair] = {
+    import events.sparkSession.implicits._
+    orderedFold[Option[(Long, Long, String)], DwellPair](
+      events, delay, None) { (uid, tail, e) =>
+      (Some(e), tail.map { t =>
+        DwellPair(uid, t._2, t._3, math.min(e._1 - t._1, 1800000000L))
+      }.toSeq)
+    }
+  }
+
+  /** One emitted point-in-time state read — purchase `event_id` saw
+    * SCD2 state (version, k) at its timestamp. Uniquely keyed by
+    * (user_id, event_id): a purchase reads its state exactly once. */
+  case class PitRead(user_id: Long, event_id: Long, ts_us: Long,
+      state_version: Long, state_k: Option[Long])
+  /** The PIT fold accumulator: how many change rows precede the cursor
+    * and the k of the latest one (kSet distinguishes "no change yet"
+    * from "latest change carries null k" — q136's struct-max nuance). */
+  case class PitAcc(version: Long, k: Option[Long], kSet: Boolean)
+
+  /** Streaming twin of the q136 point-in-time state join: the ordered
+    * replay IS the as-of semantics — by the time a purchase folds, the
+    * accumulator holds exactly the change rows strictly before it in
+    * the (ts, event_id) total order, so "state valid at the purchase"
+    * is a read of the accumulator, with no interval bookkeeping at all.
+    * The k payload rides the event-type string as "change:<k>" /
+    * "change:" (the TransEvent envelope carries one tag field; a
+    * production stream would carry a typed column — the parsing is the
+    * adapter, not the operator). */
+  def pitReads(events: org.apache.spark.sql.Dataset[TransEvent],
+      delay: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[PitRead] = {
+    import events.sparkSession.implicits._
+    orderedFold[PitAcc, PitRead](events, delay, PitAcc(0L, None, false)) {
+      (uid, a, e) =>
+        e._3.split(":", -1) match {
+          case Array("change", k) =>
+            (PitAcc(a.version + 1, k.toLongOption, true), Nil)
+          case Array("purchase") =>
+            (a, Seq(PitRead(uid, e._2, e._1, a.version,
+              if (a.kSet) a.k else None)))
+          case _ => (a, Nil) // heartbeats and foreign types fold as no-ops
+        }
     }
   }
 

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.functions.{DedupOps, PqOps, SimilarityOps, TextOps}
 import graft.operators.Bucketing
-import graft.sinks.{FunnelSink, Hfs, MergeParquetSink, PhraseIndexSink, RetentionSink, SourceStatsSink, TransitionSink, VocabSink}
+import graft.sinks.{DwellSink, FunnelSink, Hfs, PitSink, MergeParquetSink, PhraseIndexSink, RetentionSink, SourceStatsSink, TransitionSink, VocabSink}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -326,6 +326,26 @@ class LayoutCompatSpec extends SparkSpec {
     FunnelSink.compact(spark, fun)
     assert(FunnelSink.read(spark, fun)
       .as[(Long, Int)].collect().toSet == fRead)
+
+    val dw = tmp("lc_dwell") + "/d"
+    val dp = Seq((10L, 1L, "view", 1500L))
+      .toDF("user_id", "from_id", "from_type", "gap_us")
+    DwellSink.writer(dw)(dp, 0L)
+    val dRead = DwellSink.read(spark, dw)
+      .as[(Long, Long, String, Long)].collect().toSet
+    DwellSink.compact(spark, dw)
+    assert(DwellSink.read(spark, dw)
+      .as[(Long, Long, String, Long)].collect().toSet == dRead)
+
+    val pit = tmp("lc_pit") + "/p"
+    val pv = Seq((10L, 7L, 123456789L, 2L, Option(5L)))
+      .toDF("user_id", "event_id", "ts_us", "state_version", "state_k")
+    PitSink.writer(pit)(pv, 0L)
+    val piRead = PitSink.read(spark, pit)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSet
+    PitSink.compact(spark, pit)
+    assert(PitSink.read(spark, pit)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSet == piRead)
   }
 
   // ---------------------------------------------------------------- merge sink

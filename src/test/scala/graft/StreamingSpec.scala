@@ -419,6 +419,108 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dwellPairs: exact MICROSECOND gaps — sub-milli timestamps neither reorder nor truncate; the 30-min cap holds; tails never emit") {
+    import Streams.{TransEvent, DwellPair}
+    implicit val sqlCtx = spark.sqlContext
+    // two events 1500 µs apart INSIDE one millisecond — a millis buffer
+    // would order them by event_id luck and report gap 0 or 1000 µs
+    def tsUs(base: String, us: Long): Timestamp = {
+      val t0 = ts(base) // second-aligned literal; setNanos REPLACES the
+      val t = new Timestamp(t0.getTime + (us / 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt) // whole fractional second
+      t
+    }
+    val in = MemoryStream[TransEvent]
+    val q = Streams.dwellPairs(in.toDS(), "10 minutes").toDF()
+      .writeStream.format("memory").queryName("dwell_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        // arrive REVERSED: the later-by-500µs event first
+        TransEvent(1L, tsUs("2024-01-01 10:00:00", 1500L), 2L, "click"),
+        TransEvent(1L, tsUs("2024-01-01 10:00:00", 0L), 1L, "view"),
+        // a 2-hour gap that must cap at 1800 s
+        TransEvent(1L, ts("2024-01-01 12:00:00"), 3L, "purchase"))
+      q.processAllAvailable()
+      in.addData(TransEvent(-1L, ts("2024-01-02 10:00:00"), -1L, "heartbeat"))
+      q.processAllAvailable()
+      in.addData(TransEvent(-2L, ts("2024-01-03 10:00:00"), -1L, "heartbeat"))
+      q.processAllAvailable()
+      val got = spark.table("dwell_out").as[DwellPair].collect().toSet
+      assert(got == Set(
+        DwellPair(1L, 1L, "view", 1500L),
+        DwellPair(1L, 2L, "click", 1800000000L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("dwellPairs over shuffled in-horizon arrivals == the batch capped gaps, for random event streams") {
+    import Streams.{TransEvent, DwellPair}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val base = ts("2024-03-01 00:00:00").getTime
+    val events = (1 to 150).map { i =>
+      TransEvent(1L + rnd.nextInt(5),
+        new Timestamp(base + rnd.nextInt(3600) * 1000L), i.toLong,
+        Seq("view", "click", "purchase")(rnd.nextInt(3)))
+    }
+    val cuts = events.sortBy(e => (e.ts.getTime, e.event_id))
+      .grouped(50).map(c => rnd.shuffle(c)).toSeq
+    val in = MemoryStream[TransEvent]
+    val q = Streams.dwellPairs(in.toDS(), "2 hours").toDF()
+      .writeStream.format("memory").queryName("dwell_rand_out")
+      .outputMode("append").start()
+    try {
+      cuts.foreach { c => in.addData(c); q.processAllAvailable() }
+      in.addData(TransEvent(-1L,
+        new Timestamp(base + 10L * 86400000L), -1L, "heartbeat"))
+      q.processAllAvailable()
+      in.addData(TransEvent(-2L,
+        new Timestamp(base + 20L * 86400000L), -1L, "heartbeat"))
+      q.processAllAvailable()
+      val got = spark.table("dwell_rand_out").as[DwellPair].collect().toSet
+      val want = events.groupBy(_.user_id).flatMap { case (u, es) =>
+        val s = es.sortBy(e => (e.ts.getTime, e.event_id))
+        s.zip(s.drop(1)).map { case (a, b) =>
+          DwellPair(u, a.event_id, a.event_type,
+            math.min((b.ts.getTime - a.ts.getTime) * 1000L, 1800000000L)) }
+      }.toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
+  test("pitReads: purchases read the accumulator — version 0 before any change, null-k change IS a state, tagged payload parses") {
+    import Streams.{TransEvent, PitRead}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TransEvent]
+    val q = Streams.pitReads(in.toDS(), "10 minutes").toDF()
+      .writeStream.format("memory").queryName("pit_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        TransEvent(1L, ts("2024-01-01 09:00:00"), 1L, "purchase"),
+        TransEvent(1L, ts("2024-01-01 10:00:00"), 2L, "change:5"),
+        TransEvent(1L, ts("2024-01-01 11:00:00"), 3L, "purchase"),
+        TransEvent(1L, ts("2024-01-01 12:00:00"), 4L, "change:"),
+        TransEvent(1L, ts("2024-01-01 13:00:00"), 5L, "purchase"),
+        TransEvent(1L, ts("2024-01-01 14:00:00"), 6L, "other"),
+        TransEvent(1L, ts("2024-01-01 15:00:00"), 7L, "purchase"))
+      q.processAllAvailable()
+      in.addData(TransEvent(-1L, ts("2024-01-02 10:00:00"), -1L, "heartbeat"))
+      q.processAllAvailable()
+      in.addData(TransEvent(-2L, ts("2024-01-03 10:00:00"), -1L, "heartbeat"))
+      q.processAllAvailable()
+      val got = spark.table("pit_out").as[PitRead].collect()
+        .map(r => r.event_id -> ((r.state_version, r.state_k))).toMap
+      assert(got == Map(
+        1L -> ((0L, None)),           // before any change
+        3L -> ((1L, Some(5L))),       // after change:5
+        5L -> ((2L, None)),           // null-k change IS the state
+        7L -> ((2L, None))),          // "other" folded as a no-op
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("FunnelSink: replayed batches and compaction preserve the step set") {
     import spark.implicits._
     val loc = java.nio.file.Files
