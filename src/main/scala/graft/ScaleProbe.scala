@@ -33,7 +33,7 @@ object ScaleProbe {
       "scored_match", "bm25_match",
       "training_order", "pq_build", "pq_probe", "probe_listing",
       "knn_join", "pq_knn_join", "knn_query_scaling", "bucketed_join",
-      "partitioned_fold", "skew")
+      "partitioned_fold", "skew", "grouped_quantile")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -770,6 +770,45 @@ object ScaleProbe {
       graft.operators.SkewJoin.saltedJoin(big, small, "k", 16)
         .write.format("noop").mode("overwrite").save()
       println(f"SKEW salted_join ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    // grouped exact quantiles under HOT-GROUP skew (the q137 claim):
+    // 95% of rows share one event_type, so the textbook per-group
+    // row_number window concentrates that group's every value in ONE
+    // task, while the range-rank form (repartitionByRange on
+    // (type, value, id) + zipWithIndex + per-type offsets) spreads the
+    // hot type across range partitions. Both compute identical bounds.
+    if (on("grouped_quantile")) {
+      for (n <- Seq(4000000L, 16000000L)) {
+        val ev = spark.range(n).select(
+          when(pmod(col("id"), lit(20)) =!= 0, lit("hot"))
+            .otherwise(concat(lit("t"), pmod(xxhash64(col("id")), lit(20))))
+            .as("event_type"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(1000000)) / 100.0)
+            .as("value"),
+          col("id").as("event_id")).persist()
+        ev.count()
+        def tm(name: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          println(f"SCALE n=$n%9d $name ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        }
+        tm("grouped_quantile_window") {
+          val w = Window.partitionBy(col("event_type"))
+            .orderBy(col("value"), col("event_id"))
+          ev.withColumn("r", org.apache.spark.sql.functions.row_number().over(w))
+            .withColumn("nn", count(lit(1)).over(
+              Window.partitionBy(col("event_type"))))
+            .filter(col("r") === floor((col("nn") - 1) * 0.05 + 1) ||
+              col("r") === ceil((col("nn") - 1) * 0.95 + 1))
+            .groupBy(col("event_type"))
+            .agg(min(col("value")), max(col("value")))
+            .write.format("noop").mode("overwrite").save()
+        }
+        tm("grouped_quantile_rangerank") {
+          graft.operators.Analytics.winsorizeOver(ev)
+            .write.format("noop").mode("overwrite").save()
+        }
+        ev.unpersist()
+      }
     }
     spark.stop()
   }
