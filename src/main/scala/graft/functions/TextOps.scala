@@ -51,6 +51,62 @@ object TextOps {
           .as("punct_ratio"),
         round(col("st")(3).cast("double") / col("st")(1), 4).as("stopword_ratio"))
 
+  /** q146: Gopher-style quality rule report — the published
+    * rule-of-thumb filters (Rae et al. 2021 §A1.1: word-count window,
+    * mean word length window, symbol-to-word ratio, bullet/ellipsis
+    * line fractions, alpha-word fraction, stopword floor) evaluated
+    * per document in ONE scan, rolled up to per-rule pass counts via
+    * the q131 explode-reshape. Every rule is list/arithmetic-only —
+    * no regex beyond a single [A-Za-z] class test — so the two engines
+    * compute identical booleans; ratios guard the empty denominator
+    * with an explicit CASE in BOTH engines (the q21 /0 lesson:
+    * Spark NULL vs DuckDB NaN). Rules with no interpolation hash
+    * exactly; the rolled-up pass_rate is one integer division under
+    * round(·,6). */
+  val gopherRules: Q = (s, d) => gopherRulesOver(t(s, d, "documents"))
+
+  private[graft] def gopherRulesOver(docs: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    val nWords = size(tk).cast("long")
+    val sumLen = aggregate(transform(tk, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val meanLen = when(nWords > 0, sumLen.cast("double") / nWords)
+    val hashes = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val dots = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val symRatio = when(nWords > 0,
+      (hashes + dots).cast("double") / nWords)
+    val alphaFrac = when(nWords > 0,
+      size(filter(tk, w => w.rlike("[A-Za-z]"))).cast("double") / nWords)
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("long")
+    val bulletFrac = when(nLines > 0,
+      size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ")))
+        .cast("double") / nLines)
+    val ellipsisFrac = when(nLines > 0,
+      size(filter(lines, l => l.endsWith("..."))).cast("double") / nLines)
+    val stopHits = size(filter(tk, w => w.isin(stopwords: _*))).cast("long")
+    val rules = Seq(
+      "word_count" -> (nWords >= 50 && nWords <= 100000),
+      "mean_word_length" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "symbol_ratio" -> (symRatio < 0.1),
+      "bullet_lines" -> (bulletFrac < 0.9),
+      "ellipsis_lines" -> (ellipsisFrac < 0.3),
+      "alpha_words" -> (alphaFrac > 0.8),
+      "stopword_floor" -> (stopHits >= 2))
+    val agg0 = docs.agg(count(lit(1)).as("n_docs"),
+      rules.map { case (n, c) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"__$n")
+      }: _*)
+    agg0.select(col("n_docs"), explode(array(rules.map { case (n, _) =>
+        struct(lit(n).as("rule"), col(s"__$n").as("n_pass"))
+      }: _*)).as("p"))
+      .select(col("p.rule"), col("n_docs"), col("p.n_pass"),
+        round(col("p.n_pass").cast("double") / col("n_docs"), 6)
+          .as("pass_rate"))
+  }
+
   /** Composable-HOF twin of qualityScore (TextStatsSpec proves bitwise
     * equality; the fused form is what runs in q21). */
   val qualityScoreHof: Q = (s, d) => {
@@ -1466,6 +1522,7 @@ object TextOps {
     "q126_dsir_resample" -> dsirResample,
     "q132_pmi_bigrams" -> pmiBigrams,
     "q135_bigram_lm" -> bigramLmQuality,
+    "q146_gopher_rules" -> gopherRules,
     "q125_heavy_tokens" -> heavyTokens,
     "q20_token_count" -> tokenCount,
     "q21_quality_score" -> qualityScore,
@@ -1633,6 +1690,65 @@ object TextOps {
         |JOIN uni u2 ON u2.token = string_split(bc.bigram, ' ')[2]
         |CROSS JOIN tot t
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    // q146: list/arithmetic-only rule parity — replace (not regex) for
+    // the symbol counts, one [A-Za-z] class test, CASE guards on every
+    // ratio denominator (the q21 /0 lesson), ELSE-0 on null rule results
+    "q146_gopher_rules" ->
+      """WITH s AS (
+        |  SELECT text, string_split(text, ' ') AS tk,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT
+        |    len(tk)::BIGINT AS n_words,
+        |    CASE WHEN len(tk) > 0 THEN
+        |      CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+        |        / len(tk)::BIGINT END AS mean_len,
+        |    CASE WHEN len(tk) > 0 THEN
+        |      ((length(text) - length(replace(text, '#', '')))
+        |       + (length(text) - length(replace(text, '...', ''))) / 3)
+        |        / len(tk)::BIGINT END AS sym_ratio,
+        |    CASE WHEN len(tk) > 0 THEN
+        |      CAST(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]')))
+        |        AS DOUBLE) / len(tk)::BIGINT END AS alpha_frac,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+        |        OR starts_with(l, '* '))) AS DOUBLE) / len(lines)::BIGINT
+        |      END AS bullet_frac,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+        |        AS DOUBLE) / len(lines)::BIGINT END AS ellipsis_frac,
+        |    len(list_filter(tk, w -> w IN
+        |      ('the','a','of','and','to','in')))::BIGINT AS stop_hits
+        |  FROM s),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS n_docs,
+        |    CAST(sum(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS word_count,
+        |    CAST(sum(CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS mean_word_length,
+        |    CAST(sum(CASE WHEN sym_ratio < 0.1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS symbol_ratio,
+        |    CAST(sum(CASE WHEN bullet_frac < 0.9 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bullet_lines,
+        |    CAST(sum(CASE WHEN ellipsis_frac < 0.3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ellipsis_lines,
+        |    CAST(sum(CASE WHEN alpha_frac > 0.8 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS alpha_words,
+        |    CAST(sum(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS stopword_floor
+        |  FROM m),
+        |u AS (
+        |  SELECT 'word_count' AS rule, n_docs, word_count AS n_pass FROM a
+        |  UNION ALL SELECT 'mean_word_length', n_docs, mean_word_length FROM a
+        |  UNION ALL SELECT 'symbol_ratio', n_docs, symbol_ratio FROM a
+        |  UNION ALL SELECT 'bullet_lines', n_docs, bullet_lines FROM a
+        |  UNION ALL SELECT 'ellipsis_lines', n_docs, ellipsis_lines FROM a
+        |  UNION ALL SELECT 'alpha_words', n_docs, alpha_words FROM a
+        |  UNION ALL SELECT 'stopword_floor', n_docs, stopword_floor FROM a)
+        |SELECT rule, n_docs, n_pass,
+        |  round(CAST(n_pass AS DOUBLE) / n_docs, 6) AS pass_rate
+        |FROM u""".stripMargin,
     // q135: q132's bigram CTE, add-one smoothing in the SAME operand
     // order as the Spark side ((c_xy + 1.0) / (c_x + v), ONE division)
     "q135_bigram_lm" ->

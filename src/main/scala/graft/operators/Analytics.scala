@@ -1176,6 +1176,83 @@ object Analytics {
         col("last_type"), col("purchases_30d"), col("value_30d"))
   }
 
+  /** q147: session-level rollup — sessions (the q36 30-minute gap cut),
+    * each reduced to (events, exact-micro duration, converted?), then
+    * ONE corpus summary row: session count, mean events, mean duration,
+    * conversion rate. All session arithmetic is exact integers; the
+    * three means are single double divisions of exact sums under
+    * round(·,6). Same scale shape as q36: one user shuffle + one sort
+    * feeds the session id cumsum, the per-session reduce combiner-
+    * collapses, and the final agg is one row. */
+  val sessionStats: Q = (s, d) => sessionStatsOver(t(s, d, "events"))
+
+  private[graft] def sessionStatsOver(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // same null-sequence refusal as the funnel (see funnelStepsOver)
+    val sessions = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("dur_us"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      round(sum(col("n_events")).cast("double") / count(lit(1)), 6)
+        .as("mean_events"),
+      round((sum(col("dur_us")).cast("double") / lit(1000000.0)) /
+        count(lit(1)), 6).as("mean_duration_sec"),
+      sum(col("converted")).as("n_converted"),
+      round(sum(col("converted")).cast("double") / count(lit(1)), 6)
+        .as("conversion_rate"))
+  }
+
+  /** q148: time-to-convert — for each user completing the q121 funnel,
+    * the exact-micro span from their first view to their FIRST
+    * qualified purchase, summarized as count/mean/min/max seconds. The
+    * cascade is q121's (va = earliest prior view, vb = earliest prior
+    * qualified click) plus one struct-min argmax per user (first
+    * conversion carries its own va — which IS the user's earliest
+    * view, being a min over a longer prefix). One user sort, no join;
+    * micros stay integers until three final divisions under
+    * round(·,6). */
+  val timeToConvert: Q = (s, d) => timeToConvertOver(t(s, d, "events"))
+
+  private[graft] def timeToConvertOver(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val conv = events.filter(col("ts").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withColumn("va",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("click_ts",
+        when(col("event_type") === "click" && col("va").isNotNull, col("ts")))
+      .withColumn("vb", min(col("click_ts")).over(w))
+      .filter(col("event_type") === "purchase" && col("vb").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("va"))).as("first"))
+      .select((unix_micros(col("first.ts")) -
+        unix_micros(col("first.va"))).as("dur_us"))
+    conv.agg(
+      count(lit(1)).as("n_converted"),
+      round((sum(col("dur_us")).cast("double") / lit(1000000.0)) /
+        count(lit(1)), 6).as("mean_sec"),
+      round(min(col("dur_us")).cast("double") / lit(1000000.0), 6)
+        .as("min_sec"),
+      round(max(col("dur_us")).cast("double") / lit(1000000.0), 6)
+        .as("max_sec"))
+  }
+
   private val profileColumns = Seq("doc_id", "text", "lang", "source", "n_chars")
 
   /** q130: column profiler — the Deequ/Glue-style data-quality summary
@@ -1250,6 +1327,8 @@ object Analytics {
     "q143_user_features" -> userFeatures,
     "q144_dwell_stream" -> dwellStream,
     "q145_pit_stream" -> pitStream,
+    "q147_session_stats" -> sessionStats,
+    "q148_time_to_convert" -> timeToConvert,
     "q137_winsorize" -> winsorize,
     "q138_dwell_time" -> dwellTime,
     "q139_negative_sample" -> negativeSample,
@@ -1346,6 +1425,74 @@ object Analytics {
       |FROM c3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q147: exact integer session arithmetic; three single divisions
+    // of exact sums under round(·,6); DuckDB epoch micros via date_diff
+    "q147_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events WHERE ts IS NOT NULL),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+        |      AS new_session
+        |  FROM e),
+        |g AS (
+        |  SELECT *, sum(new_session)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM f),
+        |s AS (
+        |  SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+        |    max(us) - min(us) AS dur_us,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM g GROUP BY 1, 2)
+        |SELECT count(*)::BIGINT AS n_sessions,
+        |  round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS mean_events,
+        |  round((CAST(sum(dur_us) AS DOUBLE) / 1000000.0) / count(*), 6)
+        |    AS mean_duration_sec,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
+        |    AS conversion_rate
+        |FROM s""".stripMargin,
+    // q148: q121's cascade CTEs + a struct-min first conversion; exact
+    // micros until the three final divisions
+    "q148_time_to_convert" ->
+      """WITH c1 AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS va
+        |  FROM events WHERE ts IS NOT NULL),
+        |c2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND va IS NOT NULL
+        |                 THEN ts END AS click_ts
+        |  FROM c1),
+        |c3 AS (
+        |  SELECT *,
+        |    min(click_ts)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vb
+        |  FROM c2),
+        |conv AS (
+        |  SELECT user_id,
+        |    min(struct_pack(ts := ts, id := event_id, va := va)) AS first
+        |  FROM c3
+        |  WHERE event_type = 'purchase' AND vb IS NOT NULL
+        |  GROUP BY 1),
+        |dur AS (
+        |  SELECT date_diff('microsecond', first.va, first.ts) AS dur_us
+        |  FROM conv)
+        |SELECT count(*)::BIGINT AS n_converted,
+        |  round((CAST(sum(dur_us) AS DOUBLE) / 1000000.0) / count(*), 6)
+        |    AS mean_sec,
+        |  round(CAST(min(dur_us) AS DOUBLE) / 1000000.0, 6) AS min_sec,
+        |  round(CAST(max(dur_us) AS DOUBLE) / 1000000.0, 6) AS max_sec
+        |FROM dur""".stripMargin,
     // q142: per-basket distinct-sorted C(n,2) with the same cap; the
     // deterministic cut orders (n desc, p1, p2) in both engines
     "q142_copurchase" ->

@@ -424,6 +424,92 @@ class JourneyOpsSpec extends SparkSpec {
       0L, None)), s"got ${got(3L)}")
   }
 
+  // ---- q146 Gopher rules ----
+
+  test("q146: each planted violation trips exactly its own rule; a clean doc passes all seven") {
+    val clean = ("the quick brown fox jumps over the lazy dog and runs " +
+      "to a forest in the night ") * 4
+    val docs = Seq(
+      (1L, clean.split(" ").take(60).mkString(" ")), // passes everything
+      (2L, "tiny doc the of"),                       // word_count fails (mean 3.0 is INCLUSIVE)
+      (3L, ("x " * 60).trim),            // mean (1.0) + stopword_floor fail
+      // 8 '#' symbols over 60 words = 0.133 > 0.1 — symbol_ratio only
+      (4L, (("# " * 8) + ("wonderful the of and " * 13)).trim),
+      // 60 digit-only words: alpha_frac 4/64 — alpha_words only
+      (5L, ("123 456 789 " * 20) + "the of and alpha"))
+      .toDF("doc_id", "text")
+    val got = functions.TextOps.gopherRulesOver(docs)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got("word_count") == 4L, s"got $got")       // doc 2 fails
+    assert(got("mean_word_length") == 4L, s"got $got") // doc 3 fails
+    assert(got("symbol_ratio") == 4L, s"got $got")     // doc 4 fails
+    assert(got("stopword_floor") == 4L, s"got $got")   // doc 3 fails
+    assert(got("alpha_words") == 4L, s"got $got")      // doc 5 fails
+    assert(got("bullet_lines") == 5L && got("ellipsis_lines") == 5L)
+  }
+
+  test("q146: bullet and ellipsis line fractions count LINES, not words") {
+    val bullets = (1 to 9).map(i => s"- item $i").mkString("\n") + "\nplain"
+    val dots = "a line...\nanother...\nplain one\nlast line here"
+    val docs = Seq((1L, bullets), (2L, dots)).toDF("doc_id", "text")
+    val got = functions.TextOps.gopherRulesOver(docs)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // doc 1: 9/10 bullet lines = 0.9, NOT < 0.9 → fails; doc 2 passes
+    assert(got("bullet_lines") == 1L, s"got $got")
+    // doc 2: 2/4 ellipsis lines = 0.5 ≥ 0.3 → fails; doc 1 passes
+    assert(got("ellipsis_lines") == 1L, s"got $got")
+  }
+
+  // ---- q147 session stats ----
+
+  test("q147: the 30-minute gap cuts sessions; duration/means are exact; conversion marks the session, not the user") {
+    val ev = Seq(
+      // user 1, session A: 3 events over 10 min, one purchase
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:05:00", "purchase"),
+      (3L, 1L, "2024-01-01 10:10:00", "click"),
+      // 31-minute silence → session B: 1 event, no purchase
+      (4L, 1L, "2024-01-01 10:41:00", "view"),
+      // user 2: a 30:00 gap exactly is NOT > 30 min → same session
+      (5L, 2L, "2024-01-01 00:00:00", "view"),
+      (6L, 2L, "2024-01-01 00:30:00", "view"),
+      (7L, 2L, null, "purchase"))                    // refused
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = operators.Analytics.sessionStatsOver(ev)
+      .as[(Long, Double, Double, Long, Double)].collect().head
+    // sessions: (3 ev, 600 s, conv), (1 ev, 0 s), (2 ev, 1800 s)
+    assert(got == ((3L, 2.0, 800.0, 1L,
+      BigDecimal(1.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)), s"got $got")
+  }
+
+  // ---- q148 time to convert ----
+
+  test("q148: duration spans first view → FIRST qualified purchase; unqualified purchases never convert") {
+    val ev = Seq(
+      // user 1 converts: view 10:00 → click 10:05 → purchase 10:20,
+      // then a later purchase that must NOT win (first conversion only)
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:05:00", "click"),
+      (3L, 1L, "2024-01-01 10:20:00", "purchase"),
+      (4L, 1L, "2024-01-01 11:00:00", "purchase"),
+      // user 2: purchase before any click — no conversion
+      (5L, 2L, "2024-01-01 09:00:00", "view"),
+      (6L, 2L, "2024-01-01 09:10:00", "purchase"),
+      // user 3: click before view — the click never qualifies
+      (7L, 3L, "2024-01-01 08:00:00", "click"),
+      (8L, 3L, "2024-01-01 08:10:00", "view"),
+      (9L, 3L, "2024-01-01 08:20:00", "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = operators.Analytics.timeToConvertOver(ev)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(got == ((1L, 1200.0, 1200.0, 1200.0)), s"got $got")
+  }
+
   // ---- q139 negative sampling ----
 
   test("q139: the candidate stream is the deterministic hash — interactions excluded, collisions keep min j, rank caps at 5") {
