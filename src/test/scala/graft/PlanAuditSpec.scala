@@ -485,14 +485,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(sorts == 1, s"expected the one lead sort, got $sorts:\n$plan")
   }
 
-  test("q141 Gram: one embeddings scan, no join — the pair explode feeds a partial aggregate") {
+  test("q141 Gram: one embeddings scan, flat posexplode into the pos-keyed aggregate; the ONLY join is the broadcast (pos→i,j) map onto the grid") {
     val plan = executedPlan(functions.SimilarityOps.embeddingGram(spark, sf0001))
     val scans = "FileScan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected one embeddings scan, got $scans:\n$plan")
-    assert(!plan.contains("Join"),
-      s"the Gram must never self-join on vec_id:\n$plan")
-    assert(plan.contains("Generate explode"),
-      s"expected the in-plan pair explode:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
+      s"the Gram must never self-join the corpus:\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj == 1,
+      s"exactly the grid-sized (pos→i,j) broadcast join, got $bhj:\n$plan")
+    assert(plan.contains("Generate posexplode"),
+      s"expected the flat in-plan pair explode:\n$plan")
   }
 
   test("q142 co-purchase: one lineitem scan, basket agg + pair agg exchanges, TakeOrdered cut") {
