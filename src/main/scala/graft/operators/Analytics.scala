@@ -1205,6 +1205,14 @@ object Analytics {
         (max(col("us")) - min(col("us"))).as("dur_us"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("converted"))
+    sessionSummaryOf(sessions)
+  }
+
+  /** The corpus summary over any session frame carrying
+    * (n_events, dur_us, converted) — shared by q147 (batch gap cut)
+    * and the q149 sink read (whose sessions the streaming
+    * session_window finalized), so the two cannot drift. */
+  private[graft] def sessionSummaryOf(sessions: DataFrame): DataFrame =
     sessions.agg(
       count(lit(1)).as("n_sessions"),
       round(sum(col("n_events")).cast("double") / count(lit(1)), 6)
@@ -1214,7 +1222,30 @@ object Analytics {
       sum(col("converted")).as("n_converted"),
       round(sum(col("converted")).cast("double") / count(lit(1)), 6)
         .as("conversion_rate"))
-  }
+
+  /** q149: LIVE session stats ≡ the q147 batch answer — through the
+    * BUILT-IN streaming session operator (see [[graft.streaming.Streams
+    * .sessionAgg]]: the one sequence twin that hand-rolls nothing,
+    * because gap sessions are exactly what `session_window` is for; the
+    * 30:00-exactly boundary is reconciled by an end-exclusive gap one
+    * microsecond wide of the batch `>`). Sessions land in their own
+    * set-union store keyed (user_id, start_us), finalized exactly once
+    * each; the q147 summary derives at read time through the shared
+    * rollup. */
+  val sessionStream: Q = (s, d) =>
+    // the user_id >= 0 filter lives at the READ: sentinels must reach
+    // the streaming aggregate un-filtered (Catalyst pushes a user
+    // filter below the watermark node, and un-watermarked sentinels
+    // leave every session in the last hour of event time unfinalized —
+    // see sessionAgg's scaladoc), so their own single-event sessions
+    // land in the store and are dropped here
+    sessionSummaryOf(graft.sinks.SessionSink.read(s,
+      ensureOrderedFeedLifecycle(s, d, "sessionstream") {
+        (feed, loc, schema) =>
+          runSeqLifecycle(s, feed, loc, schema)(ds =>
+            graft.streaming.Streams.sessionAgg(ds, delay = "1 hour"))(
+            graft.sinks.SessionSink.writer, graft.sinks.SessionSink.compact)
+      }).filter(col("user_id") >= 0))
 
   /** q148: time-to-convert — for each user completing the q121 funnel,
     * the exact-micro span from their first view to their FIRST
@@ -1329,6 +1360,7 @@ object Analytics {
     "q145_pit_stream" -> pitStream,
     "q147_session_stats" -> sessionStats,
     "q148_time_to_convert" -> timeToConvert,
+    "q149_session_stream" -> sessionStream,
     "q137_winsorize" -> winsorize,
     "q138_dwell_time" -> dwellTime,
     "q139_negative_sample" -> negativeSample,
@@ -1424,41 +1456,48 @@ object Analytics {
       |                 THEN user_id END)::BIGINT AS n_view_click_purchase
       |FROM c3""".stripMargin
 
+  /** Shared by q147 (batch gap cut) and q149 (the streaming
+    * session_window lifecycle) — identical answers by construction. */
+  private val sessionStatsOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_ts
+      |  FROM events WHERE ts IS NOT NULL),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+      |      AS new_session
+      |  FROM e),
+      |g AS (
+      |  SELECT *, sum(new_session)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_seq
+      |  FROM f),
+      |s AS (
+      |  SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+      |    max(us) - min(us) AS dur_us,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS converted
+      |  FROM g GROUP BY 1, 2)
+      |SELECT count(*)::BIGINT AS n_sessions,
+      |  round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS mean_events,
+      |  round((CAST(sum(dur_us) AS DOUBLE) / 1000000.0) / count(*), 6)
+      |    AS mean_duration_sec,
+      |  CAST(sum(converted) AS BIGINT) AS n_converted,
+      |  round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
+      |    AS conversion_rate
+      |FROM s""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // q147: exact integer session arithmetic; three single divisions
     // of exact sums under round(·,6); DuckDB epoch micros via date_diff
-    "q147_session_stats" ->
-      """WITH e AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS prev_ts
-        |  FROM events WHERE ts IS NOT NULL),
-        |f AS (
-        |  SELECT *, CASE WHEN prev_ts IS NULL
-        |      OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
-        |      AS new_session
-        |  FROM e),
-        |g AS (
-        |  SELECT *, sum(new_session)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS session_seq
-        |  FROM f),
-        |s AS (
-        |  SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
-        |    max(us) - min(us) AS dur_us,
-        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      AS converted
-        |  FROM g GROUP BY 1, 2)
-        |SELECT count(*)::BIGINT AS n_sessions,
-        |  round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS mean_events,
-        |  round((CAST(sum(dur_us) AS DOUBLE) / 1000000.0) / count(*), 6)
-        |    AS mean_duration_sec,
-        |  CAST(sum(converted) AS BIGINT) AS n_converted,
-        |  round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
-        |    AS conversion_rate
-        |FROM s""".stripMargin,
+    "q147_session_stats" -> sessionStatsOracleSql,
+    // q149 = q147 through the built-in streaming session operator + the
+    // finalized-session lifecycle — same oracle on purpose
+    "q149_session_stream" -> sessionStatsOracleSql,
     // q148: q121's cascade CTEs + a struct-min first conversion; exact
     // micros until the three final divisions
     "q148_time_to_convert" ->

@@ -86,6 +86,40 @@ object Streams {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"))
 
+  /** q149's engine: the BUILT-IN streaming session operator doing the
+    * q36/q147 gap cut — where the orderedFold family hand-rolls
+    * sequence state, sessions are exactly what `session_window` exists
+    * for, so the live twin USES it (Spark-first) and only adapts the
+    * boundary: the batch cut keeps an event at EXACTLY prev+30:00 in
+    * the same session (`>` comparison), while session windows are
+    * end-exclusive — a gap of 30 minutes 1 microsecond makes the two
+    * agree at the events table's micro resolution. Sessions finalize
+    * (append mode) when the watermark passes their end, each exactly
+    * once. Sentinels are NOT filtered here — Catalyst pushes a
+    * user_id filter BELOW the watermark node (it doesn't reference the
+    * event-time column), and un-watermarked sentinels would leave every
+    * session in the last `delay` of event time unfinalized (measured:
+    * 25 events silently missing at sf0.01). A sentinel instead forms
+    * its own single-event session for its negative user, finalized by
+    * the NEXT sentinel, and the reader drops negative users. Emitted
+    * rows are deterministic aggregates of the session's events, so sink
+    * replays collapse by identity. */
+  def sessionAgg(events: org.apache.spark.sql.Dataset[TransEvent],
+      delay: String = "1 hour"): DataFrame = {
+    events.toDF()
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes 1 microsecond"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("dur_us"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"), col("dur_us"), col("converted"))
+  }
+
   /** A6/ST5 with explicit state: flatMapGroupsWithState dedup variant —
     * keeps the reference's Redis-set semantics literally (a per-mid set
     * of seen days with an idle-processing-time TTL), for cases where

@@ -521,6 +521,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionAgg: the built-in session operator matches the batch gap cut — 30:00-exactly merges, 30:00.000001 splits, sentinels form their own droppable sessions") {
+    import Streams.TransEvent
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TransEvent]
+    val q = Streams.sessionAgg(in.toDS(), "1 hour")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        // user 1: gap of EXACTLY 30:00 — same session in the batch cut
+        // (strict >), so the stream gap is 30 min + 1 µs end-exclusive
+        TransEvent(1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+        TransEvent(1L, ts("2024-01-01 10:30:00"), 2L, "purchase"),
+        // then 30:00.001 of silence — a NEW session
+        TransEvent(1L, new Timestamp(ts("2024-01-01 11:00:00").getTime + 1L),
+          3L, "click"),
+        TransEvent(2L, ts("2024-01-01 09:00:00"), 4L, "view"))
+      q.processAllAvailable()
+      in.addData(TransEvent(-1L, ts("2024-01-05 00:00:00"), -1L, "heartbeat"))
+      q.processAllAvailable()
+      in.addData(TransEvent(-2L, ts("2024-01-09 00:00:00"), -1L, "heartbeat"))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val t0us = ts("2024-01-01 10:00:00").getTime * 1000L
+      val expectReal = Set(
+        (1L, t0us, 2L, 1800000000L, 1L),
+        (1L, t0us + 3600001000L, 1L, 0L, 0L),
+        (2L, ts("2024-01-01 09:00:00").getTime * 1000L, 1L, 0L, 0L),
+        // the first sentinel's own session (finalized by the second);
+        // the q149 read drops negative users
+        (-1L, ts("2024-01-05 00:00:00").getTime * 1000L, 1L, 0L, 0L))
+      assert(got == expectReal, s"got $got")
+      assert(got.toSeq.filter(_._1 >= 0).map(_._3).sum == 4L)
+    } finally q.stop()
+  }
+
+  test("sessionAgg over random cut streams == the batch session rollup") {
+    import Streams.TransEvent
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    val base = ts("2024-03-01 00:00:00").getTime
+    // bursty users: gaps cluster near the 30-min line to stress the cut
+    val events = (1 to 120).map { i =>
+      TransEvent(1L + rnd.nextInt(4),
+        new Timestamp(base + rnd.nextInt(400) * 601000L), i.toLong,
+        Seq("view", "click", "purchase")(rnd.nextInt(3)))
+    }
+    val cuts = events.sortBy(e => (e.ts.getTime, e.event_id))
+      .grouped(40).map(c => rnd.shuffle(c)).toSeq
+    val in = MemoryStream[TransEvent]
+    val q = Streams.sessionAgg(in.toDS(), "2 hours")
+      .writeStream.format("memory").queryName("sess_rand_out")
+      .outputMode("append").start()
+    try {
+      cuts.foreach { c => in.addData(c); q.processAllAvailable() }
+      in.addData(TransEvent(-1L,
+        new Timestamp(base + 10L * 86400000L), -1L, "heartbeat"))
+      q.processAllAvailable()
+      in.addData(TransEvent(-2L,
+        new Timestamp(base + 20L * 86400000L), -1L, "heartbeat"))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_rand_out")
+        .filter(col("user_id") >= 0)
+      val gotSummary = operators.Analytics.sessionSummaryOf(sessions)
+        .as[(Long, Double, Double, Long, Double)].collect().head
+      val ev = events.toSeq.toDF("user_id", "ts", "event_id", "event_type")
+      val want = operators.Analytics.sessionStatsOver(ev)
+        .as[(Long, Double, Double, Long, Double)].collect().head
+      assert(gotSummary == want, s"stream $gotSummary != batch $want")
+    } finally q.stop()
+  }
+
   test("FunnelSink: replayed batches and compaction preserve the step set") {
     import spark.implicits._
     val loc = java.nio.file.Files
