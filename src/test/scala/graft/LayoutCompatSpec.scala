@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.functions.{DedupOps, PqOps, SimilarityOps, TextOps}
 import graft.operators.Bucketing
-import graft.sinks.{DwellSink, FunnelSink, Hfs, PitSink, MergeParquetSink, PhraseIndexSink, RetentionSink, SourceStatsSink, TransitionSink, VocabSink}
+import graft.sinks.{DwellSink, FunnelSink, Hfs, PitSink, SessionSink, MergeParquetSink, PhraseIndexSink, RetentionSink, SourceStatsSink, TransitionSink, VocabSink}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -336,6 +336,16 @@ class LayoutCompatSpec extends SparkSpec {
     DwellSink.compact(spark, dw)
     assert(DwellSink.read(spark, dw)
       .as[(Long, Long, String, Long)].collect().toSet == dRead)
+
+    val ses = tmp("lc_session") + "/s"
+    val sv = Seq((10L, 1000000L, 3L, 600000000L, 1L))
+      .toDF("user_id", "start_us", "n_events", "dur_us", "converted")
+    SessionSink.writer(ses)(sv, 0L)
+    val sesRead = SessionSink.read(spark, ses)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    SessionSink.compact(spark, ses)
+    assert(SessionSink.read(spark, ses)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet == sesRead)
 
     val pit = tmp("lc_pit") + "/p"
     val pv = Seq((10L, 7L, 123456789L, 2L, Option(5L)))
