@@ -1679,7 +1679,23 @@ object DedupOps {
   val dedupLabelsStream: Q = (s, d) =>
     graft.sinks.LabelSink.read(s, ensureLabelLifecycle(s, d))
 
+  /** q151: dup-cluster size histogram — the audit view a dedup run is
+    * judged by ("how much of the corpus is 2-way dups vs 1000-doc
+    * boilerplate blobs"): cluster sizes from the q62 closure, then the
+    * size histogram. Both rollups are grid-sized reduces over the
+    * labels frame; the closure itself is the shared hash-min engine,
+    * so the histogram rides the same oracle CTE extended by two GROUP
+    * BYs. A mega-cluster shows up here as one fat-size row — the
+    * q104 star-contraction escape hatch's early-warning gauge. */
+  val clusterSizeHistogram: Q = (s, d) =>
+    dedupClusters(s, d)
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   val queries: Map[String, Q] = Map(
+    "q151_cluster_sizes" -> clusterSizeHistogram,
     "q116_dedup_labels_stream" -> dedupLabelsStream,
     "q115_dedup_incremental" -> dedupIncremental,
     "q41_shingle_jaccard" -> shingleJaccardPairs,
@@ -1753,6 +1769,16 @@ object DedupOps {
           |  sum(l.n_chars)::BIGINT AS total_chars
           |FROM lab l JOIN rk k ON l.cluster_rep = k.cluster_rep AND k.rn = 1
           |GROUP BY l.cluster_rep""".stripMargin)),
+    // q151 = the closure's label table + two grid-sized rollups
+    "q151_cluster_sizes" ->
+      (closureOracleSql.replace("SELECT n AS doc_id, min(m) AS cluster_rep\nFROM reach GROUP BY n",
+        """, lab AS (
+          |  SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n),
+          |cs AS (
+          |  SELECT cluster_rep, count(*)::BIGINT AS cluster_size
+          |  FROM lab GROUP BY 1)
+          |SELECT cluster_size, count(*)::BIGINT AS n_clusters
+          |FROM cs GROUP BY 1""".stripMargin)),
     // q104 ≡ q62 through star contraction — same recursive-CTE oracle
     // on purpose: two algorithms, one answer, both hash-gated
     "q104_dedup_clusters_star" -> closureOracleSql,

@@ -1113,6 +1113,14 @@ object Analytics {
   val coPurchase: Q = (s, d) => coPurchaseOver(t(s, d, "lineitem"))
 
   private[graft] def coPurchaseOver(lineitem: DataFrame,
+      cap: Int = 32): DataFrame =
+    basketPairCountsOver(lineitem, cap)
+      .orderBy(col("n").desc, col("p1"), col("p2"))
+      .limit(50)
+
+  /** The capped basket-pair counts shared by q142 (global top pairs)
+    * and q150 (per-part shelf). */
+  private[graft] def basketPairCountsOver(lineitem: DataFrame,
       cap: Int = 32): DataFrame = {
     val baskets = lineitem
       .select(col("l_orderkey"), col("l_partkey"))
@@ -1126,8 +1134,28 @@ object Analytics {
     baskets.select(explode(pairs).as("e"))
       .groupBy(col("e.p1").as("p1"), col("e.p2").as("p2"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("p1"), col("p2"))
-      .limit(50)
+  }
+
+  /** q150: the "also bought" shelf — q142's pair counts symmetrized
+    * (each undirected pair serves both anchors) and cut to the top-3
+    * partners per part by (count desc, partner id). The window runs
+    * over the PAIR-COUNT frame — observed pairs only, already
+    * combiner-collapsed — never over baskets or lineitem, and the
+    * per-anchor group is bounded by the anchor's distinct co-purchase
+    * partners. This is the serving view a recommender materializes
+    * from q142's statistics. */
+  val alsoBought: Q = (s, d) => alsoBoughtOver(t(s, d, "lineitem"))
+
+  private[graft] def alsoBoughtOver(lineitem: DataFrame,
+      cap: Int = 32): DataFrame = {
+    val pc = basketPairCountsOver(lineitem, cap)
+    val sym = pc.select(col("p1").as("p"), col("p2").as("partner"), col("n"))
+      .unionAll(pc.select(col("p2").as("p"), col("p1").as("partner"), col("n")))
+    val w = Window.partitionBy(col("p"))
+      .orderBy(col("n").desc, col("partner"))
+    sym.withColumn("also_rank", row_number().over(w).cast("long"))
+      .filter(col("also_rank") <= 3)
+      .select(col("p"), col("also_rank"), col("partner"), col("n"))
   }
 
   /** q143: churn/LTV feature assembly — the per-user training matrix a
@@ -1361,6 +1389,7 @@ object Analytics {
     "q147_session_stats" -> sessionStats,
     "q148_time_to_convert" -> timeToConvert,
     "q149_session_stream" -> sessionStream,
+    "q150_also_bought" -> alsoBought,
     "q137_winsorize" -> winsorize,
     "q138_dwell_time" -> dwellTime,
     "q139_negative_sample" -> negativeSample,
@@ -1532,6 +1561,27 @@ object Analytics {
         |  round(CAST(min(dur_us) AS DOUBLE) / 1000000.0, 6) AS min_sec,
         |  round(CAST(max(dur_us) AS DOUBLE) / 1000000.0, 6) AS max_sec
         |FROM dur""".stripMargin,
+    // q150: q142's pair CTEs symmetrized + row_number per anchor
+    "q150_also_bought" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ok AS (SELECT l_orderkey FROM pp GROUP BY 1
+        |       HAVING count(*) BETWEEN 2 AND 32),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM pp a JOIN pp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)),
+        |pc AS (SELECT p1, p2, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT p1 AS p, p2 AS partner, n FROM pc
+        |  UNION ALL SELECT p2, p1, n FROM pc),
+        |rk AS (
+        |  SELECT p, partner, n,
+        |    row_number() OVER (PARTITION BY p ORDER BY n DESC, partner)
+        |      AS also_rank
+        |  FROM sym)
+        |SELECT p, also_rank::BIGINT AS also_rank, partner, n
+        |FROM rk WHERE also_rank <= 3""".stripMargin,
     // q142: per-basket distinct-sorted C(n,2) with the same cap; the
     // deterministic cut orders (n desc, p1, p2) in both engines
     "q142_copurchase" ->

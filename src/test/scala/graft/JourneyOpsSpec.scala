@@ -510,6 +510,23 @@ class JourneyOpsSpec extends SparkSpec {
     assert(got == ((1L, 1200.0, 1200.0, 1200.0)), s"got $got")
   }
 
+  // ---- q150 also-bought shelf ----
+
+  test("q150: the shelf is symmetric, top-3 by count with partner-id ties, and rides the capped pair counts") {
+    // baskets: {1,2} ×3, {1,3} ×2, {1,4}, {1,5} — part 1's shelf must
+    // rank 2 (n=3), 3 (n=2), then the TIE between 4 and 5 breaks to 4
+    val li = (Seq.fill(3)(Seq(1L, 2L)) ++ Seq.fill(2)(Seq(1L, 3L)) ++
+      Seq(Seq(1L, 4L), Seq(1L, 5L)))
+      .zipWithIndex.flatMap { case (parts, o) => parts.map((o.toLong, _)) }
+      .toDF("l_orderkey", "l_partkey")
+    val got = operators.Analytics.alsoBoughtOver(li)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.filter(_._1 == 1L) == Set(
+      (1L, 1L, 2L, 3L), (1L, 2L, 3L, 2L), (1L, 3L, 4L, 1L)), s"got $got")
+    // symmetry: part 2 sees part 1 back
+    assert(got.contains((2L, 1L, 1L, 3L)), s"got $got")
+  }
+
   // ---- q139 negative sampling ----
 
   test("q139: the candidate stream is the deterministic hash — interactions excluded, collisions keep min j, rank caps at 5") {
