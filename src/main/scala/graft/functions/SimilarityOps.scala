@@ -1308,7 +1308,17 @@ object SimilarityOps {
       .select(posexplode(prods).as(Seq("pos", "p")))
       .groupBy(col("pos"))
       .agg(sum(col("p").cast(dec)).cast("double").as("gram"))
-    val d = emb.select(size(col("embedding")).as("d")).head.getInt(0)
+    // corpus dimensionality via max(size), not an arbitrary row: the
+    // oracle derives d as max(len(qv)), and a first-sampled short row
+    // would silently truncate the (pos -> i,j) map's triangle. An empty
+    // embeddings table yields null here -> the empty grid, not a
+    // NoSuchElementException.
+    val dRow = emb.agg(max(size(col("embedding")))).head
+    if (dRow.isNullAt(0))
+      return emb.sparkSession.range(0).select(
+        col("id").as("i"), col("id").as("j"),
+        col("id").cast("double").as("gram"))
+    val d = dRow.getInt(0)
     val posMap = emb.sparkSession.range(1).select(
       posexplode(flatten(transform(sequence(lit(0), lit(d - 1)), i =>
         transform(sequence(i, lit(d - 1)), j =>

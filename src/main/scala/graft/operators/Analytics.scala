@@ -640,7 +640,7 @@ object Analytics {
       if (graft.sinks.Hfs.readString(s, s"$loc/__done").isEmpty) {
         graft.sinks.Hfs.deleteRecursive(s, loc)
         val feed = s"$loc/__feed"
-        new java.io.File(feed).mkdirs()
+        graft.sinks.Hfs.mkdirs(s, feed)
         val ev = project(t(s, d, "events")).filter(col("ts").isNotNull)
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
@@ -664,16 +664,21 @@ object Analytics {
           cut.filter(col("__cut") === i).drop("__cut")
             .sortWithinPartitions(col("ts"), col("event_id"))) ++
           Seq(sentinel(-1L, 86400000L), sentinel(-2L, 172800000L))
+        // staging through Hfs like every sink path (a bare java.io.File
+        // listing silently returns empty on a non-local default FS, and
+        // an assert-wrapped setLastModified is elided under
+        // -Xdisable-assertions — scrambling the arrival order instead
+        // of failing loudly)
         chunks.zipWithIndex.foreach { case (df, i) =>
           val stage = s"$loc/__stage$i"
           df.coalesce(1).write.parquet(stage)
-          val part = new java.io.File(stage).listFiles()
-            .filter(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet")).head
-          val target = new java.io.File(feed, f"c$i%02d.parquet")
-          java.nio.file.Files.move(part.toPath, target.toPath)
+          val part = graft.sinks.Hfs.childFiles(s, stage)
+            .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+            .head
+          val target = f"$feed/c$i%02d.parquet"
+          graft.sinks.Hfs.rename(s, s"$stage/$part", target)
           // the file source orders its backlog by mtime — pin it
-          assert(target.setLastModified(1000000000000L + i * 60000L))
+          graft.sinks.Hfs.setMtime(s, target, 1000000000000L + i * 60000L)
           graft.sinks.Hfs.deleteRecursive(s, stage)
         }
         run(feed, loc, ev.schema)
@@ -877,15 +882,25 @@ object Analytics {
   private[graft] def rfmSegmentsOver(events: DataFrame): DataFrame = {
     val ev = events.filter(col("ts").isNotNull)
     val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+    // monetary in EXACT quantized integers (the q141 pattern): a double
+    // sum(value) is shuffle-order-dependent at the ulp, and a per-user
+    // landing within an ulp of a .005 rounding boundary could round
+    // differently between the engines and SHIFT a quintile boundary.
+    // floor(value*1e6) is computed identically on identical doubles;
+    // the integer sum is exact in both engines, so the m-rank orders
+    // the identical quantity everywhere. Decimal(38,0) at the agg input
+    // for 100 TB headroom (a user needs ~9M purchases of ~1e3 value to
+    // overflow int64 micros — don't find out at scale).
     val per = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(max(to_date(col("ts"))).as("last_day"),
         count(lit(1)).as("frequency"),
-        round(sum(col("value")), 2).as("monetary"))
+        sum(floor(col("value") * lit(1000000.0)).cast("decimal(38,0)"))
+          .as("micros"))
       .crossJoin(broadcast(ref))
       .select(col("user_id"),
         datediff(col("ref_day"), col("last_day")).as("recency_days"),
-        col("frequency"), col("monetary"))
+        col("frequency"), col("micros"))
       .persist()
     val n = per.count() // bounded driver scalar: one long
     def quintile(name: String, keep: Seq[Column], sort: Column*) =
@@ -896,12 +911,15 @@ object Analytics {
       col("recency_days"), col("user_id")).drop("recency_days")
     val f = quintile("f_q", Seq(col("frequency")),
       col("frequency").desc, col("user_id")).drop("frequency")
-    val m = quintile("m_q", Seq(col("monetary")),
-      col("monetary").desc, col("user_id"))
+    val m = quintile("m_q", Seq(col("micros")),
+      col("micros").desc, col("user_id"))
     val grid = r.join(f, Seq("user_id")).join(m, Seq("user_id"))
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"),
-        round(sum(col("monetary")), 2).as("total_monetary"))
+        // round() touches only a deterministic double derived from the
+        // exact integer cell total — no order-dependent sum anywhere
+        round(sum(col("micros")).cast("double") / lit(1000000.0), 2)
+          .as("total_monetary"))
     // materialize the ≤k³-row grid so the per-user cache can be released
     // NOW (the rank RDDs' lineage re-reads `per` at execution time — a
     // lazily returned plan would either leak one cached copy per call
@@ -1816,17 +1834,18 @@ object Analytics {
         |per AS (
         |  SELECT user_id,
         |    (SELECT ref_day FROM ref) - max(ts::DATE) AS recency_days,
-        |    count(*) AS frequency, round(sum(value), 2) AS monetary
+        |    count(*) AS frequency,
+        |    sum(CAST(floor(value * 1000000) AS BIGINT)) AS micros
         |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
         |qs AS (
-        |  SELECT user_id, monetary,
+        |  SELECT user_id, micros,
         |    ntile(5) OVER (ORDER BY recency_days, user_id) AS r_q,
         |    ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_q,
-        |    ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_q
+        |    ntile(5) OVER (ORDER BY micros DESC, user_id) AS m_q
         |  FROM per)
         |SELECT r_q::BIGINT AS r_q, f_q::BIGINT AS f_q, m_q::BIGINT AS m_q,
         |  count(*)::BIGINT AS n_users,
-        |  round(sum(monetary), 2) AS total_monetary
+        |  round(sum(micros) / 1000000.0, 2) AS total_monetary
         |FROM qs GROUP BY 1, 2, 3""".stripMargin,
     // q129: one window spec carries row_number AND lead, the q12 I/U op
     // set selects the change events, strftime(NULL) stays NULL

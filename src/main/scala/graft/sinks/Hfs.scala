@@ -128,6 +128,25 @@ object Hfs {
     throw last
   }
 
+  def mkdirs(spark: SparkSession, path: String): Unit = {
+    val (f, p) = fs(spark, path)
+    if (!f.mkdirs(p))
+      throw new java.io.IOException(s"mkdirs $path failed")
+  }
+
+  /** Pin a file's modification time (mtime-ordered staging feeds). A
+    * bare `java.io.File.setLastModified` is local-FS-only and its
+    * boolean is silently elided under -Xdisable-assertions when wrapped
+    * in assert — this throws on any filesystem that refuses. */
+  def setMtime(spark: SparkSession, path: String, mtime: Long): Unit = {
+    val (f, p) = fs(spark, path)
+    f.setTimes(p, mtime, -1)
+    val got = f.getFileStatus(p).getModificationTime
+    if (got != mtime)
+      throw new java.io.IOException(
+        s"setMtime $path: wanted $mtime, filesystem reports $got")
+  }
+
   def deleteRecursive(spark: SparkSession, path: String): Unit = {
     val (f, p) = fs(spark, path)
     if (f.exists(p)) { f.delete(p, true): Unit }

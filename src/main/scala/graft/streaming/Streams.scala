@@ -269,7 +269,15 @@ object Streams {
           val prev = state.getOption.getOrElse(SeqState(Nil, init))
           val buf = prev.buffer ++
             rows.map(e => (micros(e.ts), e.event_id, e.event_type))
-          val (ripe, wait) = buf.partition(_._1 <= wmUs)
+          // STRICT ripe line, matching the engine's late-row admission:
+          // Spark drops a row only when its event time is strictly
+          // BELOW the watermark, so an event with ts exactly == wm can
+          // still arrive in a later batch — flushing boundary-equal
+          // events here (<=) would fold that late-but-admitted twin
+          // AFTER already-flushed equal/earlier events and break the
+          // (ts, event_id) replay order. Boundary-equal events wait one
+          // more watermark advance instead.
+          val (ripe, wait) = buf.partition(_._1 < wmUs)
           var acc = prev.acc
           val out = Seq.newBuilder[O]
           ripe.sortBy(e => (e._1, e._2)).foreach { e =>
@@ -282,8 +290,9 @@ object Streams {
           // invocation, so a buffered event would otherwise wait for
           // the user's NEXT event instead of the watermark. The timeout
           // API is millis: floor the earliest buffered micro — it fires
-          // once the watermark strictly passes that milli, which is ≥
-          // the event's own micro, so the ripe line then admits it.
+          // once the watermark strictly passes that milli, i.e.
+          // wmUs ≥ (milli+1)*1000 > the event's own micro, so the
+          // STRICT ripe line above then admits it.
           if (wait.nonEmpty)
             state.setTimeoutTimestamp(
               math.max(wait.map(_._1).min / 1000L, wmUs / 1000L + 1))
