@@ -87,6 +87,40 @@ object Bench {
       }
     }.toSet
 
+  /** The committed artifact's calibration base (same-sf only): the
+    * cross-round normalizer. Round 11 ran on a box ~2× slower than
+    * round 10 at identical single-thread calibration, and the verdict's
+    * regression table depended on a human remembering the PLANS note —
+    * this records the ratio mechanically. */
+  private[graft] def readCalibBase(text: String, sfDir: String): Option[Double] = {
+    val sfOk = s""""sf":"${java.util.regex.Pattern.quote(sfDir)}"""".r
+      .findFirstIn(text).isDefined
+    if (!sfOk) None
+    else """"calib_base":(-?[0-9.]+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toDouble).filter(_ > 0)
+  }
+
+  /** Per-query medians from a committed bench_detail.json (the floors'
+    * sibling) — the baseline for the normalized cross-round deltas. */
+  private[graft] def readMedians(text: String, sfDir: String): Map[String, Double] = {
+    val sfOk = s""""sf":"${java.util.regex.Pattern.quote(sfDir)}"""".r
+      .findFirstIn(text).isDefined
+    if (!sfOk) Map.empty
+    else """"(q[^"]+)":\{"min":-?[0-9.]+,"median":(-?[0-9.]+)""".r
+      .findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter(_._2 > 0).toMap
+  }
+
+  /** Box-normalized cross-round ratio: how much slower/faster a query
+    * is than the committed artifact AFTER dividing out the calibration
+    * swing (calibRatio = this run's calib_base / the artifact's).
+    * 1.0 = unchanged modulo the box; >1 = genuinely slower code/plan. */
+  private[graft] def normRatio(median: Double, prevMedian: Double,
+      calibRatio: Double): Double =
+    if (prevMedian <= 0 || median < 0 || calibRatio <= 0) -1.0
+    else (median / prevMedian) / calibRatio
+
   /** Per-query quiet-floor mins from a committed bench_detail.json —
     * the previous round's `"name":{"min":X,...}` entries, used only
     * when that artifact was recorded at the SAME sf dir (floors from
@@ -309,7 +343,6 @@ object Bench {
     // would LOWER the total, letting a crash masquerade as a fast run
     val total =
       if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
     // Skew handling measured, not asserted (ROADMAP's
     // skew-as-bench-metric): 4M rows with 90% of keys on one value
     // joined against a 100k dim with broadcast disabled — plain shuffle
@@ -359,17 +392,29 @@ object Bench {
     // only, like the extras block: a prefix-filtered profiling run
     // (`runMain graft.Bench q69`) must not clobber the round artifact
     // with a one-query file.
+    // cross-round normalization vs the committed artifact, recorded
+    // mechanically (task: no more prose-only box-generation notes): the
+    // calibration ratio divides out the box swing; each query also
+    // carries its normalized delta vs the committed median.
+    val prevCalib = prevDetail.flatMap(readCalibBase(_, sfDir))
+    val prevMedians = prevDetail.map(readMedians(_, sfDir)).getOrElse(Map.empty)
+    val calibRatio = prevCalib.map(calibBase / _).getOrElse(1.0)
     val detail = names.map { name =>
       val m = meas(name)
       val cal = math.max(m.calBefore, m.calAfter)
+      val norm = prevMedians.get(name)
+        .map(pm => normRatio(m.med(iters), pm, calibRatio))
+        .filter(_ > 0)
+        .map(r => s""","norm":${f"$r%.3f"}""").getOrElse("")
       s""""$name":{"min":${f"${m.min}%.3f"},"median":${f"${m.med(iters)}%.3f"},""" +
-        s""""calib":${f"$cal%.3f"},"contended":${flagged(name)},""" +
+        s""""calib":${f"$cal%.3f"},"contended":${flagged(name)}$norm,""" +
         s""""times":[${m.times.map(t => f"$t%.3f").mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val body =
       s"""{"total":${f"$total%.3f"},"iters":$iters,"cpus":$cpus,""" +
         s""""calib_base":${f"$calibBase%.3f"},""" +
         s""""calib_bound":${f"$calibBound%.3f"},""" +
+        s""""calib_ratio":${f"$calibRatio%.3f"},""" +
         s""""contended":[${contended.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""sf":"$sfDir","queries":$detail,"extras":$extras}""" + "\n"
     // Never clobber a QUIET committed artifact with a noisier run: if
@@ -401,6 +446,17 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
+    // The driver's one-line stdout contract, printed LAST: the capture
+    // keeps a bounded TAIL of stdout, and in earlier rounds the skew
+    // extras' Spark jobs pushed this line past the cut (BENCH_r10
+    // shipped "parsed":null) — nothing may print to stdout after it.
+    // Self-contained on purpose: total, every query's median, the
+    // contention verdict and the cross-round normalizer all survive
+    // even if the sidecar detail file is lost.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""iters":$iters,"contended":[${contended.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""calib_base":${f"$calibBase%.3f"},"calib_ratio":${f"$calibRatio%.3f"},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -74,6 +74,29 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.readFloors(text, "/root/testdata/sf0.01") == Map.empty)
   }
 
+  test("readCalibBase + readMedians + normRatio: the cross-round normalization is mechanical") {
+    val text =
+      """{"total":5.0,"iters":3,"calib_base":0.049,"contended":[],""" +
+        """"sf":"/root/testdata/sf0.1",""" +
+        """"queries":{"q1_agg":{"min":0.123,"median":0.200,"calib":0.1,""" +
+        """"contended":false,"times":[0.2]},"q41_x":{"min":0.590,""" +
+        """"median":-1.000,"calib":0.1,"contended":false,"times":[]}}}"""
+    assert(Bench.readCalibBase(text, "/root/testdata/sf0.1").contains(0.049))
+    // wrong sf → no normalizer (a ratio across scales is meaningless)
+    assert(Bench.readCalibBase(text, "/root/testdata/sf0.01").isEmpty)
+    // failed medians are dropped like failed floors
+    assert(Bench.readMedians(text, "/root/testdata/sf0.1") ==
+      Map("q1_agg" -> 0.200))
+    // the round-11 scenario: box 2× slower (calibRatio 2.0), query takes
+    // 2× wall-clock — normalized ratio 1.0, i.e. NOT a regression
+    assert(Bench.normRatio(0.4, 0.2, 2.0) == 1.0)
+    // same box (ratio 1), query 2× slower — a real regression shows 2.0
+    assert(Bench.normRatio(0.4, 0.2, 1.0) == 2.0)
+    // degenerate inputs report -1, never a fake ratio
+    assert(Bench.normRatio(0.4, 0.0, 1.0) == -1.0)
+    assert(Bench.normRatio(-1.0, 0.2, 1.0) == -1.0)
+  }
+
   test("readFloors drops failed (-1) entries") {
     val text = """"sf":"/d","queries":{"q1":{"min":-1.000,"median":-1.0},""" +
       """"q2":{"min":0.5,"median":0.5}}"""
