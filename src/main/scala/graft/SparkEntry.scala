@@ -19,6 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      streaming.OrderWideStream.queries ++
       operators.Bucketing.queries ++
       operators.Publisher.queries ++
       operators.Analytics.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
+      streaming.OrderWideStream.oracles ++
       operators.Bucketing.oracles ++
       operators.Publisher.oracles ++
       operators.Analytics.oracles ++
