@@ -1275,21 +1275,61 @@ object SimilarityOps {
     * the q109/q114 lesson applied to second moments: a double-sum Gram
     * is shuffle-order-dependent and can never hash an oracle, so values
     * QUANTIZE first (floor(x·10⁶) — one identical double op then exact
-    * integers forever) and the cell sums run in decimal(38,0) (HUGEINT
-    * in the oracle), converted to double once at the end — both engines
-    * round-to-nearest the same exact integer. Scale shape: ONE scan,
-    * the per-row d(d+1)/2 pair explode feeds a partial aggregate whose
-    * state is the ≤d² grid, so the exchange carries grid×partitions
-    * rows — no join, no dims-keyed shuffle of the corpus. Per-row cost
-    * is inherently O(d²); at 100 TB the quantized products overflow
-    * int64 in the sum, which is why the accumulator is decimal(38,0)
-    * (exact to 1e38), not long. */
+    * integers forever) and the cell sums run exactly (128-bit cells in
+    * the aggregator, HUGEINT in the oracle), converted to double once
+    * at the end — both engines round-to-nearest the same exact integer.
+    * Scale shape: ONE scan whose aggregation buffer IS the ≤d² grid
+    * ([[graft.expressions.GramGridAgg]]), so the exchange carries
+    * grid×partitions rows — no join, no dims-keyed shuffle of the
+    * corpus, no pair materialization. Per-row cost is inherently
+    * O(d²); at 100 TB the quantized products overflow int64 in the
+    * sum, which is why the cells are 128-bit (exact to ±1.7e38), not
+    * long. */
   val embeddingGram: Q = (s, d) => embeddingGramOver(t(s, d, "embeddings"))
 
+  /** The quantization both Gram forms and the oracle share. */
+  private def gramQv = transform(col("embedding"),
+    x => floor(x.cast("double") * lit(1000000.0)))
+
+  /** Current q141 engine: [[graft.expressions.GramGridAgg]] — one scan
+    * whose aggregation BUFFER is the exact 128-bit grid, so the 125 M
+    * triangular products at sf0.1 are never materialized as rows (the
+    * explode form below measured 2.3 s hot; this replaces its explode +
+    * 125 M-row hash aggregate with d(d+1)/2 in-place adds per row and a
+    * 32-partial grid merge). The (pos → i, j) map join is unchanged —
+    * grid-sized, broadcast. Equivalence with the explode form is pinned
+    * bit-exact in GramEquivalenceSpec; the oracle is the same HUGEINT
+    * SQL. */
   private[graft] def embeddingGramOver(emb: DataFrame): DataFrame = {
+    val grid = emb.select(gramQv.as("qv"))
+      .agg(graft.expressions.GramGridAgg.gram_grid(col("qv")).as("grid"))
+      .select(posexplode(col("grid")).as(Seq("pos", "gram")))
+    val dRow = emb.agg(max(size(col("embedding")))).head
+    if (dRow.isNullAt(0))
+      return emb.sparkSession.range(0).select(
+        col("id").as("i"), col("id").as("j"),
+        col("id").cast("double").as("gram"))
+    val d = dRow.getInt(0)
+    grid.join(broadcast(gramPosMap(emb.sparkSession, d)), "pos")
+      .select(col("ij.i").as("i"), col("ij.j").as("j"), col("gram"))
+  }
+
+  /** The (triangular position → i, j) broadcast map shared by both Gram
+    * forms — rebuilt from the SAME nested-sequence expression over one
+    * literal row. */
+  private def gramPosMap(s: SparkSession, d: Int): DataFrame =
+    s.range(1).select(
+      posexplode(flatten(transform(sequence(lit(0), lit(d - 1)), i =>
+        transform(sequence(i, lit(d - 1)), j =>
+          struct(i.cast("long").as("i"), j.cast("long").as("j"))))))
+        .as(Seq("pos", "ij")))
+
+  /** The round-11 explode form, kept as the equivalence REFERENCE for
+    * the aggregator (GramEquivalenceSpec pins bit-identical output) —
+    * and as the fallback shape documented in PLANS. */
+  private[graft] def embeddingGramExplodeOver(emb: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val qv = transform(col("embedding"),
-      x => floor(x.cast("double") * lit(1000000.0)))
+    val qv = gramQv
     // Hot-path shape, measured at sf0.1 (60k × 64d = 125M pairs):
     // the exploded row is ONE long (the product; quantized |q| ≲ 1e7 ⇒
     // product ≲ 1e14, far from int64) keyed by its triangular POSITION
@@ -1308,23 +1348,15 @@ object SimilarityOps {
       .select(posexplode(prods).as(Seq("pos", "p")))
       .groupBy(col("pos"))
       .agg(sum(col("p").cast(dec)).cast("double").as("gram"))
-    // corpus dimensionality via max(size), not an arbitrary row: the
-    // oracle derives d as max(len(qv)), and a first-sampled short row
-    // would silently truncate the (pos -> i,j) map's triangle. An empty
-    // embeddings table yields null here -> the empty grid, not a
-    // NoSuchElementException.
+    // corpus dimensionality via max(size) (the oracle's max(len)
+    // convention); empty table → the empty grid
     val dRow = emb.agg(max(size(col("embedding")))).head
     if (dRow.isNullAt(0))
       return emb.sparkSession.range(0).select(
         col("id").as("i"), col("id").as("j"),
         col("id").cast("double").as("gram"))
     val d = dRow.getInt(0)
-    val posMap = emb.sparkSession.range(1).select(
-      posexplode(flatten(transform(sequence(lit(0), lit(d - 1)), i =>
-        transform(sequence(i, lit(d - 1)), j =>
-          struct(i.cast("long").as("i"), j.cast("long").as("j"))))))
-        .as(Seq("pos", "ij")))
-    summed.join(broadcast(posMap), "pos")
+    summed.join(broadcast(gramPosMap(emb.sparkSession, d)), "pos")
       .select(col("ij.i").as("i"), col("ij.j").as("j"), col("gram"))
   }
 
