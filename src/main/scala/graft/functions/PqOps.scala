@@ -571,6 +571,21 @@ object PqOps {
     pqKnnJoin(s, path, queries, nprobe, topk)
   }
 
+  /** q153 support: the PQ kNN join at the recall report's parameters
+    * plus its generated oracle SQL — WITHOUT touching q96's oracle
+    * state (each query owns its model pin; a shared mutable state would
+    * let whichever query ran last rewrite the other's oracle). */
+  def knnJoinForRecall(s: SparkSession, d: String, nQueries: Int,
+      nprobe: Int, topk: Int): (DataFrame, String) = {
+    val path = ensurePqIndex(s, d)
+    val (cents, books) = loadModel(s, path)
+    val queries = t(s, d, "embeddings").filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    (pqKnnJoin(s, path, queries, nprobe, topk),
+      pqKnnOracle(nQueries, nprobe, topk, cents, books))
+  }
+
   /** The three-cut PQ ingest lifecycle for q107 — the q105 fold+tail
     * pattern applied to the one index family whose ingest path was
     * build-once. Realistic 100 TB shape: the frozen model is trained on

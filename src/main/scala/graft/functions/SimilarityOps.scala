@@ -650,6 +650,96 @@ object SimilarityOps {
   /** Model state for q95's generated oracle (the q42 pattern). */
   @volatile private var knnOracleState: Option[(Int, Int, Int, Array[Array[Double]])] = None
 
+  /** Model state for q153's generated oracle: (nQueries, k, ivf probe
+    * SQL, pq probe SQL). */
+  @volatile private var recallOracleState: Option[(Int, Int, String, String)] = None
+
+  /** q153: ANN recall@k as a DRIVER-MONITORED number — LSH recall is
+    * spec-pinned at fixture scale, but IVF/PQ probe recall vs the exact
+    * cosine ranking was previously nobody's metric: a quantizer
+    * regression (bad centroids, mis-encoded codes, a probe pruning the
+    * wrong cells) would keep q42/q94/q95/q96 green (they compare
+    * against the SAME probed model) while silently degrading retrieval.
+    * This query computes recall@10 per query for BOTH probe engines
+    * against the brute-force exact ranking (the q25 tiebreak
+    * convention: rounded cosine desc, neighbor_id), and the oracle
+    * recomputes it end-to-end in DuckDB from the same generated model
+    * literals. IvfSpec/PqSpec additionally assert recall floors so a
+    * regression turns a spec red, not just a number lower. Scale shape:
+    * the exact side is |queries|×corpus — a MONITOR over a bounded
+    * query panel (8 here), not a production query; the probes
+    * themselves stay partition-pruned. */
+  val annRecallReport: Q = (s, d) => {
+    import s.implicits._
+    val k = 10; val nQ = 8; val nprobe = 2
+    val path = ensureIvfIndex(s, d, 8, 1)
+    val ivfSql = knnOracle(nQ, nprobe, k, loadCentroids(s, path))
+    val (pqDf, pqSql) = PqOps.knnJoinForRecall(s, d, nQ, nprobe, k)
+    recallOracleState = Some((nQ, k, ivfSql, pqSql))
+    val emb = t(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val corpus = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val exact = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(fcos(col("v"), col("qv")), 6).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivfDf = ivfKnnJoin(s, path, queries, nprobe, k)
+    def hitsOf(probe: DataFrame, method: String) =
+      probe.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+        .withColumn("method", lit(method))
+    val hits = hitsOf(ivfDf, "ivf").unionByName(hitsOf(pqDf, "pq"))
+    queries.select(col("query_id"))
+      .crossJoin(Seq("ivf", "pq").toDF("method"))
+      .join(hits, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+  }
+
+  /** q153's oracle: the two probe engines' generated SQL as
+    * method-tagged subqueries, intersected with the brute-force exact
+    * top-k (same rounded-cosine/neighbor_id cut in both engines);
+    * recall = n_hit / k as one deterministic double division — no
+    * round() anywhere near the metric. */
+  private def recallOracle(nQueries: Int, k: Int, ivfSql: String,
+      pqSql: String): String =
+    s"""WITH probed AS (
+       |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ($ivfSql) ti
+       |  UNION ALL
+       |  SELECT 'pq' AS method, query_id, neighbor_id FROM ($pqSql) tp),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |exact AS (
+       |  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
+       |    SELECT q.qid, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+       |                 e.vec_id) AS rn
+       |    FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) s
+       |  WHERE rn <= $k),
+       |hits AS (
+       |  SELECT p.method, p.query_id, count(*)::BIGINT AS n_hit
+       |  FROM probed p JOIN exact x
+       |    ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+       |  GROUP BY 1, 2)
+       |SELECT m.method, qs.qid AS query_id,
+       |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |  coalesce(h.n_hit, 0) / $k.0 AS recall
+       |FROM (SELECT qid FROM q) qs
+       |CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'pq') m
+       |LEFT JOIN hits h ON h.method = m.method AND h.query_id = qs.qid""".stripMargin
+
   /** q95: the kNN join over the stored IVF index — queries are the
     * first 8 corpus vectors, top-5 neighbors each at nprobe=2. */
   def annKnnJoin(s: SparkSession, d: String, nQueries: Int = 8,
@@ -1376,6 +1466,7 @@ object SimilarityOps {
     "q54_embedding_dups_lsh" -> ((s, d) => embeddingDupsBucketed(s, d)),
     "q70_hybrid_dedup" -> hybridDedup,
     "q95_ann_knn_join" -> ((s, d) => annKnnJoin(s, d)),
+    "q153_ann_recall" -> annRecallReport,
   )
 
   /** q38's oracle is GENERATED: the deterministic hyperplanes are
@@ -1547,6 +1638,8 @@ object SimilarityOps {
     ivfOracleState.map { case (np, cs) => "q42_ann_ivf_topk" -> ivfOracle(np, cs) } ++
     knnOracleState.map { case (nq, np, tk, cs) =>
       "q95_ann_knn_join" -> knnOracle(nq, np, tk, cs) } ++
+    recallOracleState.map { case (nq, k, ivfSql, pqSql) =>
+      "q153_ann_recall" -> recallOracle(nq, k, ivfSql, pqSql) } ++
     semdedupOracleState.map { case (_, th, cs) =>
       "q117_semantic_dedup" -> semdedupOracle(th, cs) } ++
     semdecontamOracleState.map { case (nb, th, cs) =>

@@ -173,4 +173,18 @@ class IvfSpec extends SparkSpec {
     assert(indexed == (1L to 40L).toSet,
       s"malformed vectors leaked into the corpus: ${indexed -- (1L to 40L)}")
   }
+
+  test("q153 recall floor: IVF nprobe=2 recall@10 stays above the pinned floor") {
+    // measured on the current fixture generation: mean 0.94 / min 0.9
+    // at sf0.001 (0.90 / 0.7 at sf0.01). Floors sit well below the
+    // measured band but far above what a quantizer regression (bad
+    // centroids, wrong cell pruning) would produce — the q153 driver
+    // row reports the exact number; this turns a collapse RED.
+    val r = SimilarityOps.annRecallReport(spark, sf0001)
+      .filter(col("method") === "ivf")
+      .select("recall").as[Double].collect()
+    assert(r.length == 8)
+    assert(r.sum / r.length >= 0.75, s"ivf mean recall ${r.sum / r.length}")
+    assert(r.min >= 0.5, s"ivf min recall ${r.min}")
+  }
 }

@@ -351,4 +351,18 @@ class PqSpec extends SparkSpec {
     assert(top == Set(1L, 2L, 3L, 4L, 5L),
       s"near-dups lost under PQ: got $top")
   }
+
+  test("q153 recall floor: PQ ADC recall@10 stays above the pinned floor") {
+    // measured on the current fixture generation: mean 0.40 / min 0.2
+    // at sf0.001 (0.44 / 0.2 at sf0.01) — ADC over nprobe=2 of 8 cells
+    // on near-isotropic embeddings is honestly lossy; the floor catches
+    // a REGRESSION (garbage codes, broken codebooks drive recall toward
+    // the random-10-of-N floor ≈ 0), not a quality target.
+    val r = graft.functions.SimilarityOps.annRecallReport(spark, sf0001)
+      .filter(col("method") === "pq")
+      .select("recall").as[Double].collect()
+    assert(r.length == 8)
+    assert(r.sum / r.length >= 0.2, s"pq mean recall ${r.sum / r.length}")
+    assert(r.min >= 0.1, s"pq min recall ${r.min}")
+  }
 }
