@@ -33,7 +33,7 @@ object ScaleProbe {
       "scored_match", "bm25_match",
       "training_order", "pq_build", "pq_probe", "probe_listing",
       "knn_join", "pq_knn_join", "knn_query_scaling", "bucketed_join",
-      "partitioned_fold", "skew", "grouped_quantile")
+      "partitioned_fold", "skew", "grouped_quantile", "seq_state")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -808,6 +808,122 @@ object ScaleProbe {
             .write.format("noop").mode("overwrite").save()
         }
         ev.unpersist()
+      }
+    }
+
+    // orderedFold state envelope (round-12 verdict task 6): the
+    // sequence scaffold buffers each user's events until the watermark
+    // passes them, so state grows with (arrival lag + watermark delay)
+    // × per-user event rate — the analytic bound is
+    //   peak buffered events ≈ users × rate × (lag + delay)
+    // (every event is displaced ≤ lag in arrival, and flushes once the
+    // watermark — max arrival-seen ts of the PREVIOUS batch − delay —
+    // strictly passes it). This probe drives the REAL engine
+    // (transitionPairs via MemoryStream) with a deterministic
+    // adversarial arrival (each event delayed hash(id) % lag) at three
+    // lag settings, reads peak state memory from the streaming
+    // progress, and computes the EXACT rule-based peak buffer
+    // occupancy from the same arrival sequence — measured vs bound,
+    // per user. The 100 TB story this measures: state is NOT corpus-
+    // sized — it is a sliding window of undelivered order, and
+    // operators tolerate exactly as much disorder as the delay knob
+    // buys, at (rate × (lag+delay)) rows/user of state.
+    if (on("seq_state")) {
+      import graft.streaming.Streams
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val users = 50
+      val perUserEvents = 240 // one event / 2 min / user over 8 h
+      val stepSec = 120L
+      val delaySec = 600L // the operators' default "10 minutes"
+      val base = 1704067200000L
+      val nChunks = 40 // batch interval ≈ 12 min of arrival time
+      for (lagSec <- Seq(300L, 600L, 1800L)) {
+        // deterministic adversarial arrival: event k of user u carries
+        // ts = base + k·step and arrives at ts + hash % lag
+        val evs = (for {
+          u <- 0 until users
+          k <- 0 until perUserEvents
+        } yield {
+          val id = (u * perUserEvents + k).toLong
+          val tsMs = base + k * stepSec * 1000L
+          val jitter = (scala.util.hashing.MurmurHash3
+            .stringHash(s"$u:$k").toLong.abs % (lagSec * 1000L))
+          (Streams.TransEvent(u.toLong, new java.sql.Timestamp(tsMs), id,
+            if (k % 3 == 0) "view" else "click"), tsMs + jitter)
+        }).sortBy(_._2).map(_._1)
+        val chunks = evs.grouped(evs.size / nChunks + 1).toSeq
+        // EXACT rule-based replay of the same sequence: wm(c) = max ts
+        // arrived in chunks < c − delay (the engine computes batch N's
+        // watermark from batch N−1, initial wm = epoch); an arriving
+        // event with ts <= wm is DROPPED — the MEASURED fMGWS admission
+        // (the boundary experiment: at wm 11:50:00.000 exactly,
+        // 11:49:59.999 and 11:50:00.000 drop, 11:50:00.001 admits), so
+        // disorder past the delay is lost, not buffered; a buffered
+        // event flushes once ts < wm (the strict ripe line). With the
+        // measured rule the sim matches the engine's drop counter
+        // EXACTLY (5294 = 5294 at lag 1800 s) — the analytic model IS
+        // the engine's behavior, not an approximation.
+        var maxArr = Long.MinValue
+        var wmMs = 0L
+        var peakRows = 0
+        var droppedSim = 0
+        val buffered = scala.collection.mutable.ArrayBuffer[Long]()
+        chunks.foreach { c =>
+          wmMs = if (maxArr == Long.MinValue) 0L
+            else maxArr - delaySec * 1000L
+          c.foreach { e =>
+            maxArr = math.max(maxArr, e.ts.getTime)
+            if (e.ts.getTime <= wmMs) droppedSim += 1
+            else buffered += e.ts.getTime
+          }
+          val kept = buffered.filter(_ >= wmMs)
+          buffered.clear(); buffered ++= kept
+          peakRows = math.max(peakRows, kept.size)
+        }
+        // the real engine at the same arrival order: peak state bytes,
+        // state rows (one per user), watermark drops
+        val in = MemoryStream[Streams.TransEvent]
+        val q = Streams.transitionPairs(in.toDS(), s"$delaySec seconds")
+          .toDF().writeStream.format("noop")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft-seqstate").toString)
+          .outputMode("append").start()
+        var peakBytes = 0L
+        var peakStateRows = 0L
+        var droppedEngine = 0L
+        val seenBatches = scala.collection.mutable.Set[Long]()
+        try {
+          chunks.foreach { c =>
+            in.addData(c)
+            q.processAllAvailable()
+            // recentProgress, not lastProgress: one chunk can run
+            // several batches (data + timeout) and drops land on the
+            // DATA batch, which lastProgress may have already scrolled
+            // past
+            q.recentProgress.toSeq.foreach { p =>
+              if (seenBatches.add(p.batchId))
+                p.stateOperators.toSeq.foreach { so =>
+                  peakBytes = math.max(peakBytes, so.memoryUsedBytes)
+                  peakStateRows = math.max(peakStateRows, so.numRowsTotal)
+                  droppedEngine += so.numRowsDroppedByWatermark
+                }
+            }
+          }
+        } finally q.stop()
+        // analytic bound: every event is ≤ lag late and ≤ one batch
+        // interval + delay from being flushed, so
+        //   peak ≈ users × (batchSpan + delay + lag) / step
+        val batchSpanSec =
+          (perUserEvents * stepSec + lagSec) / nChunks
+        val bound =
+          users * (batchSpanSec + delaySec + lagSec) / stepSec + users
+        println(f"SCALE n=${evs.size}%9d seq_state_lag${lagSec}s " +
+          f"peak_buf_rows=$peakRows%6d bound=$bound%6d " +
+          f"rows_per_user=${peakRows.toDouble / users}%5.1f " +
+          f"dropped_sim=$droppedSim%5d dropped_engine=$droppedEngine%5d " +
+          f"state_rows=$peakStateRows%5d state_bytes=$peakBytes%9d")
       }
     }
     spark.stop()

@@ -1128,7 +1128,39 @@ object Analytics {
     * materialized: only observed pairs reach the combiner-collapsed
     * count, and the cut is TakeOrdered with a full (n desc, p1, p2)
     * tiebreak so the 50-row answer is deterministic in both engines. */
-  val coPurchase: Q = (s, d) => coPurchaseOver(t(s, d, "lineitem"))
+  val coPurchase: Q = (s, d) => {
+    val l = t(s, d, "lineitem")
+    logOverCapBaskets(l, 32, "q142_copurchase")
+    coPurchaseOver(l)
+  }
+
+  /** Telemetry companion of [[basketPairCountsOver]] — the
+    * cappedBandCandidates/hotBuckets convention: the baskets the pair
+    * cap REFUSES, with their sizes. On the TPC-H-ish fixtures baskets
+    * are ≤7 and this is empty; on a production corpus a single
+    * degenerate mega-basket (a 10⁵-part "order") would otherwise
+    * vanish silently — count and inspect these before trusting the
+    * shelf, and raise the cap or pre-split the basket deliberately. */
+  private[graft] def overCapBaskets(lineitem: DataFrame,
+      cap: Int = 32): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_parts"))
+      .filter(col("n_parts") > cap)
+
+  /** The q142/q150 query paths SURFACE refusals instead of silently
+    * truncating: one bounded aggregate (count + max over the refused
+    * set) per run, logged like the LSH hot-bucket companions. */
+  private def logOverCapBaskets(lineitem: DataFrame, cap: Int,
+      who: String): Unit = {
+    val over = overCapBaskets(lineitem, cap)
+      .agg(count(lit(1)).as("n"), max(col("n_parts")).as("largest"))
+      .collect()(0)
+    if (over.getLong(0) > 0)
+      System.err.println(s"[graft] $who: ${over.getLong(0)} basket(s) " +
+        s"over the pair cap ($cap) REFUSED — largest ${over.get(1)} " +
+        "parts; their pairs are not counted (inspect " +
+        "Analytics.overCapBaskets, then raise the cap or pre-split)")
+  }
 
   private[graft] def coPurchaseOver(lineitem: DataFrame,
       cap: Int = 32): DataFrame =
@@ -1162,7 +1194,11 @@ object Analytics {
     * per-anchor group is bounded by the anchor's distinct co-purchase
     * partners. This is the serving view a recommender materializes
     * from q142's statistics. */
-  val alsoBought: Q = (s, d) => alsoBoughtOver(t(s, d, "lineitem"))
+  val alsoBought: Q = (s, d) => {
+    val l = t(s, d, "lineitem")
+    logOverCapBaskets(l, 32, "q150_also_bought")
+    alsoBoughtOver(l)
+  }
 
   private[graft] def alsoBoughtOver(lineitem: DataFrame,
       cap: Int = 32): DataFrame = {

@@ -269,14 +269,18 @@ object Streams {
           val prev = state.getOption.getOrElse(SeqState(Nil, init))
           val buf = prev.buffer ++
             rows.map(e => (micros(e.ts), e.event_id, e.event_type))
-          // STRICT ripe line, matching the engine's late-row admission:
-          // Spark drops a row only when its event time is strictly
-          // BELOW the watermark, so an event with ts exactly == wm can
-          // still arrive in a later batch — flushing boundary-equal
-          // events here (<=) would fold that late-but-admitted twin
-          // AFTER already-flushed equal/earlier events and break the
-          // (ts, event_id) replay order. Boundary-equal events wait one
-          // more watermark advance instead.
+          // STRICT ripe line. MEASURED engine admission (ScaleProbe
+          // seq_state + the round-12 boundary experiment): this
+          // operator's late filter drops arrivals with ts <= wm — only
+          // ts strictly ABOVE the watermark is admitted. Flushed events
+          // here have ts < wm, so any future admission (> wm) can never
+          // precede them in (ts, event_id) order — replay exactness
+          // holds without leaning on lifecycle delay slack. (The
+          // non-strict flush `<=` would also be safe under the measured
+          // convention, but strict stays safe even if the engine's
+          // boundary rule were the other way — the conservative line
+          // costs one extra watermark advance for boundary-equal
+          // events.)
           val (ripe, wait) = buf.partition(_._1 < wmUs)
           var acc = prev.acc
           val out = Seq.newBuilder[O]

@@ -390,6 +390,16 @@ class JourneyOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 3L, 2L), (1L, 5L, 1L), (3L, 5L, 1L)),
       s"got $got")
+    // truncation ACCOUNTING (the hotBuckets convention): the refused
+    // mega-basket is counted and named with its true distinct size —
+    // never silently absent; under-cap baskets never appear
+    val over = operators.Analytics
+      .overCapBaskets(li.toDF("l_orderkey", "l_partkey"))
+      .as[(Long, Long)].collect().toSeq
+    assert(over == Seq((4L, 40L)), s"over-cap accounting: $over")
+    // duplicate part rows must not inflate the accounting size: order 1
+    // has 3 rows but 2 distinct parts, far under the cap
+    assert(!over.exists(_._1 == 1L))
   }
 
   // ---- q143 user features ----

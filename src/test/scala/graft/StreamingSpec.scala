@@ -271,6 +271,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionPairs: boundary-equal and late arrivals are REFUSED by the engine (ts <= wm drops) — the measured admission the strict ripe line leans on") {
+    import Streams.{TransEvent, TransPair}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TransEvent]
+    val q = Streams.transitionPairs(in.toDS(), "10 minutes").toDF()
+      .writeStream.format("memory").queryName("trans_boundary")
+      .outputMode("append").start()
+    try {
+      in.addData(TransEvent(1L, ts("2024-01-01 12:00:00"), 1L, "view"))
+      q.processAllAvailable()
+      // watermark is now exactly 11:50:00.000. The round-12 DropProbe
+      // measurement: fMGWS admits only ts STRICTLY above the watermark
+      // — an 11:50:00.000 arrival (== wm) and an earlier one both drop;
+      // 11:50:00.001 is admitted. If a Spark upgrade flips the boundary
+      // convention this test fails INFORMATIVELY (the strict ripe line
+      // stays order-safe either way — the late twin would buffer and
+      // fold in order, and user 2's pair below would gain a row).
+      in.addData(
+        TransEvent(2L, ts("2024-01-01 11:49:00"), 2L, "view"), // late
+        TransEvent(2L, java.sql.Timestamp.valueOf("2024-01-01 11:50:00.0"),
+          3L, "click"), // boundary-equal
+        TransEvent(2L, java.sql.Timestamp.valueOf("2024-01-01 11:50:00.001"),
+          4L, "view")) // admitted
+      q.processAllAvailable()
+      // flush everything: sentinel a day later + one more batch
+      in.addData(TransEvent(9L, ts("2024-01-02 12:00:00"), 98L, "view"))
+      q.processAllAvailable()
+      in.addData(TransEvent(8L, ts("2024-01-03 12:00:00"), 97L, "view"))
+      q.processAllAvailable()
+      val out = spark.table("trans_boundary").as[TransPair].collect().toSet
+      // user 2 folded ONLY event 4: no pair. Had the refused events been
+      // admitted, (2,3)->click->view or (2,2)->view->click would appear.
+      assert(out.isEmpty || !out.exists(_.user_id == 2L),
+        s"refused arrivals must not fold: $out")
+      assert(!out.exists(_.user_id == 1L), s"single-event user paired: $out")
+    } finally q.stop()
+  }
+
   test("transitionPairs over shuffled in-horizon arrivals == the batch lead pairs, for random event streams") {
     import Streams.{TransEvent, TransPair}
     implicit val sqlCtx = spark.sqlContext
