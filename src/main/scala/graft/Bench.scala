@@ -188,9 +188,18 @@ object Bench {
     // independent try per build: one failing must not skip the other
     // (the timed query would then silently include its build cost)
     val timed = sorted.map(_._1).toSet
-    // q95 probes the same stored IVF layout as q42 — either triggers it
-    if (timed.exists(n => n.startsWith("q42") || n.startsWith("q95")))
+    // q95 probes the same stored IVF layout as q42; q153's recall
+    // monitor probes it too — any of them triggers the build
+    if (timed.exists(n => n.startsWith("q42") || n.startsWith("q95") ||
+        n.startsWith("q153")))
       try functions.SimilarityOps.annIvf(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    // q152's staged-feed streaming lifecycle is an ingest job (the q105
+    // convention) — build it up front so the timed run measures the
+    // store read
+    if (timed.exists(_.startsWith("q152")))
+      try streaming.OrderWideStream.orderWideStream(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     if (timed.exists(_.startsWith("q38")))
@@ -203,8 +212,9 @@ object Bench {
       try functions.SimilarityOps.annLshTopKStream(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-    // q96 probes the same stored PQ layout as q94 — either triggers it
-    if (timed.exists(n => n.startsWith("q94") || n.startsWith("q96")))
+    // q96 probes the same stored PQ layout as q94; q153 probes it too
+    if (timed.exists(n => n.startsWith("q94") || n.startsWith("q96") ||
+        n.startsWith("q153")))
       try functions.PqOps.annIvfPq(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

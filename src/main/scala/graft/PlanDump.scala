@@ -81,6 +81,15 @@ object PlanDump {
         |all three lifecycle states at once (P: frozen folded main, O:
         |main plus unfolded tail, F: cold delta-only) and the oracle is
         |again the plain full table.""".stripMargin),
+    ("q141_embedding_gram", "gram_grid TypedImperativeAggregate: the buffer IS the d(d+1)/2 grid",
+      """One corpus scan into ObjectHashAggregate(gram_grid): partial
+        |grids per partition, one grid-sized merge exchange, and the only
+        |posexplodes unpack the RESULT row and the 1-row (pos→i,j)
+        |broadcast map — the 125M-pair explode of the round-11 shape is
+        |gone (2.83 s → 0.43 s at sf0.1). Cells are exact signed 128-bit
+        |(the decimal(38,0) headroom, allocation-free).""".stripMargin),
+    ("q152_order_wide_stream", "q05 served from the stream-stream join lifecycle store", ""),
+    ("q153_ann_recall", "recall@10 monitor: probes + brute-force exact ranking", ""),
     ("q50_asof_join", "merge-form as-of (union + window, no join)", ""),
     ("q51_embedding_dups", "bounded pairwise cosine (verification tier)", ""),
     ("q54_embedding_dups_lsh", "banded hyperplane LSH + fused-cosine verify",

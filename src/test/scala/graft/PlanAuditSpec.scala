@@ -485,7 +485,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(sorts == 1, s"expected the one lead sort, got $sorts:\n$plan")
   }
 
-  test("q141 Gram: one embeddings scan, flat posexplode into the pos-keyed aggregate; the ONLY join is the broadcast (pos→i,j) map onto the grid") {
+  test("q141 Gram: one embeddings scan into the gram_grid aggregate (buffer IS the grid — no pair explode); the ONLY join is the broadcast (pos→i,j) map") {
     val plan = executedPlan(functions.SimilarityOps.embeddingGram(spark, sf0001))
     val scans = "FileScan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected one embeddings scan, got $scans:\n$plan")
@@ -494,8 +494,17 @@ class PlanAuditSpec extends SparkSpec {
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
     assert(bhj == 1,
       s"exactly the grid-sized (pos→i,j) broadcast join, got $bhj:\n$plan")
-    assert(plan.contains("Generate posexplode"),
-      s"expected the flat in-plan pair explode:\n$plan")
+    assert(plan.contains("gram_grid"),
+      s"expected the TypedImperativeAggregate engine:\n$plan")
+    // the posexplodes left are the grid RESULT unpack and the 1-row
+    // posMap literal — the corpus-sized 125M-pair explode must be GONE:
+    // nothing may generate between the partial aggregate and the scan
+    val partialIdx = plan.indexOf("partial_gram_grid")
+    assert(partialIdx >= 0, s"missing the partial aggregate:\n$plan")
+    val scanIdx = plan.indexOf("FileScan", partialIdx)
+    assert(scanIdx > partialIdx, s"no scan under the partial agg:\n$plan")
+    assert(!plan.substring(partialIdx, scanIdx).contains("Generate"),
+      s"a pair explode crept back under the aggregate:\n$plan")
   }
 
   test("q142 co-purchase: one lineitem scan, basket agg + pair agg exchanges, TakeOrdered cut") {
