@@ -264,7 +264,18 @@ object Bench {
       try Some(java.nio.file.Files.readString(
         java.nio.file.Paths.get("bench_detail.json")))
       catch { case _: Throwable => None }
+    // Floors are BOX-NORMALIZED by the calibration ratio before the
+    // breach check: round 12's box ran 1.6× slower than the committed
+    // artifact's at identical single-thread calibration, and raw floors
+    // flagged q128 as "regressed" when the new code was in fact ~1.6×
+    // FASTER shape-for-shape on the same box (measured both forms
+    // side-by-side). The ratio is clamped — a corrupted parse must not
+    // scale every floor to meaninglessness.
+    val prevCalibEarly = prevDetail.flatMap(readCalibBase(_, sfDir))
+    val floorScale = math.min(4.0, math.max(0.25,
+      prevCalibEarly.map(calibBase / _).getOrElse(1.0)))
     val floors = prevDetail.map(readFloors(_, sfDir)).getOrElse(Map.empty)
+      .map { case (k, v) => k -> v * floorScale }
     val floorFactor =
       sys.env.getOrElse("SPARK_GRAFT_FLOOR_FACTOR", "2.0").toDouble
     val floorSlack =
@@ -406,7 +417,7 @@ object Bench {
     // mechanically (task: no more prose-only box-generation notes): the
     // calibration ratio divides out the box swing; each query also
     // carries its normalized delta vs the committed median.
-    val prevCalib = prevDetail.flatMap(readCalibBase(_, sfDir))
+    val prevCalib = prevCalibEarly
     val prevMedians = prevDetail.map(readMedians(_, sfDir)).getOrElse(Map.empty)
     val calibRatio = prevCalib.map(calibBase / _).getOrElse(1.0)
     val detail = names.map { name =>

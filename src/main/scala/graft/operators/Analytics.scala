@@ -888,15 +888,18 @@ object Analytics {
     // differently between the engines and SHIFT a quintile boundary.
     // floor(value*1e6) is computed identically on identical doubles;
     // the integer sum is exact in both engines, so the m-rank orders
-    // the identical quantity everywhere. Decimal(38,0) at the agg input
-    // for 100 TB headroom (a user needs ~9M purchases of ~1e3 value to
-    // overflow int64 micros — don't find out at scale).
+    // the identical quantity everywhere. LONG micros, not decimal: a
+    // per-USER monetary overflows int64 only past ~9.2e18 micros =
+    // $9.2 trillion of purchases by one user — outside any real-world
+    // envelope (unlike q141's corpus-wide product sums, which do need
+    // 128-bit) — and the decimal agg measured 2.3× slower end-to-end
+    // (1.38 s vs 0.59 s at sf0.1). ANSI mode would make an overflow
+    // loud, not wrong.
     val per = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(max(to_date(col("ts"))).as("last_day"),
         count(lit(1)).as("frequency"),
-        sum(floor(col("value") * lit(1000000.0)).cast("decimal(38,0)"))
-          .as("micros"))
+        sum(floor(col("value") * lit(1000000.0))).as("micros"))
       .crossJoin(broadcast(ref))
       .select(col("user_id"),
         datediff(col("ref_day"), col("last_day")).as("recency_days"),
@@ -917,9 +920,12 @@ object Analytics {
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"),
         // round() touches only a deterministic double derived from the
-        // exact integer cell total — no order-dependent sum anywhere
-        round(sum(col("micros")).cast("double") / lit(1000000.0), 2)
-          .as("total_monetary"))
+        // exact integer cell total — no order-dependent sum anywhere.
+        // The CELL total stays decimal: it sums across users, where the
+        // per-user real-world envelope doesn't bound it (this agg is
+        // 125 rows — the decimal cost is nothing here).
+        round(sum(col("micros").cast("decimal(38,0)")).cast("double") /
+          lit(1000000.0), 2).as("total_monetary"))
     // materialize the ≤k³-row grid so the per-user cache can be released
     // NOW (the rank RDDs' lineage re-reads `per` at execution time — a
     // lazily returned plan would either leak one cached copy per call

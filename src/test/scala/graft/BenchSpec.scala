@@ -97,6 +97,24 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.normRatio(-1.0, 0.2, 1.0) == -1.0)
   }
 
+  test("box-normalized floors: the r12 q128 scenario — a 1.6× slower box must not flag honest code") {
+    // committed quiet floor 0.55 s; this box measures 1.17/1.38 at a
+    // 1.586 calib ratio. Raw floors flag it (1.17 > 0.55*2 and excess
+    // > 0.3); floors scaled by the ratio (0.87) do not (1.17 < 1.74).
+    val meas = Map("q128" -> m(Seq(1.38, 1.38, 1.17), 0.2, 0.2))
+    val raw = Map("q128" -> 0.55)
+    val scaled = raw.map { case (k, v) => k -> v * 1.586 }
+    def run(fl: Map[String, Double]) = Bench.flagContended(
+      Seq("q128"), meas, iters = 3, calibBound = 0.3, floors = fl,
+      floorFactor = 2.0, floorSlack = 0.3)
+    assert(run(raw) == Set("q128"), "raw floors flag the box swing")
+    assert(run(scaled) == Set.empty, "normalized floors do not")
+    // a REAL 2× regression still flags through the normalization
+    val slow = Map("q128" -> m(Seq(3.6, 3.6, 3.5), 0.2, 0.2))
+    assert(Bench.flagContended(Seq("q128"), slow, 3, 0.3, scaled,
+      2.0, 0.3) == Set("q128"))
+  }
+
   test("readFloors drops failed (-1) entries") {
     val text = """"sf":"/d","queries":{"q1":{"min":-1.000,"median":-1.0},""" +
       """"q2":{"min":0.5,"median":0.5}}"""
