@@ -1149,8 +1149,15 @@ object Analytics {
     * shelf, and raise the cap or pre-split the basket deliberately. */
   private[graft] def overCapBaskets(lineitem: DataFrame,
       cap: Int = 32): DataFrame =
-    lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_parts"))
+    // countDistinct, not distinct()+count: one aggregate with map-side
+    // partial distinct instead of two shuffles — the telemetry pass
+    // costs a pruned 2-column scan + one exchange. (Sharing the pair
+    // path's basket aggregate via localCheckpoint was considered and
+    // rejected: the baskets frame is distinct-(order,part)-sized, and
+    // at 100 TB re-scanning two pruned parquet columns beats caching an
+    // order-keyed copy of lineitem in executor storage.)
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
       .filter(col("n_parts") > cap)
 
   /** The q142/q150 query paths SURFACE refusals instead of silently
