@@ -75,14 +75,18 @@ class OrderWideStreamSpec extends SparkSpec {
     assert(got.count(r => r._1 == 5L && r._2 == 3L) == 2)
   }
 
+  /** The built lifecycle's tag dir (any completed one — the assertions
+    * are shape-invariant across fixtures). */
+  private def builtLoc(): String = graft.sinks.Hfs
+    .childDirs(spark, s"${sys.props("java.io.tmpdir")}/graft-orderwidestream", "")
+    .map(tag => s"${sys.props("java.io.tmpdir")}/graft-orderwidestream/$tag")
+    .find(l => graft.sinks.Hfs.readString(spark, s"$l/__done").nonEmpty &&
+      graft.sinks.Hfs.exists(spark, s"$l/__feed_info/c00.parquet"))
+    .getOrElse(fail("no built lifecycle state found"))
+
   test("q152 staging: five mtime-ordered files per feed (the lockstep arrival plan)") {
     OrderWideStream.orderWideStream(spark, dir).collect() // ensure built
-    val loc = graft.sinks.Hfs
-      .childDirs(spark, s"${sys.props("java.io.tmpdir")}/graft-orderwidestream", "")
-      .map(tag => s"${sys.props("java.io.tmpdir")}/graft-orderwidestream/$tag")
-      .find(l => graft.sinks.Hfs.readString(spark, s"$l/__done").nonEmpty &&
-        graft.sinks.Hfs.exists(spark, s"$l/__feed_info/c00.parquet"))
-      .getOrElse(fail("no built lifecycle state found"))
+    val loc = builtLoc()
     Seq("__feed_info", "__feed_detail").foreach { side =>
       val files = graft.sinks.Hfs.childFiles(spark, s"$loc/$side").sorted
       assert(files == Seq("c00.parquet", "c01.parquet", "c02.parquet",
@@ -92,5 +96,29 @@ class OrderWideStreamSpec extends SparkSpec {
       assert(mtimes == mtimes.sorted && mtimes.distinct.size == 5,
         s"$side mtimes not strictly ascending: $mtimes")
     }
+  }
+
+  test("q152 lifecycle: a torn build (missing __done) is cleared and rebuilt, never served") {
+    val first = OrderWideStream.orderWideStream(spark, dir)
+      .as[(Long, Long, Long, String, String, String, Double)]
+      .collect().toSeq.sorted
+    // THIS fixture's tag dir (md5(dir) prefix — not another fixture's)
+    val prefix = graft.functions.Scalars.md5Hex(dir.getBytes("UTF-8")).take(12)
+    val base = s"${sys.props("java.io.tmpdir")}/graft-orderwidestream"
+    val loc = graft.sinks.Hfs.childDirs(spark, base, prefix)
+      .map(t => s"$base/$t")
+      .find(l => graft.sinks.Hfs.readString(spark, s"$l/__done").nonEmpty)
+      .getOrElse(fail("fixture lifecycle not built"))
+    // tear it: kill the marker and plant junk in the store — the next
+    // read must rebuild from scratch (junk gone), not serve torn state
+    graft.sinks.Hfs.deleteRecursive(spark, s"$loc/__done")
+    graft.sinks.Hfs.writeString(spark, s"$loc/store/__JUNK", "torn")
+    val again = OrderWideStream.orderWideStream(spark, dir)
+      .as[(Long, Long, Long, String, String, String, Double)]
+      .collect().toSeq.sorted
+    assert(again == first, "rebuild must reproduce the store exactly")
+    assert(!graft.sinks.Hfs.exists(spark, s"$loc/store/__JUNK"),
+      "torn-state junk survived the rebuild")
+    assert(graft.sinks.Hfs.readString(spark, s"$loc/__done").nonEmpty)
   }
 }
