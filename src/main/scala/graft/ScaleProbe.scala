@@ -33,7 +33,8 @@ object ScaleProbe {
       "scored_match", "bm25_match",
       "training_order", "pq_build", "pq_probe", "probe_listing",
       "knn_join", "pq_knn_join", "knn_query_scaling", "bucketed_join",
-      "partitioned_fold", "skew", "grouped_quantile", "seq_state")
+      "partitioned_fold", "skew", "grouped_quantile", "seq_state",
+      "join_state")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -924,6 +925,77 @@ object ScaleProbe {
           f"rows_per_user=${peakRows.toDouble / users}%5.1f " +
           f"dropped_sim=$droppedSim%5d dropped_engine=$droppedEngine%5d " +
           f"state_rows=$peakStateRows%5d state_bytes=$peakBytes%9d")
+      }
+    }
+    // J2 stream-stream interval join state envelope (the q152 engine):
+    // with BOTH sides watermarked and the ±delay interval condition,
+    // state per side is a sliding window — a row evicts once the
+    // GLOBAL watermark (min of sides' max − delay) passes ts + delay,
+    // i.e. it is retained for ~2×delay of event time: one delay from
+    // the watermark's own lag plus one because a counterpart within
+    // ±delay may still arrive. The bound is therefore
+    //   state rows ≈ 2 sides × rate × (2·delay + batchSpan)
+    // independent of stream length — the first probe run used a
+    // 1×delay bound and measured 7 849 > 5 000 at delay 3600 s, which
+    // is how the 2× window was pinned. This probe feeds both sides in
+    // event-time order (the q152 no-late-drops construction) at three
+    // delay settings over the SAME event span and reports peak state
+    // rows + bytes from the progress metrics, plus emitted-row
+    // completeness (every pair must emit exactly once — eviction must
+    // never beat a matching arrival under ordered feeds).
+    if (on("join_state")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val n = 12000
+      val stepSec = 2L // one order every 2 s over ~6.7 h
+      val base = 1704067200000L
+      val nChunks = 40
+      for (delaySec <- Seq(600L, 3600L, 21600L)) {
+        val info = (0 until n).map { k =>
+          (k.toLong, new java.sql.Timestamp(base + k * stepSec * 1000L))
+        }
+        val detail = (0 until n).map { k =>
+          // detail lands +0..3 min after its info, inside every delay
+          (k.toLong, new java.sql.Timestamp(base + k * stepSec * 1000L +
+            (k % 90) * 2000L), k.toLong * 10)
+        }
+        val inI = MemoryStream[(Long, java.sql.Timestamp)]
+        val inD = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        val joined = graft.streaming.Streams.orderWideJoin(
+          inI.toDS().toDF("order_id", "ts"),
+          inD.toDS().toDF("order_id", "ts", "detail_id"),
+          s"$delaySec seconds")
+        val q = joined.writeStream.format("memory")
+          .queryName(s"js_out_$delaySec")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft-jsstate").toString)
+          .outputMode("append").start()
+        var peakRows = 0L
+        var peakBytes = 0L
+        val seen = scala.collection.mutable.Set[Long]()
+        try {
+          val ic = info.grouped(n / nChunks + 1).toSeq
+          val dc = detail.grouped(n / nChunks + 1).toSeq
+          ic.zip(dc).foreach { case (a, b) =>
+            inI.addData(a); inD.addData(b)
+            q.processAllAvailable()
+            q.recentProgress.toSeq.foreach { p =>
+              if (seen.add(p.batchId))
+                p.stateOperators.toSeq.foreach { so =>
+                  peakRows = math.max(peakRows, so.numRowsTotal)
+                  peakBytes = math.max(peakBytes, so.memoryUsedBytes)
+                }
+            }
+          }
+        } finally q.stop()
+        val emitted = spark.table(s"js_out_$delaySec").count()
+        val batchSpanSec = n * stepSec / nChunks
+        val bound = math.min(2L * n,
+          2L * (2 * delaySec + 2 * batchSpanSec) / stepSec + 200)
+        println(f"SCALE n=${2 * n}%9d join_state_delay${delaySec}s " +
+          f"peak_state_rows=$peakRows%7d bound=$bound%7d " +
+          f"state_bytes=$peakBytes%9d emitted=$emitted%6d/${n}")
       }
     }
     spark.stop()
