@@ -150,13 +150,21 @@ object OrderWideStream {
     }
   }
 
+  /** The lifecycle's tag dir for the CURRENT fixture content —
+    * mtime/length-fingerprinted, so a regenerated fixture gets fresh
+    * state. Exposed for the torn-build spec (a prefix search could pick
+    * a STALE generation's dir and tear the wrong state). */
+  private[graft] def lifecycleLoc(s: SparkSession, d: String): String = {
+    val (ol, om) = graft.sinks.Hfs.stat(s, s"$d/orders.parquet")
+    val (ll, lm) = graft.sinks.Hfs.stat(s, s"$d/lineitem.parquet")
+    val tag = s"${graft.functions.Scalars.md5Hex(d.getBytes("UTF-8"))
+      .take(12)}_${ol}_${om}_${ll}_$lm"
+    s"${sys.props("java.io.tmpdir")}/graft-orderwidestream/$tag"
+  }
+
   private def ensureLifecycle(s: SparkSession, d: String): String =
     synchronized {
-      val (ol, om) = graft.sinks.Hfs.stat(s, s"$d/orders.parquet")
-      val (ll, lm) = graft.sinks.Hfs.stat(s, s"$d/lineitem.parquet")
-      val tag = s"${graft.functions.Scalars.md5Hex(d.getBytes("UTF-8"))
-        .take(12)}_${ol}_${om}_${ll}_$lm"
-      val loc = s"${sys.props("java.io.tmpdir")}/graft-orderwidestream/$tag"
+      val loc = lifecycleLoc(s, d)
       if (graft.sinks.Hfs.readString(s, s"$loc/__done").isEmpty) {
         graft.sinks.Hfs.deleteRecursive(s, loc)
         val (info, detail) = sides(s, d)

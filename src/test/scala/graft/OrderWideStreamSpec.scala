@@ -102,13 +102,14 @@ class OrderWideStreamSpec extends SparkSpec {
     val first = OrderWideStream.orderWideStream(spark, dir)
       .as[(Long, Long, Long, String, String, String, Double)]
       .collect().toSeq.sorted
-    // THIS fixture's tag dir (md5(dir) prefix — not another fixture's)
-    val prefix = graft.functions.Scalars.md5Hex(dir.getBytes("UTF-8")).take(12)
-    val base = s"${sys.props("java.io.tmpdir")}/graft-orderwidestream"
-    val loc = graft.sinks.Hfs.childDirs(spark, base, prefix)
-      .map(t => s"$base/$t")
-      .find(l => graft.sinks.Hfs.readString(spark, s"$l/__done").nonEmpty)
-      .getOrElse(fail("fixture lifecycle not built"))
+    // THIS fixture GENERATION's tag dir, by exact stat fingerprint — a
+    // prefix search once picked a STALE generation's dir (the lazy
+    // fixture rewrite bumps mtime → new tag per suite run), tore that,
+    // and the rebuild then healed the CURRENT tag instead (flaked in
+    // the full-suite run)
+    val loc = OrderWideStream.lifecycleLoc(spark, dir)
+    assert(graft.sinks.Hfs.readString(spark, s"$loc/__done").nonEmpty,
+      "fixture lifecycle not built")
     // tear it: kill the marker and plant junk in the store — the next
     // read must rebuild from scratch (junk gone), not serve torn state
     graft.sinks.Hfs.deleteRecursive(spark, s"$loc/__done")
