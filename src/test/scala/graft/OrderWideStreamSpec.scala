@@ -28,7 +28,10 @@ class OrderWideStreamSpec extends SparkSpec {
     orders.coalesce(1).write.parquet(s"$d/orders.parquet")
     // linenumbers 6 and 7 are the near-TTL rows (−18 h / +21 h of the
     // 24 h window); order 5 carries a DUPLICATE (orderkey, linenumber)
-    // pair differing only in price — the fixture lineitem's actual shape
+    // pair differing only in price — the fixture lineitem's actual
+    // shape; order 7's second line (linenumber 9 → +27 h) sits BEYOND
+    // the 24 h window and must be excluded by the join's time
+    // condition, not merely absent from the data
     val lines = Seq(
       (1L, 1, 100.0, 0.1), (1L, 2, 200.0, 0.0),
       (2L, 1, 300.0, 0.2), (2L, 7, 400.0, 0.0),
@@ -36,7 +39,7 @@ class OrderWideStreamSpec extends SparkSpec {
       (4L, 1, 600.0, 0.0), (4L, 7, 650.0, 0.05),
       (5L, 3, 700.0, 0.0), (5L, 3, 710.0, 0.0), // dup key, distinct price
       (6L, 2, 800.0, 0.1),
-      (7L, 5, 900.0, 0.0),
+      (7L, 5, 900.0, 0.0), (7L, 9, 920.0, 0.0), // +27 h: OUTSIDE the TTL
       (8L, 4, 950.0, 0.3), (8L, 6, 960.0, 0.0),
       (9L, 1, 990.0, 0.0))
       .toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
@@ -53,9 +56,13 @@ class OrderWideStreamSpec extends SparkSpec {
     val got = OrderWideStream.orderWideStream(spark, dir)
       .as[(Long, Long, Long, String, String, String, Double)]
       .collect().toSeq.sorted
-    // independent batch expectation (no time window needed: every
-    // fixture offset is within ±21 h < 24 h by construction)
+    // independent batch expectation WITH the join's time window (the
+    // fixture plants a +27 h line that the 24 h condition must exclude;
+    // the offset formula mirrors the staged detail_ts)
+    val hours = col("l_linenumber") * lit(3) *
+      when(col("l_linenumber") % 2 === 0, lit(-1)).otherwise(lit(1))
     val expected = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(abs(hours) <= 24)
       .join(spark.read.parquet(s"$dir/orders.parquet"),
         col("l_orderkey") === col("o_orderkey"))
       .join(spark.read.parquet(s"$dir/customer.parquet"),
@@ -68,11 +75,16 @@ class OrderWideStreamSpec extends SparkSpec {
         col("l_extendedprice") * (lit(1) - col("l_discount")))
       .as[(Long, Long, Long, String, String, String, Double)]
       .collect().toSeq.sorted
-    assert(expected.size == 14, "fixture self-check")
+    assert(expected.size == 14, "fixture self-check (15 lines, 1 beyond-TTL)")
     assert(got == expected,
       s"streamed store diverged from the batch join:\n got=$got\n exp=$expected")
     // the duplicate (5, 3) key survived as TWO rows
     assert(got.count(r => r._1 == 5L && r._2 == 3L) == 2)
+    // the +27 h line was excluded by the TIME CONDITION, not the data
+    assert(!got.exists(r => r._1 == 7L && r._2 == 9L),
+      "a beyond-TTL detail leaked through the join window")
+    assert(got.exists(r => r._1 == 7L && r._2 == 5L),
+      "order 7's in-window line must still match")
   }
 
   /** The built lifecycle's tag dir (any completed one — the assertions
