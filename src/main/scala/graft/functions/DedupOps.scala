@@ -1604,9 +1604,18 @@ object DedupOps {
       val contracted = tagged.filter(col("a") =!= col("b"))
         .select(col("a").as("doc_a"), col("b").as("doc_b"))
       // delta's nodes are current labels and first-seen doc ids; NOTE
-      // collapseClusters runs EAGERLY here — the catch below keeps a
-      // refused envelope from pinning `tagged`
-      val delta = collapseClusters(contracted)
+      // the collapse runs EAGERLY here — the catch below keeps a
+      // refused envelope from pinning `tagged`. ADAPTIVE on purpose:
+      // the contracted graph is batch-sized (new edges + one node per
+      // touched cluster, never the corpus), so on a normal ingest the
+      // driver union-find answers in one collect — a distributed
+      // label-prop loop pays 10+ scheduling-bound micro-jobs PER STEP
+      // on a graph that fits in one task, and in a long-lived shared
+      // JVM those driver round-trips are exactly what GC/scheduler
+      // pressure inflates (the r12 bench saw per-iteration growth from
+      // this). Past the 1M-edge threshold the router hands the step to
+      // star contraction — diameter-safe at any batch size.
+      val delta = collapseClustersAdaptive(contracted)
       val fresh = newNodes.join(delta, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))

@@ -1394,25 +1394,42 @@ object SimilarityOps {
     val grid = emb.select(gramQv.as("qv"))
       .agg(graft.expressions.GramGridAgg.gram_grid(col("qv")).as("grid"))
       .select(posexplode(col("grid")).as(Seq("pos", "gram")))
-    val dRow = emb.agg(max(size(col("embedding")))).head
-    if (dRow.isNullAt(0))
+    val d = gramDim(emb)
+    if (d <= 0)
       return emb.sparkSession.range(0).select(
         col("id").as("i"), col("id").as("j"),
         col("id").cast("double").as("gram"))
-    val d = dRow.getInt(0)
     grid.join(broadcast(gramPosMap(emb.sparkSession, d)), "pos")
       .select(col("ij.i").as("i"), col("ij.j").as("j"), col("gram"))
   }
 
+  /** Corpus dimensionality for the Gram grid: ONE non-null row's
+    * size, never a full-column aggregate — GramGridAgg already throws
+    * on heterogeneous dims, so scanning every row to take a max would
+    * only re-prove what the aggregator enforces while paying a second
+    * pass over the fat embedding column (the advisor's 100 TB note).
+    * Empty / all-null table → 0 (callers emit the empty grid). */
+  private def gramDim(emb: DataFrame): Int =
+    emb.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => 0
+    }
+
   /** The (triangular position → i, j) broadcast map shared by both Gram
     * forms — rebuilt from the SAME nested-sequence expression over one
-    * literal row. */
-  private def gramPosMap(s: SparkSession, d: Int): DataFrame =
+    * literal row. d must be ≥ 1: sequence(0, -1) is Spark's DESCENDING
+    * [0,-1], not the empty array, so d=0 would fabricate negative
+    * (i, j) rows — both callers early-return on the empty corpus, so
+    * the guard is free. */
+  private def gramPosMap(s: SparkSession, d: Int): DataFrame = {
+    require(d >= 1, s"gramPosMap needs d >= 1, got $d")
     s.range(1).select(
       posexplode(flatten(transform(sequence(lit(0), lit(d - 1)), i =>
         transform(sequence(i, lit(d - 1)), j =>
           struct(i.cast("long").as("i"), j.cast("long").as("j"))))))
         .as(Seq("pos", "ij")))
+  }
 
   /** The round-11 explode form, kept as the equivalence REFERENCE for
     * the aggregator (GramEquivalenceSpec pins bit-identical output) —
@@ -1438,14 +1455,13 @@ object SimilarityOps {
       .select(posexplode(prods).as(Seq("pos", "p")))
       .groupBy(col("pos"))
       .agg(sum(col("p").cast(dec)).cast("double").as("gram"))
-    // corpus dimensionality via max(size) (the oracle's max(len)
-    // convention); empty table → the empty grid
-    val dRow = emb.agg(max(size(col("embedding")))).head
-    if (dRow.isNullAt(0))
+    // corpus dimensionality from one non-null row (gramDim); empty
+    // table → the empty grid
+    val d = gramDim(emb)
+    if (d <= 0)
       return emb.sparkSession.range(0).select(
         col("id").as("i"), col("id").as("j"),
         col("id").cast("double").as("gram"))
-    val d = dRow.getInt(0)
     summed.join(broadcast(gramPosMap(emb.sparkSession, d)), "pos")
       .select(col("ij.i").as("i"), col("ij.j").as("j"), col("gram"))
   }
