@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * (k·64 + m·ksub·sub doubles) codebook read on the driver.
   *
   * Why PQ at 100 TB: the IVF probe (q42) still reads full float vectors
-  * in the probed cells — 256 B/vector at 64 dims. PQ stores m=8 code
-  * bytes per vector (32× smaller scan), and a query scores a row with m
-  * table lookups + adds instead of a 64-dim dot product. Build is an
+  * in the probed cells — 256 B/vector at 64 dims. PQ stores m small
+  * codes per vector (~10-20× smaller scan at the default geometry),
+  * and a query scores a row with m table lookups + adds instead of a
+  * 64-dim dot product. Build is an
   * ingest job (train coarse centroids, then per-subspace codebooks on
   * the residuals); the probe scans only the nprobe best cell partitions
   * (parquet partition pruning, pinned in PqSpec) and never shuffles the
@@ -41,15 +42,34 @@ object PqOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Default geometry, matched to the fixtures' 64-dim embeddings:
-    * 8 subspaces × 8 dims each; 16 codes = 4 bits/subspace. These are
-    * ONLY the build-time defaults — everything downstream (encode,
-    * probe, the kNN join, oracle generation) derives the geometry from
-    * the STORED model itself: the books table's shape IS (m, ksub,
-    * sub), and dims = m·sub, so an index built at any width probes
-    * correctly with no sidecar and no knob to keep in sync. */
+    * 32 subspaces × 2 dims each, 64 codes = 6 bits/subspace (192
+    * bits/vector). Round 12 shipped m=8/ksub=16 (32 bits) and measured
+    * q153 PQ mean recall@10 = 0.44 at sf0.01 vs IVF's 0.90 nprobe
+    * ceiling — honestly lossy on near-isotropic embeddings. The sweep
+    * that picked this point (same fixture, same ceiling):
+    * m=16/k=16 → 0.53, m=16/k=64 → 0.66, m=32/k=16 → 0.66,
+    * m=32/k=64 → 0.80 mean (min 0.6) — finer per-dim quantization AND
+    * more codes both pay, and 2-dim/64-code subquantizers land within
+    * 0.10 of the coarse-probe ceiling. Storage is 32 small ints
+    * (6 effective bits each; parquet RLE keeps the stored size near
+    * the information content) — still ~10-20× under the 512 B raw
+    * vector, and a probe still scores rows with m table lookups.
+    * Training seeds need ≥ ksub rows, so TOY builds (specs, tiny
+    * bootstraps) pass ksub=16 explicitly. These are ONLY the
+    * build-time defaults — everything downstream (encode, probe, the
+    * kNN join, oracle generation) derives the geometry from the STORED
+    * model itself: the books table's shape IS (m, ksub, sub), and
+    * dims = m·sub, so an index built at any width probes correctly
+    * with no sidecar and no knob to keep in sync. */
   private val DefaultDims = 64
-  private val DefaultM = 8
-  private val DefaultKsub = 16
+  private val DefaultM = 32
+  private val DefaultKsub = 64
+
+  /** Lloyd steps for the default builds: 2 (was 1) — the seed rows are
+    * the ksub lowest vec_ids, so the first update step mostly repairs
+    * seeding; the second is where centroids settle. Build-time only
+    * cost (each step is one scan + a model-sized collect). */
+  private val DefaultPqIters = 2
 
   /** (m, ksub, sub) read off a codebook array — the stored model is
     * the single source of geometry truth. */
@@ -104,7 +124,8 @@ object PqOps {
   /** Deterministic-init PQ training on residuals: codebook j seeded with
     * the residual subvectors of the ksub lowest vec_ids, then `iters`
     * Lloyd steps (assign = codesCol, update = per-(j, code, dim) mean).
-    * The model is tiny (m·ksub·sub = 1024 doubles); like kmeansLite the
+    * The model is tiny (m·ksub·sub = 4096 doubles at the defaults);
+    * like kmeansLite the
     * distributed avg makes it deterministic only per run — the oracle is
     * generated from the STORED model, so correctness never depends on
     * bit-stable training. */
@@ -499,7 +520,7 @@ object PqOps {
 
   def pqIndexPath(s: SparkSession, d: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-ivfpq/" +
-      s"${SimilarityOps.sourceTag(s, d, "embeddings")}-c8-m$DefaultM-k$DefaultKsub"
+      s"${SimilarityOps.sourceTag(s, d, "embeddings")}-c8-m$DefaultM-k$DefaultKsub-i$DefaultPqIters"
 
   private def ensurePqIndex(s: SparkSession, d: String): String = synchronized {
     val path = pqIndexPath(s, d)
@@ -508,7 +529,7 @@ object PqOps {
     if (!done) {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      buildPqIndex(emb, path)
+      buildPqIndex(emb, path, pqIters = DefaultPqIters)
     }
     path
   }
@@ -600,13 +621,13 @@ object PqOps {
   private def ensurePqLifecycle(s: SparkSession, d: String): String =
     synchronized {
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-stream/" +
-        s"${SimilarityOps.sourceTag(s, d, "embeddings")}-c8-m$DefaultM-k$DefaultKsub"
+        s"${SimilarityOps.sourceTag(s, d, "embeddings")}-c8-m$DefaultM-k$DefaultKsub-i$DefaultPqIters"
       if (graft.sinks.Hfs.readString(s, s"$path/__done").isEmpty) {
         graft.sinks.Hfs.deleteRecursive(s, path)
         val emb = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         def cut(b: Long) = emb.filter(pmod(col("vec_id"), lit(3)) === b)
-        buildPqIndex(cut(0), path, trainOn = Some(emb))
+        buildPqIndex(cut(0), path, pqIters = DefaultPqIters, trainOn = Some(emb))
         ingestPqSegment(cut(1), path, 0L)
         ingestPqSegment(cut(2), path, 1L)
         compactPqIndex(s, path) // folds bootstrap + cut 1; 2 stays the tail
@@ -685,6 +706,28 @@ object PqOps {
   private def dArr(xs: Array[Double]): String =
     xs.mkString("[", ",", "]") + "::DOUBLE[]"
 
+  /** Per-subspace distance LISTS as ONE list_transform lambda over the
+    * codebook literal (instead of ksub unrolled expressions): the
+    * lambda body writes the sub-dimension term sum explicitly and in
+    * order, so every code's distance is the same left-associative
+    * (r_d − cb_d)² sum as codesCol — bit parity is untouched — while
+    * the SQL shrinks by ~ksub× (at m=32/ksub=64 the unrolled form was
+    * 475 KB and DuckDB spent ~30 s mostly parsing/planning it; this
+    * form is ~16 KB). */
+  private def distListsSql(books: Array[Array[Array[Double]]]): String = {
+    val (m, _, sb) = geomOf(books)
+    def cbLit(j: Int): String =
+      books(j).map(_.mkString("[", ",", "]")).mkString("[", ",\n      ", "]") +
+        "::DOUBLE[][]"
+    (0 until m).map { j =>
+      val terms = (0 until sb).map { dd =>
+        val idx = j * sb + dd + 1
+        s"(v[$idx] - cv[$idx] - cb[${dd + 1}]) * (v[$idx] - cv[$idx] - cb[${dd + 1}])"
+      }.mkString(" + ")
+      s"    list_transform(${cbLit(j)}, cb -> $terms) AS l$j"
+    }.mkString(",\n")
+  }
+
   /** The generated q94 oracle: literal centroids + codebooks + the
     * query-derived ADC tables. Cell assignment and the probe ranking are
     * q42's CTEs verbatim (ties: assignment → higher cell, probe → lower
@@ -696,15 +739,7 @@ object PqOps {
     val (m, ksub, sb) = geomOf(mo.books)
     val centRows = mo.cents.zipWithIndex
       .map { case (c, i) => s"  ($i, ${dArr(c)})" }.mkString(",\n")
-    def dist(j: Int, c: Int): String =
-      (0 until sb).map { dd =>
-        val idx = j * sb + dd + 1
-        val cb = mo.books(j)(c)(dd).toString
-        s"(v[$idx] - cv[$idx] - ($cb::DOUBLE)) * (v[$idx] - cv[$idx] - ($cb::DOUBLE))"
-      }.mkString(" + ")
-    val distLists = (0 until m).map { j =>
-      (0 until ksub).map(c => dist(j, c)).mkString(s"    [", ",\n     ", s"] AS l$j")
-    }.mkString(",\n")
+    val distLists = distListsSql(mo.books)
     val codeCols = (0 until m)
       .map(j => s"    list_position(l$j, list_min(l$j)) - 1 AS c$j")
       .mkString(",\n")
@@ -757,15 +792,7 @@ object PqOps {
     val (m, ksub, sb) = geomOf(books)
     val centRows = cents.zipWithIndex
       .map { case (c, i) => s"  ($i, ${dArr(c)})" }.mkString(",\n")
-    def dist(j: Int, c: Int): String =
-      (0 until sb).map { dd =>
-        val idx = j * sb + dd + 1
-        val cb = books(j)(c)(dd).toString
-        s"(v[$idx] - cv[$idx] - ($cb::DOUBLE)) * (v[$idx] - cv[$idx] - ($cb::DOUBLE))"
-      }.mkString(" + ")
-    val distLists = (0 until m).map { j =>
-      (0 until ksub).map(c => dist(j, c)).mkString(s"    [", ",\n     ", s"] AS l$j")
-    }.mkString(",\n")
+    val distLists = distListsSql(books)
     val codeCols = (0 until m)
       .map(j => s"    list_position(l$j, list_min(l$j)) - 1 AS c$j")
       .mkString(",\n")

@@ -42,6 +42,82 @@ class RecoverySpec extends SparkSpec {
     assert(got == Seq("r1", "r2", "r3", "r4"))
   }
 
+  test("orderedFold (transitionPairs) resumes its buffer AND tail across a kill-and-restart mid-lifecycle") {
+    // The round-12 gap: RecoverySpec covered dedup/sink restarts, but
+    // no test killed a SEQUENCE operator (flatMapGroupsWithState with
+    // the shared ordered-replay state) between cuts. This one stops the
+    // query at a point where user 1 holds BOTH kinds of state — a tail
+    // (last emitted event, e2) and an UNRIPE buffered event (e3, not
+    // yet passed by the watermark) — plus user 2 holding a tail only,
+    // then restarts from the checkpoint and proves every cross-restart
+    // pair is emitted exactly once:
+    //   u1: (e1→e2) before the kill; (e2→e3) needs tail+buffer restored;
+    //       (e3→e4) chains a post-restart arrival onto the flushed one;
+    //   u2: (e21→e22) pairs across the restart via the tail alone.
+    import spark.implicits._
+    val in = Files.createTempDirectory("of_in").toString
+    val ckpt = Files.createTempDirectory("of_ckpt").toString
+    val out = Files.createTempDirectory("of_out").toString
+    def ev(uid: Long, ts: String, id: Long, tp: String) =
+      (uid, java.sql.Timestamp.valueOf(ts), id, tp)
+    val schema = Seq((0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      0L, "")).toDF("user_id", "ts", "event_id", "event_type").schema
+    def startQuery() = {
+      val events = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .as[Streams.TransEvent]
+      Streams.transitionPairs(events, "10 minutes").toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", s"$out/sink")
+        .start()
+    }
+    def cut(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit = {
+      rows.toDF("user_id", "ts", "event_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/__stage")
+      // rename into place so the file source never lists a torn write
+      val part = graft.sinks.Hfs.childFiles(spark, s"$in/__stage")
+        .filter(f => f.startsWith("part-") && f.endsWith(".parquet")).head
+      graft.sinks.Hfs.rename(spark, s"$in/__stage/$part", s"$in/$name")
+      graft.sinks.Hfs.deleteRecursive(spark, s"$in/__stage")
+    }
+    // cut 1: u1 e1/e2 ripe once the max ts (10:30) sets wm = 10:20;
+    // e3 (10:30) stays BUFFERED (strict ripe line needs ts < wm);
+    // u2 e21 also unripe at first, ripe nowhere — tail after flush.
+    cut("c0.parquet", Seq(
+      ev(1L, "2024-01-01 10:00:00", 1L, "view"),
+      ev(1L, "2024-01-01 10:02:00", 2L, "cart"),
+      ev(1L, "2024-01-01 10:30:00", 3L, "buy"),
+      ev(2L, "2024-01-01 10:29:00", 21L, "view")))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // KILL: u1 state = tail e2 + buffer [e3]; u2 buffer [e21]
+    val afterKill = spark.read.parquet(s"$out/sink")
+      .as[Streams.TransPair].collect().toSet
+    assert(afterKill == Set(Streams.TransPair(1L, 1L, 2L, "view", "cart")),
+      s"pre-kill output wrong: $afterKill")
+    // cuts 2+3 arrive while the query is DOWN; restart must resume the
+    // buffer (e3/e21 flush against the restored watermark) and the tail
+    // (e2 pairs with e3 — impossible unless state survived the kill)
+    cut("c1.parquet", Seq(
+      ev(1L, "2024-01-01 11:00:00", 4L, "pay"),
+      ev(2L, "2024-01-01 11:01:00", 22L, "cart")))
+    cut("c2.parquet", Seq( // watermark pusher: ripens everything above
+      ev(9L, "2024-01-01 23:00:00", 99L, "noise")))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(s"$out/sink")
+      .as[Streams.TransPair].collect().toSeq
+    val want = Set(
+      Streams.TransPair(1L, 1L, 2L, "view", "cart"),
+      Streams.TransPair(1L, 2L, 3L, "cart", "buy"),   // tail + buffer
+      Streams.TransPair(1L, 3L, 4L, "buy", "pay"),    // flushed + new
+      Streams.TransPair(2L, 21L, 22L, "view", "cart")) // tail across kill
+    assert(got.toSet == want, s"got=$got")
+    assert(got.size == want.size, s"a cross-restart pair duplicated: $got")
+  }
+
   test("dedup stream replays idempotently: restarting over the same files adds nothing") {
     val in = Files.createTempDirectory("rec2_in").toString
     val ckpt = Files.createTempDirectory("rec2_ckpt").toString
