@@ -112,6 +112,23 @@ object Bench {
       .filter(_._2 > 0).toMap
   }
 
+  /** Per-query canary readings from a committed bench_detail.json — the
+    * LOCAL box-speed sample taken next to that query's own iterations.
+    * Norms divide by the local ratio (this run's adjacent canary / the
+    * artifact's) rather than the run-global one: round 12's q07/q16/q17
+    * "regressions" (norm 1.5-2.3) were measured in a warm-up window
+    * whose canary read 0.15-0.19 against a run-global base of 0.113 —
+    * real per-query drift the single global ratio cannot see. */
+  private[graft] def readCalibs(text: String, sfDir: String): Map[String, Double] = {
+    val sfOk = s""""sf":"${java.util.regex.Pattern.quote(sfDir)}"""".r
+      .findFirstIn(text).isDefined
+    if (!sfOk) Map.empty
+    else """"(q[^"]+)":\{"min":-?[0-9.]+,"median":-?[0-9.]+,"calib":(-?[0-9.]+)""".r
+      .findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter(_._2 > 0).toMap
+  }
+
   /** Box-normalized cross-round ratio: how much slower/faster a query
     * is than the committed artifact AFTER dividing out the calibration
     * swing (calibRatio = this run's calib_base / the artifact's).
@@ -238,6 +255,19 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     // the builds' leftovers are not the first timed query's bill either
+    dropLeakedBlocks(spark)
+    // Steady-state settle at the BENCH sf: the sf0.001 warm-up above
+    // pays JIT/codegen, but round 12's artifact showed the first
+    // measured window still running 1.3-1.7× slow (its own canary
+    // readings 0.15-0.19 vs the run's 0.113 base — allocator/GC ramp,
+    // not plans), which inflated the EARLY queries' cross-round norms.
+    // One untimed pass of the first few measured queries at the real
+    // sf puts the JVM in the same regime the rest of the suite runs in
+    // before anything (including the canary floor) is sampled.
+    sorted.take(8).foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     dropLeakedBlocks(spark)
     // Median of N in-process runs per query (fixtures are hot after the
     // first): the box swings ±20% run-to-run, which single-run numbers
@@ -425,12 +455,20 @@ object Bench {
     // carries its normalized delta vs the committed median.
     val prevCalib = prevCalibEarly
     val prevMedians = prevDetail.map(readMedians(_, sfDir)).getOrElse(Map.empty)
+    val prevCalibs = prevDetail.map(readCalibs(_, sfDir)).getOrElse(Map.empty)
     val calibRatio = prevCalib.map(calibBase / _).getOrElse(1.0)
     val detail = names.map { name =>
       val m = meas(name)
       val cal = math.max(m.calBefore, m.calAfter)
+      // LOCAL box ratio when both runs carry an adjacent canary reading
+      // (clamped: a single noisy canary sample must not swing a norm
+      // more than 2× off the run-global ratio), global otherwise
+      val localRatio = prevCalibs.get(name)
+        .map(pc => cal / pc).filter(_ > 0)
+        .map(r => math.min(calibRatio * 2.0, math.max(calibRatio / 2.0, r)))
+        .getOrElse(calibRatio)
       val norm = prevMedians.get(name)
-        .map(pm => normRatio(m.med(iters), pm, calibRatio))
+        .map(pm => normRatio(m.med(iters), pm, localRatio))
         .filter(_ > 0)
         .map(r => s""","norm":${f"$r%.3f"}""").getOrElse("")
       s""""$name":{"min":${f"${m.min}%.3f"},"median":${f"${m.med(iters)}%.3f"},""" +

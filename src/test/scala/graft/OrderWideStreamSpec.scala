@@ -87,6 +87,44 @@ class OrderWideStreamSpec extends SparkSpec {
       "order 7's in-window line must still match")
   }
 
+  test("q152 at sf0.1: the full lifecycle holds at 10x the driver gate's volume") {
+    // VERDICT r12 item 5: the state-envelope math is measured
+    // (ScaleProbe join_state) but the oracle gate only exercised
+    // sf0.01. This runs the REAL staged-feed lifecycle over sf0.1
+    // (~600k detail rows through the 24 h stream-stream join in five
+    // lockstep micro-batches) and pins the store against the batch
+    // join as an exact MULTISET (exceptAll both ways — duplicates
+    // must survive with their multiplicity). The build is the same
+    // fingerprint-tagged state the sf0.1 bench prebuild creates, so a
+    // post-bench suite run pays only the compare.
+    val sf01 = "/root/testdata/sf0.1"
+    val got = OrderWideStream.orderWideStream(spark, sf01)
+    val hours = col("l_linenumber") * lit(3) *
+      when(col("l_linenumber") % 2 === 0, lit(-1)).otherwise(lit(1))
+    val expected = Tables.t(spark, sf01, "lineitem")
+      .filter(abs(hours) <= 24) // vacuous on TPC-H (linenumber <= 7) but
+      // keeps the expectation the join's own admission rule
+      .join(Tables.t(spark, sf01, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.t(spark, sf01, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.t(spark, sf01, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey").as("order_id"),
+        col("l_linenumber").cast("long").as("detail_id"),
+        col("o_custkey").as("user_id"), col("c_name").as("user_name"),
+        col("n_name").as("province_name"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("create_date"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("split_total_amount"))
+    val (ng, ne) = (got.count(), expected.count())
+    assert(ng == ne, s"row count: streamed $ng vs batch $ne")
+    assert(got.exceptAll(expected).isEmpty,
+      "streamed rows missing from the batch join")
+    assert(expected.exceptAll(got).isEmpty,
+      "batch rows missing from the streamed store")
+  }
+
   /** The built lifecycle's tag dir (any completed one — the assertions
     * are shape-invariant across fixtures). */
   private def builtLoc(): String = graft.sinks.Hfs
