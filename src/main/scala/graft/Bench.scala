@@ -87,6 +87,23 @@ object Bench {
       }
     }.toSet
 
+  /** Floor scaling from the calib ratio (this run's canary base / the
+    * committed artifact's), ASYMMETRICALLY clamped. Upward (slower box,
+    * ratio > 1): floors inflate up to 4× — the r12 q128 lesson, a
+    * slower box must not flag honest code, and over-inflated floors
+    * only defer a regression to the next quiet round. Downward (faster
+    * canary, ratio < 1): barely at all (0.9 floor) — the single-thread
+    * canary over-responds to JIT/allocator regime relative to
+    * 32-thread shuffling queries. Round 13 measured it directly: the
+    * steady-state settle moved the canary base 0.113 → 0.044 (2.5×)
+    * while the suite's raw medians moved only 0.73-0.95×, so
+    * ratio-scaled floors flagged 17 queries that were all FASTER than
+    * their committed floors raw. A deflated floor can only create
+    * false flags (a real regression still trips the un-deflated floor);
+    * an inflated one is the retry loop's job to re-check. */
+  private[graft] def floorScaleOf(ratio: Option[Double]): Double =
+    math.min(4.0, math.max(0.9, ratio.getOrElse(1.0)))
+
   /** The committed artifact's calibration base (same-sf only): the
     * cross-round normalizer. Round 11 ran on a box ~2× slower than
     * round 10 at identical single-thread calibration, and the verdict's
@@ -308,8 +325,7 @@ object Bench {
     // side-by-side). The ratio is clamped — a corrupted parse must not
     // scale every floor to meaninglessness.
     val prevCalibEarly = prevDetail.flatMap(readCalibBase(_, sfDir))
-    val floorScale = math.min(4.0, math.max(0.25,
-      prevCalibEarly.map(calibBase / _).getOrElse(1.0)))
+    val floorScale = floorScaleOf(prevCalibEarly.map(calibBase / _))
     val floors = prevDetail.map(readFloors(_, sfDir)).getOrElse(Map.empty)
       .map { case (k, v) => k -> v * floorScale }
     val floorFactor =

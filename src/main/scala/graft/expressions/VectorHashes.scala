@@ -37,6 +37,9 @@ object VectorHashes {
   def sorted_intersect_count(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
 
+  def vec_dots(v: Column, mat: Seq[Seq[Double]], offset: Int = 0): Column =
+    column(VecDots(expression(v), mat, offset))
+
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
 
@@ -126,6 +129,33 @@ object VectorRuntime {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** All dot products of one vector WINDOW against the rows of a
+    * literal matrix, in one pass: out(r) = Σ_d v(offset+d)·mat(r)(d),
+    * each sum accumulated left to right from 0.0 — the exact fp
+    * operation order of aggregate(zip_with(slice(v, offset+1, dims),
+    * row, _*_), 0.0, _+_), so the fused form is bit-identical to the
+    * HOF composition (PqSpec pins it). matFlat is row-major. NULL when
+    * the window runs past the vector or crosses a null element — the
+    * composition's zip_with-pads-with-NULL collapse. */
+  def vecDots(v: ArrayData, matFlat: Array[Double], dims: Int,
+      offset: Int): Any = {
+    if (v.numElements < offset + dims) return null
+    var i = offset
+    while (i < offset + dims) { if (v.isNullAt(i)) return null; i += 1 }
+    val rows = matFlat.length / dims
+    val out = new Array[Double](rows)
+    var r = 0
+    while (r < rows) {
+      var acc = 0.0
+      val off = r * dims
+      var d = 0
+      while (d < dims) { acc += v.getDouble(offset + d) * matFlat(off + d); d += 1 }
+      out(r) = acc
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Intersection size of two ascending-sorted distinct long arrays.
     * A null ELEMENT violates the precondition but passes analysis
     * (ArrayType(LongType) admits containsNull) and toLongArray would
@@ -187,6 +217,59 @@ case class SignBandVals(child: Expression, planes: Seq[Seq[Double]],
   }
 
   override protected def withNewChildInternal(c: Expression): SignBandVals =
+    copy(child = c)
+}
+
+/** array<double> of dot products of one vector window against every row
+  * of a LITERAL matrix — the fused twin of the m×ksub interpreted-HOF
+  * ADC table on the PQ probe side (PqOps.pqKnnJoin). The composed form
+  * is correct but its expression TREE is mat.length aggregate/zip_with
+  * nodes per call site — at m=32/ksub=64 that is 2 048 interpreted
+  * lambda trees Catalyst must analyze and evaluate per probe row; this
+  * is one reference-object lookup and a tight loop. Window semantics
+  * (offset/dims) replace the slice() composition so no per-row subarray
+  * is allocated. NULL mirrors the composition on malformed windows. */
+case class VecDots(child: Expression, mat: Seq[Seq[Double]], offset: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(mat.nonEmpty && offset >= 0)
+  require(mat.forall(_.length == mat.head.length),
+    "matrix rows must have uniform dimensionality")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // nullable even over non-null children: short/null-bearing window → NULL
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dots"
+
+  private val dims = mat.head.length
+  @transient private lazy val flat: Array[Double] = {
+    val out = new Array[Double](mat.length * dims)
+    var r = 0
+    while (r < mat.length) {
+      val src = mat(r)
+      var i = 0
+      while (i < dims) { out(r * dims + i) = src(i); i += 1 }
+      r += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorRuntime.vecDots(input.asInstanceOf[ArrayData], flat, dims, offset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecDotsMat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("vecDots")
+      s"""Object $r = graft.expressions.VectorRuntime.vecDots($c, $ref, $dims, $offset);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecDots =
     copy(child = c)
 }
 

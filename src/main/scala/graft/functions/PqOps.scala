@@ -454,9 +454,6 @@ object PqOps {
   def pqKnnJoin(s: SparkSession, path: String, queries: DataFrame,
       nprobe: Int, topk: Int): DataFrame = {
     val (cents, books) = loadModel(s, path)
-    def dotLit(v: Column, lit2: Array[Double]): Column =
-      aggregate(zip_with(v, typedlit(lit2.toSeq), (x, y) => x * y),
-        lit(0.0), (a, tt) => a + tt)
     // probe-cell ranking: fused cosine against centroid literals, exact
     // ties to the LOWER cell (the negcell trick — probePqIndex's rule)
     val ranked = sort_array(array(cents.zipWithIndex.map { case (c, i) =>
@@ -465,11 +462,19 @@ object PqOps {
         lit(-i).as("negcell"))
     }: _*), asc = false)
     val (m, ksub, sb) = geomOf(books)
+    // each subspace's ksub ADC dots in ONE fused pass (VecDots) — the
+    // aggregate(zip_with) composition this replaces built m·ksub
+    // interpreted lambda trees PER CALL SITE (2 048 at m=32/ksub=64),
+    // which Catalyst then re-analyzed per plan: q96's probe projection
+    // alone cost ~2 s of driver plan time + interpreted eval at 2 000
+    // probe rows. Fold order is identical (left fold from 0.0), pinned
+    // bit-exact against the composition in PqSpec.
     val adcCol = array((0 until m).map { j =>
-      val sub = slice(col("qv"), lit(j * sb + 1), lit(sb))
-      array((0 until ksub).map(c => dotLit(sub, books(j)(c))): _*)
+      graft.expressions.VectorHashes
+        .vec_dots(col("qv"), books(j).map(_.toSeq).toSeq, j * sb)
     }: _*)
-    val cdCol = array(cents.map(c => dotLit(col("qv"), c)).toIndexedSeq: _*)
+    val cdCol = graft.expressions.VectorHashes
+      .vec_dots(col("qv"), cents.map(_.toSeq).toSeq)
     // same query-side admission rule as ivfKnnJoin: malformed queries
     // can only produce null-score junk rows
     val probed = queries

@@ -115,6 +115,21 @@ class BenchSpec extends AnyFunSuite {
       2.0, 0.3) == Set("q128"))
   }
 
+  test("floor scaling is asymmetric: slower boxes inflate floors, faster canaries barely deflate them") {
+    // upward (slower box): track the ratio, capped at 4× — the r12
+    // q128 false-flag scenario
+    assert(Bench.floorScaleOf(Some(1.586)) == 1.586)
+    assert(Bench.floorScaleOf(Some(9.0)) == 4.0)
+    // downward: the r13 regime shift — the settle pass moved the
+    // canary base 0.113 → 0.044 (ratio 0.39) while raw query medians
+    // moved only 0.73-0.95×; ratio-scaled floors false-flagged 17
+    // queries. The 0.9 floor keeps a faster canary from deflating
+    // floors it cannot speak for.
+    assert(Bench.floorScaleOf(Some(0.39)) == 0.9)
+    assert(Bench.floorScaleOf(Some(0.95)) == 0.95)
+    assert(Bench.floorScaleOf(None) == 1.0)
+  }
+
   test("readFloors drops failed (-1) entries") {
     val text = """"sf":"/d","queries":{"q1":{"min":-1.000,"median":-1.0},""" +
       """"q2":{"min":0.5,"median":0.5}}"""

@@ -373,4 +373,36 @@ class PqSpec extends SparkSpec {
     assert(r.sum / r.length >= 0.6, s"pq mean recall ${r.sum / r.length}")
     assert(r.min >= 0.4, s"pq min recall ${r.min}")
   }
+
+  test("vec_dots is bit-identical to the aggregate(zip_with) composition, and NULLs malformed windows") {
+    // the fused ADC-table primitive (probe side of pqKnnJoin) vs the
+    // HOF composition it replaced — same left fold from 0.0, so every
+    // double must be BIT-equal, not approximately equal
+    val rnd = new scala.util.Random(7)
+    val mat = Seq.fill(5)(Seq.fill(3)(rnd.nextGaussian()))
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(9)(rnd.nextGaussian()))).toDF("id", "v")
+    def composed(offset: Int) = array(mat.map(row =>
+      aggregate(zip_with(slice(col("v"), lit(offset + 1), lit(3)),
+          typedlit(row), (x, y) => x * y),
+        lit(0.0), (a, t) => a + t)): _*)
+    for (offset <- Seq(0, 3, 6)) {
+      val both = rows.select(
+        graft.expressions.VectorHashes.vec_dots(col("v"), mat, offset).as("fused"),
+        composed(offset).as("hof"))
+      val bad = both.filter(not(col("fused") === col("hof"))).count()
+      assert(bad == 0, s"vec_dots diverged from the composition at offset $offset")
+    }
+    // malformed: window past the end / null element inside the window →
+    // NULL, mirroring zip_with's null-pad collapse
+    val edge = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0)),            // too short for any window
+      (2L, Seq[java.lang.Double](1.0, null, 3.0, 4.0)), // null inside window 0
+      (3L, Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0))   // well-formed at offset 0
+    ).toDF("id", "v")
+    val dotsOrNull = edge.select(col("id"),
+      graft.expressions.VectorHashes.vec_dots(col("v"), mat, 0).isNull.as("n"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(dotsOrNull == Map(1L -> true, 2L -> true, 3L -> false))
+  }
 }
