@@ -90,6 +90,12 @@ object PlanDump {
         |(the decimal(38,0) headroom, allocation-free).""".stripMargin),
     ("q152_order_wide_stream", "q05 served from the stream-stream join lifecycle store", ""),
     ("q153_ann_recall", "recall@10 monitor: probes + brute-force exact ranking", ""),
+    ("q154_substring_dedup", "exact-substring spans: fused positional grams, hash-count, island merge",
+      """Two linear passes, no doc pairing: positional shingle hashes →
+        |hash-count with map-side partial agg (hot grams collapse in the
+        |combiner) → shuffle join on the 8-byte key → one doc-partitioned
+        |window. Fixed witness length collapses Lee et al.'s suffix array
+        |to gram counting.""".stripMargin),
     ("q50_asof_join", "merge-form as-of (union + window, no join)", ""),
     ("q51_embedding_dups", "bounded pairwise cosine (verification tier)", ""),
     ("q54_embedding_dups_lsh", "banded hyperplane LSH + fused-cosine verify",

@@ -36,6 +36,9 @@ object TextHashes {
   def shingle_hashes(c: Column, width: Int = 3): Column =
     column(ShingleHashes(expression(c), width))
 
+  def shingle_hashes_pos(c: Column, width: Int): Column =
+    column(ShingleHashesPos(expression(c), width))
+
   def dedup_fingerprint(c: Column, perms: Int = 32, width: Int = 3): Column =
     column(DedupFingerprint(expression(c), perms, width))
 
@@ -90,6 +93,22 @@ object TextHashRuntime {
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** ALL shingle hashes in POSITION order (no dedup) — the positional
+    * twin of shingleHashes for span-level dedup (q154): element i is
+    * the hash of the width-gram starting at token i+1. Same token
+    * split and shingle hash, so posexplode over this ≡ the
+    * xxhash64(concat_ws(' ', slice(toks, i, w))) HOF composition
+    * (TextOpsSpec pins it bit-exact). */
+  def shingleHashesPos(text: UTF8String, width: Int): ArrayData = {
+    val toks = text.split(SPACE, -1)
+    val n = toks.length - width + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = shingleHash(toks, i, width); i += 1 }
+    new GenericArrayData(out)
   }
 
   def shingleHashes(text: UTF8String, width: Int): ArrayData = {
@@ -452,6 +471,30 @@ case class SigSortedShingles(child: Expression, perms: Int, width: Int)
       s"${ev.value} = graft.expressions.TextHashRuntime.sigSortedShingles($c, $perms, $width);")
 
   override protected def withNewChildInternal(c: Expression): SigSortedShingles =
+    copy(child = c)
+}
+
+/** ALL word `width`-gram shingle hashes in position order — q154's
+  * span-dedup scan primitive (ShingleHashes dedups; spans need every
+  * occurrence with its start index). */
+case class ShingleHashesPos(child: Expression, width: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  require(width >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes_pos"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashRuntime.shingleHashesPos(input.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextHashRuntime.shingleHashesPos($c, $width);")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashesPos =
     copy(child = c)
 }
 

@@ -1703,7 +1703,67 @@ object DedupOps {
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
 
+  /** q154: exact-substring duplicated SPANS — the ninth dedup family,
+    * the span-level stage of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better", ExactSubstr) beside the
+    * doc-level families (q23 exact, q28 MinHash, q29 SimHash, q41
+    * Jaccard, q51/q54 embedding, q117 semantic, q81 chunk): a token
+    * position is duplicated when the word L-gram starting there occurs
+    * ≥ 2 times ANYWHERE in the corpus (other docs or elsewhere in the
+    * same doc), and per doc the duplicated starts merge into maximal
+    * covered spans (gaps-and-islands: consecutive starts ≤ L apart
+    * cover contiguous tokens). Lee et al. build a corpus suffix array
+    * because they want variable-length witnesses; at a FIXED witness
+    * length the suffix array collapses to L-gram counting, which
+    * Spark-shapes into two linear passes — no suffix array, no doc
+    * pairing, no quadratic tier anywhere:
+    *   scan 1: fused positional shingle hashes (ShingleHashesPos, the
+    *     one-pass twin of the xxhash64∘concat_ws∘slice HOF) →
+    *     groupBy(hash) count with map-side partial agg — a boilerplate
+    *     gram occurring 10⁶ times collapses in the combiner, so hot
+    *     grams cost one long per map partition, never a fat group;
+    *   scan 2: the same positional grams shuffle-join the duplicated
+    *     hash set on the 8-byte key (both sides hash-partitioned on it;
+    *     the dup set is far past broadcast size at corpus scale), then
+    *     one doc-partitioned window merges starts into islands.
+    * Output (doc_id, span_start, span_end, n_grams) is exact integers,
+    * 1-based token indices, span_end inclusive (= last start + L − 1).
+    * The corpus is scanned twice rather than caching the position
+    * frame (tokens × 16 B — corpus-sized; the overCapBaskets
+    * convention: re-scanning pruned columns beats pinning a
+    * corpus-sized frame in executor storage). Spark groups/joins on
+    * the xxhash64 shingle hash while the oracle joins the gram STRING —
+    * equal modulo 64-bit collisions, the q61/q28 argument. */
+  def substringSpansOver(docs: DataFrame, L: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), posexplode(graft.expressions.TextHashes
+        .shingle_hashes_pos(col("text"), L)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dupHashes, "h")
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + L, 1L)
+          .otherwise(when(lag(col("pos"), 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("grp", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (L - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** q154 at the suite's shingle convention: word 8-grams — long enough
+    * that the fixtures' independent docs share none by chance, short
+    * enough that engineered near-dup slices light up. */
+  val substringSpans: Q = (s, d) =>
+    substringSpansOver(t(s, d, "documents"), 8)
+
   val queries: Map[String, Q] = Map(
+    "q154_substring_dedup" -> substringSpans,
     "q151_cluster_sizes" -> clusterSizeHistogram,
     "q116_dedup_labels_stream" -> dedupLabelsStream,
     "q115_dedup_incremental" -> dedupIncremental,
@@ -1754,6 +1814,33 @@ object DedupOps {
       |FROM reach GROUP BY n""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q154: the oracle joins gram STRINGS where the engine joins their
+    // xxhash64 (q61's collision argument); same 1-based starts, same
+    // ≤ L island merge, same inclusive span_end = last start + L − 1
+    "q154_substring_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS pos
+        |  FROM tk WHERE len(toks) >= 8),
+        |g2 AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
+        |  FROM g),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dp),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |  (max(pos) + 7)::BIGINT AS span_end, count(*)::BIGINT AS n_grams
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
     "q62_dedup_clusters" -> closureOracleSql,
     // q115 must converge to the batch closure whatever the arrival order
     "q115_dedup_incremental" -> closureOracleSql,

@@ -635,4 +635,91 @@ class DedupSpec extends SparkSpec {
           .withColumn("step", lit(null).cast("long")))
     }
   }
+
+  test("shingle_hashes_pos ≡ the xxhash64(concat_ws(slice)) HOF composition, position for position") {
+    val docs = graft.Tables.t(spark, sf0001, "documents").limit(50)
+      .select(col("doc_id"), col("text"))
+    val L = 8
+    val both = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        graft.expressions.TextHashes.shingle_hashes_pos(col("text"), L).as("fused"),
+        when(size(col("toks")) >= L, expr(
+          s"""transform(sequence(1, size(toks) - ${L - 1}),
+             |  i -> xxhash64(concat_ws(' ', slice(toks, i, $L))))""".stripMargin))
+          .otherwise(typedlit(Array.empty[Long])).as("hof"))
+    assert(both.filter(not(col("fused") === col("hof"))).count() == 0)
+  }
+
+  test("q154 exact-substring spans: engineered duplicated run is found as ONE maximal span in both docs; merge boundary is exactly L") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 tokens
+    def pad(seed: Int, n: Int) =
+      (1 to n).map(i => s"u${seed}w$i").mkString(" ")
+    val L = 8
+    // docs 0 and 1 share the 10-token run at different offsets (starts
+    // 6 and 3, 1-based); doc 2 is all-unique
+    val docs = Seq(
+      (0L, pad(0, 5) + " " + run + " " + pad(1, 7)),
+      (1L, pad(2, 2) + " " + run + " " + pad(3, 4)),
+      (2L, pad(4, 30))).toDF("doc_id", "text")
+    val got = DedupOps.substringSpansOver(docs, L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // a 10-token run has 3 duplicated 8-gram starts; coverage = the run
+    assert(got == Set((0L, 6L, 15L, 3L), (1L, 3L, 12L, 3L)), s"got $got")
+
+    // merge boundary: two identical 2·L-token docs duplicate all
+    // 2·L−L+1 = 9 starts → consecutive starts merge into ONE
+    // full-coverage span per doc (no cross-doc bleed)
+    val runB = (1 to 2 * L).map(i => s"b$i").mkString(" ")
+    val two = Seq((0L, runB), (1L, runB)).toDF("doc_id", "text")
+    val spans2 = DedupOps.substringSpansOver(two, L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans2 == Set((0L, 1L, 16L, 9L), (1L, 1L, 16L, 9L)), s"got $spans2")
+
+    // islands split when consecutive duplicated starts sit > L apart:
+    // dup gram at start 1 and start L+2 (gap L+1) → two spans
+    val g1 = (1 to L).map(i => s"g$i").mkString(" ")
+    val g2 = (1 to L).map(i => s"h$i").mkString(" ")
+    val splitDocs = Seq(
+      (0L, g1 + " x0 " + g2),        // starts: g1@1, g2@L+2
+      (1L, g1 + " y0 y1 " + g2)).toDF("doc_id", "text")
+    val spans3 = DedupOps.substringSpansOver(splitDocs, L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans3 == Set(
+      (0L, 1L, 8L, 1L), (0L, 10L, 17L, 1L),
+      (1L, 1L, 8L, 1L), (1L, 11L, 18L, 1L)), s"got $spans3")
+  }
+
+  test("q154 on the fixtures ≡ a driver recompute from first principles; fixture dup-grams exist") {
+    // independent of the engine's hash/window machinery: string grams,
+    // scala Map counting, hand-rolled island merge — every span must
+    // match exactly (the fixtures carry ~1 100 duplicated 8-grams from
+    // the engineered near-dup docs; no exact-dup docs exist, so q154's
+    // signal here is genuinely span-level, not whole-doc)
+    val L = 8
+    val docsDf = graft.Tables.t(spark, sf0001, "documents")
+    val texts = docsDf.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val grams = texts.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      (0 to w.length - L).map(i => (id, (i + 1).toLong, w.slice(i, i + L).mkString(" ")))
+    }
+    val counts = grams.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+    val want = grams.filter(g => counts(g._3) >= 2)
+      .groupBy(_._1).flatMap { case (id, gs) =>
+        val ps = gs.map(_._2).sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var start = ps.head; var prev = ps.head; var n = 0L
+        for (p <- ps) {
+          if (p > prev + L) { spans += ((id, start, prev + L - 1, n)); start = p; n = 0L }
+          n += 1; prev = p
+        }
+        spans += ((id, start, prev + L - 1, n))
+        spans
+      }.toSet
+    val got = DedupOps.substringSpansOver(docsDf, L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture lost its duplicated 8-grams")
+    assert(got == want, s"spans drifted: ${(got -- want).take(3)} vs ${(want -- got).take(3)}")
+  }
 }
