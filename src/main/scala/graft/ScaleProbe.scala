@@ -34,7 +34,7 @@ object ScaleProbe {
       "training_order", "pq_build", "pq_probe", "probe_listing",
       "knn_join", "pq_knn_join", "knn_query_scaling", "bucketed_join",
       "partitioned_fold", "skew", "grouped_quantile", "seq_state",
-      "join_state")
+      "join_state", "substring_spans")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -996,6 +996,41 @@ object ScaleProbe {
         println(f"SCALE n=${2 * n}%9d join_state_delay${delaySec}s " +
           f"peak_state_rows=$peakRows%7d bound=$bound%7d " +
           f"state_bytes=$peakBytes%9d emitted=$emitted%6d/${n}")
+      }
+    }
+    // q154 exact-substring spans at corpus scale: synthetic docs of 50
+    // unique tokens; every 10th doc carries a shared 16-token
+    // boilerplate block (the HOT-gram regime — each boilerplate gram
+    // occurs n/10 times, so the count agg's map-side combiner absorbs
+    // corpus growth for those keys the way vocab_build's does), and
+    // every 1000th doc is an exact copy of its neighbor (full-coverage
+    // islands). Expected shape: ~43 gram rows/doc through two linear
+    // passes; dup rows ≈ 9·n/10 boilerplate starts + 2·43·n/1000 copy
+    // starts; span count ≈ n/10·1 + n/1000·2.
+    if (on("substring_spans")) {
+      for (n <- Seq(100000L, 400000L, 1600000L)) {
+        val boiler = concat_ws(" ",
+          (1 to 16).map(i => lit(s"bp$i")): _*)
+        // exact-copy pairs: doc 1000k+1 reuses 1000k's token seed
+        val seed = when(col("id") % 1000 === 1, col("id") - 1)
+          .otherwise(col("id"))
+        def uniq(a: Int, b: Int) = concat_ws(" ",
+          expr(s"transform(sequence($a, $b), j -> concat('u', seed, 'w', j))"))
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+            seed.as("seed"))
+          .select(col("doc_id"),
+            when(col("seed") % 10 === 0,
+              concat_ws(" ", uniq(1, 17), boiler, uniq(18, 34)))
+              .otherwise(uniq(1, 50)).as("text"))
+          .persist()
+        docs.count()
+        val t0 = System.nanoTime()
+        val spans = functions.DedupOps.substringSpansOver(docs, 8)
+          .agg(count(lit(1)), sum(col("n_grams"))).collect()(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE n=$n%9d substring_spans $dt%6.2f s " +
+          f"spans=${spans.getLong(0)}%8d dup_starts=${spans.getLong(1)}%9d")
+        docs.unpersist()
       }
     }
     spark.stop()

@@ -1762,8 +1762,42 @@ object DedupOps {
   val substringSpans: Q = (s, d) =>
     substringSpansOver(t(s, d, "documents"), 8)
 
+  /** q155: the REMOVAL action q154's spans exist for — Lee et al.'s
+    * ExactSubstr cut: every token covered by a duplicated span is
+    * dropped from every occurrence (their stated semantics; "removes
+    * one more copy than necessary", which they measure as immaterial).
+    * Shape: q154's spans collapse to ≤ spans-per-doc lists (doc-sized
+    * groups), LEFT-join the corpus on doc_id — span-less docs pass
+    * through untouched with zero token work — and one codegen'd HOF
+    * chain (filter indices by span membership → element_at → join)
+    * rebuilds the kept text. No extra shuffle beyond q154's: the span
+    * list is spans-sized (≪ corpus), the join is doc-keyed. Output is
+    * the cleaned text itself plus the removed-token count — exact
+    * strings/integers, hash-comparable. */
+  def substringRemoveOver(docs: DataFrame, L: Int): DataFrame = {
+    val spans = substringSpansOver(docs, L)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val toks = split(col("text"), " ")
+    val keptIdx = filter(sequence(lit(1L), size(toks).cast("long")),
+      i => !exists(col("spans"),
+        sp => i >= sp.getField("span_start") && i <= sp.getField("span_end")))
+    val kept = transform(keptIdx, i => element_at(toks, i.cast("int")))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("text"))
+          .otherwise(array_join(kept, " ")).as("clean_text"),
+        when(col("spans").isNull, lit(0L))
+          .otherwise(size(toks).cast("long") - size(kept).cast("long"))
+          .as("n_removed"))
+  }
+
+  val substringRemove: Q = (s, d) =>
+    substringRemoveOver(t(s, d, "documents"), 8)
+
   val queries: Map[String, Q] = Map(
     "q154_substring_dedup" -> substringSpans,
+    "q155_substring_remove" -> substringRemove,
     "q151_cluster_sizes" -> clusterSizeHistogram,
     "q116_dedup_labels_stream" -> dedupLabelsStream,
     "q115_dedup_incremental" -> dedupIncremental,
@@ -1841,6 +1875,58 @@ object DedupOps {
         |SELECT doc_id, min(pos)::BIGINT AS span_start,
         |  (max(pos) + 7)::BIGINT AS span_end, count(*)::BIGINT AS n_grams
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    // q155: q154's CTEs verbatim, spans rolled to per-doc lists, then
+    // the index-filter rebuild — span-less docs pass through via the
+    // LEFT join in both engines
+    "q155_substring_remove" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS pos
+        |  FROM tk WHERE len(toks) >= 8),
+        |g2 AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
+        |  FROM g),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dp),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |  FROM isl GROUP BY doc_id, grp),
+        |sp AS (
+        |  SELECT doc_id,
+        |    list(struct_pack(s := span_start, e := span_end)) AS spans
+        |  FROM spans GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |k AS (
+        |  SELECT b.doc_id, b.text, b.toks, sp.spans,
+        |    CASE WHEN sp.spans IS NULL THEN NULL
+        |         ELSE list_filter(generate_series(1, len(b.toks)),
+        |           i -> len(list_filter(sp.spans,
+        |                  sp2 -> i >= sp2.s AND i <= sp2.e)) = 0)
+        |    END AS kept
+        |  FROM base b LEFT JOIN sp USING (doc_id))
+        |SELECT doc_id,
+        |  CASE WHEN spans IS NULL THEN text
+        |       -- a fully-covered doc keeps NO tokens: DuckDB's
+        |       -- array_to_string([]) is NULL where Spark's array_join
+        |       -- is '' — the engine's empty string is the semantic
+        |       ELSE coalesce(
+        |         array_to_string(list_transform(kept, i -> toks[i]), ' '), '')
+        |  END AS clean_text,
+        |  (CASE WHEN spans IS NULL THEN 0
+        |        ELSE len(toks) - len(kept) END)::BIGINT AS n_removed
+        |FROM k""".stripMargin,
     "q62_dedup_clusters" -> closureOracleSql,
     // q115 must converge to the batch closure whatever the arrival order
     "q115_dedup_incremental" -> closureOracleSql,

@@ -690,6 +690,31 @@ class DedupSpec extends SparkSpec {
       (1L, 1L, 8L, 1L), (1L, 11L, 18L, 1L)), s"got $spans3")
   }
 
+  test("q155 removal: covered tokens are cut from EVERY occurrence; span-less docs pass through byte-identical") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def pad(seed: Int, n: Int) = (1 to n).map(i => s"u${seed}w$i").mkString(" ")
+    val docs = Seq(
+      (0L, pad(0, 5) + " " + run + " " + pad(1, 7)),
+      (1L, pad(2, 2) + " " + run + " " + pad(3, 4)),
+      (2L, pad(4, 30))).toDF("doc_id", "text")
+    val got = DedupOps.substringRemoveOver(docs, 8)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // the shared 10-token run vanishes from BOTH docs (Lee et al.'s
+    // every-occurrence cut); the unique padding survives in order
+    assert(got(0L) == (pad(0, 5) + " " + pad(1, 7), 10L))
+    assert(got(1L) == (pad(2, 2) + " " + pad(3, 4), 10L))
+    assert(got(2L) == (pad(4, 30), 0L))
+    // mass conservation: removed ≡ original minus kept, per doc
+    val check = DedupOps.substringRemoveOver(docs, 8)
+      .join(docs, "doc_id")
+      .select((size(split(col("text"), " ")) -
+        when(col("clean_text") === "", 0)
+          .otherwise(size(split(col("clean_text"), " ")))).cast("long")
+        .as("delta"), col("n_removed"))
+      .filter(not(col("delta") === col("n_removed"))).count()
+    assert(check == 0)
+  }
+
   test("q154 on the fixtures ≡ a driver recompute from first principles; fixture dup-grams exist") {
     // independent of the engine's hash/window machinery: string grams,
     // scala Map counting, hand-rolled island merge — every span must
