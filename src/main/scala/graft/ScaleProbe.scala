@@ -1030,6 +1030,19 @@ object ScaleProbe {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE n=$n%9d substring_spans $dt%6.2f s " +
           f"spans=${spans.getLong(0)}%8d dup_starts=${spans.getLong(1)}%9d")
+        // the Bloom-prefiltered twin on the SAME corpus (2.3% dup rate
+        // here — the prefilter's home regime): the eager build returns
+        // a materialized frame, so the timed region covers all work
+        val t1 = System.nanoTime()
+        val bspans = functions.DedupOps.substringSpansBloomOver(docs, 8)
+        val bagg = bspans.agg(count(lit(1)), sum(col("n_grams"))).collect()(0)
+        val dtB = (System.nanoTime() - t1) / 1e9
+        require(bagg.getLong(0) == spans.getLong(0) &&
+          bagg.getLong(1) == spans.getLong(1),
+          s"bloom twin diverged: $bagg vs $spans")
+        bspans.unpersist(false)
+        println(f"SCALE n=$n%9d substring_spans_bloom $dtB%6.2f s " +
+          f"spans=${bagg.getLong(0)}%8d")
         docs.unpersist()
       }
     }

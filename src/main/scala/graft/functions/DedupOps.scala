@@ -1735,15 +1735,26 @@ object DedupOps {
     * the xxhash64 shingle hash while the oracle joins the gram STRING —
     * equal modulo 64-bit collisions, the q61/q28 argument. */
   def substringSpansOver(docs: DataFrame, L: Int): DataFrame = {
-    val grams = docs
+    val grams = gramPositions(docs, L)
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("h"))
+    islandSpans(grams.join(dupHashes, "h"), L)
+  }
+
+  /** (doc_id, pos, h) of every word L-gram start — scan 1 and scan 2's
+    * shared shape. */
+  private def gramPositions(docs: DataFrame, L: Int): DataFrame =
+    docs
       .select(col("doc_id"), posexplode(graft.expressions.TextHashes
         .shingle_hashes_pos(col("text"), L)).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
-    val dupHashes = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("h"))
+
+  /** Duplicated gram starts → maximal covered spans (gaps-and-islands
+    * over one doc-partitioned window). */
+  private def islandSpans(dupPos: DataFrame, L: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams.join(dupHashes, "h")
+    dupPos
       .withColumn("brk",
         when(col("pos") > lag(col("pos"), 1).over(w) + L, 1L)
           .otherwise(when(lag(col("pos"), 1).over(w).isNull, 1L).otherwise(0L)))
@@ -1754,6 +1765,57 @@ object DedupOps {
         (max(col("pos")) + (L - 1)).as("span_end"),
         count(lit(1)).as("n_grams"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** q154's Bloom-prefiltered twin for LOW-DUP-RATE corpora: the plain
+    * shape re-shuffles EVERY gram row by hash into the dup-set join
+    * (the ScaleProbe-measured superlinear term at 69M gram rows); here
+    * the duplicated hash set — already in hand from scan 1 — builds a
+    * distributed Bloom filter (the q75 BloomGate construction:
+    * BloomFilterAggregate, one bit-array row collected, ~1.25 B/item at
+    * 3% FP) and scan 2 prunes map-side with BloomFilterMightContain
+    * BEFORE its shuffle, so the join exchange carries ~dup rows + FP
+    * instead of the corpus's every gram. The exact join downstream
+    * kills FPs — semantically transparent at any FP rate (spec-pinned
+    * equal to substringSpansOver). Eager by construction (the dup set
+    * is counted to size the filter and the result is materialized
+    * before its persist is released) — ingest-job semantics, like the
+    * stored-index builds. NOT the default: on a boilerplate-heavy
+    * corpus the dup set is corpus-scale, the Bloom saturates to
+    * admit-everything (wasted build + filter work), and the plain
+    * two-pass shuffle join is the floor — same sizing judgment as
+    * q61 vs q75, made explicit by the estItems clamp guard. */
+  def substringSpansBloomOver(docs: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val grams = gramPositions(docs, L)
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("h"))
+      .persist()
+    try {
+      val nDup = dup.count()
+      if (nDup == 0)
+        return islandSpans(grams.join(dup, "h"), L).localCheckpoint(eager = true)
+      val est = math.max(nDup, 1024L)
+      val conf = docs.sparkSession.conf
+      val maxItems = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+      val maxBits = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+      require(est <= maxItems && est * 8L <= maxBits,
+        s"dup-gram set ($nDup) would silently saturate the Bloom sizing " +
+          "clamps — this corpus is past the prefilter regime; use " +
+          "substringSpansOver (the two-pass shuffle join is the floor)")
+      val bloomBytes = dup.select(Bridge.column(
+          new BloomFilterAggregate(Bridge.expression(col("h")),
+            Literal(est), Literal(est * 8L)).toAggregateExpression()).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val mightContain = Bridge.column(BloomFilterMightContain(
+        Literal(bloomBytes), Bridge.expression(col("h"))))
+      islandSpans(grams.filter(mightContain).join(dup, "h"), L)
+        .localCheckpoint(eager = true)
+    } finally dup.unpersist(false)
   }
 
   /** q154 at the suite's shingle convention: word 8-grams — long enough

@@ -690,6 +690,23 @@ class DedupSpec extends SparkSpec {
       (1L, 1L, 8L, 1L), (1L, 11L, 18L, 1L)), s"got $spans3")
   }
 
+  test("Bloom-prefiltered span scan ≡ the plain two-pass, on fixtures and on an all-unique corpus") {
+    val plain = DedupOps.substringSpansOver(
+      graft.Tables.t(spark, sf0001, "documents"), 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val bloom = DedupOps.substringSpansBloomOver(
+      graft.Tables.t(spark, sf0001, "documents"), 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(plain.nonEmpty && bloom == plain,
+      "the Bloom tier must be semantically transparent (exact join kills FPs)")
+    // empty dup set: the zero-item path must return the empty frame,
+    // not a saturated/NULL-bearing filter
+    val uniq = Seq.tabulate(20)(i =>
+      (i.toLong, (1 to 12).map(j => s"d${i}t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(DedupOps.substringSpansBloomOver(uniq, 8).count() == 0)
+  }
+
   test("q155 removal: covered tokens are cut from EVERY occurrence; span-less docs pass through byte-identical") {
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     def pad(seed: Int, n: Int) = (1 to n).map(i => s"u${seed}w$i").mkString(" ")
