@@ -1767,7 +1767,7 @@ object DedupOps {
 
   /** (doc_id, pos, h) of every word L-gram start — scan 1 and scan 2's
     * shared shape. */
-  private def gramPositions(docs: DataFrame, L: Int): DataFrame =
+  private[graft] def gramPositions(docs: DataFrame, L: Int): DataFrame =
     docs
       .select(col("doc_id"), posexplode(graft.expressions.TextHashes
         .shingle_hashes_pos(col("text"), L)).as(Seq("p0", "h")))
@@ -1775,7 +1775,7 @@ object DedupOps {
 
   /** Duplicated gram starts → maximal covered spans (gaps-and-islands
     * over one doc-partitioned window). */
-  private def islandSpans(dupPos: DataFrame, L: Int): DataFrame = {
+  private[graft] def islandSpans(dupPos: DataFrame, L: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     dupPos
@@ -1881,9 +1881,24 @@ object DedupOps {
   val substringRemove: Q = (s, d) =>
     substringRemoveOver(t(s, d, "documents"), 8)
 
+  /** q156: the exact-substring index maintained INCREMENTALLY — q154
+    * served from the SubstrIndexSink lifecycle (three doc cuts: fold of
+    * the first two + a live tail, the q102/q103 convention): per batch
+    * only that batch's grams are tokenized/hashed/stored and a
+    * batch-sized count partial appends; the corpus is never re-scanned.
+    * The probe reads the reconciled counts + stored positions and runs
+    * the same island merge — hash-gated against q154's batch oracle, so
+    * the additive-count claim is proved across the fold boundary. */
+  val substringSpansStream: Q = (s, d) =>
+    graft.sinks.SubstrIndexSink.spans(s,
+      TextOps.ensureCutLifecycle(s, d, "substrstream",
+        graft.sinks.SubstrIndexSink.writer,
+        loc => graft.sinks.SubstrIndexSink.compact(s, loc)))
+
   val queries: Map[String, Q] = Map(
     "q154_substring_dedup" -> substringSpans,
     "q155_substring_remove" -> substringRemove,
+    "q156_substring_stream" -> substringSpansStream,
     "q151_cluster_sizes" -> clusterSizeHistogram,
     "q116_dedup_labels_stream" -> dedupLabelsStream,
     "q115_dedup_incremental" -> dedupIncremental,
@@ -1933,11 +1948,12 @@ object DedupOps {
       |SELECT n AS doc_id, min(m) AS cluster_rep
       |FROM reach GROUP BY n""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    // q154: the oracle joins gram STRINGS where the engine joins their
-    // xxhash64 (q61's collision argument); same 1-based starts, same
-    // ≤ L island merge, same inclusive span_end = last start + L − 1
-    "q154_substring_dedup" ->
+  /** The q154 oracle, shared with q156 (the lifecycle twin converges to
+    * the batch answer): the oracle joins gram STRINGS where the engine
+    * joins their xxhash64 (q61's collision argument); same 1-based
+    * starts, same ≤ L island merge, same inclusive span_end = last
+    * start + L − 1. */
+  private val substringSpansOracleSql: String =
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (
@@ -1960,7 +1976,14 @@ object DedupOps {
         |  FROM m)
         |SELECT doc_id, min(pos)::BIGINT AS span_start,
         |  (max(pos) + 7)::BIGINT AS span_end, count(*)::BIGINT AS n_grams
-        |FROM isl GROUP BY doc_id, grp""".stripMargin,
+        |FROM isl GROUP BY doc_id, grp""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q154_substring_dedup" -> substringSpansOracleSql,
+    // q156 = q154 through the incremental index lifecycle (fold + live
+    // tail) — convergence to the batch answer IS the claim, so the
+    // oracle is the batch SQL
+    "q156_substring_stream" -> substringSpansOracleSql,
     // q155: q154's CTEs verbatim, spans rolled to per-doc lists, then
     // the index-filter rebuild — span-less docs pass through via the
     // LEFT join in both engines

@@ -909,7 +909,7 @@ object TextOps {
     * regenerated fixture rebuilds instead of serving stale counts; a
     * crashed prior attempt (no __done marker) is cleared and redone —
     * every write is marker-gated, so a torn state never serves. */
-  private def ensureCutLifecycle(s: SparkSession, d: String, kind: String,
+  private[graft] def ensureCutLifecycle(s: SparkSession, d: String, kind: String,
       writer: String => (DataFrame, Long) => Unit,
       compact: String => Unit): String =
     synchronized {

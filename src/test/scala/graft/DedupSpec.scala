@@ -707,6 +707,28 @@ class DedupSpec extends SparkSpec {
     assert(DedupOps.substringSpansBloomOver(uniq, 8).count() == 0)
   }
 
+  test("q156 substring-index lifecycle: a real fold + a replayed tail serve spans equal to the batch scan") {
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val loc = java.nio.file.Files.createTempDirectory("graft-substr").toString
+    def cut(b: Long) = docs.filter(pmod(col("doc_id"), lit(4)) === b)
+    val w = graft.sinks.SubstrIndexSink.writer(loc) _
+    w(cut(0), 0L); w(cut(1), 1L); w(cut(2), 2L)
+    graft.sinks.SubstrIndexSink.compact(spark, loc)
+    // the compact folded batches 0+1 (batch 2, the newest non-negative
+    // id, must stay replayable) in BOTH sub-stores
+    assert(graft.sinks.IngestSegments.liveSegments(spark, s"$loc/pos")
+      .count(_ < 0) == 1, "pos store must carry exactly one fold segment")
+    w(cut(3), 3L)
+    w(cut(3), 3L) // streaming replay: overwrite-by-batch-id, not double-count
+    val got = graft.sinks.SubstrIndexSink.spans(spark, loc)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = DedupOps.substringSpansOver(docs, 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      "fold + replayed tail must be invisible: stream ≡ batch")
+  }
+
   test("q155 removal: covered tokens are cut from EVERY occurrence; span-less docs pass through byte-identical") {
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     def pad(seed: Int, n: Int) = (1 to n).map(i => s"u${seed}w$i").mkString(" ")
