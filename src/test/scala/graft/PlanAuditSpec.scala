@@ -540,4 +540,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnlj.size <= 1,
       s"only the 1-row part-count crossJoin may nested-loop, got ${bnlj.size}")
   }
+
+  test("q154 substring spans: count pass is combiner-bound (partial agg before its exchange), no cartesian, pruned scans") {
+    val plan = executedPlan(functions.DedupOps.substringSpansOver(
+      graft.Tables.t(spark, sf0001, "documents"), 8))
+    // the hot-gram defense IS the map-side partial: a boilerplate gram
+    // occurring 10⁶ times must collapse per map partition, never arrive
+    // as 10⁶ shuffle rows at one reducer
+    assert(plan.contains("partial_count"),
+      s"the gram count must partial-aggregate before its exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"span detection must never pair documents:\n$plan")
+    // the count-side scan needs text only; the position side doc_id+text
+    assert("ReadSchema: struct<text:string>".r.findAllIn(plan).nonEmpty,
+      s"count pass must prune to the text column:\n$plan")
+  }
 }
