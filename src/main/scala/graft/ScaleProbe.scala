@@ -34,7 +34,7 @@ object ScaleProbe {
       "training_order", "pq_build", "pq_probe", "probe_listing",
       "knn_join", "pq_knn_join", "knn_query_scaling", "bucketed_join",
       "partitioned_fold", "skew", "grouped_quantile", "seq_state",
-      "join_state", "substring_spans")
+      "join_state", "substring_spans", "substring_ingest")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -1007,6 +1007,47 @@ object ScaleProbe {
     // islands). Expected shape: ~43 gram rows/doc through two linear
     // passes; dup rows ≈ 9·n/10 boilerplate starts + 2·43·n/1000 copy
     // starts; span count ≈ n/10·1 + n/1000·2.
+    // q156's load-bearing claim measured: INGEST COST TRACKS THE BATCH,
+    // not the corpus. A fixed 50k-doc batch is ingested into substring
+    // index states bootstrapped at 100k/400k/1.6M docs — if the claim
+    // holds, the ingest time is flat across the sweep (the batch's own
+    // grams + a batch-bounded count partial; the stored corpus is never
+    // re-read on the write path). The probe also times the span READ at
+    // each size — that one IS corpus-sized by construction (its output
+    // is the corpus's span table) and should grow linearly.
+    if (on("substring_ingest")) {
+      for (n <- Seq(100000L, 400000L, 1600000L)) {
+        val boiler = concat_ws(" ",
+          (1 to 16).map(i => lit(s"bp$i")): _*)
+        def corpus(from: Long, until: Long) = spark.range(from, until)
+          .select(col("id").as("doc_id"), col("id").as("seed"))
+          .select(col("doc_id"),
+            when(col("seed") % 10 === 0,
+              concat_ws(" ",
+                expr("transform(sequence(1, 17), j -> concat('u', seed, 'w', j))"),
+                boiler,
+                expr("transform(sequence(18, 34), j -> concat('u', seed, 'w', j))")))
+              .otherwise(concat_ws(" ",
+                expr("transform(sequence(1, 50), j -> concat('u', seed, 'w', j))")))
+              .as("text"))
+        val loc = java.nio.file.Files
+          .createTempDirectory(s"graft-substr-ingest-$n").toString
+        val w = graft.sinks.SubstrIndexSink.writer(loc) _
+        w(corpus(0L, n), 0L) // bootstrap at corpus size n
+        val batch = corpus(n, n + 50000L).persist()
+        batch.count()
+        val t0 = System.nanoTime()
+        w(batch, 1L)
+        val ingestS = (System.nanoTime() - t0) / 1e9
+        batch.unpersist()
+        val t1 = System.nanoTime()
+        val nSpans = graft.sinks.SubstrIndexSink.spans(spark, loc).count()
+        val readS = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE n=$n%9d substring_ingest_50k $ingestS%6.2f s " +
+          f"span_read $readS%6.2f s spans=$nSpans%8d")
+        graft.sinks.Hfs.deleteRecursive(spark, loc)
+      }
+    }
     if (on("substring_spans")) {
       for (n <- Seq(100000L, 400000L, 1600000L)) {
         val boiler = concat_ws(" ",
