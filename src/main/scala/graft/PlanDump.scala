@@ -96,6 +96,16 @@ object PlanDump {
         |combiner) → shuffle join on the 8-byte key → one doc-partitioned
         |window. Fixed witness length collapses Lee et al.'s suffix array
         |to gram counting.""".stripMargin),
+    ("q155_substring_remove", "the every-occurrence cut: span lists LEFT-join the corpus, HOF index filter",
+      """q154's spans collapse to per-doc lists (spans-sized, ≪ corpus),
+        |the corpus LEFT-joins them on doc_id — span-less docs take the
+        |null branch with zero token work — and one codegen'd
+        |filter→element_at→array_join chain rebuilds the kept text.""".stripMargin),
+    ("q156_substring_stream", "q154 served from the incremental two-store index (positions + additive counts)",
+      """The probe reads the reconciled count store (n ≥ 2 ⇒ duplicated),
+        |joins the stored positions on the 8-byte hash and runs the same
+        |island merge — no text re-scan anywhere in the plan; ingest cost
+        |was measured batch-bound (PLANS substring_ingest).""".stripMargin),
     ("q50_asof_join", "merge-form as-of (union + window, no join)", ""),
     ("q51_embedding_dups", "bounded pairwise cosine (verification tier)", ""),
     ("q54_embedding_dups_lsh", "banded hyperplane LSH + fused-cosine verify",
