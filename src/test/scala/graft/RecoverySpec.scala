@@ -141,4 +141,56 @@ class RecoverySpec extends SparkSpec {
     val got = spark.read.parquet(s"$out/sink").select("mid").collect().map(_.getString(0)).sorted.toSeq
     assert(got == Seq("m1", "m2"))
   }
+
+  test("q156 substring index through a REAL checkpointed stream: kill mid-corpus, resume, spans ≡ batch") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("rec3_in").toString
+    val ckpt = Files.createTempDirectory("rec3_ckpt").toString
+    val idx = Files.createTempDirectory("rec3_idx").toString
+
+    // docs with cross-file duplicated runs: the shared 10-token run
+    // lands in files that arrive in DIFFERENT micro-batches, so span
+    // detection requires counts accumulated across the restart
+    val run10 = (1 to 10).map(i => s"r$i").mkString(" ")
+    def uniq(seed: Int, n: Int) = (1 to n).map(j => s"u${seed}x$j").mkString(" ")
+    def doc(id: Long, text: String) = s"$id\t$text"
+    Files.writeString(java.nio.file.Path.of(s"$in/a.txt"),
+      doc(0L, uniq(0, 4) + " " + run10) + "\n" + doc(1L, uniq(1, 12)) + "\n")
+
+    def startQuery() = {
+      val parsed = spark.readStream.format("text").load(in)
+        .select(split(col("value"), "\t").as("kv"))
+        .select(col("kv")(0).cast("long").as("doc_id"), col("kv")(1).as("text"))
+      parsed.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          graft.sinks.SubstrIndexSink.writer(idx)(batch, bid)
+        }
+        .start()
+    }
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // killed mid-corpus: only file a is indexed
+    // the run's second occurrence arrives AFTER the restart
+    Files.writeString(java.nio.file.Path.of(s"$in/b.txt"),
+      doc(2L, run10 + " " + uniq(2, 6)) + "\n")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    graft.sinks.SubstrIndexSink.compact(spark, idx)
+    q2.stop()
+
+    val allDocs = Seq(
+      (0L, uniq(0, 4) + " " + run10),
+      (1L, uniq(1, 12)),
+      (2L, run10 + " " + uniq(2, 6))).toDF("doc_id", "text")
+    val want = graft.functions.DedupOps.substringSpansOver(allDocs, 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = graft.sinks.SubstrIndexSink.spans(spark, idx)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the 10-token run: 3 dup starts per occurrence, at offsets 5 and 1
+    assert(want == Set((0L, 5L, 14L, 3L), (2L, 1L, 10L, 3L)),
+      s"fixture construction drifted: $want")
+    assert(got == want,
+      "spans across a kill-and-restart must equal the batch scan")
+  }
 }
