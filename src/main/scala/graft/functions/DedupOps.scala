@@ -1881,6 +1881,44 @@ object DedupOps {
   val substringRemove: Q = (s, d) =>
     substringRemoveOver(t(s, d, "documents"), 8)
 
+  /** q157: span PROVENANCE — the "duplicated with WHOM" audit view a
+    * dedup report pairs with q154's spans: for every span, a concrete
+    * counterpart (the lowest doc_id holding another occurrence of the
+    * span's first gram — the same doc when the duplication is internal
+    * repetition) and that gram's corpus occurrence count. A span's
+    * first gram is duplicated by definition, so a partner always
+    * exists. Scale shape: per-(gram, doc) counts collapse map-side,
+    * the per-gram stats are gram-vocabulary-sized, and the span frame
+    * (sparse) joins them by hash; no collect_list of a hot gram's
+    * doc set anywhere — the second-lowest doc comes from one more
+    * bounded aggregate, not a per-gram list. */
+  def spanProvenanceOver(docs: DataFrame, L: Int): DataFrame = {
+    val spans = substringSpansOver(docs, L)
+    val grams = gramPositions(docs, L)
+    val perDoc = grams.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val base = perDoc.groupBy(col("h"))
+      .agg(sum(col("c")).as("n_occ"),
+        min(col("doc_id")).as("min1"),
+        min_by(col("c"), col("doc_id")).as("c_min1"))
+    val second = perDoc.join(base.select(col("h"), col("min1")), "h")
+      .filter(col("doc_id") > col("min1"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("min2"))
+    val stats = base.join(second, Seq("h"), "left")
+    val firstGram = spans.join(grams,
+      spans("doc_id") === grams("doc_id") && spans("span_start") === grams("pos"))
+      .select(spans("doc_id"), col("span_start"), col("span_end"), col("h"))
+    firstGram.join(stats, "h")
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        when(col("min1") =!= col("doc_id"), col("min1"))
+          .otherwise(when(col("c_min1") >= 2, col("doc_id"))
+            .otherwise(col("min2"))).as("partner_doc"),
+        col("n_occ"))
+  }
+
+  val spanProvenance: Q = (s, d) =>
+    spanProvenanceOver(t(s, d, "documents"), 8)
+
   /** q156: the exact-substring index maintained INCREMENTALLY — q154
     * served from the SubstrIndexSink lifecycle (three doc cuts: fold of
     * the first two + a live tail, the q102/q103 convention): per batch
@@ -1899,6 +1937,7 @@ object DedupOps {
     "q154_substring_dedup" -> substringSpans,
     "q155_substring_remove" -> substringRemove,
     "q156_substring_stream" -> substringSpansStream,
+    "q157_span_provenance" -> spanProvenance,
     "q151_cluster_sizes" -> clusterSizeHistogram,
     "q116_dedup_labels_stream" -> dedupLabelsStream,
     "q115_dedup_incremental" -> dedupIncremental,
@@ -1984,6 +2023,54 @@ object DedupOps {
     // tail) — convergence to the batch answer IS the claim, so the
     // oracle is the batch SQL
     "q156_substring_stream" -> substringSpansOracleSql,
+    // q157: q154's CTEs to spans, per-(gram, doc) counts to per-gram
+    // provenance stats, partner = lowest doc holding ANOTHER occurrence
+    // of the span's first gram (the same doc iff its count there ≥ 2)
+    "q157_span_provenance" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS pos
+        |  FROM tk WHERE len(toks) >= 8),
+        |g2 AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
+        |  FROM g),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dp),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |  FROM isl GROUP BY doc_id, grp),
+        |perdoc AS (
+        |  SELECT gram, doc_id, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |base AS (
+        |  SELECT gram, sum(c) AS n_occ, min(doc_id) AS min1,
+        |    arg_min(c, doc_id) AS c_min1
+        |  FROM perdoc GROUP BY 1),
+        |second AS (
+        |  SELECT p.gram, min(p.doc_id) AS min2
+        |  FROM perdoc p JOIN base b USING (gram)
+        |  WHERE p.doc_id > b.min1 GROUP BY 1),
+        |firstg AS (
+        |  SELECT s.doc_id, s.span_start, s.span_end, g2.gram
+        |  FROM spans s JOIN g2 ON g2.doc_id = s.doc_id AND g2.pos = s.span_start)
+        |SELECT f.doc_id, f.span_start::BIGINT AS span_start,
+        |  f.span_end::BIGINT AS span_end,
+        |  (CASE WHEN b.min1 <> f.doc_id THEN b.min1
+        |        WHEN b.c_min1 >= 2 THEN f.doc_id
+        |        ELSE s2.min2 END)::BIGINT AS partner_doc,
+        |  b.n_occ::BIGINT AS n_occ
+        |FROM firstg f JOIN base b USING (gram)
+        |LEFT JOIN second s2 USING (gram)""".stripMargin,
     // q155: q154's CTEs verbatim, spans rolled to per-doc lists, then
     // the index-filter rebuild — span-less docs pass through via the
     // LEFT join in both engines

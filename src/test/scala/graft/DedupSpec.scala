@@ -729,6 +729,28 @@ class DedupSpec extends SparkSpec {
       "fold + replayed tail must be invisible: stream ≡ batch")
   }
 
+  test("q157 provenance: cross-doc partner is the lowest counterpart; internal repetition partners itself") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 toks
+    val run2 = "p1 p2 p3 p4 p5 p6 p7 p8" // exactly L, repeated WITHIN doc 3
+    def pad(seed: Int, n: Int) = (1 to n).map(i => s"w${seed}v$i").mkString(" ")
+    val docs = Seq(
+      (5L, pad(0, 5) + " " + run + " " + pad(1, 3)),
+      (9L, run + " " + pad(2, 4)),
+      (3L, run2 + " q0 " + run2)).toDF("doc_id", "text")
+    val got = DedupOps.spanProvenanceOver(docs, 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      // doc 5's span starts at 6; its first gram also lives in doc 9 —
+      // doc 5 IS min1 with a single occurrence, so partner = min2 = 9
+      (5L, 6L, 15L, 9L, 2L),
+      // doc 9 is not min1 → partner = min1 = 5
+      (9L, 1L, 10L, 5L, 2L),
+      // internal repetition: the gram occurs twice in doc 3 (c_min1 = 2)
+      // → each of the two split spans partners doc 3 itself
+      (3L, 1L, 8L, 3L, 2L),
+      (3L, 10L, 17L, 3L, 2L)), s"got $got")
+  }
+
   test("q155 removal: covered tokens are cut from EVERY occurrence; span-less docs pass through byte-identical") {
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     def pad(seed: Int, n: Int) = (1 to n).map(i => s"u${seed}w$i").mkString(" ")
