@@ -1919,6 +1919,35 @@ object DedupOps {
   val spanProvenance: Q = (s, d) =>
     spanProvenanceOver(t(s, d, "documents"), 8)
 
+  /** q158: the duplication-rate report — the dataset-card rollup the
+    * span tier feeds (q83's contamination-report convention): per
+    * corpus source, how many docs carry duplicated spans, the token
+    * mass those spans cover, and the resulting duplication rate. Span
+    * coverage per doc is an exact integer (islands are disjoint by
+    * construction, so summing span widths never double-counts a
+    * token); the rollup reduces the sparse span frame to a ≤ #sources
+    * table and joins the per-source token totals — both sides collapse
+    * map-side, the final join is tiny × tiny. */
+  def duplicationReportOver(docs: DataFrame, L: Int): DataFrame = {
+    val perDoc = substringSpansOver(docs, L)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("covered"))
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("covered").isNotNull, 1L).otherwise(0L)).as("docs_with_dups"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(coalesce(col("covered"), lit(0L))).as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("docs_with_dups"),
+        col("total_tokens"), col("dup_tokens"),
+        round(col("dup_tokens") / col("total_tokens"), 6).as("dup_rate"))
+  }
+
+  val duplicationReport: Q = (s, d) =>
+    duplicationReportOver(t(s, d, "documents"), 8)
+
   /** q156: the exact-substring index maintained INCREMENTALLY — q154
     * served from the SubstrIndexSink lifecycle (three doc cuts: fold of
     * the first two + a live tail, the q102/q103 convention): per batch
@@ -1938,6 +1967,7 @@ object DedupOps {
     "q155_substring_remove" -> substringRemove,
     "q156_substring_stream" -> substringSpansStream,
     "q157_span_provenance" -> spanProvenance,
+    "q158_duplication_report" -> duplicationReport,
     "q151_cluster_sizes" -> clusterSizeHistogram,
     "q116_dedup_labels_stream" -> dedupLabelsStream,
     "q115_dedup_incremental" -> dedupIncremental,
@@ -2071,6 +2101,46 @@ object DedupOps {
         |  b.n_occ::BIGINT AS n_occ
         |FROM firstg f JOIN base b USING (gram)
         |LEFT JOIN second s2 USING (gram)""".stripMargin,
+    // q158: spans → per-doc covered-token mass (islands are disjoint,
+    // so width sums are exact) → per-source dataset-card rollup
+    "q158_duplication_report" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS pos
+        |  FROM tk WHERE len(toks) >= 8),
+        |g2 AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
+        |  FROM g),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dp),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |  FROM isl GROUP BY doc_id, grp),
+        |perdoc AS (
+        |  SELECT doc_id, sum(span_end - span_start + 1) AS covered
+        |  FROM spans GROUP BY doc_id),
+        |base AS (
+        |  SELECT d.doc_id, d.source,
+        |    len(string_split(d.text, ' ')) AS n_toks, p.covered
+        |  FROM documents d LEFT JOIN perdoc p USING (doc_id))
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN covered IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS docs_with_dups,
+        |  sum(n_toks)::BIGINT AS total_tokens,
+        |  sum(coalesce(covered, 0))::BIGINT AS dup_tokens,
+        |  round(sum(coalesce(covered, 0)) / sum(n_toks), 6) AS dup_rate
+        |FROM base GROUP BY source""".stripMargin,
     // q155: q154's CTEs verbatim, spans rolled to per-doc lists, then
     // the index-filter rebuild — span-less docs pass through via the
     // LEFT join in both engines

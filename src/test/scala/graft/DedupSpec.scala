@@ -751,6 +751,19 @@ class DedupSpec extends SparkSpec {
       (3L, 10L, 17L, 3L, 2L)), s"got $got")
   }
 
+  test("q158 duplication report: covered mass ≡ q155's removed mass, per construction") {
+    // the report's dup_tokens and the removal's n_removed count the
+    // SAME tokens (islands are disjoint; removal cuts exactly the
+    // covered set) — tie the two independently-built views together
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+    val reported = DedupOps.duplicationReportOver(docs, 8)
+      .agg(sum(col("dup_tokens"))).as[Long].collect()(0)
+    val removed = DedupOps.substringRemoveOver(docs, 8)
+      .agg(sum(col("n_removed"))).as[Long].collect()(0)
+    assert(reported > 0 && reported == removed,
+      s"report covered $reported tokens but removal cut $removed")
+  }
+
   test("q155 removal: covered tokens are cut from EVERY occurrence; span-less docs pass through byte-identical") {
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     def pad(seed: Int, n: Int) = (1 to n).map(i => s"u${seed}w$i").mkString(" ")
