@@ -1893,8 +1893,13 @@ object DedupOps {
     * doc set anywhere — the second-lowest doc comes from one more
     * bounded aggregate, not a per-gram list. */
   def spanProvenanceOver(docs: DataFrame, L: Int): DataFrame = {
-    val spans = substringSpansOver(docs, L)
     val grams = gramPositions(docs, L)
+    // ONE per-(gram, doc) aggregate feeds everything downstream: the
+    // per-gram provenance stats, the duplicated set (n_occ ≥ 2 — the
+    // same predicate substringSpansOver computes from its own full
+    // count agg, which this shape makes redundant), and therefore the
+    // spans themselves. Saves a full gram-count pass vs composing
+    // substringSpansOver + separate stats.
     val perDoc = grams.groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
     val base = perDoc.groupBy(col("h"))
@@ -1904,7 +1909,9 @@ object DedupOps {
     val second = perDoc.join(base.select(col("h"), col("min1")), "h")
       .filter(col("doc_id") > col("min1"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("min2"))
-    val stats = base.join(second, Seq("h"), "left")
+    val stats = base.filter(col("n_occ") >= 2)
+      .join(second, Seq("h"), "left")
+    val spans = islandSpans(grams.join(stats.select(col("h")), "h"), L)
     val firstGram = spans.join(grams,
       spans("doc_id") === grams("doc_id") && spans("span_start") === grams("pos"))
       .select(spans("doc_id"), col("span_start"), col("span_end"), col("h"))
