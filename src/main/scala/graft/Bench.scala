@@ -169,6 +169,65 @@ object Bench {
       .filter(_._2 > 0).toMap
   }
 
+  /** Every query whose FIRST run at a given sf dir pays a one-off
+    * stored-layout / lifecycle / model build (the __done/_SUCCESS-gated
+    * ensure* convention, plus the per-JVM k-means cell model): each
+    * runs ONCE untimed before the timed loop so iteration 1 measures
+    * the serving read, not the ingest job — in production those builds
+    * are ingest pipelines, not queries. Round 13's driver artifact
+    * showed what a missing entry looks like: q105's iteration climb
+    * [0.74→1.75→2.02] was adjudicated as box noise only because the
+    * builder's quiet artifact had the pre-built flat series. BenchSpec
+    * pins this set: every name must be a real query, every `_stream`
+    * lifecycle query must be tagged, and the known stored-layout batch
+    * queries must be tagged. */
+  private[graft] val lifecycleQueries: Set[String] = Set(
+    // stored ANN layouts (annlsh / ivf / pq) + their lifecycles
+    "q38_ann_lsh_topk", "q42_ann_ivf_topk", "q94_ann_ivfpq_topk",
+    "q95_ann_knn_join", "q96_ann_pq_knn_join", "q105_ann_lsh_stream",
+    "q107_ann_pq_stream", "q108_ann_pq_rerank", "q153_ann_recall",
+    // stored cluster-label layout + label lifecycle
+    "q62_dedup_clusters", "q111_dedup_canonical", "q151_cluster_sizes",
+    "q116_dedup_labels_stream",
+    // per-(sf,k) k-means cell model (in-JVM, built on first use)
+    "q117_semantic_dedup", "q123_semantic_decontam",
+    // text-cut lifecycles (vocab / phrase / novelty / drift / substring)
+    "q102_vocab_stream", "q103_phrase_stream", "q112_novelty_stream",
+    "q113_drift_stream", "q156_substring_stream",
+    "q160_substring_remove_stream", "q161_span_provenance_stream",
+    // event-feed lifecycles (retention / transitions / funnel / dwell /
+    // pit / session) + the order-wide join store
+    "q122_retention_stream", "q133_transitions_stream",
+    "q140_funnel_stream", "q144_dwell_stream", "q145_pit_stream",
+    "q149_session_stream", "q152_order_wide_stream",
+    // stored basket pair-count layout
+    "q142_copurchase", "q150_also_bought",
+    // bucketed / partitioned table layouts
+    "q97_bucketed_join", "q98_bucketed_snapshot", "q99_partitioned_table")
+
+  /** Floor-regime annotations written into bench_detail.json next to
+    * the floors they qualify: a committed floor whose measured
+    * computation CHANGED between rounds is not comparable to its
+    * predecessors, and that discontinuity was previously visible only
+    * in PLANS.md prose. Keep entries for as long as someone might diff
+    * against a pre-change artifact. */
+  private[graft] val floorRegimeNotes: Map[String, String] = Map(
+    "q62_dedup_clusters" ->
+      ("r13 rebase: serves the stored label layout; pre-r13 floors " +
+        "timed pair-gen + hash-min per run"),
+    "q111_dedup_canonical" ->
+      ("r13 rebase: label layout shared with q62; pre-r13 floors " +
+        "timed its own closure"),
+    "q151_cluster_sizes" ->
+      ("r13 rebase: label layout shared with q62; pre-r13 floors " +
+        "timed its own closure"),
+    "q142_copurchase" ->
+      ("r13 rebase: serves the stored basket pair-count layout; " +
+        "pre-r13 floors timed the pair aggregation per run"),
+    "q150_also_bought" ->
+      ("r13 rebase: basket layout shared with q142; pre-r13 floors " +
+        "timed its own aggregation"))
+
   /** Which file (if any) this run's detail artifact goes to. Provenance
     * ladder, worst first: a run with a CRASHED query (times=[], median
     * -1.0) must never replace ANY existing artifact — its total is
@@ -214,70 +273,23 @@ object Bench {
       try Tables.t(spark, sfDir, n).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // One-off stored-layout builds (IVF cells, ANN-LSH buckets) are
-    // ingest jobs, not queries — build for the bench dir up front so the
-    // timed q42/q38 measure the partition-pruned probes, as in
-    // production. Skipped when a prefix filter excludes both consumers:
-    // the filter exists to profile one query without fixed overhead.
-    // independent try per build: one failing must not skip the other
-    // (the timed query would then silently include its build cost)
-    val timed = sorted.map(_._1).toSet
-    // q95 probes the same stored IVF layout as q42; q153's recall
-    // monitor probes it too — any of them triggers the build
-    if (timed.exists(n => n.startsWith("q42") || n.startsWith("q95") ||
-        n.startsWith("q153")))
-      try functions.SimilarityOps.annIvf(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    // q152's staged-feed streaming lifecycle is an ingest job (the q105
-    // convention) — build it up front so the timed run measures the
-    // store read
-    if (timed.exists(_.startsWith("q152")))
-      try streaming.OrderWideStream.orderWideStream(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    // q142/q150 are serving cuts of ONE stored basket pair-count
-    // aggregate (the centroid-model convention) — build it up front so
-    // the timed runs measure the shelf cuts, not the shared ingest
-    if (timed.exists(n => n.startsWith("q142") || n.startsWith("q150")))
-      try { operators.Analytics.basketPairCounts(spark, sfDir).count(): Unit }
-      catch { case _: Throwable => () }
-    // q62/q111/q151 are serving cuts of the stored cluster-label layout
-    // (same convention) — build it up front so the timed runs measure
-    // the label read + rollup, not the pair-gen + hash-min ingest
-    if (timed.exists(n => n.startsWith("q62") || n.startsWith("q111") ||
-        n.startsWith("q151")))
-      try { functions.DedupOps.dedupClusters(spark, sfDir).count(): Unit }
-      catch { case _: Throwable => () }
-    if (timed.exists(_.startsWith("q38")))
-      try functions.SimilarityOps.annLshTopK(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    // q105's three-cut fold+tail lifecycle state is an ingest job too —
-    // first probe triggers the build, later ones hit the __done marker
-    if (timed.exists(_.startsWith("q105")))
-      try functions.SimilarityOps.annLshTopKStream(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    // q96 probes the same stored PQ layout as q94; q153 probes it too
-    if (timed.exists(n => n.startsWith("q94") || n.startsWith("q96") ||
-        n.startsWith("q153")))
-      try functions.PqOps.annIvfPq(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    // q97/q98 read stored bucketed layouts — build them up front so the
-    // timed runs measure the joins/reads, not the one-off layout writes
-    if (timed.exists(_.startsWith("q97")))
-      try { operators.Bucketing.ensureBucketedPair(spark, sfDir): Unit }
-      catch { case _: Throwable => () }
-    if (timed.exists(_.startsWith("q98")))
-      try operators.Bucketing.liveSnapshotAgg(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    if (timed.exists(_.startsWith("q99")))
-      try operators.Bucketing.partitionedSnapshotAgg(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // UNIFORM lifecycle pre-build (replaces the per-query ad-hoc build
+    // blocks of rounds 5-13, which over time covered 18 of the 32
+    // stored-state queries and silently missed the rest — the driver's
+    // r13 q105 iteration climb was exactly an uncovered first-iteration
+    // build being mistaken for state accumulation): every tagged query
+    // in the timed set runs ONCE untimed at the bench sf, which drives
+    // its ensure* build (shared layouts build on the first consumer).
+    // Filtered to the timed set so a prefix-profiling run pays only its
+    // own builds; independent try per query so one failing build cannot
+    // hide another's cost in the timed loop (the failure then recurs
+    // timed and reports -1, which is the honest outcome).
+    sorted.filter(p => lifecycleQueries(p._1)).foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pre-build $name failed: ${e.getMessage}")
+      }
+    }
     // the builds' leftovers are not the first timed query's bill either
     dropLeakedBlocks(spark)
     // Steady-state settle at the BENCH sf: the sf0.001 warm-up above
@@ -412,6 +424,33 @@ object Bench {
     if (contended.nonEmpty)
       System.err.println(s"[bench] STILL contended after $pass retry " +
         s"pass(es): ${contended.mkString(", ")}")
+    // When the canary says this box is FASTER than the committed floor
+    // regime (ratio < 0.9), floorScaleOf refuses to deflate floors —
+    // so a real regression of up to ~1/ratio can sit under the
+    // un-deflated committed floors unflagged until the next quiet
+    // re-base. Make that detection gap VISIBLE in the artifact:
+    // breaches of the RAW ratio-scaled floors that the clamped floors
+    // missed are logged (never flagged — the clamp's rationale stands:
+    // the single-thread canary over-responds to JIT/allocator regime
+    // relative to 32-thread shuffling queries, so these are usually
+    // canary noise; a real one shows up here round after round).
+    val masked: Seq[String] = prevCalibEarly
+      .map(calibBase / _).filter(_ < 0.9).map { raw =>
+        val rawFloors = prevDetail.map(readFloors(_, sfDir))
+          .getOrElse(Map.empty).map { case (k, v) => k -> v * raw }
+        names.filter { n =>
+          !flagged(n) && meas.get(n).exists { m =>
+            !m.failed(iters) && rawFloors.get(n).exists { f =>
+              def breach(v: Double) =
+                f > 0 && v > f * floorFactor && v - f > floorSlack
+              breach(m.min) || breach(m.med(iters))
+            }
+          }
+        }
+      }.getOrElse(Seq.empty)
+    if (masked.nonEmpty)
+      System.err.println("[bench] floor breaches MASKED by the 0.9 " +
+        "downward clamp (logged, not flagged): " + masked.mkString(", "))
     val results = names.map(n => n -> meas(n).med(iters))
     // values at ms precision: the stdout line is captured with a
     // bounded tail by the harness, and full-precision doubles pushed
@@ -504,6 +543,10 @@ object Bench {
         s""""calib_bound":${f"$calibBound%.3f"},""" +
         s""""calib_ratio":${f"$calibRatio%.3f"},""" +
         s""""contended":[${contended.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""masked":[${masked.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""floor_notes":${floorRegimeNotes.toSeq.sorted
+          .map { case (k, v) => s""""$k":"$v"""" }
+          .mkString("{", ",", "}")},""" +
         s""""sf":"$sfDir","queries":$detail,"extras":$extras}""" + "\n"
     // Never clobber a QUIET committed artifact with a noisier run: if
     // the tree's bench_detail.json (same sf) has contended:[] and this

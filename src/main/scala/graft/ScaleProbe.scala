@@ -998,15 +998,16 @@ object ScaleProbe {
           f"state_bytes=$peakBytes%9d emitted=$emitted%6d/${n}")
       }
     }
-    // q154 exact-substring spans at corpus scale: synthetic docs of 50
-    // unique tokens; every 10th doc carries a shared 16-token
-    // boilerplate block (the HOT-gram regime — each boilerplate gram
-    // occurs n/10 times, so the count agg's map-side combiner absorbs
-    // corpus growth for those keys the way vocab_build's does), and
-    // every 1000th doc is an exact copy of its neighbor (full-coverage
-    // islands). Expected shape: ~43 gram rows/doc through two linear
-    // passes; dup rows ≈ 9·n/10 boilerplate starts + 2·43·n/1000 copy
-    // starts; span count ≈ n/10·1 + n/1000·2.
+    // Shared corpus regime for the two substring probes: synthetic
+    // docs of 50 unique tokens; every 10th doc carries a shared
+    // 16-token boilerplate block (the HOT-gram regime — each
+    // boilerplate gram occurs n/10 times, so the count agg's map-side
+    // combiner absorbs corpus growth for those keys the way
+    // vocab_build's does). The substring_spans probe ADDITIONALLY
+    // aliases every 1000th doc's token seed to its neighbor's
+    // (full-coverage copy islands); the ingest corpus below is
+    // boilerplate-only — ingest cost is about batch-vs-corpus scaling,
+    // which the boilerplate regime already exercises.
     // q156's load-bearing claim measured: INGEST COST TRACKS THE BATCH,
     // not the corpus. A fixed 50k-doc batch is ingested into substring
     // index states bootstrapped at 100k/400k/1.6M docs — if the claim
@@ -1052,7 +1053,11 @@ object ScaleProbe {
       for (n <- Seq(100000L, 400000L, 1600000L)) {
         val boiler = concat_ws(" ",
           (1 to 16).map(i => lit(s"bp$i")): _*)
-        // exact-copy pairs: doc 1000k+1 reuses 1000k's token seed
+        // exact-copy pairs (this probe only): doc 1000k+1 reuses
+        // 1000k's token seed. Expected shape: ~43 gram rows/doc
+        // through two linear passes; dup rows ≈ 9·n/10 boilerplate
+        // starts + 2·43·n/1000 copy starts; span count ≈ n/10·1 +
+        // n/1000·2.
         val seed = when(col("id") % 1000 === 1, col("id") - 1)
           .otherwise(col("id"))
         def uniq(a: Int, b: Int) = concat_ws(" ",

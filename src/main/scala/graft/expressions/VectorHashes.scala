@@ -232,6 +232,9 @@ case class SignBandVals(child: Expression, planes: Seq[Seq[Double]],
 case class VecDots(child: Expression, mat: Seq[Seq[Double]], offset: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(mat.nonEmpty && offset >= 0)
+  // empty ROWS must fail here too: dims = 0 would otherwise surface as
+  // a divide-by-zero deep in eval instead of at construction
+  require(mat.head.nonEmpty, "matrix rows must be non-empty")
   require(mat.forall(_.length == mat.head.length),
     "matrix rows must have uniform dimensionality")
 

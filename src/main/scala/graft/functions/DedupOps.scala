@@ -755,14 +755,37 @@ object DedupOps {
     * closure engine each round on a wiped /tmp). Deterministic: the
     * hash-min closure's fixpoint is input-determined, so the stored
     * read is hash-identical to the live loop. */
+  /** Code-layout version token in the cache path (the __buckets
+    * geometry-pin convention): a future change to collapseClusters /
+    * shingleJaccardPairs must bump this or keep serving labels computed
+    * by the OLD code until /tmp is wiped — the fingerprint tag only
+    * tracks the DATA. */
+  private val LabelLayoutVersion = "v1-hashmin-w3s0.5"
+
   private def ensureClusterLabels(s: SparkSession, d: String): String =
     synchronized {
       val tag = SimilarityOps.sourceTag(s, d, "documents")
-      val path = s"${sys.props("java.io.tmpdir")}/graft-dedup-labels/$tag"
-      if (!graft.sinks.Hfs.exists(s, s"$path/_SUCCESS"))
+      val path =
+        s"${sys.props("java.io.tmpdir")}/graft-dedup-labels/$tag-$LabelLayoutVersion"
+      if (!graft.sinks.Hfs.exists(s, s"$path/_SUCCESS")) {
+        // staging dir + rename: `synchronized` is per-JVM only, so two
+        // concurrent DRIVERS could otherwise interleave overwrite
+        // writes into the same path and serve a torn directory. Each
+        // process builds privately; exactly one rename wins, the loser
+        // discards its copy and serves the winner's (labels are
+        // input-determined, so both copies are identical).
+        val stage = s"$path.stage-${java.util.UUID.randomUUID}"
         collapseClusters(
           shingleJaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
-          .write.mode("overwrite").parquet(path)
+          .write.mode("overwrite").parquet(stage)
+        try graft.sinks.Hfs.rename(s, stage, path)
+        catch { case e: java.io.IOException =>
+          graft.sinks.Hfs.deleteRecursive(s, stage)
+          // destination-exists means the race was lost benignly; any
+          // other rename failure has no winner to serve and must surface
+          if (!graft.sinks.Hfs.exists(s, s"$path/_SUCCESS")) throw e
+        }
+      }
       path
     }
 
@@ -1810,35 +1833,86 @@ object DedupOps {
     * two-pass shuffle join is the floor — same sizing judgment as
     * q61 vs q75, made explicit by the estItems clamp guard. */
   def substringSpansBloomOver(docs: DataFrame, L: Int): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.Bridge
     val grams = gramPositions(docs, L)
-    val dup = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("h"))
-      .persist()
+    val dup = dupHashesOf(grams).persist()
     try {
       val nDup = dup.count()
       if (nDup == 0)
         return islandSpans(grams.join(dup, "h"), L).localCheckpoint(eager = true)
-      val est = math.max(nDup, 1024L)
-      val conf = docs.sparkSession.conf
-      val maxItems = conf.get(
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-      val maxBits = conf.get(
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
-      require(est <= maxItems && est * 8L <= maxBits,
+      require(fitsBloomClamps(docs.sparkSession, nDup),
         s"dup-gram set ($nDup) would silently saturate the Bloom sizing " +
           "clamps — this corpus is past the prefilter regime; use " +
           "substringSpansOver (the two-pass shuffle join is the floor)")
-      val bloomBytes = dup.select(Bridge.column(
-          new BloomFilterAggregate(Bridge.expression(col("h")),
-            Literal(est), Literal(est * 8L)).toAggregateExpression()).as("bf"))
-        .collect()(0).getAs[Array[Byte]](0)
-      val mightContain = Bridge.column(BloomFilterMightContain(
-        Literal(bloomBytes), Bridge.expression(col("h"))))
-      islandSpans(grams.filter(mightContain).join(dup, "h"), L)
-        .localCheckpoint(eager = true)
+      bloomPrunedSpans(grams, dup, nDup, L).localCheckpoint(eager = true)
+    } finally dup.unpersist(false)
+  }
+
+  /** Scan 1's duplicated-hash set — shared by the plain, Bloom and
+    * routed span forms. */
+  private def dupHashesOf(grams: DataFrame): DataFrame =
+    grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("h"))
+
+  /** Does a dup set of `nDup` hashes fit Spark's BloomFilterAggregate
+    * sizing clamps at 8 bits/item? Past them the aggregate SILENTLY
+    * truncates its arguments (the q75 estItems lesson) and the filter
+    * saturates toward admit-everything — wasted build + filter work. */
+  private def fitsBloomClamps(s: SparkSession, nDup: Long): Boolean = {
+    val est = math.max(nDup, 1024L)
+    val maxItems = s.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = s.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    est <= maxItems && est * 8L <= maxBits
+  }
+
+  /** The Bloom-pruned scan 2 + island merge, given a pre-counted dup
+    * set that fits the clamps (caller checks). Lazy — the caller owns
+    * materialization and the dup frame's persist lifecycle. */
+  private def bloomPrunedSpans(grams: DataFrame, dup: DataFrame,
+      nDup: Long, L: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val est = math.max(nDup, 1024L)
+    val bloomBytes = dup.select(Bridge.column(
+        new BloomFilterAggregate(Bridge.expression(col("h")),
+          Literal(est), Literal(est * 8L)).toAggregateExpression()).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal(bloomBytes), Bridge.expression(col("h"))))
+    islandSpans(grams.filter(mightContain).join(dup, "h"), L)
+  }
+
+  /** q159: the span scan through the AUTO router — the q106 degree-probe
+    * convention applied to q154's plain-vs-Bloom sizing judgment, which
+    * was previously the caller's to make (the clamp `require` refused
+    * loudly but a pipeline operator should CHOOSE). Scan 1's dup-hash
+    * count is already in hand — the plain form computes it as its join
+    * input, the Bloom form counts it to size the filter — so the route
+    * costs nothing extra: below the Bloom sizing clamps (a low-dup-rate
+    * corpus, the prefilter's home regime, 1.5-2.2× measured at 2.3%
+    * dup) scan 2 prunes map-side through the filter; at or past them
+    * (a boilerplate-heavy corpus — the dup set is corpus-scale and the
+    * filter would saturate toward admit-everything) the plain two-pass
+    * shuffle join is the floor and the Bloom build would be pure waste.
+    * Both roads produce identical spans (the FP-killing exact join —
+    * spec-pinned), so the router's contract is an ANSWER; returns
+    * (spans, route ∈ {plain, bloom}) for telemetry, route decision
+    * spec-pinned on engineered corpora on both sides of the clamp. */
+  def substringSpansAutoWithStats(docs: DataFrame, L: Int): (DataFrame, String) = {
+    val grams = gramPositions(docs, L)
+    val dup = dupHashesOf(grams).persist()
+    try {
+      val nDup = dup.count()
+      // nDup == 0 short-circuits to plain: nothing to prune, and the
+      // empty join is free either way
+      if (nDup > 0 && fitsBloomClamps(docs.sparkSession, nDup))
+        (bloomPrunedSpans(grams, dup, nDup, L)
+          .localCheckpoint(eager = true), "bloom")
+      else
+        (islandSpans(grams.join(dup, "h"), L)
+          .localCheckpoint(eager = true), "plain")
     } finally dup.unpersist(false)
   }
 
@@ -1860,8 +1934,18 @@ object DedupOps {
     * list is spans-sized (≪ corpus), the join is doc-keyed. Output is
     * the cleaned text itself plus the removed-token count — exact
     * strings/integers, hash-comparable. */
-  def substringRemoveOver(docs: DataFrame, L: Int): DataFrame = {
-    val spans = substringSpansOver(docs, L)
+  def substringRemoveOver(docs: DataFrame, L: Int): DataFrame =
+    removalFromSpans(docs, substringSpansOver(docs, L))
+
+  /** The cut applied to an ALREADY-COMPUTED span frame (q154's output
+    * shape) — q155 feeds it the live two-scan spans; the q160
+    * index-backed twin feeds it SubstrIndexSink.spans, so the only
+    * corpus touch left is the doc-keyed join that rebuilds the kept
+    * text (unavoidable: the index stores positions, not text — and
+    * SHOULD: storing text would dup-size the corpus into /tmp). */
+  private[graft] def removalFromSpans(docs: DataFrame,
+      spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     val toks = split(col("text"), " ")
@@ -1892,8 +1976,15 @@ object DedupOps {
     * (sparse) joins them by hash; no collect_list of a hot gram's
     * doc set anywhere — the second-lowest doc comes from one more
     * bounded aggregate, not a per-gram list. */
-  def spanProvenanceOver(docs: DataFrame, L: Int): DataFrame = {
-    val grams = gramPositions(docs, L)
+  def spanProvenanceOver(docs: DataFrame, L: Int): DataFrame =
+    spanProvenanceFromGrams(gramPositions(docs, L), L)
+
+  /** The provenance shape over an ALREADY-MATERIALIZED positional gram
+    * frame (doc_id, pos, h) — q157 feeds it the live two-scan grams;
+    * the q161 index-backed twin feeds it the SubstrIndexSink position
+    * store, whose rows are exactly this frame accumulated batch by
+    * batch (so provenance never re-tokenizes the corpus). */
+  private[graft] def spanProvenanceFromGrams(grams: DataFrame, L: Int): DataFrame = {
     // ONE per-(gram, doc) aggregate feeds everything downstream: the
     // per-gram provenance stats, the duplicated set (n_occ ≥ 2 — the
     // same predicate substringSpansOver computes from its own full
@@ -1964,10 +2055,40 @@ object DedupOps {
     * the same island merge — hash-gated against q154's batch oracle, so
     * the additive-count claim is proved across the fold boundary. */
   val substringSpansStream: Q = (s, d) =>
-    graft.sinks.SubstrIndexSink.spans(s,
-      TextOps.ensureCutLifecycle(s, d, "substrstream",
-        graft.sinks.SubstrIndexSink.writer,
-        loc => graft.sinks.SubstrIndexSink.compact(s, loc)))
+    graft.sinks.SubstrIndexSink.spans(s, ensureSubstrLifecycle(s, d))
+
+  /** The shared three-cut substring-index lifecycle state (fold of the
+    * first two cuts + a live tail) — q156/q160/q161 all serve from the
+    * SAME store, the q62/q111/q151 shared-layout convention applied to
+    * the span family. Idempotent via the __done marker. */
+  private def ensureSubstrLifecycle(s: SparkSession, d: String): String =
+    TextOps.ensureCutLifecycle(s, d, "substrstream",
+      graft.sinks.SubstrIndexSink.writer,
+      loc => graft.sinks.SubstrIndexSink.compact(s, loc))
+
+  /** q159: q154 through the auto router (see
+    * [[substringSpansAutoWithStats]]) — whichever road the dup-hash
+    * count picks, the same batch oracle must hash-match it. */
+  val substringSpansAuto: Q = (s, d) =>
+    substringSpansAutoWithStats(t(s, d, "documents"), 8)._1
+
+  /** q160: q155's removal served from the q156 index — spans come from
+    * the stored positions + reconciled counts (never a corpus re-scan /
+    * re-tokenize); the only corpus touch is the doc-keyed text join
+    * the cut itself needs. Hash-gated against q155's batch oracle
+    * through the fold+tail lifecycle. */
+  val substringRemoveStream: Q = (s, d) => {
+    val loc = ensureSubstrLifecycle(s, d)
+    removalFromSpans(t(s, d, "documents"),
+      graft.sinks.SubstrIndexSink.spans(s, loc))
+  }
+
+  /** q161: q157's provenance served from the q156 index — the stored
+    * position rows ARE the positional gram frame, so the whole audit
+    * view runs without touching document text at all. Hash-gated
+    * against q157's batch oracle through the fold+tail lifecycle. */
+  val spanProvenanceStream: Q = (s, d) =>
+    graft.sinks.SubstrIndexSink.provenance(s, ensureSubstrLifecycle(s, d))
 
   val queries: Map[String, Q] = Map(
     "q154_substring_dedup" -> substringSpans,
@@ -1975,6 +2096,9 @@ object DedupOps {
     "q156_substring_stream" -> substringSpansStream,
     "q157_span_provenance" -> spanProvenance,
     "q158_duplication_report" -> duplicationReport,
+    "q159_substring_auto" -> substringSpansAuto,
+    "q160_substring_remove_stream" -> substringRemoveStream,
+    "q161_span_provenance_stream" -> spanProvenanceStream,
     "q151_cluster_sizes" -> clusterSizeHistogram,
     "q116_dedup_labels_stream" -> dedupLabelsStream,
     "q115_dedup_incremental" -> dedupIncremental,
@@ -2054,16 +2178,9 @@ object DedupOps {
         |  (max(pos) + 7)::BIGINT AS span_end, count(*)::BIGINT AS n_grams
         |FROM isl GROUP BY doc_id, grp""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q154_substring_dedup" -> substringSpansOracleSql,
-    // q156 = q154 through the incremental index lifecycle (fold + live
-    // tail) — convergence to the batch answer IS the claim, so the
-    // oracle is the batch SQL
-    "q156_substring_stream" -> substringSpansOracleSql,
-    // q157: q154's CTEs to spans, per-(gram, doc) counts to per-gram
-    // provenance stats, partner = lowest doc holding ANOTHER occurrence
-    // of the span's first gram (the same doc iff its count there ≥ 2)
-    "q157_span_provenance" ->
+  /** The q157 oracle, shared with q161 (the index-backed lifecycle twin
+    * converges to the batch answer). */
+  private val spanProvenanceOracleSql: String =
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (
@@ -2107,51 +2224,10 @@ object DedupOps {
         |        ELSE s2.min2 END)::BIGINT AS partner_doc,
         |  b.n_occ::BIGINT AS n_occ
         |FROM firstg f JOIN base b USING (gram)
-        |LEFT JOIN second s2 USING (gram)""".stripMargin,
-    // q158: spans → per-doc covered-token mass (islands are disjoint,
-    // so width sums are exact) → per-source dataset-card rollup
-    "q158_duplication_report" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |g AS (
-        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS pos
-        |  FROM tk WHERE len(toks) >= 8),
-        |g2 AS (
-        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
-        |  FROM g),
-        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
-        |dp AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)),
-        |m AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM dp),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM m),
-        |spans AS (
-        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
-        |  FROM isl GROUP BY doc_id, grp),
-        |perdoc AS (
-        |  SELECT doc_id, sum(span_end - span_start + 1) AS covered
-        |  FROM spans GROUP BY doc_id),
-        |base AS (
-        |  SELECT d.doc_id, d.source,
-        |    len(string_split(d.text, ' ')) AS n_toks, p.covered
-        |  FROM documents d LEFT JOIN perdoc p USING (doc_id))
-        |SELECT source, count(*)::BIGINT AS n_docs,
-        |  sum(CASE WHEN covered IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-        |    AS docs_with_dups,
-        |  sum(n_toks)::BIGINT AS total_tokens,
-        |  sum(coalesce(covered, 0))::BIGINT AS dup_tokens,
-        |  round(sum(coalesce(covered, 0)) / sum(n_toks), 6) AS dup_rate
-        |FROM base GROUP BY source""".stripMargin,
-    // q155: q154's CTEs verbatim, spans rolled to per-doc lists, then
-    // the index-filter rebuild — span-less docs pass through via the
-    // LEFT join in both engines
-    "q155_substring_remove" ->
+        |LEFT JOIN second s2 USING (gram)""".stripMargin
+
+  /** The q155 oracle, shared with q160 (same convergence argument). */
+  private val substringRemoveOracleSql: String =
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (
@@ -2199,7 +2275,72 @@ object DedupOps {
         |  END AS clean_text,
         |  (CASE WHEN spans IS NULL THEN 0
         |        ELSE len(toks) - len(kept) END)::BIGINT AS n_removed
-        |FROM k""".stripMargin,
+        |FROM k""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q154_substring_dedup" -> substringSpansOracleSql,
+    // q156 = q154 through the incremental index lifecycle (fold + live
+    // tail) — convergence to the batch answer IS the claim, so the
+    // oracle is the batch SQL
+    "q156_substring_stream" -> substringSpansOracleSql,
+    // q157: q154's CTEs to spans, per-(gram, doc) counts to per-gram
+    // provenance stats, partner = lowest doc holding ANOTHER occurrence
+    // of the span's first gram (the same doc iff its count there ≥ 2).
+    // Shared with q161, the index-backed twin (lifecycle converges to
+    // the batch answer, so the oracle is the batch SQL — the q156
+    // convention).
+    "q157_span_provenance" -> spanProvenanceOracleSql,
+    "q161_span_provenance_stream" -> spanProvenanceOracleSql,
+    // q159 = q154 through the auto router — either road must hash-match
+    // the same batch oracle
+    "q159_substring_auto" -> substringSpansOracleSql,
+    // q160 = q155 served from the stored index (same convergence
+    // argument as q156/q161)
+    "q160_substring_remove_stream" -> substringRemoveOracleSql,
+    // q158: spans → per-doc covered-token mass (islands are disjoint,
+    // so width sums are exact) → per-source dataset-card rollup
+    "q158_duplication_report" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS pos
+        |  FROM tk WHERE len(toks) >= 8),
+        |g2 AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
+        |  FROM g),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dp),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |  FROM isl GROUP BY doc_id, grp),
+        |perdoc AS (
+        |  SELECT doc_id, sum(span_end - span_start + 1) AS covered
+        |  FROM spans GROUP BY doc_id),
+        |base AS (
+        |  SELECT d.doc_id, d.source,
+        |    len(string_split(d.text, ' ')) AS n_toks, p.covered
+        |  FROM documents d LEFT JOIN perdoc p USING (doc_id))
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN covered IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS docs_with_dups,
+        |  sum(n_toks)::BIGINT AS total_tokens,
+        |  sum(coalesce(covered, 0))::BIGINT AS dup_tokens,
+        |  round(sum(coalesce(covered, 0)) / sum(n_toks), 6) AS dup_rate
+        |FROM base GROUP BY source""".stripMargin,
+    // q155: q154's CTEs verbatim, spans rolled to per-doc lists, then
+    // the index-filter rebuild — span-less docs pass through via the
+    // LEFT join in both engines. Shared with q160, the index-backed twin.
+    "q155_substring_remove" -> substringRemoveOracleSql,
     "q62_dedup_clusters" -> closureOracleSql,
     // q115 must converge to the batch closure whatever the arrival order
     "q115_dedup_incremental" -> closureOracleSql,

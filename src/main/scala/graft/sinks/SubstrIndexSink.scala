@@ -66,6 +66,28 @@ object SubstrIndexSink {
             .join(dup, "h"), L)
     }
 
+  /** q161: span provenance served from the stored index — the position
+    * store IS the positional gram frame accumulated batch by batch
+    * (under the one-doc-one-batch admission contract, deduped on
+    * (doc_id, pos) against crash-window replays), so the q157 shape
+    * runs over it directly and the corpus is never re-tokenized. The
+    * reconciled counts store is not needed here: provenance's own
+    * per-(gram, doc) aggregate over the stored positions yields n_occ
+    * as a free sum, and recomputing it keeps the twin hash-equal to
+    * q157 by construction rather than by a second reconciliation
+    * proof. */
+  def provenance(spark: SparkSession, path: String): DataFrame =
+    IngestSegments.readLive(spark, s"$path/pos") match {
+      case None =>
+        spark.range(0).select(col("id").as("doc_id"),
+          col("id").as("span_start"), col("id").as("span_end"),
+          col("id").as("partner_doc"), col("id").as("n_occ"))
+      case Some(pos) =>
+        graft.functions.DedupOps.spanProvenanceFromGrams(
+          pos.select(col("doc_id"), col("pos"), col("h"))
+            .dropDuplicates("doc_id", "pos"), L)
+    }
+
   def compact(spark: SparkSession, path: String): Unit = {
     IngestSegments.compact(spark, s"$path/pos",
       fold = _.dropDuplicates("doc_id", "pos").drop("ingest"), Seq.empty)

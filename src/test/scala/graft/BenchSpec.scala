@@ -165,4 +165,37 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.detailTarget(prefixRun = true, anyFailed = false,
       anyContended = false, prevExists = false, prevQuiet = false).isEmpty)
   }
+
+  test("lifecycle pre-build set: every tag is a real query, every _stream lifecycle is tagged, and the stored-layout batch queries are tagged") {
+    val all = SparkEntry.queries.keySet
+    // (1) no stale tags: a renamed/removed query must fail here, not
+    // silently stop being pre-built
+    val stale = Bench.lifecycleQueries -- all
+    assert(stale.isEmpty, s"lifecycleQueries tags unknown queries: $stale")
+    // (2) every *_stream query serves from a checkpointed/stored
+    // lifecycle by suite convention — a future stream query added
+    // without a pre-build tag shows up here (the r13 driver-artifact
+    // lesson: an uncovered first-iteration build reads as a perf
+    // anomaly and costs an adjudication)
+    val streams = all.filter(_.endsWith("_stream"))
+    val untagged = streams -- Bench.lifecycleQueries
+    assert(untagged.isEmpty, s"_stream queries missing a pre-build tag: $untagged")
+    // (3) the known stored-layout/model BATCH queries (ensure*-gated
+    // /tmp layouts + the per-JVM cell model) — the spec's own
+    // inventory, so dropping one from the Bench set is a loud diff
+    val storedBatch = Set(
+      "q38_ann_lsh_topk", "q42_ann_ivf_topk", "q94_ann_ivfpq_topk",
+      "q95_ann_knn_join", "q96_ann_pq_knn_join", "q108_ann_pq_rerank",
+      "q153_ann_recall", "q62_dedup_clusters", "q111_dedup_canonical",
+      "q151_cluster_sizes", "q117_semantic_dedup", "q123_semantic_decontam",
+      "q142_copurchase", "q150_also_bought", "q97_bucketed_join",
+      "q98_bucketed_snapshot", "q99_partitioned_table")
+    val missing = storedBatch -- Bench.lifecycleQueries
+    assert(missing.isEmpty, s"stored-layout queries missing a pre-build tag: $missing")
+  }
+
+  test("floor regime notes annotate only real queries") {
+    val unknown = Bench.floorRegimeNotes.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"floor_notes for unknown queries: $unknown")
+  }
 }

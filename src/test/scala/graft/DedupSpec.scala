@@ -707,6 +707,42 @@ class DedupSpec extends SparkSpec {
     assert(DedupOps.substringSpansBloomOver(uniq, 8).count() == 0)
   }
 
+  test("q159 auto router: the dup-hash count picks bloom below the sizing clamps, plain past them; both roads answer identically") {
+    // fixture corpus: 2-3% dup rate, the prefilter's home regime — the
+    // dup set fits the clamps with room, so the router must take bloom
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+    val (spans, route) = DedupOps.substringSpansAutoWithStats(docs, 8)
+    assert(route == "bloom", s"low-dup fixture corpus must route bloom, got $route")
+    val want = DedupOps.substringSpansOver(docs, 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans.as[(Long, Long, Long, Long)].collect().toSet == want,
+      "the routed answer must equal the plain two-pass")
+
+    // boilerplate-heavy corpus: every doc is the same text, so the dup
+    // set IS the corpus's gram vocabulary — at production scale that
+    // blows past BloomFilterAggregate's sizing clamps (4M items) and
+    // the filter would saturate toward admit-everything. The regime is
+    // modeled at spec scale by lowering the clamp conf (the router
+    // reads it live); the routed answer must still equal the plain form.
+    val run = (1 to 40).map(i => s"bp$i").mkString(" ")
+    val boiler = Seq.tabulate(30)(i => (i.toLong, run)).toDF("doc_id", "text")
+    val key = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "512")
+      val (spans2, route2) = DedupOps.substringSpansAutoWithStats(boiler, 8)
+      assert(route2 == "plain",
+        s"a clamp-exceeding dup set must route plain, got $route2")
+      val want2 = DedupOps.substringSpansOver(boiler, 8)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(want2.nonEmpty &&
+        spans2.as[(Long, Long, Long, Long)].collect().toSet == want2)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("q156 substring-index lifecycle: a real fold + a replayed tail serve spans equal to the batch scan") {
     val docs = graft.Tables.t(spark, sf0001, "documents")
       .select(col("doc_id"), col("text"))
@@ -727,6 +763,24 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(want.nonEmpty && got == want,
       "fold + replayed tail must be invisible: stream ≡ batch")
+
+    // q160/q161: the removal and provenance views served from the SAME
+    // store (fold + replayed tail) must equal their live batch twins —
+    // the index's stored positions + counts are sufficient for both,
+    // with no corpus re-scan on the span side
+    val gotRemove = DedupOps.removalFromSpans(docs,
+        graft.sinks.SubstrIndexSink.spans(spark, loc))
+      .as[(Long, String, Long)].collect().toSet
+    val wantRemove = DedupOps.substringRemoveOver(docs, 8)
+      .as[(Long, String, Long)].collect().toSet
+    assert(gotRemove == wantRemove,
+      "index-served removal must equal the live batch cut")
+    val gotProv = graft.sinks.SubstrIndexSink.provenance(spark, loc)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val wantProv = DedupOps.spanProvenanceOver(docs, 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(gotProv.nonEmpty && gotProv == wantProv,
+      "index-served provenance must equal the live batch audit view")
   }
 
   test("q157 provenance: cross-doc partner is the lowest counterpart; internal repetition partners itself") {
