@@ -106,6 +106,28 @@ object PlanDump {
         |joins the stored positions on the 8-byte hash and runs the same
         |island merge — no text re-scan anywhere in the plan; ingest cost
         |was measured batch-bound (PLANS substring_ingest).""".stripMargin),
+    ("q159_substring_auto", "q154 routed plain-vs-Bloom by scan 1's dup-hash count",
+      """The q106 router convention on the span scan: the dup set is
+        |counted anyway (it is scan 2's join input / the Bloom's sizing),
+        |so the route is free — below the BloomFilterAggregate clamps the
+        |scan-2 exchange is pruned map-side through the filter (the
+        |low-dup regime, 1.5-2.2× measured); at/past them (boilerplate-
+        |heavy: dup set ≈ gram vocabulary, the filter would saturate) the
+        |plain two-pass shuffle join is the floor. Either road, same
+        |spans — the exact join downstream kills FPs.""".stripMargin),
+    ("q160_substring_remove_stream", "q155's cut fed by the stored index's spans",
+      """Span side: the q156 index probe (stored positions + reconciled
+        |counts — no re-tokenize). The only corpus touch is the doc-keyed
+        |LEFT join the cut itself needs for the text; at 100 TB the span
+        |list stays spans-sized and the join is the same doc-hash
+        |exchange as q155's.""".stripMargin),
+    ("q161_span_provenance_stream", "q157's audit view from stored positions only",
+      """The stored position rows ARE the positional gram frame, so the
+        |whole provenance shape — per-(gram, doc) combine, vocabulary-
+        |sized stats, island merge, partner join — runs without touching
+        |document text at all; n_occ falls out of the same aggregate
+        |(PLANS span_provenance: cost tracks the span scan across the
+        |1.6M-doc sweep).""".stripMargin),
     ("q50_asof_join", "merge-form as-of (union + window, no join)", ""),
     ("q51_embedding_dups", "bounded pairwise cosine (verification tier)", ""),
     ("q54_embedding_dups_lsh", "banded hyperplane LSH + fused-cosine verify",

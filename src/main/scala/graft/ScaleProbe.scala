@@ -34,7 +34,8 @@ object ScaleProbe {
       "training_order", "pq_build", "pq_probe", "probe_listing",
       "knn_join", "pq_knn_join", "knn_query_scaling", "bucketed_join",
       "partitioned_fold", "skew", "grouped_quantile", "seq_state",
-      "join_state", "substring_spans", "substring_ingest")
+      "join_state", "substring_spans", "substring_ingest",
+      "substring_provenance")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -1047,6 +1048,57 @@ object ScaleProbe {
         println(f"SCALE n=$n%9d substring_ingest_50k $ingestS%6.2f s " +
           f"span_read $readS%6.2f s spans=$nSpans%8d")
         graft.sinks.Hfs.deleteRecursive(spark, loc)
+      }
+    }
+    // q157/q158 at the spans corpus (same copy-island + boilerplate
+    // regime, plus a 4-way source split for the report's rollup): the
+    // provenance tier's bounded-aggregate claim measured, not just
+    // code-audited. Expected shape: one linear per-(gram, doc) combine
+    // over the gram stream (the same map-side-absorbing term as the
+    // span scan's count agg) plus work proportional to the DUP/SPAN
+    // tables — so q157's cost should track q154's span-scan cost across
+    // the sweep, never the raw gram count alone, and q158 (spans → two
+    // tiny rollups) should sit just above q154.
+    if (on("substring_provenance")) {
+      for (n <- Seq(100000L, 400000L, 1600000L)) {
+        val boiler = concat_ws(" ",
+          (1 to 16).map(i => lit(s"bp$i")): _*)
+        val seed = when(col("id") % 1000 === 1, col("id") - 1)
+          .otherwise(col("id"))
+        def uniq(a: Int, b: Int) = concat_ws(" ",
+          expr(s"transform(sequence($a, $b), j -> concat('u', seed, 'w', j))"))
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+            seed.as("seed"))
+          .select(col("doc_id"),
+            concat(lit("s"), pmod(col("doc_id"), lit(4))).as("source"),
+            when(col("seed") % 10 === 0,
+              concat_ws(" ", uniq(1, 17), boiler, uniq(18, 34)))
+              .otherwise(uniq(1, 50)).as("text"))
+          .persist()
+        docs.count()
+        // report FIRST: q158 is span-scan-shaped and must not be billed
+        // for the provenance pass's checkpoint blocks
+        val t1 = System.nanoTime()
+        val rep = functions.DedupOps.duplicationReportOver(docs, 8)
+          .agg(sum(col("docs_with_dups")), sum(col("dup_tokens"))).collect()(0)
+        val dtR = (System.nanoTime() - t1) / 1e9
+        println(f"SCALE n=$n%9d duplication_report $dtR%6.2f s " +
+          f"dup_docs=${rep.getLong(0)}%8d dup_tokens=${rep.getLong(1)}%9d")
+        val pinned = spark.sparkContext.getPersistentRDDs.keySet
+        val t0 = System.nanoTime()
+        val prov = functions.DedupOps.spanProvenanceOver(docs, 8)
+          .agg(count(lit(1)), countDistinct(col("partner_doc"))).collect()(0)
+        val dtP = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE n=$n%9d span_provenance $dtP%6.2f s " +
+          f"prov_rows=${prov.getLong(0)}%8d partners=${prov.getLong(1)}%8d")
+        // drop ONLY the blocks the provenance pass pinned (its
+        // localCheckpoints — ContextCleaner frees them lazily, which
+        // lets them bleed into the next iteration's measurements); the
+        // corpus persist predates it and survives
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => pinned(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        docs.unpersist()
       }
     }
     if (on("substring_spans")) {

@@ -1985,26 +1985,39 @@ object DedupOps {
     * store, whose rows are exactly this frame accumulated batch by
     * batch (so provenance never re-tokenizes the corpus). */
   private[graft] def spanProvenanceFromGrams(grams: DataFrame, L: Int): DataFrame = {
-    // ONE per-(gram, doc) aggregate feeds everything downstream: the
-    // per-gram provenance stats, the duplicated set (n_occ ≥ 2 — the
-    // same predicate substringSpansOver computes from its own full
-    // count agg, which this shape makes redundant), and therefore the
-    // spans themselves. Saves a full gram-count pass vs composing
-    // substringSpansOver + separate stats.
-    val perDoc = grams.groupBy(col("h"), col("doc_id"))
-      .agg(count(lit(1)).as("c"))
-    val base = perDoc.groupBy(col("h"))
-      .agg(sum(col("c")).as("n_occ"),
-        min(col("doc_id")).as("min1"),
-        min_by(col("c"), col("doc_id")).as("c_min1"))
-    val second = perDoc.join(base.select(col("h"), col("min1")), "h")
-      .filter(col("doc_id") > col("min1"))
-      .groupBy(col("h")).agg(min(col("doc_id")).as("min2"))
-    val stats = base.filter(col("n_occ") >= 2)
-      .join(second, Seq("h"), "left")
-    val spans = islandSpans(grams.join(stats.select(col("h")), "h"), L)
-    val firstGram = spans.join(grams,
-      spans("doc_id") === grams("doc_id") && spans("span_start") === grams("pos"))
+    // ONE bounded aggregate over the raw gram rows feeds everything
+    // downstream: the fused SpanStatsAgg state (32 B per gram however
+    // hot) carries n_occ, the lowest doc, its count AND the
+    // second-lowest distinct doc, so the duplicated set (n_occ ≥ 2) and
+    // the partner rule both read it. The earlier composition — a
+    // per-(gram, doc) pre-aggregate whose (h, doc) keys defeat map-side
+    // combining, joined BACK to its own per-gram mins for min2 — paid
+    // the corpus-sized exchange twice and, unpersisted, re-computed the
+    // whole chain for its second consumer: 105 s vs the span scan's
+    // 14 s at the 69M-gram ScaleProbe fixture. This shape is scan →
+    // one partial-combined exchange keyed h — the span scan's own cost
+    // class (measured: see PLANS span_provenance).
+    val stats = grams.groupBy(col("h"))
+      .agg(graft.expressions.SpanStatsAgg.span_stats(col("doc_id")).as("st"))
+      .filter(col("st.n_occ") >= 2)
+      .select(col("h"), col("st.n_occ").as("n_occ"),
+        col("st.min1").as("min1"), col("st.c_min1").as("c_min1"),
+        col("st.min2").as("min2"))
+      // dup-gram-vocabulary-sized; consumed twice (dup-position join +
+      // the final stats join) — materialize once, ContextCleaner frees
+      // the blocks when the result frame dies
+      .localCheckpoint()
+    // the duplicated positions feed BOTH the island merge and the
+    // span-start gram lookup; checkpointing them buys the second
+    // consumer for free instead of re-paying the corpus scan + the
+    // all-grams join exchange. Size = the span tier's own n_grams mass
+    // (what the operator's output is proportional to), not the corpus.
+    val dupPos = grams.join(stats.select(col("h")), "h").localCheckpoint()
+    val spans = islandSpans(dupPos, L)
+    // a span's FIRST gram is duplicated by definition, so the lookup
+    // joins the sparse dup positions, never the full gram frame
+    val firstGram = spans.join(dupPos,
+      spans("doc_id") === dupPos("doc_id") && spans("span_start") === dupPos("pos"))
       .select(spans("doc_id"), col("span_start"), col("span_end"), col("h"))
     firstGram.join(stats, "h")
       .select(col("doc_id"), col("span_start"), col("span_end"),

@@ -612,6 +612,55 @@ object PqOps {
       pqKnnOracle(nQueries, nprobe, topk, cents, books))
   }
 
+  /** q153 support: the batched two-stage retrieval (q108's recall
+    * repair) at the recall report's parameters, plus its generated
+    * oracle — the ADC kNN join widened to `shortlist` rows per query,
+    * then re-ranked by EXACT cosine and cut to top-k. Scale shape: the
+    * shortlist is |queries| × shortlist rows (panel-bounded here; in
+    * production still ≪ corpus), so it BROADCASTS into the
+    * full-precision fetch — the corpus never shuffles, and at 100 TB
+    * the id-equi join is a row-group-stats point fetch of ≤
+    * |queries|·shortlist vectors, the q108 argument batched. Same
+    * (round(cos,6) desc, neighbor_id) tie order as every exact ranking
+    * in the tier. */
+  def knnJoinForRecallRerank(s: SparkSession, d: String, nQueries: Int,
+      nprobe: Int, shortlist: Int, topk: Int): (DataFrame, String) = {
+    val path = ensurePqIndex(s, d)
+    val (cents, books) = loadModel(s, path)
+    val queries = t(s, d, "embeddings").filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val sl = pqKnnJoin(s, path, queries, nprobe, shortlist)
+      .join(broadcast(queries), Seq("query_id"))
+    val emb = t(s, d, "embeddings")
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val reranked = emb.join(broadcast(sl), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.expressions.VectorHashes.cosine_sim(
+          col("v"), col("qv")), 6).as("cosine"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topk)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val sql =
+      s"""SELECT query_id, neighbor_id,
+         |  round(list_cosine_similarity(v, qv), 6) AS cosine FROM (
+         |  SELECT sl.query_id, sl.neighbor_id, e2.v, q2.qv,
+         |    row_number() OVER (PARTITION BY sl.query_id
+         |      ORDER BY round(list_cosine_similarity(e2.v, q2.qv), 6) DESC,
+         |               sl.neighbor_id) AS rn
+         |  FROM (${pqKnnOracle(nQueries, nprobe, shortlist, cents, books)}) sl
+         |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e2
+         |    ON e2.vec_id = sl.neighbor_id
+         |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings) q2
+         |    ON q2.vec_id = sl.query_id) t
+         |WHERE rn <= $topk""".stripMargin
+    (reranked, sql)
+  }
+
   /** The three-cut PQ ingest lifecycle for q107 — the q105 fold+tail
     * pattern applied to the one index family whose ingest path was
     * build-once. Realistic 100 TB shape: the frozen model is trained on

@@ -651,8 +651,8 @@ object SimilarityOps {
   @volatile private var knnOracleState: Option[(Int, Int, Int, Array[Array[Double]])] = None
 
   /** Model state for q153's generated oracle: (nQueries, k, ivf probe
-    * SQL, pq probe SQL). */
-  @volatile private var recallOracleState: Option[(Int, Int, String, String)] = None
+    * SQL, pq probe SQL, pq+exact-rerank SQL). */
+  @volatile private var recallOracleState: Option[(Int, Int, String, String, String)] = None
 
   /** q153: ANN recall@k as a DRIVER-MONITORED number — LSH recall is
     * spec-pinned at fixture scale, but IVF/PQ probe recall vs the exact
@@ -675,7 +675,12 @@ object SimilarityOps {
     val path = ensureIvfIndex(s, d, 8, 1)
     val ivfSql = knnOracle(nQ, nprobe, k, loadCentroids(s, path))
     val (pqDf, pqSql) = PqOps.knnJoinForRecall(s, d, nQ, nprobe, k)
-    recallOracleState = Some((nQ, k, ivfSql, pqSql))
+    // the rerank row: the PQ shortlist widened to 5×k, repaired by
+    // exact cosine (q108's two-stage step, batched) — proving
+    // NUMERICALLY that the ADC compression error is recoverable, the
+    // round-13 OPQ-rejection argument closed with a measurement
+    val (rrDf, rrSql) = PqOps.knnJoinForRecallRerank(s, d, nQ, nprobe, 5 * k, k)
+    recallOracleState = Some((nQ, k, ivfSql, pqSql, rrSql))
     val emb = t(s, d, "embeddings")
     val queries = emb.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("query_id"),
@@ -698,8 +703,9 @@ object SimilarityOps {
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
         .withColumn("method", lit(method))
     val hits = hitsOf(ivfDf, "ivf").unionByName(hitsOf(pqDf, "pq"))
+      .unionByName(hitsOf(rrDf, "pq_rerank"))
     queries.select(col("query_id"))
-      .crossJoin(Seq("ivf", "pq").toDF("method"))
+      .crossJoin(Seq("ivf", "pq", "pq_rerank").toDF("method"))
       .join(hits, Seq("method", "query_id"), "left")
       .select(col("method"), col("query_id"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
@@ -713,11 +719,13 @@ object SimilarityOps {
     * recall = n_hit / k as one deterministic double division — no
     * round() anywhere near the metric. */
   private def recallOracle(nQueries: Int, k: Int, ivfSql: String,
-      pqSql: String): String =
+      pqSql: String, rrSql: String): String =
     s"""WITH probed AS (
        |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ($ivfSql) ti
        |  UNION ALL
-       |  SELECT 'pq' AS method, query_id, neighbor_id FROM ($pqSql) tp),
+       |  SELECT 'pq' AS method, query_id, neighbor_id FROM ($pqSql) tp
+       |  UNION ALL
+       |  SELECT 'pq_rerank' AS method, query_id, neighbor_id FROM ($rrSql) tr),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
        |exact AS (
@@ -737,7 +745,8 @@ object SimilarityOps {
        |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
        |  coalesce(h.n_hit, 0) / $k.0 AS recall
        |FROM (SELECT qid FROM q) qs
-       |CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'pq') m
+       |CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'pq'
+       |            UNION ALL SELECT 'pq_rerank') m
        |LEFT JOIN hits h ON h.method = m.method AND h.query_id = qs.qid""".stripMargin
 
   /** q95: the kNN join over the stored IVF index — queries are the
@@ -1654,8 +1663,8 @@ object SimilarityOps {
     ivfOracleState.map { case (np, cs) => "q42_ann_ivf_topk" -> ivfOracle(np, cs) } ++
     knnOracleState.map { case (nq, np, tk, cs) =>
       "q95_ann_knn_join" -> knnOracle(nq, np, tk, cs) } ++
-    recallOracleState.map { case (nq, k, ivfSql, pqSql) =>
-      "q153_ann_recall" -> recallOracle(nq, k, ivfSql, pqSql) } ++
+    recallOracleState.map { case (nq, k, ivfSql, pqSql, rrSql) =>
+      "q153_ann_recall" -> recallOracle(nq, k, ivfSql, pqSql, rrSql) } ++
     semdedupOracleState.map { case (_, th, cs) =>
       "q117_semantic_dedup" -> semdedupOracle(th, cs) } ++
     semdecontamOracleState.map { case (nb, th, cs) =>

@@ -805,6 +805,44 @@ class DedupSpec extends SparkSpec {
       (3L, 10L, 17L, 3L, 2L)), s"got $got")
   }
 
+  test("span_stats aggregate: fused (n_occ, min1, c_min1, min2) ≡ the per-(gram,doc) composition, under forced partial-state merges") {
+    // a doc's gram rows are deliberately SCATTERED across 16 partitions
+    // (repartition on pos) so the same doc reaches multiple partial
+    // states and merge must add partial counts for a shared min1 and
+    // reconcile min2 candidates — correctness must never depend on
+    // document-partition locality
+    val run = (1 to 12).map(i => s"r$i").mkString(" ") // shared by docs 7, 2, 5
+    val rep = (1 to 8).map(i => s"s$i").mkString(" ")  // twice inside doc 9 only
+    val docs = Seq(
+      (7L, run + " z1 z2"), (2L, run), (5L, "y0 " + run),
+      (9L, rep + " q " + rep),
+      (4L, (1 to 30).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val grams = DedupOps.gramPositions(docs, 8).repartition(16, col("pos"))
+    val fused = grams.groupBy(col("h"))
+      .agg(graft.expressions.SpanStatsAgg.span_stats(col("doc_id")).as("st"))
+      .select(col("h"), col("st.n_occ"), col("st.min1"), col("st.c_min1"),
+        col("st.min2"))
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSet
+    val perDoc = grams.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val base = perDoc.groupBy(col("h"))
+      .agg(sum(col("c")).as("n_occ"), min(col("doc_id")).as("min1"),
+        min_by(col("c"), col("doc_id")).as("c_min1"))
+    val second = perDoc.join(base.select(col("h"), col("min1")), "h")
+      .filter(col("doc_id") > col("min1"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("min2"))
+    val composed = base.join(second, Seq("h"), "left")
+      .select(col("h"), col("n_occ"), col("min1"), col("c_min1"), col("min2"))
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSet
+    assert(fused.nonEmpty && fused == composed)
+    // the engineered cases are actually present: an internal-repetition
+    // gram (min2 absent, c_min1 = 2) and a three-doc gram (min2 = 5)
+    assert(fused.exists { case (_, n, m1, c1, m2) =>
+      n == 2 && m1 == 9 && c1 == 2 && m2.isEmpty })
+    assert(fused.exists { case (_, n, m1, c1, m2) =>
+      n == 3 && m1 == 2 && c1 == 1 && m2.contains(5) })
+  }
+
   test("q158 duplication report: covered mass ≡ q155's removed mass, per construction") {
     // the report's dup_tokens and the removal's n_removed count the
     // SAME tokens (islands are disjoint; removal cuts exactly the

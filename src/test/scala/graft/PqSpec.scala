@@ -374,6 +374,27 @@ class PqSpec extends SparkSpec {
     assert(r.min >= 0.4, s"pq min recall ${r.min}")
   }
 
+  test("q153 rerank floor: the exact re-rank repairs the ADC gap to at least the IVF ceiling") {
+    // the round-13 OPQ rejection argued the remaining ADC recall gap is
+    // recoverable via q108's exact re-rank — this pins it numerically:
+    // a 5×k shortlist repaired by exact cosine must do at least as well
+    // as the IVF probe at the same nprobe (both lose only to cell
+    // pruning once compression error is repaired; measured mean 0.90 =
+    // ivf's at sf0.001). Floors sit under the measured numbers by the
+    // same training-determinism margin as the pq floor above.
+    val rep = graft.functions.SimilarityOps.annRecallReport(spark, sf0001)
+    def mean(method: String) = {
+      val r = rep.filter(col("method") === method)
+        .select("recall").as[Double].collect()
+      assert(r.length == 8, s"$method rows: ${r.length}")
+      r.sum / r.length
+    }
+    val (ivf, pq, rr) = (mean("ivf"), mean("pq"), mean("pq_rerank"))
+    assert(rr >= ivf - 1e-9, s"rerank mean $rr must reach the ivf ceiling $ivf")
+    assert(rr >= pq - 1e-9, s"rerank mean $rr must not lose to raw ADC $pq")
+    assert(rr >= 0.75, s"rerank mean recall floor: $rr")
+  }
+
   test("vec_dots is bit-identical to the aggregate(zip_with) composition, and NULLs malformed windows") {
     // the fused ADC-table primitive (probe side of pqKnnJoin) vs the
     // HOF composition it replaced — same left fold from 0.0, so every
