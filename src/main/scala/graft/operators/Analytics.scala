@@ -1292,9 +1292,15 @@ object Analytics {
       .select(col("user_id"), col("n_events"), col("n_active_days"),
         col("n_types"), col("recency_days").cast("long").as("recency_days"),
         col("tenure_days").cast("long").as("tenure_days"),
+        // RAW double, deliberately un-rounded: the sf0.1 soak caught a
+        // user whose 6-decimal round landed on an exact .xxx5 half-way
+        // (Spark decimal-HALF_UP vs DuckDB scaled-double — the known
+        // boundary divergence). The quotient itself is bit-identical:
+        // both engines do the same exact-integer micro difference and
+        // the same two IEEE divisions in the same order.
         when(col("n_events") > 1,
-          round((col("last_us") - col("first_us")).cast("double") /
-            lit(1000000.0) / (col("n_events") - 1).cast("double"), 6))
+          (col("last_us") - col("first_us")).cast("double") /
+            lit(1000000.0) / (col("n_events") - 1).cast("double"))
           .as("mean_gap_sec"),
         col("last_type"), col("purchases_30d"), col("value_30d"))
   }
@@ -1720,8 +1726,8 @@ object Analytics {
         |SELECT user_id, n_events, n_active_days, n_types, recency_days,
         |  tenure_days,
         |  CASE WHEN n_events > 1 THEN
-        |    round((CAST(last_us - first_us AS DOUBLE) / 1000000.0)
-        |      / CAST(n_events - 1 AS DOUBLE), 6) END AS mean_gap_sec,
+        |    (CAST(last_us - first_us AS DOUBLE) / 1000000.0)
+        |      / CAST(n_events - 1 AS DOUBLE) END AS mean_gap_sec,
         |  last_type, purchases_30d, value_30d
         |FROM a""".stripMargin,
     // q136: struct_pack's field order (ts, id, k) makes DuckDB's
