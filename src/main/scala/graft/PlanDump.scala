@@ -106,6 +106,22 @@ object PlanDump {
         |joins the stored positions on the 8-byte hash and runs the same
         |island merge — no text re-scan anywhere in the plan; ingest cost
         |was measured batch-bound (PLANS substring_ingest).""".stripMargin),
+    ("q157_span_provenance", "per-gram provenance via the fused 32-byte SpanStatsAgg state",
+      """One scan → one partial-combined exchange keyed h: the custom
+        |TypedImperativeAggregate carries (n_occ, min1, c_min1,
+        |second-lowest-distinct doc) in fixed state however hot the gram
+        |— no per-(gram, doc) pre-shuffle (those keys defeat map-side
+        |combining), no join-back for min2, never a per-gram doc list.
+        |The dup positions and dup-gram stats checkpoint once each
+        |(span-mass / dup-vocabulary sized); the round-14 ScaleProbe row
+        |measured the r13 composition at 105.8 s vs the span scan's
+        |14.1 s at 69M gram rows — this shape lands in the span scan's
+        |own cost class (PLANS span_provenance).""".stripMargin),
+    ("q158_duplication_report", "spans → per-doc covered mass → per-source rollup",
+      """q154's span pass plus one corpus token-count scan; both rollup
+        |sides collapse map-side and the final join is ≤#sources ×
+        |≤#sources. Island disjointness makes covered mass an exact
+        |integer sum (DedupSpec ties it to q155's removed mass).""".stripMargin),
     ("q159_substring_auto", "q154 routed plain-vs-Bloom by scan 1's dup-hash count",
       """The q106 router convention on the span scan: the dup set is
         |counted anyway (it is scan 2's join input / the Bloom's sizing),
