@@ -228,6 +228,32 @@ object Bench {
       ("r13 rebase: basket layout shared with q142; pre-r13 floors " +
         "timed its own aggregation"))
 
+  /** Breaches of the RAW ratio-scaled floors that the 0.9 downward
+    * clamp hid (floorScaleOf): on a box whose canary reads < 0.9× the
+    * committed regime, floors refuse to deflate, so a real regression
+    * up to ~1/ratio can sit under them unflagged until the next quiet
+    * re-base. These are LOGGED into the artifact, never flagged — the
+    * clamp's rationale stands (the single-thread canary over-responds
+    * to JIT/allocator regime vs 32-thread shuffling queries, so most
+    * entries are canary noise; a real regression shows up here round
+    * after round). Empty whenever ratio ≥ 0.9 or no prior floors. */
+  private[graft] def maskedBreaches(names: Seq[String],
+      meas: Map[String, Meas], iters: Int, flagged: Set[String],
+      ratio: Option[Double], floors: Map[String, Double],
+      floorFactor: Double, floorSlack: Double): Seq[String] =
+    ratio.filter(_ < 0.9).map { raw =>
+      val rawFloors = floors.map { case (k, v) => k -> v * raw }
+      names.filter { n =>
+        !flagged(n) && meas.get(n).exists { m =>
+          !m.failed(iters) && rawFloors.get(n).exists { f =>
+            def breach(v: Double) =
+              f > 0 && v > f * floorFactor && v - f > floorSlack
+            breach(m.min) || breach(m.med(iters))
+          }
+        }
+      }
+    }.getOrElse(Seq.empty)
+
   /** Which file (if any) this run's detail artifact goes to. Provenance
     * ladder, worst first: a run with a CRASHED query (times=[], median
     * -1.0) must never replace ANY existing artifact — its total is
@@ -434,20 +460,10 @@ object Bench {
     // the single-thread canary over-responds to JIT/allocator regime
     // relative to 32-thread shuffling queries, so these are usually
     // canary noise; a real one shows up here round after round).
-    val masked: Seq[String] = prevCalibEarly
-      .map(calibBase / _).filter(_ < 0.9).map { raw =>
-        val rawFloors = prevDetail.map(readFloors(_, sfDir))
-          .getOrElse(Map.empty).map { case (k, v) => k -> v * raw }
-        names.filter { n =>
-          !flagged(n) && meas.get(n).exists { m =>
-            !m.failed(iters) && rawFloors.get(n).exists { f =>
-              def breach(v: Double) =
-                f > 0 && v > f * floorFactor && v - f > floorSlack
-              breach(m.min) || breach(m.med(iters))
-            }
-          }
-        }
-      }.getOrElse(Seq.empty)
+    val masked: Seq[String] = maskedBreaches(names, meas.toMap, iters,
+      flagged, prevCalibEarly.map(calibBase / _),
+      prevDetail.map(readFloors(_, sfDir)).getOrElse(Map.empty),
+      floorFactor, floorSlack)
     if (masked.nonEmpty)
       System.err.println("[bench] floor breaches MASKED by the 0.9 " +
         "downward clamp (logged, not flagged): " + masked.mkString(", "))

@@ -131,6 +131,14 @@ object PlanDump {
         |heavy: dup set ≈ gram vocabulary, the filter would saturate) the
         |plain two-pass shuffle join is the floor. Either road, same
         |spans — the exact join downstream kills FPs.""".stripMargin),
+    ("q162_substring_decontam", "span-level decontamination: bench gram set broadcast, NO corpus shuffle before the island merge",
+      """The cross-corpus member of the span family: the dup set is the
+        |benchmark's gram vocabulary (eval-registry-sized → broadcast),
+        |so the training scan streams past it map-side — cheaper than
+        |q154's two-pass, no corpus-wide count aggregate at all; the
+        |only exchanges are the sparse island window and the doc-keyed
+        |cut join. Training-internal duplication is KEPT by
+        |construction (decontamination ≠ dedup; spec-pinned).""".stripMargin),
     ("q160_substring_remove_stream", "q155's cut fed by the stored index's spans",
       """Span side: the q156 index probe (stored positions + reconciled
         |counts — no re-tokenize). The only corpus touch is the doc-keyed

@@ -1984,6 +1984,18 @@ object DedupOps {
     * the q161 index-backed twin feeds it the SubstrIndexSink position
     * store, whose rows are exactly this frame accumulated batch by
     * batch (so provenance never re-tokenizes the corpus). */
+  /** The per-gram provenance stats pass ALONE (pre-checkpoint) — split
+    * out so PlanAuditSpec can pin its shape: one span_stats aggregate
+    * keyed h, partial-combined map-side, no per-(gram, doc)
+    * pre-exchange anywhere upstream. */
+  private[graft] def spanStatsOf(grams: DataFrame): DataFrame =
+    grams.groupBy(col("h"))
+      .agg(graft.expressions.SpanStatsAgg.span_stats(col("doc_id")).as("st"))
+      .filter(col("st.n_occ") >= 2)
+      .select(col("h"), col("st.n_occ").as("n_occ"),
+        col("st.min1").as("min1"), col("st.c_min1").as("c_min1"),
+        col("st.min2").as("min2"))
+
   private[graft] def spanProvenanceFromGrams(grams: DataFrame, L: Int): DataFrame = {
     // ONE bounded aggregate over the raw gram rows feeds everything
     // downstream: the fused SpanStatsAgg state (32 B per gram however
@@ -1997,16 +2009,10 @@ object DedupOps {
     // 14 s at the 69M-gram ScaleProbe fixture. This shape is scan →
     // one partial-combined exchange keyed h — the span scan's own cost
     // class (measured: see PLANS span_provenance).
-    val stats = grams.groupBy(col("h"))
-      .agg(graft.expressions.SpanStatsAgg.span_stats(col("doc_id")).as("st"))
-      .filter(col("st.n_occ") >= 2)
-      .select(col("h"), col("st.n_occ").as("n_occ"),
-        col("st.min1").as("min1"), col("st.c_min1").as("c_min1"),
-        col("st.min2").as("min2"))
-      // dup-gram-vocabulary-sized; consumed twice (dup-position join +
-      // the final stats join) — materialize once, ContextCleaner frees
-      // the blocks when the result frame dies
-      .localCheckpoint()
+    // dup-gram-vocabulary-sized; consumed twice (dup-position join +
+    // the final stats join) — materialize once, ContextCleaner frees
+    // the blocks when the result frame dies
+    val stats = spanStatsOf(grams).localCheckpoint()
     // the duplicated positions feed BOTH the island merge and the
     // span-start gram lookup; checkpointing them buys the second
     // consumer for free instead of re-paying the corpus scan + the
@@ -2103,6 +2109,41 @@ object DedupOps {
   val spanProvenanceStream: Q = (s, d) =>
     graft.sinks.SubstrIndexSink.provenance(s, ensureSubstrLifecycle(s, d))
 
+  /** q162: span-level DECONTAMINATION — the cross-corpus variant of the
+    * span family, and the surgical alternative to q61/q75's doc-level
+    * drop: every maximal run of training tokens covered by a word
+    * L-gram that occurs ANYWHERE in the benchmark set is cut from the
+    * training text (Lee et al. §6 run exactly this against their eval
+    * sets; GPT-3/The Pile-style n-gram overlap decontamination, applied
+    * as a cut instead of a doc drop). NOT dedup: a span duplicated
+    * within TRAINING only is kept — the dup set is the benchmark's gram
+    * vocabulary, nothing else (spec-pinned). Witness L = 4 here —
+    * decontamination wants higher recall than the L = 8 dedup witness
+    * (a leaked eval answer hurts at short overlap; the q61 shingle
+    * gate uses 3 for the same reason).
+    *
+    * Scale shape: the bench gram-hash set is eval-registry-sized
+    * (model-sized next to any training corpus) → broadcast, so the
+    * training scan streams past it map-side with NO shuffle at all
+    * before the sparse island merge — cheaper than q154's two-pass
+    * (no corpus-wide count aggregate: the dup set comes from the
+    * bench side alone). A registry too big to broadcast exactly takes
+    * q75's Bloom road (same transparency argument). The cut itself is
+    * q155's doc-keyed join + HOF rebuild, shared code
+    * ([[removalFromSpans]]). */
+  def substringDecontamOver(docs: DataFrame, L: Int,
+      benchCut: Long = 20L): DataFrame = {
+    val train = docs.filter(col("doc_id") >= benchCut)
+    val benchH = gramPositions(docs.filter(col("doc_id") < benchCut), L)
+      .select(col("h")).distinct()
+    val spans = islandSpans(
+      gramPositions(train, L).join(broadcast(benchH), "h"), L)
+    removalFromSpans(train, spans)
+  }
+
+  val substringDecontam: Q = (s, d) =>
+    substringDecontamOver(t(s, d, "documents"), 4)
+
   val queries: Map[String, Q] = Map(
     "q154_substring_dedup" -> substringSpans,
     "q155_substring_remove" -> substringRemove,
@@ -2112,6 +2153,7 @@ object DedupOps {
     "q159_substring_auto" -> substringSpansAuto,
     "q160_substring_remove_stream" -> substringRemoveStream,
     "q161_span_provenance_stream" -> spanProvenanceStream,
+    "q162_substring_decontam" -> substringDecontam,
     "q151_cluster_sizes" -> clusterSizeHistogram,
     "q116_dedup_labels_stream" -> dedupLabelsStream,
     "q115_dedup_incremental" -> dedupIncremental,
@@ -2310,6 +2352,58 @@ object DedupOps {
     // q160 = q155 served from the stored index (same convergence
     // argument as q156/q161)
     "q160_substring_remove_stream" -> substringRemoveOracleSql,
+    // q162: q155's cut machinery, but the dup set is the BENCHMARK
+    // side's gram vocabulary (doc_id < 20) and only training docs
+    // (doc_id ≥ 20) are cut — L = 4 (the decontamination witness),
+    // so ends are +3 and the island gap rule is +4
+    "q162_substring_decontam" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS pos
+        |  FROM tk WHERE len(toks) >= 4),
+        |g2 AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+3], ' ') AS gram
+        |  FROM g),
+        |bg AS (SELECT DISTINCT gram FROM g2 WHERE doc_id < 20),
+        |dp AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN bg USING (gram)
+        |       WHERE g2.doc_id >= 20),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 4
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dp),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end
+        |  FROM isl GROUP BY doc_id, grp),
+        |sp AS (
+        |  SELECT doc_id,
+        |    list(struct_pack(s := span_start, e := span_end)) AS spans
+        |  FROM spans GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        |  WHERE doc_id >= 20),
+        |k AS (
+        |  SELECT b.doc_id, b.text, b.toks, sp.spans,
+        |    CASE WHEN sp.spans IS NULL THEN NULL
+        |         ELSE list_filter(generate_series(1, len(b.toks)),
+        |           i -> len(list_filter(sp.spans,
+        |                  sp2 -> i >= sp2.s AND i <= sp2.e)) = 0)
+        |    END AS kept
+        |  FROM base b LEFT JOIN sp USING (doc_id))
+        |SELECT doc_id,
+        |  CASE WHEN spans IS NULL THEN text
+        |       ELSE coalesce(
+        |         array_to_string(list_transform(kept, i -> toks[i]), ' '), '')
+        |  END AS clean_text,
+        |  (CASE WHEN spans IS NULL THEN 0
+        |        ELSE len(toks) - len(kept) END)::BIGINT AS n_removed
+        |FROM k""".stripMargin,
     // q158: spans → per-doc covered-token mass (islands are disjoint,
     // so width sums are exact) → per-source dataset-card rollup
     "q158_duplication_report" ->

@@ -194,6 +194,28 @@ class BenchSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"stored-layout queries missing a pre-build tag: $missing")
   }
 
+  test("masked breaches: visible only under the 0.9 clamp, on quiet queries whose raw-scaled floor is breached") {
+    // floor 1.0, measured 0.9: on a box at ratio 0.4 the raw-scaled
+    // floor is 0.4 — 0.9 breaches it (2.25× + 0.5 s excess) but stays
+    // under the CLAMPED floor (0.9 × 1.0 × 2.0 = 1.8), i.e. exactly
+    // the regression class the clamp hides; it must be logged
+    val meas = Map(
+      "q1" -> m(Seq(0.9, 0.9, 0.9), 0.1, 0.1),
+      "q2" -> m(Seq(0.3, 0.3, 0.3), 0.1, 0.1), // under even the raw floor ×2
+      "q3" -> m(Seq(0.9, 0.9, 0.9), 0.1, 0.1)) // flagged → excluded
+    val floors = Map("q1" -> 1.0, "q2" -> 1.0, "q3" -> 1.0)
+    val got = Bench.maskedBreaches(Seq("q1", "q2", "q3"), meas, iters,
+      flagged = Set("q3"), ratio = Some(0.4), floors,
+      floorFactor = 2.0, floorSlack = 0.3)
+    assert(got == Seq("q1"))
+    // ratio ≥ 0.9: the clamp is not engaged, nothing is masked
+    assert(Bench.maskedBreaches(Seq("q1"), meas, iters, Set.empty,
+      Some(0.95), floors, 2.0, 0.3).isEmpty)
+    // no prior artifact ratio → nothing to compare
+    assert(Bench.maskedBreaches(Seq("q1"), meas, iters, Set.empty,
+      None, floors, 2.0, 0.3).isEmpty)
+  }
+
   test("floor regime notes annotate only real queries") {
     val unknown = Bench.floorRegimeNotes.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"floor_notes for unknown queries: $unknown")

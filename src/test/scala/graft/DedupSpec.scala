@@ -843,6 +843,33 @@ class DedupSpec extends SparkSpec {
       n == 3 && m1 == 2 && c1 == 1 && m2.contains(5) })
   }
 
+  test("q162 span decontamination: cuts exactly the bench-covered run from training; training-internal duplication is KEPT (not dedup)") {
+    val leak = "l1 l2 l3 l4 l5 l6" // 6 tokens shared with the bench doc
+    val dup = "d1 d2 d3 d4"        // 4 tokens duplicated WITHIN training only
+    def pad(seed: Int, n: Int) = (1 to n).map(i => s"p${seed}x$i").mkString(" ")
+    val docs = Seq(
+      // bench (doc_id < 20): carries the leaked run
+      (3L, pad(0, 4) + " " + leak + " " + pad(1, 4)),
+      // training doc with the leak at 1-based start 3 → covered tokens
+      // 3..8 (three 4-gram starts at 3, 4, 5; span_end = 5 + 3 = 8)
+      (20L, pad(2, 2) + " " + leak + " " + pad(3, 3)),
+      // two training docs sharing `dup` — training-internal, NOT cut
+      (21L, dup + " " + pad(4, 5)),
+      (22L, pad(5, 5) + " " + dup),
+      // untouched training doc
+      (23L, pad(6, 12))).toDF("doc_id", "text")
+    val got = DedupOps.substringDecontamOver(docs, 4)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    // bench doc never appears in the output (only training is emitted)
+    assert(!got.contains(3L) && got.size == 4)
+    assert(got(20L) == ((20L, pad(2, 2) + " " + pad(3, 3), 6L)), s"got ${got(20L)}")
+    // the training-internal dup survives byte-identical: the dup set is
+    // the BENCHMARK vocabulary, not the corpus's
+    assert(got(21L) == ((21L, dup + " " + pad(4, 5), 0L)))
+    assert(got(22L) == ((22L, pad(5, 5) + " " + dup, 0L)))
+    assert(got(23L) == ((23L, pad(6, 12), 0L)))
+  }
+
   test("q158 duplication report: covered mass ≡ q155's removed mass, per construction") {
     // the report's dup_tokens and the removal's n_removed count the
     // SAME tokens (islands are disjoint; removal cuts exactly the

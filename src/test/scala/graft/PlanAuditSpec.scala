@@ -555,4 +555,59 @@ class PlanAuditSpec extends SparkSpec {
     assert("ReadSchema: struct<text:string>".r.findAllIn(plan).nonEmpty,
       s"count pass must prune to the text column:\n$plan")
   }
+
+  test("q157 provenance: the fused span_stats aggregate, never a per-(gram, doc) pre-shuffle") {
+    // the round-14 rewrite's load-bearing shape, pinned: per-gram
+    // provenance stats come from ONE aggregate keyed h whose state is
+    // 32 fixed bytes (SpanStatsAgg) — the per-(gram, doc) composition
+    // it replaced (keys defeat map-side combining; its min2 join
+    // re-shuffled the corpus-sized frame) measured 105.8 s vs the span
+    // scan's 14.1 s at the 69M-gram ScaleProbe fixture
+    // audit the STATS pass's own plan (spanProvenanceFromGrams
+    // checkpoints it, which hides its job from the final plan string)
+    val plan = executedPlan(functions.DedupOps.spanStatsOf(
+      functions.DedupOps.gramPositions(
+        graft.Tables.t(spark, sf0001, "documents"), 8)))
+    assert(plan.contains("span_stats"),
+      s"provenance must aggregate through the fused span_stats state:\n$plan")
+    // the stats aggregate must combine map-side: a boilerplate gram in
+    // 10⁶ docs is one 32-byte partial state per map partition, never
+    // 10⁶ shuffle rows at one reducer
+    assert(plan.contains("partial_span_stats"),
+      s"span_stats must run as a two-phase (partial + final) aggregate:\n$plan")
+    // ONE exchange keyed h and nothing keyed (h, doc) — the composition
+    // this replaced pre-aggregated per (gram, doc), whose exchange
+    // map-side combining cannot collapse
+    assert(!plan.contains("hashpartitioning(h#") ||
+      "hashpartitioning\\(h#\\d+L, doc_id".r.findAllIn(plan).isEmpty,
+      s"no per-(gram, doc) exchange may exist in the stats pass:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"provenance must never pair documents:\n$plan")
+    // and the whole provenance result still answers (the composed-form
+    // equivalence itself is DedupSpec's span_stats test + the oracle)
+    val full = executedPlan(functions.DedupOps.spanProvenanceOver(
+      graft.Tables.t(spark, sf0001, "documents"), 8))
+    assert(!full.contains("CartesianProduct"))
+  }
+
+  test("q162 decontamination: bench gram set broadcasts; the training gram stream never shuffles before the island merge") {
+    val plan = executedPlan(functions.DedupOps.substringDecontamOver(
+      graft.Tables.t(spark, sf0001, "documents"), 4))
+    // the load-bearing scale shape: the dup set comes from the BENCH
+    // side alone (eval-registry-sized), so unlike q154 there is no
+    // corpus-wide count aggregate and the training grams reach the
+    // bench join map-side through a broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bench gram set must broadcast into the training stream:\n$plan")
+    assert(!plan.contains("partial_count"),
+      s"no corpus-wide gram-count aggregate may exist (the dup set is " +
+        s"the bench vocabulary, not a corpus count):\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // at most ONE gram-hash exchange — the BENCH side's distinct, which
+    // is eval-registry-sized; the training grams themselves reach the
+    // join through the broadcast, never through an h-keyed shuffle
+    // (q154 pays two corpus-wide h exchanges here)
+    assert("hashpartitioning\\(h#".r.findAllIn(plan).size <= 1,
+      s"only the bench distinct may exchange on the gram hash:\n$plan")
+  }
 }
