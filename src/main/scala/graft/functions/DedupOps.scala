@@ -2144,6 +2144,41 @@ object DedupOps {
   val substringDecontam: Q = (s, d) =>
     substringDecontamOver(t(s, d, "documents"), 4)
 
+  /** q163: the per-source DECONTAMINATION report — the dataset-card
+    * view of q162, exactly as q158 reports q154 (and q83 reports q61):
+    * per training source, how many docs carry benchmark-covered spans,
+    * the token mass those spans cut, and the removal rate. Derived
+    * from the SPAN set directly (island disjointness makes covered
+    * mass an exact width sum — the q158 argument), never from the
+    * rebuilt text: the report needs counts, not clean strings. Same
+    * rollup shape as q158: span frame → ≤ #docs covered rows →
+    * ≤ #sources table joined tiny × tiny against per-source totals. */
+  def decontamReportOver(docs: DataFrame, L: Int,
+      benchCut: Long = 20L): DataFrame = {
+    val train = docs.filter(col("doc_id") >= benchCut)
+    val benchH = gramPositions(docs.filter(col("doc_id") < benchCut), L)
+      .select(col("h")).distinct()
+    val perDoc = islandSpans(
+        gramPositions(train, L).join(broadcast(benchH), "h"), L)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("covered"))
+    train.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("covered").isNotNull, 1L).otherwise(0L)).as("docs_cut"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(coalesce(col("covered"), lit(0L))).as("removed_tokens"))
+      .select(col("source"), col("n_docs"), col("docs_cut"),
+        col("total_tokens"), col("removed_tokens"),
+        round(col("removed_tokens") / col("total_tokens"), 6)
+          .as("removal_rate"))
+  }
+
+  val decontamReport: Q = (s, d) =>
+    decontamReportOver(t(s, d, "documents"), 4)
+
   val queries: Map[String, Q] = Map(
     "q154_substring_dedup" -> substringSpans,
     "q155_substring_remove" -> substringRemove,
@@ -2154,6 +2189,7 @@ object DedupOps {
     "q160_substring_remove_stream" -> substringRemoveStream,
     "q161_span_provenance_stream" -> spanProvenanceStream,
     "q162_substring_decontam" -> substringDecontam,
+    "q163_decontam_report" -> decontamReport,
     "q151_cluster_sizes" -> clusterSizeHistogram,
     "q116_dedup_labels_stream" -> dedupLabelsStream,
     "q115_dedup_incremental" -> dedupIncremental,
@@ -2352,6 +2388,49 @@ object DedupOps {
     // q160 = q155 served from the stored index (same convergence
     // argument as q156/q161)
     "q160_substring_remove_stream" -> substringRemoveOracleSql,
+    // q163: q162's span CTEs rolled to the per-source card (the q158
+    // rollup over the decontamination span set; covered mass is an
+    // exact width sum — islands are disjoint)
+    "q163_decontam_report" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS pos
+        |  FROM tk WHERE len(toks) >= 4),
+        |g2 AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+3], ' ') AS gram
+        |  FROM g),
+        |bg AS (SELECT DISTINCT gram FROM g2 WHERE doc_id < 20),
+        |dp AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN bg USING (gram)
+        |       WHERE g2.doc_id >= 20),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 4
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dp),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end
+        |  FROM isl GROUP BY doc_id, grp),
+        |perdoc AS (
+        |  SELECT doc_id, sum(span_end - span_start + 1) AS covered
+        |  FROM spans GROUP BY doc_id),
+        |base AS (
+        |  SELECT d.doc_id, d.source,
+        |    len(string_split(d.text, ' ')) AS n_toks, p.covered
+        |  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |  WHERE d.doc_id >= 20)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN covered IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS docs_cut,
+        |  sum(n_toks)::BIGINT AS total_tokens,
+        |  sum(coalesce(covered, 0))::BIGINT AS removed_tokens,
+        |  round(sum(coalesce(covered, 0)) / sum(n_toks), 6) AS removal_rate
+        |FROM base GROUP BY source""".stripMargin,
     // q162: q155's cut machinery, but the dup set is the BENCHMARK
     // side's gram vocabulary (doc_id < 20) and only training docs
     // (doc_id ≥ 20) are cut — L = 4 (the decontamination witness),

@@ -870,6 +870,22 @@ class DedupSpec extends SparkSpec {
     assert(got(23L) == ((23L, pad(6, 12), 0L)))
   }
 
+  test("q163 decontam report: removed mass ≡ q162's cut mass, and benchmark docs never enter the card") {
+    // the q158↔q155 convention applied to the cross-corpus pair: the
+    // report's removed_tokens (span widths) and the cut's n_removed
+    // (tokens actually dropped) must count the SAME tokens
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+    val reported = DedupOps.decontamReportOver(docs, 4)
+    val rep = reported.agg(sum(col("removed_tokens")), sum(col("n_docs")))
+      .as[(Long, Long)].collect()(0)
+    val cut = DedupOps.substringDecontamOver(docs, 4)
+      .agg(sum(col("n_removed")), count(lit(1))).as[(Long, Long)].collect()(0)
+    assert(rep._1 == cut._1, s"report ${rep._1} vs cut ${cut._1}")
+    // every training doc is carded exactly once; bench docs excluded
+    assert(rep._2 == cut._2 &&
+      rep._2 == docs.filter(col("doc_id") >= 20).count())
+  }
+
   test("q158 duplication report: covered mass ≡ q155's removed mass, per construction") {
     // the report's dup_tokens and the removal's n_removed count the
     // SAME tokens (islands are disjoint; removal cuts exactly the
