@@ -35,7 +35,7 @@ object ScaleProbe {
       "knn_join", "pq_knn_join", "knn_query_scaling", "bucketed_join",
       "partitioned_fold", "skew", "grouped_quantile", "seq_state",
       "join_state", "substring_spans", "substring_ingest",
-      "substring_provenance")
+      "substring_provenance", "substring_decontam")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -1098,6 +1098,37 @@ object ScaleProbe {
         spark.sparkContext.getPersistentRDDs
           .filterNot { case (id, _) => pinned(id) }
           .values.foreach(_.unpersist(blocking = false))
+        docs.unpersist()
+      }
+    }
+    // q162 at the spans corpus: bench = docs 0..19 (two of them carry
+    // the shared boilerplate block, so the cut lights up on every 10th
+    // training doc — a realistic leak-everywhere regime). The claim
+    // under measurement: strictly cheaper than the within-corpus span
+    // scan — the dup set comes from the broadcast bench side, so there
+    // is NO corpus-wide count aggregate and the training grams never
+    // shuffle by hash.
+    if (on("substring_decontam")) {
+      for (n <- Seq(100000L, 400000L, 1600000L)) {
+        val boiler = concat_ws(" ",
+          (1 to 16).map(i => lit(s"bp$i")): _*)
+        def uniq(a: Int, b: Int) = concat_ws(" ",
+          expr(s"transform(sequence($a, $b), j -> concat('u', seed, 'w', j))"))
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+            col("id").as("seed"))
+          .select(col("doc_id"),
+            when(col("seed") % 10 === 0,
+              concat_ws(" ", uniq(1, 17), boiler, uniq(18, 34)))
+              .otherwise(uniq(1, 50)).as("text"))
+          .persist()
+        docs.count()
+        val t0 = System.nanoTime()
+        val cut = functions.DedupOps.substringDecontamOver(docs, 8)
+          .agg(sum(col("n_removed")),
+            sum(when(col("n_removed") > 0, 1L).otherwise(0L))).collect()(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE n=$n%9d substring_decontam $dt%6.2f s " +
+          f"removed_toks=${cut.getLong(0)}%9d docs_cut=${cut.getLong(1)}%8d")
         docs.unpersist()
       }
     }
