@@ -999,6 +999,36 @@ object ScaleProbe {
           f"state_bytes=$peakBytes%9d emitted=$emitted%6d/${n}")
       }
     }
+    // ONE synthetic-corpus builder for every substring probe — the
+    // "shared corpus regime" is enforced by construction, not by three
+    // hand-copied builders kept in sync (the cross-probe cost claims —
+    // q157 tracks q154, q162 cheaper than q154 — rest on the corpora
+    // being identical): 50-token docs, every 10th carrying the shared
+    // 16-token boilerplate block; `copyIslands` additionally aliases
+    // every 1000th doc's token seed to its neighbor's (full-coverage
+    // exact copies — the spans/provenance probes); `withSource` adds
+    // the 4-way source split q158's rollup needs.
+    def substrCorpus(from: Long, until: Long, copyIslands: Boolean,
+        withSource: Boolean): org.apache.spark.sql.DataFrame = {
+      val boiler = concat_ws(" ", (1 to 16).map(i => lit(s"bp$i")): _*)
+      val seed =
+        if (copyIslands)
+          when(col("id") % 1000 === 1, col("id") - 1).otherwise(col("id"))
+        else col("id")
+      def uniq(a: Int, b: Int) = concat_ws(" ",
+        expr(s"transform(sequence($a, $b), j -> concat('u', seed, 'w', j))"))
+      val base = spark.range(from, until)
+        .select(col("id").as("doc_id"), seed.as("seed"))
+      val withText = base.select(col("doc_id"), col("seed"),
+        when(col("seed") % 10 === 0,
+          concat_ws(" ", uniq(1, 17), boiler, uniq(18, 34)))
+          .otherwise(uniq(1, 50)).as("text"))
+      if (withSource)
+        withText.select(col("doc_id"),
+          concat(lit("s"), pmod(col("doc_id"), lit(4))).as("source"),
+          col("text"))
+      else withText.select(col("doc_id"), col("text"))
+    }
     // Shared corpus regime for the two substring probes: synthetic
     // docs of 50 unique tokens; every 10th doc carries a shared
     // 16-token boilerplate block (the HOT-gram regime — each
@@ -1019,19 +1049,8 @@ object ScaleProbe {
     // is the corpus's span table) and should grow linearly.
     if (on("substring_ingest")) {
       for (n <- Seq(100000L, 400000L, 1600000L)) {
-        val boiler = concat_ws(" ",
-          (1 to 16).map(i => lit(s"bp$i")): _*)
-        def corpus(from: Long, until: Long) = spark.range(from, until)
-          .select(col("id").as("doc_id"), col("id").as("seed"))
-          .select(col("doc_id"),
-            when(col("seed") % 10 === 0,
-              concat_ws(" ",
-                expr("transform(sequence(1, 17), j -> concat('u', seed, 'w', j))"),
-                boiler,
-                expr("transform(sequence(18, 34), j -> concat('u', seed, 'w', j))")))
-              .otherwise(concat_ws(" ",
-                expr("transform(sequence(1, 50), j -> concat('u', seed, 'w', j))")))
-              .as("text"))
+        def corpus(from: Long, until: Long) =
+          substrCorpus(from, until, copyIslands = false, withSource = false)
         val loc = java.nio.file.Files
           .createTempDirectory(s"graft-substr-ingest-$n").toString
         val w = graft.sinks.SubstrIndexSink.writer(loc) _
@@ -1061,20 +1080,8 @@ object ScaleProbe {
     // tiny rollups) should sit just above q154.
     if (on("substring_provenance")) {
       for (n <- Seq(100000L, 400000L, 1600000L)) {
-        val boiler = concat_ws(" ",
-          (1 to 16).map(i => lit(s"bp$i")): _*)
-        val seed = when(col("id") % 1000 === 1, col("id") - 1)
-          .otherwise(col("id"))
-        def uniq(a: Int, b: Int) = concat_ws(" ",
-          expr(s"transform(sequence($a, $b), j -> concat('u', seed, 'w', j))"))
-        val docs = spark.range(n).select(col("id").as("doc_id"),
-            seed.as("seed"))
-          .select(col("doc_id"),
-            concat(lit("s"), pmod(col("doc_id"), lit(4))).as("source"),
-            when(col("seed") % 10 === 0,
-              concat_ws(" ", uniq(1, 17), boiler, uniq(18, 34)))
-              .otherwise(uniq(1, 50)).as("text"))
-          .persist()
+        val docs = substrCorpus(0L, n, copyIslands = true,
+          withSource = true).persist()
         docs.count()
         // report FIRST: q158 is span-scan-shaped and must not be billed
         // for the provenance pass's checkpoint blocks
@@ -1110,17 +1117,8 @@ object ScaleProbe {
     // shuffle by hash.
     if (on("substring_decontam")) {
       for (n <- Seq(100000L, 400000L, 1600000L)) {
-        val boiler = concat_ws(" ",
-          (1 to 16).map(i => lit(s"bp$i")): _*)
-        def uniq(a: Int, b: Int) = concat_ws(" ",
-          expr(s"transform(sequence($a, $b), j -> concat('u', seed, 'w', j))"))
-        val docs = spark.range(n).select(col("id").as("doc_id"),
-            col("id").as("seed"))
-          .select(col("doc_id"),
-            when(col("seed") % 10 === 0,
-              concat_ws(" ", uniq(1, 17), boiler, uniq(18, 34)))
-              .otherwise(uniq(1, 50)).as("text"))
-          .persist()
+        val docs = substrCorpus(0L, n, copyIslands = false,
+          withSource = false).persist()
         docs.count()
         val t0 = System.nanoTime()
         val cut = functions.DedupOps.substringDecontamOver(docs, 8)
@@ -1134,24 +1132,12 @@ object ScaleProbe {
     }
     if (on("substring_spans")) {
       for (n <- Seq(100000L, 400000L, 1600000L)) {
-        val boiler = concat_ws(" ",
-          (1 to 16).map(i => lit(s"bp$i")): _*)
-        // exact-copy pairs (this probe only): doc 1000k+1 reuses
-        // 1000k's token seed. Expected shape: ~43 gram rows/doc
-        // through two linear passes; dup rows ≈ 9·n/10 boilerplate
-        // starts + 2·43·n/1000 copy starts; span count ≈ n/10·1 +
-        // n/1000·2.
-        val seed = when(col("id") % 1000 === 1, col("id") - 1)
-          .otherwise(col("id"))
-        def uniq(a: Int, b: Int) = concat_ws(" ",
-          expr(s"transform(sequence($a, $b), j -> concat('u', seed, 'w', j))"))
-        val docs = spark.range(n).select(col("id").as("doc_id"),
-            seed.as("seed"))
-          .select(col("doc_id"),
-            when(col("seed") % 10 === 0,
-              concat_ws(" ", uniq(1, 17), boiler, uniq(18, 34)))
-              .otherwise(uniq(1, 50)).as("text"))
-          .persist()
+        // copy islands on (this probe's regime). Expected shape: ~43
+        // gram rows/doc through two linear passes; dup rows ≈ 9·n/10
+        // boilerplate starts + 2·43·n/1000 copy starts; span count ≈
+        // n/10·1 + n/1000·2.
+        val docs = substrCorpus(0L, n, copyIslands = true,
+          withSource = false).persist()
         docs.count()
         val t0 = System.nanoTime()
         val spans = functions.DedupOps.substringSpansOver(docs, 8)

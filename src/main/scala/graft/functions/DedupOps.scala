@@ -2134,11 +2134,19 @@ object DedupOps {
   def substringDecontamOver(docs: DataFrame, L: Int,
       benchCut: Long = 20L): DataFrame = {
     val train = docs.filter(col("doc_id") >= benchCut)
+    removalFromSpans(train, decontamSpans(docs, train, L, benchCut))
+  }
+
+  /** The benchmark-covered span set over the training cut — ONE
+    * definition shared by the cut (q162) and its dataset card (q163),
+    * so the two can never disagree on the witness length, the bench
+    * cut, or the broadcast route (the report would otherwise count
+    * different spans than the cut removes). */
+  private def decontamSpans(docs: DataFrame, train: DataFrame, L: Int,
+      benchCut: Long): DataFrame = {
     val benchH = gramPositions(docs.filter(col("doc_id") < benchCut), L)
       .select(col("h")).distinct()
-    val spans = islandSpans(
-      gramPositions(train, L).join(broadcast(benchH), "h"), L)
-    removalFromSpans(train, spans)
+    islandSpans(gramPositions(train, L).join(broadcast(benchH), "h"), L)
   }
 
   val substringDecontam: Q = (s, d) =>
@@ -2156,10 +2164,7 @@ object DedupOps {
   def decontamReportOver(docs: DataFrame, L: Int,
       benchCut: Long = 20L): DataFrame = {
     val train = docs.filter(col("doc_id") >= benchCut)
-    val benchH = gramPositions(docs.filter(col("doc_id") < benchCut), L)
-      .select(col("h")).distinct()
-    val perDoc = islandSpans(
-        gramPositions(train, L).join(broadcast(benchH), "h"), L)
+    val perDoc = decontamSpans(docs, train, L, benchCut)
       .groupBy(col("doc_id"))
       .agg(sum(col("span_end") - col("span_start") + 1).as("covered"))
     train.select(col("doc_id"), col("source"),
@@ -2172,8 +2177,13 @@ object DedupOps {
         sum(coalesce(col("covered"), lit(0L))).as("removed_tokens"))
       .select(col("source"), col("n_docs"), col("docs_cut"),
         col("total_tokens"), col("removed_tokens"),
-        round(col("removed_tokens") / col("total_tokens"), 6)
-          .as("removal_rate"))
+        // RAW quotient, not round(·, 6): both engines divide the same
+        // two exact long sums once — bit-identical; a 6-decimal round
+        // can land on an exact .xxxxxx5 half-way where Spark
+        // (decimal HALF_UP) and DuckDB (scaled double) disagree — the
+        // q143 class the sf0.1 soak caught THIS round
+        (col("removed_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("removal_rate"))
   }
 
   val decontamReport: Q = (s, d) =>
@@ -2429,7 +2439,8 @@ object DedupOps {
         |    AS docs_cut,
         |  sum(n_toks)::BIGINT AS total_tokens,
         |  sum(coalesce(covered, 0))::BIGINT AS removed_tokens,
-        |  round(sum(coalesce(covered, 0)) / sum(n_toks), 6) AS removal_rate
+        |  sum(coalesce(covered, 0))::DOUBLE / sum(n_toks)::DOUBLE
+        |    AS removal_rate
         |FROM base GROUP BY source""".stripMargin,
     // q162: q155's cut machinery, but the dup set is the BENCHMARK
     // side's gram vocabulary (doc_id < 20) and only training docs

@@ -454,6 +454,16 @@ object PqOps {
   def pqKnnJoin(s: SparkSession, path: String, queries: DataFrame,
       nprobe: Int, topk: Int): DataFrame = {
     val (cents, books) = loadModel(s, path)
+    pqKnnJoinWithModel(s, path, cents, books, queries, nprobe, topk)
+  }
+
+  /** [[pqKnnJoin]] with the model threaded in — q153 probes the same
+    * index at two widths (top-k ADC + the re-rank shortlist); loading
+    * the codebooks once per REPORT instead of once per probe keeps the
+    * monitor's bench cost at the probes themselves. */
+  private def pqKnnJoinWithModel(s: SparkSession, path: String,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      queries: DataFrame, nprobe: Int, topk: Int): DataFrame = {
     // probe-cell ranking: fused cosine against centroid literals, exact
     // ties to the LOWER cell (the negcell trick — probePqIndex's rule)
     val ranked = sort_array(array(cents.zipWithIndex.map { case (c, i) =>
@@ -597,40 +607,31 @@ object PqOps {
     pqKnnJoin(s, path, queries, nprobe, topk)
   }
 
-  /** q153 support: the PQ kNN join at the recall report's parameters
-    * plus its generated oracle SQL — WITHOUT touching q96's oracle
-    * state (each query owns its model pin; a shared mutable state would
-    * let whichever query ran last rewrite the other's oracle). */
-  def knnJoinForRecall(s: SparkSession, d: String, nQueries: Int,
-      nprobe: Int, topk: Int): (DataFrame, String) = {
+  /** q153 support: BOTH PQ rows of the recall report — the raw ADC
+    * top-k and the 5×k-shortlist exact-cosine re-rank — plus their
+    * generated oracle SQLs, from ONE index load and ONE query panel
+    * (the report previously loaded the codebook parquet per probe).
+    * Does not touch q96's oracle state (each query owns its model pin;
+    * a shared mutable state would let whichever ran last rewrite the
+    * other's oracle).
+    *
+    * Re-rank scale shape: the shortlist is |queries| × shortlist rows
+    * (panel-bounded; in production still ≪ corpus), so it BROADCASTS
+    * into the full-precision fetch — the corpus never shuffles, and at
+    * 100 TB the id-equi join is a row-group-stats point fetch, the
+    * q108 argument batched. Same (round(cos, 6) desc, neighbor_id) tie
+    * order as every exact ranking in the tier. */
+  def knnJoinsForRecall(s: SparkSession, d: String, nQueries: Int,
+      nprobe: Int, topk: Int,
+      shortlist: Int): (DataFrame, String, DataFrame, String) = {
     val path = ensurePqIndex(s, d)
     val (cents, books) = loadModel(s, path)
     val queries = t(s, d, "embeddings").filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv"))
-    (pqKnnJoin(s, path, queries, nprobe, topk),
-      pqKnnOracle(nQueries, nprobe, topk, cents, books))
-  }
-
-  /** q153 support: the batched two-stage retrieval (q108's recall
-    * repair) at the recall report's parameters, plus its generated
-    * oracle — the ADC kNN join widened to `shortlist` rows per query,
-    * then re-ranked by EXACT cosine and cut to top-k. Scale shape: the
-    * shortlist is |queries| × shortlist rows (panel-bounded here; in
-    * production still ≪ corpus), so it BROADCASTS into the
-    * full-precision fetch — the corpus never shuffles, and at 100 TB
-    * the id-equi join is a row-group-stats point fetch of ≤
-    * |queries|·shortlist vectors, the q108 argument batched. Same
-    * (round(cos,6) desc, neighbor_id) tie order as every exact ranking
-    * in the tier. */
-  def knnJoinForRecallRerank(s: SparkSession, d: String, nQueries: Int,
-      nprobe: Int, shortlist: Int, topk: Int): (DataFrame, String) = {
-    val path = ensurePqIndex(s, d)
-    val (cents, books) = loadModel(s, path)
-    val queries = t(s, d, "embeddings").filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"),
-        col("embedding").cast("array<double>").as("qv"))
-    val sl = pqKnnJoin(s, path, queries, nprobe, shortlist)
+    val adc = pqKnnJoinWithModel(s, path, cents, books, queries, nprobe, topk)
+    val sl = pqKnnJoinWithModel(s, path, cents, books, queries, nprobe,
+        shortlist)
       .join(broadcast(queries), Seq("query_id"))
     val emb = t(s, d, "embeddings")
       .select(col("vec_id").as("neighbor_id"),
@@ -645,7 +646,7 @@ object PqOps {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= topk)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
-    val sql =
+    val rerankSql =
       s"""SELECT query_id, neighbor_id,
          |  round(list_cosine_similarity(v, qv), 6) AS cosine FROM (
          |  SELECT sl.query_id, sl.neighbor_id, e2.v, q2.qv,
@@ -658,7 +659,8 @@ object PqOps {
          |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings) q2
          |    ON q2.vec_id = sl.query_id) t
          |WHERE rn <= $topk""".stripMargin
-    (reranked, sql)
+    (adc, pqKnnOracle(nQueries, nprobe, topk, cents, books),
+      reranked, rerankSql)
   }
 
   /** The three-cut PQ ingest lifecycle for q107 — the q105 fold+tail

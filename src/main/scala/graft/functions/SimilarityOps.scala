@@ -674,12 +674,13 @@ object SimilarityOps {
     val k = 10; val nQ = 8; val nprobe = 2
     val path = ensureIvfIndex(s, d, 8, 1)
     val ivfSql = knnOracle(nQ, nprobe, k, loadCentroids(s, path))
-    val (pqDf, pqSql) = PqOps.knnJoinForRecall(s, d, nQ, nprobe, k)
-    // the rerank row: the PQ shortlist widened to 5×k, repaired by
-    // exact cosine (q108's two-stage step, batched) — proving
-    // NUMERICALLY that the ADC compression error is recoverable, the
-    // round-13 OPQ-rejection argument closed with a measurement
-    val (rrDf, rrSql) = PqOps.knnJoinForRecallRerank(s, d, nQ, nprobe, 5 * k, k)
+    // the pq row plus its rerank row (the PQ shortlist widened to 5×k,
+    // repaired by exact cosine — q108's two-stage step, batched),
+    // proving NUMERICALLY that the ADC compression error is
+    // recoverable, the round-13 OPQ-rejection argument closed with a
+    // measurement; one call = one codebook load for both probes
+    val (pqDf, pqSql, rrDf, rrSql) =
+      PqOps.knnJoinsForRecall(s, d, nQ, nprobe, k, shortlist = 5 * k)
     recallOracleState = Some((nQ, k, ivfSql, pqSql, rrSql))
     val emb = t(s, d, "embeddings")
     val queries = emb.filter(col("vec_id") < nQ)
