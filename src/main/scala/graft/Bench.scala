@@ -195,6 +195,7 @@ object Bench {
     "q102_vocab_stream", "q103_phrase_stream", "q112_novelty_stream",
     "q113_drift_stream", "q156_substring_stream",
     "q160_substring_remove_stream", "q161_span_provenance_stream",
+    "q164_decontam_registry",
     // event-feed lifecycles (retention / transitions / funnel / dwell /
     // pit / session) + the order-wide join store
     "q122_retention_stream", "q133_transitions_stream",
@@ -226,7 +227,18 @@ object Bench {
         "pre-r13 floors timed the pair aggregation per run"),
     "q150_also_bought" ->
       ("r13 rebase: basket layout shared with q142; pre-r13 floors " +
-        "timed its own aggregation"))
+        "timed its own aggregation"),
+    "q153_ann_recall" ->
+      ("r14 rebase: +pq_rerank method row (three methods × panel); " +
+        "pre-r14 floors timed two methods"),
+    "q157_span_provenance" ->
+      ("r14 rebase: rewritten on the fused SpanStatsAgg (one " +
+        "partial-combined exchange); pre-r14 floors timed the " +
+        "per-(gram,doc) composition"),
+    "q159_substring_auto" ->
+      ("r15 rebase: serving path returns the routed span frame lazy " +
+        "with only the sparse dup set checkpointed; pre-r15 floors " +
+        "timed an eager full-result localCheckpoint on top"))
 
   /** Breaches of the RAW ratio-scaled floors that the 0.9 downward
     * clamp hid (floorScaleOf): on a box whose canary reads < 0.9× the

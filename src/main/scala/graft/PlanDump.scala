@@ -138,7 +138,20 @@ object PlanDump {
         |q154's two-pass, no corpus-wide count aggregate at all; the
         |only exchanges are the sparse island window and the doc-keyed
         |cut join. Training-internal duplication is KEPT by
-        |construction (decontamination ≠ dedup; spec-pinned).""".stripMargin),
+        |construction (decontamination ≠ dedup; spec-pinned). The
+        |registry's sizing judgment is ROUTED (r15): past the session
+        |broadcast budget the q75 Bloom road prunes map-side, past the
+        |Bloom clamps the plain shuffle join is the floor — all three
+        |spec-pinned hash-equal.""".stripMargin),
+    ("q164_decontam_registry", "q162 served from the persisted benchmark registry (fold + tail lifecycle)",
+      """The q156 convention applied to the EVAL side: benchmark batches
+        |fold into the BenchRegistrySink store (set semantics — replay
+        |and crash-window duplicates are invisible under the serving
+        |distinct, so the simple row-store protocol suffices); the cut
+        |reads stored gram hashes instead of re-tokenizing the registry
+        |per run and shares q162's routed span seam verbatim, so the
+        |stored road cannot diverge on route or span semantics.
+        |Registry maintenance never touches the training corpus.""".stripMargin),
     ("q160_substring_remove_stream", "q155's cut fed by the stored index's spans",
       """Span side: the q156 index probe (stored positions + reconciled
         |counts — no re-tokenize). The only corpus touch is the doc-keyed

@@ -11,8 +11,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   * `min1`/`min2` use Long.MaxValue as the empty sentinel (doc ids are
   * non-negative by fixture/suite contract; a corpus actually carrying
   * doc_id = Long.MaxValue would alias the sentinel, which the eval
-  * turns into "no second doc" — acceptable for an id space that never
-  * reaches 2^63). */
+  * would turn into a wrong "no second doc" — so update() ENFORCES the
+  * contract with a loud require instead of trusting it). */
 final class SpanStatsBuffer(var nOcc: Long, var min1: Long,
     var cMin1: Long, var min2: Long)
 
@@ -60,6 +60,12 @@ case class SpanStatsAgg(
     val v = child.eval(input)
     if (v == null) return buf // null doc ids contribute nothing
     val doc = v.asInstanceOf[Long]
+    // Long.MaxValue is the buffer's empty sentinel (header comment): a
+    // doc id equal to it would silently alias to "no second doc" and
+    // emit a wrong partner_doc — fail loudly instead of corrupting.
+    require(doc != Long.MaxValue,
+      "span_stats: doc_id = Long.MaxValue collides with the empty " +
+        "sentinel — the id-space contract (ids < 2^63-1) is violated")
     buf.nOcc += 1
     if (doc < buf.min1) {
       if (buf.min1 != Long.MaxValue) buf.min2 = buf.min1

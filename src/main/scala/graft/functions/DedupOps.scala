@@ -765,8 +765,19 @@ object DedupOps {
   private def ensureClusterLabels(s: SparkSession, d: String): String =
     synchronized {
       val tag = SimilarityOps.sourceTag(s, d, "documents")
-      val path =
-        s"${sys.props("java.io.tmpdir")}/graft-dedup-labels/$tag-$LabelLayoutVersion"
+      val base = s"${sys.props("java.io.tmpdir")}/graft-dedup-labels"
+      val current = s"$tag-$LabelLayoutVersion"
+      val path = s"$base/$current"
+      // sweep label layouts for the SAME data tag left by a different
+      // (or pre-versioning absent) code version — a version bump would
+      // otherwise orphan every older directory forever, accumulating
+      // stale parquet under /tmp across rounds. Only this tag's
+      // siblings: other tags are other data dirs' LIVE caches. A name
+      // starting with `current` is the current layout or a concurrent
+      // driver's in-flight `.stage-` build — both off-limits.
+      graft.sinks.Hfs.childDirs(s, base, tag)
+        .filterNot(_.startsWith(current))
+        .foreach(n => graft.sinks.Hfs.deleteRecursive(s, s"$base/$n"))
       if (!graft.sinks.Hfs.exists(s, s"$path/_SUCCESS")) {
         // staging dir + rename: `synchronized` is per-JVM only, so two
         // concurrent DRIVERS could otherwise interleave overwrite
@@ -1899,21 +1910,30 @@ object DedupOps {
     * Both roads produce identical spans (the FP-killing exact join —
     * spec-pinned), so the router's contract is an ANSWER; returns
     * (spans, route ∈ {plain, bloom}) for telemetry, route decision
-    * spec-pinned on engineered corpora on both sides of the clamp. */
+    * spec-pinned on engineered corpora on both sides of the clamp.
+    *
+    * Materialization: only the SPARSE dup-hash set is checkpointed
+    * (scan 1's output — dup-vocabulary-sized, the provenance
+    * convention at [[spanProvenanceFromGrams]]); the routed span frame
+    * returns LAZY, so the serving path pays one corpus scan when the
+    * caller consumes it and never writes a corpus-proportional frame
+    * to local disk. The earlier form persisted the dup set and then
+    * eagerly localCheckpointed the ENTIRE routed result just to make
+    * `dup.unpersist` in a `finally` safe — a double materialization
+    * (and a local-disk write) inside the timed serving path that made
+    * q159 uniquely hostage to disk contention (the r14 `weak`).
+    * ContextCleaner frees the dup checkpoint blocks when the returned
+    * frame dies. */
   def substringSpansAutoWithStats(docs: DataFrame, L: Int): (DataFrame, String) = {
     val grams = gramPositions(docs, L)
-    val dup = dupHashesOf(grams).persist()
-    try {
-      val nDup = dup.count()
-      // nDup == 0 short-circuits to plain: nothing to prune, and the
-      // empty join is free either way
-      if (nDup > 0 && fitsBloomClamps(docs.sparkSession, nDup))
-        (bloomPrunedSpans(grams, dup, nDup, L)
-          .localCheckpoint(eager = true), "bloom")
-      else
-        (islandSpans(grams.join(dup, "h"), L)
-          .localCheckpoint(eager = true), "plain")
-    } finally dup.unpersist(false)
+    val dup = dupHashesOf(grams).localCheckpoint()
+    val nDup = dup.count()
+    // nDup == 0 short-circuits to plain: nothing to prune, and the
+    // empty join is free either way
+    if (nDup > 0 && fitsBloomClamps(docs.sparkSession, nDup))
+      (bloomPrunedSpans(grams, dup, nDup, L), "bloom")
+    else
+      (islandSpans(grams.join(dup, "h"), L), "plain")
   }
 
   /** q154 at the suite's shingle convention: word 8-grams — long enough
@@ -2128,8 +2148,10 @@ object DedupOps {
     * before the sparse island merge — cheaper than q154's two-pass
     * (no corpus-wide count aggregate: the dup set comes from the
     * bench side alone). A registry too big to broadcast exactly takes
-    * q75's Bloom road (same transparency argument). The cut itself is
-    * q155's doc-keyed join + HOF rebuild, shared code
+    * q75's Bloom road — no longer prose: the
+    * [[decontamSpansWithStats]] router CHOOSES from the registry gram
+    * count, spec-pinned hash-equal on both sides of the budget. The
+    * cut itself is q155's doc-keyed join + HOF rebuild, shared code
     * ([[removalFromSpans]]). */
   def substringDecontamOver(docs: DataFrame, L: Int,
       benchCut: Long = 20L): DataFrame = {
@@ -2140,13 +2162,77 @@ object DedupOps {
   /** The benchmark-covered span set over the training cut — ONE
     * definition shared by the cut (q162) and its dataset card (q163),
     * so the two can never disagree on the witness length, the bench
-    * cut, or the broadcast route (the report would otherwise count
-    * different spans than the cut removes). */
+    * cut, or the route (the report would otherwise count different
+    * spans than the cut removes). */
   private def decontamSpans(docs: DataFrame, train: DataFrame, L: Int,
-      benchCut: Long): DataFrame = {
-    val benchH = gramPositions(docs.filter(col("doc_id") < benchCut), L)
-      .select(col("h")).distinct()
-    islandSpans(gramPositions(train, L).join(broadcast(benchH), "h"), L)
+      benchCut: Long): DataFrame =
+    decontamSpansWithStats(docs, train, L, benchCut)._1
+
+  /** q162's bench-side AUTO router — the q159 convention applied to
+    * the decontamination registry's sizing judgment, which was
+    * previously a hard `broadcast()` plus prose ("a registry too big
+    * to broadcast takes q75's Bloom road"). The registry gram count is
+    * already a cheap aggregate (bench-side only — the corpus is never
+    * touched by the probe), so the route costs one count on the
+    * checkpointed registry:
+    *
+    *  - fits the session broadcast budget → exact broadcast join, the
+    *    home regime (an eval registry next to a training corpus): the
+    *    training scan streams past it map-side, ZERO corpus shuffle
+    *    before the sparse island merge;
+    *  - past the budget but inside the Bloom sizing clamps → q75's
+    *    road via [[bloomPrunedSpans]]: ~1.25 B/item bit array prunes
+    *    the training grams map-side, the exact (non-broadcast) join
+    *    downstream kills FPs — the corpus side of that shuffle is the
+    *    contaminated sliver plus FPs, not every gram;
+    *  - past the clamps too (a registry rivaling the corpus — at that
+    *    point "decontamination" is doc-level q61/q75 territory, but
+    *    the operator must still answer) → the plain shuffle join is
+    *    the floor, exactly q154's scan-2 shape.
+    *
+    * All three roads produce identical spans (the exact join is the
+    * last word on membership everywhere — spec-pinned hash-equal on
+    * both sides of the budget), so the router's contract is an ANSWER;
+    * returns (spans, route) for telemetry. Only the SPARSE registry is
+    * checkpointed (consumed by the probe + the join/Bloom build); the
+    * span frame returns lazy — the q159 materialization discipline. */
+  private[graft] def decontamSpansWithStats(docs: DataFrame,
+      train: DataFrame, L: Int, benchCut: Long): (DataFrame, String) =
+    decontamSpansFromRegistry(
+      gramPositions(docs.filter(col("doc_id") < benchCut), L).select(col("h")),
+      train, L)
+
+  /** The routed span computation against an EXPLICIT gram-hash
+    * registry — the seam q162 (registry derived live from the raw
+    * benchmark docs) and q164 (registry served from the
+    * [[graft.sinks.BenchRegistrySink]] store) share, so the stored
+    * road can never diverge from the batch road on the route rule or
+    * the span semantics. `registry` may carry duplicates (stored
+    * segments, raw gram streams) — distincted here once, onto the
+    * checkpointed sparse frame the probe and the join both read. */
+  private[graft] def decontamSpansFromRegistry(registry: DataFrame,
+      train: DataFrame, L: Int): (DataFrame, String) = {
+    val s = train.sparkSession
+    val benchH = registry.select(col("h")).distinct().localCheckpoint()
+    val nBench = benchH.count()
+    val trainG = gramPositions(train, L)
+    if (fitsBroadcastBudget(s, nBench))
+      (islandSpans(trainG.join(broadcast(benchH), "h"), L), "broadcast")
+    else if (fitsBloomClamps(s, nBench))
+      (bloomPrunedSpans(trainG, benchH, nBench, L), "bloom")
+    else
+      (islandSpans(trainG.join(benchH, "h"), L), "plain")
+  }
+
+  /** Would an exact registry of `nRows` 8-byte hashes fit the session's
+    * own broadcast budget? Costed at 32 B/row — the hashed-relation
+    * materialization (key + row object + table slot) is what the
+    * budget protects, not the 8-byte payload. Routing on the session
+    * conf keeps the judgment honest: whatever the operator would ask
+    * `broadcast()` to ship is what the budget was set against. */
+  private def fitsBroadcastBudget(s: SparkSession, nRows: Long): Boolean = {
+    val t = org.apache.spark.sql.graftbridge.Bridge.autoBroadcastThreshold(s)
+    t > 0 && nRows <= t / 32L
   }
 
   val substringDecontam: Q = (s, d) =>
@@ -2189,6 +2275,30 @@ object DedupOps {
   val decontamReport: Q = (s, d) =>
     decontamReportOver(t(s, d, "documents"), 4)
 
+  /** q164: q162's decontamination served from the PERSISTED benchmark
+    * registry — the q156/q160/q161 convention applied to the eval
+    * side: benchmark batches fold into the
+    * [[graft.sinks.BenchRegistrySink]] store through the shared
+    * fold+tail lifecycle, and the cut reads the stored gram hashes
+    * instead of re-tokenizing the raw benchmark docs per run. Serving
+    * cost: the registry read is registry-sized (never the corpus); the
+    * only corpus touches left are scan 2 and the doc-keyed rebuild
+    * join the cut itself needs — identical to q162's serving shape
+    * because [[decontamSpansFromRegistry]] IS the shared seam (route
+    * rule included). Hash-gated against q162's batch oracle through
+    * the fold+tail lifecycle. */
+  val decontamRegistryStream: Q = (s, d) => {
+    val train = t(s, d, "documents").filter(col("doc_id") >= 20)
+    removalFromSpans(train, decontamSpansFromRegistry(
+      graft.sinks.BenchRegistrySink.registry(s, ensureDecontamRegistry(s, d)),
+      train, 4)._1)
+  }
+
+  private def ensureDecontamRegistry(s: SparkSession, d: String): String =
+    TextOps.ensureCutLifecycle(s, d, "decontamreg",
+      graft.sinks.BenchRegistrySink.writer,
+      loc => graft.sinks.BenchRegistrySink.compact(s, loc))
+
   val queries: Map[String, Q] = Map(
     "q154_substring_dedup" -> substringSpans,
     "q155_substring_remove" -> substringRemove,
@@ -2200,6 +2310,7 @@ object DedupOps {
     "q161_span_provenance_stream" -> spanProvenanceStream,
     "q162_substring_decontam" -> substringDecontam,
     "q163_decontam_report" -> decontamReport,
+    "q164_decontam_registry" -> decontamRegistryStream,
     "q151_cluster_sizes" -> clusterSizeHistogram,
     "q116_dedup_labels_stream" -> dedupLabelsStream,
     "q115_dedup_incremental" -> dedupIncremental,
@@ -2378,6 +2489,58 @@ object DedupOps {
         |        ELSE len(toks) - len(kept) END)::BIGINT AS n_removed
         |FROM k""".stripMargin
 
+  /** q162's batch oracle — q155's cut machinery over the benchmark
+    * gram vocabulary (see the map entry comment); shared verbatim with
+    * q164, whose stored-registry road must converge to it. */
+  private val decontamCutOracleSql: String =
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS pos
+        |  FROM tk WHERE len(toks) >= 4),
+        |g2 AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+3], ' ') AS gram
+        |  FROM g),
+        |bg AS (SELECT DISTINCT gram FROM g2 WHERE doc_id < 20),
+        |dp AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN bg USING (gram)
+        |       WHERE g2.doc_id >= 20),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 4
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dp),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end
+        |  FROM isl GROUP BY doc_id, grp),
+        |sp AS (
+        |  SELECT doc_id,
+        |    list(struct_pack(s := span_start, e := span_end)) AS spans
+        |  FROM spans GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        |  WHERE doc_id >= 20),
+        |k AS (
+        |  SELECT b.doc_id, b.text, b.toks, sp.spans,
+        |    CASE WHEN sp.spans IS NULL THEN NULL
+        |         ELSE list_filter(generate_series(1, len(b.toks)),
+        |           i -> len(list_filter(sp.spans,
+        |                  sp2 -> i >= sp2.s AND i <= sp2.e)) = 0)
+        |    END AS kept
+        |  FROM base b LEFT JOIN sp USING (doc_id))
+        |SELECT doc_id,
+        |  CASE WHEN spans IS NULL THEN text
+        |       ELSE coalesce(
+        |         array_to_string(list_transform(kept, i -> toks[i]), ' '), '')
+        |  END AS clean_text,
+        |  (CASE WHEN spans IS NULL THEN 0
+        |        ELSE len(toks) - len(kept) END)::BIGINT AS n_removed
+        |FROM k""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q154_substring_dedup" -> substringSpansOracleSql,
     // q156 = q154 through the incremental index lifecycle (fold + live
@@ -2446,54 +2609,11 @@ object DedupOps {
     // side's gram vocabulary (doc_id < 20) and only training docs
     // (doc_id ≥ 20) are cut — L = 4 (the decontamination witness),
     // so ends are +3 and the island gap rule is +4
-    "q162_substring_decontam" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |g AS (
-        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS pos
-        |  FROM tk WHERE len(toks) >= 4),
-        |g2 AS (
-        |  SELECT doc_id, pos, array_to_string(toks[pos:pos+3], ' ') AS gram
-        |  FROM g),
-        |bg AS (SELECT DISTINCT gram FROM g2 WHERE doc_id < 20),
-        |dp AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN bg USING (gram)
-        |       WHERE g2.doc_id >= 20),
-        |m AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 4
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM dp),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM m),
-        |spans AS (
-        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end
-        |  FROM isl GROUP BY doc_id, grp),
-        |sp AS (
-        |  SELECT doc_id,
-        |    list(struct_pack(s := span_start, e := span_end)) AS spans
-        |  FROM spans GROUP BY doc_id),
-        |base AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
-        |  WHERE doc_id >= 20),
-        |k AS (
-        |  SELECT b.doc_id, b.text, b.toks, sp.spans,
-        |    CASE WHEN sp.spans IS NULL THEN NULL
-        |         ELSE list_filter(generate_series(1, len(b.toks)),
-        |           i -> len(list_filter(sp.spans,
-        |                  sp2 -> i >= sp2.s AND i <= sp2.e)) = 0)
-        |    END AS kept
-        |  FROM base b LEFT JOIN sp USING (doc_id))
-        |SELECT doc_id,
-        |  CASE WHEN spans IS NULL THEN text
-        |       ELSE coalesce(
-        |         array_to_string(list_transform(kept, i -> toks[i]), ' '), '')
-        |  END AS clean_text,
-        |  (CASE WHEN spans IS NULL THEN 0
-        |        ELSE len(toks) - len(kept) END)::BIGINT AS n_removed
-        |FROM k""".stripMargin,
+    "q162_substring_decontam" -> decontamCutOracleSql,
+    // q164 = q162 served from the stored benchmark registry — the
+    // lifecycle converges to the batch answer (the q156/q160/q161
+    // convention), so the oracle is the batch SQL
+    "q164_decontam_registry" -> decontamCutOracleSql,
     // q158: spans → per-doc covered-token mass (islands are disjoint,
     // so width sums are exact) → per-source dataset-card rollup
     "q158_duplication_report" ->

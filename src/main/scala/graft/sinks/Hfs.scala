@@ -170,6 +170,30 @@ object Hfs {
         "per table)")
     if (!f.rename(p, dest))
       throw new java.io.IOException(s"rename $from -> $to failed")
+    // The exists-then-rename pair above is NOT atomic across processes:
+    // if a concurrent writer created the destination inside the window,
+    // the rename "succeeds" by moving the source INSIDE it (the mv-into
+    // semantics this comment block warns about) and the loser's copy
+    // sits buried at dest/<srcName> — where a parquet read of dest
+    // would pick it up as extra rows.
+    verifyNotBuried(f, p, dest)
+  }
+
+  /** Post-rename burial check: detect a lost exists-then-rename race by
+    * the source's own basename appearing as a CHILD of the destination
+    * (staged publishes use `<dest>.stage-<uuid>` names, never a
+    * legitimate child), delete the buried copy, and surface the same
+    * destination-exists error so staged publishers take their
+    * lost-race path (the winner's copy is served). */
+  private[graft] def verifyNotBuried(f: FileSystem, src: Path,
+      dest: Path): Unit = {
+    val buried = new Path(dest, src.getName)
+    if (f.exists(buried)) {
+      f.delete(buried, true): Unit
+      throw new java.io.IOException(s"rename $src -> $dest: destination " +
+        "already existed (concurrent writer won the publish race); " +
+        "buried source copy removed")
+    }
   }
 
   /** (length, modification time) of a file — freshness fingerprints for

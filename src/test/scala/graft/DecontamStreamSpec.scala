@@ -58,4 +58,42 @@ class DecontamStreamSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().toSet
     assert(all == Set(20L, 21L))
   }
+
+  test("q164 registry lifecycle: fold + live tail + replayed tail serve a cut ≡ batch q162; an empty registry passes every doc untouched") {
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val loc = Files.createTempDirectory("graft-benchreg").toString
+    // four batch cuts over the raw mixed table (the writer extracts the
+    // benchmark slice itself): 0+1 folded, 2 live, 3 appended as the
+    // tail and REPLAYED — registry reads are set-semantics, so the
+    // replay must be invisible
+    def cut(b: Long) = docs.filter(pmod(col("doc_id"), lit(4)) === b)
+    val w = graft.sinks.BenchRegistrySink.writer(loc) _
+    w(cut(0), 0L); w(cut(1), 1L); w(cut(2), 2L)
+    graft.sinks.BenchRegistrySink.compact(spark, loc)
+    assert(graft.sinks.IngestSegments.liveSegments(spark, loc)
+      .count(_ < 0) == 1, "registry must carry exactly one fold segment")
+    w(cut(3), 3L)
+    w(cut(3), 3L) // at-least-once replay of the tail
+    val train = docs.filter(col("doc_id") >= 20)
+    val (spans, route) = DedupOps.decontamSpansFromRegistry(
+      graft.sinks.BenchRegistrySink.registry(spark, loc), train, 4)
+    assert(route == "broadcast",
+      s"a stored eval registry is broadcast-sized at fixture scale, got $route")
+    val got = DedupOps.removalFromSpans(train, spans)
+      .as[(Long, String, Long)].collect().toSet
+    val want = DedupOps.substringDecontamOver(docs, 4)
+      .as[(Long, String, Long)].collect().toSet
+    assert(want.exists(_._3 > 0) && got == want,
+      "the stored-registry cut must hash-equal the batch q162 answer")
+
+    // cold start: an empty registry cuts nothing — every training doc
+    // passes through byte-identical with zero removed tokens
+    val empty = Files.createTempDirectory("graft-benchreg-empty").toString
+    val (noSpans, _) = DedupOps.decontamSpansFromRegistry(
+      graft.sinks.BenchRegistrySink.registry(spark, empty), train, 4)
+    val untouched = DedupOps.removalFromSpans(train, noSpans)
+    assert(untouched.filter(col("n_removed") =!= 0L).count() == 0)
+    assert(untouched.count() == train.count())
+  }
 }

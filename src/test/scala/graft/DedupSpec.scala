@@ -201,6 +201,45 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("label cache version sweep: stale layouts for the same data tag are deleted; other tags and in-flight stages survive") {
+    // a LabelLayoutVersion bump must not orphan the previous version's
+    // parquet under /tmp forever (ADVICE r14) — the ensure pass sweeps
+    // same-tag siblings whose version token differs (or predates
+    // versioning), and ONLY those: another tag is another data dir's
+    // live cache, and a `.stage-` child of the current name is a
+    // concurrent driver's in-flight build
+    val labels = DedupOps.dedupClusters(spark, sf0001)
+    assert(labels.count() > 0)
+    val base = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft-dedup-labels")
+    // sf0001's own tag, recomputed the way the cache keys it — the
+    // sweep is per-tag, so the planted stale dirs must share it
+    val (len, mtime) = sinks.Hfs.stat(spark, s"$sf0001/documents.parquet")
+    val tag =
+      s"${functions.Scalars.md5Hex(sf0001.getBytes("UTF-8")).take(12)}-$len-$mtime"
+    val current = base.listFiles().map(_.getName)
+      .filter(n => n.startsWith(s"$tag-") && !n.contains(".stage-") &&
+        new java.io.File(base, s"$n/_SUCCESS").exists())
+      .head // the live versioned layout for THIS tag
+    def mk(name: String): java.io.File = {
+      val d = new java.io.File(base, name)
+      assert(d.mkdirs()); d
+    }
+    val unversioned = mk(tag)            // pre-versioning layout
+    val oldVersion = mk(s"$tag-v0-old")  // superseded version
+    val inflight = mk(s"$current.stage-deadbeef") // concurrent build
+    val otherTag = mk("ffffffffffff-1-1-v0-old")  // other data dir's cache
+    val again = DedupOps.dedupClusters(spark, sf0001)
+    assert(again.as[(Long, Long)].collect().toSet ==
+      labels.as[(Long, Long)].collect().toSet)
+    assert(!unversioned.exists(), "pre-versioning layout must be swept")
+    assert(!oldVersion.exists(), "superseded version must be swept")
+    assert(inflight.exists(), "a concurrent in-flight stage must survive")
+    assert(otherTag.exists(), "another tag's cache must survive")
+    assert(new java.io.File(base, current).exists())
+    inflight.delete(); otherTag.delete()
+  }
+
   test("dedupClusters collapses a synthetic chain a-b-c-d to one component in few rounds") {
     // sliding 12-token windows over one token stream, stride 2: adjacent
     // docs share 8 of 12 shingles (J = 8/12 ≥ 0.5), distance-2 docs only
@@ -868,6 +907,43 @@ class DedupSpec extends SparkSpec {
     assert(got(21L) == ((21L, dup + " " + pad(4, 5), 0L)))
     assert(got(22L) == ((22L, pad(5, 5) + " " + dup, 0L)))
     assert(got(23L) == ((23L, pad(6, 12), 0L)))
+  }
+
+  test("q162 registry auto router: broadcast in the home regime; an oversized registry takes the Bloom road, a clamp-exceeding one the plain join — all three hash-equal") {
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+    val train = docs.filter(col("doc_id") >= 20)
+    // home regime: an eval registry is model-sized next to the corpus —
+    // the session budget admits it and the router must broadcast
+    val (s1, r1) = DedupOps.decontamSpansWithStats(docs, train, 4, 20L)
+    assert(r1 == "broadcast", s"registry under the budget must broadcast, got $r1")
+    val want = s1.as[(Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    // oversized registry, modeled at spec scale by shrinking the
+    // session budget the router reads live (the q159 clamp-conf trick):
+    // past the budget the Bloom road prunes map-side, exact join kills
+    // FPs — the answer must not move
+    val bKey = "spark.sql.autoBroadcastJoinThreshold"
+    val cKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    def withConf(key: String, v: String)(body: => Unit): Unit = {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, v)
+      try body finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+    withConf(bKey, "64") { // budget of two 32-B rows → any real registry exceeds it
+      val (s2, r2) = DedupOps.decontamSpansWithStats(docs, train, 4, 20L)
+      assert(r2 == "bloom", s"registry past the budget must take the Bloom road, got $r2")
+      assert(s2.as[(Long, Long, Long, Long)].collect().toSet == want)
+      // and past the Bloom sizing clamps too (a registry rivaling the
+      // corpus), the plain shuffle join is the floor
+      withConf(cKey, "512") {
+        val (s3, r3) = DedupOps.decontamSpansWithStats(docs, train, 4, 20L)
+        assert(r3 == "plain", s"a clamp-exceeding registry must route plain, got $r3")
+        assert(s3.as[(Long, Long, Long, Long)].collect().toSet == want)
+      }
+    }
   }
 
   test("q163 decontam report: removed mass ≡ q162's cut mass, and benchmark docs never enter the card") {

@@ -603,11 +603,31 @@ class PlanAuditSpec extends SparkSpec {
       s"no corpus-wide gram-count aggregate may exist (the dup set is " +
         s"the bench vocabulary, not a corpus count):\n$plan")
     assert(!plan.contains("CartesianProduct"))
-    // at most ONE gram-hash exchange — the BENCH side's distinct, which
-    // is eval-registry-sized; the training grams themselves reach the
-    // join through the broadcast, never through an h-keyed shuffle
-    // (q154 pays two corpus-wide h exchanges here)
-    assert("hashpartitioning\\(h#".r.findAllIn(plan).size <= 1,
-      s"only the bench distinct may exchange on the gram hash:\n$plan")
+    // ZERO gram-hash exchanges in the serving plan: the registry's own
+    // distinct runs once at router time on the checkpointed frame; the
+    // training grams reach the join through the broadcast, never
+    // through an h-keyed shuffle (q154 pays two corpus-wide h
+    // exchanges here)
+    assert("hashpartitioning\\(h#".r.findAllIn(plan).isEmpty,
+      s"the training grams must never exchange on the gram hash:\n$plan")
+  }
+
+  test("q159 serving plan: the routed span frame stays LAZY — corpus scan + island merge live in the plan; only the sparse dup set is a checkpoint scan") {
+    // the r14 weak, pinned closed: the old form eagerly
+    // localCheckpointed the ENTIRE routed result (the served plan was a
+    // bare ExistingRDD scan and a corpus-proportional frame hit local
+    // disk inside the timed serving path, making q159 hostage to disk
+    // contention no CPU canary could adjudicate)
+    val (df, route) = functions.DedupOps.substringSpansAutoWithStats(
+      Tables.t(spark, sf0001, "documents"), 8)
+    assert(route == "bloom") // the fixture's home regime (DedupSpec pins routing)
+    val plan = executedPlan(df)
+    assert(plan.contains("FileScan parquet"),
+      s"scan 2 must read the corpus live in the served plan:\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).nonEmpty,
+      s"the island merge must run live in the served plan:\n$plan")
+    assert("ExistingRDD".r.findAllIn(plan).size == 1,
+      s"exactly the sparse dup-hash checkpoint may appear — a second " +
+        s"ExistingRDD means a full-result checkpoint crept back:\n$plan")
   }
 }

@@ -102,6 +102,36 @@ class SinkHardeningSpec extends SparkSpec {
     assert(e.getMessage.contains("destination exists"))
   }
 
+  test("a rename that LOST the exists-then-rename race surfaces as destination-exists and the buried copy is removed") {
+    // the cross-process window the exists check cannot close: a
+    // concurrent writer creates the destination after the check, the
+    // local/HDFS rename then "succeeds" by moving the source INSIDE it
+    // (mv-into semantics) — dest/<srcName> is the loser's buried copy,
+    // which a parquet read of dest would count as extra rows. Model the
+    // post-race state directly and drive the detection pass.
+    val dir = Files.createTempDirectory("rename_race").toString
+    val dest = s"$dir/labels"
+    val buried = s"$dest/labels.stage-uuid"
+    Files.createDirectories(java.nio.file.Paths.get(buried))
+    Files.writeString(java.nio.file.Paths.get(s"$dest/part-0.parquet"), "winner")
+    Files.writeString(java.nio.file.Paths.get(s"$buried/part-0.parquet"), "loser")
+    val (f, _) = sinks.Hfs.fs(spark, dest)
+    val e = intercept[java.io.IOException] {
+      sinks.Hfs.verifyNotBuried(f,
+        new org.apache.hadoop.fs.Path(s"$dir/labels.stage-uuid"),
+        new org.apache.hadoop.fs.Path(dest))
+    }
+    assert(e.getMessage.contains("destination already existed"))
+    assert(!new java.io.File(buried).exists(),
+      "the buried loser copy must be deleted, not served as extra rows")
+    assert(new java.io.File(s"$dest/part-0.parquet").exists(),
+      "the winner's content must be untouched")
+    // and a clean rename (no burial) passes the check silently
+    sinks.Hfs.verifyNotBuried(f,
+      new org.apache.hadoop.fs.Path(s"$dir/labels.stage-other"),
+      new org.apache.hadoop.fs.Path(dest))
+  }
+
   test("marker write is crash-safe: an interrupted rewrite leaves the tmp as recovery copy") {
     val dir = Files.createTempDirectory("marker").toString
     val p = s"$dir/__seq_horizon"
