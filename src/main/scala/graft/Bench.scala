@@ -212,6 +212,37 @@ object Bench {
     * predecessors, and that discontinuity was previously visible only
     * in PLANS.md prose. Keep entries for as long as someone might diff
     * against a pre-change artifact. */
+  /** The I/O canary: a fixed 8 MiB synced write + read + delete under
+    * java.io.tmpdir — the same local-disk band the Spark temp/
+    * checkpoint traffic rides on this box. Pure JVM I/O (no Spark job),
+    * so its ONLY variable is how much of the disk band this process
+    * got; a spike marks the neighboring measurements as disk-contended
+    * the way the CPU canary marks CPU contention. Motivated by r14's
+    * q159 adjudication: an I/O-heavy timed region breached its floor
+    * with a QUIET CPU canary, and the artifact had no mechanical way
+    * to say "disk noise". Adjudication data only — never a flag input
+    * (the flag rules and their spec fixtures stay untouched). */
+  private[graft] def ioProbe(): Double = {
+    val buf = new Array[Byte](1 << 20)
+    new java.util.Random(42).nextBytes(buf)
+    val f = java.io.File.createTempFile("graft-io-canary", ".bin")
+    val t0 = System.nanoTime()
+    try {
+      val out = new java.io.FileOutputStream(f)
+      try {
+        var i = 0
+        while (i < 8) { out.write(buf); i += 1 }
+        out.getFD.sync() // force the disk band, not the page cache
+      } finally out.close()
+      val in = new java.io.FileInputStream(f)
+      try {
+        var n = 0
+        while (n != -1) n = in.read(buf)
+      } finally in.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally { f.delete(); () }
+  }
+
   private[graft] val floorRegimeNotes: Map[String, String] = Map(
     "q62_dedup_clusters" ->
       ("r13 rebase: serves the stored label layout; pre-r13 floors " +
@@ -363,6 +394,14 @@ object Bench {
     calibrate() // JIT/codegen warm for the canary itself
     // quiet-box reference: min of 5 — the canary's floor on this box
     val calibBase = (1 to 5).map(_ => calibrate()).min
+    // I/O canary beside the CPU one (r14 q159 lesson: the pure-CPU
+    // probe is blind to local-disk contention, so an I/O-band spike
+    // could only be argued in prose). Adjudication DATA, not a flag
+    // input: per-query adjacent readings + the run's quiet floor land
+    // in the artifact so a cross-round norm swing can be matched
+    // against disk-band noise mechanically.
+    ioProbe() // warm (allocates the buffer, faults the tmp dir)
+    val ioBase = (1 to 5).map(_ => ioProbe()).min
     // a query is CONTENDED if the canary on either side of it ran over
     // bound × the quiet floor, OR its own min breached the stored
     // quiet-floor (flagContended's Scaladoc has the full decision)
@@ -409,12 +448,22 @@ object Bench {
     // two neighbors (half the canary cost of a private pair per query;
     // retry passes below take private pairs)
     val meas = scala.collection.mutable.LinkedHashMap[String, Meas]()
+    // adjacent I/O-canary readings, shared between neighbors like the
+    // CPU canary's; kept beside Meas (not in it) so the pure flagging
+    // functions and their spec fixtures stay untouched — io is
+    // adjudication data, never a flag input
+    val ioReads = scala.collection.mutable.LinkedHashMap[String, Double]()
     var prevCal = calibrate()
+    var prevIo = ioProbe()
     sorted.foreach { case (name, fn) =>
       val before = prevCal
+      val ioBefore = prevIo
       val times = runIters(name, fn)
       val after = calibrate()
       prevCal = after
+      val ioAfter = ioProbe()
+      prevIo = ioAfter
+      ioReads(name) = math.max(ioBefore, ioAfter)
       // per-iteration times to stderr: a one-iteration spike (GC pause,
       // box hiccup) is diagnosable only if the medians' inputs are
       // visible somewhere
@@ -442,8 +491,10 @@ object Bench {
         flagged.toSeq.sorted.mkString(", ") + ")")
       sorted.filter(p => flagged(p._1)).foreach { case (name, fn) =>
         val before = calibrate()
+        val ioBefore = ioProbe()
         val times = runIters(name, fn)
         val after = calibrate()
+        val ioAfter = ioProbe()
         val cand = Meas(times, before, after)
         val old = meas(name)
         val candQuiet = math.max(before, after) <= calibBound
@@ -451,6 +502,7 @@ object Bench {
         if (!cand.failed(iters) &&
             (cand.med(iters) < old.med(iters) || (candQuiet && !oldQuiet))) {
           meas(name) = cand
+          ioReads(name) = math.max(ioBefore, ioAfter)
           System.err.println(s"[bench] $name re-measured: " +
             f"${old.med(iters)}%.2f -> ${cand.med(iters)}%.2f " +
             f"(calib ${math.max(before, after)}%.2f)")
@@ -561,8 +613,13 @@ object Bench {
         .map(pm => normRatio(m.med(iters), pm, localRatio))
         .filter(_ > 0)
         .map(r => s""","norm":${f"$r%.3f"}""").getOrElse("")
+      // "io" sits AFTER "calib": readFloors/readCalibs anchor on the
+      // min/median/calib prefix, so the new column never disturbs the
+      // committed-artifact parsers (BenchSpec pins this compatibility)
       s""""$name":{"min":${f"${m.min}%.3f"},"median":${f"${m.med(iters)}%.3f"},""" +
-        s""""calib":${f"$cal%.3f"},"contended":${flagged(name)}$norm,""" +
+        s""""calib":${f"$cal%.3f"},""" +
+        s""""io":${f"${ioReads.getOrElse(name, -1.0)}%.4f"},""" +
+        s""""contended":${flagged(name)}$norm,""" +
         s""""times":[${m.times.map(t => f"$t%.3f").mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val body =
@@ -570,6 +627,7 @@ object Bench {
         s""""calib_base":${f"$calibBase%.3f"},""" +
         s""""calib_bound":${f"$calibBound%.3f"},""" +
         s""""calib_ratio":${f"$calibRatio%.3f"},""" +
+        s""""io_calib_base":${f"$ioBase%.4f"},""" +
         s""""contended":[${contended.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""masked":[${masked.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""floor_notes":${floorRegimeNotes.toSeq.sorted

@@ -518,7 +518,11 @@ object DedupOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("c"), 1L).otherwise(0L)).as("n_contaminated"))
       .select(col("source"), col("n_docs"), col("n_contaminated"),
-        round(col("n_contaminated") / col("n_docs"), 6).as("contamination_rate"))
+        // RAW quotient of two exact integers (the q143 class) — one
+        // IEEE division, bit-identical in both engines; round(·,6) can
+        // land on an exact half-way where the engines disagree
+        (col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+          .as("contamination_rate"))
   }
 
   /** Decontamination with a Bloom prefilter — q75, the shape q61 grows
@@ -778,26 +782,15 @@ object DedupOps {
       graft.sinks.Hfs.childDirs(s, base, tag)
         .filterNot(_.startsWith(current))
         .foreach(n => graft.sinks.Hfs.deleteRecursive(s, s"$base/$n"))
-      if (!graft.sinks.Hfs.exists(s, s"$path/_SUCCESS")) {
-        // staging dir + rename: `synchronized` is per-JVM only, so two
-        // concurrent DRIVERS could otherwise interleave overwrite
-        // writes into the same path and serve a torn directory. Each
-        // process builds privately; exactly one rename wins, the loser
-        // discards its copy and serves the winner's (labels are
-        // input-determined, so both copies are identical).
-        val stage = s"$path.stage-${java.util.UUID.randomUUID}"
+      // stage-then-rename (the shared cross-driver publish protocol;
+      // labels are input-determined, so a lost race serves an
+      // identical winner copy)
+      graft.sinks.StagedLayout.ensure(s, path)(
+        graft.sinks.Hfs.exists(s, s"$path/_SUCCESS")) { stage =>
         collapseClusters(
           shingleJaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
           .write.mode("overwrite").parquet(stage)
-        try graft.sinks.Hfs.rename(s, stage, path)
-        catch { case e: java.io.IOException =>
-          graft.sinks.Hfs.deleteRecursive(s, stage)
-          // destination-exists means the race was lost benignly; any
-          // other rename failure has no winner to serve and must surface
-          if (!graft.sinks.Hfs.exists(s, s"$path/_SUCCESS")) throw e
-        }
       }
-      path
     }
 
   /** q111: dedup survivorship — the resolution step that follows
@@ -2079,7 +2072,9 @@ object DedupOps {
         sum(coalesce(col("covered"), lit(0L))).as("dup_tokens"))
       .select(col("source"), col("n_docs"), col("docs_with_dups"),
         col("total_tokens"), col("dup_tokens"),
-        round(col("dup_tokens") / col("total_tokens"), 6).as("dup_rate"))
+        // raw quotient (q143 class), matching q163's removal_rate form
+        (col("dup_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("dup_rate"))
   }
 
   val duplicationReport: Q = (s, d) =>
@@ -2652,7 +2647,7 @@ object DedupOps {
         |    AS docs_with_dups,
         |  sum(n_toks)::BIGINT AS total_tokens,
         |  sum(coalesce(covered, 0))::BIGINT AS dup_tokens,
-        |  round(sum(coalesce(covered, 0)) / sum(n_toks), 6) AS dup_rate
+        |  sum(coalesce(covered, 0))::DOUBLE / sum(n_toks)::DOUBLE AS dup_rate
         |FROM base GROUP BY source""".stripMargin,
     // q155: q154's CTEs verbatim, spans rolled to per-doc lists, then
     // the index-filter rebuild — span-less docs pass through via the
@@ -2717,7 +2712,8 @@ object DedupOps {
         |  FROM documents d JOIN contam USING (doc_id) GROUP BY d.source)
         |SELECT t.source, t.n_docs,
         |  coalesce(c.n_contaminated, 0) AS n_contaminated,
-        |  round(coalesce(c.n_contaminated, 0) / t.n_docs, 6) AS contamination_rate
+        |  CAST(coalesce(c.n_contaminated, 0) AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+        |    AS contamination_rate
         |FROM tot t LEFT JOIN c ON t.source = c.source""".stripMargin,
     "q61_decontaminate" ->
       """WITH sh AS (

@@ -539,14 +539,15 @@ object PqOps {
 
   private def ensurePqIndex(s: SparkSession, d: String): String = synchronized {
     val path = pqIndexPath(s, d)
-    val done = Seq("codes/ingest=-1", "cents", "books")
-      .forall(t => graft.sinks.Hfs.exists(s, s"$path/$t/_SUCCESS"))
-    if (!done) {
+    // stage-then-rename (StagedLayout): deterministic build, so a lost
+    // cross-driver race serves an identical winner copy
+    graft.sinks.StagedLayout.ensure(s, path)(
+      Seq("codes/ingest=-1", "cents", "books")
+        .forall(t => graft.sinks.Hfs.exists(s, s"$path/$t/_SUCCESS"))) { stage =>
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      buildPqIndex(emb, path, pqIters = DefaultPqIters)
+      buildPqIndex(emb, stage, pqIters = DefaultPqIters)
     }
-    path
   }
 
   /** Everything the generated oracle needs, cached by the q94 run (the

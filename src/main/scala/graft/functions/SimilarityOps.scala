@@ -506,14 +506,16 @@ object SimilarityOps {
   private def ensureIvfIndex(s: SparkSession, d: String, k: Int,
       iters: Int): String = synchronized {
     val path = ivfIndexPath(s, d, k, iters)
-    val done = graft.sinks.Hfs.exists(s, s"$path/corpus/_SUCCESS") &&
-      graft.sinks.Hfs.exists(s, s"$path/centroids/_SUCCESS")
-    if (!done) {
+    // stage-then-rename (StagedLayout): the build is input-determined
+    // (deterministic k-means), so a lost cross-driver race serves an
+    // identical winner copy instead of a torn interleaved overwrite
+    graft.sinks.StagedLayout.ensure(s, path)(
+      graft.sinks.Hfs.exists(s, s"$path/corpus/_SUCCESS") &&
+        graft.sinks.Hfs.exists(s, s"$path/centroids/_SUCCESS")) { stage =>
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      buildIvfIndex(emb, path, k, iters)
+      buildIvfIndex(emb, stage, k, iters)
     }
-    path
   }
 
   /** Centroids of the last annIvf run, keyed for oracle generation: the

@@ -46,10 +46,14 @@ object TextOps {
         // float division yields NaN — define the empty-doc ratio as 0.0
         // in BOTH engines instead (stopword_ratio needs none: split('')
         // gives [''] so n_tokens >= 1 on both sides)
-        round(when(col("st")(0) === 0, lit(0.0))
-          .otherwise(col("st")(2).cast("double") / col("st")(0)), 4)
+        // RAW exact-integer quotients (r15 q143-class sweep): one IEEE
+        // division is bit-identical in both engines; a 4-decimal round
+        // can land on a reachable exact half-way (e.g. 1/32) where
+        // Spark decimal-HALF_UP and DuckDB scaled-double disagree
+        when(col("st")(0) === 0, lit(0.0))
+          .otherwise(col("st")(2).cast("double") / col("st")(0))
           .as("punct_ratio"),
-        round(col("st")(3).cast("double") / col("st")(1), 4).as("stopword_ratio"))
+        (col("st")(3).cast("double") / col("st")(1)).as("stopword_ratio"))
 
   /** q146: Gopher-style quality rule report — the published
     * rule-of-thumb filters (Rae et al. 2021 §A1.1: word-count window,
@@ -103,7 +107,7 @@ object TextOps {
         struct(lit(n).as("rule"), col(s"__$n").as("n_pass"))
       }: _*)).as("p"))
       .select(col("p.rule"), col("n_docs"), col("p.n_pass"),
-        round(col("p.n_pass").cast("double") / col("n_docs"), 6)
+        (col("p.n_pass").cast("double") / col("n_docs"))
           .as("pass_rate"))
   }
 
@@ -117,10 +121,10 @@ object TextOps {
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         size(tk).cast("long").as("n_tokens"),
-        round(when(length(col("text")) === 0, lit(0.0))
-          .otherwise(punct.cast("double") / length(col("text"))), 4)
+        when(length(col("text")) === 0, lit(0.0))
+          .otherwise(punct.cast("double") / length(col("text")))
           .as("punct_ratio"), // empty-doc guard, as the fused form
-        round(stopHits.cast("double") / size(tk), 4).as("stopword_ratio"))
+        (stopHits.cast("double") / size(tk)).as("stopword_ratio"))
   }
 
   /** Document fingerprint over normalized text (lowercase, alnum+space
@@ -404,8 +408,8 @@ object TextOps {
       // frame (≤ #sources rows) — the single-partition window is fine
       // at any corpus size, same argument as q43's lag
       .withColumn("token_share",
-        round(col("n_tokens") / sum(col("n_tokens")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+        col("n_tokens") / sum(col("n_tokens")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
   }
 
   /** Token-trigram phrases of a document — the posting unit of the
@@ -469,7 +473,7 @@ object TextOps {
       .limit(20)
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("total_docs"))))
       .select(col("phrase"), col("df"), col("occ"),
-        round(col("df") / col("total_docs"), 6).as("coverage"))
+        (col("df") / col("total_docs")).as("coverage"))
   }
 
   /** Conjunctive-candidate phrase search THROUGH the index: the top-3
@@ -595,7 +599,7 @@ object TextOps {
         .withColumnRenamed("n_sh", "n_b")), Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("shared"),
         col("n_a"), col("n_b"),
-        round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4)
+        (col("shared") / (col("n_a") + col("n_b") - col("shared")))
           .as("jaccard"))
   }
 
@@ -834,7 +838,7 @@ object TextOps {
         sum(col("n_tokens")).as("tok_total"),
         sum(col("bucket") - col("n_tokens")).as("pad_waste"))
       .withColumn("fill",
-        round(col("tok_total") / (col("n_docs") * col("bucket")), 4))
+        col("tok_total") / (col("n_docs") * col("bucket")))
   }
 
   /** Corpus vocabulary build (q82) — the tokenizer-training /
@@ -917,17 +921,21 @@ object TextOps {
       val tag =
         s"${graft.functions.Scalars.md5Hex(d.getBytes("UTF-8")).take(12)}_${len}_$mtime"
       val loc = s"${sys.props("java.io.tmpdir")}/graft-$kind/$tag"
-      if (graft.sinks.Hfs.readString(s, s"$loc/__done").isEmpty) {
-        graft.sinks.Hfs.deleteRecursive(s, loc)
+      // stage-then-rename (StagedLayout): the whole fold+tail state is
+      // built privately and published atomically, so a concurrent
+      // driver can never read (or interleave writes into) a
+      // half-built lifecycle — the same-input builds are deterministic,
+      // a lost race serves the winner's identical copy
+      graft.sinks.StagedLayout.ensure(s, loc)(
+        graft.sinks.Hfs.readString(s, s"$loc/__done").nonEmpty) { stage =>
         val docs = t(s, d, "documents")
         def cut(b: Long) = docs.filter(pmod(col("doc_id"), lit(3)) === b)
-        writer(loc)(cut(0), 0L)
-        writer(loc)(cut(1), 1L)
-        compact(loc)
-        writer(loc)(cut(2), 2L)
-        graft.sinks.Hfs.writeString(s, s"$loc/__done", "ok")
+        writer(stage)(cut(0), 0L)
+        writer(stage)(cut(1), 1L)
+        compact(stage)
+        writer(stage)(cut(2), 2L)
+        graft.sinks.Hfs.writeString(s, s"$stage/__done", "ok")
       }
-      loc
     }
 
   /** Unigram-LM quality score (q88) — the cheap statistical tier of the
@@ -1343,7 +1351,7 @@ object TextOps {
       .select(col("source"), col("avail_tokens"),
         round(col("w"), 6).as("mix_weight"),
         floor(col("w") * budget).cast("long").as("target_tokens"),
-        round(floor(col("w") * budget) / col("avail_tokens"), 4).as("epochs"))
+        (floor(col("w") * budget) / col("avail_tokens")).as("epochs"))
   }
 
   val tokenBudgetPlan: Q = (s, d) =>
@@ -1747,7 +1755,7 @@ object TextOps {
         |  UNION ALL SELECT 'alpha_words', n_docs, alpha_words FROM a
         |  UNION ALL SELECT 'stopword_floor', n_docs, stopword_floor FROM a)
         |SELECT rule, n_docs, n_pass,
-        |  round(CAST(n_pass AS DOUBLE) / n_docs, 6) AS pass_rate
+        |  CAST(n_pass AS DOUBLE) / n_docs AS pass_rate
         |FROM u""".stripMargin,
     // q135: q132's bigram CTE, add-one smoothing in the SAME operand
     // order as the Spark side ((c_xy + 1.0) / (c_x + v), ONE division)
@@ -1813,7 +1821,7 @@ object TextOps {
         |  FROM m)
         |SELECT source, avail_tokens, round(w, 6) AS mix_weight,
         |  CAST(floor(w * 1000000) AS BIGINT) AS target_tokens,
-        |  round(floor(w * 1000000) / avail_tokens, 4) AS epochs
+        |  floor(w * 1000000) / avail_tokens AS epochs
         |FROM w""".stripMargin,
     // same hash gate + rank; BIGINT || VARCHAR concatenates identically
     // and both md5s emit lowercase hex, so the orders match exactly
@@ -1843,7 +1851,7 @@ object TextOps {
         |  SELECT phrase, count(DISTINCT doc_id) AS df, count(*) AS occ
         |  FROM e GROUP BY phrase),
         |total AS (SELECT count(*) AS total_docs FROM documents)
-        |SELECT phrase, df, occ, round(df / total_docs, 6) AS coverage
+        |SELECT phrase, df, occ, df / total_docs AS coverage
         |FROM agg, total
         |ORDER BY df DESC, phrase LIMIT 20""".stripMargin,
     // mirrors piiScrub: same suffix construction, same patterns, same
@@ -1916,8 +1924,8 @@ object TextOps {
         |SELECT bucket, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
         |  CAST(sum(bucket - n_tokens) AS BIGINT) AS pad_waste,
-        |  round(CAST(sum(n_tokens) AS BIGINT)
-        |    / (count(*) * bucket), 4) AS fill
+        |  CAST(sum(n_tokens) AS BIGINT)
+        |    / (count(*) * bucket) AS fill
         |FROM cl GROUP BY bucket""".stripMargin
     },
     // the df-cap (drop phrases present in EVERY source) mirrors
@@ -1948,7 +1956,7 @@ object TextOps {
         |  GROUP BY 1, 2)
         |SELECT p.source_a, p.source_b, p.shared, sa.n_sh AS n_a,
         |  sb.n_sh AS n_b,
-        |  round(p.shared / (sa.n_sh + sb.n_sh - p.shared), 4) AS jaccard
+        |  p.shared / (sa.n_sh + sb.n_sh - p.shared) AS jaccard
         |FROM pairs p
         |JOIN sizes sa ON sa.source = p.source_a
         |JOIN sizes sb ON sb.source = p.source_b""".stripMargin,
@@ -2041,7 +2049,7 @@ object TextOps {
         |      AS n_dup_docs
         |  FROM dup GROUP BY source)
         |SELECT source, n_docs, n_tokens, n_dup_docs,
-        |  round(n_tokens / CAST(sum(n_tokens) OVER () AS BIGINT), 6)
+        |  n_tokens / CAST(sum(n_tokens) OVER () AS BIGINT)
         |    AS token_share
         |FROM agg""".stripMargin,
     "q60_mixture_sample" ->
@@ -2142,12 +2150,12 @@ object TextOps {
     "q21_quality_score" ->
       """SELECT doc_id, length(text) AS n_chars,
         | len(string_split(text,' ')) AS n_tokens,
-        | round(CASE WHEN length(text) = 0 THEN 0.0
+        | CASE WHEN length(text) = 0 THEN 0.0
         |       ELSE length(regexp_replace(text,'[a-z0-9 ]','','g')) / length(text)
-        |       END, 4) AS punct_ratio,
-        | round(len(list_filter(string_split(text,' '),
+        |       END AS punct_ratio,
+        | len(list_filter(string_split(text,' '),
         |         tok -> tok IN ('the','a','of','and','to','in')))
-        |       / len(string_split(text,' ')), 4) AS stopword_ratio
+        |       / len(string_split(text,' ')) AS stopword_ratio
         |FROM documents""".stripMargin,
     "q22_fingerprint" ->
       """SELECT doc_id,

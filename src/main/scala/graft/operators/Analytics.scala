@@ -573,8 +573,13 @@ object Analytics {
     * (the cohortMatrixOf convention). */
   private[graft] def transitionMatrixOf(pairs: DataFrame): DataFrame =
     pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
-      .withColumn("p", round(col("n").cast("double") /
-        sum(col("n")).over(Window.partitionBy(col("src"))), 6))
+      // RAW quotient of two exact integers, not round(·,6): one IEEE
+      // division is bit-identical in both engines, while a 6-decimal
+      // round can land on an exact .xxxxxx5 half-way where Spark
+      // (decimal HALF_UP) and DuckDB (scaled double) disagree — the
+      // q143 class the sf0.1 soak caught in r14
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("src"))).cast("double"))
 
   /** q133: the LIVE transition matrix ≡ the q127 batch answer, produced
     * by the REAL stateful engine ([[graft.streaming.Streams
@@ -637,6 +642,12 @@ object Analytics {
       val tag =
         s"${graft.functions.Scalars.md5Hex(d.getBytes("UTF-8")).take(12)}_${len}_$mtime"
       val loc = s"${sys.props("java.io.tmpdir")}/graft-$kind/$tag"
+      // NOT on StagedLayout (unlike the cut lifecycles): this build
+      // runs REAL checkpointed streams whose offset logs embed the
+      // feed's absolute path — publishable by rename only because
+      // nothing ever resumes them, a subtlety not worth the coupling.
+      // Cross-driver torn-read residual = the Bucketing lifecycles'
+      // (delete-then-rebuild under a per-JVM lock, __done-gated).
       if (graft.sinks.Hfs.readString(s, s"$loc/__done").isEmpty) {
         graft.sinks.Hfs.deleteRecursive(s, loc)
         val feed = s"$loc/__feed"
@@ -734,8 +745,9 @@ object Analytics {
       })
     pairs.groupBy(col("from_type"))
       .agg(count(lit(1)).as("n_with_next"),
-        round(sum(col("gap_us")) / lit(1000000.0), 6).as("total_dwell_sec"),
-        round((sum(col("gap_us")) / lit(1000000.0)) / count(lit(1)), 6)
+        // raw quotients, matching dwellTimeOver exactly (q143 class)
+        (sum(col("gap_us")) / lit(1000000.0)).as("total_dwell_sec"),
+        ((sum(col("gap_us")) / lit(1000000.0)) / count(lit(1)))
           .as("mean_dwell_sec"))
   }
 
@@ -919,13 +931,14 @@ object Analytics {
     val grid = r.join(f, Seq("user_id")).join(m, Seq("user_id"))
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"),
-        // round() touches only a deterministic double derived from the
-        // exact integer cell total — no order-dependent sum anywhere.
-        // The CELL total stays decimal: it sums across users, where the
+        // RAW quotient of the exact integer cell total (the q143
+        // class: micros/1e6 has 6 decimals, so a 2-decimal round can
+        // land exactly on a .xx5 half-way) — no order-dependent sum
+        // anywhere. The CELL total stays decimal: it sums across users, where the
         // per-user real-world envelope doesn't bound it (this agg is
         // 125 rows — the decimal cost is nothing here).
-        round(sum(col("micros").cast("decimal(38,0)")).cast("double") /
-          lit(1000000.0), 2).as("total_monetary"))
+        (sum(col("micros").cast("decimal(38,0)")).cast("double") /
+          lit(1000000.0)).as("total_monetary"))
     // materialize the ≤k³-row grid so the per-user cache can be released
     // NOW (the rank RDDs' lineage re-reads `per` at execution time — a
     // lazily returned plan would either leak one cached copy per call
@@ -1054,8 +1067,10 @@ object Analytics {
     * `lead` over (user, ts, event_id), then a map-side-combined agg to
     * the |types| grid. All gap arithmetic stays in exact integer
     * MICROseconds (the engines' double sums would be order-dependent);
-    * the only doubles are the final exact-integer divisions, identical
-    * single operations in both engines under round(·,6). A user's last
+    * the only doubles are the final exact-integer divisions — RAW
+    * quotients, identical IEEE operations in both engines (the r15
+    * q143-class sweep dropped the old round(·,6) pins, whose reachable
+    * exact half-ways were a latent engine divergence). A user's last
     * event has no successor — counted in n_events, absent from dwell. */
   val dwellTime: Q = (s, d) => dwellTimeOver(t(s, d, "events"))
 
@@ -1074,8 +1089,12 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         count(col("gap_us")).as("n_with_next"),
-        round(sum(col("gap_us")) / lit(1000000.0), 6).as("total_dwell_sec"),
-        round((sum(col("gap_us")) / lit(1000000.0)) / count(col("gap_us")), 6)
+        // RAW quotients (the q143 class): both engines run the same
+        // IEEE divisions on the same exact integer sums, in the same
+        // order — bit-identical; a round(·,6) can land on an exact
+        // half-way where the engines' round implementations disagree
+        (sum(col("gap_us")) / lit(1000000.0)).as("total_dwell_sec"),
+        ((sum(col("gap_us")) / lit(1000000.0)) / count(col("gap_us")))
           .as("mean_dwell_sec"))
   }
 
@@ -1309,8 +1328,9 @@ object Analytics {
     * each reduced to (events, exact-micro duration, converted?), then
     * ONE corpus summary row: session count, mean events, mean duration,
     * conversion rate. All session arithmetic is exact integers; the
-    * three means are single double divisions of exact sums under
-    * round(·,6). Same scale shape as q36: one user shuffle + one sort
+    * three means are single double divisions of exact sums, emitted as
+    * raw quotients (r15 q143-class sweep). Same scale
+    * shape as q36: one user shuffle + one sort
     * feeds the session id cumsum, the per-session reduce combiner-
     * collapses, and the final agg is one row. */
   val sessionStats: Q = (s, d) => sessionStatsOver(t(s, d, "events"))
@@ -1344,12 +1364,15 @@ object Analytics {
   private[graft] def sessionSummaryOf(sessions: DataFrame): DataFrame =
     sessions.agg(
       count(lit(1)).as("n_sessions"),
-      round(sum(col("n_events")).cast("double") / count(lit(1)), 6)
+      // raw quotients of exact integer sums (the q143 class): one/two
+      // IEEE divisions, identical in both engines — never round(·,6)
+      // a reachable exact half-way
+      (sum(col("n_events")).cast("double") / count(lit(1)))
         .as("mean_events"),
-      round((sum(col("dur_us")).cast("double") / lit(1000000.0)) /
-        count(lit(1)), 6).as("mean_duration_sec"),
+      ((sum(col("dur_us")).cast("double") / lit(1000000.0)) /
+        count(lit(1))).as("mean_duration_sec"),
       sum(col("converted")).as("n_converted"),
-      round(sum(col("converted")).cast("double") / count(lit(1)), 6)
+      (sum(col("converted")).cast("double") / count(lit(1)))
         .as("conversion_rate"))
 
   /** q149: LIVE session stats ≡ the q147 batch answer — through the
@@ -1383,8 +1406,8 @@ object Analytics {
     * qualified click) plus one struct-min argmax per user (first
     * conversion carries its own va — which IS the user's earliest
     * view, being a min over a longer prefix). One user sort, no join;
-    * micros stay integers until three final divisions under
-    * round(·,6). */
+    * micros stay integers until three final divisions, emitted as raw
+    * quotients (r15 q143-class sweep). */
   val timeToConvert: Q = (s, d) => timeToConvertOver(t(s, d, "events"))
 
   private[graft] def timeToConvertOver(events: DataFrame): DataFrame = {
@@ -1405,11 +1428,12 @@ object Analytics {
         unix_micros(col("first.va"))).as("dur_us"))
     conv.agg(
       count(lit(1)).as("n_converted"),
-      round((sum(col("dur_us")).cast("double") / lit(1000000.0)) /
-        count(lit(1)), 6).as("mean_sec"),
-      round(min(col("dur_us")).cast("double") / lit(1000000.0), 6)
+      // raw quotients of exact integer micros (the q143 class)
+      ((sum(col("dur_us")).cast("double") / lit(1000000.0)) /
+        count(lit(1))).as("mean_sec"),
+      (min(col("dur_us")).cast("double") / lit(1000000.0))
         .as("min_sec"),
-      round(max(col("dur_us")).cast("double") / lit(1000000.0), 6)
+      (max(col("dur_us")).cast("double") / lit(1000000.0))
         .as("max_sec"))
   }
 
@@ -1534,8 +1558,8 @@ object Analytics {
       |  FROM events WHERE ts IS NOT NULL)
       |SELECT event_type AS src, next_type AS dst,
       |  count(*)::BIGINT AS n,
-      |  round(count(*)::DOUBLE /
-      |    (sum(count(*)) OVER (PARTITION BY event_type))::DOUBLE, 6) AS p
+      |  count(*)::DOUBLE /
+      |    (sum(count(*)) OVER (PARTITION BY event_type))::DOUBLE AS p
       |FROM o WHERE next_type IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
@@ -1613,17 +1637,18 @@ object Analytics {
       |      AS converted
       |  FROM g GROUP BY 1, 2)
       |SELECT count(*)::BIGINT AS n_sessions,
-      |  round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS mean_events,
-      |  round((CAST(sum(dur_us) AS DOUBLE) / 1000000.0) / count(*), 6)
+      |  CAST(sum(n_events) AS DOUBLE) / count(*) AS mean_events,
+      |  (CAST(sum(dur_us) AS DOUBLE) / 1000000.0) / count(*)
       |    AS mean_duration_sec,
       |  CAST(sum(converted) AS BIGINT) AS n_converted,
-      |  round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
+      |  CAST(sum(converted) AS DOUBLE) / count(*)
       |    AS conversion_rate
       |FROM s""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // q147: exact integer session arithmetic; three single divisions
-    // of exact sums under round(·,6); DuckDB epoch micros via date_diff
+    // of exact sums emitted RAW (r15 q143-class sweep); DuckDB epoch
+    // micros via date_diff
     "q147_session_stats" -> sessionStatsOracleSql,
     // q149 = q147 through the built-in streaming session operator + the
     // finalized-session lifecycle — same oracle on purpose
@@ -1657,10 +1682,10 @@ object Analytics {
         |  SELECT date_diff('microsecond', first.va, first.ts) AS dur_us
         |  FROM conv)
         |SELECT count(*)::BIGINT AS n_converted,
-        |  round((CAST(sum(dur_us) AS DOUBLE) / 1000000.0) / count(*), 6)
+        |  (CAST(sum(dur_us) AS DOUBLE) / 1000000.0) / count(*)
         |    AS mean_sec,
-        |  round(CAST(min(dur_us) AS DOUBLE) / 1000000.0, 6) AS min_sec,
-        |  round(CAST(max(dur_us) AS DOUBLE) / 1000000.0, 6) AS max_sec
+        |  CAST(min(dur_us) AS DOUBLE) / 1000000.0 AS min_sec,
+        |  CAST(max(dur_us) AS DOUBLE) / 1000000.0 AS max_sec
         |FROM dur""".stripMargin,
     // q150: q142's pair CTEs symmetrized + row_number per anchor
     "q150_also_bought" ->
@@ -1752,9 +1777,8 @@ object Analytics {
         |          1800000000) AS gap_us
         |  FROM l WHERE next_ts IS NOT NULL)
         |SELECT event_type AS from_type, count(*)::BIGINT AS n_with_next,
-        |  round(CAST(sum(gap_us) AS DOUBLE) / 1000000.0, 6)
-        |    AS total_dwell_sec,
-        |  round((CAST(sum(gap_us) AS DOUBLE) / 1000000.0) / count(*), 6)
+        |  CAST(sum(gap_us) AS DOUBLE) / 1000000.0 AS total_dwell_sec,
+        |  (CAST(sum(gap_us) AS DOUBLE) / 1000000.0) / count(*)
         |    AS mean_dwell_sec
         |FROM c GROUP BY 1""".stripMargin,
     // q137: the oracle ranks with a window PARTITION BY (fine at oracle
@@ -1799,7 +1823,7 @@ object Analytics {
         |FROM ev JOIN b USING (event_type)
         |GROUP BY 1""".stripMargin,
     // q138: exact integer microseconds end-to-end; the two final
-    // divisions are single double ops in both engines under round(·,6)
+    // divisions are single double ops in both engines, emitted raw
     "q138_dwell_time" ->
       """WITH l AS (
         |  SELECT event_type,
@@ -1814,9 +1838,8 @@ object Analytics {
         |  FROM l)
         |SELECT event_type, count(*)::BIGINT AS n_events,
         |  count(gap_us)::BIGINT AS n_with_next,
-        |  round(CAST(sum(gap_us) AS DOUBLE) / 1000000.0, 6)
-        |    AS total_dwell_sec,
-        |  round((CAST(sum(gap_us) AS DOUBLE) / 1000000.0) / count(gap_us), 6)
+        |  CAST(sum(gap_us) AS DOUBLE) / 1000000.0 AS total_dwell_sec,
+        |  (CAST(sum(gap_us) AS DOUBLE) / 1000000.0) / count(gap_us)
         |    AS mean_dwell_sec
         |FROM c GROUP BY 1""".stripMargin,
     // q139: the q71 multiplicative hash in pure int64 — no RNG, no
@@ -1928,7 +1951,7 @@ object Analytics {
         |  FROM per)
         |SELECT r_q::BIGINT AS r_q, f_q::BIGINT AS f_q, m_q::BIGINT AS m_q,
         |  count(*)::BIGINT AS n_users,
-        |  round(sum(micros) / 1000000.0, 2) AS total_monetary
+        |  CAST(sum(micros) AS DOUBLE) / 1000000.0 AS total_monetary
         |FROM qs GROUP BY 1, 2, 3""".stripMargin,
     // q129: one window spec carries row_number AND lead, the q12 I/U op
     // set selects the change events, strftime(NULL) stays NULL

@@ -1,0 +1,59 @@
+package graft.sinks
+
+import org.apache.spark.sql.SparkSession
+
+/** Cross-process atomic publication of a derived layout directory —
+  * the ONE copy of the stage-then-rename protocol the stored-layout
+  * ensure* builders share (cluster labels, IVF/PQ indexes, the cut
+  * lifecycles). Before r15 each builder overwrote INTO its served
+  * path: `synchronized` is per-JVM only, so two concurrent DRIVERS
+  * could interleave overwrite writes into the same path and serve a
+  * torn directory (the r14 ensureClusterLabels fix, generalized here
+  * per that round's self-review).
+  *
+  * Protocol: each process builds privately into `<path>.stage-<uuid>`;
+  * exactly one rename wins (Hfs.rename refuses an existing destination
+  * and detects the lost-race mv-into burial); the loser discards its
+  * copy and serves the winner's — legal because every layout under
+  * this protocol is INPUT-DETERMINED, so both copies are identical.
+  *
+  * A pre-existing destination that is INCOMPLETE (a torn directory
+  * from a crashed pre-staging overwrite-build) is cleared before
+  * staging — self-healing instead of wedging every future rename. The
+  * clear races a concurrent publisher in a narrow window (its freshly
+  * renamed complete layout could be seen incomplete a moment earlier
+  * and deleted), but that window is exactly the one the old
+  * overwrite-build already had on every build, and the blast radius is
+  * one loud FileNotFound on a /tmp cache that rebuilds
+  * deterministically — never a torn serve.
+  */
+object StagedLayout {
+
+  /** Ensure `path` holds a complete build, returning `path`.
+    *
+    * @param complete re-evaluated marker probe ("is the layout at
+    *   `path` serving-complete?") — must be true after a successful
+    *   `build` + rename
+    * @param build writes the full layout into the given (stage)
+    *   directory; must leave it serving-complete per `complete`'s
+    *   markers
+    */
+  def ensure(s: SparkSession, path: String)(complete: => Boolean)(
+      build: String => Unit): String = {
+    if (complete) return path
+    if (Hfs.exists(s, path)) Hfs.deleteRecursive(s, path) // torn leftover
+    val stage = s"$path.stage-${java.util.UUID.randomUUID}"
+    var published = false
+    try {
+      build(stage)
+      try { Hfs.rename(s, stage, path); published = true }
+      catch { case e: java.io.IOException =>
+        // destination-exists means the race was lost benignly (the
+        // winner's complete copy serves); any other rename failure has
+        // no winner and must surface
+        if (!complete) throw e
+      }
+    } finally if (!published) Hfs.deleteRecursive(s, stage)
+    path
+  }
+}

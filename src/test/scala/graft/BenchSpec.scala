@@ -74,6 +74,29 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.readFloors(text, "/root/testdata/sf0.01") == Map.empty)
   }
 
+  test("io canary: probe measures a real synced write+read and leaks no file; the io column never disturbs the artifact parsers") {
+    val before = java.io.File.createTempFile("probe-dir-marker", ".tmp")
+    val dir = before.getParentFile
+    before.delete()
+    val count0 = dir.listFiles().count(_.getName.startsWith("graft-io-canary"))
+    val t = Bench.ioProbe()
+    assert(t > 0.0, "the probe must measure real work")
+    assert(dir.listFiles().count(_.getName.startsWith("graft-io-canary")) ==
+      count0, "the probe must delete its file")
+    // r15 artifacts carry "io" after "calib" (and io_calib_base at the
+    // top level); the committed-artifact parsers anchor on the
+    // min/median/calib prefix and must keep reading both generations
+    val r15 =
+      """{"total":5.0,"iters":3,"calib_base":0.049,"io_calib_base":0.0123,""" +
+        """"contended":[],"sf":"/root/testdata/sf0.1",""" +
+        """"queries":{"q1_agg":{"min":0.123,"median":0.200,"calib":0.1,""" +
+        """"io":0.0151,"contended":false,"times":[0.2]}}}"""
+    assert(Bench.readFloors(r15, "/root/testdata/sf0.1") == Map("q1_agg" -> 0.123))
+    assert(Bench.readMedians(r15, "/root/testdata/sf0.1") == Map("q1_agg" -> 0.200))
+    assert(Bench.readCalibs(r15, "/root/testdata/sf0.1") == Map("q1_agg" -> 0.1))
+    assert(Bench.readCalibBase(r15, "/root/testdata/sf0.1").contains(0.049))
+  }
+
   test("readCalibBase + readMedians + normRatio: the cross-round normalization is mechanical") {
     val text =
       """{"total":5.0,"iters":3,"calib_base":0.049,"contended":[],""" +

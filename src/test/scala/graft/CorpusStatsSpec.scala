@@ -133,8 +133,9 @@ class CorpusStatsSpec extends SparkSpec {
     assert(plan.map(_._4).sum <= budget &&
       plan.map(_._4).sum > budget - plan.length, "Σ target within floor slack")
     plan.foreach { case (src, avail, _, target, epochs) =>
-      assert(math.abs(epochs - math.rint(target.toDouble / avail * 1e4) / 1e4) < 1e-9,
-        s"$src epochs must equal round(target/avail, 4)")
+      // raw quotient since the r15 q143-class sweep
+      assert(epochs == target.toDouble / avail,
+        s"$src epochs must equal target/avail exactly")
     }
     // α = 0.5 upweights small sources: every source's tempered weight
     // must sit at or above its natural (α = 1) mass share
@@ -330,7 +331,9 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect()
     assert(report.map(r => r._1 -> ((r._2, r._3))).toMap == expected)
     report.foreach { r =>
-      assert(r._4 == math.rint(r._3.toDouble / r._2 * 1e6) / 1e6, s"rate mismatch for ${r._1}")
+      // raw quotient since the r15 q143-class sweep (a 6-decimal round
+      // could land on an exact half-way where the engines disagree)
+      assert(r._4 == r._3.toDouble / r._2.toDouble, s"rate mismatch for ${r._1}")
     }
     // benchmark docs must not count themselves as contaminated corpus
     assert(report.map(_._2).sum == docs.length.toLong)

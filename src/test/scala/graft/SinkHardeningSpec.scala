@@ -132,6 +132,51 @@ class SinkHardeningSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(dest))
   }
 
+  test("StagedLayout: publishes atomically, clears a torn leftover, serves the winner on a lost race, and discards a failed stage") {
+    def complete(p: String) = sinks.Hfs.exists(spark, s"$p/_SUCCESS")
+    def build(content: String)(stage: String): Unit = {
+      sinks.Hfs.mkdirs(spark, stage)
+      sinks.Hfs.writeString(spark, s"$stage/data", content)
+      sinks.Hfs.writeString(spark, s"$stage/_SUCCESS", "ok")
+    }
+    val dir = Files.createTempDirectory("staged_layout").toString
+    // fresh publish
+    val p1 = s"$dir/layout"
+    sinks.StagedLayout.ensure(spark, p1)(complete(p1))(build("v1"))
+    assert(sinks.Hfs.readString(spark, s"$p1/data").contains("v1"))
+    // complete → short-circuit, the build must not run
+    sinks.StagedLayout.ensure(spark, p1)(complete(p1))(_ =>
+      fail("a complete layout must never rebuild"))
+    // torn leftover (no _SUCCESS) is cleared and rebuilt, not wedged
+    val p2 = s"$dir/torn"
+    sinks.Hfs.mkdirs(spark, p2)
+    sinks.Hfs.writeString(spark, s"$p2/data", "garbage")
+    sinks.StagedLayout.ensure(spark, p2)(complete(p2))(build("healed"))
+    assert(sinks.Hfs.readString(spark, s"$p2/data").contains("healed"))
+    // lost race: a concurrent winner publishes between our build and
+    // rename — modeled by a build that installs the winner itself; the
+    // loser's rename must resolve to serving the winner's copy
+    val p3 = s"$dir/race"
+    sinks.StagedLayout.ensure(spark, p3)(complete(p3)) { stage =>
+      build("winner")(p3) // the concurrent winner lands first
+      build("loser")(stage)
+    }
+    assert(sinks.Hfs.readString(spark, s"$p3/data").contains("winner"))
+    // and no stage/burial debris may survive anywhere
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names == Set("layout", "torn", "race"), s"debris: $names")
+    assert(new java.io.File(s"$p3").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet == Set("data", "_SUCCESS"))
+    // a build that throws leaves no stage behind and no destination
+    val p4 = s"$dir/boom"
+    intercept[RuntimeException] {
+      sinks.StagedLayout.ensure(spark, p4)(complete(p4))(_ =>
+        throw new RuntimeException("build failed"))
+    }
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet ==
+      Set("layout", "torn", "race"), "failed build must clean its stage")
+  }
+
   test("marker write is crash-safe: an interrupted rewrite leaves the tmp as recovery copy") {
     val dir = Files.createTempDirectory("marker").toString
     val p = s"$dir/__seq_horizon"
