@@ -35,7 +35,7 @@ object ScaleProbe {
       "knn_join", "pq_knn_join", "knn_query_scaling", "bucketed_join",
       "partitioned_fold", "skew", "grouped_quantile", "seq_state",
       "join_state", "substring_spans", "substring_ingest",
-      "substring_provenance", "substring_decontam")
+      "substring_provenance", "substring_decontam", "decontam_registry")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -1127,6 +1127,54 @@ object ScaleProbe {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCALE n=$n%9d substring_decontam $dt%6.2f s " +
           f"removed_toks=${cut.getLong(0)}%9d docs_cut=${cut.getLong(1)}%8d")
+        docs.unpersist()
+      }
+    }
+    // q164 at the same corpus regime, at the REGISTRY's own witness
+    // geometry (L = 4 — BenchRegistrySink stores 4-gram hashes, q162's
+    // decontamination witness; an 8-gram probe against a 4-gram store
+    // would answer nothing, by construction). Claims under
+    // measurement: (1) serving from the stored registry tracks the
+    // live q162 cut at each n — the registry read is bench-sized and
+    // corpus-independent, so the cut masses must be EQUAL to the
+    // same-session live L=4 baseline; (2) registry ingest is
+    // bench-bounded — the writer's doc_id filter prunes the scan, so
+    // the store write never pays the training-corpus text work.
+    if (on("decontam_registry")) {
+      for (n <- Seq(100000L, 400000L, 1600000L)) {
+        val docs = substrCorpus(0L, n, copyIslands = false,
+          withSource = false).persist()
+        docs.count()
+        // same-session live baseline (the only honest box comparison)
+        val tL0 = System.nanoTime()
+        val live = functions.DedupOps.substringDecontamOver(docs, 4)
+          .agg(sum(col("n_removed")),
+            sum(when(col("n_removed") > 0, 1L).otherwise(0L))).collect()(0)
+        val liveS = (System.nanoTime() - tL0) / 1e9
+        val loc = java.nio.file.Files
+          .createTempDirectory(s"graft-decontamreg-$n").toString
+        val w = graft.sinks.BenchRegistrySink.writer(loc) _
+        val tI0 = System.nanoTime()
+        w(docs.filter(col("doc_id") % 2 === 0), 0L)
+        w(docs.filter(col("doc_id") % 2 === 1), 1L)
+        graft.sinks.BenchRegistrySink.compact(spark, loc)
+        val ingestS = (System.nanoTime() - tI0) / 1e9
+        val train = docs.filter(col("doc_id") >= 20)
+        val t0 = System.nanoTime()
+        val (spans, route) = functions.DedupOps.decontamSpansFromRegistry(
+          graft.sinks.BenchRegistrySink.registry(spark, loc), train, 4)
+        val cut = functions.DedupOps.removalFromSpans(train, spans)
+          .agg(sum(col("n_removed")),
+            sum(when(col("n_removed") > 0, 1L).otherwise(0L))).collect()(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        require(cut.getLong(0) == live.getLong(0) &&
+          cut.getLong(1) == live.getLong(1),
+          s"stored-registry cut diverged from the live cut at n=$n: " +
+            s"$cut vs $live")
+        println(f"SCALE n=$n%9d decontam_registry $dt%6.2f s " +
+          f"(live $liveS%5.2f s) ingest $ingestS%5.2f s route=$route " +
+          f"removed_toks=${cut.getLong(0)}%9d docs_cut=${cut.getLong(1)}%8d")
+        graft.sinks.Hfs.deleteRecursive(spark, loc)
         docs.unpersist()
       }
     }

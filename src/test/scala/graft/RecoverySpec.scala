@@ -193,4 +193,63 @@ class RecoverySpec extends SparkSpec {
     assert(got == want,
       "spans across a kill-and-restart must equal the batch scan")
   }
+
+  test("q164 benchmark registry through a REAL checkpointed stream: kill mid-registry, resume, cut ≡ batch q162") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("rec4_in").toString
+    val ckpt = Files.createTempDirectory("rec4_ckpt").toString
+    val reg = Files.createTempDirectory("rec4_reg").toString
+
+    // two benchmark docs land in DIFFERENT micro-batches around the
+    // kill; the training doc leaks a run from EACH, so the correct cut
+    // needs registry grams accumulated across the restart
+    val leakA = (1 to 5).map(i => s"a$i").mkString(" ")
+    val leakB = (1 to 5).map(i => s"b$i").mkString(" ")
+    def uniq(seed: Int, n: Int) = (1 to n).map(j => s"u${seed}x$j").mkString(" ")
+    def doc(id: Long, text: String) = s"$id\t$text"
+    Files.writeString(java.nio.file.Path.of(s"$in/a.txt"),
+      doc(0L, uniq(0, 3) + " " + leakA) + "\n" +
+        doc(20L, leakA + " " + uniq(2, 6) + " " + leakB) + "\n" +
+        doc(21L, uniq(3, 9)) + "\n")
+
+    def startQuery() = {
+      val parsed = spark.readStream.format("text").load(in)
+        .select(split(col("value"), "\t").as("kv"))
+        .select(col("kv")(0).cast("long").as("doc_id"), col("kv")(1).as("text"))
+      parsed.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          graft.sinks.BenchRegistrySink.writer(reg)(batch, bid)
+        }
+        .start()
+    }
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // killed mid-registry: only bench doc 0 is stored
+    Files.writeString(java.nio.file.Path.of(s"$in/b.txt"),
+      doc(1L, leakB + " " + uniq(1, 7)) + "\n")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    graft.sinks.BenchRegistrySink.compact(spark, reg)
+    q2.stop()
+
+    val allDocs = Seq(
+      (0L, uniq(0, 3) + " " + leakA),
+      (1L, leakB + " " + uniq(1, 7)),
+      (20L, leakA + " " + uniq(2, 6) + " " + leakB),
+      (21L, uniq(3, 9))).toDF("doc_id", "text")
+    val want = graft.functions.DedupOps.substringDecontamOver(allDocs, 4)
+      .as[(Long, String, Long)].collect().toSet
+    // both leaked runs must be cut (5 tokens each — doc 20's answer
+    // needs the post-restart bench doc's grams too)
+    assert(want.exists(r => r._1 == 20L && r._3 == 10L),
+      s"fixture construction drifted: $want")
+    val train = allDocs.filter(col("doc_id") >= 20)
+    val got = graft.functions.DedupOps.removalFromSpans(train,
+      graft.functions.DedupOps.decontamSpansFromRegistry(
+        graft.sinks.BenchRegistrySink.registry(spark, reg), train, 4)._1)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want,
+      "the cut across a kill-and-restart must equal the batch q162 answer")
+  }
 }
