@@ -360,6 +360,31 @@ class LayoutCompatSpec extends SparkSpec {
 
   // ---------------------------------------------------------------- merge sink
 
+  test("bench registry layout: writer segments readable by registry(), set invariant under compaction and replay") {
+    val reg = tmp("lc_benchreg") + "/r"
+    // bench docs (id < 20) across two batches; training rows ignored
+    val b1 = Seq((0L, "alpha beta gamma delta epsilon"),
+      (25L, "training noise never stored")).toDF("doc_id", "text")
+    val b2 = Seq((1L, "beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    graft.sinks.BenchRegistrySink.writer(reg)(b1, 0L)
+    graft.sinks.BenchRegistrySink.writer(reg)(b2, 1L)
+    val set0 = graft.sinks.BenchRegistrySink.registry(spark, reg)
+      .distinct().as[Long].collect().toSet
+    // both docs' 4-grams present: 2 starts each, one gram shared
+    // ("beta gamma delta epsilon") → 3 distinct hashes
+    assert(set0.size == 3, s"expected 3 distinct gram hashes, got $set0")
+    graft.sinks.BenchRegistrySink.writer(reg)(b2, 1L) // replay overwrite
+    assert(graft.sinks.BenchRegistrySink.registry(spark, reg)
+      .distinct().as[Long].collect().toSet == set0)
+    graft.sinks.BenchRegistrySink.compact(spark, reg)
+    assert(graft.sinks.BenchRegistrySink.registry(spark, reg)
+      .distinct().as[Long].collect().toSet == set0,
+      "compaction must preserve the registry set exactly")
+    // empty store reads as the empty registry (cold-start contract)
+    assert(graft.sinks.BenchRegistrySink
+      .registry(spark, tmp("lc_benchreg_empty")).count() == 0)
+  }
+
   test("merge sink __horizon/base/delta layout: upsert → read, compact → read, one format") {
     val path = tmp("lc_merge") + "/t"
     def put(rows: (String, String, Long, Double)*): Unit =
