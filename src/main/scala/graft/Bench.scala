@@ -195,7 +195,8 @@ object Bench {
     "q102_vocab_stream", "q103_phrase_stream", "q112_novelty_stream",
     "q113_drift_stream", "q156_substring_stream",
     "q160_substring_remove_stream", "q161_span_provenance_stream",
-    "q164_decontam_registry",
+    "q164_decontam_registry", "q165_decontam_report_stream",
+    "q166_duplication_report_stream",
     // event-feed lifecycles (retention / transitions / funnel / dwell /
     // pit / session) + the order-wide join store
     "q122_retention_stream", "q133_transitions_stream",

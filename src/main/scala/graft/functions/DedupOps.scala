@@ -2058,8 +2058,17 @@ object DedupOps {
     * token); the rollup reduces the sparse span frame to a ≤ #sources
     * table and joins the per-source token totals — both sides collapse
     * map-side, the final join is tiny × tiny. */
-  def duplicationReportOver(docs: DataFrame, L: Int): DataFrame = {
-    val perDoc = substringSpansOver(docs, L)
+  def duplicationReportOver(docs: DataFrame, L: Int): DataFrame =
+    duplicationReportFromSpans(docs, substringSpansOver(docs, L))
+
+  /** The rollup applied to an ALREADY-COMPUTED span frame — the
+    * removalFromSpans convention for the report view: q158 feeds it
+    * the live two-scan spans; the q166 index-backed twin feeds it
+    * SubstrIndexSink.spans, so the only corpus touch left is the
+    * per-source token-total scan the card itself needs. */
+  private[graft] def duplicationReportFromSpans(docs: DataFrame,
+      spanFrame: DataFrame): DataFrame = {
+    val perDoc = spanFrame
       .groupBy(col("doc_id"))
       .agg(sum(col("span_end") - col("span_start") + 1).as("covered"))
     val toks = docs.select(col("doc_id"), col("source"),
@@ -2245,7 +2254,15 @@ object DedupOps {
   def decontamReportOver(docs: DataFrame, L: Int,
       benchCut: Long = 20L): DataFrame = {
     val train = docs.filter(col("doc_id") >= benchCut)
-    val perDoc = decontamSpans(docs, train, L, benchCut)
+    decontamReportFromSpans(train, decontamSpans(docs, train, L, benchCut))
+  }
+
+  /** q163's rollup over an already-computed decontamination span
+    * frame — q163 feeds it the live routed spans, the q165 twin the
+    * registry-served ones (the duplicationReportFromSpans symmetry). */
+  private[graft] def decontamReportFromSpans(train: DataFrame,
+      spanFrame: DataFrame): DataFrame = {
+    val perDoc = spanFrame
       .groupBy(col("doc_id"))
       .agg(sum(col("span_end") - col("span_start") + 1).as("covered"))
     train.select(col("doc_id"), col("source"),
@@ -2262,7 +2279,7 @@ object DedupOps {
         // two exact long sums once — bit-identical; a 6-decimal round
         // can land on an exact .xxxxxx5 half-way where Spark
         // (decimal HALF_UP) and DuckDB (scaled double) disagree — the
-        // q143 class the sf0.1 soak caught THIS round
+        // q143 class the r14 sf0.1 soak caught
         (col("removed_tokens").cast("double") /
           col("total_tokens").cast("double")).as("removal_rate"))
   }
@@ -2294,6 +2311,31 @@ object DedupOps {
       graft.sinks.BenchRegistrySink.writer,
       loc => graft.sinks.BenchRegistrySink.compact(s, loc))
 
+  /** q165: q163's decontamination card served from the q164 registry —
+    * completing the stored-serving matrix (spans q154/q156, removal
+    * q155/q160, provenance q157/q161, dup card q158/q166, cut
+    * q162/q164, this card q163/q165): a production pipeline publishes
+    * the dataset card per corpus snapshot from the SAME stored
+    * registry the cut ran against, never re-deriving the bench grams.
+    * Hash-gated against q163's batch oracle through the fold+tail
+    * lifecycle. */
+  val decontamReportStream: Q = (s, d) => {
+    val train = t(s, d, "documents").filter(col("doc_id") >= 20)
+    decontamReportFromSpans(train, decontamSpansFromRegistry(
+      graft.sinks.BenchRegistrySink.registry(s, ensureDecontamRegistry(s, d)),
+      train, 4)._1)
+  }
+
+  /** q166: q158's duplication card served from the q156 substring
+    * index — the stored position+count rows yield the span frame
+    * without re-tokenizing any text (q160/q161's argument); the only
+    * corpus touch is the per-source token-total scan the card itself
+    * needs. Hash-gated against q158's batch oracle through the
+    * fold+tail lifecycle. */
+  val duplicationReportStream: Q = (s, d) =>
+    duplicationReportFromSpans(t(s, d, "documents"),
+      graft.sinks.SubstrIndexSink.spans(s, ensureSubstrLifecycle(s, d)))
+
   val queries: Map[String, Q] = Map(
     "q154_substring_dedup" -> substringSpans,
     "q155_substring_remove" -> substringRemove,
@@ -2306,6 +2348,8 @@ object DedupOps {
     "q162_substring_decontam" -> substringDecontam,
     "q163_decontam_report" -> decontamReport,
     "q164_decontam_registry" -> decontamRegistryStream,
+    "q165_decontam_report_stream" -> decontamReportStream,
+    "q166_duplication_report_stream" -> duplicationReportStream,
     "q151_cluster_sizes" -> clusterSizeHistogram,
     "q116_dedup_labels_stream" -> dedupLabelsStream,
     "q115_dedup_incremental" -> dedupIncremental,
@@ -2536,31 +2580,10 @@ object DedupOps {
         |        ELSE len(toks) - len(kept) END)::BIGINT AS n_removed
         |FROM k""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q154_substring_dedup" -> substringSpansOracleSql,
-    // q156 = q154 through the incremental index lifecycle (fold + live
-    // tail) — convergence to the batch answer IS the claim, so the
-    // oracle is the batch SQL
-    "q156_substring_stream" -> substringSpansOracleSql,
-    // q157: q154's CTEs to spans, per-(gram, doc) counts to per-gram
-    // provenance stats, partner = lowest doc holding ANOTHER occurrence
-    // of the span's first gram (the same doc iff its count there ≥ 2).
-    // Shared with q161, the index-backed twin (lifecycle converges to
-    // the batch answer, so the oracle is the batch SQL — the q156
-    // convention).
-    "q157_span_provenance" -> spanProvenanceOracleSql,
-    "q161_span_provenance_stream" -> spanProvenanceOracleSql,
-    // q159 = q154 through the auto router — either road must hash-match
-    // the same batch oracle
-    "q159_substring_auto" -> substringSpansOracleSql,
-    // q160 = q155 served from the stored index (same convergence
-    // argument as q156/q161)
-    "q160_substring_remove_stream" -> substringRemoveOracleSql,
-    // q163: q162's span CTEs rolled to the per-source card (the q158
-    // rollup over the decontamination span set; covered mass is an
-    // exact width sum — islands are disjoint)
-    "q163_decontam_report" ->
-      """WITH tk AS (
+  /** q163's batch oracle — shared verbatim with q165, whose
+    * stored-registry road must converge to it. */
+  private val decontamReportOracleSql: String =
+    """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS pos
@@ -2599,20 +2622,12 @@ object DedupOps {
         |  sum(coalesce(covered, 0))::BIGINT AS removed_tokens,
         |  sum(coalesce(covered, 0))::DOUBLE / sum(n_toks)::DOUBLE
         |    AS removal_rate
-        |FROM base GROUP BY source""".stripMargin,
-    // q162: q155's cut machinery, but the dup set is the BENCHMARK
-    // side's gram vocabulary (doc_id < 20) and only training docs
-    // (doc_id ≥ 20) are cut — L = 4 (the decontamination witness),
-    // so ends are +3 and the island gap rule is +4
-    "q162_substring_decontam" -> decontamCutOracleSql,
-    // q164 = q162 served from the stored benchmark registry — the
-    // lifecycle converges to the batch answer (the q156/q160/q161
-    // convention), so the oracle is the batch SQL
-    "q164_decontam_registry" -> decontamCutOracleSql,
-    // q158: spans → per-doc covered-token mass (islands are disjoint,
-    // so width sums are exact) → per-source dataset-card rollup
-    "q158_duplication_report" ->
-      """WITH tk AS (
+        |FROM base GROUP BY source""".stripMargin
+
+  /** q158's batch oracle — shared verbatim with q166, whose
+    * stored-index road must converge to it. */
+  private val duplicationReportOracleSql: String =
+    """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS pos
@@ -2648,7 +2663,50 @@ object DedupOps {
         |  sum(n_toks)::BIGINT AS total_tokens,
         |  sum(coalesce(covered, 0))::BIGINT AS dup_tokens,
         |  sum(coalesce(covered, 0))::DOUBLE / sum(n_toks)::DOUBLE AS dup_rate
-        |FROM base GROUP BY source""".stripMargin,
+        |FROM base GROUP BY source""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q154_substring_dedup" -> substringSpansOracleSql,
+    // q156 = q154 through the incremental index lifecycle (fold + live
+    // tail) — convergence to the batch answer IS the claim, so the
+    // oracle is the batch SQL
+    "q156_substring_stream" -> substringSpansOracleSql,
+    // q157: q154's CTEs to spans, per-(gram, doc) counts to per-gram
+    // provenance stats, partner = lowest doc holding ANOTHER occurrence
+    // of the span's first gram (the same doc iff its count there ≥ 2).
+    // Shared with q161, the index-backed twin (lifecycle converges to
+    // the batch answer, so the oracle is the batch SQL — the q156
+    // convention).
+    "q157_span_provenance" -> spanProvenanceOracleSql,
+    "q161_span_provenance_stream" -> spanProvenanceOracleSql,
+    // q159 = q154 through the auto router — either road must hash-match
+    // the same batch oracle
+    "q159_substring_auto" -> substringSpansOracleSql,
+    // q160 = q155 served from the stored index (same convergence
+    // argument as q156/q161)
+    "q160_substring_remove_stream" -> substringRemoveOracleSql,
+    // q163: q162's span CTEs rolled to the per-source card (the q158
+    // rollup over the decontamination span set; covered mass is an
+    // exact width sum — islands are disjoint)
+    "q163_decontam_report" -> decontamReportOracleSql,
+    // q165 = q163 served from the stored registry; q166 = q158 served
+    // from the stored substring index — lifecycles converge to the
+    // batch answers (the q156/q160/q161 convention), so the oracles
+    // are the batch SQLs
+    "q165_decontam_report_stream" -> decontamReportOracleSql,
+    "q166_duplication_report_stream" -> duplicationReportOracleSql,
+    // q162: q155's cut machinery, but the dup set is the BENCHMARK
+    // side's gram vocabulary (doc_id < 20) and only training docs
+    // (doc_id ≥ 20) are cut — L = 4 (the decontamination witness),
+    // so ends are +3 and the island gap rule is +4
+    "q162_substring_decontam" -> decontamCutOracleSql,
+    // q164 = q162 served from the stored benchmark registry — the
+    // lifecycle converges to the batch answer (the q156/q160/q161
+    // convention), so the oracle is the batch SQL
+    "q164_decontam_registry" -> decontamCutOracleSql,
+    // q158: spans → per-doc covered-token mass (islands are disjoint,
+    // so width sums are exact) → per-source dataset-card rollup
+    "q158_duplication_report" -> duplicationReportOracleSql,
     // q155: q154's CTEs verbatim, spans rolled to per-doc lists, then
     // the index-filter rebuild — span-less docs pass through via the
     // LEFT join in both engines. Shared with q160, the index-backed twin.

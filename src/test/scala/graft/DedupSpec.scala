@@ -962,6 +962,21 @@ class DedupSpec extends SparkSpec {
       rep._2 == docs.filter(col("doc_id") >= 20).count())
   }
 
+  test("q165/q166 stored-report twins: the cards served from the registry/index equal the batch q163/q158 answers") {
+    // the stored-serving matrix's last two cells: same rollup builder,
+    // span frames from the stores — any divergence is a store bug
+    val batchDecontam = DedupOps.decontamReport(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    val storedDecontam = DedupOps.decontamReportStream(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    assert(batchDecontam.nonEmpty && storedDecontam == batchDecontam)
+    val batchDup = DedupOps.duplicationReport(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    val storedDup = DedupOps.duplicationReportStream(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    assert(batchDup.nonEmpty && storedDup == batchDup)
+  }
+
   test("q158 duplication report: covered mass ≡ q155's removed mass, per construction") {
     // the report's dup_tokens and the removal's n_removed count the
     // SAME tokens (islands are disjoint; removal cuts exactly the
