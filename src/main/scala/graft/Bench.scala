@@ -213,16 +213,24 @@ object Bench {
     * predecessors, and that discontinuity was previously visible only
     * in PLANS.md prose. Keep entries for as long as someone might diff
     * against a pre-change artifact. */
-  /** The I/O canary: a fixed 8 MiB synced write + read + delete under
-    * java.io.tmpdir — the same local-disk band the Spark temp/
-    * checkpoint traffic rides on this box. Pure JVM I/O (no Spark job),
-    * so its ONLY variable is how much of the disk band this process
-    * got; a spike marks the neighboring measurements as disk-contended
-    * the way the CPU canary marks CPU contention. Motivated by r14's
-    * q159 adjudication: an I/O-heavy timed region breached its floor
-    * with a QUIET CPU canary, and the artifact had no mechanical way
-    * to say "disk noise". Adjudication data only — never a flag input
-    * (the flag rules and their spec fixtures stay untouched). */
+  /** The I/O canary: a fixed 8 MiB SYNCED WRITE + delete under
+    * java.io.tmpdir — the same local-disk band the Spark temp/spill/
+    * checkpoint traffic rides on this box. Pure JVM I/O (no Spark
+    * job), so its only variable is how much of the disk's write band
+    * this process got; a spike marks the neighboring measurements as
+    * disk-contended the way the CPU canary marks CPU contention.
+    * Deliberately WRITE-ONLY: a read-back of the just-written file
+    * would measure the page cache, not the device (the r15 review
+    * caught exactly that false-quiet), and the JVM has no portable
+    * uncached read — so the probe senses the write band honestly and
+    * is DOCUMENTED blind to pure read-band contention (rare on these
+    * boxes: Spark's local-disk traffic in the timed regions is spill/
+    * checkpoint writes; the parquet inputs are page-cache-hot across
+    * iterations). Motivated by r14's q159 adjudication: an I/O-heavy
+    * timed region breached its floor with a QUIET CPU canary, and the
+    * artifact had no mechanical way to say "disk noise". Adjudication
+    * data only — never a flag input (the flag rules and their spec
+    * fixtures stay untouched). */
   private[graft] def ioProbe(): Double = {
     val buf = new Array[Byte](1 << 20)
     new java.util.Random(42).nextBytes(buf)
@@ -235,11 +243,6 @@ object Bench {
         while (i < 8) { out.write(buf); i += 1 }
         out.getFD.sync() // force the disk band, not the page cache
       } finally out.close()
-      val in = new java.io.FileInputStream(f)
-      try {
-        var n = 0
-        while (n != -1) n = in.read(buf)
-      } finally in.close()
       (System.nanoTime() - t0) / 1e9
     } finally { f.delete(); () }
   }

@@ -776,11 +776,15 @@ object DedupOps {
       // (or pre-versioning absent) code version — a version bump would
       // otherwise orphan every older directory forever, accumulating
       // stale parquet under /tmp across rounds. Only this tag's
-      // siblings: other tags are other data dirs' LIVE caches. A name
-      // starting with `current` is the current layout or a concurrent
-      // driver's in-flight `.stage-` build — both off-limits.
+      // siblings: other tags are other data dirs' LIVE caches. ANY
+      // `.stage-` name is off-limits, not just the current version's —
+      // a concurrent driver running an OLDER binary may be mid-build
+      // inside its own version's stage, and deleting it under that
+      // driver's running write would fail its query (r15 review). A
+      // crashed build's orphaned stage therefore survives the sweep —
+      // bounded debris, cleared with the /tmp wipe.
       graft.sinks.Hfs.childDirs(s, base, tag)
-        .filterNot(_.startsWith(current))
+        .filterNot(n => n.startsWith(current) || n.contains(".stage-"))
         .foreach(n => graft.sinks.Hfs.deleteRecursive(s, s"$base/$n"))
       // stage-then-rename (the shared cross-driver publish protocol;
       // labels are input-determined, so a lost race serves an
@@ -2157,8 +2161,15 @@ object DedupOps {
     * count, spec-pinned hash-equal on both sides of the budget. The
     * cut itself is q155's doc-keyed join + HOF rebuild, shared code
     * ([[removalFromSpans]]). */
+  /** The q162/q163/q164/q165 bench/train boundary (doc_id < cut =
+    * benchmark slice), declared ONCE: the registry writer
+    * ([[graft.sinks.BenchRegistrySink]]) and every serving-side train
+    * filter read this value, so a retune cannot silently make docs
+    * both registry members and cut targets (r15 review). */
+  private[graft] val DecontamBenchCut: Long = 20L
+
   def substringDecontamOver(docs: DataFrame, L: Int,
-      benchCut: Long = 20L): DataFrame = {
+      benchCut: Long = DecontamBenchCut): DataFrame = {
     val train = docs.filter(col("doc_id") >= benchCut)
     removalFromSpans(train, decontamSpans(docs, train, L, benchCut))
   }
@@ -2252,7 +2263,7 @@ object DedupOps {
     * rollup shape as q158: span frame → ≤ #docs covered rows →
     * ≤ #sources table joined tiny × tiny against per-source totals. */
   def decontamReportOver(docs: DataFrame, L: Int,
-      benchCut: Long = 20L): DataFrame = {
+      benchCut: Long = DecontamBenchCut): DataFrame = {
     val train = docs.filter(col("doc_id") >= benchCut)
     decontamReportFromSpans(train, decontamSpans(docs, train, L, benchCut))
   }
@@ -2300,7 +2311,8 @@ object DedupOps {
     * rule included). Hash-gated against q162's batch oracle through
     * the fold+tail lifecycle. */
   val decontamRegistryStream: Q = (s, d) => {
-    val train = t(s, d, "documents").filter(col("doc_id") >= 20)
+    val train = t(s, d, "documents")
+      .filter(col("doc_id") >= DecontamBenchCut)
     removalFromSpans(train, decontamSpansFromRegistry(
       graft.sinks.BenchRegistrySink.registry(s, ensureDecontamRegistry(s, d)),
       train, 4)._1)
@@ -2320,7 +2332,8 @@ object DedupOps {
     * Hash-gated against q163's batch oracle through the fold+tail
     * lifecycle. */
   val decontamReportStream: Q = (s, d) => {
-    val train = t(s, d, "documents").filter(col("doc_id") >= 20)
+    val train = t(s, d, "documents")
+      .filter(col("doc_id") >= DecontamBenchCut)
     decontamReportFromSpans(train, decontamSpansFromRegistry(
       graft.sinks.BenchRegistrySink.registry(s, ensureDecontamRegistry(s, d)),
       train, 4)._1)

@@ -35,10 +35,12 @@ object BenchRegistrySink {
     * retune requires a rebuild (stored hashes are L-specific). */
   private val L = 4
 
-  /** The q162 benchmark cut (doc_id < 20 stands in for the eval
-    * suite); the writer filters it so lifecycle batches can feed the
-    * raw mixed table. */
-  private val BenchCut = 20L
+  /** The q162 benchmark cut — the ONE shared boundary constant
+    * (graft.functions.DedupOps.DecontamBenchCut); the writer filters
+    * it so lifecycle batches can feed the raw mixed table, and the
+    * serving side filters train with the same value, so a one-sided
+    * retune cannot make docs both registry members and cut targets. */
+  private def BenchCut: Long = graft.functions.DedupOps.DecontamBenchCut
 
   /** foreachBatch hook: the batch's benchmark docs reduce to their
     * distinct gram hashes — batch-bounded work, keyed by batchId

@@ -228,6 +228,10 @@ class DedupSpec extends SparkSpec {
     val unversioned = mk(tag)            // pre-versioning layout
     val oldVersion = mk(s"$tag-v0-old")  // superseded version
     val inflight = mk(s"$current.stage-deadbeef") // concurrent build
+    // a concurrent driver running an OLDER binary mid-build: its stage
+    // must survive too (deleting it under that driver's running write
+    // would fail its query — the r15 review case)
+    val oldStage = mk(s"$tag-v0-old.stage-cafe")
     val otherTag = mk("ffffffffffff-1-1-v0-old")  // other data dir's cache
     val again = DedupOps.dedupClusters(spark, sf0001)
     assert(again.as[(Long, Long)].collect().toSet ==
@@ -235,9 +239,10 @@ class DedupSpec extends SparkSpec {
     assert(!unversioned.exists(), "pre-versioning layout must be swept")
     assert(!oldVersion.exists(), "superseded version must be swept")
     assert(inflight.exists(), "a concurrent in-flight stage must survive")
+    assert(oldStage.exists(), "an older-version in-flight stage must survive")
     assert(otherTag.exists(), "another tag's cache must survive")
     assert(new java.io.File(base, current).exists())
-    inflight.delete(); otherTag.delete()
+    inflight.delete(); oldStage.delete(); otherTag.delete()
   }
 
   test("dedupClusters collapses a synthetic chain a-b-c-d to one component in few rounds") {
