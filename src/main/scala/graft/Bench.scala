@@ -273,7 +273,16 @@ object Bench {
     "q159_substring_auto" ->
       ("r15 rebase: serving path returns the routed span frame lazy " +
         "with only the sparse dup set checkpointed; pre-r15 floors " +
-        "timed an eager full-result localCheckpoint on top"))
+        "timed an eager full-result localCheckpoint on top"),
+    "q162_substring_decontam" ->
+      ("r15 rebase: bench side auto-routed (broadcast/Bloom/plain) — " +
+        "the timed path now localCheckpoints the sparse registry and " +
+        "pays its router count, and the serving plan lost the " +
+        "h-exchange; pre-r15 floors timed the hard-broadcast shape"),
+    "q163_decontam_report" ->
+      ("r15 rebase: shares q162's routed/checkpointed registry shape " +
+        "(one decontamSpans seam); pre-r15 floors timed the " +
+        "hard-broadcast shape"))
 
   /** Breaches of the RAW ratio-scaled floors that the 0.9 downward
     * clamp hid (floorScaleOf): on a box whose canary reads < 0.9× the

@@ -772,30 +772,47 @@ object DedupOps {
       val base = s"${sys.props("java.io.tmpdir")}/graft-dedup-labels"
       val current = s"$tag-$LabelLayoutVersion"
       val path = s"$base/$current"
-      // sweep label layouts for the SAME data tag left by a different
-      // (or pre-versioning absent) code version — a version bump would
-      // otherwise orphan every older directory forever, accumulating
-      // stale parquet under /tmp across rounds. Only this tag's
-      // siblings: other tags are other data dirs' LIVE caches. ANY
-      // `.stage-` name is off-limits, not just the current version's —
-      // a concurrent driver running an OLDER binary may be mid-build
-      // inside its own version's stage, and deleting it under that
-      // driver's running write would fail its query (r15 review). A
-      // crashed build's orphaned stage therefore survives the sweep —
-      // bounded debris, cleared with the /tmp wipe.
-      graft.sinks.Hfs.childDirs(s, base, tag)
-        .filterNot(n => n.startsWith(current) || n.contains(".stage-"))
-        .foreach(n => graft.sinks.Hfs.deleteRecursive(s, s"$base/$n"))
       // stage-then-rename (the shared cross-driver publish protocol;
       // labels are input-determined, so a lost race serves an
       // identical winner copy)
       graft.sinks.StagedLayout.ensure(s, path)(
         graft.sinks.Hfs.exists(s, s"$path/_SUCCESS")) { stage =>
+        // Sweep label layouts for the SAME data tag left by a different
+        // (or pre-versioning absent) code version — a version bump would
+        // otherwise orphan every older directory forever, accumulating
+        // stale parquet under /tmp across rounds. Only this tag's
+        // siblings: other tags are other data dirs' LIVE caches. The
+        // sweep runs ONLY here, inside the build path (current layout
+        // absent/incomplete): running it on every ensure call made two
+        // mixed-version drivers mutually delete each other's COMPLETED
+        // layouts on every serve — rebuild ping-pong plus transient
+        // FileNotFound in the other driver (r15 advice). ANY `.stage-`
+        // name is off-limits, not just the current version's — a
+        // concurrent driver running an OLDER binary may be mid-build
+        // inside its own version's stage (r15 review) — and deletions
+        // are AGE-GATED: a recent-mtime sibling is presumed to be a
+        // concurrent other-version driver's live cache (same fixture
+        // era), not orphaned debris, and is left for the /tmp wipe.
+        // Residual: an other-version layout older than the gate that is
+        // STILL actively served gets swept — bounded blast radius (one
+        // loud FileNotFound on a /tmp cache that rebuilds
+        // deterministically), and a mixed-version fleet older than the
+        // gate window is a deployment anomaly, not a steady state.
+        val now = System.currentTimeMillis()
+        graft.sinks.Hfs.childDirs(s, base, tag)
+          .filterNot(n => n.startsWith(current) || n.contains(".stage-"))
+          .filter(n => now - graft.sinks.Hfs.stat(s, s"$base/$n")._2 >
+            StaleLayoutSweepAgeMs)
+          .foreach(n => graft.sinks.Hfs.deleteRecursive(s, s"$base/$n"))
         collapseClusters(
           shingleJaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
           .write.mode("overwrite").parquet(stage)
       }
     }
+
+  /** Age gate for the stale-layout sweep above: a same-tag sibling
+    * younger than this is treated as another driver's live cache. */
+  private[graft] val StaleLayoutSweepAgeMs: Long = 15L * 60 * 1000
 
   /** q111: dedup survivorship — the resolution step that follows
     * clustering: every near-dup cluster keeps ONE canonical document

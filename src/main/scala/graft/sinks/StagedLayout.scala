@@ -40,7 +40,7 @@ object StagedLayout {
     */
   def ensure(s: SparkSession, path: String)(complete: => Boolean)(
       build: String => Unit): String = {
-    if (complete) return path
+    if (complete) { clearBuriedStage(s, path); return path }
     if (Hfs.exists(s, path)) Hfs.deleteRecursive(s, path) // torn leftover
     val stage = s"$path.stage-${java.util.UUID.randomUUID}"
     var published = false
@@ -52,8 +52,24 @@ object StagedLayout {
         // winner's complete copy serves); any other rename failure has
         // no winner and must surface
         if (!complete) throw e
+        clearBuriedStage(s, path)
       }
     } finally if (!published) Hfs.deleteRecursive(s, stage)
     path
   }
+
+  /** Serve-side burial sweep: Hfs.rename's post-rename burial
+    * detection deletes a lost mv-into race's copy only if that process
+    * SURVIVES — a crash between the mv-into rename and the burial
+    * delete leaves the loser's whole stage as a child of the served
+    * path (`dest/<basename>.stage-<uuid>`, not dot/underscore-hidden,
+    * so a parquet read of the layout would list it as extra rows
+    * forever). A `.stage-` name is never a legitimate child of a
+    * layout (stages are SIBLINGS of their target by construction), so
+    * every serve probe deletes leftovers before the path is handed
+    * out. One listStatus per serve — the same RPC the completeness
+    * markers already cost. */
+  private def clearBuriedStage(s: SparkSession, path: String): Unit =
+    Hfs.childDirs(s, path, "").filter(_.contains(".stage-"))
+      .foreach(n => Hfs.deleteRecursive(s, s"$path/$n"))
 }

@@ -74,7 +74,7 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.readFloors(text, "/root/testdata/sf0.01") == Map.empty)
   }
 
-  test("io canary: probe measures a real synced write+read and leaks no file; the io column never disturbs the artifact parsers") {
+  test("io canary: probe measures a real synced WRITE (write-only by design — a read-back would measure the page cache) and leaks no file; the io column never disturbs the artifact parsers") {
     val before = java.io.File.createTempFile("probe-dir-marker", ".tmp")
     val dir = before.getParentFile
     before.delete()

@@ -201,15 +201,22 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
-  test("label cache version sweep: stale layouts for the same data tag are deleted; other tags and in-flight stages survive") {
+  test("label cache version sweep: runs only in the build path, age-gated; stale layouts for the same data tag are deleted; fresh siblings, other tags and in-flight stages survive") {
     // a LabelLayoutVersion bump must not orphan the previous version's
-    // parquet under /tmp forever (ADVICE r14) — the ensure pass sweeps
+    // parquet under /tmp forever (ADVICE r14) — the BUILD pass sweeps
     // same-tag siblings whose version token differs (or predates
     // versioning), and ONLY those: another tag is another data dir's
-    // live cache, and a `.stage-` child of the current name is a
-    // concurrent driver's in-flight build
+    // live cache, a `.stage-` child is a concurrent driver's in-flight
+    // build, and (r15 advice) a RECENT-mtime sibling is a concurrent
+    // other-version driver's live cache. A serve of a COMPLETE layout
+    // never sweeps at all — the every-call sweep made mixed-version
+    // drivers mutually delete each other's completed layouts
+    // (rebuild ping-pong).
+    // collect eagerly: the frame's plan pins the FIRST build's part
+    // files, which the cold-start rebuild below replaces
     val labels = DedupOps.dedupClusters(spark, sf0001)
-    assert(labels.count() > 0)
+      .as[(Long, Long)].collect().toSet
+    assert(labels.nonEmpty)
     val base = new java.io.File(
       s"${sys.props("java.io.tmpdir")}/graft-dedup-labels")
     // sf0001's own tag, recomputed the way the cache keys it — the
@@ -221,28 +228,49 @@ class DedupSpec extends SparkSpec {
       .filter(n => n.startsWith(s"$tag-") && !n.contains(".stage-") &&
         new java.io.File(base, s"$n/_SUCCESS").exists())
       .head // the live versioned layout for THIS tag
-    def mk(name: String): java.io.File = {
+    val stale = System.currentTimeMillis() -
+      DedupOps.StaleLayoutSweepAgeMs - 60000L
+    def mk(name: String, old: Boolean): java.io.File = {
       val d = new java.io.File(base, name)
-      assert(d.mkdirs()); d
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+      assert(d.mkdirs())
+      if (old) assert(d.setLastModified(stale))
+      d
     }
-    val unversioned = mk(tag)            // pre-versioning layout
-    val oldVersion = mk(s"$tag-v0-old")  // superseded version
-    val inflight = mk(s"$current.stage-deadbeef") // concurrent build
+    val unversioned = mk(tag, old = true)           // pre-versioning layout
+    val oldVersion = mk(s"$tag-v0-old", old = true) // superseded version
+    // a concurrent OTHER-version driver's freshly built live cache: the
+    // age gate must spare it even on the build path (r15 advice)
+    val freshVersion = mk(s"$tag-v0-fresh", old = false)
+    val inflight = mk(s"$current.stage-deadbeef", old = true)
     // a concurrent driver running an OLDER binary mid-build: its stage
     // must survive too (deleting it under that driver's running write
     // would fail its query — the r15 review case)
-    val oldStage = mk(s"$tag-v0-old.stage-cafe")
-    val otherTag = mk("ffffffffffff-1-1-v0-old")  // other data dir's cache
+    val oldStage = mk(s"$tag-v0-old.stage-cafe", old = true)
+    val otherTag = mk("ffffffffffff-1-1-v0-old", old = true) // other data dir
+    // serve of the COMPLETE layout: no sweep at all
     val again = DedupOps.dedupClusters(spark, sf0001)
-    assert(again.as[(Long, Long)].collect().toSet ==
-      labels.as[(Long, Long)].collect().toSet)
+    assert(again.as[(Long, Long)].collect().toSet == labels)
+    assert(unversioned.exists() && oldVersion.exists(),
+      "a complete-layout serve must never sweep (mixed-version ping-pong)")
+    // cold start (current layout gone) → the build path sweeps
+    val cur = new java.io.File(base, current)
+    org.apache.commons.io.FileUtils.deleteDirectory(cur)
+    // the delete+rebuild reuses the path; drop the stale file listing
+    // (production reads a fresh session per driver — not a concern)
+    spark.catalog.refreshByPath(cur.getPath)
+    val rebuilt = DedupOps.dedupClusters(spark, sf0001)
+    assert(rebuilt.as[(Long, Long)].collect().toSet == labels)
     assert(!unversioned.exists(), "pre-versioning layout must be swept")
     assert(!oldVersion.exists(), "superseded version must be swept")
+    assert(freshVersion.exists(),
+      "a recent-mtime sibling must survive the age gate")
     assert(inflight.exists(), "a concurrent in-flight stage must survive")
     assert(oldStage.exists(), "an older-version in-flight stage must survive")
     assert(otherTag.exists(), "another tag's cache must survive")
-    assert(new java.io.File(base, current).exists())
-    inflight.delete(); oldStage.delete(); otherTag.delete()
+    assert(cur.exists())
+    freshVersion.delete(); inflight.delete(); oldStage.delete()
+    otherTag.delete()
   }
 
   test("dedupClusters collapses a synthetic chain a-b-c-d to one component in few rounds") {

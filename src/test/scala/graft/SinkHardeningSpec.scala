@@ -132,6 +132,29 @@ class SinkHardeningSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(dest))
   }
 
+  test("StagedLayout: serving a complete layout clears a crash-orphaned buried stage (dest/<name>.stage-*) before handing the path out") {
+    // Hfs.rename's burial detection deletes a lost mv-into copy only if
+    // that process survives; a crash between the rename and the burial
+    // delete leaves the loser's stage as a CHILD of the served path —
+    // not dot-hidden, so a parquet read would list it as extra rows
+    // forever (r15 advice). Model the post-crash state and serve.
+    val dir = Files.createTempDirectory("staged_buried").toString
+    val path = s"$dir/layout"
+    val buried = s"$path/layout.stage-deadbeef"
+    Files.createDirectories(java.nio.file.Paths.get(buried))
+    Files.writeString(java.nio.file.Paths.get(s"$path/data"), "winner")
+    Files.writeString(java.nio.file.Paths.get(s"$path/_SUCCESS"), "ok")
+    Files.writeString(java.nio.file.Paths.get(s"$buried/data"), "loser")
+    val served = sinks.StagedLayout.ensure(spark, path)(
+      sinks.Hfs.exists(spark, s"$path/_SUCCESS"))(_ =>
+      fail("a complete layout must never rebuild"))
+    assert(served == path)
+    assert(!new java.io.File(buried).exists(),
+      "the buried loser stage must be deleted before serving")
+    assert(new java.io.File(s"$path/data").exists(),
+      "the winner's content must be untouched")
+  }
+
   test("StagedLayout: publishes atomically, clears a torn leftover, serves the winner on a lost race, and discards a failed stage") {
     def complete(p: String) = sinks.Hfs.exists(spark, s"$p/_SUCCESS")
     def build(content: String)(stage: String): Unit = {
