@@ -197,6 +197,9 @@ object Bench {
     "q160_substring_remove_stream", "q161_span_provenance_stream",
     "q164_decontam_registry", "q165_decontam_report_stream",
     "q166_duplication_report_stream",
+    // retraction lifecycles (r16): substring / registry / ANN / PQ
+    "q167_substring_retract", "q168_decontam_retract",
+    "q169_ann_retract", "q170_pq_retract",
     // event-feed lifecycles (retention / transitions / funnel / dwell /
     // pit / session) + the order-wide join store
     "q122_retention_stream", "q133_transitions_stream",
@@ -282,7 +285,38 @@ object Bench {
     "q163_decontam_report" ->
       ("r15 rebase: shares q162's routed/checkpointed registry shape " +
         "(one decontamSpans seam); pre-r15 floors timed the " +
-        "hard-broadcast shape"))
+        "hard-broadcast shape"),
+    "q156_substring_stream" ->
+      ("r16 rebase: retraction support — the stored positions carry a " +
+        "persisted logical ing and every read resolves tombstones " +
+        "(one broadcast-left-join against the tomb aggregate, empty " +
+        "on this unretracted lifecycle); pre-r16 floors timed the " +
+        "resolve-free read"),
+    "q160_substring_remove_stream" ->
+      ("r16 rebase: shares q156's tombstone-resolving position read; " +
+        "pre-r16 floors timed the resolve-free read"),
+    "q161_span_provenance_stream" ->
+      ("r16 rebase: shares q156's tombstone-resolving position read; " +
+        "pre-r16 floors timed the resolve-free read"),
+    "q166_duplication_report_stream" ->
+      ("r16 rebase: shares q156's tombstone-resolving position read; " +
+        "pre-r16 floors timed the resolve-free read"),
+    "q164_decontam_registry" ->
+      ("r16 rebase: the registry stores per-doc (doc_id, h) pair rows " +
+        "with tombstone resolution (retraction support) instead of a " +
+        "global distinct hash set; pre-r16 floors timed the set-row " +
+        "read"),
+    "q165_decontam_report_stream" ->
+      ("r16 rebase: shares q164's pair-row registry read; pre-r16 " +
+        "floors timed the set-row read"),
+    "q105_ann_lsh_stream" ->
+      ("r16 rebase: corpus rows carry a persisted logical ing (the " +
+        "recency window now sorts a data column instead of the " +
+        "directory id; tombstone join absent on this unretracted " +
+        "lifecycle); pre-r16 floors timed the ing-free schema"),
+    "q107_ann_pq_stream" ->
+      ("r16 rebase: codes rows carry a persisted logical ing (same " +
+        "q105 rationale); pre-r16 floors timed the ing-free schema"))
 
   /** Breaches of the RAW ratio-scaled floors that the 0.9 downward
     * clamp hid (floorScaleOf): on a box whose canary reads < 0.9× the

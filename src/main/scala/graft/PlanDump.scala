@@ -165,6 +165,39 @@ object PlanDump {
         |document text at all; n_occ falls out of the same aggregate
         |(PLANS span_provenance: cost tracks the span scan across the
         |1.6M-doc sweep).""".stripMargin),
+    ("q167_substring_retract", "q154 over the retracted store: tombstone resolve + negative-partial counts",
+      """The retraction convention measured end-to-end: the position read
+        |adds ONE broadcast-left-join against the tombstone aggregate
+        |(retracted-doc-sized; row-group stats prune the tomb scan to
+        |nothing on unretracted segments) before the usual dedup + dup
+        |join; the dup set comes from the SAME reconciled counts store,
+        |now summing the retraction batches' NEGATIVE partials — no
+        |store rewrite, no corpus re-scan, retraction cost tracked the
+        |retracted docs. Hash-gated against q154's batch oracle on the
+        |post-retraction corpus through retract → resurrect → fold →
+        |live-tail re-retract.""".stripMargin),
+    ("q168_decontam_retract", "q162 from the registry after benchmark retirement",
+      """Per-doc (doc_id, h) pair rows + tombstone resolution: a retired
+        |benchmark's grams stop cutting while grams shared with a
+        |surviving benchmark keep cutting (set subtraction is exact only
+        |on pair rows). Serving shape = q164's routed seam on the
+        |resolved hash set; the training corpus is untouched by any
+        |registry maintenance.""".stripMargin),
+    ("q169_ann_retract", "ANN probe over the retracted LSH store: bucket-blind tombstone side table",
+      """A deleted vec_id must NEVER surface — not "until compaction":
+        |tombstones live in a separate unpartitioned side table
+        |(retracted-id-sized, read whole and broadcast by every probe),
+        |because an in-store tombstone under one bucket dir would be
+        |invisible to a probe pruned to other buckets. Corpus rows carry
+        |a persisted logical ing; resurrection = a higher-ing re-ingest.
+        |Folds drop dead versions and keep the side table's tombstones
+        |(idempotent re-application keeps the rename-before-delete crash
+        |window safe).""".stripMargin),
+    ("q170_pq_retract", "the q169 convention on the PQ codes store",
+      """Same side-table design on the cell-partitioned codes table; the
+        |ADC probe applies tombstones before its recency window, and the
+        |join enters the plan ONLY when a retraction ever happened, so
+        |unretracted q94/q107 plans are byte-identical to r15's.""".stripMargin),
     ("q50_asof_join", "merge-form as-of (union + window, no join)", ""),
     ("q51_embedding_dups", "bounded pairwise cosine (verification tier)", ""),
     ("q54_embedding_dups_lsh", "banded hyperplane LSH + fused-cosine verify",

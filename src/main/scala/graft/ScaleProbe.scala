@@ -35,7 +35,8 @@ object ScaleProbe {
       "knn_join", "pq_knn_join", "knn_query_scaling", "bucketed_join",
       "partitioned_fold", "skew", "grouped_quantile", "seq_state",
       "join_state", "substring_spans", "substring_ingest",
-      "substring_provenance", "substring_decontam", "decontam_registry")
+      "substring_provenance", "substring_decontam", "decontam_registry",
+      "decontam_bloom_road")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -1177,6 +1178,68 @@ object ScaleProbe {
         graft.sinks.Hfs.deleteRecursive(spark, loc)
         docs.unpersist()
       }
+    }
+    // The q162/q164 router's three roads MEASURED at a model-scale
+    // registry (the r15 verdict's missing row): the broadcast and
+    // Bloom roads were spec-pinned hash-equal via conf clamps, but the
+    // Bloom road had no measured point at a registry past the
+    // broadcast budget. Engineered registry = the corpus's real bench
+    // grams + R synthetic filler hashes (spark.range → xxhash64 —
+    // disjoint from gram hashes w.h.p., and the exact join kills any
+    // collision, so filler only changes the SIZING, never the answer).
+    // Roads forced via the same session confs the router reads
+    // (autoBroadcastJoinThreshold for the budget, bloomFilter
+    // maxNumItems for the clamps) — the router's ANSWER contract is
+    // re-required at every point: all roads, equal cut masses.
+    if (on("decontam_bloom_road")) {
+      val n = 400000L
+      val docs = substrCorpus(0L, n, copyIslands = false,
+        withSource = false).persist()
+      docs.count()
+      val train = docs.filter(col("doc_id") >= 20)
+      val realBench = functions.DedupOps
+        .gramPositions(docs.filter(col("doc_id") < 20), 4).select(col("h"))
+      val bcThresh = "spark.sql.autoBroadcastJoinThreshold"
+      val bloomMax = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val (bc0, bm0) = (spark.conf.get(bcThresh), spark.conf.get(bloomMax, "4000000"))
+      try {
+        for (r <- Seq(1000000L, 3000000L)) {
+          val reg = realBench.unionByName(
+              spark.range(r).select(xxhash64(col("id") + lit(1L << 40)).as("h")))
+            .localCheckpoint()
+          def road(route: String): (Double, Long, Long) = {
+            val t0 = System.nanoTime()
+            val (spans, got) = functions.DedupOps
+              .decontamSpansFromRegistry(reg, train, 4)
+            require(got == route,
+              s"conf clamps failed to force the $route road (got $got)")
+            val cut = functions.DedupOps.removalFromSpans(train, spans)
+              .agg(sum(col("n_removed")),
+                sum(when(col("n_removed") > 0, 1L).otherwise(0L))).collect()(0)
+            ((System.nanoTime() - t0) / 1e9, cut.getLong(0), cut.getLong(1))
+          }
+          // broadcast: budget sized to hold the registry (32 B/row)
+          spark.conf.set(bcThresh, (r * 64L).toString)
+          spark.conf.set(bloomMax, bm0)
+          val b = road("broadcast")
+          // bloom: past the budget, inside the clamps
+          spark.conf.set(bcThresh, "10240")
+          spark.conf.set(bloomMax, math.max(r * 2L, 4000000L).toString)
+          val f = road("bloom")
+          // plain: past the budget AND the clamps
+          spark.conf.set(bloomMax, "1024")
+          val p = road("plain")
+          require(b._2 == f._2 && f._2 == p._2 && b._3 == f._3 && f._3 == p._3,
+            s"roads disagree at R=$r: $b / $f / $p")
+          println(f"SCALE n=$n%9d decontam_road R=$r%8d " +
+            f"broadcast ${b._1}%6.2f s bloom ${f._1}%6.2f s " +
+            f"plain ${p._1}%6.2f s removed_toks=${b._2}%9d")
+        }
+      } finally {
+        spark.conf.set(bcThresh, bc0)
+        spark.conf.set(bloomMax, bm0)
+      }
+      docs.unpersist()
     }
     if (on("substring_spans")) {
       for (n <- Seq(100000L, 400000L, 1600000L)) {

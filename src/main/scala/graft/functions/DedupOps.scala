@@ -2126,7 +2126,11 @@ object DedupOps {
     * SAME store, the q62/q111/q151 shared-layout convention applied to
     * the span family. Idempotent via the __done marker. */
   private def ensureSubstrLifecycle(s: SparkSession, d: String): String =
-    TextOps.ensureCutLifecycle(s, d, "substrstream",
+    // kind carries the layout version (the __buckets geometry-pin
+    // convention): r16 added the persisted `ing` column + tombstone
+    // rows — a pre-r16 store under the old kind must rebuild, not
+    // serve a schema the resolve cannot read
+    TextOps.ensureCutLifecycle(s, d, "substrstream-v2ing",
       graft.sinks.SubstrIndexSink.writer,
       loc => graft.sinks.SubstrIndexSink.compact(s, loc))
 
@@ -2336,7 +2340,9 @@ object DedupOps {
   }
 
   private def ensureDecontamRegistry(s: SparkSession, d: String): String =
-    TextOps.ensureCutLifecycle(s, d, "decontamreg",
+    // layout-versioned kind (see ensureSubstrLifecycle): r16 moved the
+    // registry from global distinct hashes to per-doc pair rows
+    TextOps.ensureCutLifecycle(s, d, "decontamreg-v2pairs",
       graft.sinks.BenchRegistrySink.writer,
       loc => graft.sinks.BenchRegistrySink.compact(s, loc))
 
@@ -2366,6 +2372,62 @@ object DedupOps {
     duplicationReportFromSpans(t(s, d, "documents"),
       graft.sinks.SubstrIndexSink.spans(s, ensureSubstrLifecycle(s, d)))
 
+  /** q167: RETRACTION through the substring-index lifecycle — the
+    * capability every grow-only store was missing: a doc deleted
+    * upstream (the CDC `D` route the reference dropped and CdcRouter
+    * fixed, reference `app/OdsBaseDbApp.scala:102-106`) must leave the
+    * stored index, or every stored-road report silently counts ghost
+    * docs forever. The lifecycle runs the worst retractable state
+    * ([[TextOps.ensureRetractLifecycle]]): three ingest cuts with a
+    * mid-lifecycle fold, retract docs ≡ 3 (mod 10), RESURRECT the ≡ 3
+    * (mod 20) half (CDC insert-after-delete — latest-wins on the
+    * persisted logical `ing`), a second fold (tombstones cross the
+    * fold boundary: dead positions dropped, tombstones carried), and a
+    * final live-tail retraction of the ≡ 3 (mod 40) quarter (read-time
+    * resolve must mask fold rows and re-kill a resurrected doc). The
+    * served spans are hash-gated against q154's batch oracle
+    * recomputed on the POST-RETRACTION corpus — live docs are
+    * exactly NOT(id ≡ 13 mod 20) AND NOT(id ≡ 3 mod 40) — which also
+    * proves the counts store's negative-partial arithmetic (a gram
+    * whose duplicate lived only in a retracted doc must STOP being a
+    * dup witness; the sum telescopes to the live corpus exactly). */
+  val substringRetract: Q = (s, d) =>
+    graft.sinks.SubstrIndexSink.spans(s,
+      graft.functions.TextOps.ensureRetractLifecycle(s, d, "substrretract",
+        graft.sinks.SubstrIndexSink.writer,
+        graft.sinks.SubstrIndexSink.retract,
+        loc => graft.sinks.SubstrIndexSink.compact(s, loc),
+        retract1 = pmod(col("doc_id"), lit(10)) === 3,
+        resurrect = pmod(col("doc_id"), lit(20)) === 3,
+        retract2 = pmod(col("doc_id"), lit(40)) === 3))
+
+  /** q168: registry RETRACTION — q164's stored eval registry through
+    * the same worst retractable state, because eval suites RETIRE
+    * benchmarks (license pulls, leaked sets) and a retired benchmark
+    * must stop cutting training docs: retract bench docs ≡ 1 (mod 4),
+    * resurrect the ≡ 1 (mod 8) half, fold, re-retract ≡ 1 (mod 16) in
+    * the live tail. Per-doc (doc_id, h) pair rows make the set
+    * subtraction exact — a gram shared by a retired and a surviving
+    * benchmark doc keeps cutting (only pair rows can tell those
+    * apart). Hash-gated against q162's batch oracle with the bench
+    * side reduced to the post-retraction suite; the training corpus
+    * is untouched by any registry maintenance. */
+  val decontamRegistryRetract: Q = (s, d) => {
+    val train = t(s, d, "documents")
+      .filter(col("doc_id") >= DecontamBenchCut)
+    removalFromSpans(train, decontamSpansFromRegistry(
+      graft.sinks.BenchRegistrySink.registry(s,
+        graft.functions.TextOps.ensureRetractLifecycle(s, d,
+          "decontamregretract",
+          graft.sinks.BenchRegistrySink.writer,
+          graft.sinks.BenchRegistrySink.retract,
+          loc => graft.sinks.BenchRegistrySink.compact(s, loc),
+          retract1 = pmod(col("doc_id"), lit(4)) === 1,
+          resurrect = pmod(col("doc_id"), lit(8)) === 1,
+          retract2 = pmod(col("doc_id"), lit(16)) === 1)),
+      train, 4)._1)
+  }
+
   val queries: Map[String, Q] = Map(
     "q154_substring_dedup" -> substringSpans,
     "q155_substring_remove" -> substringRemove,
@@ -2380,6 +2442,8 @@ object DedupOps {
     "q164_decontam_registry" -> decontamRegistryStream,
     "q165_decontam_report_stream" -> decontamReportStream,
     "q166_duplication_report_stream" -> duplicationReportStream,
+    "q167_substring_retract" -> substringRetract,
+    "q168_decontam_retract" -> decontamRegistryRetract,
     "q151_cluster_sizes" -> clusterSizeHistogram,
     "q116_dedup_labels_stream" -> dedupLabelsStream,
     "q115_dedup_incremental" -> dedupIncremental,
@@ -2433,10 +2497,13 @@ object DedupOps {
     * the batch answer): the oracle joins gram STRINGS where the engine
     * joins their xxhash64 (q61's collision argument); same 1-based
     * starts, same ≤ L island merge, same inclusive span_end = last
-    * start + L − 1. */
-  private val substringSpansOracleSql: String =
-      """WITH tk AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    * start + L − 1. Parameterized by the live-corpus predicate so the
+    * q167 retraction twin states its oracle as the SAME batch SQL over
+    * the post-retraction corpus. */
+  private def substringSpansOracleSqlOver(livePred: String): String =
+      s"""WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE $livePred),
         |g AS (
         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS pos
         |  FROM tk WHERE len(toks) >= 8),
@@ -2458,6 +2525,9 @@ object DedupOps {
         |SELECT doc_id, min(pos)::BIGINT AS span_start,
         |  (max(pos) + 7)::BIGINT AS span_end, count(*)::BIGINT AS n_grams
         |FROM isl GROUP BY doc_id, grp""".stripMargin
+
+  private val substringSpansOracleSql: String =
+    substringSpansOracleSqlOver("TRUE")
 
   /** The q157 oracle, shared with q161 (the index-backed lifecycle twin
     * converges to the batch answer). */
@@ -2560,9 +2630,12 @@ object DedupOps {
 
   /** q162's batch oracle — q155's cut machinery over the benchmark
     * gram vocabulary (see the map entry comment); shared verbatim with
-    * q164, whose stored-registry road must converge to it. */
-  private val decontamCutOracleSql: String =
-      """WITH tk AS (
+    * q164, whose stored-registry road must converge to it.
+    * Parameterized by the live-benchmark predicate so the q168
+    * registry-retraction twin states its oracle as the SAME batch SQL
+    * over the post-retraction eval suite. */
+  private def decontamCutOracleSqlOver(benchPred: String): String =
+      s"""WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS pos
@@ -2570,7 +2643,8 @@ object DedupOps {
         |g2 AS (
         |  SELECT doc_id, pos, array_to_string(toks[pos:pos+3], ' ') AS gram
         |  FROM g),
-        |bg AS (SELECT DISTINCT gram FROM g2 WHERE doc_id < 20),
+        |bg AS (SELECT DISTINCT gram FROM g2
+        |       WHERE doc_id < 20 AND ($benchPred)),
         |dp AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN bg USING (gram)
         |       WHERE g2.doc_id >= 20),
         |m AS (
@@ -2609,6 +2683,9 @@ object DedupOps {
         |  (CASE WHEN spans IS NULL THEN 0
         |        ELSE len(toks) - len(kept) END)::BIGINT AS n_removed
         |FROM k""".stripMargin
+
+  private val decontamCutOracleSql: String =
+    decontamCutOracleSqlOver("TRUE")
 
   /** q163's batch oracle — shared verbatim with q165, whose
     * stored-registry road must converge to it. */
@@ -2734,6 +2811,16 @@ object DedupOps {
     // lifecycle converges to the batch answer (the q156/q160/q161
     // convention), so the oracle is the batch SQL
     "q164_decontam_registry" -> decontamCutOracleSql,
+    // q167 = q154's batch SQL over the POST-RETRACTION corpus: live =
+    // never retracted, or resurrected and not re-retracted — the
+    // lifecycle's three sets reduce to these two exclusions
+    "q167_substring_retract" -> substringSpansOracleSqlOver(
+      "NOT (doc_id % 20 = 13) AND NOT (doc_id % 40 = 3)"),
+    // q168 = q162's batch SQL with the BENCH side reduced to the
+    // post-retraction eval suite (drop {5,13} = retracted-not-
+    // resurrected, and {1,17} = re-retracted); training side untouched
+    "q168_decontam_retract" -> decontamCutOracleSqlOver(
+      "NOT (doc_id % 4 = 1 AND doc_id % 8 <> 1) AND NOT (doc_id % 16 = 1)"),
     // q158: spans → per-doc covered-token mass (islands are disjoint,
     // so width sums are exact) → per-source dataset-card rollup
     "q158_duplication_report" -> duplicationReportOracleSql,

@@ -170,13 +170,17 @@ object PqOps {
     * bootstrap, every later ingest encodes against it — re-training
     * would silently re-map existing codes. */
   private def encodeAgainst(vecs: DataFrame, cents: Array[Array[Double]],
-      books: Array[Array[Array[Double]]]): DataFrame =
+      books: Array[Array[Array[Double]]], ingestId: Long): DataFrame =
     // barrier: the assignment carries 8 fused-cosine terms per row over
     // 512-double literals — checkpoint so the encode tree starts from
     // plain attributes instead of re-analyzing the assignment lineage
     SimilarityOps.assignCells(vecs, cents).localCheckpoint()
       .withColumn("r", residualCol(cents))
-      .select(col("vec_id"), col("cell"), codesCol(books).as("codes"))
+      .select(col("vec_id"), col("cell"), codesCol(books).as("codes"),
+        // logical ingest persisted as DATA (the IngestSegments
+        // tombstone convention): folds keep it, so recency and
+        // retraction comparisons survive compaction
+        lit(ingestId).as("ing"))
 
   /** Build the stored layout: coarse centroids (kmeansLite, the q42
     * model), PQ codebooks on residuals, then the corpus reduced to
@@ -231,7 +235,8 @@ object PqOps {
       else SimilarityOps.assignCells(wellFormed(emb, dims), cents).localCheckpoint()
     graft.sinks.IngestSegments.alignToLayout(
         bootstrap.withColumn("r", residualCol(cents))
-          .select(col("vec_id"), col("cell"), codesCol(books).as("codes")),
+          .select(col("vec_id"), col("cell"), codesCol(books).as("codes"),
+            lit(ingestId).as("ing")),
         "cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes/ingest=$ingestId")
@@ -277,11 +282,29 @@ object PqOps {
     // admission width comes from the STORED model, so an index built at
     // any dims gates its ingests consistently
     graft.sinks.IngestSegments.alignToLayout(
-        encodeAgainst(wellFormed(newVecs, cents(0).length), cents, books),
+        encodeAgainst(wellFormed(newVecs, cents(0).length), cents, books,
+          ingestId),
         "cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes/ingest=$ingestId")
   }
+
+  /** Retraction (the CDC `D` route applied to the PQ index): deleted
+    * vec_ids go to the bucket-blind tombstone side table
+    * (`$path/tomb`) — an in-store tombstone could not know its
+    * victim's cell dir, and a cell-pruned probe would miss it (the
+    * IngestSegments.applyTombstones rationale). The probe and the
+    * fold drop code rows with ing ≤ the id's newest tombstone; a
+    * later [[ingestPqSegment]] of the id (higher ing) resurrects it —
+    * consistent with the immutability contract (same id ⇒ same
+    * vector ⇒ same cell, so the resurrected row is probe-visible
+    * exactly where the dead one was). */
+  def retractPqVecs(path: String)(batch: DataFrame, batchId: Long): Unit =
+    graft.sinks.IngestSegments
+      .writeTombstones(batch, s"$path/tomb", "vec_id", batchId)
+
+  private def pqTombstones(s: SparkSession, path: String): DataFrame =
+    graft.sinks.IngestSegments.readTombstones(s, s"$path/tomb", "vec_id")
 
   /** foreachBatch writer: append each micro-batch of (vec_id, v) to the
     * PQ index keyed by batchId. Pure ingest — admission/dedup belongs
@@ -297,16 +320,20 @@ object PqOps {
   /** Fold old code segments (latest ingest wins per vec_id), keeping
     * the cell partitioning — the IngestSegments contract bounds file
     * count after thousands of micro-batches. */
-  def compactPqIndex(spark: SparkSession, path: String): Unit =
+  def compactPqIndex(spark: SparkSession, path: String): Unit = {
     graft.sinks.IngestSegments.compact(spark, s"$path/codes",
       fold = df => {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
-        df.withColumn("__rn", row_number().over(w))
+          .partitionBy(col("vec_id")).orderBy(col("ing").desc)
+        graft.sinks.IngestSegments.applyTombstones(
+            df, pqTombstones(spark, path), "vec_id", "ing")
+          .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
-          .select(col("vec_id"), col("cell"), col("codes"))
+          .select(col("vec_id"), col("cell"), col("codes"), col("ing"))
       },
       partitionCols = Seq("cell"))
+    graft.sinks.IngestSegments.compactTombstones(spark, s"$path/tomb", "vec_id")
+  }
 
   /** The stored model, ordered (cells by id; books by (j, code)).
     *
@@ -395,12 +422,20 @@ object PqOps {
         import s.implicits._
         Seq.empty[(Long, Double)].toDF("neighbor_id", "adc_score")
       case Some((live, segIds)) =>
-        val pruned = live.filter(col("vec_id") =!= excludeVecId)
+        // retraction first (the side table is cell-blind), then the
+        // recency window on the persisted logical ing — the tombstone
+        // join only enters the plan when a retraction ever happened,
+        // so the unretracted q94/q107 plan shapes are untouched
+        val pruned0 = live.filter(col("vec_id") =!= excludeVecId)
+        val pruned =
+          if (!graft.sinks.Hfs.exists(s, s"$path/tomb")) pruned0
+          else graft.sinks.IngestSegments.applyTombstones(
+            pruned0, pqTombstones(s, path), "vec_id", "ing")
         val resolved =
           if (segIds.size <= 1) pruned
           else {
             val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
+              .partitionBy(col("vec_id")).orderBy(col("ing").desc)
             pruned.withColumn("__rn", row_number().over(w))
               .filter(col("__rn") === 1)
           }
@@ -507,11 +542,18 @@ object PqOps {
         return probed.limit(0)
           .select(col("query_id"), col("query_id").as("neighbor_id"),
             lit(0.0).as("adc_score"))
-      case Some((live, segIds)) =>
+      case Some((live0, segIds)) =>
+        // tombstones first (cell-blind side table; only in the plan
+        // when a retraction ever happened), then the recency window on
+        // the persisted logical ing — probeWithModel's exact order
+        val live =
+          if (!graft.sinks.Hfs.exists(s, s"$path/tomb")) live0
+          else graft.sinks.IngestSegments.applyTombstones(
+            live0, pqTombstones(s, path), "vec_id", "ing")
         if (segIds.size <= 1) live
         else {
           val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
+            .partitionBy(col("vec_id")).orderBy(col("ing").desc)
           live.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
         }
@@ -534,8 +576,11 @@ object PqOps {
   }
 
   def pqIndexPath(s: SparkSession, d: String): String =
+    // -v2ing: r16 added the persisted logical `ing` column (tombstone
+    // convention) — a pre-r16 layout must rebuild, not feed the
+    // recency window a schema without it
     s"${sys.props("java.io.tmpdir")}/graft-ivfpq/" +
-      s"${SimilarityOps.sourceTag(s, d, "embeddings")}-c8-m$DefaultM-k$DefaultKsub-i$DefaultPqIters"
+      s"${SimilarityOps.sourceTag(s, d, "embeddings")}-c8-m$DefaultM-k$DefaultKsub-i$DefaultPqIters-v2ing"
 
   private def ensurePqIndex(s: SparkSession, d: String): String = synchronized {
     val path = pqIndexPath(s, d)
@@ -678,7 +723,7 @@ object PqOps {
   private def ensurePqLifecycle(s: SparkSession, d: String): String =
     synchronized {
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-stream/" +
-        s"${SimilarityOps.sourceTag(s, d, "embeddings")}-c8-m$DefaultM-k$DefaultKsub-i$DefaultPqIters"
+        s"${SimilarityOps.sourceTag(s, d, "embeddings")}-c8-m$DefaultM-k$DefaultKsub-i$DefaultPqIters-v2ing"
       if (graft.sinks.Hfs.readString(s, s"$path/__done").isEmpty) {
         graft.sinks.Hfs.deleteRecursive(s, path)
         val emb = t(s, d, "embeddings")
@@ -705,6 +750,49 @@ object PqOps {
     val path = ensurePqLifecycle(s, d)
     val (qVec, model) = queryModel(s, d, path, nprobe, topk)
     pqStreamOracleState = Some(model)
+    probeWithModel(s, path, model.cents, model.books, qVec, nprobe, topk,
+      excludeVecId = 0L)
+  }
+
+  /** The PQ retraction lifecycle — q107's worst retractable state (the
+    * q169 convention on the codes store): bootstrap + two ingests with
+    * a fold, retract vec ≡ 3 (mod 10), resurrect the ≡ 3 (mod 20) half
+    * (same id, same vector — the immutability contract), fold again
+    * (tombstoned codes drop, the side table keeps its tombstones),
+    * then a final live-tail retraction of the ≡ 3 (mod 40) quarter. */
+  private def ensurePqRetractLifecycle(s: SparkSession, d: String): String =
+    synchronized {
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-retract/" +
+        s"${SimilarityOps.sourceTag(s, d, "embeddings")}-c8-m$DefaultM-k$DefaultKsub-i$DefaultPqIters"
+      graft.sinks.StagedLayout.ensure(s, path)(
+        graft.sinks.Hfs.readString(s, s"$path/__done").nonEmpty) { stage =>
+        val emb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        def cut(b: Long) = emb.filter(pmod(col("vec_id"), lit(3)) === b)
+        buildPqIndex(cut(0), stage, pqIters = DefaultPqIters, trainOn = Some(emb))
+        ingestPqSegment(cut(1), stage, 0L)
+        ingestPqSegment(cut(2), stage, 1L)
+        compactPqIndex(s, stage)
+        retractPqVecs(stage)(emb.filter(pmod(col("vec_id"), lit(10)) === 3), 2L)
+        ingestPqSegment(emb.filter(pmod(col("vec_id"), lit(20)) === 3), stage, 3L)
+        compactPqIndex(s, stage)
+        retractPqVecs(stage)(emb.filter(pmod(col("vec_id"), lit(40)) === 3), 4L)
+        graft.sinks.Hfs.writeString(s, s"$stage/__done", "ok")
+      }
+    }
+
+  @volatile private var pqRetractOracleState: Option[PqOracleModel] = None
+
+  /** q170: retraction through the PQ ingest lifecycle — the codes-store
+    * twin of q169: a deleted vec_id must never surface from the
+    * cell-pruned ADC probe (the tombstone side table is cell-blind by
+    * design). Hash-gated against the generated ADC oracle over the
+    * POST-RETRACTION vector set. */
+  def annPqRetract(s: SparkSession, d: String, nprobe: Int = 2,
+      topk: Int = 10): DataFrame = {
+    val path = ensurePqRetractLifecycle(s, d)
+    val (qVec, model) = queryModel(s, d, path, nprobe, topk)
+    pqRetractOracleState = Some(model)
     probeWithModel(s, path, model.cents, model.books, qVec, nprobe, topk,
       excludeVecId = 0L)
   }
@@ -758,7 +846,8 @@ object PqOps {
     "q94_ann_ivfpq_topk" -> ((s, d) => annIvfPq(s, d)),
     "q96_ann_pq_knn_join" -> ((s, d) => annPqKnnJoin(s, d)),
     "q107_ann_pq_stream" -> ((s, d) => annIvfPqStream(s, d)),
-    "q108_ann_pq_rerank" -> ((s, d) => annPqRerank(s, d)))
+    "q108_ann_pq_rerank" -> ((s, d) => annPqRerank(s, d)),
+    "q170_pq_retract" -> ((s, d) => annPqRetract(s, d)))
 
   private def dArr(xs: Array[Double]): String =
     xs.mkString("[", ",", "]") + "::DOUBLE[]"
@@ -792,7 +881,8 @@ object PqOps {
     * is a left-associative sum of ((v[i]-cv[i]) - cb)² and argmin takes
     * the FIRST minimal code (list_position of list_min ≡ array_min on
     * struct(dist, code)). */
-  private def pqOracle(mo: PqOracleModel): String = {
+  private def pqOracle(mo: PqOracleModel,
+      livePred: String = "TRUE"): String = {
     val (m, ksub, sb) = geomOf(mo.books)
     val centRows = mo.cents.zipWithIndex
       .map { case (c, i) => s"  ($i, ${dArr(c)})" }.mkString(",\n")
@@ -803,7 +893,8 @@ object PqOps {
     val adcSum = (0 until m)
       .map(j => s"list_extract(${dArr(mo.adc(j))}, c$j + 1)")
       .mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE $livePred),
        |cent(cell, cv) AS (VALUES
        |$centRows),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -915,6 +1006,11 @@ object PqOps {
       knnOracleState.map { case (nq, np, tk, cs, bs) =>
         "q96_ann_pq_knn_join" -> pqKnnOracle(nq, np, tk, cs, bs) } ++
       pqStreamOracleState.map(mo => "q107_ann_pq_stream" -> pqOracle(mo)) ++
+      // q170 = the same generated ADC oracle over the post-retraction
+      // vector set (live = never retracted, or resurrected and not
+      // re-retracted — the lifecycle's mod-10/20/40 sets)
+      pqRetractOracleState.map(mo => "q170_pq_retract" -> pqOracle(mo,
+        "NOT (vec_id % 20 = 13) AND NOT (vec_id % 40 = 3)")) ++
       rerankOracleState.map { case (mo, tk) =>
         "q108_ann_pq_rerank" -> rerankOracle(mo, tk) }
 }

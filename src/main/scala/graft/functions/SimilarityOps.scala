@@ -275,25 +275,52 @@ object SimilarityOps {
     val planes = hyperplanes(dims, bits)
     graft.sinks.IngestSegments.alignToLayout(
         emb.select(col("vec_id"), col("v"))
-          .withColumn("bucket", bucketChecked(col("v"), planes, dims)),
+          .withColumn("bucket", bucketChecked(col("v"), planes, dims))
+          // logical ingest persisted as DATA (the IngestSegments
+          // tombstone convention): folds keep it, so recency and
+          // retraction comparisons survive compaction
+          .withColumn("ing", lit(ingestId)),
         "bucket")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/corpus/ingest=$ingestId")
   }
 
-  /** Fold old ANN segments: latest version per vec_id wins (the fold
-    * input carries `ingest` for exactly this), bucket layout preserved
-    * so pruning keeps working on the fold. */
-  def compactAnnLshIndex(spark: SparkSession, path: String): Unit =
+  /** Retraction (the CDC `D` route applied to the ANN index): `batch`
+    * carries the deleted vec_ids. Tombstones go to a SEPARATE tiny
+    * side table (`$path/tomb`, IngestSegments-lifecycled) — NOT into
+    * the bucket-partitioned corpus, where a pruned probe reading other
+    * buckets would never see them and a deleted vector would keep
+    * serving (IngestSegments.applyTombstones' rationale). Every probe
+    * reads the whole side table (retracted-id-sized) and drops corpus
+    * rows with ing ≤ the id's newest tombstone; a later re-ingest
+    * (higher ing) resurrects the id. Overwrite-by-own-id → replay-
+    * idempotent trivially. */
+  def retractAnnVecs(path: String)(batch: DataFrame, batchId: Long): Unit =
+    graft.sinks.IngestSegments
+      .writeTombstones(batch, s"$path/tomb", "vec_id", batchId)
+
+  private def annTombstones(spark: SparkSession, path: String): DataFrame =
+    graft.sinks.IngestSegments.readTombstones(spark, s"$path/tomb", "vec_id")
+
+  /** Fold old ANN segments: latest version per vec_id wins on the
+    * persisted logical `ing`, tombstoned versions drop (the side table
+    * keeps the tombstones themselves — re-application is idempotent,
+    * which is what keeps crash-window double-reads safe), bucket
+    * layout preserved so pruning keeps working on the fold. */
+  def compactAnnLshIndex(spark: SparkSession, path: String): Unit = {
     graft.sinks.IngestSegments.compact(spark, s"$path/corpus",
       fold = df => {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
-        df.withColumn("__rn", row_number().over(w))
+          .partitionBy(col("vec_id")).orderBy(col("ing").desc)
+        graft.sinks.IngestSegments.applyTombstones(
+            df, annTombstones(spark, path), "vec_id", "ing")
+          .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
-          .select(col("vec_id"), col("v"), col("bucket"))
+          .select(col("vec_id"), col("v"), col("bucket"), col("ing"))
       },
       partitionCols = Seq("bucket"))
+    graft.sinks.IngestSegments.compactTombstones(spark, s"$path/tomb", "vec_id")
+  }
 
   /** [[probeAnnLshIndex]] against the LIVE fold+tail state: same probed
     * bucket enumeration on the driver, same pruned scan per segment,
@@ -317,12 +344,21 @@ object SimilarityOps {
         import s.implicits._
         Seq.empty[(Long, Double)].toDF("neighbor_id", "cosine")
       case Some((live, ids)) =>
-        val pruned = live.filter(col("vec_id") =!= excludeVecId)
+        // retraction first (the side table is bucket-blind, so it
+        // applies whatever the pruned slice holds), then the recency
+        // window on the persisted logical ing — both skippable only
+        // when provably no-ops (single segment ⇒ single version per
+        // id; no tomb table ⇒ nothing retracted)
+        val pruned0 = live.filter(col("vec_id") =!= excludeVecId)
+        val pruned =
+          if (!graft.sinks.Hfs.exists(s, s"$path/tomb")) pruned0
+          else graft.sinks.IngestSegments.applyTombstones(
+            pruned0, annTombstones(s, path), "vec_id", "ing")
         val resolved =
           if (ids.size <= 1) pruned
           else {
             val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("vec_id")).orderBy(col("ingest").desc)
+              .partitionBy(col("vec_id")).orderBy(col("ing").desc)
             pruned.withColumn("__rn", row_number().over(w))
               .filter(col("__rn") === 1)
           }
@@ -345,8 +381,11 @@ object SimilarityOps {
     * which the q105 probe must read correctly. */
   private def ensureAnnLshLifecycle(s: SparkSession, d: String,
       bits: Int): String = synchronized {
+    // -v2ing: r16 added the persisted logical `ing` column (tombstone
+    // convention) — a pre-r16 layout must rebuild, not feed the probe
+    // a schema without it
     val path =
-      s"${sys.props("java.io.tmpdir")}/graft-annlsh-stream/${sourceTag(s, d, "embeddings")}-b$bits"
+      s"${sys.props("java.io.tmpdir")}/graft-annlsh-stream/${sourceTag(s, d, "embeddings")}-b$bits-v2ing"
     if (graft.sinks.Hfs.readString(s, s"$path/__done").isEmpty) {
       graft.sinks.Hfs.deleteRecursive(s, path)
       val emb = t(s, d, "embeddings")
@@ -367,6 +406,49 @@ object SimilarityOps {
     * lifecycle is the thing under test, not a new query semantics). */
   val annLshTopKStream: Q = (s, d) => {
     val path = ensureAnnLshLifecycle(s, d, 8)
+    val qVec = t(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    probeAnnLshIndexLive(s, path, qVec, bits = 8, probe = 2, k = 10)
+  }
+
+  /** The ANN retraction lifecycle — q105's worst retractable state
+    * (the q167 convention applied to vectors): three ingest cuts with
+    * a mid-lifecycle fold, retract vec ≡ 3 (mod 10), resurrect the
+    * ≡ 3 (mod 20) half, fold again (tombstoned versions drop, the side
+    * table's tombstones survive with their logical ing), then a final
+    * live-tail retraction of the ≡ 3 (mod 40) quarter. Built once per
+    * fixture via the StagedLayout publish. */
+  private def ensureAnnLshRetractLifecycle(s: SparkSession, d: String,
+      bits: Int): String = synchronized {
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft-annlsh-retract/${sourceTag(s, d, "embeddings")}-b$bits"
+    graft.sinks.StagedLayout.ensure(s, path)(
+      graft.sinks.Hfs.readString(s, s"$path/__done").nonEmpty) { stage =>
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      def cut(b: Long) = emb.filter(pmod(col("vec_id"), lit(3)) === b)
+      ingestAnnSegment(cut(0), stage, 0L, bits)
+      ingestAnnSegment(cut(1), stage, 1L, bits)
+      compactAnnLshIndex(s, stage)
+      ingestAnnSegment(cut(2), stage, 2L, bits)
+      retractAnnVecs(stage)(emb.filter(pmod(col("vec_id"), lit(10)) === 3), 3L)
+      ingestAnnSegment(
+        emb.filter(pmod(col("vec_id"), lit(20)) === 3), stage, 4L, bits)
+      compactAnnLshIndex(s, stage)
+      retractAnnVecs(stage)(emb.filter(pmod(col("vec_id"), lit(40)) === 3), 5L)
+      graft.sinks.Hfs.writeString(s, s"$stage/__done", "ok")
+    }
+  }
+
+  /** q169: retraction through the ANN ingest lifecycle — a vector
+    * deleted upstream must leave the index (the probe must NEVER
+    * return a deleted vec_id, not "until compaction"): tombstones live
+    * in the bucket-blind side table, so the pruned probe drops them
+    * whatever buckets it reads. Hash-gated against q38's generated
+    * oracle over the POST-RETRACTION vector set. */
+  val annLshRetract: Q = (s, d) => {
+    val path = ensureAnnLshRetractLifecycle(s, d, 8)
     val qVec = t(s, d, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
       .collect()(0).getSeq[Double](0).toArray
@@ -1489,6 +1571,7 @@ object SimilarityOps {
     "q26_label_centroids" -> labelCentroidStats,
     "q38_ann_lsh_topk" -> annLshTopK,
     "q105_ann_lsh_stream" -> annLshTopKStream,
+    "q169_ann_retract" -> annLshRetract,
     "q42_ann_ivf_topk" -> annIvfTopK,
     "q51_embedding_dups" -> embeddingDupPairs,
     "q54_embedding_dups_lsh" -> ((s, d) => embeddingDupsBucketed(s, d)),
@@ -1501,7 +1584,8 @@ object SimilarityOps {
     * printed into the SQL (Double.toString round-trips exactly, so both
     * engines see identical plane coordinates; sign decisions on ~unit
     * dot products are far from the fp boundary). */
-  private def lshOracle(bits: Int, probe: Int): String = {
+  private def lshOracle(bits: Int, probe: Int,
+      livePred: String = "TRUE"): String = {
     val planes = hyperplanes(64, bits)
     def arr(h: Array[Double]) = h.mkString("[", ",", "]") + "::DOUBLE[]"
     val bucketExpr = planes.zipWithIndex.map { case (h, i) =>
@@ -1510,7 +1594,7 @@ object SimilarityOps {
     s"""WITH b AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |         CAST($bucketExpr AS BIGINT) AS bucket
-       |  FROM embeddings),
+       |  FROM embeddings WHERE $livePred),
        |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
        |SELECT e.vec_id AS neighbor_id,
        | round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
@@ -1815,6 +1899,11 @@ object SimilarityOps {
     // q105 ≡ q38 through the ingest lifecycle — same oracle on purpose
     // (the q98/q102 promote-the-lifecycle-to-the-oracle pattern)
     "q105_ann_lsh_stream" -> lshOracle(8, 2),
+    // q169 = q38's oracle over the post-retraction vector set: live =
+    // never retracted, or resurrected and not re-retracted (the
+    // lifecycle's mod-10/20/40 sets reduce to these two exclusions)
+    "q169_ann_retract" -> lshOracle(8, 2,
+      "NOT (vec_id % 20 = 13) AND NOT (vec_id % 40 = 3)"),
     "q25_ann_cosine_topk" ->
       """SELECT e.vec_id AS neighbor_id,
         | round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),6) AS cosine

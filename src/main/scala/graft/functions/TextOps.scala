@@ -938,6 +938,47 @@ object TextOps {
       }
     }
 
+  /** The retraction lifecycle twin of [[ensureCutLifecycle]] — the
+    * worst RETRACTABLE state a store can serve from: the three-cut
+    * ingest (fold of cuts 0/1 + cut 2), then a retraction batch, a
+    * resurrection batch (a retracted slice re-ingested — the CDC
+    * insert-after-delete), a SECOND compaction (so tombstones cross a
+    * fold boundary: dead rows dropped, tombstones carried with their
+    * logical `ing`), and a final retraction left LIVE in the tail (so
+    * the read-time resolve must mask fold rows and re-kill a
+    * resurrected doc). Batches: 0/1/2 ingest cuts (pmod 3), 3 =
+    * retract(`retract1`), 4 = re-ingest(`resurrect` — MUST be ⊆
+    * retract1: re-ingesting a live doc would violate the
+    * one-doc-one-admission contract and double-count additive
+    * partials), compact, 5 = retract(`retract2`). Same tag/__done
+    * idempotence and StagedLayout publish as the plain lifecycle. */
+  private[graft] def ensureRetractLifecycle(s: SparkSession, d: String,
+      kind: String,
+      writer: String => (DataFrame, Long) => Unit,
+      retractor: String => (DataFrame, Long) => Unit,
+      compact: String => Unit,
+      retract1: Column, resurrect: Column, retract2: Column): String =
+    synchronized {
+      val (len, mtime) = graft.sinks.Hfs.stat(s, s"$d/documents.parquet")
+      val tag =
+        s"${graft.functions.Scalars.md5Hex(d.getBytes("UTF-8")).take(12)}_${len}_$mtime"
+      val loc = s"${sys.props("java.io.tmpdir")}/graft-$kind/$tag"
+      graft.sinks.StagedLayout.ensure(s, loc)(
+        graft.sinks.Hfs.readString(s, s"$loc/__done").nonEmpty) { stage =>
+        val docs = t(s, d, "documents")
+        def cut(b: Long) = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        writer(stage)(cut(0), 0L)
+        writer(stage)(cut(1), 1L)
+        compact(stage)
+        writer(stage)(cut(2), 2L)
+        retractor(stage)(docs.filter(retract1), 3L)
+        writer(stage)(docs.filter(resurrect), 4L)
+        compact(stage)
+        retractor(stage)(docs.filter(retract2), 5L)
+        graft.sinks.Hfs.writeString(s, s"$stage/__done", "ok")
+      }
+    }
+
   /** Unigram-LM quality score (q88) — the cheap statistical tier of the
     * CCNet/Gopher-style quality cascade: score every document by its
     * MEAN add-one-smoothed token probability under a unigram model

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The per-ingest segment lifecycle shared by the three persistent
@@ -177,6 +177,96 @@ object IngestSegments {
     * [[compact]] is otherwise impossible to interleave
     * deterministically. Production no-op. */
   private[graft] var compactRaceHookForTests: () => Unit = () => ()
+
+  /** TOMBSTONE convention — retraction support for the row stores
+    * (the reference's CDC `D` route, `app/OdsBaseDbApp.scala:102-106`,
+    * applied to the persistent indexes: a doc deleted upstream must
+    * leave the stores, or every stored-road report silently counts
+    * ghost docs forever).
+    *
+    * A retractable table carries per row a LOGICAL ingest column
+    * (`ing` = the writing batch's id, persisted as DATA) and writes
+    * retractions as TOMBSTONE rows in the SAME segment id space, each
+    * marked by a table-chosen indicator (a sentinel the schema can
+    * never produce, or an explicit boolean). Latest-wins per key: a
+    * row is live iff no tombstone for its key has `ing` ≥ the row's —
+    * so a later re-ingest (CDC insert-after-delete) resurrects the
+    * key. `ing` MUST be a data column, not the directory id: a
+    * compaction fold keeps rows under a directory id below every live
+    * segment, and comparing by directory id would let any live
+    * tombstone kill every folded row — including ones that survived
+    * that very tombstone inside the fold.
+    *
+    * Folds apply the resolution to DROP dead rows but KEEP the
+    * tombstones themselves (deduped to the newest per key, `ing`
+    * preserved): re-applying a kept tombstone is idempotent by the
+    * `ing` comparison, which is what keeps the rename-before-delete
+    * crash window safe — a reader racing a compact's delete phase sees
+    * fold + leftover source segments, and both resolve every row to
+    * the SAME verdict (duplicate tolerance extends to tombstones).
+    * Dropping an absorbed tombstone instead would transiently
+    * RESURRECT the retracted rows still readable in a not-yet-deleted
+    * source segment — wrong rows, not tolerable duplicates. Tombstones
+    * are retracted-key-sized and parquet-RLE-friendly; they retire
+    * with the store rebuild.
+    *
+    * The resolve plans the store scan twice (tombstone aggregate +
+    * live rows) — the tombstone side prunes to nothing on row-group
+    * stats when no retraction ever happened — and BROADCASTS the
+    * per-key tombstone aggregate (retracted-key-sized; Catalyst's
+    * file-size estimate would otherwise refuse). A retraction wave
+    * past the broadcast budget is a rebuild-the-store event, not a
+    * serving regime: the hint then fails LOUDLY at the driver, never
+    * silently degrades. */
+  def resolveTombstones(rows: DataFrame, keyCol: String, ingCol: String,
+      isTomb: Column): DataFrame =
+    applyTombstones(rows.filter(!isTomb),
+      rows.filter(isTomb).select(col(keyCol), col(ingCol)), keyCol, ingCol)
+
+  /** [[resolveTombstones]] for stores whose tombstones live in a
+    * SEPARATE tiny side table instead of the store's own rows — the
+    * partition-pruned corpora (bucket/cell ANN layouts): a tombstone
+    * cannot know which partition dir its victim's row lives in, so an
+    * in-store tombstone under one bucket would be invisible to a probe
+    * pruned to other buckets and a deleted vector would keep serving.
+    * The side table is retracted-key-sized, unpartitioned, read whole
+    * by every probe. `tombs` rows are (keyCol, ingCol); same
+    * latest-wins semantics and broadcast bound as the in-store form. */
+  def applyTombstones(rows: DataFrame, tombs: DataFrame, keyCol: String,
+      ingCol: String): DataFrame = {
+    val t = tombs.groupBy(col(keyCol)).agg(max(col(ingCol)).as("__tomb_ing"))
+    rows.join(broadcast(t), Seq(keyCol), "left")
+      .filter(col("__tomb_ing").isNull || col(ingCol) > col("__tomb_ing"))
+      .drop("__tomb_ing")
+  }
+
+  /** Side-table tombstone segment writer: the batch's retracted keys
+    * as (keyCol, ing = batchId) rows at `tablePath/ingest=batchId` —
+    * overwrite-by-own-id, content independent of store state, so
+    * replay idempotence is trivial. */
+  def writeTombstones(batch: DataFrame, tablePath: String, keyCol: String,
+      batchId: Long): Unit =
+    batch.select(col(keyCol)).distinct()
+      .withColumn("ing", lit(batchId))
+      .write.mode("overwrite").parquet(s"$tablePath/ingest=$batchId")
+
+  /** The live tombstone side table — (keyCol, ing) rows, possibly
+    * duplicated across segments ([[applyTombstones]]' max makes that
+    * harmless). Empty when no retraction ever happened. */
+  def readTombstones(spark: SparkSession, tablePath: String,
+      keyCol: String): DataFrame =
+    readLive(spark, tablePath) match {
+      case None =>
+        spark.range(0).select(col("id").as(keyCol), col("id").as("ing"))
+      case Some(rows) => rows.select(col(keyCol), col("ing"))
+    }
+
+  /** Fold the tombstone side table to the newest tombstone per key. */
+  def compactTombstones(spark: SparkSession, tablePath: String,
+      keyCol: String): Unit =
+    compact(spark, tablePath,
+      fold = _.groupBy(col(keyCol)).agg(max(col("ing")).as("ing")),
+      partitionCols = Seq.empty)
 
   /** The bmod bucket count is LAYOUT GEOMETRY, not a free parameter: a
     * probe computing bucket ids with a different modulus than the one

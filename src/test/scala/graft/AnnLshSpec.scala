@@ -204,6 +204,45 @@ class AnnLshSpec extends SparkSpec {
         "latest-wins resolution must pick ingest 1's vector")
   }
 
+  test("retraction: a deleted vector never surfaces whatever buckets are probed; resurrection restores it; folds apply and keep tombstones") {
+    import spark.implicits._
+    val rnd = new java.util.Random(17)
+    def rv() = Array.fill(16)(rnd.nextGaussian()).toSeq
+    val q = rv()
+    def near(eps: Double) = q.map(x => x + eps * rnd.nextGaussian())
+    val dir = java.nio.file.Files.createTempDirectory("graft-annret").toString
+    // vec 7 is engineered NEAR the query (same bucket, top score) —
+    // exactly the row a pruned probe is guaranteed to read
+    SimilarityOps.ingestAnnSegment(
+      (Seq((0L, q), (7L, near(0.01))) ++ (20L to 40L).map(i => (i, rv())))
+        .toDF("vec_id", "v"), dir, 0L, bits = 4, dims = 16)
+    SimilarityOps.ingestAnnSegment(
+      (41L to 50L).map(i => (i, rv())).toDF("vec_id", "v"),
+      dir, 1L, bits = 4, dims = 16)
+    def got() = SimilarityOps.probeAnnLshIndexLive(
+        spark, dir, q.toArray, bits = 4, probe = 4, k = 100)
+      .as[(Long, Double)].collect().toMap
+    assert(got().contains(7L))
+    // retract 7 + a never-ingested 999 (no-op): 7 must vanish even
+    // though its bucket is still probed — the side table is
+    // bucket-blind by design
+    SimilarityOps.retractAnnVecs(dir)(
+      Seq((7L, ""), (999L, "")).toDF("vec_id", "x"), 2L)
+    assert(!got().contains(7L), "a deleted vector surfaced from the probe")
+    // fold applies the tombstone (dead rows drop) and keeps it
+    SimilarityOps.compactAnnLshIndex(spark, dir)
+    assert(!got().contains(7L), "compaction resurrected a deleted vector")
+    // resurrection: a higher-ing re-ingest outranks the tombstone
+    SimilarityOps.ingestAnnSegment(
+      Seq((7L, near(0.01))).toDF("vec_id", "v"), dir, 3L, bits = 4, dims = 16)
+    assert(got().contains(7L), "a re-ingested vector must serve again")
+    // re-kill in the live tail, then fold — still dead
+    SimilarityOps.retractAnnVecs(dir)(Seq((7L, "")).toDF("vec_id", "x"), 4L)
+    assert(!got().contains(7L))
+    SimilarityOps.compactAnnLshIndex(spark, dir)
+    assert(!got().contains(7L))
+  }
+
   test("an ingest declaring a different vector width is refused BEFORE writing") {
     import spark.implicits._
     val rnd = new java.util.Random(13)

@@ -855,6 +855,152 @@ class DedupSpec extends SparkSpec {
       "index-served provenance must equal the live batch audit view")
   }
 
+  test("q167 retraction: retract/resurrect/double-retract through folds — every view equals the batch scan on the live corpus") {
+    val run10 = (1 to 10).map(i => s"r$i").mkString(" ") // docs 0 and 2
+    val runB = (1 to 10).map(i => s"b$i").mkString(" ")  // docs 6 and 8
+    val rep8 = (1 to 8).map(i => s"s$i").mkString(" ")   // twice inside doc 4
+    def uniq(seed: Int, n: Int) = (1 to n).map(j => s"u${seed}x$j").mkString(" ")
+    val all = Map(
+      0L -> (uniq(0, 4) + " " + run10),
+      2L -> (run10 + " " + uniq(2, 5)),
+      4L -> (rep8 + " q0 " + rep8),
+      6L -> (runB + " " + uniq(6, 3)),
+      8L -> (uniq(8, 2) + " " + runB))
+    def df(ids: Long*) = ids.map(id => (id, all(id))).toDF("doc_id", "text")
+    def docIds(ids: Long*) = ids.map(id => (id, "")).toDF("doc_id", "text")
+    val loc = java.nio.file.Files.createTempDirectory("graft-retract").toString
+    val w = graft.sinks.SubstrIndexSink.writer(loc) _
+    val r = graft.sinks.SubstrIndexSink.retract(loc) _
+    def spansNow = graft.sinks.SubstrIndexSink.spans(spark, loc)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def batchOver(ids: Long*) = DedupOps.substringSpansOver(df(ids: _*), 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    w(df(0L, 2L), 0L); w(df(4L, 6L), 1L)
+    graft.sinks.SubstrIndexSink.compact(spark, loc)
+    w(df(8L), 2L)
+    // retract doc 2 (run10's only partner — doc 0's span must DIE via
+    // the counts store's negative partial), doc 6 (runB partner), and
+    // a never-ingested doc 99 (must be a no-op)
+    r(docIds(2L, 6L, 99L), 3L)
+    assert(spansNow == batchOver(0L, 4L, 8L),
+      "post-retraction spans must equal the batch scan on the live corpus")
+    // resurrect doc 6 (CDC insert-after-delete): runB is a dup again
+    w(df(6L), 4L)
+    assert(spansNow == batchOver(0L, 4L, 6L, 8L),
+      "a resurrected doc must count again (latest-wins on logical ing)")
+    // fold with tombstones: dead rows drop, tombstones carried
+    graft.sinks.SubstrIndexSink.compact(spark, loc)
+    assert(spansNow == batchOver(0L, 4L, 6L, 8L),
+      "the fold must not change the served answer")
+    // live-tail retraction: re-kill resurrected 6's partner 8, and
+    // DOUBLE-retract dead doc 2 — its counts must not subtract twice
+    // (run10's count must stay 1, not go to 0 or negative)
+    r(docIds(8L, 2L), 5L)
+    r(docIds(8L, 2L), 5L) // streaming replay: byte-identical, no-op
+    val finalWant = batchOver(0L, 4L, 6L)
+    assert(spansNow == finalWant && finalWant ==
+      DedupOps.substringSpansOver(df(4L), 8)
+        .as[(Long, Long, Long, Long)].collect().toSet,
+      "final state: only doc 4's internal repetition spans survive")
+    // the removal and provenance views over the same retracted store
+    val live = df(0L, 4L, 6L)
+    val gotRemove = DedupOps.removalFromSpans(live,
+        graft.sinks.SubstrIndexSink.spans(spark, loc))
+      .as[(Long, String, Long)].collect().toSet
+    val wantRemove = DedupOps.substringRemoveOver(live, 8)
+      .as[(Long, String, Long)].collect().toSet
+    assert(gotRemove == wantRemove)
+    val gotProv = graft.sinks.SubstrIndexSink.provenance(spark, loc)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val wantProv = DedupOps.spanProvenanceOver(live, 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(gotProv == wantProv,
+      "provenance over the retracted store must equal the live batch view")
+  }
+
+  test("mixed CDC batch: delete wins — a doc inserted and deleted in ONE batch is never admitted and inflates no gram counts") {
+    val run10 = (1 to 10).map(i => s"r$i").mkString(" ")
+    val runB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val rep8 = (1 to 8).map(i => s"s$i").mkString(" ")
+    def uniq(seed: Int, n: Int) = (1 to n).map(j => s"u${seed}x$j").mkString(" ")
+    val loc = java.nio.file.Files.createTempDirectory("graft-cdcmix").toString
+    val c = graft.sinks.SubstrIndexSink.cdc(loc) _
+    c(Seq(
+      (0L, "I", uniq(0, 4) + " " + run10),
+      (4L, "I", rep8 + " q0 " + rep8)).toDF("doc_id", "op", "text"), 0L)
+    // one batch: two inserts, a delete of a prior doc is absent here —
+    // doc 12 is inserted AND deleted in THIS batch (CDC insert+delete
+    // within one poll): delete wins, so run10 must NOT become a dup
+    // witness through 12's never-admitted grams (a counts-only leak
+    // would give doc 0 a phantom span)
+    c(Seq(
+      (6L, "I", runB + " " + uniq(6, 3)),
+      (8L, "I", uniq(8, 2) + " " + runB),
+      (12L, "I", run10 + " " + uniq(12, 5)),
+      (12L, "D", "x")).toDF("doc_id", "op", "text"), 1L)
+    val live = Seq(
+      (0L, uniq(0, 4) + " " + run10),
+      (4L, rep8 + " q0 " + rep8),
+      (6L, runB + " " + uniq(6, 3)),
+      (8L, uniq(8, 2) + " " + runB)).toDF("doc_id", "text")
+    val want = DedupOps.substringSpansOver(live, 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(!want.exists(_._1 == 0L) && want.exists(_._1 == 6L),
+      s"fixture construction drifted: $want")
+    val got = graft.sinks.SubstrIndexSink.spans(spark, loc)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want, "delete-wins admission drifted from the batch scan")
+    // and the doc is re-admittable later (the tombstone is outranked)
+    c(Seq((12L, "I", run10 + " " + uniq(12, 5)))
+      .toDF("doc_id", "op", "text"), 2L)
+    val live2 = live.unionByName(
+      Seq((12L, run10 + " " + uniq(12, 5))).toDF("doc_id", "text"))
+    val want2 = DedupOps.substringSpansOver(live2, 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want2.exists(_._1 == 0L), s"fixture construction drifted: $want2")
+    val got2 = graft.sinks.SubstrIndexSink.spans(spark, loc)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got2 == want2, "re-admission after an in-batch delete drifted")
+  }
+
+  test("q168 registry retraction: a retired benchmark doc stops cutting; a gram shared with a surviving doc keeps cutting") {
+    val gramX = "x1 x2 x3 x4"       // only in bench doc 1
+    val shared = "s1 s2 s3 s4"      // in bench docs 1 AND 2
+    def uniq(seed: Int, n: Int) = (1 to n).map(j => s"u${seed}x$j").mkString(" ")
+    val bench1 = (1L, gramX + " " + uniq(1, 3) + " " + shared)
+    val bench2 = (2L, shared + " " + uniq(2, 4))
+    val train = (30L, gramX + " " + uniq(3, 5) + " " + shared)
+    val reg = java.nio.file.Files.createTempDirectory("graft-regret").toString
+    val w = graft.sinks.BenchRegistrySink.writer(reg) _
+    val r = graft.sinks.BenchRegistrySink.retract(reg) _
+    val trainDf = Seq(train).toDF("doc_id", "text")
+    def cutNow = DedupOps.removalFromSpans(trainDf,
+        DedupOps.decontamSpansFromRegistry(
+          graft.sinks.BenchRegistrySink.registry(spark, reg), trainDf, 4)._1)
+      .as[(Long, String, Long)].collect().toSet
+    def batchCut(bench: (Long, String)*) =
+      DedupOps.substringDecontamOver(
+        (bench :+ train).toDF("doc_id", "text"), 4)
+        .as[(Long, String, Long)].collect().toSet
+
+    w(Seq(bench1).toDF("doc_id", "text"), 0L)
+    w(Seq(bench2).toDF("doc_id", "text"), 1L)
+    graft.sinks.BenchRegistrySink.compact(spark, reg)
+    assert(cutNow == batchCut(bench1, bench2))
+    // retire bench doc 1: gramX stops cutting, shared keeps cutting
+    // through surviving doc 2 — only per-doc pair rows can tell apart
+    r(Seq((1L, "")).toDF("doc_id", "text"), 2L)
+    assert(cutNow == batchCut(bench2),
+      "a retired benchmark doc must stop cutting; shared grams survive")
+    // fold with the tombstone, then resurrect doc 1
+    graft.sinks.BenchRegistrySink.compact(spark, reg)
+    assert(cutNow == batchCut(bench2), "fold must not change the answer")
+    w(Seq(bench1).toDF("doc_id", "text"), 3L)
+    assert(cutNow == batchCut(bench1, bench2),
+      "a re-admitted benchmark doc must cut again")
+  }
+
   test("q157 provenance: cross-doc partner is the lowest counterpart; internal repetition partners itself") {
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 toks
     val run2 = "p1 p2 p3 p4 p5 p6 p7 p8" // exactly L, repeated WITHIN doc 3

@@ -66,7 +66,9 @@ class PqSpec extends SparkSpec {
     val (_, books) = PqOps.loadModel(spark, path)
     val (m, ksub) = (books.length, books(0).length)
     val codes = spark.read.parquet(s"$path/codes")
-    assert(codes.columns.toSet == Set("vec_id", "cell", "codes", "ingest"))
+    // `ing` = the persisted logical ingest (tombstone convention);
+    // `ingest` is the directory id
+    assert(codes.columns.toSet == Set("vec_id", "cell", "codes", "ing", "ingest"))
     val bad = codes.filter(size(col("codes")) =!= m ||
       exists(col("codes"), c => c < 0 || c >= ksub)).count()
     assert(bad == 0)
@@ -158,6 +160,48 @@ class PqSpec extends SparkSpec {
       assert(joined(qid) == want,
         s"multi-segment kNN join drifted from the single probe for $qid")
     }
+  }
+
+  test("retraction: a deleted vec_id never surfaces from probe or kNN join; resurrection restores it; folds apply and keep tombstones") {
+    val rnd = new java.util.Random(37)
+    def rv() = Array.fill(64)(rnd.nextGaussian()).toSeq
+    val boot = (0 to 40).map(i => (i.toLong, rv()))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqret").toString
+    PqOps.buildPqIndex(boot.toDF("vec_id", "v"), dir, kCells = 4, ksub = 16)
+    val q = boot.head._2.toArray
+    def ids() = PqOps.probePqIndex(spark, dir, q, nprobe = 4, topk = 200)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val b0 = (41 to 50).map(i => (i.toLong, rv()))
+    PqOps.ingestPqSegment(b0.toDF("vec_id", "v"), dir, 0L)
+    assert(ids() == (1L to 50L).toSet)
+    // retract 7 (bootstrap segment) and 45 (ingest segment) — NEVER
+    // returned afterwards, whatever cells the probe prunes to; 999
+    // (never ingested) is a harmless no-op
+    PqOps.retractPqVecs(dir)(
+      Seq((7L, ""), (45L, ""), (999L, "")).toDF("vec_id", "x"), 1L)
+    assert(ids() == (1L to 50L).toSet -- Set(7L, 45L),
+      "a deleted vec_id surfaced from the probe")
+    // the batched kNN join sees the same tombstones
+    val joined = PqOps.pqKnnJoin(spark, dir,
+        Seq((0L, boot.head._2)).toDF("query_id", "qv"), nprobe = 4,
+        topk = 200)
+      .as[(Long, Long, Double)].collect().map(_._2).toSet
+    assert(joined == (1L to 50L).toSet -- Set(7L, 45L),
+      "a deleted vec_id surfaced from the kNN join")
+    // fold: dead codes drop, the answer is unchanged, tombstones stay
+    PqOps.compactPqIndex(spark, dir)
+    assert(ids() == (1L to 50L).toSet -- Set(7L, 45L))
+    // resurrection (same id, same vector — the immutability contract):
+    // a higher-ing ingest outranks the tombstone
+    PqOps.ingestPqSegment(Seq((7L, boot(7)._2)).toDF("vec_id", "v"), dir, 2L)
+    assert(ids() == (1L to 50L).toSet - 45L,
+      "a re-ingested id after retraction must serve again")
+    // and a second retraction re-kills it through the folded state
+    PqOps.retractPqVecs(dir)(Seq((7L, "")).toDF("vec_id", "x"), 3L)
+    assert(ids() == (1L to 50L).toSet -- Set(7L, 45L))
+    PqOps.compactPqIndex(spark, dir)
+    assert(ids() == (1L to 50L).toSet -- Set(7L, 45L),
+      "compaction resurrected a deleted vec_id")
   }
 
   test("PQ kNN join: every query row matches its single-probe twin exactly") {

@@ -194,6 +194,122 @@ class RecoverySpec extends SparkSpec {
       "spans across a kill-and-restart must equal the batch scan")
   }
 
+  test("q167 retraction through a REAL checkpointed stream: kill between ingest and a MIXED insert+delete batch, resume, spans ≡ batch on the live corpus") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("rec5_in").toString
+    val ckpt = Files.createTempDirectory("rec5_ckpt").toString
+    val idx = Files.createTempDirectory("rec5_idx").toString
+
+    val run10 = (1 to 10).map(i => s"r$i").mkString(" ") // docs 0, 2
+    val runB = (1 to 10).map(i => s"b$i").mkString(" ")  // docs 6, 8
+    val rep8 = (1 to 8).map(i => s"s$i").mkString(" ")   // twice in doc 4
+    def uniq(seed: Int, n: Int) = (1 to n).map(j => s"u${seed}x$j").mkString(" ")
+    def line(id: Long, op: String, text: String) = s"$id\t$op\t$text"
+    Files.writeString(java.nio.file.Path.of(s"$in/a.txt"),
+      line(0L, "I", uniq(0, 4) + " " + run10) + "\n" +
+        line(2L, "I", run10 + " " + uniq(2, 5)) + "\n" +
+        line(4L, "I", rep8 + " q0 " + rep8) + "\n")
+
+    def startQuery() = {
+      val parsed = spark.readStream.format("text").load(in)
+        .select(split(col("value"), "\t").as("kv"))
+        .select(col("kv")(0).cast("long").as("doc_id"),
+          col("kv")(1).as("op"), col("kv")(2).as("text"))
+      parsed.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          graft.sinks.SubstrIndexSink.cdc(idx)(batch, bid)
+        }
+        .start()
+    }
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // killed after the pure-ingest batch
+    // the restart batch MIXES inserts (the runB pair) with the delete
+    // of doc 2 — run10's only partner, so doc 0's span must die via
+    // the negative count partial computed across the restart
+    Files.writeString(java.nio.file.Path.of(s"$in/b.txt"),
+      line(6L, "I", runB + " " + uniq(6, 3)) + "\n" +
+        line(8L, "I", uniq(8, 2) + " " + runB) + "\n" +
+        line(2L, "D", "x") + "\n")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    graft.sinks.SubstrIndexSink.compact(spark, idx)
+    q2.stop()
+
+    val live = Seq(
+      (0L, uniq(0, 4) + " " + run10),
+      (4L, rep8 + " q0 " + rep8),
+      (6L, runB + " " + uniq(6, 3)),
+      (8L, uniq(8, 2) + " " + runB)).toDF("doc_id", "text")
+    val want = graft.functions.DedupOps.substringSpansOver(live, 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // fixture sanity: runB spans present, run10's NOT (partner deleted)
+    assert(want.exists(_._1 == 6L) && !want.exists(_._1 == 0L),
+      s"fixture construction drifted: $want")
+    val got = graft.sinks.SubstrIndexSink.spans(spark, idx)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want,
+      "spans after a kill + mixed insert/delete batch must equal the " +
+        "batch scan on the live corpus")
+  }
+
+  test("q168 registry retraction through a REAL checkpointed stream: kill, then a mixed admit+retire batch, cut ≡ batch q162 on the live suite") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("rec6_in").toString
+    val ckpt = Files.createTempDirectory("rec6_ckpt").toString
+    val reg = Files.createTempDirectory("rec6_reg").toString
+
+    val leakA = (1 to 5).map(i => s"a$i").mkString(" ") // bench doc 0
+    val leakB = (1 to 5).map(i => s"b$i").mkString(" ") // bench doc 1
+    def uniq(seed: Int, n: Int) = (1 to n).map(j => s"u${seed}x$j").mkString(" ")
+    def line(id: Long, op: String, text: String) = s"$id\t$op\t$text"
+    Files.writeString(java.nio.file.Path.of(s"$in/a.txt"),
+      line(0L, "I", uniq(0, 3) + " " + leakA) + "\n")
+
+    def startQuery() = {
+      val parsed = spark.readStream.format("text").load(in)
+        .select(split(col("value"), "\t").as("kv"))
+        .select(col("kv")(0).cast("long").as("doc_id"),
+          col("kv")(1).as("op"), col("kv")(2).as("text"))
+      parsed.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          graft.sinks.BenchRegistrySink.cdc(reg)(batch, bid)
+        }
+        .start()
+    }
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // killed with only bench doc 0 registered
+    // restart batch: admit bench doc 1 AND retire bench doc 0
+    Files.writeString(java.nio.file.Path.of(s"$in/b.txt"),
+      line(1L, "I", leakB + " " + uniq(1, 7)) + "\n" +
+        line(0L, "D", "x") + "\n")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    graft.sinks.BenchRegistrySink.compact(spark, reg)
+    q2.stop()
+
+    // the live suite is bench doc 1 alone: only leakB cuts
+    val liveDocs = Seq(
+      (1L, leakB + " " + uniq(1, 7)),
+      (20L, leakA + " " + uniq(2, 6) + " " + leakB),
+      (21L, uniq(3, 9))).toDF("doc_id", "text")
+    val want = graft.functions.DedupOps.substringDecontamOver(liveDocs, 4)
+      .as[(Long, String, Long)].collect().toSet
+    assert(want.exists(r => r._1 == 20L && r._3 == 5L),
+      s"fixture construction drifted: $want")
+    val train = liveDocs.filter(col("doc_id") >= 20)
+    val got = graft.functions.DedupOps.removalFromSpans(train,
+      graft.functions.DedupOps.decontamSpansFromRegistry(
+        graft.sinks.BenchRegistrySink.registry(spark, reg), train, 4)._1)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want,
+      "the cut after a kill + mixed admit/retire batch must equal the " +
+        "batch q162 answer on the live suite")
+  }
+
   test("q164 benchmark registry through a REAL checkpointed stream: kill mid-registry, resume, cut ≡ batch q162") {
     import spark.implicits._
     val in = Files.createTempDirectory("rec4_in").toString
