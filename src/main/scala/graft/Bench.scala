@@ -290,8 +290,10 @@ object Bench {
       ("r16 rebase: retraction support — the stored positions carry a " +
         "persisted logical ing and every read resolves tombstones " +
         "(one broadcast-left-join against the tomb aggregate, empty " +
-        "on this unretracted lifecycle); pre-r16 floors timed the " +
-        "resolve-free read"),
+        "on this unretracted lifecycle); the crash-window dedup also " +
+        "moved AFTER the dup join (sparse exchange instead of the " +
+        "corpus-wide (doc_id,pos) one). Pre-r16 floors timed the " +
+        "resolve-free, dedup-first read"),
     "q160_substring_remove_stream" ->
       ("r16 rebase: shares q156's tombstone-resolving position read; " +
         "pre-r16 floors timed the resolve-free read"),

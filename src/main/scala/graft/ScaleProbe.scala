@@ -1187,9 +1187,14 @@ object ScaleProbe {
     // grams + R synthetic filler hashes (spark.range → xxhash64 —
     // disjoint from gram hashes w.h.p., and the exact join kills any
     // collision, so filler only changes the SIZING, never the answer).
-    // Roads forced via the same session confs the router reads
-    // (autoBroadcastJoinThreshold for the budget, bloomFilter
-    // maxNumItems for the clamps) — the router's ANSWER contract is
+    // Roads are called DIRECTLY (broadcast()-hinted / bloomPrunedSpans
+    // / plain join) under the UNTOUCHED session conf: the first cut of
+    // this probe forced routes by lowering autoBroadcastJoinThreshold,
+    // which also de-broadcast the downstream doc-keyed removal join —
+    // the "bloom" arm read 47 s of which ~40 was the removal SMJ every
+    // road would have paid under that conf, not the Bloom at all.
+    // Each road runs twice, the SECOND timing reported (the first pays
+    // per-shape codegen/JIT). The router's ANSWER contract is
     // re-required at every point: all roads, equal cut masses.
     if (on("decontam_bloom_road")) {
       val n = 400000L
@@ -1199,45 +1204,33 @@ object ScaleProbe {
       val train = docs.filter(col("doc_id") >= 20)
       val realBench = functions.DedupOps
         .gramPositions(docs.filter(col("doc_id") < 20), 4).select(col("h"))
-      val bcThresh = "spark.sql.autoBroadcastJoinThreshold"
-      val bloomMax = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-      val (bc0, bm0) = (spark.conf.get(bcThresh), spark.conf.get(bloomMax, "4000000"))
-      try {
-        for (r <- Seq(1000000L, 3000000L)) {
-          val reg = realBench.unionByName(
-              spark.range(r).select(xxhash64(col("id") + lit(1L << 40)).as("h")))
-            .localCheckpoint()
-          def road(route: String): (Double, Long, Long) = {
+      for (r <- Seq(1000000L, 3000000L)) {
+        val benchH = realBench.unionByName(
+            spark.range(r).select(xxhash64(col("id") + lit(1L << 40)).as("h")))
+          .distinct().localCheckpoint()
+        val nBench = benchH.count()
+        def road(mk: => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+          def once(): (Double, Long, Long) = {
             val t0 = System.nanoTime()
-            val (spans, got) = functions.DedupOps
-              .decontamSpansFromRegistry(reg, train, 4)
-            require(got == route,
-              s"conf clamps failed to force the $route road (got $got)")
-            val cut = functions.DedupOps.removalFromSpans(train, spans)
+            val cut = functions.DedupOps.removalFromSpans(train, mk)
               .agg(sum(col("n_removed")),
                 sum(when(col("n_removed") > 0, 1L).otherwise(0L))).collect()(0)
             ((System.nanoTime() - t0) / 1e9, cut.getLong(0), cut.getLong(1))
           }
-          // broadcast: budget sized to hold the registry (32 B/row)
-          spark.conf.set(bcThresh, (r * 64L).toString)
-          spark.conf.set(bloomMax, bm0)
-          val b = road("broadcast")
-          // bloom: past the budget, inside the clamps
-          spark.conf.set(bcThresh, "10240")
-          spark.conf.set(bloomMax, math.max(r * 2L, 4000000L).toString)
-          val f = road("bloom")
-          // plain: past the budget AND the clamps
-          spark.conf.set(bloomMax, "1024")
-          val p = road("plain")
-          require(b._2 == f._2 && f._2 == p._2 && b._3 == f._3 && f._3 == p._3,
-            s"roads disagree at R=$r: $b / $f / $p")
-          println(f"SCALE n=$n%9d decontam_road R=$r%8d " +
-            f"broadcast ${b._1}%6.2f s bloom ${f._1}%6.2f s " +
-            f"plain ${p._1}%6.2f s removed_toks=${b._2}%9d")
+          once(); once()
         }
-      } finally {
-        spark.conf.set(bcThresh, bc0)
-        spark.conf.set(bloomMax, bm0)
+        def trainG = functions.DedupOps.gramPositions(train, 4)
+        val b = road(functions.DedupOps.islandSpans(
+          trainG.join(broadcast(benchH), "h"), 4))
+        val f = road(functions.DedupOps.bloomPrunedSpans(
+          trainG, benchH, nBench, 4))
+        val p = road(functions.DedupOps.islandSpans(
+          trainG.join(benchH, "h"), 4))
+        require(b._2 == f._2 && f._2 == p._2 && b._3 == f._3 && f._3 == p._3,
+          s"roads disagree at R=$r: $b / $f / $p")
+        println(f"SCALE n=$n%9d decontam_road R=$r%8d " +
+          f"broadcast ${b._1}%6.2f s bloom ${f._1}%6.2f s " +
+          f"plain ${p._1}%6.2f s removed_toks=${b._2}%9d")
       }
       docs.unpersist()
     }

@@ -1893,8 +1893,11 @@ object DedupOps {
 
   /** The Bloom-pruned scan 2 + island merge, given a pre-counted dup
     * set that fits the clamps (caller checks). Lazy — the caller owns
-    * materialization and the dup frame's persist lifecycle. */
-  private def bloomPrunedSpans(grams: DataFrame, dup: DataFrame,
+    * materialization and the dup frame's persist lifecycle.
+    * private[graft]: ScaleProbe times the roads DIRECTLY (forcing a
+    * route via session confs would also re-plan every downstream join,
+    * making road-vs-road times incomparable). */
+  private[graft] def bloomPrunedSpans(grams: DataFrame, dup: DataFrame,
       nDup: Long, L: Int): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}

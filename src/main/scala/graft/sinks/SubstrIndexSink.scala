@@ -143,17 +143,32 @@ object SubstrIndexSink {
     }
 
   /** The full-corpus duplicated spans — q154's output shape, computed
-    * from the stored index instead of re-scanning any text. */
+    * from the stored index instead of re-scanning any text. The
+    * crash-window dedup runs AFTER the dup-hash join, not before: a
+    * (doc_id, pos) duplicate carries the same h (functionally
+    * determined), so the join just replicates it against the same dup
+    * row and the later dedup sees both copies — equivalent answer, but
+    * the dedup exchange then keys the SPARSE dup rows (span mass)
+    * instead of the whole position store (the r16 plan audit caught a
+    * corpus-wide (doc_id, pos) exchange upstream of the join that the
+    * join was about to prune anyway). Tombstone resolution stays FIRST
+    * (map-side broadcast) — it must see every copy's ing before any
+    * dedup picks one. provenance() cannot take this order: its stats
+    * aggregate over ALL grams, so it dedups corpus-wide by necessity. */
   def spans(spark: SparkSession, path: String): DataFrame =
-    livePositions(spark, path) match {
+    IngestSegments.readLive(spark, s"$path/pos") match {
       case None =>
         spark.range(0).select(col("id").as("doc_id"),
           col("id").as("span_start"), col("id").as("span_end"),
           col("id").as("n_grams"))
-      case Some(pos) =>
+      case Some(raw) =>
+        val pos = IngestSegments
+          .resolveTombstones(raw, "doc_id", "ing", col("pos") < 0)
+          .select(col("doc_id"), col("pos"), col("h"))
         val dup = AdditiveSegments.read(spark, s"$path/counts", reconcile)
           .filter(col("n") >= 2).select(col("h"))
-        graft.functions.DedupOps.islandSpans(pos.join(dup, "h"), L)
+        graft.functions.DedupOps.islandSpans(
+          pos.join(dup, "h").dropDuplicates("doc_id", "pos"), L)
     }
 
   /** q161: span provenance served from the stored index — the resolved
