@@ -197,9 +197,10 @@ object Bench {
     "q160_substring_remove_stream", "q161_span_provenance_stream",
     "q164_decontam_registry", "q165_decontam_report_stream",
     "q166_duplication_report_stream",
-    // retraction lifecycles (r16): substring / registry / ANN / PQ
+    // retraction lifecycles (r16): substring / registry / ANN / PQ /
+    // label chain
     "q167_substring_retract", "q168_decontam_retract",
-    "q169_ann_retract", "q170_pq_retract",
+    "q169_ann_retract", "q170_pq_retract", "q171_dedup_retract",
     // event-feed lifecycles (retention / transitions / funnel / dwell /
     // pit / session) + the order-wide join store
     "q122_retention_stream", "q133_transitions_stream",

@@ -198,6 +198,17 @@ object PlanDump {
         |ADC probe applies tombstones before its recency window, and the
         |join enters the plan ONLY when a retraction ever happened, so
         |unretracted q94/q107 plans are byte-identical to r15's.""".stripMargin),
+    ("q171_dedup_retract", "node deletion in the label chain: recompute ONLY the retracted docs' clusters from stored edge provenance",
+      """The one retraction a contraction step cannot express: a deleted
+        |node can SPLIT its cluster or retitle it, so the sink keeps the
+        |edges (live iff newer than BOTH endpoints' newest tombstones)
+        |and the retract step collapses just the affected clusters'
+        |surviving edges — affected-component-sized, untouched clusters
+        |spliced verbatim via one broadcast anti-join on the rep set.
+        |Hash-gated against the same recursive-closure oracle as
+        |q62/q115/q116 on the post-retraction corpus, through split,
+        |rep change, vanish, resurrection re-merge and a post-fold
+        |live-tail retraction.""".stripMargin),
     ("q50_asof_join", "merge-form as-of (union + window, no join)", ""),
     ("q51_embedding_dups", "bounded pairwise cosine (verification tier)", ""),
     ("q54_embedding_dups_lsh", "banded hyperplane LSH + fused-cosine verify",

@@ -1760,6 +1760,66 @@ object DedupOps {
   val dedupLabelsStream: Q = (s, d) =>
     graft.sinks.LabelSink.read(s, ensureLabelLifecycle(s, d))
 
+  /** q171: RETRACTION through the label version chain — the one store
+    * whose delete is not a row drop: removing a NODE can split its
+    * cluster (cut vertex) or retitle it (the min-id rep died), which
+    * no contraction step expresses — [[graft.sinks.LabelSink.retract]]
+    * recomputes exactly the retracted docs' clusters from the sink's
+    * stored edge provenance and splices. Lifecycle (the q167 mod
+    * pattern over the pair universe doc_id < 500): three edge cuts
+    * with a mid-chain compact, retract docs ≡ 3 (mod 10), re-ingest
+    * the ≡ 3 (mod 20) half — their surviving pairs re-emitted against
+    * LIVE partners only (the probe never pairs a dead doc; the edge
+    * store's liveness rule trusts that admission contract) — compact
+    * again (the edge fold applies + keeps tombstones), then a final
+    * live-tail retraction of the ≡ 3 (mod 40) quarter. Hash-gated
+    * against the SAME recursive-closure oracle as q62/q115/q116,
+    * restricted to the post-retraction corpus — splits, rep changes
+    * and vanished singletons all have to come out exactly. */
+  val dedupRetract: Q = (s, d) =>
+    graft.sinks.LabelSink.read(s, ensureLabelRetractLifecycle(s, d))
+
+  private def ensureLabelRetractLifecycle(s: SparkSession, d: String): String =
+    synchronized {
+      val (len, mtime) = graft.sinks.Hfs.stat(s, s"$d/documents.parquet")
+      val tag = s"${Scalars.md5Hex(d.getBytes("UTF-8")).take(12)}_${len}_$mtime"
+      val loc = s"${sys.props("java.io.tmpdir")}/graft-labelretract/$tag"
+      graft.sinks.StagedLayout.ensure(s, loc)(
+        graft.sinks.Hfs.readString(s, s"$loc/__done").nonEmpty) { stage =>
+        val pairs = shingleJaccardPairs(s, d)
+          .select(col("doc_a"), col("doc_b"),
+            greatest(pmod(col("doc_a"), lit(3)), pmod(col("doc_b"), lit(3)))
+              .as("step"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          def cut(k: Long) = pairs.filter(col("step") === k)
+            .select(col("doc_a"), col("doc_b"))
+          val universe = t(s, d, "documents")
+            .filter(col("doc_id") < 500).select(col("doc_id"))
+          graft.sinks.LabelSink.writer(stage)(cut(0), 0L)
+          graft.sinks.LabelSink.writer(stage)(cut(1), 1L)
+          graft.sinks.LabelSink.compact(s, stage)
+          graft.sinks.LabelSink.writer(stage)(cut(2), 2L)
+          graft.sinks.LabelSink.retract(stage)(
+            universe.filter(pmod(col("doc_id"), lit(10)) === 3), 3L)
+          // resurrection: the ≡ 3 (mod 20) half re-ingests — its pairs
+          // re-emitted iff BOTH endpoints are live at this point
+          // (dead-at-4 ⇔ ≡ 13 (mod 20): retracted and not resurrected)
+          graft.sinks.LabelSink.writer(stage)(
+            pairs.filter(
+              ((pmod(col("doc_a"), lit(20)) === 3) ||
+                (pmod(col("doc_b"), lit(20)) === 3)) &&
+              (pmod(col("doc_a"), lit(20)) =!= 13) &&
+              (pmod(col("doc_b"), lit(20)) =!= 13))
+              .select(col("doc_a"), col("doc_b")), 4L)
+          graft.sinks.LabelSink.compact(s, stage)
+          graft.sinks.LabelSink.retract(stage)(
+            universe.filter(pmod(col("doc_id"), lit(40)) === 3), 5L)
+          graft.sinks.Hfs.writeString(s, s"$stage/__done", "ok")
+        } finally pairs.unpersist(false): Unit
+      }
+    }
+
   /** q151: dup-cluster size histogram — the audit view a dedup run is
     * judged by ("how much of the corpus is 2-way dups vs 1000-doc
     * boilerplate blobs"): cluster sizes from the q62 closure, then the
@@ -2447,6 +2507,7 @@ object DedupOps {
     "q166_duplication_report_stream" -> duplicationReportStream,
     "q167_substring_retract" -> substringRetract,
     "q168_decontam_retract" -> decontamRegistryRetract,
+    "q171_dedup_retract" -> dedupRetract,
     "q151_cluster_sizes" -> clusterSizeHistogram,
     "q116_dedup_labels_stream" -> dedupLabelsStream,
     "q115_dedup_incremental" -> dedupIncremental,
@@ -2466,11 +2527,16 @@ object DedupOps {
 
   /** The transitive-closure oracle shared by q62/q104/q106 — three
     * engine paths (hash-min, star contraction, the auto router), ONE
-    * answer, each hash-gated against the same recursive CTE. */
-  private val closureOracleSql: String =
-    """WITH RECURSIVE tk AS (
+    * answer, each hash-gated against the same recursive CTE.
+    * Parameterized by the live-corpus predicate so the q171 retraction
+    * twin states its oracle as the SAME closure over the
+    * post-retraction corpus (pairwise jaccard between two live docs is
+    * corpus-independent, so restricting the doc universe IS the edge
+    * restriction the engine's tombstoned edge store enforces). */
+  private def closureOracleSqlOver(livePred: String): String =
+    s"""WITH RECURSIVE tk AS (
       |  SELECT doc_id, string_split(text,' ') AS toks
-      |  FROM documents WHERE doc_id < 500),
+      |  FROM documents WHERE doc_id < 500 AND ($livePred)),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    list_transform(generate_series(1, greatest(len(toks)-2, 0)),
@@ -2495,6 +2561,8 @@ object DedupOps {
       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
       |SELECT n AS doc_id, min(m) AS cluster_rep
       |FROM reach GROUP BY n""".stripMargin
+
+  private val closureOracleSql: String = closureOracleSqlOver("TRUE")
 
   /** The q154 oracle, shared with q156 (the lifecycle twin converges to
     * the batch answer): the oracle joins gram STRINGS where the engine
@@ -2836,6 +2904,12 @@ object DedupOps {
     "q115_dedup_incremental" -> closureOracleSql,
     // q116 = q115 through the live version-chain sink (replayed tail)
     "q116_dedup_labels_stream" -> closureOracleSql,
+    // q171 = the SAME closure over the post-retraction corpus (live =
+    // never retracted, or resurrected and not re-retracted): pairwise
+    // jaccard is corpus-independent, so the doc-universe restriction
+    // IS the edge restriction the tombstoned edge store enforces
+    "q171_dedup_retract" -> closureOracleSqlOver(
+      "NOT (doc_id % 20 = 13) AND NOT (doc_id % 40 = 3)"),
     // q111 = the closure + survivorship rollup: singleton clusters via
     // the left join's coalesce; canonical = longest text, lowest id
     "q111_dedup_canonical" ->

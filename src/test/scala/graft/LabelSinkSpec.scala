@@ -75,4 +75,52 @@ class LabelSinkSpec extends SparkSpec {
     assert(labelsOf(tbl) == head, "head replay after compact diverged")
     assert(head == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
   }
+
+  test("retraction: cluster split at a cut vertex, rep change, vanish, resurrection re-merge, replay idempotence — untouched clusters verbatim") {
+    val tbl = Files.createTempDirectory("labelretract").toString + "/labels"
+    def edges(e: (Long, Long)*) = e.toDF("doc_a", "doc_b")
+    def docs(d: Long*) = d.toDF("doc_id")
+    // chain 0-1-2-3-4-5 (2 and 4 are cut vertices), pair {10,11},
+    // triangle {20,21,22}, untouched pair {30,31}
+    LabelSink.writer(tbl)(
+      edges((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)), 0L)
+    LabelSink.writer(tbl)(
+      edges((20L, 21L), (20L, 22L), (21L, 22L), (30L, 31L)), 1L)
+    assert(labelsOf(tbl) == Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 0L), (5L, 0L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L), (22L, 20L), (30L, 30L), (31L, 30L)))
+    // retract cut vertex 2 (chain SPLITS into {0,1} and {3,4,5} with a
+    // new right-side rep) and 10 (partner 11 loses its only edge and
+    // VANISHES — the table's contract is every doc in ≥1 live pair)
+    LabelSink.retract(tbl)(docs(2L, 10L), 2L)
+    val afterSplit = Set((0L, 0L), (1L, 0L), (3L, 3L), (4L, 3L), (5L, 3L),
+      (20L, 20L), (21L, 20L), (22L, 20L), (30L, 30L), (31L, 30L))
+    assert(labelsOf(tbl) == afterSplit, "split/vanish recompute drifted")
+    // at-least-once replay of the retraction batch: byte-identical
+    LabelSink.retract(tbl)(docs(2L, 10L), 2L)
+    assert(labelsOf(tbl) == afterSplit, "retraction replay diverged")
+    LabelSink.compact(spark, tbl)
+    assert(labelsOf(tbl) == afterSplit, "compact changed the answer")
+    // retract the triangle's min-id REP: survivors re-title to 21
+    LabelSink.retract(tbl)(docs(20L), 3L)
+    assert(labelsOf(tbl) == Set((0L, 0L), (1L, 0L), (3L, 3L), (4L, 3L),
+      (5L, 3L), (21L, 21L), (22L, 21L), (30L, 30L), (31L, 30L)))
+    // resurrection: 2 re-ingests with its pairs re-emitted (live
+    // partners only) — the split halves must RE-MERGE under rep 0
+    LabelSink.writer(tbl)(edges((1L, 2L), (2L, 3L)), 4L)
+    assert(labelsOf(tbl) == Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 0L), (5L, 0L), (21L, 21L), (22L, 21L), (30L, 30L), (31L, 30L)),
+      "resurrection re-merge drifted")
+    LabelSink.compact(spark, tbl)
+    // live-tail retraction THROUGH the folded edge store: 4 splits the
+    // chain again; 5 has no surviving edge and vanishes
+    LabelSink.retract(tbl)(docs(4L), 5L)
+    assert(labelsOf(tbl) == Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L),
+      (21L, 21L), (22L, 21L), (30L, 30L), (31L, 30L)),
+      "post-fold retraction drifted")
+    // retracting a never-seen doc is a no-op
+    LabelSink.retract(tbl)(docs(999L), 6L)
+    assert(labelsOf(tbl) == Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L),
+      (21L, 21L), (22L, 21L), (30L, 30L), (31L, 30L)))
+  }
 }

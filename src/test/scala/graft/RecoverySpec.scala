@@ -310,6 +310,53 @@ class RecoverySpec extends SparkSpec {
         "batch q162 answer on the live suite")
   }
 
+  test("q171 label chain through a REAL checkpointed stream: kill, then a MIXED edge+delete batch, labels ≡ closure on the live graph") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("rec7_in").toString
+    val ckpt = Files.createTempDirectory("rec7_ckpt").toString
+    val tbl = Files.createTempDirectory("rec7_tbl").toString + "/labels"
+
+    // chain 0-1-2-3 arrives pre-kill; the restart batch deletes the cut
+    // vertex 2 (split!) AND adds edge (3,4) — the recompute must read
+    // edge provenance accumulated across the restart
+    def line(a: Long, b: Long, op: String) = s"$a\t$b\t$op"
+    Files.writeString(java.nio.file.Path.of(s"$in/a.txt"),
+      line(0L, 1L, "I") + "\n" + line(1L, 2L, "I") + "\n" +
+        line(2L, 3L, "I") + "\n")
+
+    def startQuery() = {
+      val parsed = spark.readStream.format("text").load(in)
+        .select(split(col("value"), "\t").as("kv"))
+        .select(col("kv")(0).cast("long").as("doc_a"),
+          col("kv")(1).cast("long").as("doc_b"), col("kv")(2).as("op"))
+      parsed.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          graft.sinks.LabelSink.cdc(tbl)(batch, bid)
+        }
+        .start()
+    }
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(graft.sinks.LabelSink.read(spark, tbl)
+      .as[(Long, Long)].collect().toSet ==
+      Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L)))
+    Files.writeString(java.nio.file.Path.of(s"$in/b.txt"),
+      line(2L, -1L, "D") + "\n" + line(3L, 4L, "I") + "\n")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    graft.sinks.LabelSink.compact(spark, tbl)
+    q2.stop()
+    // live graph: (0,1) and (3,4) — the chain split at the deleted cut
+    // vertex, the right half re-titled and extended by the new edge
+    assert(graft.sinks.LabelSink.read(spark, tbl)
+      .as[(Long, Long)].collect().toSet ==
+      Set((0L, 0L), (1L, 0L), (3L, 3L), (4L, 3L)),
+      "labels after a kill + mixed edge/delete batch must equal the " +
+        "closure on the live graph")
+  }
+
   test("q164 benchmark registry through a REAL checkpointed stream: kill mid-registry, resume, cut ≡ batch q162") {
     import spark.implicits._
     val in = Files.createTempDirectory("rec4_in").toString
