@@ -1160,7 +1160,8 @@ object ScaleProbe {
         w(docs.filter(col("doc_id") % 2 === 1), 1L)
         graft.sinks.BenchRegistrySink.compact(spark, loc)
         val ingestS = (System.nanoTime() - tI0) / 1e9
-        val train = docs.filter(col("doc_id") >= 20)
+        val train = docs.filter(
+          col("doc_id") >= functions.DedupOps.DecontamBenchCut)
         val t0 = System.nanoTime()
         val (spans, route) = functions.DedupOps.decontamSpansFromRegistry(
           graft.sinks.BenchRegistrySink.registry(spark, loc), train, 4)
@@ -1201,9 +1202,12 @@ object ScaleProbe {
       val docs = substrCorpus(0L, n, copyIslands = false,
         withSource = false).persist()
       docs.count()
-      val train = docs.filter(col("doc_id") >= 20)
+      // the SHARED boundary constant, not a literal: the probe must
+      // time the same bench/train split the q162/q164 seam routes
+      val cut = functions.DedupOps.DecontamBenchCut
+      val train = docs.filter(col("doc_id") >= cut)
       val realBench = functions.DedupOps
-        .gramPositions(docs.filter(col("doc_id") < 20), 4).select(col("h"))
+        .gramPositions(docs.filter(col("doc_id") < cut), 4).select(col("h"))
       for (r <- Seq(1000000L, 3000000L)) {
         val benchH = realBench.unionByName(
             spark.range(r).select(xxhash64(col("id") + lit(1L << 40)).as("h")))

@@ -801,8 +801,12 @@ object DedupOps {
         val now = System.currentTimeMillis()
         graft.sinks.Hfs.childDirs(s, base, tag)
           .filterNot(n => n.startsWith(current) || n.contains(".stage-"))
-          .filter(n => now - graft.sinks.Hfs.stat(s, s"$base/$n")._2 >
-            StaleLayoutSweepAgeMs)
+          .filter(n =>
+            // a sibling deleted between the listing and this stat (a
+            // concurrent same-tag builder's sweep, or the /tmp wipe)
+            // is already what the sweep wanted — never a build failure
+            scala.util.Try(graft.sinks.Hfs.stat(s, s"$base/$n")._2)
+              .toOption.exists(mt => now - mt > StaleLayoutSweepAgeMs))
           .foreach(n => graft.sinks.Hfs.deleteRecursive(s, s"$base/$n"))
         collapseClusters(
           shingleJaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
@@ -1798,8 +1802,10 @@ object DedupOps {
             .filter(col("doc_id") < 500).select(col("doc_id"))
           graft.sinks.LabelSink.writer(stage)(cut(0), 0L)
           graft.sinks.LabelSink.writer(stage)(cut(1), 1L)
-          graft.sinks.LabelSink.compact(s, stage)
           graft.sinks.LabelSink.writer(stage)(cut(2), 2L)
+          // after three edge segments, so the edge-store fold is real
+          // (two-then-compact folds nothing — the max id stays out)
+          graft.sinks.LabelSink.compact(s, stage)
           graft.sinks.LabelSink.retract(stage)(
             universe.filter(pmod(col("doc_id"), lit(10)) === 3), 3L)
           // resurrection: the ≡ 3 (mod 20) half re-ingests — its pairs

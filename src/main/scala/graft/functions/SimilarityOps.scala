@@ -430,8 +430,11 @@ object SimilarityOps {
       def cut(b: Long) = emb.filter(pmod(col("vec_id"), lit(3)) === b)
       ingestAnnSegment(cut(0), stage, 0L, bits)
       ingestAnnSegment(cut(1), stage, 1L, bits)
-      compactAnnLshIndex(s, stage)
       ingestAnnSegment(cut(2), stage, 2L, bits)
+      // after THREE ingests, so the fold is real (IngestSegments keeps
+      // the max batch id as the replayable tail: a compact after two
+      // would fold nothing — folded = {0}, size 1, early return)
+      compactAnnLshIndex(s, stage)
       retractAnnVecs(stage)(emb.filter(pmod(col("vec_id"), lit(10)) === 3), 3L)
       ingestAnnSegment(
         emb.filter(pmod(col("vec_id"), lit(20)) === 3), stage, 4L, bits)

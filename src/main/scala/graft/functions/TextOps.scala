@@ -907,12 +907,18 @@ object TextOps {
 
   /** Build (once per fixture generation) a three-cut streaming-sink
     * lifecycle state over the documents table: batches 0/1 written,
-    * compacted into one fold, batch 2 appended as a live tail — the
-    * worst readable state (fold + tail merged read), shared by
-    * q102/q103. Tagged by the documents fixture's (len, mtime) so a
-    * regenerated fixture rebuilds instead of serving stale counts; a
-    * crashed prior attempt (no __done marker) is cleared and redone —
-    * every write is marker-gated, so a torn state never serves. */
+    * compacted, batch 2 appended as a live tail — for ADDITIVE
+    * sub-stores (vocab/phrase counts) this is the worst readable state
+    * (fold of 0+1 + tail merged read), shared by q102/q103. Honesty
+    * note (r16 review): an [[graft.sinks.IngestSegments]] ROW store
+    * behind this order does NOT fold here — that protocol keeps the
+    * max batch id out, so folded = {0} early-returns; the row-store
+    * fold+tail road is exercised by [[ensureRetractLifecycle]]'s
+    * three-then-compact order and by the per-store specs instead.
+    * Tagged by the documents fixture's (len, mtime) so a regenerated
+    * fixture rebuilds instead of serving stale counts; a crashed prior
+    * attempt (no __done marker) is cleared and redone — every write is
+    * marker-gated, so a torn state never serves. */
   private[graft] def ensureCutLifecycle(s: SparkSession, d: String, kind: String,
       writer: String => (DataFrame, Long) => Unit,
       compact: String => Unit): String =
@@ -939,19 +945,25 @@ object TextOps {
     }
 
   /** The retraction lifecycle twin of [[ensureCutLifecycle]] — the
-    * worst RETRACTABLE state a store can serve from: the three-cut
-    * ingest (fold of cuts 0/1 + cut 2), then a retraction batch, a
-    * resurrection batch (a retracted slice re-ingested — the CDC
-    * insert-after-delete), a SECOND compaction (so tombstones cross a
-    * fold boundary: dead rows dropped, tombstones carried with their
-    * logical `ing`), and a final retraction left LIVE in the tail (so
-    * the read-time resolve must mask fold rows and re-kill a
-    * resurrected doc). Batches: 0/1/2 ingest cuts (pmod 3), 3 =
-    * retract(`retract1`), 4 = re-ingest(`resurrect` — MUST be ⊆
-    * retract1: re-ingesting a live doc would violate the
-    * one-doc-one-admission contract and double-count additive
-    * partials), compact, 5 = retract(`retract2`). Same tag/__done
-    * idempotence and StagedLayout publish as the plain lifecycle. */
+    * worst RETRACTABLE state a store can serve from: three ingest
+    * cuts, a compaction AFTER the third (after only two it folds
+    * nothing — IngestSegments keeps the max batch id as the replayable
+    * tail, so folded = {0} early-returns; the r16 review caught the
+    * two-then-compact order claiming a fold it never built), then a
+    * retraction batch, a resurrection batch (a retracted slice
+    * re-ingested — the CDC insert-after-delete), a SECOND compaction
+    * (so tombstones cross a fold boundary: dead rows dropped,
+    * tombstones carried with their logical `ing`), and a final
+    * retraction left LIVE in the tail (so the read-time resolve must
+    * mask fold rows and re-kill a resurrected doc). Batches: 0/1/2
+    * ingest cuts (pmod 3), compact, 3 = retract(`retract1`), 4 =
+    * re-ingest(`resurrect` — MUST be ⊆ retract1: re-ingesting a live
+    * doc would violate the one-doc-one-admission contract and
+    * double-count additive partials), compact, 5 =
+    * retract(`retract2`); additive sub-stores then serve a fold PLUS
+    * live partial tails (batches 3+), so the merged read is exercised
+    * on both store kinds. Same tag/__done idempotence and StagedLayout
+    * publish as the plain lifecycle. */
   private[graft] def ensureRetractLifecycle(s: SparkSession, d: String,
       kind: String,
       writer: String => (DataFrame, Long) => Unit,
@@ -969,8 +981,8 @@ object TextOps {
         def cut(b: Long) = docs.filter(pmod(col("doc_id"), lit(3)) === b)
         writer(stage)(cut(0), 0L)
         writer(stage)(cut(1), 1L)
-        compact(stage)
         writer(stage)(cut(2), 2L)
+        compact(stage)
         retractor(stage)(docs.filter(retract1), 3L)
         writer(stage)(docs.filter(resurrect), 4L)
         compact(stage)

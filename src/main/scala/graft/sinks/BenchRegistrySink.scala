@@ -127,15 +127,10 @@ object BenchRegistrySink {
     * crash-window argument. */
   def compact(spark: SparkSession, path: String): Unit =
     IngestSegments.compact(spark, path,
-      fold = { src =>
-        val live = IngestSegments
-          .resolveTombstones(src, "doc_id", "ing", col("tomb"))
-          .select(col("doc_id"), col("h"), col("tomb"), col("ing"))
-          .dropDuplicates("doc_id", "h")
-        val tombs = src.filter(col("tomb"))
-          .groupBy(col("doc_id")).agg(max(col("ing")).as("ing"))
-          .select(col("doc_id"), lit(0L).as("h"), lit(true).as("tomb"),
-            col("ing"))
-        live.unionByName(tombs)
-      }, Seq.empty)
+      fold = IngestSegments.foldWithTombstones(_, "doc_id", "ing",
+        col("tomb"),
+        liveCols = Seq("doc_id", "h", "tomb", "ing"),
+        dedupCols = Seq("doc_id", "h"),
+        mkTomb = _.select(col("doc_id"), lit(0L).as("h"),
+          lit(true).as("tomb"), col("ing"))), Seq.empty)
 }

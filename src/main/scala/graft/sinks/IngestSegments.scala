@@ -240,6 +240,25 @@ object IngestSegments {
       .drop("__tomb_ing")
   }
 
+  /** The tombstone-keeping compaction fold shared by the single-key
+    * retractable row stores (substring positions, benchmark registry —
+    * LabelSink's two-endpoint edge fold stays bespoke): resolve the
+    * fold input latest-wins, project the live schema, dedup
+    * crash-window copies, and union the tombstones back (newest per
+    * key, `ing` preserved) via the caller's schema-shaping `mkTomb`.
+    * One definition so a future change to the keep-tombstones
+    * crash-window rule cannot drift between stores. */
+  def foldWithTombstones(src: DataFrame, keyCol: String, ingCol: String,
+      isTomb: Column, liveCols: Seq[String], dedupCols: Seq[String],
+      mkTomb: DataFrame => DataFrame): DataFrame = {
+    val live = resolveTombstones(src, keyCol, ingCol, isTomb)
+      .select(liveCols.map(col): _*)
+      .dropDuplicates(dedupCols)
+    val tombs = src.filter(isTomb)
+      .groupBy(col(keyCol)).agg(max(col(ingCol)).as(ingCol))
+    live.unionByName(mkTomb(tombs))
+  }
+
   /** Side-table tombstone segment writer: the batch's retracted keys
     * as (keyCol, ing = batchId) rows at `tablePath/ingest=batchId` —
     * overwrite-by-own-id, content independent of store state, so

@@ -179,7 +179,12 @@ object LabelSink {
           lit(batchId).as("ing")))
         .write.mode("overwrite").parquet(s"$path/edges/ingest=$batchId")
       val prev = prevLabels(spark, path, batchId)
-      val spliced = retractedTable(spark, path, prev, dels, batchId)
+      // the retraction splice exists only for deletes — the
+      // overwhelmingly common pure-edge batch must not pay the edge
+      // store scan + checkpoints (the SubstrIndexSink.cdcCore guard)
+      val spliced =
+        if (dels.isEmpty) prev
+        else retractedTable(spark, path, prev, dels, batchId)
       val (plan, release) =
         graft.functions.DedupOps.contractionStep(spliced, edges)
       try plan.write.mode("overwrite").parquet(s"$path/seq=$batchId")

@@ -195,17 +195,12 @@ object SubstrIndexSink {
     * crash-window argument. */
   def compact(spark: SparkSession, path: String): Unit = {
     IngestSegments.compact(spark, s"$path/pos",
-      fold = { src =>
-        val live = IngestSegments
-          .resolveTombstones(src, "doc_id", "ing", col("pos") < 0)
-          .select(col("doc_id"), col("pos"), col("h"), col("ing"))
-          .dropDuplicates("doc_id", "pos")
-        val tombs = src.filter(col("pos") < 0)
-          .groupBy(col("doc_id")).agg(max(col("ing")).as("ing"))
-          .select(col("doc_id"), lit(-1L).as("pos"), lit(0L).as("h"),
-            col("ing"))
-        live.unionByName(tombs)
-      }, Seq.empty)
+      fold = IngestSegments.foldWithTombstones(_, "doc_id", "ing",
+        col("pos") < 0,
+        liveCols = Seq("doc_id", "pos", "h", "ing"),
+        dedupCols = Seq("doc_id", "pos"),
+        mkTomb = _.select(col("doc_id"), lit(-1L).as("pos"),
+          lit(0L).as("h"), col("ing"))), Seq.empty)
     AdditiveSegments.compact(spark, s"$path/counts", reconcile)
   }
 }
