@@ -1948,7 +1948,7 @@ object DedupOps {
     * sizing clamps at 8 bits/item? Past them the aggregate SILENTLY
     * truncates its arguments (the q75 estItems lesson) and the filter
     * saturates toward admit-everything — wasted build + filter work. */
-  private def fitsBloomClamps(s: SparkSession, nDup: Long): Boolean = {
+  private[graft] def fitsBloomClamps(s: SparkSession, nDup: Long): Boolean = {
     val est = math.max(nDup, 1024L)
     val maxItems = s.conf.get(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
@@ -2335,7 +2335,7 @@ object DedupOps {
     * budget protects, not the 8-byte payload. Routing on the session
     * conf keeps the judgment honest: whatever the operator would ask
     * `broadcast()` to ship is what the budget was set against. */
-  private def fitsBroadcastBudget(s: SparkSession, nRows: Long): Boolean = {
+  private[graft] def fitsBroadcastBudget(s: SparkSession, nRows: Long): Boolean = {
     val t = org.apache.spark.sql.graftbridge.Bridge.autoBroadcastThreshold(s)
     t > 0 && nRows <= t / 32L
   }

@@ -204,7 +204,8 @@ object PqOps {
       trainOn: Option[DataFrame] = None): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    graft.sinks.IngestSegments.guardBuild(spark, s"$path/codes", ingestId)
+    graft.sinks.IngestSegments.guardBuild(spark, s"$path/codes", ingestId,
+      tombPath = Some(s"$path/tomb"))
     // a REBUILD retrains the model, but streaming segments were argmin-
     // encoded against the OLD codebooks: probing them with the new ADC
     // tables is well-typed and numerically meaningless. Refuse while
@@ -332,7 +333,15 @@ object PqOps {
           .select(col("vec_id"), col("cell"), col("codes"), col("ing"))
       },
       partitionCols = Seq("cell"))
-    graft.sinks.IngestSegments.compactTombstones(spark, s"$path/tomb", "vec_id")
+    // purge-capable side-table fold (see compactAnnLshIndex — same
+    // ordering argument: codes compact first, so inert tombstones
+    // retire instead of accruing with lifetime churn)
+    graft.sinks.IngestSegments.compactTombstones(spark, s"$path/tomb",
+      "vec_id", protectedRows = Some(graft.sinks.IngestSegments
+        .readLive(spark, s"$path/codes")
+        .map(_.select(col("vec_id"), col("ing")))
+        .getOrElse(spark.range(0)
+          .select(col("id").as("vec_id"), col("id").as("ing")))))
   }
 
   /** The stored model, ordered (cells by id; books by (j, code)).

@@ -319,7 +319,18 @@ object SimilarityOps {
           .select(col("vec_id"), col("v"), col("bucket"), col("ing"))
       },
       partitionCols = Seq("bucket"))
-    graft.sinks.IngestSegments.compactTombstones(spark, s"$path/tomb", "vec_id")
+    // purge-capable side-table fold: the corpus compact above has
+    // already dropped every tombstone-killed row, so a tombstone whose
+    // key has no readable ing ≤ it left in the store is provably inert
+    // and retires here — the side table tracks CURRENT retractions,
+    // not lifetime churn (IngestSegments.compactTombstones' safety
+    // argument; ordering corpus-compact → tomb-compact is load-bearing)
+    graft.sinks.IngestSegments.compactTombstones(spark, s"$path/tomb",
+      "vec_id", protectedRows = Some(graft.sinks.IngestSegments
+        .readLive(spark, s"$path/corpus")
+        .map(_.select(col("vec_id"), col("ing")))
+        .getOrElse(spark.range(0)
+          .select(col("id").as("vec_id"), col("id").as("ing")))))
   }
 
   /** [[probeAnnLshIndex]] against the LIVE fold+tail state: same probed

@@ -207,17 +207,16 @@ object IngestSegments {
     * Dropping an absorbed tombstone instead would transiently
     * RESURRECT the retracted rows still readable in a not-yet-deleted
     * source segment — wrong rows, not tolerable duplicates. Tombstones
-    * are retracted-key-sized and parquet-RLE-friendly; they retire
-    * with the store rebuild.
+    * are retracted-key-sized and parquet-RLE-friendly; side-table
+    * tombstones additionally retire once provably inert
+    * ([[compactTombstones]]' purge — safe there, and ONLY there,
+    * because the purge check runs strictly after the row store's
+    * delete phase), in-store ones with the store rebuild.
     *
     * The resolve plans the store scan twice (tombstone aggregate +
     * live rows) — the tombstone side prunes to nothing on row-group
-    * stats when no retraction ever happened — and BROADCASTS the
-    * per-key tombstone aggregate (retracted-key-sized; Catalyst's
-    * file-size estimate would otherwise refuse). A retraction wave
-    * past the broadcast budget is a rebuild-the-store event, not a
-    * serving regime: the hint then fails LOUDLY at the driver, never
-    * silently degrades. */
+    * stats when no retraction ever happened — and ROUTES the join on
+    * the aggregate's counted size (see [[applyTombstones]]). */
   def resolveTombstones(rows: DataFrame, keyCol: String, ingCol: String,
       isTomb: Column): DataFrame =
     applyTombstones(rows.filter(!isTomb),
@@ -231,13 +230,83 @@ object IngestSegments {
     * pruned to other buckets and a deleted vector would keep serving.
     * The side table is retracted-key-sized, unpartitioned, read whole
     * by every probe. `tombs` rows are (keyCol, ingCol); same
-    * latest-wins semantics and broadcast bound as the in-store form. */
+    * latest-wins semantics as the in-store form.
+    *
+    * SIZING IS ROUTED, not hinted (the r16 `weak`: a hard
+    * `broadcast(t)` never degrades — past executor memory the serving
+    * read just dies, and lifetime churn grows the tombstone table
+    * monotonically until it does). The per-key aggregate is
+    * checkpointed once (sparse — retracted keys) and counted, then:
+    *
+    *  - 0 tombstones → rows unchanged, NO join at all (the overwhelming
+    *    regime: most stores never see a retraction, and every serving
+    *    read was paying an empty broadcast join for it);
+    *  - fits the session broadcast budget (the same 32 B/row costing
+    *    as [[graft.functions.DedupOps]]'s registry router — ONE sizing
+    *    judgment, not two) → broadcast left join, the home regime;
+    *  - past the budget but inside the Bloom sizing clamps → Bloom
+    *    prefilter: keys the filter rejects are PROVABLY untombstoned
+    *    and pass through map-side; only might-contain rows (tombstoned
+    *    + FPs) take the exact non-broadcast join, so the shuffle
+    *    carries the retracted sliver, not the store;
+    *  - past the clamps too → the plain shuffle left join is the
+    *    floor.
+    *
+    * All four roads resolve every row to the same verdict (the exact
+    * join is the last word everywhere — spec-pinned hash-equal), so a
+    * retraction wave past any budget degrades in COST only, never in
+    * answer. */
   def applyTombstones(rows: DataFrame, tombs: DataFrame, keyCol: String,
       ingCol: String): DataFrame = {
+    val s = rows.sparkSession
     val t = tombs.groupBy(col(keyCol)).agg(max(col(ingCol)).as("__tomb_ing"))
-    rows.join(broadcast(t), Seq(keyCol), "left")
-      .filter(col("__tomb_ing").isNull || col(ingCol) > col("__tomb_ing"))
-      .drop("__tomb_ing")
+      .localCheckpoint()
+    val n = t.count()
+    applyTombstonesRouted(rows, t, keyCol, ingCol, routeOf(s, n))
+  }
+
+  /** The route [[applyTombstones]] takes for an `n`-key tombstone
+    * aggregate under the session's sizing confs. Pure so specs and
+    * ScaleProbe can pin/force roads without conf games. */
+  private[graft] def routeOf(s: SparkSession, n: Long): String =
+    if (n == 0L) "none"
+    else if (graft.functions.DedupOps.fitsBroadcastBudget(s, n)) "broadcast"
+    else if (graft.functions.DedupOps.fitsBloomClamps(s, n)) "bloom"
+    else "plain"
+
+  /** The road implementations behind [[applyTombstones]], invokable
+    * directly (private[graft]) so specs pin hash-equality and
+    * ScaleProbe times road-vs-road without conf-forcing (a session
+    * conf would re-plan every downstream join — the r16 A/B lesson).
+    * `t` must be the per-key (keyCol, __tomb_ing = max ing) aggregate,
+    * checkpointed by the caller when it has multiple consumers (the
+    * bloom road reads it twice: filter build + exact join). */
+  private[graft] def applyTombstonesRouted(rows: DataFrame, t: DataFrame,
+      keyCol: String, ingCol: String, route: String): DataFrame = {
+    def joined(side: DataFrame, tomb: DataFrame) =
+      side.join(tomb, Seq(keyCol), "left")
+        .filter(col("__tomb_ing").isNull || col(ingCol) > col("__tomb_ing"))
+        .drop("__tomb_ing")
+    route match {
+      case "none" => rows
+      case "broadcast" => joined(rows, broadcast(t))
+      case "plain" => joined(rows, t)
+      case "bloom" =>
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.graftbridge.Bridge
+        val est = math.max(t.count(), 1024L)
+        val bloomBytes = t.select(Bridge.column(
+            new BloomFilterAggregate(Bridge.expression(col(keyCol)),
+              Literal(est), Literal(est * 8L)).toAggregateExpression()).as("bf"))
+          .collect()(0).getAs[Array[Byte]](0)
+        val mc = Bridge.column(BloomFilterMightContain(
+          Literal(bloomBytes), Bridge.expression(col(keyCol))))
+        // two map-side-filtered passes over the store beat one full
+        // shuffle of it: the pass-through branch never exchanges, and
+        // the exact join's probe side is the might-contain sliver
+        rows.filter(!mc).unionByName(joined(rows.filter(mc), t))
+    }
   }
 
   /** The tombstone-keeping compaction fold shared by the single-key
@@ -262,7 +331,17 @@ object IngestSegments {
   /** Side-table tombstone segment writer: the batch's retracted keys
     * as (keyCol, ing = batchId) rows at `tablePath/ingest=batchId` —
     * overwrite-by-own-id, content independent of store state, so
-    * replay idempotence is trivial. */
+    * replay idempotence is trivial.
+    *
+    * TIE GOES TO THE TOMBSTONE: the resolve keeps a row only when its
+    * ing is STRICTLY above the key's newest tombstone, so a row
+    * ingested under the SAME batch id as a tombstone for its key is
+    * dead — the delete-wins-within-batch rule the mixed-CDC writers
+    * (SubstrIndexSink.cdc, BenchRegistrySink.cdc) enforce upstream by
+    * anti-joining in-batch-deleted keys out of the insert side. Side
+    * table callers (the ANN/PQ stores) must uphold the same contract:
+    * never reuse one batch id across a retract*() and an ingest*()
+    * call for the same store unless the delete is meant to win. */
   def writeTombstones(batch: DataFrame, tablePath: String, keyCol: String,
       batchId: Long): Unit =
     batch.select(col(keyCol)).distinct()
@@ -280,12 +359,59 @@ object IngestSegments {
       case Some(rows) => rows.select(col(keyCol), col("ing"))
     }
 
-  /** Fold the tombstone side table to the newest tombstone per key. */
+  /** Fold the tombstone side table to the newest tombstone per key —
+    * and, when the caller hands over the protected row store's raw
+    * (keyCol, ing) rows, PURGE the provably-inert tombstones, so the
+    * side table tracks CURRENTLY-retracted keys instead of growing
+    * with lifetime churn forever (the r16 `weak`'s other half: a
+    * never-purged table eventually outgrows every resolve road's
+    * sweet spot).
+    *
+    * Purge rule: a folded tombstone (k, T) is dropped iff NO readable
+    * row of k has ing ≤ T — there is nothing left for it to kill.
+    * Safety:
+    *  - current reads: the check runs against the row store's LIVE
+    *    listing, so crash-window leftovers of a racing row-store
+    *    compact (rename-before-delete) still carry their dead rows and
+    *    KEEP their tombstone — the transient-resurrection hazard that
+    *    forbids purging inside [[foldWithTombstones]] cannot arise
+    *    here, because this check happens strictly AFTER the row
+    *    store's own delete phase (the caller sequences corpus compact
+    *    → tombstone compact, and cross-process concurrency is excluded
+    *    by the one-maintenance-process contract);
+    *  - future writes: streaming batch ids are monotonic, so every
+    *    future re-ingest lands with ing > T and was never killable by
+    *    (k, T); a bulk bootstrap's NEGATIVE id is the one violation,
+    *    which is why [[guardBuild]] refuses bootstraps into a store
+    *    with retraction history;
+    *  - replays: only folded (checkpoint-committed, never-replayed)
+    *    tombstone segments are purge candidates — [[compact]] keeps
+    *    the newest batch id live untouched, so a replayed retraction
+    *    rewrites its own segment byte-identically whether or not a
+    *    purge ran.
+    *
+    * `protectedRows = None` keeps the old fold-only behavior for
+    * callers that cannot produce the row view. With rows provided, a
+    * LONE folded segment is refolded too (foldLone): purging is
+    * content-changing maintenance, unlike plain folding where one
+    * segment is already as folded as it gets. */
   def compactTombstones(spark: SparkSession, tablePath: String,
-      keyCol: String): Unit =
+      keyCol: String, protectedRows: Option[DataFrame] = None): Unit =
     compact(spark, tablePath,
-      fold = _.groupBy(col(keyCol)).agg(max(col("ing")).as("ing")),
-      partitionCols = Seq.empty)
+      fold = segs => {
+        val newest = segs.groupBy(col(keyCol)).agg(max(col("ing")).as("ing"))
+        protectedRows match {
+          case None => newest
+          case Some(rows) =>
+            val mins = rows.groupBy(col(keyCol))
+              .agg(min(col("ing")).as("__row_min"))
+            newest.join(mins, Seq(keyCol), "left")
+              .filter(col("__row_min").isNotNull &&
+                col("__row_min") <= col("ing"))
+              .drop("__row_min")
+        }
+      },
+      partitionCols = Seq.empty, foldLone = protectedRows.isDefined)
 
   /** The bmod bucket count is LAYOUT GEOMETRY, not a free parameter: a
     * probe computing bucket ids with a different modulus than the one
@@ -314,13 +440,28 @@ object IngestSegments {
     * batch space — batch N's overwrite would clobber the bootstrap) or
     * already taken by a compaction fold (the overwrite would silently
     * destroy the folded index). Re-running a bootstrap on its OWN id
-    * stays legal — that is the replay contract. */
-  def guardBuild(spark: SparkSession, tablePath: String, ingestId: Long): Unit = {
+    * stays legal — that is the replay contract.
+    *
+    * Retractable stores pass their tombstone side table's path: a
+    * bootstrap into a store WITH retraction history is refused,
+    * because its negative ing sits below every tombstone — dead on
+    * arrival for retracted keys today, and silently ALIVE for them
+    * once [[compactTombstones]]' purge has dropped the (provably inert
+    * for monotonic ids) tombstone. The purge's safety argument is
+    * "every future ing outranks the purged tombstone"; this guard is
+    * what makes negative-id writes unable to violate it. A rebuild
+    * that wants a clean slate deletes the store AND the side table. */
+  def guardBuild(spark: SparkSession, tablePath: String, ingestId: Long,
+      tombPath: Option[String] = None): Unit = {
     require(ingestId < 0,
       s"bulk-build ingest ids are negative (batch ids are >= 0), got $ingestId")
     require(!Hfs.exists(spark, s"$tablePath/ingest=$ingestId/$FoldMarker"),
       s"ingest=$ingestId of $tablePath is a compaction fold — writing over it " +
         "would destroy the folded index; pick a fresh negative id")
+    tombPath.foreach(tp => require(!Hfs.exists(spark, tp),
+      s"$tablePath has retraction history ($tp exists) — a negative-id " +
+        "bootstrap would land below its tombstones (and below the purge " +
+        "horizon); rebuild by deleting the store and the side table"))
   }
 
   /** Fold old segments of one table (see the object doc for the
@@ -328,7 +469,8 @@ object IngestSegments {
     * `ingest` column and returns the rows to keep; `partitionCols`
     * preserves the table's directory layout (e.g. bmod bucketing). */
   def compact(spark: SparkSession, tablePath: String,
-      fold: DataFrame => DataFrame, partitionCols: Seq[String]): Unit = {
+      fold: DataFrame => DataFrame, partitionCols: Seq[String],
+      foldLone: Boolean = false): Unit = {
     // any staging — complete or not — is derived data from segments
     // that were never deleted; discard and refold
     Hfs.childDirs(spark, tablePath, StagingPrefix)
@@ -336,7 +478,9 @@ object IngestSegments {
     val ids = liveSegments(spark, tablePath)
     val maxBatch = ids.filter(_ >= 0).sorted.lastOption
     val folded = ids.filterNot(maxBatch.contains)
-    if (folded.size <= 1) return
+    // a lone folded segment is already as folded as it gets — skip,
+    // UNLESS the fold is content-changing maintenance (tombstone purge)
+    if (folded.isEmpty || (folded.size == 1 && !foldLone)) return
     val foldId = math.min(ids.min, -1L) - 1 // strictly below every live id
     val src =
       try spark.read.option("basePath", tablePath)

@@ -64,12 +64,19 @@ object StagedLayout {
     * delete leaves the loser's whole stage as a child of the served
     * path (`dest/<basename>.stage-<uuid>`, not dot/underscore-hidden,
     * so a parquet read of the layout would list it as extra rows
-    * forever). A `.stage-` name is never a legitimate child of a
-    * layout (stages are SIBLINGS of their target by construction), so
-    * every serve probe deletes leftovers before the path is handed
-    * out. One listStatus per serve — the same RPC the completeness
-    * markers already cost. */
-  private def clearBuriedStage(s: SparkSession, path: String): Unit =
-    Hfs.childDirs(s, path, "").filter(_.contains(".stage-"))
+    * forever). A buried stage is always named after the served path
+    * itself (`<basename(path)>.stage-<uuid>` — the loser staged a
+    * SIBLING of the target, so mv-into buried it under its own name),
+    * and ONLY that prefix is swept: a match on any `.stage-` substring
+    * would also delete the in-flight stage of a DIFFERENT StagedLayout
+    * target nested under this path, failing that builder's writes
+    * mid-build (r16 advice). Nothing nests targets today; the narrow
+    * prefix makes that invariant unnecessary rather than assumed. One
+    * listStatus per serve — the same RPC the completeness markers
+    * already cost. */
+  private def clearBuriedStage(s: SparkSession, path: String): Unit = {
+    val own = s"${path.reverse.takeWhile(_ != '/').reverse}.stage-"
+    Hfs.childDirs(s, path, "").filter(_.startsWith(own))
       .foreach(n => Hfs.deleteRecursive(s, s"$path/$n"))
+  }
 }
