@@ -201,6 +201,11 @@ object Bench {
     // label chain
     "q167_substring_retract", "q168_decontam_retract",
     "q169_ann_retract", "q170_pq_retract", "q171_dedup_retract",
+    // retraction lifecycles (r17): additive text stores + the
+    // user-level behavioral pair
+    "q172_vocab_retract", "q173_phrase_retract",
+    "q174_sourcestats_retract", "q175_retention_retract",
+    "q176_session_retract",
     // event-feed lifecycles (retention / transitions / funnel / dwell /
     // pit / session) + the order-wide join store
     "q122_retention_stream", "q133_transitions_stream",

@@ -165,17 +165,21 @@ object PlanDump {
         |document text at all; n_occ falls out of the same aggregate
         |(PLANS span_provenance: cost tracks the span scan across the
         |1.6M-doc sweep).""".stripMargin),
-    ("q167_substring_retract", "q154 over the retracted store: tombstone resolve + negative-partial counts",
+    ("q167_substring_retract", "q154 over the retracted store: routed tombstone resolve + negative-partial counts",
       """The retraction convention measured end-to-end: the position read
-        |adds ONE broadcast-left-join against the tombstone aggregate
-        |(retracted-doc-sized; row-group stats prune the tomb scan to
-        |nothing on unretracted segments) before the usual dedup + dup
-        |join; the dup set comes from the SAME reconciled counts store,
-        |now summing the retraction batches' NEGATIVE partials — no
-        |store rewrite, no corpus re-scan, retraction cost tracked the
-        |retracted docs. Hash-gated against q154's batch oracle on the
-        |post-retraction corpus through retract → resurrect → fold →
-        |live-tail re-retract.""".stripMargin),
+        |resolves tombstones through the r17 ROUTED join — the per-doc
+        |tombstone aggregate is checkpointed once (retracted-doc-sized;
+        |row-group stats prune the tomb scan to nothing on unretracted
+        |segments), counted, and joined broadcast here / Bloom-prefiltered
+        |or plain past the budgets; a store with NO retraction history
+        |skips the join entirely (the zero-count short-circuit every
+        |unretracted serving read now gets for free). The dup set comes
+        |from the SAME reconciled counts store, summing the retraction
+        |batches' NEGATIVE partials — no store rewrite, no corpus
+        |re-scan, retraction cost tracks the retracted docs. Hash-gated
+        |against q154's batch oracle on the post-retraction corpus
+        |through retract → resurrect → fold → live-tail
+        |re-retract.""".stripMargin),
     ("q168_decontam_retract", "q162 from the registry after benchmark retirement",
       """Per-doc (doc_id, h) pair rows + tombstone resolution: a retired
         |benchmark's grams stop cutting while grams shared with a
@@ -183,21 +187,65 @@ object PlanDump {
         |on pair rows). Serving shape = q164's routed seam on the
         |resolved hash set; the training corpus is untouched by any
         |registry maintenance.""".stripMargin),
-    ("q169_ann_retract", "ANN probe over the retracted LSH store: bucket-blind tombstone side table",
+    ("q169_ann_retract", "ANN probe over the retracted LSH store: bucket-blind tombstone side table, routed + purged",
       """A deleted vec_id must NEVER surface — not "until compaction":
         |tombstones live in a separate unpartitioned side table
-        |(retracted-id-sized, read whole and broadcast by every probe),
-        |because an in-store tombstone under one bucket dir would be
-        |invisible to a probe pruned to other buckets. Corpus rows carry
-        |a persisted logical ing; resurrection = a higher-ing re-ingest.
-        |Folds drop dead versions and keep the side table's tombstones
-        |(idempotent re-application keeps the rename-before-delete crash
-        |window safe).""".stripMargin),
+        |(retracted-id-sized, read whole by every probe), because an
+        |in-store tombstone under one bucket dir would be invisible to a
+        |probe pruned to other buckets. Corpus rows carry a persisted
+        |logical ing; resurrection = a higher-ing re-ingest. Folds drop
+        |dead versions; the side table's own compact now PURGES
+        |provably-inert tombstones (no readable row at-or-below the
+        |tombstone's ing — checked against the live store strictly after
+        |its delete phase), so the table tracks CURRENT retractions, not
+        |lifetime churn, and the r17 routed resolve
+        |(broadcast/Bloom/plain by counted size) bounds whatever remains
+        |at any churn scale.""".stripMargin),
     ("q170_pq_retract", "the q169 convention on the PQ codes store",
       """Same side-table design on the cell-partitioned codes table; the
-        |ADC probe applies tombstones before its recency window, and the
-        |join enters the plan ONLY when a retraction ever happened, so
-        |unretracted q94/q107 plans are byte-identical to r15's.""".stripMargin),
+        |ADC probe applies tombstones (routed, zero-count short-circuit)
+        |before its recency window, and the join enters the plan ONLY
+        |when a retraction ever happened, so unretracted q94/q107 plans
+        |are byte-identical to r15's. Compaction purges inert tombstones
+        |under the same after-the-delete-phase rule as q169.""".stripMargin),
+    ("q172_vocab_retract", "q82 over the retracted vocabulary store: rows ledger + negative partials",
+      """The substring counts convention ported to the first additive
+        |text store: serving reads stay VOCABULARY-sized (the additive
+        |agg sub-store, Heaps' law), while a per-doc (doc_id, token, tf)
+        |ledger — read ONLY on deletes, doc-keyed — supplies the exact
+        |negative partial a retraction subtracts. A token whose every
+        |occurrence was retracted telescopes to zero and leaves the
+        |table (df > 0 read filter); retraction cost tracks the
+        |retracted docs, never the corpus.""".stripMargin),
+    ("q173_phrase_retract", "q65 over the retracted phrase index: per-doc ledger, aggregates derive at read",
+      """min_doc/max_doc are NOT invertible — no negative partial can
+        |raise a min after its doc is deleted — so this store holds
+        |per-doc (doc_id, phrase, occ) pair rows (the BenchRegistrySink
+        |argument) and derives all five published aggregates at read
+        |time: one routed tombstone resolve (map-side at this scale) +
+        |one (doc, phrase)-keyed combine + one phrase-keyed aggregate.
+        |The pair scan is the price of exactness under deletion; folds
+        |bound it to the live corpus.""".stripMargin),
+    ("q174_sourcestats_retract", "q84's mixture plan over the retracted source stats",
+      """The cheapest ledger in the tier (ONE row per doc) keeps the
+        |always-on dataset card retractable: a retired source's docs
+        |subtract exactly, a zeroed source leaves the card, and the
+        |tempered-mixture Σ√ denominator renormalizes to the live
+        |sources — the training-mix decision stops budgeting ghost
+        |tokens the moment the CDC delete lands.""".stripMargin),
+    ("q175_retention_retract", "GDPR-shaped user deletion through the retention store",
+      """The reference's user_info dim delete applied to the behavioral
+        |tier: the activity set is an IngestSegments row store keyed by
+        |USER for tombstones (set semantics — pairs arrive in any number
+        |of batches and distinct on read), so one tombstone row kills a
+        |user's whole history wherever it lives (fold or tail), and a
+        |re-signup re-cohorts from the live set only. The cohort matrix
+        |still derives at read over ≤ (users × active days) rows.""".stripMargin),
+    ("q176_session_retract", "user deletion through the finalized-session store",
+      """Same user-keyed tombstone resolve on the (user_id, start_us)
+        |session rows; the corpus summary re-derives from the resolved
+        |set, so count/means/conversion shift to the live users exactly
+        |(hash-gated against q147's batch oracle over live users).""".stripMargin),
     ("q171_dedup_retract", "node deletion in the label chain: recompute ONLY the retracted docs' clusters from stored edge provenance",
       """The one retraction a contraction step cannot express: a deleted
         |node can SPLIT its cluster or retitle it, so the sink keeps the

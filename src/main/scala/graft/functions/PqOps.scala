@@ -718,6 +718,27 @@ object PqOps {
       reranked, rerankSql)
   }
 
+  /** q153 support: the POST-RETRACTION recall row (r16 verdict nit —
+    * never-returns-deleted was spec-pinned, but recall itself was not
+    * re-measured after deletes): the same multi-query ADC kNN join
+    * run over the q170 retracted lifecycle store, plus its generated
+    * oracle with the corpus side restricted to the live vector set.
+    * The recall denominator on the monitor side is the exact top-k
+    * over the LIVE corpus — deletions shrink the candidate pool, and
+    * recall against it is the number a production index owner watches
+    * after a retraction wave. */
+  def retractKnnJoinForRecall(s: SparkSession, d: String, nQueries: Int,
+      nprobe: Int, topk: Int): (DataFrame, String) = {
+    val path = ensurePqRetractLifecycle(s, d)
+    val (cents, books) = loadModel(s, path)
+    val queries = t(s, d, "embeddings").filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    (pqKnnJoinWithModel(s, path, cents, books, queries, nprobe, topk),
+      pqKnnOracle(nQueries, nprobe, topk, cents, books,
+        livePred = "NOT (vec_id % 20 = 13) AND NOT (vec_id % 40 = 3)"))
+  }
+
   /** The three-cut PQ ingest lifecycle for q107 — the q105 fold+tail
     * pattern applied to the one index family whose ingest path was
     * build-once. Realistic 100 TB shape: the frozen model is trained on
@@ -945,7 +966,8 @@ object PqOps {
     * every dot left-to-right and sum cellDot + adc_0 + … + adc_7 in j
     * order, so raw doubles agree before the shared round. */
   private def pqKnnOracle(nQueries: Int, nprobe: Int, topk: Int,
-      cents: Array[Array[Double]], books: Array[Array[Array[Double]]]): String = {
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      livePred: String = "TRUE"): String = {
     val (m, ksub, sb) = geomOf(books)
     val centRows = cents.zipWithIndex
       .map { case (c, i) => s"  ($i, ${dArr(c)})" }.mkString(",\n")
@@ -979,7 +1001,8 @@ object PqOps {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell DESC)
        |        AS rn
-       |    FROM e CROSS JOIN cent c)
+       |    FROM e CROSS JOIN cent c
+       |    WHERE $livePred)
        |  WHERE rn = 1),
        |f AS (
        |  SELECT a.vec_id, a.v, a.cell, c.cv FROM a JOIN cent c ON a.cell = c.cell

@@ -749,8 +749,15 @@ object SimilarityOps {
   @volatile private var knnOracleState: Option[(Int, Int, Int, Array[Array[Double]])] = None
 
   /** Model state for q153's generated oracle: (nQueries, k, ivf probe
-    * SQL, pq probe SQL, pq+exact-rerank SQL). */
-  @volatile private var recallOracleState: Option[(Int, Int, String, String, String)] = None
+    * SQL, pq probe SQL, pq+exact-rerank SQL, post-retraction pq probe
+    * SQL). */
+  @volatile private var recallOracleState: Option[(Int, Int, String, String, String, String)] = None
+
+  /** The q169/q170 lifecycles' live-vector predicate (q167's masks on
+    * vec_id) — the exact side of the post-retraction recall row ranks
+    * over exactly this set. */
+  private val vecRetractLivePred: String =
+    "NOT (vec_id % 20 = 13) AND NOT (vec_id % 40 = 3)"
 
   /** q153: ANN recall@k as a DRIVER-MONITORED number — LSH recall is
     * spec-pinned at fixture scale, but IVF/PQ probe recall vs the exact
@@ -779,7 +786,12 @@ object SimilarityOps {
     // measurement; one call = one codebook load for both probes
     val (pqDf, pqSql, rrDf, rrSql) =
       PqOps.knnJoinsForRecall(s, d, nQ, nprobe, k, shortlist = 5 * k)
-    recallOracleState = Some((nQ, k, ivfSql, pqSql, rrSql))
+    // the post-retraction row (r17): the q170 lifecycle store probed
+    // with the SAME panel, recall measured against the exact ranking
+    // over the LIVE vector set — retrieval quality after deletes, not
+    // just never-returns-deleted
+    val (rtDf, rtSql) = PqOps.retractKnnJoinForRecall(s, d, nQ, nprobe, k)
+    recallOracleState = Some((nQ, k, ivfSql, pqSql, rrSql, rtSql))
     val emb = t(s, d, "embeddings")
     val queries = emb.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("query_id"),
@@ -789,22 +801,29 @@ object SimilarityOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    val exact = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    def exactOver(c: DataFrame) = c
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(fcos(col("v"), col("qv")), 6).as("cosine"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"))
+    val exact = exactOver(corpus)
+    val exactLive = exactOver(corpus.filter(
+      pmod(col("vec_id"), lit(20)) =!= 13 &&
+        pmod(col("vec_id"), lit(40)) =!= 3))
     val ivfDf = ivfKnnJoin(s, path, queries, nprobe, k)
-    def hitsOf(probe: DataFrame, method: String) =
+    def hitsOf(probe: DataFrame, method: String,
+        truth: DataFrame = exact) =
       probe.select(col("query_id"), col("neighbor_id"))
-        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
         .withColumn("method", lit(method))
     val hits = hitsOf(ivfDf, "ivf").unionByName(hitsOf(pqDf, "pq"))
       .unionByName(hitsOf(rrDf, "pq_rerank"))
+      .unionByName(hitsOf(rtDf, "pq_retract", exactLive))
     queries.select(col("query_id"))
-      .crossJoin(Seq("ivf", "pq", "pq_rerank").toDF("method"))
+      .crossJoin(Seq("ivf", "pq", "pq_rerank", "pq_retract").toDF("method"))
       .join(hits, Seq("method", "query_id"), "left")
       .select(col("method"), col("query_id"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
@@ -818,13 +837,15 @@ object SimilarityOps {
     * recall = n_hit / k as one deterministic double division — no
     * round() anywhere near the metric. */
   private def recallOracle(nQueries: Int, k: Int, ivfSql: String,
-      pqSql: String, rrSql: String): String =
+      pqSql: String, rrSql: String, rtSql: String): String =
     s"""WITH probed AS (
        |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ($ivfSql) ti
        |  UNION ALL
        |  SELECT 'pq' AS method, query_id, neighbor_id FROM ($pqSql) tp
        |  UNION ALL
-       |  SELECT 'pq_rerank' AS method, query_id, neighbor_id FROM ($rrSql) tr),
+       |  SELECT 'pq_rerank' AS method, query_id, neighbor_id FROM ($rrSql) tr
+       |  UNION ALL
+       |  SELECT 'pq_retract' AS method, query_id, neighbor_id FROM ($rtSql) tq),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
        |exact AS (
@@ -835,17 +856,33 @@ object SimilarityOps {
        |                 e.vec_id) AS rn
        |    FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) s
        |  WHERE rn <= $k),
+       |exact_live AS (
+       |  SELECT qid AS query_id, vec_id AS neighbor_id FROM (
+       |    SELECT q.qid, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+       |                 e.vec_id) AS rn
+       |    FROM e CROSS JOIN q
+       |    WHERE e.vec_id <> q.qid AND $vecRetractLivePred) s
+       |  WHERE rn <= $k),
+       |ex AS (
+       |  SELECT 'full' AS side, query_id, neighbor_id FROM exact
+       |  UNION ALL
+       |  SELECT 'live' AS side, query_id, neighbor_id FROM exact_live),
        |hits AS (
        |  SELECT p.method, p.query_id, count(*)::BIGINT AS n_hit
-       |  FROM probed p JOIN exact x
-       |    ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+       |  FROM probed p JOIN ex x
+       |    ON x.side = (CASE WHEN p.method = 'pq_retract'
+       |                 THEN 'live' ELSE 'full' END)
+       |   AND p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
        |  GROUP BY 1, 2)
        |SELECT m.method, qs.qid AS query_id,
        |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
        |  coalesce(h.n_hit, 0) / $k.0 AS recall
        |FROM (SELECT qid FROM q) qs
        |CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'pq'
-       |            UNION ALL SELECT 'pq_rerank') m
+       |            UNION ALL SELECT 'pq_rerank'
+       |            UNION ALL SELECT 'pq_retract') m
        |LEFT JOIN hits h ON h.method = m.method AND h.query_id = qs.qid""".stripMargin
 
   /** q95: the kNN join over the stored IVF index — queries are the
@@ -1764,8 +1801,8 @@ object SimilarityOps {
     ivfOracleState.map { case (np, cs) => "q42_ann_ivf_topk" -> ivfOracle(np, cs) } ++
     knnOracleState.map { case (nq, np, tk, cs) =>
       "q95_ann_knn_join" -> knnOracle(nq, np, tk, cs) } ++
-    recallOracleState.map { case (nq, k, ivfSql, pqSql, rrSql) =>
-      "q153_ann_recall" -> recallOracle(nq, k, ivfSql, pqSql, rrSql) } ++
+    recallOracleState.map { case (nq, k, ivfSql, pqSql, rrSql, rtSql) =>
+      "q153_ann_recall" -> recallOracle(nq, k, ivfSql, pqSql, rrSql, rtSql) } ++
     semdedupOracleState.map { case (_, th, cs) =>
       "q117_semantic_dedup" -> semdedupOracle(th, cs) } ++
     semdecontamOracleState.map { case (nb, th, cs) =>

@@ -444,15 +444,37 @@ object TextOps {
     * and ScaleProbe all run THIS code, so the batch query, the
     * incremental index, and the scale probe cannot drift apart. */
   def phraseAggregate(docs: DataFrame): DataFrame =
+    phraseFromRows(phraseDocRows(docs))
+
+  /** The per-doc phrase ledger rows (doc_id, phrase, occ) — the
+    * RETRACTABLE unit of the phrase index (r17): min_doc/max_doc are
+    * not invertible aggregates (deleting the min doc needs the
+    * second-min, which only per-doc rows still know), so the streaming
+    * sink stores THESE rows and every aggregate derives at read time —
+    * the same per-doc-pair-rows argument that shaped
+    * [[graft.sinks.BenchRegistrySink]]. The q65 batch build runs
+    * through the same two steps, so batch and stored-serving answers
+    * share one definition. */
+  private[graft] def phraseDocRows(docs: DataFrame): DataFrame =
     docs
       .withColumn("tgs", trigramPhrases)
       .select(col("doc_id"), explode(col("tgs")).as("phrase"))
-      .groupBy(col("phrase"))
-      .agg(countDistinct(col("doc_id")).as("df"),
-        count(lit(1)).as("occ"),
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(count(lit(1)).as("occ"))
+
+  /** The five phrase aggregates over per-doc ledger rows: one row per
+    * (doc, phrase) makes df a plain count, id_sum a plain sum — and
+    * the former countDistinct/sum_distinct pair (two distinct
+    * aggregates = an Expand over every exploded trigram) becomes two
+    * cascaded hash aggregates whose first stage combiner-collapses
+    * per-doc repeats map-side. */
+  private[graft] def phraseFromRows(rows: DataFrame): DataFrame =
+    rows.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("occ")).as("occ"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"),
-        sum_distinct(col("doc_id")).as("id_sum"))
+        sum(col("doc_id")).as("id_sum"))
 
   val phraseIndex: Q = (s, d) =>
     phraseAggregate(t(s, d, "documents")).filter(col("df") >= 3)
@@ -859,10 +881,26 @@ object TextOps {
     * drift). Both outputs are decomposable sums, so per-batch partials
     * merge exactly under the one-doc-one-batch admission contract. */
   private[graft] def vocabAggregate(docs: DataFrame): DataFrame =
+    vocabFromRows(vocabDocRows(docs))
+
+  /** The per-doc vocabulary ledger rows (doc_id, token, tf) — the
+    * retractable unit behind [[graft.sinks.VocabSink]]: a retraction
+    * subtracts exactly the retracted docs' live (token, tf) rows, read
+    * back from the store (the SubstrIndexSink negative-partial
+    * convention). The q82 batch build derives through the same rows,
+    * so the batch and streamed answers share one definition. */
+  private[graft] def vocabDocRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("freq"),
-        countDistinct(col("doc_id")).as("df"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (token, freq, df) over per-doc rows: one row per (doc, token)
+    * makes df a plain count — the countDistinct this replaces cost an
+    * extra distinct aggregation over every exploded token. */
+  private[graft] def vocabFromRows(rows: DataFrame): DataFrame =
+    rows.groupBy(col("token"))
+      .agg(sum(col("tf")).as("freq"),
+        count(lit(1)).as("df"))
 
   /** The deterministic (freq desc, token asc) top-k + dense rank over
     * an already-aggregated vocab frame — shared by q82 and the sink's
@@ -887,23 +925,86 @@ object TextOps {
     * post-fold fast case — and the top-k over that merged state must
     * hash-equal q82's single-pass batch answer exactly. */
   val vocabStream: Q = (s, d) =>
+    // kind carries the layout version (the ensureSubstrLifecycle
+    // convention): r17 split the store into rows ledger + agg partials
+    // (retraction support) — a pre-r17 flat layout must rebuild
     vocabTopK(graft.sinks.VocabSink.read(s,
-      ensureCutLifecycle(s, d, "vocabstream",
+      ensureCutLifecycle(s, d, "vocabstream-v3led",
         graft.sinks.VocabSink.writer,
         loc => graft.sinks.VocabSink.compact(s, loc))), 200)
 
+  /** q172: RETRACTION through the vocabulary lifecycle — the q167
+    * convention applied to the first ADDITIVE text store: the worst
+    * retractable state ([[ensureRetractLifecycle]]: three ingest cuts,
+    * fold, retract ≡ 3 (mod 10), resurrect the ≡ 3 (mod 20) half,
+    * fold again, live-tail re-retract ≡ 3 (mod 40)), served top-k
+    * hash-gated against q82's batch oracle on the POST-RETRACTION
+    * corpus — which proves the negative-partial arithmetic ported from
+    * the substring counts store: a token whose every occurrence lived
+    * in retracted docs telescopes to zero and leaves the vocabulary
+    * (no ghost tokens), while freq/df for surviving tokens subtract
+    * exactly. */
+  val vocabRetract: Q = (s, d) =>
+    vocabTopK(graft.sinks.VocabSink.read(s,
+      ensureRetractLifecycle(s, d, "vocabretract",
+        graft.sinks.VocabSink.writer,
+        graft.sinks.VocabSink.retract,
+        loc => graft.sinks.VocabSink.compact(s, loc),
+        retract1 = pmod(col("doc_id"), lit(10)) === 3,
+        resurrect = pmod(col("doc_id"), lit(20)) === 3,
+        retract2 = pmod(col("doc_id"), lit(40)) === 3)), 200)
+
   /** q103: the live PHRASE INVERTED INDEX ≡ the q65 batch build through
-    * the same three-cut lifecycle as q102 (fold of the first two
-    * batches + a live tail). All five per-phrase aggregates (df, occ,
-    * min/max doc, id_sum) must reconcile exactly across the fold
-    * boundary under the one-doc-one-batch admission contract — the
-    * df-additivity claim the sink's Scaladoc makes, here proved by the
-    * driver's hash gate against the batch oracle. */
+    * the same three-cut lifecycle as q102. Since r17 the store is a
+    * per-doc ROW LEDGER (retraction support: min_doc/max_doc are not
+    * invertible, so only pair rows can serve deletions — see the
+    * sink's Scaladoc), which means THIS lifecycle's mid-order compact
+    * folds nothing (the row protocol keeps the max batch id
+    * replayable; the honesty note on [[ensureCutLifecycle]]) — the
+    * ledger's fold+tail road is exercised by q173's retract lifecycle
+    * and the PhraseIndexSpec. All five aggregates must derive exactly
+    * from the merged ledger under the one-doc-one-batch admission
+    * contract, proved by the driver's hash gate against the batch
+    * oracle. */
   val phraseStream: Q = (s, d) =>
     graft.sinks.PhraseIndexSink.read(s,
-      ensureCutLifecycle(s, d, "phrasestream",
+      ensureCutLifecycle(s, d, "phrasestream-v3led",
         graft.sinks.PhraseIndexSink.writer,
         loc => graft.sinks.PhraseIndexSink.compact(s, loc)), minDf = 3L)
+
+  /** q173: RETRACTION through the phrase-index lifecycle (the q172
+    * matrix on the ledger store): a CDC-deleted doc must leave df,
+    * occ, id_sum AND the min/max posting bounds — the two aggregates
+    * no negative partial can fix, which is exactly why this store
+    * holds per-doc rows. Hash-gated against q65's batch oracle on the
+    * post-retraction corpus through retract → resurrect → fold →
+    * live-tail re-retract. */
+  val phraseRetract: Q = (s, d) =>
+    graft.sinks.PhraseIndexSink.read(s,
+      ensureRetractLifecycle(s, d, "phraseretract",
+        graft.sinks.PhraseIndexSink.writer,
+        graft.sinks.PhraseIndexSink.retract,
+        loc => graft.sinks.PhraseIndexSink.compact(s, loc),
+        retract1 = pmod(col("doc_id"), lit(10)) === 3,
+        resurrect = pmod(col("doc_id"), lit(20)) === 3,
+        retract2 = pmod(col("doc_id"), lit(40)) === 3), minDf = 3L)
+
+  /** q174: RETRACTION through the source-stats lifecycle, served as
+    * the q84 mixture PLAN — the dataset-card decision a retired
+    * source must leave immediately (its ghost token mass would keep
+    * drawing budget). Same matrix; hash-gated against q84's batch
+    * oracle on the post-retraction corpus, which proves the negative
+    * partials AND the downstream tempered-weight renormalization (the
+    * Σ√ denominator shrinks to the live sources). */
+  val sourceStatsRetract: Q = (s, d) =>
+    graft.sinks.SourceStatsSink.mixturePlan(s,
+      ensureRetractLifecycle(s, d, "sourcestatsretract",
+        graft.sinks.SourceStatsSink.writer,
+        graft.sinks.SourceStatsSink.retract,
+        loc => graft.sinks.SourceStatsSink.compact(s, loc),
+        retract1 = pmod(col("doc_id"), lit(10)) === 3,
+        resurrect = pmod(col("doc_id"), lit(20)) === 3,
+        retract2 = pmod(col("doc_id"), lit(40)) === 3), 1000000L)
 
   /** Build (once per fixture generation) a three-cut streaming-sink
     * lifecycle state over the documents table: batches 0/1 written,
@@ -1379,8 +1480,18 @@ object TextOps {
     * drift). Decomposable sums: per-batch partials merge exactly under
     * the one-doc-one-batch admission contract. */
   private[graft] def sourceStatsAggregate(docs: DataFrame): DataFrame =
-    docs.select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
-      .groupBy(col("source"))
+    sourceStatsFromRows(sourceStatsDocRows(docs))
+
+  /** The per-doc stats ledger row (doc_id, source, n) — the
+    * retractable unit behind [[graft.sinks.SourceStatsSink]] (see
+    * [[vocabDocRows]]; here the "ledger" is one row per DOC, the
+    * cheapest possible retraction bookkeeping). */
+  private[graft] def sourceStatsDocRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n"))
+
+  private[graft] def sourceStatsFromRows(rows: DataFrame): DataFrame =
+    rows.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
 
   /** α=0.5 tempered mixture plan over an already-aggregated
@@ -1596,7 +1707,16 @@ object TextOps {
     "q60_mixture_sample" -> mixtureSample,
     "q80_pii_scrub" -> piiScrub,
     "q81_chunk_dedup" -> chunkDedup,
+    "q172_vocab_retract" -> vocabRetract,
+    "q173_phrase_retract" -> phraseRetract,
+    "q174_sourcestats_retract" -> sourceStatsRetract,
   )
+
+  /** The q172-q174 live-corpus predicate — q167's retraction masks
+    * verbatim (retract ≡3 mod 10, resurrect ≡3 mod 20, re-retract ≡3
+    * mod 40 ⇒ live = everything except ≡13 mod 20 and ≡3 mod 40). */
+  private val retractLivePred: String =
+    "NOT (doc_id % 20 = 13) AND NOT (doc_id % 40 = 3)"
 
   private val driftOracleSql: String =
     """WITH tok AS (
@@ -2047,6 +2167,56 @@ object TextOps {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
         |  CAST(sum(DISTINCT doc_id) AS BIGINT) AS id_sum
         |FROM e GROUP BY phrase HAVING count(DISTINCT doc_id) >= 3""".stripMargin,
+    // q172 = q82's batch SQL over the POST-RETRACTION corpus (the q167
+    // oracle convention): live docs = the retractLivePred mask
+    "q172_vocab_retract" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE $retractLivePred),
+        |agg AS (
+        |  SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS df
+        |  FROM tok GROUP BY token)
+        |SELECT token, freq, df,
+        |  row_number() OVER (ORDER BY freq DESC, token) AS rank
+        |FROM agg ORDER BY freq DESC, token LIMIT 200""".stripMargin,
+    // q173 = q65's batch SQL over the post-retraction corpus — incl.
+    // min_doc/max_doc, the aggregates only the per-doc ledger can fix
+    "q173_phrase_retract" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE $retractLivePred),
+        |e AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(3, len(toks) + 1),
+        |        i -> toks[(i - 2)::INTEGER] || ' ' || toks[(i - 1)::INTEGER]
+        |             || ' ' || toks[i::INTEGER])
+        |    ELSE []::VARCHAR[] END) AS phrase
+        |  FROM tk)
+        |SELECT phrase, count(DISTINCT doc_id) AS df, count(*) AS occ,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  CAST(sum(DISTINCT doc_id) AS BIGINT) AS id_sum
+        |FROM e GROUP BY phrase HAVING count(DISTINCT doc_id) >= 3""".stripMargin,
+    // q174 = q84's batch SQL over the post-retraction corpus (the Σ√
+    // denominator renormalizes to the live sources)
+    "q174_sourcestats_retract" ->
+      s"""WITH m AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents WHERE $retractLivePred GROUP BY source),
+        |den AS (
+        |  SELECT list_reduce(
+        |    list_prepend(0.0::DOUBLE, list(sqrt(avail_tokens) ORDER BY source)),
+        |    (a, b) -> a + b) AS den
+        |  FROM m),
+        |w AS (
+        |  SELECT source, avail_tokens,
+        |    sqrt(avail_tokens) / (SELECT den FROM den) AS w
+        |  FROM m)
+        |SELECT source, avail_tokens, round(w, 6) AS mix_weight,
+        |  CAST(floor(w * 1000000) AS BIGINT) AS target_tokens,
+        |  floor(w * 1000000) / avail_tokens AS epochs
+        |FROM w""".stripMargin,
     // the DIFFERENT road on purpose: top-3 phrases via the same trigram
     // counts, but hits via substring containment over the raw corpus —
     // agreeing with the Spark side's index-posting lookup proves the

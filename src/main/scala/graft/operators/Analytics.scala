@@ -447,15 +447,20 @@ object Analytics {
     * the gate also certifies at-least-once idempotence, the q116
     * convention. */
   val retentionStream: Q = (s, d) =>
+    // kind carries the layout version: r17 moved the activity set to
+    // an IngestSegments row store (user-retraction support) — a
+    // pre-r17 AdditiveSegments layout must rebuild
     cohortMatrixOf(graft.sinks.RetentionSink.read(s,
-      ensureEventCutLifecycle(s, d, "retentionstream")))
+      ensureEventCutLifecycle(s, d, "retentionstream-v2ing")))
 
   /** Three-cut lifecycle state over the EVENTS table (the q102/q103
     * builder keyed to documents; this one cuts events by event_id):
-    * batches 0/1 written, compacted into one fold, batch 2 appended
-    * live and then REPLAYED (idempotence under the same gate). Tagged
-    * by the events fixture's (len, mtime); a crashed prior attempt
-    * (no __done marker) is cleared and redone. */
+    * three batches written, compacted (the row-store protocol keeps
+    * batch 2 as the replayable tail and folds 0+1 — writing all three
+    * BEFORE the compact is load-bearing, the r16 lifecycle-order
+    * lesson), then batch 2 REPLAYED (idempotence under the same gate).
+    * Tagged by the events fixture's (len, mtime); a crashed prior
+    * attempt (no __done marker) is cleared and redone. */
   private def ensureEventCutLifecycle(s: SparkSession, d: String,
       kind: String): String = synchronized {
     val (len, mtime) = graft.sinks.Hfs.stat(s, s"$d/events.parquet")
@@ -469,12 +474,82 @@ object Analytics {
       val w = graft.sinks.RetentionSink.writer(loc)(_, _)
       w(cut(0), 0L)
       w(cut(1), 1L)
-      graft.sinks.RetentionSink.compact(s, loc)
       w(cut(2), 2L)
+      graft.sinks.RetentionSink.compact(s, loc) // folds 0+1, 2 = tail
       w(cut(2), 2L) // at-least-once replay of the live tail
       graft.sinks.Hfs.writeString(s, s"$loc/__done", "ok")
     }
     loc
+  }
+
+  /** q175: USER-level retraction through the retention store — the
+    * GDPR-shaped request (the reference's user_info dim CDC delete,
+    * `app/OdsBaseDbApp.scala:121-139`) applied to the behavioral tier:
+    * delete users ≡ 3 (mod 10), RESURRECT the ≡ 3 (mod 20) half by
+    * re-ingesting their full activity (the user re-signed-up — their
+    * history restores and they re-cohort from the live set), fold
+    * (user tombstones cross the boundary), live-tail re-retract the
+    * ≡ 3 (mod 40) quarter. The served cohort matrix is hash-gated
+    * against q118's batch oracle over the LIVE users only. */
+  val retentionRetract: Q = (s, d) =>
+    cohortMatrixOf(graft.sinks.RetentionSink.read(s,
+      ensureUserRetractLifecycle(s, d, "retentionretract",
+        t(s, d, "events"), col("event_id"),
+        graft.sinks.RetentionSink.writer,
+        graft.sinks.RetentionSink.retract,
+        loc => graft.sinks.RetentionSink.compact(s, loc))))
+
+  /** q176: the q175 matrix on the finalized-session store — a deleted
+    * user's sessions leave the corpus summary (count, means, and
+    * conversion rate all shift to the live users exactly). Sessions
+    * are batch-built by [[gapSessionsOf]] (the q147 sessionizer — the
+    * same rows the streaming session_window finalizes) and cut by
+    * start_us; retraction is per user_id. Hash-gated against q147's
+    * batch oracle over the live users. */
+  val sessionRetract: Q = (s, d) =>
+    sessionSummaryOf(graft.sinks.SessionSink.read(s,
+      ensureUserRetractLifecycle(s, d, "sessionretract",
+        gapSessionsOf(t(s, d, "events")), col("start_us"),
+        graft.sinks.SessionSink.writer,
+        graft.sinks.SessionSink.retract,
+        loc => graft.sinks.SessionSink.compact(s, loc))))
+
+  /** The user-keyed retraction lifecycle twin of
+    * [[graft.functions.TextOps.ensureRetractLifecycle]] (doc-keyed,
+    * documents-tagged) for the behavioral stores: `rows` is the
+    * ingestable frame (raw events, or batch-built sessions), cut into
+    * three batches by `cutCol` pmod 3 — a USER's rows straddle every
+    * cut on purpose; these stores' set semantics never needed the
+    * one-key-one-batch admission contract — then compact (fold of
+    * 0+1 + tail), retract users ≡ 3 (mod 10), re-ingest ALL rows of
+    * the ≡ 3 (mod 20) half (must be ⊆ the retracted set: resurrection
+    * is insert-after-delete), compact again, and a final live-tail
+    * retraction of ≡ 3 (mod 40). Masks match q167's, applied to
+    * user_id. Same (len, mtime) tag + __done idempotence + StagedLayout
+    * publish as every cut lifecycle. */
+  private def ensureUserRetractLifecycle(s: SparkSession, d: String,
+      kind: String, rows: => DataFrame, cutCol: Column,
+      writer: String => (DataFrame, Long) => Unit,
+      retractor: String => (DataFrame, Long) => Unit,
+      compact: String => Unit): String = synchronized {
+    val (len, mtime) = graft.sinks.Hfs.stat(s, s"$d/events.parquet")
+    val tag =
+      s"${graft.functions.Scalars.md5Hex(d.getBytes("UTF-8")).take(12)}_${len}_$mtime"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft-$kind/$tag"
+    graft.sinks.StagedLayout.ensure(s, loc)(
+      graft.sinks.Hfs.readString(s, s"$loc/__done").nonEmpty) { stage =>
+      val r = rows
+      def cut(b: Long) = r.filter(pmod(cutCol, lit(3)) === b)
+      writer(stage)(cut(0), 0L)
+      writer(stage)(cut(1), 1L)
+      writer(stage)(cut(2), 2L)
+      compact(stage)
+      retractor(stage)(r.filter(pmod(col("user_id"), lit(10)) === 3), 3L)
+      writer(stage)(r.filter(pmod(col("user_id"), lit(20)) === 3), 4L)
+      compact(stage)
+      retractor(stage)(r.filter(pmod(col("user_id"), lit(40)) === 3), 5L)
+      graft.sinks.Hfs.writeString(s, s"$stage/__done", "ok")
+    }
   }
 
   /** q121: ordered funnel over the event stream — per user, a click
@@ -1335,11 +1410,20 @@ object Analytics {
     * collapses, and the final agg is one row. */
   val sessionStats: Q = (s, d) => sessionStatsOver(t(s, d, "events"))
 
-  private[graft] def sessionStatsOver(events: DataFrame): DataFrame = {
+  private[graft] def sessionStatsOver(events: DataFrame): DataFrame =
+    sessionSummaryOf(gapSessionsOf(events))
+
+  /** The batch 30-minute gap sessionizer, emitting the SessionSink row
+    * shape (user_id, start_us, n_events, dur_us, converted) — shared
+    * by q147 (which summarizes it; start_us prunes away there) and the
+    * q176 retraction lifecycle (which ingests the rows into the
+    * store). start_us = the session's first event time, matching the
+    * streaming session_window's window start exactly. */
+  private[graft] def gapSessionsOf(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     // same null-sequence refusal as the funnel (see funnelStepsOver)
-    val sessions = events.filter(col("ts").isNotNull)
+    events.filter(col("ts").isNotNull)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
@@ -1350,11 +1434,13 @@ object Analytics {
       .withColumn("session_seq", sum(col("new_session"))
         .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_seq"))
-      .agg(count(lit(1)).as("n_events"),
+      .agg(min(col("us")).as("start_us"),
+        count(lit(1)).as("n_events"),
         (max(col("us")) - min(col("us"))).as("dur_us"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("converted"))
-    sessionSummaryOf(sessions)
+      .select(col("user_id"), col("start_us"), col("n_events"),
+        col("dur_us"), col("converted"))
   }
 
   /** The corpus summary over any session frame carrying
@@ -1392,7 +1478,9 @@ object Analytics {
     // see sessionAgg's scaladoc), so their own single-event sessions
     // land in the store and are dropped here
     sessionSummaryOf(graft.sinks.SessionSink.read(s,
-      ensureOrderedFeedLifecycle(s, d, "sessionstream") {
+      // -v2ing: r17 moved the session store to an IngestSegments row
+      // store (user-retraction support) — pre-r17 layouts rebuild
+      ensureOrderedFeedLifecycle(s, d, "sessionstream-v2ing") {
         (feed, loc, schema) =>
           runSeqLifecycle(s, feed, loc, schema)(ds =>
             graft.streaming.Streams.sessionAgg(ds, delay = "1 hour"))(
@@ -1546,7 +1634,15 @@ object Analytics {
     "q35_running_total" -> runningTotal,
     "q36_sessionize" -> sessionize,
     "q37_topn_per_group" -> topnPerGroup,
+    "q175_retention_retract" -> retentionRetract,
+    "q176_session_retract" -> sessionRetract,
   )
+
+  /** The q175/q176 live-user predicate — q167's retraction masks on
+    * user_id (retract ≡3 mod 10, resurrect ≡3 mod 20, re-retract ≡3
+    * mod 40 ⇒ live = all but ≡13 mod 20 and ≡3 mod 40). */
+  private val userRetractLivePred: String =
+    "NOT (user_id % 20 = 13) AND NOT (user_id % 40 = 3)"
 
   /** Shared by q127 (batch) and q133 (the streaming lifecycle) — the
     * two must answer identically, so they share one oracle string. */
@@ -2010,6 +2106,26 @@ object Analytics {
         |  count(*)::BIGINT AS n_users
         |FROM ev JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // q175 = q118's batch SQL over the LIVE users only (the q167
+    // oracle convention applied to user-level retraction): deleted
+    // users leave the matrix; resurrected ones re-cohort from their
+    // full restored activity
+    "q175_retention_retract" ->
+      s"""WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events
+        |           WHERE ts IS NOT NULL AND $userRetractLivePred),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  (ev.day - c.cohort_day)::INTEGER AS day_offset,
+        |  count(*)::BIGINT AS n_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    // q176 = q147's batch SQL restricted to live users — composed from
+    // the SHARED oracle string (the q126 pattern: the two cannot
+    // drift; sessionization is per-user, so the user filter commutes
+    // with the gap cut)
+    "q176_session_retract" -> sessionStatsOracleSql.replace(
+      "FROM events WHERE ts IS NOT NULL",
+      s"FROM events WHERE ts IS NOT NULL AND $userRetractLivePred"),
     "q71_e2e_pipeline" ->
       """WITH scored AS (
         |  SELECT doc_id, lang, md5(text) AS h,

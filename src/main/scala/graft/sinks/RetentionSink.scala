@@ -4,29 +4,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained user-activity set — the streaming twin of
-  * the q118 cohort matrix, instantiating [[AdditiveSegments]] with the
-  * distinct (user_id, day) pairs of each batch.
+  * the q118 cohort matrix. USER-RETRACTABLE since r17 (the GDPR-shaped
+  * user_info CDC delete, reference `app/OdsBaseDbApp.scala:121-139`):
+  * a deleted user's (user, day) activity must leave the cohort matrix,
+  * which an AdditiveSegments set store could never serve.
   *
-  * The reconciling aggregate is SET UNION (distinct), which is
-  * IDEMPOTENT, not merely additive — a strictly stronger replay story
-  * than the counting sinks: vocab/phrase df-additivity requires each
-  * document to arrive in exactly one micro-batch, but here the same
-  * (user, day) activity may arrive in ANY number of batches (a user's
-  * events routinely straddle batch boundaries, and at-least-once
-  * delivery may duplicate whole events) and the merged state is still
-  * exact — duplicates collapse on read, per segment and across
-  * segments. Segment size is bounded by the batch's distinct active
-  * (user, day) pairs — ≤ active users per batch window, tiny relative
-  * to event volume; compaction on a cadence bounds the merge fan-in
-  * exactly as for the counting sinks.
+  * An [[IngestSegments]] row store (user_id, day, tomb, ing). The
+  * reconciling semantics stay SET UNION over the RESOLVED rows — a
+  * (user, day) pair may arrive in ANY number of batches (a user's
+  * events straddle batch boundaries; at-least-once delivery duplicates
+  * whole events) and duplicates collapse on read. Retraction is
+  * latest-wins per USER: a tombstone kills every activity row of the
+  * user with ing ≤ it; activity re-ingested later (higher ing — the
+  * user re-signed-up) re-accumulates from scratch, which also
+  * re-cohorts them at read time (first-seen day derives from the LIVE
+  * set — exactly the GDPR semantics: the old history is gone, the new
+  * account is a new cohort member).
   *
-  * The cohort matrix itself (min day per user → offset cells) is NOT
-  * maintained incrementally on purpose: a later batch can reveal an
-  * EARLIER first-seen day (late data), which would re-cohort the user —
-  * history-dependent, the same exclusion that pushed q116 to a
-  * version chain. The stored state is the activity SET (idempotent,
-  * order-free); the matrix derives from it at read time, and the
-  * derivation's cost is bounded by the set size, not event volume. */
+  * The cohort matrix itself stays derive-at-read (see the pre-r17
+  * note, unchanged): a later batch can reveal an earlier first-seen
+  * day, so the stored state is the activity set, never the matrix. */
 object RetentionSink {
 
   private[graft] def partial(batch: DataFrame): DataFrame =
@@ -35,17 +32,39 @@ object RetentionSink {
     batch.filter(col("ts").isNotNull)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
 
-  private def reconcile(segs: DataFrame): DataFrame = segs.distinct()
-
   /** foreachBatch hook: append batch N's distinct activity pairs as
-    * segment seq=N (replay-idempotent — see [[AdditiveSegments]]). */
+    * ingest=N (overwrite-by-own-id, replay-idempotent). */
   def writer(path: String)(batch: DataFrame, batchId: Long): Unit =
-    AdditiveSegments.write(partial(batch), path, batchId)
+    partial(batch)
+      .withColumn("tomb", lit(false)).withColumn("ing", lit(batchId))
+      .write.mode("overwrite").parquet(s"$path/ingest=$batchId")
 
-  /** Merge-on-read: the full distinct (user_id, day) activity set. */
+  /** User retraction hook: `batch` carries the deleted user_ids. */
+  def retract(path: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(null).cast("date").as("day"),
+        lit(true).as("tomb"), lit(batchId).as("ing"))
+      .write.mode("overwrite").parquet(s"$path/ingest=$batchId")
+
+  /** Merge-on-read: the LIVE distinct (user_id, day) activity set. */
   def read(spark: SparkSession, path: String): DataFrame =
-    AdditiveSegments.read(spark, path, reconcile)
+    IngestSegments.readLive(spark, path) match {
+      case None =>
+        throw new IllegalArgumentException(s"no index segments under $path")
+      case Some(raw) =>
+        IngestSegments.resolveTombstones(raw, "user_id", "ing", col("tomb"))
+          .select(col("user_id"), col("day")).distinct()
+    }
 
+  /** Fold: dead activity drops, tombstones are KEPT (newest per
+    * user) — the [[IngestSegments]] crash-window argument. */
   def compact(spark: SparkSession, path: String): Unit =
-    AdditiveSegments.compact(spark, path, reconcile)
+    IngestSegments.compact(spark, path,
+      fold = IngestSegments.foldWithTombstones(_, "user_id", "ing",
+        col("tomb"),
+        liveCols = Seq("user_id", "day", "tomb", "ing"),
+        dedupCols = Seq("user_id", "day"),
+        mkTomb = _.select(col("user_id"), lit(null).cast("date").as("day"),
+          lit(true).as("tomb"), col("ing"))),
+      Seq.empty)
 }

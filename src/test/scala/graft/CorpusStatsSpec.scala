@@ -159,11 +159,70 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows(sinks.VocabSink.topK(spark, s"$tmp/vocab")) == expected,
       "merged segments must equal the batch vocabulary")
     sinks.VocabSink.compact(spark, s"$tmp/vocab")
-    val segs = new java.io.File(s"$tmp/vocab").listFiles()
+    // the additive sub-store lives at agg/ since the r17 rows-ledger
+    // split (retraction support)
+    val segs = new java.io.File(s"$tmp/vocab/agg").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("seq="))
     assert(segs == 1, s"compact must fold to one segment, got $segs")
     assert(rows(sinks.VocabSink.topK(spark, s"$tmp/vocab")) == expected,
       "compaction must preserve the vocabulary exactly")
+  }
+
+  test("vocab retraction: negative partials telescope to the live corpus; ghost tokens leave; double-retract subtracts once") {
+    val tmp = java.nio.file.Files.createTempDirectory("vocab_ret").toString
+    val p = s"$tmp/vocab"
+    val w = sinks.VocabSink.writer(p) _
+    val r = sinks.VocabSink.retract(p) _
+    def vocab() = sinks.VocabSink.read(spark, p)
+      .as[(String, Long, Long)].collect().toSet
+    // "ghost" lives ONLY in doc 2 — its retraction must remove the
+    // token entirely, not leave a zero row
+    w(Seq((1L, "aa aa bb"), (2L, "ghost aa")).toDF("doc_id", "text"), 0L)
+    w(Seq((3L, "bb cc")).toDF("doc_id", "text"), 1L)
+    w(Seq((4L, "cc cc aa")).toDF("doc_id", "text"), 2L)
+    sinks.VocabSink.compact(spark, p)
+    assert(vocab() == Set(("aa", 4L, 3L), ("bb", 2L, 2L),
+      ("cc", 3L, 2L), ("ghost", 1L, 1L)))
+    // retract doc 2 + a never-ingested doc 99 (no-op)
+    r(Seq(2L, 99L).toDF("doc_id"), 3L)
+    assert(vocab() == Set(("aa", 3L, 2L), ("bb", 2L, 2L), ("cc", 3L, 2L)),
+      "ghost token must leave; aa loses doc 2's occurrences exactly")
+    // double-retract: a dead doc resolves to zero live rows — the
+    // subtraction must NOT happen twice
+    r(Seq(2L).toDF("doc_id"), 4L)
+    assert(vocab() == Set(("aa", 3L, 2L), ("bb", 2L, 2L), ("cc", 3L, 2L)))
+    // resurrect doc 2 (higher-ing re-ingest), fold, re-retract in tail
+    w(Seq((2L, "ghost aa")).toDF("doc_id", "text"), 5L)
+    assert(vocab() == Set(("aa", 4L, 3L), ("bb", 2L, 2L),
+      ("cc", 3L, 2L), ("ghost", 1L, 1L)))
+    sinks.VocabSink.compact(spark, p)
+    r(Seq(2L).toDF("doc_id"), 6L)
+    assert(vocab() == Set(("aa", 3L, 2L), ("bb", 2L, 2L), ("cc", 3L, 2L)),
+      "post-fold live-tail retraction must subtract the resurrected copy")
+  }
+
+  test("source-stats retraction: a fully-retracted source leaves the card and the mixture plan renormalizes") {
+    val tmp = java.nio.file.Files.createTempDirectory("stats_ret").toString
+    val p = s"$tmp/stats"
+    val w = sinks.SourceStatsSink.writer(p) _
+    val r = sinks.SourceStatsSink.retract(p) _
+    def stats() = sinks.SourceStatsSink.read(spark, p)
+      .as[(String, Long, Long)].collect().toSet
+    w(Seq((1L, "web", "a b c"), (2L, "niche", "x y"))
+      .toDF("doc_id", "source", "text"), 0L)
+    w(Seq((3L, "web", "d e")).toDF("doc_id", "source", "text"), 1L)
+    assert(stats() == Set(("web", 2L, 5L), ("niche", 1L, 2L)))
+    // retire the niche source (its only doc): the card row must GO
+    r(Seq(2L).toDF("doc_id"), 2L)
+    assert(stats() == Set(("web", 2L, 5L)),
+      "a zeroed source must leave the card, not linger as a 0 row")
+    val plan = sinks.SourceStatsSink.mixturePlan(spark, p, 1000L)
+      .select("source", "mix_weight").as[(String, Double)].collect().toMap
+    assert(plan == Map("web" -> 1.0),
+      "the tempered denominator must renormalize to the live sources")
+    // partial retraction: web loses doc 3's tokens only
+    r(Seq(3L).toDF("doc_id"), 3L)
+    assert(stats() == Set(("web", 1L, 3L)))
   }
 
   test("streaming novelty: cuts + replay + compact reconcile to q110; fold keeps first-cut attribution") {

@@ -276,9 +276,12 @@ class LayoutCompatSpec extends SparkSpec {
     assert(PhraseIndexSink.read(spark, phrase)
       .as[(String, Long, Long, Long, Long, Long)].collect().toSet == pRead)
 
-    val srcDocs1 = Seq(("web", "alpha beta gamma"),
-      ("books", "one two")).toDF("source", "text")
-    val srcDocs2 = Seq(("web", "delta epsilon")).toDF("source", "text")
+    // doc_id is part of the writer contract since the r17 rows ledger
+    // (the retractable unit is the doc)
+    val srcDocs1 = Seq((10L, "web", "alpha beta gamma"),
+      (11L, "books", "one two")).toDF("doc_id", "source", "text")
+    val srcDocs2 = Seq((12L, "web", "delta epsilon"))
+      .toDF("doc_id", "source", "text")
     val stats = tmp("lc_srcstats") + "/s"
     SourceStatsSink.writer(stats)(srcDocs1, 0L)
     SourceStatsSink.writer(stats)(srcDocs2, 1L)

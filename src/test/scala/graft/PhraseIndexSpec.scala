@@ -78,25 +78,54 @@ class PhraseIndexSpec extends SparkSpec {
     def readIdx() = graft.sinks.PhraseIndexSink.read(spark, dir, minDf = 3)
     assert(readIdx().exceptAll(batch).count() === 0)
     assert(batch.exceptAll(readIdx()).count() === 0)
-    // replayed batch id → no-op (segment dir already exists)
-    val seg0 = graft.sinks.Hfs.childDirs(spark, dir, "seq=").head
+    // replayed batch: overwrite-by-own-id rewrites identical content
+    // (the r17 row-ledger protocol — IngestSegments, not seq= markers)
+    val firstCut = docs.grouped(docs.length / 3 + 1).next()
     graft.sinks.PhraseIndexSink.writer(dir)(
-      Tables.t(spark, sf0001, "documents").select(col("doc_id"), col("text")),
-      seg0.stripPrefix("seq=").toLong)
+      firstCut.toIndexedSeq.toDF("doc_id", "text"), 0L)
     assert(readIdx().exceptAll(batch).count() === 0)
-    // compact folds to one segment with identical read
+    // compact folds all but the replayable newest batch (fold + tail)
     graft.sinks.PhraseIndexSink.compact(spark, dir)
-    assert(graft.sinks.Hfs.childDirs(spark, dir, "seq=").size === 1)
+    assert(graft.sinks.Hfs.childDirs(spark, dir, "ingest=").size === 2)
     assert(readIdx().exceptAll(batch).count() === 0)
     assert(batch.exceptAll(readIdx()).count() === 0)
-    // crash between delete and rename: the completed staging (with
-    // _SUCCESS) is adopted by the next compact
-    val seg = graft.sinks.Hfs.childDirs(spark, dir, "seq=").head
-    graft.sinks.Hfs.rename(spark, s"$dir/$seg",
-      s"$dir/__compact_staging_${seg.stripPrefix("seq=")}")
+    // a crashed compact's leftover staging is derived data from
+    // segments that were never deleted — discarded and refolded
+    graft.sinks.Hfs.mkdirs(spark, s"$dir/__compact_staging_-99")
     graft.sinks.PhraseIndexSink.compact(spark, dir)
-    assert(graft.sinks.Hfs.childDirs(spark, dir, "seq=").size === 1)
+    assert(graft.sinks.Hfs.childDirs(spark, dir, "__compact_staging_").isEmpty)
     assert(readIdx().exceptAll(batch).count() === 0)
+  }
+
+  test("phrase retraction: a deleted doc leaves df/occ AND the min/max posting bounds; resurrection restores them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("phraseret").toString
+    val w = graft.sinks.PhraseIndexSink.writer(dir) _
+    val r = graft.sinks.PhraseIndexSink.retract(dir) _
+    // doc 1 is the MIN and doc 9 the MAX posting of "a b c" — exactly
+    // the aggregates no additive store could repair after a delete
+    val d1 = (1L, "a b c x1 a b c")
+    val d5 = (5L, "a b c y1 y2")
+    val d9 = (9L, "z1 a b c")
+    def idx() = graft.sinks.PhraseIndexSink.read(spark, dir)
+      .filter(col("phrase") === "a b c")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    w(Seq(d1, d5).toDF("doc_id", "text"), 0L)
+    w(Seq(d9).toDF("doc_id", "text"), 1L)
+    assert(idx() == Set(("a b c", 3L, 4L, 1L, 9L, 15L)))
+    // retract the min doc: min_doc must move UP to 5 (second-min)
+    r(Seq(1L).toDF("doc_id"), 2L)
+    assert(idx() == Set(("a b c", 2L, 2L, 5L, 9L, 14L)),
+      "min_doc must re-derive from the surviving per-doc rows")
+    // fold with the tombstone, then retract the max in the live tail
+    graft.sinks.PhraseIndexSink.compact(spark, dir)
+    assert(idx() == Set(("a b c", 2L, 2L, 5L, 9L, 14L)))
+    r(Seq(9L).toDF("doc_id"), 3L)
+    assert(idx() == Set(("a b c", 1L, 1L, 5L, 5L, 5L)),
+      "max_doc must re-derive after a live-tail retraction")
+    // resurrection: a higher-ing re-ingest restores doc 1's postings
+    w(Seq(d1).toDF("doc_id", "text"), 4L)
+    assert(idx() == Set(("a b c", 2L, 3L, 1L, 5L, 6L)))
   }
 
   test("q73 chunks: full token coverage, stride-exact overlap, hash = content") {

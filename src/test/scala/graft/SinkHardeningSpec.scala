@@ -26,7 +26,10 @@ class SinkHardeningSpec extends SparkSpec {
     // simulate batch 2 having CRASHED mid-write: its data files exist
     // but no commit marker survives (the committer's abort removes only
     // _temporary) — streaming will replay batch 2 on restart
-    val seg2 = new java.io.File(s"$dir/vocab/seq=2")
+    // the additive sub-store lives at agg/ since the r17 rows-ledger
+    // split; the scenario (agg segment uncommitted, rows segment
+    // written) is exactly the crash window between cdcCore's two writes
+    val seg2 = new java.io.File(s"$dir/vocab/agg/seq=2")
     assert(new java.io.File(seg2, "_GRAFT_COMMITTED").delete())
     new java.io.File(seg2, "_SUCCESS").delete()
     sinks.VocabSink.compact(spark, s"$dir/vocab")
@@ -70,8 +73,8 @@ class SinkHardeningSpec extends SparkSpec {
     // (target 0) beside a committed superset fold (target 1) — the
     // adoption loop must end with the superset alone, not both (which
     // would double-count batch 0)
-    val segs = s"$dir/vocab"
-    sinks.VocabSink.compact(spark, segs) // folds 0-1 at seq=1
+    val segs = s"$dir/vocab/agg" // the additive sub-store (r17 split)
+    sinks.VocabSink.compact(spark, s"$dir/vocab") // folds agg 0-1 at seq=1
     // turn the fold back into a staging pair: copy seq=1 → stagings 0,1
     import java.nio.file.{Files => JF, Paths, StandardCopyOption}
     def copyDir(from: String, to: String): Unit = {
@@ -83,12 +86,12 @@ class SinkHardeningSpec extends SparkSpec {
     copyDir(s"$segs/seq=1", s"$segs/__compact_staging_0")
     copyDir(s"$segs/seq=1", s"$segs/__compact_staging_1")
     sinks.Hfs.deleteRecursive(spark, s"$segs/seq=1")
-    sinks.VocabSink.compact(spark, segs)
+    sinks.VocabSink.compact(spark, s"$dir/vocab")
     val liveSegs = new java.io.File(segs).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("seq=")).map(_.getName)
     assert(liveSegs.toSeq == Seq("seq=1"),
       s"adoption must converge on the superset fold only, got ${liveSegs.toSeq}")
-    assert(vocabOf(segs) == Map("aa" -> 1L, "bb" -> 1L),
+    assert(vocabOf(s"$dir/vocab") == Map("aa" -> 1L, "bb" -> 1L),
       "no batch may be double-counted after the recovery")
   }
 

@@ -53,13 +53,23 @@ class SkewJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
   }
 
-  test("salting beats the plain shuffle join on a hot-key corpus (the bench extras ordering)") {
+  test("salting spreads the hot key's shuffle rows and beats the plain join (retry-on-contention)") {
     // promotes the measured-but-unasserted bench extras row
-    // (skew_salted < skew_plain) to a gate. Min-of-2 wall clocks with a
-    // 95%-hot 1.2M-row build: plain concentrates ~1.14M rows in ONE
-    // sort-merge partition, salted spreads them 8 ways — the gap is
-    // structural (~2×), far beyond box noise on min-of-2.
+    // (skew_salted < skew_plain) to a gate, in two layers:
+    //
+    //  1. a DETERMINISTIC spread pin — the fact the timing rides on:
+    //     under the plain hash partitioning one partition receives the
+    //     entire ~95%-hot key, under (k, __salt) no partition holds
+    //     more than ~1/8 of it. Row counts, no wall clock, immune to
+    //     box noise.
+    //  2. the wall-clock ordering itself, RETRIED up to 3 attempts:
+    //     this was the suite's one contention-fragile assertion (r16:
+    //     failed under 32-core suite self-contention, passed 4/4
+    //     isolated, bench extras quietly agreed at 1.32 vs 1.99 s). A
+    //     real salting regression is structural and loses every
+    //     attempt; a contended box loses at most the contended ones.
     val n = 1200000L
+    val parts = 32
     val big = spark.range(n).select(
       when(pmod(col("id"), lit(20)) =!= 0, lit(1L))
         .otherwise(pmod(xxhash64(col("id")), lit(50000))).as("k"),
@@ -67,6 +77,18 @@ class SkewJoinSpec extends SparkSpec {
     big.count()
     val small = spark.range(50000).select(col("id").as("k"),
       concat(lit("dim_"), col("id")).as("label"))
+    def maxPartRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.mapPartitions(it => Iterator.single(it.size.toLong))(
+        org.apache.spark.sql.Encoders.scalaLong).collect().max
+    val plainSpread = maxPartRows(big.repartition(parts, col("k")))
+    val saltedSpread = maxPartRows(big
+      .withColumn("__salt", (xxhash64(monotonically_increasing_id()) % 8 + 8) % 8)
+      .repartition(parts, col("k"), col("__salt")))
+    assert(plainSpread > (n * 9) / 10,
+      s"fixture drifted: the hot key no longer concentrates ($plainSpread)")
+    assert(saltedSpread < n / 4,
+      s"salting no longer spreads the hot key ($saltedSpread rows in one " +
+        "partition) — the shuffle would collapse back to one task")
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevS = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
     def time(f: => Unit): Double = {
@@ -76,13 +98,16 @@ class SkewJoinSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
       def run(f: => Unit): Double = math.min(time(f), time(f))
-      val plain = run(big.join(small, "k")
-        .write.format("noop").mode("overwrite").save())
-      val salted = run(SkewJoin.saltedJoin(big, small, "k", 8)
-        .write.format("noop").mode("overwrite").save())
-      assert(salted < plain,
-        f"salted join ($salted%.2f s) must beat the plain shuffle join " +
-          f"($plain%.2f s) on a 95%%-hot key — salting has regressed")
+      val attempts = (1 to 3).iterator.map { _ =>
+        val plain = run(big.join(small, "k")
+          .write.format("noop").mode("overwrite").save())
+        val salted = run(SkewJoin.saltedJoin(big, small, "k", 8)
+          .write.format("noop").mode("overwrite").save())
+        (salted, plain)
+      }
+      assert(attempts.exists { case (s, p) => s < p },
+        "salted join lost to the plain shuffle join on ALL 3 attempts " +
+          "(min-of-2 each) — beyond contention; salting has regressed")
     } finally {
       big.unpersist(false)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
