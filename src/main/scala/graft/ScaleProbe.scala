@@ -36,7 +36,7 @@ object ScaleProbe {
       "partitioned_fold", "skew", "grouped_quantile", "seq_state",
       "join_state", "substring_spans", "substring_ingest",
       "substring_provenance", "substring_decontam", "decontam_registry",
-      "decontam_bloom_road")
+      "decontam_bloom_road", "tombstone_resolve")
     val only = args.toSet
     require(only.forall(o => guardNames.exists(_.contains(o))),
       s"unknown probe filter(s) ${only.filterNot(o => guardNames.exists(_.contains(o)))}; " +
@@ -1268,6 +1268,55 @@ object ScaleProbe {
           f"spans=${bagg.getLong(0)}%8d")
         docs.unpersist()
       }
+    }
+    // The r17 routed tombstone resolve at engineered churn scales —
+    // the r16 `weak`'s measured closure: the hint-forced broadcast(t)
+    // had no data point past the broadcast budget (where it would
+    // simply OOM); the router's three roads are timed DIRECTLY (the
+    // decontam_road lesson: no conf forcing) against a 20M-row store
+    // with tombstone tables up to 10M keys. Every road must resolve to
+    // the same live count (the ANSWER contract), and the routed road's
+    // cost must grow smoothly with churn — no cliff where the old
+    // broadcast hint died. Each road runs twice, second timing
+    // reported.
+    if (on("tombstone_resolve")) {
+      val n = 20000000L
+      val rows = spark.range(n).select(col("id").as("k"), lit(1L).as("ing"),
+        (col("id") * 3L).as("payload")).persist()
+      rows.count()
+      for (t <- Seq(100000L, 1000000L, 10000000L)) {
+        // tombstones spread across the key space; half outrank the row
+        // (ing 5 > 1, kills), half are outranked (ing 0 < 1, inert) —
+        // both comparison branches stay hot
+        val agg = spark.range(t)
+          .select((col("id") * (n / t)).as("k"),
+            when(pmod(col("id"), lit(2)) === 0, lit(5L)).otherwise(lit(0L))
+              .as("__tomb_ing"))
+          .localCheckpoint()
+        val chosen = graft.sinks.IngestSegments.routeOf(spark, t)
+        def road(r: String): (Double, Long) = {
+          def once(): (Double, Long) = {
+            val t0 = System.nanoTime()
+            val live = graft.sinks.IngestSegments
+              .applyTombstonesRouted(rows, agg, "k", "ing", r)
+              .agg(count(lit(1))).collect()(0).getLong(0)
+            ((System.nanoTime() - t0) / 1e9, live)
+          }
+          once(); once()
+        }
+        // the routed choice + the plain floor at every size; broadcast
+        // only where the budget admits it (past it the hashed relation
+        // is exactly the OOM the router exists to avoid)
+        val roads = (Seq(chosen, "plain") ++
+          (if (chosen == "broadcast") Seq("bloom") else Seq.empty)).distinct
+        val res = roads.map(r => r -> road(r))
+        require(res.map(_._2._2).distinct.size == 1,
+          s"roads disagree at t=$t: $res")
+        println(f"SCALE n=$n%9d tombstone_resolve t=$t%9d route=$chosen%-9s " +
+          res.map { case (r, (dt, _)) => f"$r ${dt}%6.2f s" }.mkString(" ") +
+          f" live=${res.head._2._2}%9d")
+      }
+      rows.unpersist()
     }
     spark.stop()
   }
