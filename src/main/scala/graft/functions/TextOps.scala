@@ -1320,15 +1320,20 @@ object TextOps {
     * global sort. */
   val pmiBigrams: Q = (s, d) => pmiBigramsOver(t(s, d, "documents"))
 
-  /** (doc_id, bigram) via the in-row transform — shared by q132's PMI
-    * mining and q135's bigram LM, so the pair construction cannot
-    * drift between the two. */
+  /** (doc_id, bigram) — shared by q132's PMI mining and q135's bigram
+    * LM, so the pair construction cannot drift between the two. Fused
+    * TokenNgrams(width=2), the q65 trigram argument one order down: the
+    * transform(sequence, i -> concat(...)) HOF it replaces is
+    * CodegenFallback (interpreted lambda frame per element, ~1.4 ms/doc
+    * measured for the trigram twin) where the fused expression runs
+    * inside WholeStageCodegen; emitted grams are identical — same
+    * single-space split (Java regex " " ≡ the literal-space
+    * UTF8String.split, both limit -1), same adjacent concat-ws-space,
+    * and a <2-token doc yields an empty array that explode drops just
+    * like the old size(toks) >= 2 pre-filter. */
   private def bigramsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(2, size(toks)), i -> concat(toks[i-2], ' ', toks[i-1]))"))
-        .as("bigram"))
+    docs.select(col("doc_id"), explode(
+      graft.expressions.TextHashes.token_ngrams(col("text"), 2)).as("bigram"))
 
   private[graft] def pmiBigramsOver(docs: DataFrame): DataFrame = {
     val bigrams = bigramsOf(docs)

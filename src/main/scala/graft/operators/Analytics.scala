@@ -954,13 +954,17 @@ object Analytics {
     * total order over all users, which the naive window
     * (`Window.orderBy` with no partition) computes on ONE partition —
     * a scale-killer the q90 shuffle deliberately avoided. Here it is
-    * solved exactly: three range-partitioned global ranks (see
-    * withGlobalRank) + the integer NTILE formula reproduce the
-    * oracle's native ntile bit-for-bit with no single-partition stage.
+    * solved exactly: ONE composite range-partitioned global rank (see
+    * withGlobalRank) over the three union-tagged metrics extracts the
+    * ≤12 NTILE BOUNDARY rows, and the bucket labels are map-side
+    * comparisons against those collected literals — reproducing the
+    * oracle's native ntile bit-for-bit with no single-partition stage
+    * and no per-row rank join (the r16 shape paid three rank
+    * materializations plus three user-keyed joins for the same answer).
     * Scale shape: events collapse to one row per purchasing user in
-    * the first shuffle; the three rank passes and user-keyed joins all
-    * run on that users-sized frame (1000× below event volume); the
-    * final grid is ≤ k³ rows. The one driver-side scalar is a count.
+    * the first shuffle; the one rank pass runs on 3× that users-sized
+    * frame (1000× below event volume); the final grid is ≤ k³ rows.
+    * The driver-side reads are a count and the 12 boundary rows.
     * Ties (shared recency day / frequency / rounded monetary) are
     * broken by user_id in BOTH engines, so bucket boundaries cannot
     * drift. */
@@ -993,17 +997,54 @@ object Analytics {
         col("frequency"), col("micros"))
       .persist()
     val n = per.count() // bounded driver scalar: one long
-    def quintile(name: String, keep: Seq[Column], sort: Column*) =
-      withGlobalRank(per.select(col("user_id") +: keep: _*), "__r", sort: _*)
-        .select(col("user_id") +: keep :+
-          ntileOfRank(col("__r"), n, 5).as(name): _*)
-    val r = quintile("r_q", Seq(col("recency_days")),
-      col("recency_days"), col("user_id")).drop("recency_days")
-    val f = quintile("f_q", Seq(col("frequency")),
-      col("frequency").desc, col("user_id")).drop("frequency")
-    val m = quintile("m_q", Seq(col("micros")),
-      col("micros").desc, col("user_id"))
-    val grid = r.join(f, Seq("user_id")).join(m, Seq("user_id"))
+    // NTILE via its BOUNDARY rows, not per-row rank (r17): bucket(x) =
+    // 1 + |{b ∈ 1..4 : x > boundary_b}| where boundary_b is the row AT
+    // rank cum_b (the last row of bucket b) — identical to the rank
+    // formula because each sort is a total order (value, user_id), so
+    // x > boundary_b ⟺ rank(x) > cum_b. That turns the r16 shape's
+    // three full-frame rank materializations + three user-keyed joins
+    // into ONE composite rank pass — the three metrics union-tagged
+    // into a single range-partitioned sort (descending metrics negated
+    // so every tag ranks ascending, and offset(tag) is exactly tag·n)
+    // — whose only output is ≤12 boundary rows collected to the driver
+    // (the winsorize convention: a bounded model read); the quintile
+    // labels become map-side literal comparisons on the cached
+    // per-user frame. Exchanges 7 → 3, and the users frame leaves the
+    // JVM row format once (the rank pass) instead of four times.
+    // Empty-bucket edge (n < 5): duplicate cum values all equal n, so
+    // their shared boundary is the global max and each duplicate term
+    // is false for every row — bit-identical to ntile (JourneyOpsSpec
+    // pins the hand grid AND a random sweep incl. n < k against the
+    // native-ntile reference).
+    val q5 = n / 5
+    val m5 = n % 5
+    def cum(b: Int): Long =
+      if (b <= m5) b * (q5 + 1) else m5 * (q5 + 1) + (b - m5) * q5
+    val comp = per.select(lit(0).as("tag"),
+        col("recency_days").cast("long").as("val"), col("user_id"))
+      .unionByName(per.select(lit(1).as("tag"),
+        (-col("frequency")).as("val"), col("user_id")))
+      .unionByName(per.select(lit(2).as("tag"),
+        (-col("micros")).as("val"), col("user_id")))
+    val branks = (for { tag <- 0 to 2; b <- 1 to 4; c = cum(b) if c > 0 }
+      yield tag * n + c).distinct
+    val bnd = withGlobalRank(comp, "__r", col("tag"), col("val"), col("user_id"))
+      .filter(col("__r").isin(branks: _*))
+      .select(col("val"), col("user_id"), col("__r"))
+      .collect()
+      .map(r => (r.getLong(2), (r.getLong(0), r.getLong(1)))).toMap
+    def bucketOf(name: String, tag: Int, valC: Column): Column =
+      (1 to 4).foldLeft(lit(1L)) { (acc, b) =>
+        bnd.get(tag * n + cum(b)) match {
+          case Some((v, u)) => acc + when(valC > v ||
+            (valC === v && col("user_id") > u), lit(1L)).otherwise(lit(0L))
+          case None => acc
+        }
+      }.as(name)
+    val grid = per.select(col("user_id"), col("micros"),
+        bucketOf("r_q", 0, col("recency_days").cast("long")),
+        bucketOf("f_q", 1, -col("frequency")),
+        bucketOf("m_q", 2, -col("micros")))
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_users"),
         // RAW quotient of the exact integer cell total (the q143
@@ -1091,9 +1132,22 @@ object Analytics {
       .persist()
     val ranked = withGlobalRank(ev, "__r",
       col("event_type"), col("value"), col("event_id"))
-    // types are contiguous in the range order ⇒ min(__r) is the offset
-    val stats = ranked.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), min(col("__r")).as("off"))
+    // Types are contiguous in the range order ⇒ a type's rank offset is
+    // 1 + the row count of lexicographically-earlier types, so n and
+    // off come from a |types|-row aggregate over the CACHED projection
+    // — the r16 shape computed off as min(__r) over `ranked`, which
+    // evaluated the whole range-repartition + sort + zipWithIndex
+    // pipeline a second time just to read its first row per type (the
+    // bounds pass below re-evaluated it anyway; rank passes halved
+    // 2 → 1). The cumsum window runs on the |types|-row frame — the
+    // bounded-model scale class, not a corpus window; its string
+    // ordering is the same binary UTF8 comparison the range partitioner
+    // sorts by.
+    val cumW = Window.orderBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(cumW), lit(0L)) + 1L)
       .withColumn("h05",
         (col("n") - 1).cast("double") * lit(0.05) + lit(1.0))
       .withColumn("h95",
@@ -1200,13 +1254,22 @@ object Analytics {
       .distinct()
     val users = orders.select(col("o_custkey").as("c")).distinct()
     val nParts = part.agg(count(lit(1)).as("n_parts"))
-    val cand = users.crossJoin(broadcast(nParts))
-      .select(col("c"), col("n_parts"),
-        explode(sequence(lit(0L), lit(9L))).as("j"))
-      .select(col("c"), col("j"),
-        (lit(1L) + ((col("c") * lit(2654435761L) + col("j") * lit(97003L))
-          % lit(1000003L)) % col("n_parts")).as("p"))
-    val ded = cand.groupBy(col("c"), col("p")).agg(min(col("j")).as("jj"))
+    // A user's 2K candidates are generated from ONE row, so the
+    // (c, p)-duplicate collapse happens IN-ROW: array_distinct keeps
+    // each part's FIRST occurrence in j order, so element position ≡
+    // rank by min(j) — the r16 shape exploded first and paid a
+    // 2K·|users|-row groupBy exchange to recover exactly this (guide
+    // §2.4: the dedup needs no data that isn't already on the row).
+    // Positions are a strictly monotone image of the old min-j values
+    // per user, so the neg_rank window below orders identically; ties
+    // are impossible either way (one p per j).
+    val ded = users.crossJoin(broadcast(nParts))
+      .select(col("c"), array_distinct(
+        transform(sequence(lit(0L), lit(9L)), j =>
+          lit(1L) + ((col("c") * lit(2654435761L) + j * lit(97003L))
+            % lit(1000003L)) % col("n_parts"))).as("ps"))
+      .select(col("c"), posexplode(col("ps")))
+      .withColumnRenamed("pos", "jj").withColumnRenamed("col", "p")
     ded.join(inter, Seq("c", "p"), "left_anti")
       .withColumn("neg_rank",
         row_number().over(Window.partitionBy(col("c")).orderBy(col("jj")))
@@ -1364,6 +1427,21 @@ object Analytics {
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
     val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+    // The struct-max argmax ("last event type") lives in its OWN
+    // user-keyed aggregate: a struct-typed aggregation buffer is not
+    // UnsafeRow-mutable, so keeping it inside the wide aggregate forced
+    // the WHOLE query — including the countDistinct Expand(×3) frame —
+    // into SortAggregate with two full-width sorts (r17 plan audit:
+    // Sort→SortAggregate→Exchange→Sort→SortAggregate over 3N expanded
+    // rows). Split, the wide numeric/distinct aggregate plans as the
+    // hash pyramid (no sorts) and the struct-max sorts only a narrow
+    // 4-column frame; both sides leave their aggregates partitioned by
+    // user_id, so the reassembly join adds no exchange. Same result by
+    // construction — the argmax aggregate is unchanged, merely computed
+    // beside its siblings instead of among them.
+    val lastT = ev.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+        .getField("event_type").as("last_type"))
     ev.crossJoin(broadcast(ref))
       .groupBy(col("user_id"))
       .agg(
@@ -1375,14 +1453,13 @@ object Analytics {
         datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
           .as("tenure_days"),
         max(col("us")).as("last_us"), min(col("us")).as("first_us"),
-        max(struct(col("ts"), col("event_id"), col("event_type")))
-          .getField("event_type").as("last_type"),
         count(when(col("event_type") === "purchase" &&
           datediff(col("ref_day"), to_date(col("ts"))) < 30, 1))
           .as("purchases_30d"),
         round(sum(when(col("event_type") === "purchase" &&
           datediff(col("ref_day"), to_date(col("ts"))) < 30, col("value"))), 2)
           .as("value_30d"))
+      .join(lastT, Seq("user_id"))
       .select(col("user_id"), col("n_events"), col("n_active_days"),
         col("n_types"), col("recency_days").cast("long").as("recency_days"),
         col("tenure_days").cast("long").as("tenure_days"),

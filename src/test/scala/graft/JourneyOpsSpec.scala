@@ -129,6 +129,54 @@ class JourneyOpsSpec extends SparkSpec {
       (5L, 5L, 3L, 1L, 7.0)), s"got $got") // u7
   }
 
+  test("q128 boundary-bucket rewrite == independent native-ntile reference over random purchase sets, incl. n < 5 and heavy ties") {
+    // The r17 rewrite labels quintiles by comparing against the ≤12
+    // collected NTILE boundary rows instead of joining three per-row
+    // rank frames; this sweep pins bucket-for-bucket equality against
+    // Spark's native ntile window (what the DuckDB oracle runs) on
+    // random corpora covering n < k, n = k, uneven splits and massed
+    // value ties (same day / same frequency / same monetary).
+    val rnd = new scala.util.Random(41)
+    for (nUsers <- Seq(1, 3, 5, 23, 200)) {
+      val rows = (1 to nUsers).flatMap { u =>
+        val nEv = 1 + rnd.nextInt(4)
+        (1 to nEv).map { i =>
+          // tight day range + coarse values force cross-user ties
+          (u.toLong * 100 + i, u.toLong,
+            f"2024-01-${1 + rnd.nextInt(5)}%02d 12:00:00",
+            "purchase", (1 + rnd.nextInt(3)).toDouble)
+        }
+      }
+      val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val got = Analytics.rfmSegmentsOver(ev)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      // independent reference: per-user RFM via plain windows (single
+      // partition is fine at test scale), native ntile per metric
+      val per = ev.groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("frequency"),
+          sum(floor(col("value") * lit(1000000.0))).as("micros"))
+        .crossJoin(ev.agg(max(to_date(col("ts"))).as("ref_day")))
+        .select(col("user_id"),
+          datediff(col("ref_day"), col("last_day")).as("recency_days"),
+          col("frequency"), col("micros"))
+      val want = per
+        .withColumn("r_q", ntile(5).over(
+          Window.orderBy(col("recency_days"), col("user_id"))).cast("long"))
+        .withColumn("f_q", ntile(5).over(
+          Window.orderBy(col("frequency").desc, col("user_id"))).cast("long"))
+        .withColumn("m_q", ntile(5).over(
+          Window.orderBy(col("micros").desc, col("user_id"))).cast("long"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_users"),
+          (sum(col("micros").cast("decimal(38,0)")).cast("double") /
+            lit(1000000.0)).as("total_monetary"))
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == want, s"nUsers=$nUsers: got $got want $want")
+    }
+  }
+
   // ---- q130 profiler / q131 constraints ----
 
   test("q130: planted nulls and duplicates are counted; min/max order natively before the string cast") {

@@ -517,17 +517,29 @@ class PlanAuditSpec extends SparkSpec {
       s"the top-50 cut must be TakeOrdered, not sort+limit:\n$plan")
   }
 
-  test("q143 user features: one events scan, no join beyond the 1-row ref-day broadcast, NO window") {
+  test("q143 user features: hash-aggregated wide row + narrow argmax side agg, NO window, no sort under the Expand") {
     val df = operators.Analytics.userFeatures(spark, sf0001)
     df.collect()
     val nodes = walkPlan(df.queryExecution.executedPlan)
     val scans = nodes.count(_.nodeName.contains("Scan parquet"))
-    assert(scans == 2, // events + the 1-row ref-day aggregate's own read
-      s"expected the events scan + ref-day scan, got $scans")
+    // r17 split: wide numeric/distinct agg (events scan 1) + the
+    // struct-argmax in its own narrow aggregate (events scan 2) + the
+    // 1-row ref-day aggregate's read — the struct-typed buffer is not
+    // UnsafeRow-mutable, so keeping it in the wide agg forced the WHOLE
+    // countDistinct Expand frame through SortAggregate with two
+    // full-width sorts (the r16 shape this pin used to bless)
+    assert(scans == 3,
+      s"expected events ×2 (wide agg + argmax agg) + ref-day scan, got $scans")
     assert(!nodes.exists(_.nodeName.contains("Window")),
-      "the feature row must assemble in ONE aggregate, not window passes")
+      "the feature row must assemble in aggregates, not window passes")
     val bnlj = nodes.filter(_.nodeName.contains("BroadcastNestedLoopJoin"))
     assert(bnlj.size <= 1, s"only the ref-day crossJoin may nested-loop")
+    // the POINT of the split: the Expand (countDistinct rewrite) frame
+    // must aggregate hash-based — no SortAggregate may sit above it
+    val expandIdx = nodes.indexWhere(_.nodeName.contains("Expand"))
+    assert(expandIdx >= 0, "countDistinct Expand missing")
+    assert(!nodes.take(expandIdx).exists(_.nodeName.contains("SortAggregate")),
+      "the wide aggregate regressed to SortAggregate over the Expand frame")
   }
 
   test("q139 negative sampling: no user×catalog blowup — the only nested-loop is the 1-row count broadcast") {
