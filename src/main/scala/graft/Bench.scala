@@ -273,8 +273,10 @@ object Bench {
       ("r13 rebase: basket layout shared with q142; pre-r13 floors " +
         "timed its own aggregation"),
     "q153_ann_recall" ->
-      ("r14 rebase: +pq_rerank method row (three methods × panel); " +
-        "pre-r14 floors timed two methods"),
+      ("r17 rebase: +pq_retract method row over the q170 retracted " +
+        "lifecycle store, scored against a second (live-corpus) exact " +
+        "ranking — four methods × panel; r14-r16 floors timed three " +
+        "methods against one truth side"),
     "q157_span_provenance" ->
       ("r14 rebase: rewritten on the fused SpanStatsAgg (one " +
         "partial-combined exchange); pre-r14 floors timed the " +

@@ -798,30 +798,38 @@ object SimilarityOps {
         col("embedding").cast("array<double>").as("qv"))
     val corpus = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+    // ONE side-tagged exact ranking and ONE method-tagged hit count
+    // (r17) — the oracle's own UNION ALL shape. The r16 form ranked
+    // full and live truths in two window subtrees and counted hits
+    // through four separate semi-join → aggregate branches; the union
+    // tags collapse that to one window pass (partitioned by
+    // (side, query_id) — same parallelism keys) and one semi join +
+    // one aggregate, identical row-for-row because each (side, method)
+    // slice joins exactly the rows its dedicated branch did.
+    val livePred = pmod(col("vec_id"), lit(20)) =!= 13 &&
+      pmod(col("vec_id"), lit(40)) =!= 3
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
+      .partitionBy(col("side"), col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    def exactOver(c: DataFrame) = c
+    val ex = corpus.withColumn("side", lit("full"))
+      .unionByName(corpus.filter(livePred).withColumn("side", lit("live")))
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      .select(col("side"), col("query_id"), col("vec_id").as("neighbor_id"),
         round(fcos(col("v"), col("qv")), 6).as("cosine"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .select(col("query_id"), col("neighbor_id"))
-    val exact = exactOver(corpus)
-    val exactLive = exactOver(corpus.filter(
-      pmod(col("vec_id"), lit(20)) =!= 13 &&
-        pmod(col("vec_id"), lit(40)) =!= 3))
+      .select(col("side"), col("query_id"), col("neighbor_id"))
     val ivfDf = ivfKnnJoin(s, path, queries, nprobe, k)
-    def hitsOf(probe: DataFrame, method: String,
-        truth: DataFrame = exact) =
+    def tagged(probe: DataFrame, method: String) =
       probe.select(col("query_id"), col("neighbor_id"))
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
         .withColumn("method", lit(method))
-    val hits = hitsOf(ivfDf, "ivf").unionByName(hitsOf(pqDf, "pq"))
-      .unionByName(hitsOf(rrDf, "pq_rerank"))
-      .unionByName(hitsOf(rtDf, "pq_retract", exactLive))
+    val hits = tagged(ivfDf, "ivf").unionByName(tagged(pqDf, "pq"))
+      .unionByName(tagged(rrDf, "pq_rerank"))
+      .unionByName(tagged(rtDf, "pq_retract"))
+      .withColumn("side", when(col("method") === "pq_retract", "live")
+        .otherwise("full"))
+      .join(ex, Seq("side", "query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("method"), col("query_id")).agg(count(lit(1)).as("n_hit"))
     queries.select(col("query_id"))
       .crossJoin(Seq("ivf", "pq", "pq_rerank", "pq_retract").toDF("method"))
       .join(hits, Seq("method", "query_id"), "left")
