@@ -507,7 +507,21 @@ object PqOps {
     * monitor's bench cost at the probes themselves. */
   private def pqKnnJoinWithModel(s: SparkSession, path: String,
       cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
-      queries: DataFrame, nprobe: Int, topk: Int): DataFrame = {
+      queries: DataFrame, nprobe: Int, topk: Int): DataFrame =
+    pqKnnRankedWithModel(s, path, cents, books, queries, nprobe)
+      .filter(col("__rn") <= topk).drop("__rn")
+
+  /** The window-ranked (query_id, neighbor_id, adc_score, __rn) frame
+    * behind [[pqKnnJoinWithModel]], BEFORE the top-k cut — so a caller
+    * probing the same index at two widths (q153's ADC top-k + 5×k
+    * re-rank shortlist) shares ONE probe checkpoint, ONE driver cell
+    * enumeration and ONE pruned listing instead of building identical
+    * scaffolding per width; the cut is the only thing that differs,
+    * and `filter(__rn <= k)` after the window is exactly where each
+    * dedicated call cut before. */
+  private def pqKnnRankedWithModel(s: SparkSession, path: String,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      queries: DataFrame, nprobe: Int): DataFrame = {
     // probe-cell ranking: fused cosine against centroid literals, exact
     // ties to the LOWER cell (the negcell trick — probePqIndex's rule)
     val ranked = sort_array(array(cents.zipWithIndex.map { case (c, i) =>
@@ -550,7 +564,7 @@ object PqOps {
         // probed cells hold nothing — no query can have a neighbor
         return probed.limit(0)
           .select(col("query_id"), col("query_id").as("neighbor_id"),
-            lit(0.0).as("adc_score"))
+            lit(0.0).as("adc_score"), lit(1).as("__rn"))
       case Some((live0, segIds)) =>
         // tombstones first (cell-blind side table; only in the plan
         // when a retraction ever happened), then the recency window on
@@ -580,8 +594,6 @@ object PqOps {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(score, 6).as("adc_score"))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= topk)
-      .drop("__rn")
   }
 
   def pqIndexPath(s: SparkSession, d: String): String =
@@ -684,9 +696,12 @@ object PqOps {
     val queries = t(s, d, "embeddings").filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qv"))
-    val adc = pqKnnJoinWithModel(s, path, cents, books, queries, nprobe, topk)
-    val sl = pqKnnJoinWithModel(s, path, cents, books, queries, nprobe,
-        shortlist)
+    // one ranked frame, two cut widths: the ADC row and the shortlist
+    // share the probe checkpoint / cell enumeration / pruned listing
+    // (pqKnnRankedWithModel's contract) instead of rebuilding them
+    val ranked = pqKnnRankedWithModel(s, path, cents, books, queries, nprobe)
+    val adc = ranked.filter(col("__rn") <= topk).drop("__rn")
+    val sl = ranked.filter(col("__rn") <= shortlist).drop("__rn")
       .join(broadcast(queries), Seq("query_id"))
     val emb = t(s, d, "embeddings")
       .select(col("vec_id").as("neighbor_id"),

@@ -118,7 +118,8 @@ object BenchRegistrySink {
     IngestSegments.readLive(spark, path) match {
       case None => spark.range(0).select(col("id").as("h"))
       case Some(rows) =>
-        IngestSegments.resolveTombstones(rows, "doc_id", "ing", col("tomb"))
+        IngestSegments.resolveTombstones(rows, "doc_id", "ing", col("tomb"),
+            IngestSegments.TombStat.NeverTrue("tomb"))
           .select(col("h"))
     }
 

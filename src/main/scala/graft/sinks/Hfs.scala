@@ -21,12 +21,20 @@ object Hfs {
 
   def fs(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
+    (p.getFileSystem(hadoopConf(spark)), p)
+  }
+
+  /** The session's cached Hadoop conf (see [[confCache]]) — for driver
+    * utilities that need a Configuration directly (parquet footer
+    * reads) without paying the full newHadoopConf clone per call. */
+  private[graft] def hadoopConf(
+      spark: SparkSession): org.apache.hadoop.conf.Configuration = {
     var conf = confCache.get(spark)
     if (conf == null) {
       conf = spark.sessionState.newHadoopConf()
       confCache.put(spark, conf)
     }
-    (p.getFileSystem(conf), p)
+    conf
   }
 
   /** Segment commit-marker protocol shared by every per-batch segment

@@ -222,6 +222,102 @@ object IngestSegments {
     applyTombstones(rows.filter(!isTomb),
       rows.filter(isTomb).select(col(keyCol), col(ingCol)), keyCol, ingCol)
 
+  /** How a store's in-row tombstone indicator shows up in parquet
+    * column statistics, for [[resolveTombstones]]' footer fast path.
+    * The two shapes the sinks use: a numeric sentinel (tombstones are
+    * `column < 0` — SubstrIndexSink's pos, the additive text stores'
+    * negative partials) and a boolean flag (`column` true —
+    * SessionSink/RetentionSink/BenchRegistrySink's tomb). */
+  sealed trait TombStat { def column: String }
+  object TombStat {
+    /** Tombstones are rows with `column < 0`; `min(column) >= 0` over
+      * every row group proves none exist (nulls never satisfy `< 0`,
+      * and parquet min/max cover exactly the non-null values). */
+    final case class NonNegative(column: String) extends TombStat
+    /** Tombstones are rows with boolean `column` true; `max(column) =
+      * false` over every row group proves none exist. */
+    final case class NeverTrue(column: String) extends TombStat
+  }
+
+  /** [[resolveTombstones]] with a DRIVER-SIDE footer fast path for the
+    * overwhelming regime — a store that has never seen a retraction:
+    * when every parquet footer behind `rows` PROVES no tombstone row
+    * exists (per `stat`), the resolve's tombstone aggregate would be
+    * empty, its route "none", and the returned frame `rows` filtered to
+    * non-tombstones — so that frame is returned directly, skipping the
+    * aggregate's localCheckpoint + count (2 Spark jobs whose tasks list
+    * and open every store file just to prune it on the same row-group
+    * stats this check reads once on the driver). Identical answer by
+    * construction on BOTH branches: proof ⇒ route "none" ⇒ the slow
+    * path returns the same filtered frame. Any doubt — missing stats,
+    * unreadable footer, a file raced away by a compact, a non-file
+    * frame, or more files than `spark.graft.tombstat.maxFiles`
+    * (driver-sequential footer reads must not replace a distributed
+    * scan on huge stores) — falls back to the full resolve:
+    * degradation in cost only, never in answer. */
+  def resolveTombstones(rows: DataFrame, keyCol: String, ingCol: String,
+      isTomb: Column, stat: TombStat): DataFrame =
+    if (statsProveNoTombstones(rows, stat)) rows.filter(!isTomb)
+    else resolveTombstones(rows, keyCol, ingCol, isTomb)
+
+  /** True iff every file behind `rows` (its scan's own listing —
+    * `inputFiles`, a driver metadata call; a filter above the scan does
+    * not prune it, which only widens the checked set, never narrows
+    * it) has row-group statistics proving the tombstone predicate
+    * matches no row. Empty `inputFiles` means "unknown frame", not
+    * "no files" (readLive never plans over zero files), so it fails
+    * the proof. */
+  private[graft] def statsProveNoTombstones(rows: DataFrame,
+      stat: TombStat): Boolean = {
+    val spark = rows.sparkSession
+    val files =
+      try rows.inputFiles
+      catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
+    val maxFiles =
+      spark.conf.get("spark.graft.tombstat.maxFiles", "256").toInt
+    files.nonEmpty && files.length <= maxFiles &&
+      files.forall(f => footerProvesNoTombstones(spark, f, stat))
+  }
+
+  private def footerProvesNoTombstones(spark: SparkSession, file: String,
+      stat: TombStat): Boolean =
+    try {
+      import scala.jdk.CollectionConverters._
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), Hfs.hadoopConf(spark))
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.forall { b =>
+          b.getRowCount == 0L ||
+            (b.getColumns.asScala
+              .find(_.getPath.toDotString == stat.column) match {
+              case None => false // column absent: cannot prove anything
+              case Some(c) =>
+                val st = c.getStatistics
+                // hasNonNullValue false = all-null chunk OR stats never
+                // recorded — indistinguishable here, so prove only from
+                // recorded non-null min/max (these sinks' indicator
+                // columns are non-null by construction, so real stores
+                // always carry them)
+                st != null && st.hasNonNullValue && (stat match {
+                  case TombStat.NonNegative(_) => st match {
+                    case l: org.apache.parquet.column.statistics.LongStatistics =>
+                      l.getMin >= 0L
+                    case i: org.apache.parquet.column.statistics.IntStatistics =>
+                      i.getMin >= 0
+                    case _ => false
+                  }
+                  case TombStat.NeverTrue(_) => st match {
+                    case bo: org.apache.parquet.column.statistics.BooleanStatistics =>
+                      !bo.getMax
+                    case _ => false
+                  }
+                })
+            })
+        }
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** [[resolveTombstones]] for stores whose tombstones live in a
     * SEPARATE tiny side table instead of the store's own rows — the
     * partition-pruned corpora (bucket/cell ANN layouts): a tombstone

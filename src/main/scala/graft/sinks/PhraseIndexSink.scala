@@ -83,7 +83,7 @@ object PhraseIndexSink {
       case Some(raw) =>
         graft.functions.TextOps.phraseFromRows(
           IngestSegments.resolveTombstones(raw, "doc_id", "ing",
-              col("occ") < 0)
+              col("occ") < 0, IngestSegments.TombStat.NonNegative("occ"))
             .dropDuplicates("doc_id", "phrase"))
           .filter(col("df") >= minDf)
     }

@@ -52,7 +52,8 @@ object RetentionSink {
       case None =>
         throw new IllegalArgumentException(s"no index segments under $path")
       case Some(raw) =>
-        IngestSegments.resolveTombstones(raw, "user_id", "ing", col("tomb"))
+        IngestSegments.resolveTombstones(raw, "user_id", "ing", col("tomb"),
+            IngestSegments.TombStat.NeverTrue("tomb"))
           .select(col("user_id"), col("day")).distinct()
     }
 

@@ -55,7 +55,8 @@ object SessionSink {
       case None =>
         throw new IllegalArgumentException(s"no index segments under $path")
       case Some(raw) =>
-        IngestSegments.resolveTombstones(raw, "user_id", "ing", col("tomb"))
+        IngestSegments.resolveTombstones(raw, "user_id", "ing", col("tomb"),
+            IngestSegments.TombStat.NeverTrue("tomb"))
           .select(col("user_id"), col("start_us"), col("n_events"),
             col("dur_us"), col("converted"))
           .distinct()

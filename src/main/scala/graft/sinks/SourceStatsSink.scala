@@ -67,7 +67,7 @@ object SourceStatsSink {
         case Some(raw) =>
           val live = IngestSegments.resolveTombstones(
             raw.filter(col("ing") =!= batchId), "doc_id", "ing",
-            col("n") < 0)
+            col("n") < 0, IngestSegments.TombStat.NonNegative("n"))
             .dropDuplicates("doc_id")
           Some(live.join(broadcast(docs), Seq("doc_id"), "left_semi")
             .groupBy(col("source"))

@@ -109,7 +109,7 @@ object SubstrIndexSink {
         case Some(raw) =>
           val live = IngestSegments.resolveTombstones(
             raw.filter(col("ing") =!= batchId), "doc_id", "ing",
-            col("pos") < 0)
+            col("pos") < 0, IngestSegments.TombStat.NonNegative("pos"))
             // duplicate-tolerant store read (compact-race double-reads):
             // a crash-window copy must not double the subtraction
             .dropDuplicates("doc_id", "pos")
@@ -137,7 +137,8 @@ object SubstrIndexSink {
   private def livePositions(spark: SparkSession,
       path: String): Option[DataFrame] =
     IngestSegments.readLive(spark, s"$path/pos").map { raw =>
-      IngestSegments.resolveTombstones(raw, "doc_id", "ing", col("pos") < 0)
+      IngestSegments.resolveTombstones(raw, "doc_id", "ing", col("pos") < 0,
+          IngestSegments.TombStat.NonNegative("pos"))
         .select(col("doc_id"), col("pos"), col("h"))
         .dropDuplicates("doc_id", "pos")
     }
@@ -163,7 +164,8 @@ object SubstrIndexSink {
           col("id").as("n_grams"))
       case Some(raw) =>
         val pos = IngestSegments
-          .resolveTombstones(raw, "doc_id", "ing", col("pos") < 0)
+          .resolveTombstones(raw, "doc_id", "ing", col("pos") < 0,
+            IngestSegments.TombStat.NonNegative("pos"))
           .select(col("doc_id"), col("pos"), col("h"))
         val dup = AdditiveSegments.read(spark, s"$path/counts", reconcile)
           .filter(col("n") >= 2).select(col("h"))

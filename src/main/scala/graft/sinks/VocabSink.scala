@@ -86,7 +86,7 @@ object VocabSink {
         case Some(raw) =>
           val live = IngestSegments.resolveTombstones(
             raw.filter(col("ing") =!= batchId), "doc_id", "ing",
-            col("tf") < 0)
+            col("tf") < 0, IngestSegments.TombStat.NonNegative("tf"))
             // duplicate-tolerant store read (compact-race double-reads):
             // a crash-window copy must not double the subtraction
             .dropDuplicates("doc_id", "token")
